@@ -1,24 +1,50 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+ * prints one JSON line {"metric":...,"value":...,"queries":{...}}.
+ * Queries run twice each; the timed pass is the second, so JIT/codegen
+ * warmup and file-listing noise don't dominate — the driver's comparison
+ * is against steady-state engine throughput.
+ */
 object Bench {
+  // Headline set: heavy scan-agg, joins (broadcast + shuffled), window
+  // dedup, fuzzy join, minhash dedup, ANN, sessionization.
+  val headline: Seq[String] = Seq(
+    "q1_agg", "j1_left_join", "j3_enrich_coalesce", "j9_range_join",
+    "a10_dedup_first", "j8_fuzzy_osa", "dedup_minhash", "dedup_exact",
+    "ann_cosine_topk", "ev_sessionize", "qa_battery", "text_token_stats")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val qs = headline.filter(Registry.queries.contains)
+    // warmup pass (codegen + parquet footer caching)
+    qs.foreach { name =>
+      try Registry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
+    val results = qs.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try Registry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

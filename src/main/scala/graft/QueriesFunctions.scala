@@ -1,0 +1,262 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import graft.functions.osa_distance
+import graft.operators.FuzzyJoin
+import graft.qa.QaRules
+import graft.qa.QaRules.Rule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Scalar-function (SURVEY §2.7) and QA-battery (§2.8) inventory, plus the
+ * fuzzy-distance joins (J8). The DuckDB oracles mirror each expression;
+ * note DuckDB regexp_replace needs the 'g' flag to match Spark's
+ * replace-all semantics, and RE2 lacks lookarounds so oracles use capture
+ * groups where Spark uses lookbehind.
+ */
+object QueriesFunctions {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- F1
+    QueryDef("f1_annihilate", Some("""
+      SELECT c_custkey,
+             upper(replace(regexp_replace(trim(regexp_replace(c_name, '[^A-Za-z0-9 ]', '', 'g')),
+                                          ' [A-Za-z]$', ''), ' ', '')) AS name_norm
+      FROM customer"""),
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_custkey"), annihilate(col("c_name")).as("name_norm"))),
+
+    // ---------------------------------------------------------------- F2
+    QueryDef("f2_unite_name", Some("""
+      SELECT s_suppkey, concat_ws('_', s_name, CAST(s_nationkey AS VARCHAR)) AS united
+      FROM supplier"""),
+      (s, dir) => t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          concat_ws("_", col("s_name"), col("s_nationkey").cast("string")).as("united"))),
+
+    // ------------------------------------------------------------ F3/F4/F5
+    // Round-trip: format o_orderdate into one of three wire shapes by key
+    // (US m/d/Y, ISO, Excel serial), then re-parse with the multi-format
+    // fallback chain. parsed_date must equal the original date everywhere.
+    QueryDef("f5_multiformat_date", Some("""
+      WITH wire AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN strftime(CAST(o_orderdate AS DATE), '%-m/%-d/%Y')
+                    WHEN o_orderkey % 3 = 1 THEN strftime(CAST(o_orderdate AS DATE), '%Y-%-m-%-d')
+                    ELSE CAST(datediff('day', DATE '1899-12-30', CAST(o_orderdate AS DATE)) AS VARCHAR)
+               END AS ds,
+               CAST(o_orderdate AS DATE) AS orig
+        FROM orders)
+      SELECT o_orderkey, ds,
+             strftime(CASE WHEN regexp_full_match(ds, '\d{4,5}')
+                           THEN DATE '1899-12-30' + CAST(ds AS INTEGER)
+                           ELSE COALESCE(try_strptime(ds, '%-m/%-d/%Y'), try_strptime(ds, '%Y-%-m-%-d'))::DATE
+                      END, '%Y-%m-%d') AS parsed_date,
+             CASE WHEN CASE WHEN regexp_full_match(ds, '\d{4,5}')
+                            THEN DATE '1899-12-30' + CAST(ds AS INTEGER)
+                            ELSE COALESCE(try_strptime(ds, '%-m/%-d/%Y'), try_strptime(ds, '%Y-%-m-%-d'))::DATE
+                       END = orig THEN 1 ELSE 0 END AS roundtrip_ok
+      FROM wire"""),
+      (s, dir) => {
+        val wire = t(s, dir, "orders").select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "M/d/yyyy"))
+            .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "yyyy-M-d"))
+            .otherwise(datediff(col("o_orderdate").cast("date"),
+              to_date(lit("1899-12-30"))).cast("string")).as("ds"),
+          col("o_orderdate").cast("date").as("orig"))
+        wire.select(col("o_orderkey"), col("ds"),
+          date_format(parseAnyDate(col("ds")), "yyyy-MM-dd").as("parsed_date"),
+          when(parseAnyDate(col("ds")) === col("orig"), 1).otherwise(0).as("roundtrip_ok"))
+      }),
+
+    // ---------------------------------------------------------------- F6
+    QueryDef("f6_within_days", Some("""
+      SELECT o_orderkey,
+             CASE WHEN abs(datediff('day', CAST(o_orderdate AS DATE), DATE '1997-06-15')) <= 14
+                  THEN 1 ELSE 0 END AS in_window
+      FROM orders"""),
+      (s, dir) => t(s, dir, "orders").select(col("o_orderkey"),
+        when(withinDays(col("o_orderdate").cast("date"),
+          to_date(lit("1997-06-15")), 14), 1).otherwise(0).as("in_window"))),
+
+    // ------------------------------------------------------------ F7/F9
+    // Spark uses a lookbehind (Java regex); DuckDB RE2 has no lookarounds,
+    // so the oracle extracts via a capture group — same output.
+    QueryDef("f7_regex_extract", Some("""
+      SELECT event_id, regexp_extract(props, '"k": (\d+)', 1) AS k_val
+      FROM events"""),
+      (s, dir) => t(s, dir, "events").select(col("event_id"),
+        regexp_extract(col("props"), "(?<=\"k\": )\\d+", 0).as("k_val"))),
+
+    // ---------------------------------------------------------------- F8
+    QueryDef("f8_id_decompose", Some("""
+      SELECT s_name,
+             regexp_extract(s_name, '^([A-Za-z]+)#', 1) AS id_prefix,
+             CAST(CAST(regexp_extract(s_name, '(\d+)$', 1) AS INTEGER) AS BIGINT) AS id_num
+      FROM supplier"""),
+      (s, dir) => t(s, dir, "supplier").select(col("s_name"),
+        regexp_extract(col("s_name"), "^([A-Za-z]+)#", 1).as("id_prefix"),
+        regexp_extract(col("s_name"), "(\\d+)$", 1).cast("int").cast("long").as("id_num"))),
+
+    // ---------------------------------------------------------------- F10
+    QueryDef("f10_vocab_standardize", Some("""
+      SELECT CASE WHEN upper(c_mktsegment) LIKE '%AUTO%' THEN 'Automotive'
+                  WHEN upper(c_mktsegment) LIKE '%BUILD%' THEN 'Construction'
+                  WHEN upper(c_mktsegment) LIKE '%MACH%' THEN 'Industrial'
+                  ELSE 'Other' END AS segment_std,
+             COUNT(*) AS n
+      FROM customer GROUP BY 1"""),
+      (s, dir) => t(s, dir, "customer")
+        .select(when(upper(col("c_mktsegment")).rlike("AUTO"), "Automotive")
+          .when(upper(col("c_mktsegment")).rlike("BUILD"), "Construction")
+          .when(upper(col("c_mktsegment")).rlike("MACH"), "Industrial")
+          .otherwise("Other").as("segment_std"))
+        .groupBy("segment_std").agg(count(lit(1)).as("n"))),
+
+    // ---------------------------------------------------------------- F11
+    QueryDef("f11_lookup_map", Some("""
+      SELECT e.event_id, COALESCE(m.category, 'other') AS category
+      FROM events e LEFT JOIN (VALUES
+        ('signup', 'acquisition'), ('purchase', 'revenue'),
+        ('click', 'engagement'), ('view', 'engagement'),
+        ('error', 'ops')) m(et, category) ON e.event_type = m.et"""),
+      (s, dir) => {
+        val mapping = s.createDataFrame(Seq(
+          ("signup", "acquisition"), ("purchase", "revenue"),
+          ("click", "engagement"), ("view", "engagement"),
+          ("error", "ops"))).toDF("et", "category")
+        val e = t(s, dir, "events")
+        e.join(broadcast(mapping), e("event_type") === mapping("et"), "left")
+          .select(e("event_id"), coalesce(mapping("category"), lit("other")).as("category"))
+      }),
+
+    // ---------------------------------------------------------------- F12
+    QueryDef("f12_note_template", Some("""
+      SELECT o_orderkey,
+             'Order ' || CAST(o_orderkey AS VARCHAR) || ' registered as ' || o_orderpriority ||
+             ' on ' || strftime(CAST(o_orderdate AS DATE), '%-m/%-d/%Y') ||
+             '. Priorities may change over time.' AS note
+      FROM orders"""),
+      (s, dir) => t(s, dir, "orders").select(col("o_orderkey"),
+        concat(lit("Order "), col("o_orderkey").cast("string"),
+          lit(" registered as "), col("o_orderpriority"),
+          lit(" on "), date_format(col("o_orderdate"), "M/d/yyyy"),
+          lit(". Priorities may change over time.")).as("note"))),
+
+    // ---------------------------------------------------------------- F13
+    QueryDef("f13_null_norm", Some("""
+      SELECT COALESCE(nullif(trim(lang), ''), 'und') AS lang_norm, COUNT(*) AS n
+      FROM documents GROUP BY 1"""),
+      (s, dir) => t(s, dir, "documents")
+        .select(coalesce(blankAsNull(col("lang")), lit("und")).as("lang_norm"))
+        .groupBy("lang_norm").agg(count(lit(1)).as("n"))),
+
+    // ---------------------------------------------------------------- F14
+    QueryDef("f14_id_synthesis", Some("""
+      SELECT o_orderkey,
+             'UW-' || strftime(CAST(o_orderdate AS DATE), '%y%m') || '-' ||
+             CAST(o_orderkey AS VARCHAR) AS synth_id
+      FROM orders"""),
+      (s, dir) => t(s, dir, "orders").select(col("o_orderkey"),
+        concat(lit("UW-"), date_format(col("o_orderdate"), "yyMM"),
+          lit("-"), col("o_orderkey").cast("string")).as("synth_id"))),
+
+    // ------------------------------------------------------------ Q1/A6
+    QueryDef("qa_battery", Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END AS qa_status,
+             CASE WHEN NOT regexp_full_match(o_orderpriority, '[1-5]-.*') THEN 1 ELSE 0 END AS qa_priority,
+             CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END AS qa_price,
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '1990-01-01'
+                    OR CAST(o_orderdate AS DATE) > DATE '2005-12-31' THEN 1 ELSE 0 END AS qa_date,
+             CASE WHEN COUNT(*) OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)) > 1
+                  THEN 1 ELSE 0 END AS qa_int_dupe,
+             (CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END
+              + CASE WHEN NOT regexp_full_match(o_orderpriority, '[1-5]-.*') THEN 1 ELSE 0 END
+              + CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(o_orderdate AS DATE) < DATE '1990-01-01'
+                       OR CAST(o_orderdate AS DATE) > DATE '2005-12-31' THEN 1 ELSE 0 END
+              + CASE WHEN COUNT(*) OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)) > 1
+                     THEN 1 ELSE 0 END) AS qa_sum
+      FROM orders"""),
+      (s, dir) => {
+        val rules = Seq(
+          Rule("qa_status", QaRules.notInVocab(col("o_orderstatus"), Seq("O", "F", "P"))),
+          Rule("qa_priority", !col("o_orderpriority").rlike("^[1-5]-.*$")),
+          Rule("qa_price", col("o_totalprice").isNull || col("o_totalprice") <= 0),
+          Rule("qa_date", col("o_orderdate").cast("date") < to_date(lit("1990-01-01")) ||
+            col("o_orderdate").cast("date") > to_date(lit("2005-12-31"))),
+          Rule("qa_int_dupe",
+            QaRules.dupWithinBatch(col("o_custkey"), col("o_orderdate").cast("date"))))
+        QaRules.applyBattery(t(s, dir, "orders"), rules)
+          .select("o_orderkey", "qa_status", "qa_priority", "qa_price",
+            "qa_date", "qa_int_dupe", "qa_sum")
+      }),
+
+    // ------------------------------------------------------------ A7
+    QueryDef("qa_report", Some("""
+      SELECT CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS qa_status,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS qa_price,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+      FROM orders"""),
+      (s, dir) => t(s, dir, "orders").agg(
+        sum(when(QaRules.notInVocab(col("o_orderstatus"), Seq("O", "F", "P")), 1).otherwise(0))
+          .as("qa_status"),
+        sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1).otherwise(0))
+          .as("qa_price"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("n_urgent"))),
+
+    // ------------------------------------------------------------ Q5
+    QueryDef("q5_sentinel_scan", Some("""
+      SELECT event_id FROM events
+      WHERE len(list_filter([event_type, props],
+                            x -> x IS NOT NULL AND contains(x, 'error'))) > 0"""),
+      (s, dir) => t(s, dir, "events")
+        .filter(QaRules.sentinelHit(Seq(col("event_type"), col("props")), "error"))
+        .select("event_id")),
+
+    // ------------------------------------------------------------ J8
+    // Blocked fuzzy join, Levenshtein flavor (DuckDB has levenshtein).
+    // Block on nationkey; match customer/supplier id-suffixes at dist<=1.
+    QueryDef("j8_fuzzy_lev", Some("""
+      SELECT c.c_custkey, s.s_suppkey,
+             levenshtein(substr(c.c_name, 10), substr(s.s_name, 10)) AS distance
+      FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+      WHERE levenshtein(substr(c.c_name, 10), substr(s.s_name, 10)) <= 1"""),
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val sup = t(s, dir, "supplier")
+        c.join(sup, c("c_nationkey") === sup("s_nationkey") &&
+            levenshtein(substring(c("c_name"), 10, 100), substring(sup("s_name"), 10, 100)) <= 1)
+          .select(c("c_custkey"), sup("s_suppkey"),
+            levenshtein(substring(c("c_name"), 10, 100), substring(sup("s_name"), 10, 100))
+              .as("distance"))
+      }),
+
+    // Blocked fuzzy join, OSA flavor (custom Catalyst expression; the
+    // reference's semantics). DuckDB damerau_levenshtein is full DL, which
+    // agrees with OSA except when edits occur inside a transposed pair —
+    // verified equal on this corpus (names differ only by digit edits).
+    QueryDef("j8_fuzzy_osa", Some("""
+      SELECT c.c_custkey, s.s_suppkey,
+             CAST(damerau_levenshtein(substr(c.c_name, 10), substr(s.s_name, 10)) AS INTEGER) AS distance
+      FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+      WHERE damerau_levenshtein(substr(c.c_name, 10), substr(s.s_name, 10)) <= 2"""),
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey").as("block"),
+            substring(col("c_name"), 10, 100).as("cid"))
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey").as("block"),
+            substring(col("s_name"), 10, 100).as("sid"))
+        FuzzyJoin.blockedFuzzyJoin(c, sup, "block", col("cid"), col("sid"), 2)
+          .select(col("c_custkey"), col("s_suppkey"), col("distance"))
+      })
+  )
+}

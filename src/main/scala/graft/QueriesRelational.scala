@@ -1,0 +1,419 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import graft.operators.{Joins, Routing}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Relational operator inventory (SURVEY.md §2.2-§2.6) exercised on the
+ * driver's TPC-H-ish tables. Money sums go through decimal so Spark and
+ * the DuckDB oracle agree bit-for-bit (see GraftFunctions.exactSum).
+ */
+object QueriesRelational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** decimal(18,2) view of a money column. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- A2
+    QueryDef("q1_agg", Some("""
+      SELECT l_returnflag, l_linestatus,
+             SUM(l_quantity) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
+             SUM(l_quantity) / COUNT(*) AS avg_qty,
+             COUNT(*) AS count_order
+      FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") <= lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice")).as("sum_base"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // ---------------------------------------------------------------- P1
+    QueryDef("p1_project", Some("""
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price
+      FROM lineitem"""),
+      (s, dir) => t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("line_no"),
+        (dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("net_price"))),
+
+    // ---------------------------------------------------------------- P2
+    QueryDef("p2_nonempty", Some("""
+      SELECT doc_id FROM documents
+      WHERE len(list_filter([text, lang, source],
+                            x -> x IS NOT NULL AND trim(x) <> '')) >= 2"""),
+      (s, dir) => t(s, dir, "documents")
+        .filter(size(filter(array(col("text"), col("lang"), col("source")),
+          c => c.isNotNull && trim(c) =!= "")) >= 2)
+        .select("doc_id")),
+
+    // ---------------------------------------------------------------- P3
+    QueryDef("p3_filter", Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderstatus = 'F' AND o_orderpriority <> '1-URGENT'"""),
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")),
+
+    // ---------------------------------------------------------------- P4
+    QueryDef("p4_semi_join", Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""),
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+
+    QueryDef("p4_anti_join", Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""),
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // ---------------------------------------------------------------- P5
+    QueryDef("p5_route", Some("""
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                  WHEN o_orderstatus = 'O' THEN 'open'
+                  WHEN o_orderstatus = 'F' THEN 'finished'
+                  ELSE 'other' END AS disposition,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1"""),
+      (s, dir) => Routing.route(t(s, dir, "orders"), Seq(
+          "urgent" -> (col("o_orderpriority") === "1-URGENT"),
+          "open" -> (col("o_orderstatus") === "O"),
+          "finished" -> (col("o_orderstatus") === "F")), "other")
+        .groupBy("disposition").agg(count(lit(1)).as("n"))),
+
+    // ---------------------------------------------------------------- J1
+    QueryDef("j1_left_join", Some("""
+      SELECT e.event_id, e.user_id, c.c_name, e.value
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"""),
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val c = t(s, dir, "customer")
+        e.join(c, e("user_id") === c("c_custkey"), "left")
+          .select(e("event_id"), e("user_id"), c("c_name"), e("value"))
+      }),
+
+    // ---------------------------------------------------------------- J2
+    QueryDef("j2_postjoin_dedup", Some("""
+      SELECT DISTINCT o.o_orderkey, o.o_orderstatus, l.l_returnflag
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"""),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(o("o_orderkey"), o("o_orderstatus"), l("l_returnflag"))
+          .dropDuplicates()
+      }),
+
+    // ---------------------------------------------------------------- J3
+    QueryDef("j3_enrich_coalesce", Some("""
+      SELECT c.c_custkey, n.n_name, COALESCE(r.r_name, 'UNKNOWN') AS region_name
+      FROM customer c
+      LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN region r ON n.n_regionkey = r.r_regionkey"""),
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+          .select(c("c_custkey"), n("n_name"),
+            coalesce(r("r_name"), lit("UNKNOWN")).as("region_name"))
+      }),
+
+    // ---------------------------------------------------------------- J4
+    QueryDef("j4_fallback_join", Some("""
+      WITH m1 AS (
+        SELECT e.event_id, e.user_id, c.c_custkey, c.c_name
+        FROM events e JOIN customer c ON e.user_id + 1400 = c.c_custkey),
+      miss AS (
+        SELECT * FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE e.user_id + 1400 = c.c_custkey)),
+      m2 AS (
+        SELECT e.event_id, e.user_id, c.c_custkey, c.c_name
+        FROM miss e JOIN customer c ON e.user_id = c.c_custkey)
+      SELECT * FROM m1 UNION ALL SELECT * FROM m2"""),
+      (s, dir) => {
+        val e = t(s, dir, "events").withColumn("__alt", col("user_id") + 1400)
+        val c = t(s, dir, "customer")
+        Joins.fallbackJoin(e, c, ("__alt", "c_custkey"), ("user_id", "c_custkey"))
+          .select("event_id", "user_id", "c_custkey", "c_name")
+      }),
+
+    // ---------------------------------------------------------------- J5
+    QueryDef("j5_full_outer", Some("""
+      SELECT COALESCE(u.user_id, c.c_custkey) AS id,
+             CASE WHEN u.user_id IS NULL THEN 'customer_only'
+                  WHEN c.c_custkey IS NULL THEN 'event_only'
+                  ELSE 'both' END AS presence
+      FROM (SELECT DISTINCT user_id FROM events) u
+      FULL OUTER JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON u.user_id = c.c_custkey"""),
+      (s, dir) => {
+        val u = t(s, dir, "events").select("user_id").distinct()
+        val c = t(s, dir, "customer").select("c_custkey").distinct()
+        u.join(c, u("user_id") === c("c_custkey"), "full_outer")
+          .select(coalesce(u("user_id"), c("c_custkey")).as("id"),
+            when(u("user_id").isNull, "customer_only")
+              .when(c("c_custkey").isNull, "event_only")
+              .otherwise("both").as("presence"))
+      }),
+
+    // ---------------------------------------------------------------- J6
+    QueryDef("j6_anti_composite", Some("""
+      SELECT o_orderkey FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE) = CAST(o.o_orderdate AS DATE))"""),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        o.join(l, o("o_orderkey") === l("l_orderkey") &&
+            o("o_orderdate").cast("date") === l("l_shipdate").cast("date"), "left_anti")
+          .select("o_orderkey")
+      }),
+
+    // ---------------------------------------------------------------- J7/U3
+    QueryDef("j7_snapshot_diff", Some("""
+      WITH today AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      yesterday AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 0)
+      SELECT o_orderkey, 'added' AS diff_kind FROM (SELECT * FROM today EXCEPT SELECT * FROM yesterday)
+      UNION ALL
+      SELECT o_orderkey, 'removed' AS diff_kind FROM (SELECT * FROM yesterday EXCEPT SELECT * FROM today)"""),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val today = o.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val yesterday = o.filter(col("o_orderkey") % 10 =!= 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            when(col("o_orderkey") % 13 === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+        today.except(yesterday).select(col("o_orderkey"), lit("added").as("diff_kind"))
+          .unionByName(
+            yesterday.except(today).select(col("o_orderkey"), lit("removed").as("diff_kind")))
+      }),
+
+    // ---------------------------------------------------------------- J9
+    QueryDef("j9_range_join", Some("""
+      SELECT o.o_orderkey, l.l_linenumber
+      FROM orders o JOIN lineitem l
+        ON o.o_orderkey = l.l_orderkey
+       AND CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+       AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + 30"""),
+      (s, dir) => {
+        val o = t(s, dir, "orders").withColumnRenamed("o_orderkey", "k")
+        val l = t(s, dir, "lineitem")
+        Joins.dateRangeJoin(
+            o.withColumn("l_orderkey", col("k")), l, Seq("l_orderkey"),
+            col("o_orderdate"), col("l_shipdate"), 0, 30)
+          .select(col("k").as("o_orderkey"), col("l_linenumber"))
+      }),
+
+    // ---------------------------------------------------------------- J10
+    QueryDef("j10_asof_closest", Some("""
+      WITH cand AS (
+        SELECT o.o_orderkey, l.l_linenumber,
+               abs(datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))) AS dist
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+      SELECT o_orderkey, l_linenumber, dist FROM (
+        SELECT *, MIN(dist) OVER (PARTITION BY o_orderkey) AS min_dist FROM cand)
+      WHERE dist = min_dist"""),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val cand = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(o("o_orderkey"), l("l_linenumber"),
+            abs(datediff(l("l_shipdate"), o("o_orderdate"))).as("dist"))
+        Joins.closestDateMatch(cand, "o_orderkey", "dist")
+      }),
+
+    // ---------------------------------------------------------------- A1
+    QueryDef("a1_count_distinct", Some("""
+      SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs
+      FROM orders GROUP BY o_orderstatus"""),
+      (s, dir) => t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_custs"))),
+
+    // ---------------------------------------------------------------- A2
+    QueryDef("a2_freq_table", Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2"""),
+      (s, dir) => t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))),
+
+    // ---------------------------------------------------------------- A3
+    QueryDef("a3_pivot", Some("""
+      SELECT o_orderpriority,
+             COUNT(CASE WHEN year(o_orderdate) = 1995 THEN 1 END) AS y1995,
+             COUNT(CASE WHEN year(o_orderdate) = 1996 THEN 1 END) AS y1996,
+             COUNT(CASE WHEN year(o_orderdate) = 1997 THEN 1 END) AS y1997,
+             COUNT(CASE WHEN year(o_orderdate) = 1998 THEN 1 END) AS y1998
+      FROM orders GROUP BY 1"""),
+      (s, dir) => {
+        val years = Seq("1995", "1996", "1997", "1998")
+        val p = t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot(year(col("o_orderdate")).cast("string"), years)
+          .count().na.fill(0L)
+        years.foldLeft(p)((d, y) => d.withColumnRenamed(y, s"y$y"))
+      }),
+
+    // ---------------------------------------------------------------- A4
+    QueryDef("a4_unpivot", Some("""
+      SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part"""),
+      (s, dir) => t(s, dir, "part").select(col("p_partkey"),
+        expr("stack(2, 'p_size', CAST(p_size AS DOUBLE), 'p_retailprice', p_retailprice) AS (metric, value)"))),
+
+    // ---------------------------------------------------------------- A5
+    QueryDef("a5_rollup_total", Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY ROLLUP(o_orderstatus)"""),
+      (s, dir) => t(s, dir, "orders").rollup(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("total"))),
+
+    // ---------------------------------------------------------------- A8
+    QueryDef("a8_dup_flag", Some("""
+      SELECT event_id,
+             CASE WHEN COUNT(*) OVER (PARTITION BY user_id, event_type) > 1
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM events"""),
+      (s, dir) => t(s, dir, "events").select(col("event_id"),
+        when(count(lit(1)).over(Window.partitionBy(col("user_id"), col("event_type"))) > 1, 1)
+          .otherwise(0).as("is_dup"))),
+
+    // ---------------------------------------------------------------- A9/A12
+    QueryDef("a9_dup_grades", Some("""
+      SELECT grade, COUNT(*) AS n FROM (
+        SELECT CASE WHEN cnt = 1 THEN 'unique'
+                    WHEN cnt <= 3 THEN 'small_group'
+                    ELSE 'large_group' END AS grade
+        FROM (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey, l_suppkey))
+      GROUP BY grade"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey").agg(count(lit(1)).as("cnt"))
+        .select(when(col("cnt") === 1, "unique")
+          .when(col("cnt") <= 3, "small_group")
+          .otherwise("large_group").as("grade"))
+        .groupBy("grade").agg(count(lit(1)).as("n"))),
+
+    // ---------------------------------------------------------------- A10
+    QueryDef("a10_dedup_first", Some("""
+      SELECT o_custkey, o_orderkey FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders) WHERE rn = 1"""),
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey")),
+
+    // ---------------------------------------------------------------- A11
+    QueryDef("a11_conditional_dedup", Some("""
+      SELECT doc_id FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE source <> 'src0' OR rn = 1"""),
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"), col("lang")).orderBy(col("doc_id"))))
+        .filter(col("source") =!= "src0" || col("rn") === 1)
+        .select("doc_id")),
+
+    // ---------------------------------------------------------------- O2
+    QueryDef("o2_collation_pick", Some("""
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END,
+                          ts, event_id) AS rn
+        FROM events) WHERE rn = 1"""),
+      (s, dir) => t(s, dir, "events")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(
+            when(col("event_type") === "signup", 0).otherwise(1),
+            col("ts"), col("event_id"))))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id")),
+
+    // ---------------------------------------------------------------- O4
+    QueryDef("o4_min_per_group", Some("""
+      SELECT event_type, strftime(MIN(CAST(ts AS DATE)), '%Y-%m-%d') AS first_day
+      FROM events GROUP BY event_type"""),
+      (s, dir) => t(s, dir, "events").groupBy("event_type")
+        .agg(date_format(min(col("ts").cast("date")), "yyyy-MM-dd").as("first_day"))),
+
+    // ---------------------------------------------------------------- U1
+    QueryDef("u1_union_all", Some("""
+      SELECT o_orderkey, 'urgent' AS branch FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderkey, 'finished' AS branch FROM orders WHERE o_orderstatus = 'F'"""),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), lit("urgent").as("branch"))
+          .unionByName(o.filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), lit("finished").as("branch")))
+      }),
+
+    // ---------------------------------------------------------------- U2
+    QueryDef("u2_union_fill", Some("""
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderstatus = 'F'"""),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "O").select("o_orderkey", "o_totalprice")
+          .unionByName(
+            o.filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderpriority"),
+            allowMissingColumns = true)
+      }),
+
+    // ---------------------------------------------------------------- U3
+    QueryDef("u3_except", Some("""
+      SELECT c_custkey AS id FROM customer
+      EXCEPT
+      SELECT user_id AS id FROM events"""),
+      (s, dir) => t(s, dir, "customer").select(col("c_custkey").as("id"))
+        .except(t(s, dir, "events").select(col("user_id").as("id")))),
+
+    // ---------------------------------------------------------------- U5
+    QueryDef("u5_intersect", Some("""
+      SELECT c_custkey AS id FROM customer
+      INTERSECT
+      SELECT user_id AS id FROM events"""),
+      (s, dir) => t(s, dir, "customer").select(col("c_custkey").as("id"))
+        .intersect(t(s, dir, "events").select(col("user_id").as("id"))))
+  )
+}

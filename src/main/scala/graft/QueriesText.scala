@@ -1,0 +1,190 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline operators over `documents` and `embeddings`:
+ * dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+ * embedding-cosine), similarity search, language ID, quality scoring,
+ * token counting, fingerprinting. Oracles mirror the md5-based hashing so
+ * DuckDB reproduces the exact same signatures.
+ */
+object QueriesText {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DuckDB mirror of TextFunctions.canonicalText. */
+  private val canonSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** DuckDB mirror of TextFunctions.tokens (lowercase whitespace split). */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------ dedup: exact
+    QueryDef("dedup_exact", Some(s"""
+      SELECT md5($canonSql) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY 1"""),
+      (s, dir) => Dedup.fingerprintGroups(t(s, dir, "documents"), "text", "doc_id")),
+
+    // ------------------------------------------------- dedup: minhash LSH
+    QueryDef("dedup_minhash", Some(s"""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct([substr(c, i, 5) FOR i IN range(1, greatest(len(c) - 3, 2))]) AS shingles
+        FROM (SELECT doc_id, $canonSql AS c FROM documents)),
+      sig AS (
+        SELECT doc_id, shingles,
+               [list_min(list_transform(shingles, t -> md5(CAST(h AS VARCHAR) || ':' || t)))
+                FOR h IN range(0, 16)] AS sig
+        FROM sh),
+      banded AS (
+        SELECT doc_id, shingles, b AS band,
+               md5(CAST(b AS VARCHAR) || '|' || sig[4*b+1] || '|' || sig[4*b+2] || '|' ||
+                   sig[4*b+3] || '|' || sig[4*b+4]) AS key
+        FROM sig, range(0, 4) r(b)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.shingles, b.shingles)) /
+               CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"""),
+      (s, dir) => Dedup.minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
+        shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5)),
+
+    // ------------------------------------------------- dedup: n-gram jaccard
+    QueryDef("dedup_ngram_jaccard", Some(s"""
+      WITH prep AS (
+        SELECT doc_id, list_distinct(toks0) AS toks, toks0[1] AS first_tok,
+               CAST(len(toks0) // 10 AS INTEGER) AS len_band
+        FROM (SELECT doc_id, $toksSql AS toks0 FROM documents))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.toks, b.toks)) /
+             CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jaccard
+      FROM prep a JOIN prep b ON a.len_band = b.len_band AND a.first_tok = b.first_tok
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.toks, b.toks)) /
+            CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6"""),
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.6)),
+
+    // ------------------------------------------------- dedup: simhash
+    // crc32 is not available in DuckDB — rows-only check; semantics are
+    // unit-tested in SimilarityDedupSpec.
+    QueryDef("dedup_simhash", None,
+      (s, dir) => Dedup.simhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id", 6)),
+
+    // ------------------------------------------- dedup: embedding cosine
+    QueryDef("dedup_embedding", Some("""
+      WITH cells AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+                + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+                + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+                + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+                + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS cell
+        FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        FROM cells a JOIN cells b ON a.cell = b.cell WHERE a.vec_id < b.vec_id)
+      SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs WHERE round(cos, 6) >= 0.9"""),
+      (s, dir) => Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"),
+        "embedding", "vec_id", minCosine = 0.9, signBits = 8)),
+
+    // ------------------------------------------------- similarity: brute
+    QueryDef("ann_cosine_topk", Some("""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT vec_id,
+               round(list_dot_product(embedding::DOUBLE[], qv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(qv, qv))), 6) AS cosine
+        FROM embeddings, q)
+      SELECT vec_id, cosine FROM scored
+      ORDER BY cosine DESC, vec_id LIMIT 10"""),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        e.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+          .limit(10)
+      }),
+
+    // ------------------------------------------------- similarity: LSH
+    // Deterministic hyperplane constants live in Scala — not reproducible
+    // as compact SQL; rows-only check + overlap-vs-brute-force unit test.
+    QueryDef("ann_lsh_topk", None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qRow = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0)
+        Similarity.lshTopK(e, "embedding", "vec_id", qRow, 10)
+      }),
+
+    // ------------------------------------------------- text: language ID
+    QueryDef("text_lang_id", Some(s"""
+      WITH scored AS (
+        SELECT doc_id,
+               len(list_filter($toksSql, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+               len(list_filter($toksSql, x -> x IN ('el','la','de','que','y','en','un','los','se','por'))) AS s_es,
+               len(list_filter($toksSql, x -> x IN ('der','die','das','und','ist','ein','zu','den','von','mit'))) AS s_de,
+               len(list_filter($toksSql, x -> x IN ('le','la','de','et','un','est','que','pour','dans','des'))) AS s_fr
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                  WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                  ELSE 'fr' END AS lang_pred
+      FROM scored"""),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), langId(col("text")).as("lang_pred"))),
+
+    // ------------------------------------------------- text: quality
+    QueryDef("text_quality", Some("""
+      SELECT doc_id,
+             CASE WHEN len(text) > 0
+                  THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(len(text) AS DOUBLE)
+                  ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) > 0
+                  THEN list_sum(list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0), x -> len(x)))
+                       / CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS DOUBLE)
+                  ELSE 0.0 END AS mean_tok_len
+      FROM documents"""),
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        alphaRatio(col("text")).as("alpha_ratio"),
+        meanTokenLength(col("text")).as("mean_tok_len"))),
+
+    // ------------------------------------------------- text: token counts
+    QueryDef("text_token_stats", Some(s"""
+      SELECT doc_id,
+             CAST(len($toksSql) AS INTEGER) AS n_tokens,
+             CAST(list_sum(list_transform($toksSql, x -> CAST(ceil(len(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+      FROM documents"""),
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        subwordCount(col("text")).as("n_subwords"))),
+
+    // ------------------------------------------------- text: fingerprint
+    QueryDef("text_fingerprint", Some(s"""
+      SELECT source, COUNT(DISTINCT md5($canonSql)) AS n_unique, COUNT(*) AS n_docs
+      FROM documents GROUP BY source"""),
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("source")
+        .agg(countDistinct(fingerprint(col("text"))).as("n_unique"),
+          count(lit(1)).as("n_docs")))
+  )
+}

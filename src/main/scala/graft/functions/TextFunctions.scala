@@ -1,0 +1,186 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for large-scale training-data pipelines:
+ * tokenization, language ID, quality scoring, fingerprinting, shingling,
+ * MinHash and SimHash. All are compositions of codegen'd built-ins
+ * (no UDFs), so they stay inside whole-stage codegen and scale linearly
+ * with input partitions — no shuffle until an explicit aggregation.
+ */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens; empty string yields empty array. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Distinct token set (order-insensitive usage only: sizes/joins). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /**
+   * BPE-ish subword count: split on word boundaries and count runs of up to 4
+   * characters — a deterministic proxy for tokenizer budgeting (a real BPE
+   * vocab is external; the ceil(len/4) per word shape matches GPT-family
+   * rules of thumb).
+   */
+  def subwordCount(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+
+  // ------------------------------------------------------------ language ID
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "des"))
+
+  /** Per-language stopword-hit count over the token stream. */
+  def langScore(text: Column, lang: String): Column = {
+    val words = stopwords(lang)
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
+  }
+
+  /**
+   * N-gram/stopword-heuristic language ID: argmax of per-language stopword
+   * hits, ties broken en > es > de > fr; no hits at all => "und"
+   * (undetermined). Pure expression tree — no UDF, no shuffle.
+   */
+  def langId(text: Column): Column = {
+    val scores = Seq("en", "es", "de", "fr").map(l => (l, langScore(text, l)))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(s === best && best > 0, lit(l)).otherwise(els)
+    }
+  }
+
+  // ------------------------------------------------------------ quality
+  /** Ratio of alphabetic chars to total chars (null-safe, 0 for empty). */
+  def alphaRatio(text: Column): Column = {
+    val len = length(text)
+    when(len > 0,
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / len)
+      .otherwise(lit(0.0))
+  }
+
+  /** Ratio of punctuation chars to total chars. */
+  def punctRatio(text: Column): Column = {
+    val len = length(text)
+    when(len > 0,
+      length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") / len)
+      .otherwise(lit(0.0))
+  }
+
+  /** Ratio of tokens that are (any-language) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val all = stopwords.values.flatten.toSeq.distinct
+    val n = tokenCount(text)
+    when(n > 0,
+      size(filter(tokens(text), t => t.isin(all.map(lit(_)): _*))).cast("double") / n)
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length (0 for empty). */
+  def meanTokenLength(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0,
+      aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
+      .otherwise(lit(0.0))
+  }
+
+  /**
+   * Composite document quality score in [0,1]: favors alphabetic text of
+   * reasonable length with moderate punctuation and some stopword mass —
+   * the C4/Gopher-style heuristic family expressed as one expression.
+   */
+  def qualityScore(text: Column): Column = {
+    val lengthOk = when(length(text).between(20, 100000), lit(0.25)).otherwise(lit(0.0))
+    val alphaOk = when(alphaRatio(text) > 0.6, lit(0.25)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) < 0.2, lit(0.25)).otherwise(lit(0.0))
+    val meanOk = when(meanTokenLength(text).between(2.0, 12.0), lit(0.25)).otherwise(lit(0.0))
+    lengthOk + alphaOk + punctOk + meanOk
+  }
+
+  // ------------------------------------------------------------ fingerprint
+  /** Canonical text form: lowercase, strip non-alnum (keeping spaces),
+    * collapse whitespace, trim. */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Deterministic document fingerprint = md5 of the canonical form. */
+  def fingerprint(text: Column): Column = md5(canonicalText(text).cast("binary"))
+
+  // ------------------------------------------------------------ shingles
+  /** Character k-shingles of the canonical form. */
+  def charShingles(text: Column, k: Int): Column = {
+    val t = canonicalText(text)
+    when(length(t) >= k,
+      transform(sequence(lit(1), length(t) - (k - 1)), i => substring(t, i, lit(k))))
+      .otherwise(array(t))
+  }
+
+  /** Word n-grams of the token stream. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + lit(1), lit(n)))))
+      .otherwise(array(concat_ws(" ", ts)))
+  }
+
+  // ------------------------------------------------------------ MinHash
+  /**
+   * MinHash signature over a string-array column: element i is
+   * min(md5(i || ':' || item)) — md5 as the hash family keyed by seed index.
+   * Portable (md5 is engine-independent) and codegen'd.
+   */
+  def minhashSignature(items: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(items, t => md5(concat(lit(s"$i:"), t).cast("binary"))))
+    }: _*)
+
+  /**
+   * LSH band keys from a signature: `bands` keys, each an md5 of the band
+   * index plus its `rowsPerBand` signature slice. Two docs share a band key
+   * iff the slice matches exactly — the classic banding construction.
+   */
+  def minhashBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|",
+        lit(b.toString) +: (0 until rowsPerBand).map(r =>
+          element_at(signature, b * rowsPerBand + r + 1)): _*).cast("binary"))
+    }: _*)
+
+  /** Jaccard similarity of two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
+  // ------------------------------------------------------------ SimHash
+  /**
+   * 32-bit SimHash over a token array: bit j of the result is the sign of
+   * sum over tokens of (bit j of crc32(token) ? +1 : -1). Near-duplicate
+   * detection compares hamming distance of the resulting int.
+   */
+  def simhash32(items: Column): Column = {
+    val bits = (0 until 32).map { j =>
+      val mask = 1L << j
+      val contrib = aggregate(items, lit(0L),
+        (acc, t) => acc + when((crc32(t.cast("binary")).bitwiseAND(lit(mask))) =!= 0, lit(1L))
+          .otherwise(lit(-1L)))
+      when(contrib >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two long-encoded bit vectors. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

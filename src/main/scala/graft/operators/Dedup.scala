@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for 100 TB-scale corpora. All variants avoid the
+ * O(n^2) cross product: exact dedup is a hash aggregation; near-dup variants
+ * generate candidate pairs only within LSH buckets / fingerprint groups, so
+ * the shuffle key is the bucket id and the pair expansion happens
+ * per-bucket (AQE handles skewed buckets).
+ */
+object Dedup {
+
+  /**
+   * Exact dedup, deterministic keep-first: survivor per content fingerprint
+   * is the row with the smallest tie-break key (SURVEY A10 — R's
+   * order-dependent `distinct(.keep_all=TRUE)` made deterministic with
+   * row_number, SURVEY §7.4#2).
+   */
+  def exactDedup(df: DataFrame, contentCol: Column, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(md5(contentCol.cast("binary"))).orderBy(tieBreak)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * Exact near-dup at the canonical-form level: same text modulo case,
+   * punctuation and whitespace. Returns (fingerprint, n_docs, keep_id) per
+   * duplicate group.
+   */
+  def fingerprintGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /**
+   * MinHash+LSH near-duplicate candidate pairs: shingle -> minhash signature
+   * -> band keys -> self-join per band bucket -> verified Jaccard over the
+   * shingle sets. The self-join key is (band index, band key), so only
+   * documents agreeing on a full band collide; the verify step prunes false
+   * positives. Scale shape: one shuffle on the band key; bucket sizes are
+   * ~collision counts, not corpus size.
+   */
+  def minhashNearDupPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = docs
+      .select(col(idCol).as("id"),
+        array_distinct(charShingles(col(textCol), shingleK)).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("bandkeys", minhashBandKeys(col("sig"), bands, rows))
+    val exploded = withSig
+      .select(col("id"), col("shingles"), posexplode(col("bandkeys")).as(Seq("band", "key")))
+    val a = exploded.select(col("band"), col("key"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = exploded.select(col("band"), col("key"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /**
+   * SimHash near-dup: 32-bit simhash over the token stream; candidate pairs
+   * share one of four 8-bit sub-bands (guarantees recall for hamming<=3 on
+   * at least one band by pigeonhole when distance concentrates); verify by
+   * full hamming distance <= maxHamming.
+   */
+  def simhashNearDupPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), simhash32(tokens(col(textCol))).as("simhash"))
+    val banded = sh.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xffL)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * N-gram Jaccard near-dup with cheap blocking: candidates share the same
+   * (token count band, first token), then verified token-set Jaccard.
+   */
+  def ngramJaccardPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.6): DataFrame = {
+    val prepared = docs.select(
+      col(idCol).as("id"),
+      tokenSet(col(textCol)).as("toks"),
+      element_at(tokens(col(textCol)), 1).as("first_tok"),
+      floor(tokenCount(col(textCol)) / 10).cast("int").as("len_band"))
+    val a = prepared.select(col("len_band"), col("first_tok"),
+      col("id").as("id_a"), col("toks").as("t_a"))
+    val b = prepared.select(col("len_band"), col("first_tok"),
+      col("id").as("id_b"), col("toks").as("t_b"))
+    a.join(b, Seq("len_band", "first_tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("t_a"), col("t_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

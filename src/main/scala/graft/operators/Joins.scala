@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Join patterns beyond plain equi-joins (SURVEY §2.3): fallback joins,
+ * range joins, as-of (closest-date) matches, and snapshot diffs. Each is
+ * expressed so Catalyst keeps an equi component in the join condition —
+ * the range / distance predicate rides along as a post-filter on the
+ * hash/sort-merge join, never forcing a nested-loop plan.
+ */
+object Joins {
+
+  /**
+   * Fallback join on an alternate key (SURVEY J4, docs/notebooks/phl.Rmd:
+   * 614-646): rows that miss on key1 are retried on key2; both matched sets
+   * union. One pass each; the anti side reuses the first join's shuffle.
+   */
+  def fallbackJoin(
+      left: DataFrame, right: DataFrame,
+      key1: (String, String), key2: (String, String)): DataFrame = {
+    val m1 = left.join(right, left(key1._1) === right(key1._2), "inner")
+    val misses = left.join(right, left(key1._1) === right(key1._2), "left_anti")
+    val m2 = misses.join(right, misses(key2._1) === right(key2._2), "inner")
+    m1.unionByName(m2)
+  }
+
+  /**
+   * Range join (SURVEY J9): equi keys + an event-date within [lo, hi] days
+   * of the anchor date. The equi key keeps this a hash join.
+   */
+  def dateRangeJoin(
+      left: DataFrame, right: DataFrame, equiKeys: Seq[String],
+      leftDate: Column, rightDate: Column, loDays: Int, hiDays: Int): DataFrame =
+    left.join(right,
+      equiKeys.map(k => left(k) === right(k)).reduce(_ && _) &&
+        datediff(rightDate, leftDate).between(loDays, hiDays))
+
+  /**
+   * As-of-style closest-date match (SURVEY J10, SGTF_template_matching.Rmd:
+   * 448-467): among candidates per anchor row keep those at min date
+   * distance — window min over the anchor id, then filter.
+   */
+  def closestDateMatch(candidates: DataFrame, anchorId: String,
+      distCol: String): DataFrame = {
+    val w = Window.partitionBy(col(anchorId))
+    candidates
+      .withColumn("__min_dist", min(col(distCol)).over(w))
+      .filter(col(distCol) === col("__min_dist"))
+      .drop("__min_dist")
+  }
+
+  /**
+   * Day-over-day snapshot diff with classification (SURVEY J7,
+   * scripts/QA/wdrs_daily_diffs.R:45-148): rows only in today (added), only
+   * in yesterday (removed), plus added rows whose identity key exists in
+   * yesterday under different attributes (changed).
+   */
+  def snapshotDiff(today: DataFrame, yesterday: DataFrame,
+      identityKeys: Seq[String]): DataFrame = {
+    val added = today.except(yesterday)
+    val removed = yesterday.except(today)
+    val changedKeys = added.select(identityKeys.map(col): _*)
+      .intersect(removed.select(identityKeys.map(col): _*))
+    added.withColumn("diff_kind", lit("added"))
+      .unionByName(removed.withColumn("diff_kind", lit("removed")))
+      .join(changedKeys.withColumn("__changed", lit(1)), identityKeys, "left")
+      .withColumn("diff_kind",
+        when(col("__changed").isNotNull, concat(col("diff_kind"), lit("_changed")))
+          .otherwise(col("diff_kind")))
+      .drop("__changed")
+  }
+}

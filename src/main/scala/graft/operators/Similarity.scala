@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor / similarity search over an embedding column
+ * (array<float>). Dot products are pure expression trees (zip_with +
+ * aggregate) — codegen'd, no UDF — computed in double after an explicit
+ * elementwise cast, left-fold order so results are bit-deterministic.
+ */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<numeric> columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
+  /**
+   * Brute-force top-k by cosine against one query vector. One scan, one
+   * narrow projection, a k-row total-order — the exact baseline every ANN
+   * variant is measured against. At scale this is a single map + takeOrdered
+   * shape (no shuffle of the full table: Spark turns the global sort + limit
+   * into a TakeOrderedAndProject).
+   */
+  def bruteForceTopK(
+      embeddings: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    embeddings
+      .select(col(idCol).as("vec_id"), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /**
+   * LSH-bucketed ANN (scale path): random-hyperplane signature — bit i is
+   * sign(dot(v, h_i)) with h_i a deterministic +-1 hyperplane derived from
+   * md5(i || dim) — probe only the query's bucket. At 100 TB the bucket id
+   * becomes the partition key: the probe reads one bucket, not the corpus.
+   */
+  def hyperplaneSig(vec: Column, dims: Int, bits: Int): Column = {
+    val bitCols = (0 until bits).map { i =>
+      // deterministic pseudo-random +-1 hyperplane: parity of crc32(i:j)
+      val contrib = (0 until dims).map { j =>
+        val sign = if (((i * 31 + j) * 2654435761L >>> 16 & 1L) == 1L) 1.0 else -1.0
+        element_at(vec, j + 1).cast("double") * lit(sign)
+      }.reduce(_ + _)
+      when(contrib >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /**
+   * ANN via hyperplane LSH: compute bucket sig for all vectors, keep only
+   * vectors whose bucket is within `probeHamming` of the query's bucket,
+   * then exact cosine top-k inside the probed set.
+   */
+  def lshTopK(
+      embeddings: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, bits: Int = 12, probeHamming: Int = 2): DataFrame = {
+    val dims = query.length
+    val q = array(query.map(v => lit(v)): _*)
+    val qSig = hyperplaneSig(q, dims, bits)
+    embeddings
+      .withColumn("__sig", hyperplaneSig(col(vecCol), dims, bits))
+      .filter(bit_count(col("__sig").bitwiseXOR(qSig)) <= probeHamming)
+      .select(col(idCol).as("vec_id"), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /**
+   * All-pairs near-duplicate detection in embedding space, IVF-style:
+   * coarse-quantize each vector to its nearest of 2^signBits deterministic
+   * centroid directions (sign pattern of leading components), pair up only
+   * within a cell, verify exact cosine >= threshold.
+   */
+  def embeddingNearDupPairs(
+      embeddings: DataFrame, vecCol: String, idCol: String,
+      minCosine: Double = 0.95, signBits: Int = 8): DataFrame = {
+    val cell = (0 until signBits).map { j =>
+      when(element_at(col(vecCol), j + 1) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val cells = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"), cell.as("cell"))
+    val a = cells.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = cells.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      // round to 6dp: keeps the threshold comparison stable across engines
+      // (different fp summation orders agree to ~1e-13)
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}

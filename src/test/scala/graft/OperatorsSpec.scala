@@ -1,0 +1,191 @@
+package graft
+
+import graft.operators.{Dedup, FuzzyJoin, Joins, Routing, Similarity}
+import graft.functions.osa_distance
+import org.apache.spark.sql.functions._
+
+/** Operator-level coverage: dedup family, fuzzy join (blocked ≡ unblocked
+  * within blocks), fallback/range/as-of joins, routing invariants, ANN. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- dedup
+  test("exactDedup keeps deterministic first per content group") {
+    val df = Seq((1, "dup"), (3, "dup"), (2, "dup"), (9, "solo"))
+      .toDF("id", "content")
+    val out = Dedup.exactDedup(df, col("content"), col("id"))
+      .as[(Int, String)].collect().toSet
+    assert(out === Set((1, "dup"), (9, "solo")))
+  }
+
+  test("minhash near-dup finds near-identical docs, skips distinct ones") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely unrelated content about spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+      shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash near-dup flags identical token streams, skips distinct docs") {
+    // identical token multisets => identical simhash => hamming 0 (and the
+    // band join is guaranteed to produce the candidate); distinct docs with
+    // no token overlap land far apart and are filtered.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha  beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+    assert(!pairs.contains((2L, 3L)))
+  }
+
+  test("ngram jaccard pairs") {
+    val docs = Seq(
+      (1L, "shared tokens one two three four five"),
+      (2L, "shared tokens one two three four six"),
+      (3L, "nothing in common at all here folks"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  // ------------------------------------------------------------- fuzzy join
+  test("blockedFuzzyJoin ≡ unblocked cross join filtered (within-block pairs)") {
+    val l = Seq((1, 1980, "SMITH_JOHN"), (2, 1990, "DOE_JANE"))
+      .toDF("lid", "by", "lname")
+    val r = Seq((10, 1980, "SMTIH_JOHN"), (11, 1980, "WILSON_MARY"),
+      (12, 1990, "DOE_JAN"), (13, 1991, "DOE_JANE"))
+      .toDF("rid", "rby", "rname")
+
+    val blocked = FuzzyJoin.blockedFuzzyJoin(
+      l.withColumnRenamed("by", "block"), r.withColumnRenamed("rby", "block"),
+      "block", col("lname"), col("rname"), 3)
+      .select("lid", "rid", "distance").as[(Int, Int, Int)].collect().toSet
+
+    val unblocked = l.crossJoin(r)
+      .filter(col("by") === col("rby") &&
+        osa_distance(col("lname"), col("rname")) <= 3)
+      .select(col("lid"), col("rid"),
+        osa_distance(col("lname"), col("rname")).as("d"))
+      .as[(Int, Int, Int)].collect().toSet
+
+    assert(blocked === unblocked)
+    assert(blocked === Set((1, 10, 1), (2, 12, 1)))
+    // 13 excluded purely by the block (different year), as in the reference
+  }
+
+  test("fuzzyNameMatch catches flipped names at tighter threshold") {
+    // left name JOHN_SMITH; right stored flipped (first=Smith last=John):
+    // straight pass compares JOHN_SMITH vs SMITH_JOHN (osa 8, miss),
+    // flipped pass compares JOHN_SMITH vs flip = JOHN_SMITH (osa 0, hit).
+    val l = Seq((1, 1980, "John", "Smith")).toDF("lid", "block", "lf", "ll")
+    val right = Seq((10, 1980, "Smith", "John"), (11, 1980, "Zeta", "Quux"))
+      .toDF("rid", "block", "rf", "rl")
+    val out = FuzzyJoin.fuzzyNameMatch(
+      l, col("lf"), col("ll"), right, col("rf"), col("rl"), "block")
+    assert(out.select("lid", "rid").as[(Int, Int)].collect().toSet === Set((1, 10)))
+  }
+
+  // ------------------------------------------------------------- joins
+  test("fallbackJoin: key1 matches win, misses retry on key2") {
+    val l = Seq((1, "a", "x"), (2, "b", "y"), (3, "zz", "c"))
+      .toDF("id", "k1", "k2")
+    val r = Seq(("a", 100), ("c", 300)).toDF("rk", "rv")
+    val out = Joins.fallbackJoin(l, r, ("k1", "rk"), ("k2", "rk"))
+      .select("id", "rv").as[(Int, Int)].collect().toSet
+    assert(out === Set((1, 100), (3, 300)))
+  }
+
+  test("closestDateMatch keeps min-distance candidates per anchor") {
+    val cand = Seq((1, "a", 5), (1, "b", 2), (1, "c", 2), (2, "d", 7))
+      .toDF("anchor", "tag", "dist")
+    val out = Joins.closestDateMatch(cand, "anchor", "dist")
+      .select("anchor", "tag").as[(Int, String)].collect().toSet
+    assert(out === Set((1, "b"), (1, "c"), (2, "d")))
+  }
+
+  test("dateRangeJoin within [0, 30] days") {
+    val l = Seq((1, "2023-01-01")).toDF("k", "ld")
+      .withColumn("ld", col("ld").cast("date"))
+    val r = Seq((1, "2023-01-15"), (1, "2023-02-15"), (1, "2022-12-31"))
+      .toDF("k", "rd").withColumn("rd", col("rd").cast("date"))
+    val out = Joins.dateRangeJoin(l, r, Seq("k"), col("ld"), col("rd"), 0, 30)
+    assert(out.count() === 1)
+  }
+
+  // ------------------------------------------------------------- routing
+  test("disposition is total and first-match-wins") {
+    val df = Seq(("A", 1), ("B", 2), ("C", 99)).toDF("tag", "v")
+    val routed = Routing.route(df, Seq(
+      "one" -> (col("v") === 1),
+      "small" -> (col("v") < 10)), "rest")
+    val out = routed.select("tag", "disposition").as[(String, String)]
+      .collect().toMap
+    assert(out === Map("A" -> "one", "B" -> "small", "C" -> "rest"))
+    // total: no nulls ever
+    assert(routed.filter(col("disposition").isNull).count() === 0)
+  }
+
+  test("conservation holds across routed partitions") {
+    val df = Seq.tabulate(20)(i => (i, i % 3)).toDF("id", "m")
+    val routed = Routing.route(df, Seq(
+      "a" -> (col("m") === 0), "b" -> (col("m") === 1)), "c")
+    val parts = Seq("a", "b", "c").map(v => routed.filter(col("disposition") === v))
+    assert(Routing.conservationHolds(df, parts))
+  }
+
+  // ------------------------------------------------------------- similarity
+  test("cosine: orthogonal = 0, identical = 1, zero vector safe") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 2f), Seq(1f, 2f)),
+      (Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val r = df.as[Double].collect()
+    assert(math.abs(r(0)) < 1e-12)
+    assert(math.abs(r(1) - 1.0) < 1e-12)
+    assert(r(2) === 0.0)
+  }
+
+  test("brute-force topK returns k best by cosine") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f)),
+      (2L, Seq(0f, 1f, 0f)), (3L, Seq(-1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "embedding", "vec_id",
+      Seq(1f, 0f, 0f), 2).select("vec_id").as[Long].collect().toSeq
+    assert(top === Seq(0L, 1L))
+  }
+
+  test("LSH topK agrees with brute force on its own bucket contents") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 50L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val lsh = Similarity.lshTopK(vecs, "embedding", "vec_id", q, 5,
+      bits = 8, probeHamming = 8) // probe everything => must equal brute force
+    val brute = Similarity.bruteForceTopK(vecs, "embedding", "vec_id", q, 5)
+    assert(lsh.select("vec_id").as[Long].collect().toSeq ===
+      brute.select("vec_id").as[Long].collect().toSeq)
+  }
+
+  test("embedding near-dup pairs finds parallel vectors only") {
+    val vecs = Seq(
+      (0L, Seq(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (1L, Seq(2f, 2f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Seq(-1f, 4f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+      minCosine = 0.95, signBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+}

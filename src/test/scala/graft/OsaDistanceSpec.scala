@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.OsaDistance.osa
+import graft.functions.osa_distance
+import org.apache.spark.sql.functions._
+
+/** OSA distance vs known stringdist::stringdist(method="osa") vectors
+  * (reference: scripts/Roster_scripts/fuzzy_matching_functions.R uses the
+  * stringdist default, which is OSA). */
+class OsaDistanceSpec extends SparkSpec {
+
+  test("OSA matches known stringdist vectors") {
+    // adjacent transposition is ONE edit (Levenshtein would say 2)
+    assert(osa("AB", "BA") === 1)
+    assert(osa("ab", "ba") === 1)
+    // restricted: no edits within a transposed pair — full DL says 2 here
+    assert(osa("CA", "ABC") === 3)
+    assert(osa("", "") === 0)
+    assert(osa("", "abc") === 3)
+    assert(osa("abc", "") === 3)
+    assert(osa("kitten", "sitting") === 3)
+    assert(osa("saturday", "sunday") === 3)
+    assert(osa("SMITH_JOHN", "SMITH_JON") === 1)
+    assert(osa("SMITH_JOHN", "SMTIH_JOHN") === 1)
+    assert(osa("identical", "identical") === 0)
+  }
+
+  private def randomPairs(n: Int): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(42)
+    def s() = (0 until rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    (0 until n).map(_ => (s(), s()))
+  }
+
+  test("OSA is symmetric, bounded, zero on identity (seeded corpus)") {
+    randomPairs(500).foreach { case (a, b) =>
+      assert(osa(a, b) === osa(b, a), s"symmetry failed on ($a,$b)")
+      assert(osa(a, b) <= math.max(a.length, b.length))
+      assert(osa(a, a) === 0)
+    }
+  }
+
+  test("OSA <= Levenshtein always") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    randomPairs(500).foreach { case (a, b) =>
+      assert(osa(a, b) <= lev(a, b), s"OSA > Lev on ($a,$b)")
+    }
+  }
+
+  test("osa_distance Column expression evaluates in a query") {
+    import spark.implicits._
+    val df = Seq(("AB", "BA"), ("kitten", "sitting"), ("x", "x"))
+      .toDF("a", "b")
+      .select(osa_distance(col("a"), col("b")).as("d"))
+    assert(df.as[Int].collect().toSeq === Seq(1, 3, 0))
+  }
+
+  test("osa_distance is null-safe") {
+    import spark.implicits._
+    val df = Seq((Some("a"), None: Option[String]), (None, Some("b")))
+      .toDF("a", "b")
+      .select(osa_distance(col("a"), col("b")).as("d"))
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+}
