@@ -32,14 +32,18 @@ object Bench {
     val qs = headline.filter(Registry.queries.contains)
     // warmup pass (codegen + parquet footer caching)
     qs.foreach { name =>
+      val t0 = System.nanoTime()
       try Registry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: $e") }
+      System.err.println(f"[bench] warmup $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     val results = qs.map { name =>
       val t0 = System.nanoTime()
       try Registry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] timed  $name $dt%.2fs")
+      name -> dt
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,129 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Second operator sweep (SURVEY §2): composite-key exact join (J13),
+ * keep_na 60-day expiry (Q7), case-insensitive gap anti-join (Q8),
+ * chunked-sink assignment (S9), latest-snapshot pick (O3), percent-of-total
+ * (A5), vocab-validated extraction (F9).
+ */
+object QueriesOps2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- J13
+    QueryDef("j13_composite_key_join", Some("""
+      SELECT c.c_custkey, s.s_suppkey
+      FROM customer c JOIN supplier s
+        ON c.c_nationkey = s.s_nationkey AND c.c_custkey % 100 = s.s_suppkey % 100"""),
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val sup = t(s, dir, "supplier")
+        c.join(sup, c("c_nationkey") === sup("s_nationkey") &&
+            c("c_custkey") % 100 === sup("s_suppkey") % 100)
+          .select(c("c_custkey"), sup("s_suppkey"))
+      }),
+
+    // ---------------------------------------------------------------- Q7
+    // keep_na lifecycle on state tables: orders pending since o_orderdate,
+    // "matched" when any returned lineitem exists, expired past 60 days.
+    QueryDef("q7_keepna_expiry", Some("""
+      WITH matches AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+      SELECT o.o_orderkey,
+             CASE WHEN m.l_orderkey IS NOT NULL THEN 'matched'
+                  WHEN datediff('day', CAST(o.o_orderdate AS DATE), DATE '1998-06-01') > 60 THEN 'expired'
+                  ELSE 'pending' END AS outcome
+      FROM orders o LEFT JOIN matches m ON o.o_orderkey = m.l_orderkey"""),
+      (s, dir) => {
+        val pending = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate").cast("date").as("first_seen"))
+        val matches = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o_orderkey"))
+        Streams.keepNaBatch(pending, matches, "o_orderkey",
+            to_date(lit("1998-06-01")), 60)
+          .select(col("o_orderkey"), col("outcome"))
+      }),
+
+    // ---------------------------------------------------------------- Q8
+    // Gap analysis: case-insensitive anti-membership with a lag window
+    // (gap_data.Rmd:180-257 — GISAID∖WDRS, 30-day allowance).
+    QueryDef("q8_gap_antijoin", Some("""
+      SELECT e.event_id FROM events e
+      WHERE CAST(e.ts AS DATE) <= DATE '2024-01-20'
+        AND NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE lower(c.c_name) = lower('Customer#' || lpad(CAST(e.user_id AS VARCHAR), 9, '0')))"""),
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .filter(col("ts").cast("date") <= to_date(lit("2024-01-20")))
+          .withColumn("__synth", lower(concat(lit("Customer#"),
+            lpad(col("user_id").cast("string"), 9, "0"))))
+        val c = t(s, dir, "customer").select(lower(col("c_name")).as("__cname"))
+        e.join(c, e("__synth") === c("__cname"), "left_anti")
+          .select("event_id")
+      }),
+
+    // ---------------------------------------------------------------- S9
+    QueryDef("s9_chunk_assign", Some("""
+      SELECT o_orderkey,
+             CAST(ceil(ROW_NUMBER() OVER (ORDER BY o_orderkey) / 500.0) AS INTEGER) AS chunk
+      FROM orders"""),
+      (s, dir) => graft.sinks.RosterSink.withChunkId(
+          t(s, dir, "orders").select("o_orderkey"), Seq("o_orderkey"), 500)
+        .withColumnRenamed("_chunk", "chunk")),
+
+    // ---------------------------------------------------------------- O3
+    QueryDef("o3_latest_snapshot", Some("""
+      SELECT event_type, event_id AS latest_event FROM (
+        SELECT event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1"""),
+      (s, dir) => t(s, dir, "events")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("event_id").as("latest_event"))),
+
+    // ---------------------------------------------------------------- A5
+    QueryDef("a5_percent_of_total", Some("""
+      SELECT o_orderstatus,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) /
+               CAST(SUM(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) OVER () AS DOUBLE) AS pct
+      FROM orders GROUP BY o_orderstatus"""),
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("__t"))
+        .select(col("o_orderstatus"),
+          col("__t").cast("double").as("total"),
+          // divide in DOUBLE: decimal/decimal result scale is engine-specific
+          (col("__t").cast("double") /
+            sum(col("__t")).over(Window.partitionBy()).cast("double")).as("pct"))),
+
+    // ---------------------------------------------------------------- F9
+    // Vocab-validated extraction (elr.Rmd:407-443): extract then keep only
+    // values in the controlled list, else null.
+    QueryDef("f9_validated_extract", Some("""
+      SELECT event_id,
+             CASE WHEN regexp_extract(props, '"k": (\d+)', 1) IN ('1','2','3','5','8','13')
+                  THEN regexp_extract(props, '"k": (\d+)', 1) END AS k_validated
+      FROM events"""),
+      (s, dir) => {
+        val ex = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+        t(s, dir, "events")
+          .withColumn("__ex", ex)
+          .select(col("event_id"),
+            when(col("__ex").isin("1", "2", "3", "5", "8", "13"), col("__ex"))
+              .as("k_validated"))
+      })
+  )
+}

@@ -150,8 +150,18 @@ object QueriesText {
                   WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
                   ELSE 'fr' END AS lang_pred
       FROM scored"""),
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), langId(col("text")).as("lang_pred"))),
+      (s, dir) => {
+        // tokens materialized once, then the 4 score columns, then the
+        // argmax when-chain over score ATTRIBUTES — the convenience
+        // langId(text) form would re-tokenize per score reference.
+        val langs = Seq("en", "es", "de", "fr")
+        t(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("__toks"))
+          .select(col("doc_id") +:
+            langs.map(l => langScoreFromTokens(col("__toks"), l).as(s"__s_$l")): _*)
+          .select(col("doc_id"),
+            langIdFromScores(langs.map(l => l -> col(s"__s_$l"))).as("lang_pred"))
+      }),
 
     // ------------------------------------------------- text: quality
     QueryDef("text_quality", Some("""
@@ -164,9 +174,14 @@ object QueriesText {
                        / CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS DOUBLE)
                   ELSE 0.0 END AS mean_tok_len
       FROM documents"""),
-      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
-        alphaRatio(col("text")).as("alpha_ratio"),
-        meanTokenLength(col("text")).as("mean_tok_len"))),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          alphaRatio(col("text")).as("alpha_ratio"),
+          when(size(col("__toks")) > 0,
+            aggregate(col("__toks"), lit(0L), (acc, x) => acc + length(x))
+              .cast("double") / size(col("__toks")))
+            .otherwise(lit(0.0)).as("mean_tok_len"))),
 
     // ------------------------------------------------- text: token counts
     QueryDef("text_token_stats", Some(s"""
@@ -174,9 +189,13 @@ object QueriesText {
              CAST(len($toksSql) AS INTEGER) AS n_tokens,
              CAST(list_sum(list_transform($toksSql, x -> CAST(ceil(len(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
       FROM documents"""),
-      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        subwordCount(col("text")).as("n_subwords"))),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          size(col("__toks")).as("n_tokens"),
+          aggregate(col("__toks"), lit(0L),
+            (acc, x) => acc + ceil(length(x) / lit(4.0)).cast("long"))
+            .as("n_subwords"))),
 
     // ------------------------------------------------- text: fingerprint
     QueryDef("text_fingerprint", Some(s"""

@@ -17,7 +17,8 @@ case class QueryDef(
 object Registry {
   def all: Seq[QueryDef] =
     QueriesRelational.defs ++ QueriesFunctions.defs ++
-      QueriesText.defs ++ QueriesEvents.defs
+      QueriesText.defs ++ QueriesEvents.defs ++ QueriesMultimodal.defs ++
+      QueriesOps2.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -41,24 +41,36 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"),
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "des"))
 
-  /** Per-language stopword-hit count over the token stream. */
-  def langScore(text: Column, lang: String): Column = {
+  /** Per-language stopword-hit count over a token-array column. */
+  def langScoreFromTokens(toks: Column, lang: String): Column = {
     val words = stopwords(lang)
-    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
   }
 
-  /**
-   * N-gram/stopword-heuristic language ID: argmax of per-language stopword
-   * hits, ties broken en > es > de > fr; no hits at all => "und"
-   * (undetermined). Pure expression tree — no UDF, no shuffle.
-   */
-  def langId(text: Column): Column = {
-    val scores = Seq("en", "es", "de", "fr").map(l => (l, langScore(text, l)))
+  /** Per-language stopword-hit count over the token stream. */
+  def langScore(text: Column, lang: String): Column =
+    langScoreFromTokens(tokens(text), lang)
+
+  /** Language-ID decision from already-materialized per-language score
+    * columns (attributes!): argmax, ties broken en > es > de > fr, all-zero
+    * => "und". */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
       when(s === best && best > 0, lit(l)).otherwise(els)
     }
   }
+
+  /**
+   * N-gram/stopword-heuristic language ID: argmax of per-language stopword
+   * hits, ties broken en > es > de > fr; no hits at all => "und"
+   * (undetermined). Pure expression tree — no UDF, no shuffle. Convenience
+   * form: the when-chain re-evaluates the score expressions, so hot paths
+   * should materialize tokens then scores as columns and finish with
+   * [[langIdFromScores]] (see QueriesText.text_lang_id).
+   */
+  def langId(text: Column): Column =
+    langIdFromScores(Seq("en", "es", "de", "fr").map(l => (l, langScore(text, l))))
 
   // ------------------------------------------------------------ quality
   /** Ratio of alphabetic chars to total chars (null-safe, 0 for empty). */
@@ -117,13 +129,23 @@ object TextFunctions {
   def fingerprint(text: Column): Column = md5(canonicalText(text).cast("binary"))
 
   // ------------------------------------------------------------ shingles
-  /** Character k-shingles of the canonical form. */
-  def charShingles(text: Column, k: Int): Column = {
-    val t = canonicalText(text)
+  /**
+   * Character k-shingles over an ALREADY-CANONICAL text column. Pass an
+   * attribute (a materialized column), not an expression: `t` is referenced
+   * inside the transform lambda, so an inlined expression would re-evaluate
+   * once per shingle — the canonicalText regex chain per element turned a
+   * scan into a ~300× regex loop (observed at sf0.1). Operators materialize
+   * the canonical form first (see Dedup.minhashNearDupPairs).
+   */
+  def charShinglesCanon(t: Column, k: Int): Column =
     when(length(t) >= k,
       transform(sequence(lit(1), length(t) - (k - 1)), i => substring(t, i, lit(k))))
       .otherwise(array(t))
-  }
+
+  /** Character k-shingles of the canonical form (convenience; for hot paths
+    * materialize canonicalText first and use [[charShinglesCanon]]). */
+  def charShingles(text: Column, k: Int): Column =
+    charShinglesCanon(canonicalText(text), k)
 
   /** Word n-grams of the token stream. */
   def wordNgrams(text: Column, n: Int): Column = {
@@ -165,21 +187,31 @@ object TextFunctions {
   }
 
   // ------------------------------------------------------------ SimHash
-  /**
-   * 32-bit SimHash over a token array: bit j of the result is the sign of
-   * sum over tokens of (bit j of crc32(token) ? +1 : -1). Near-duplicate
-   * detection compares hamming distance of the resulting int.
-   */
-  def simhash32(items: Column): Column = {
+  /** Per-token crc32 hashes; materialize this as a column before calling
+    * [[simhash32FromHashes]] so the crc is computed once per token, not
+    * once per (token, bit). */
+  def tokenHashes(items: Column): Column =
+    transform(items, t => crc32(t.cast("binary")))
+
+  /** 32-bit SimHash from precomputed token hashes: bit j is the sign of
+    * sum over tokens of (bit j of hash ? +1 : -1). */
+  def simhash32FromHashes(hashes: Column): Column = {
     val bits = (0 until 32).map { j =>
       val mask = 1L << j
-      val contrib = aggregate(items, lit(0L),
-        (acc, t) => acc + when((crc32(t.cast("binary")).bitwiseAND(lit(mask))) =!= 0, lit(1L))
-          .otherwise(lit(-1L)))
+      val contrib = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(mask)) =!= 0, lit(1L)).otherwise(lit(-1L)))
       when(contrib >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
+
+  /**
+   * 32-bit SimHash over a token array: bit j of the result is the sign of
+   * sum over tokens of (bit j of crc32(token) ? +1 : -1). Near-duplicate
+   * detection compares hamming distance of the resulting int. Convenience
+   * form — hot paths materialize [[tokenHashes]] first.
+   */
+  def simhash32(items: Column): Column = simhash32FromHashes(tokenHashes(items))
 
   /** Hamming distance between two long-encoded bit vectors. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

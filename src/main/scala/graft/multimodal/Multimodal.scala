@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** A multimodal asset row: opaque binary payload + typed metadata. */
+case class MediaAsset(
+    media_id: Long,
+    kind: String,            // "image" | "audio" | "video"
+    payload: Array[Byte],    // opaque — decoded only behind the stub
+    source: String)
+
+/** Decoded-asset features (shape of a real decoder's output). */
+case class MediaFeatures(
+    media_id: Long,
+    kind: String,
+    byte_len: Long,
+    width: Int,              // STUB values — see decodeStub
+    height: Int,
+    n_channels: Int,
+    mean_intensity: Double)
+
+/**
+ * Multimodal column handling for a training-data pipeline: image/audio/
+ * video as opaque `binary` columns with typed metadata. The Spark-side
+ * plumbing — schema, batch shape, partition-parallel decode, frame
+ * sampling — is real and tested; the actual codec call is STUBBED with a
+ * deterministic fake (this container has no image/audio libraries), at the
+ * single clearly-marked point in [[decodeStub]].
+ */
+object Multimodal {
+
+  /**
+   * ===== STUB =====
+   * A real implementation calls an image/audio codec here (e.g. javax
+   * ImageIO / ffmpeg bindings) inside mapPartitions so the library is
+   * initialized once per partition, not per row. The deterministic fake
+   * derives "decoded" properties purely from the payload bytes, so tests
+   * and oracles are stable.
+   */
+  def decodeStub(a: MediaAsset): MediaFeatures = {
+    val len = a.payload.length.toLong
+    val sum = { var s = 0L; var i = 0; while (i < a.payload.length) { s += (a.payload(i) & 0xff); i += 1 }; s }
+    MediaFeatures(
+      media_id = a.media_id,
+      kind = a.kind,
+      byte_len = len,
+      width = (len % 640).toInt + 1,
+      height = (len % 480).toInt + 1,
+      n_channels = if (a.kind == "image") 3 else 1,
+      mean_intensity = if (len > 0) sum.toDouble / len else 0.0)
+  }
+
+  /**
+   * Partition-parallel decode: one codec init per partition, streaming
+   * iterator (no materialization of the partition in memory) — the Scala
+   * analogue of a batched mapInPandas decode UDF.
+   */
+  def decodeAll(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    assets.mapPartitions { it =>
+      // (real impl: initialize the codec HERE, once per partition)
+      it.map(decodeStub)
+    }
+  }
+
+  /** Binary metadata as pure expressions — no decode needed; pushes down
+    * to a column scan of just the payload. */
+  def payloadMeta(payload: Column): Seq[Column] = Seq(
+    length(payload).as("byte_len"),
+    sha2(payload, 256).as("sha256"),
+    md5(payload).as("payload_md5"))
+
+  /**
+   * Deterministic frame sampling: `nFrames` fixed-stride byte slices of
+   * the payload (a real video pipeline samples frames; the byte-slice
+   * shape exercises the same explode/partition behavior). Returns one row
+   * per (asset, frame_idx) with the frame's digest — the classic
+   * fan-out-then-process shape, fully codegen/pushdown friendly.
+   */
+  def sampleFrames(assets: DataFrame, payloadCol: String, idCol: String,
+      nFrames: Int, frameLen: Int): DataFrame = {
+    val p = col(payloadCol)
+    val total = length(p)
+    // stride floor(total/nFrames), first nFrames offsets; payload shorter
+    // than nFrames bytes yields fewer frames (sequence guard).
+    val stride = greatest(floor(total / nFrames).cast("int"), lit(1))
+    assets
+      .select(col(idCol), p.as("__p"), stride.as("__stride"), total.as("__total"))
+      .filter(col("__total") >= 1) // sequence(0, -1) would count DOWN
+      .select(col(idCol),
+        // outer: avoids InferFiltersFromGenerate pushing the inlined frame
+        // expression below the exchange (see Dedup.minhashNearDupPairs)
+        posexplode_outer(transform(
+          sequence(lit(0), least(lit(nFrames - 1), col("__total") - 1)),
+          i => substring_index_safe(col("__p"), i * col("__stride") + 1, frameLen)))
+          .as(Seq("frame_idx", "frame")))
+      .select(col(idCol), col("frame_idx"), md5(col("frame")).as("frame_md5"))
+  }
+
+  /** Byte-substring helper (Spark's substring Column API takes Int pos;
+    * the expr form accepts a Column position). */
+  private def substring_index_safe(bin: Column, pos: Column, len: Int): Column =
+    expr_substr(bin, pos, lit(len))
+
+  private def expr_substr(bin: Column, pos: Column, len: Column): Column =
+    call_function("substring", bin, pos, len)
+}

@@ -49,13 +49,36 @@ object Dedup {
       shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
+    // Each stage materializes its intermediate as a column: the canonical
+    // text, shingle set, and signature are attributes by the time a lambda
+    // or repeated reference consumes them, so nothing re-evaluates per
+    // array element (the inlined-expression-in-lambda trap).
+    //
+    // Explicit repartition to defaultParallelism first: the signature
+    // computation is the CPU-heavy part and runs BEFORE any shuffle — a
+    // small parquet input (single row group) would otherwise pin the whole
+    // minhash pass on one core, and AQE's byte-based coalescing would
+    // shrink an un-numbered repartition right back (CPU-heavy but
+    // byte-light). At 100 TB the input arrives pre-partitioned and this
+    // exchange is round-off; on small inputs it buys full parallelism.
     val withSig = docs
-      .select(col(idCol).as("id"),
-        array_distinct(charShingles(col(textCol), shingleK)).as("shingles"))
+      .select(col(idCol).as("id"), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"), canonicalText(col(textCol)).as("__canon"))
+      .select(col("id"),
+        array_distinct(charShinglesCanon(col("__canon"), shingleK)).as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
       .withColumn("bandkeys", minhashBandKeys(col("sig"), bands, rows))
+    // posexplode_OUTER: the non-outer generate gets an inferred
+    // `size(bandkeys) > 0` filter (InferFiltersFromGenerate) which predicate
+    // pushdown re-expands through the aliases into the FULL signature
+    // pipeline and pushes below the repartition — re-running the whole
+    // minhash chain single-partition at the scan. bandkeys is never
+    // null/empty, so outer is semantically identical and keeps the plan
+    // clean of the inferred filter.
     val exploded = withSig
-      .select(col("id"), col("shingles"), posexplode(col("bandkeys")).as(Seq("band", "key")))
+      .select(col("id"), col("shingles"),
+        posexplode_outer(col("bandkeys")).as(Seq("band", "key")))
     val a = exploded.select(col("band"), col("key"),
       col("id").as("id_a"), col("shingles").as("sh_a"))
     val b = exploded.select(col("band"), col("key"),
@@ -76,7 +99,13 @@ object Dedup {
   def simhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), simhash32(tokens(col(textCol))).as("simhash"))
+    val sh = docs
+      .select(col(idCol).as("id"), col(textCol))
+      // explicit partition count: AQE would coalesce a byte-light shuffle
+      // to ~1 partition, serializing the CPU-heavy hash work
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"), tokenHashes(tokens(col(textCol))).as("__hashes"))
+      .select(col("id"), simhash32FromHashes(col("__hashes")).as("simhash"))
     val banded = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -99,11 +128,15 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
       minJaccard: Double = 0.6): DataFrame = {
-    val prepared = docs.select(
-      col(idCol).as("id"),
-      tokenSet(col(textCol)).as("toks"),
-      element_at(tokens(col(textCol)), 1).as("first_tok"),
-      floor(tokenCount(col(textCol)) / 10).cast("int").as("len_band"))
+    val prepared = docs
+      .select(col(idCol).as("id"), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"), tokens(col(textCol)).as("__toks0"))
+      .select(
+        col("id"),
+        array_distinct(col("__toks0")).as("toks"),
+        element_at(col("__toks0"), 1).as("first_tok"),
+        floor(size(col("__toks0")) / 10).cast("int").as("len_band"))
     val a = prepared.select(col("len_band"), col("first_tok"),
       col("id").as("id_a"), col("toks").as("t_a"))
     val b = prepared.select(col("len_band"), col("first_tok"),

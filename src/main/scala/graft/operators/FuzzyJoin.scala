@@ -36,9 +36,12 @@ object FuzzyJoin {
     val l = left.withColumn("__lname", leftName)
     val r = right.withColumn("__rname", rightName)
       .withColumnRenamed(blockKey, "__rblock")
-    l.join(r, col(blockKey) === col("__rblock") &&
-        osa_distance(col("__lname"), col("__rname")) <= maxDistance)
+    // Pure equi-join on the block, then ONE osa_distance evaluation per
+    // in-block pair (putting the distance predicate in the join condition
+    // would evaluate it twice: once as join filter, once for the column).
+    l.join(r, col(blockKey) === col("__rblock"))
       .withColumn("distance", osa_distance(col("__lname"), col("__rname")))
+      .filter(col("distance") <= maxDistance)
       .drop("__lname", "__rname", "__rblock")
   }
 

@@ -93,15 +93,23 @@ object Similarity {
     val cell = (0 until signBits).map { j =>
       when(element_at(col(vecCol), j + 1) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val cells = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"), cell.as("cell"))
-    val a = cells.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = cells.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    // Norms are computed ONCE per vector before the pair join; per-pair
+    // work is then a single dot-product scan instead of five.
+    val cells = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("v"), cell.as("cell"))
+      .withColumn("n", norm(col("v")))
+    val a = cells.select(col("cell"), col("id").as("id_a"),
+      col("v").as("v_a"), col("n").as("n_a"))
+    val b = cells.select(col("cell"), col("id").as("id_b"),
+      col("v").as("v_b"), col("n").as("n_b"))
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       // round to 6dp: keeps the threshold comparison stable across engines
       // (different fp summation orders agree to ~1e-13)
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("v_a"), col("v_b")), 6).as("cosine"))
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+          .otherwise(lit(0.0)), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** One event row for typed streaming ops. */
+case class Event(event_id: Long, user_id: Long, event_type: String,
+    ts: Timestamp, value: Double)
+
+/** A record awaiting a match (the keep_na pattern): first seen at
+  * `firstSeen`, retried until matched or expired. */
+case class PendingRecord(key: String, payload: String, firstSeen: Timestamp)
+
+/** Outcome emitted by the keep-na state machine. */
+case class PendingOutcome(key: String, payload: String, outcome: String,
+    ageDays: Int)
+
+/**
+ * Structured Streaming equivalents of the reference's hand-rolled
+ * incremental-batch semantics (SURVEY §1.6):
+ *
+ * - new-data detection by high-watermark → `withWatermark` + append mode;
+ * - keep_na 60-day retry window → `flatMapGroupsWithState` with an
+ *   event-time timeout (docs/notebooks/KEEP_NA_ROSTER_SECOND_IN_PROGRESS
+ *   .Rmd:699-765: unmatched records retried per run for 60 days, then
+ *   archived with reason annotations);
+ * - windowed counts → watermarked tumbling-window aggregation.
+ *
+ * Each transform takes/returns streaming Datasets, so the same code path
+ * is exercised by batch frames in tests (Spark's unified API) and by
+ * `readStream` sources in production.
+ */
+object Streams {
+
+  /** Watermarked tumbling-window counts per event_type (append-able). */
+  def windowedCounts(events: DataFrame, window_ : String = "1 day",
+      watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /**
+   * The keep_na state machine: pending records wait for a matching `key`
+   * arrival; matched → emit "matched"; unmatched past `retentionDays` of
+   * event time → emit "expired" (the reference's Delete-folder archive).
+   * Exposed as a function over a KeyValueGroupedDataset-compatible
+   * signature for flatMapGroupsWithState(EventTimeTimeout).
+   */
+  def keepNaStep(retentionDays: Int)(
+      key: String,
+      rows: Iterator[PendingRecord],
+      state: GroupState[PendingRecord]): Iterator[PendingOutcome] = {
+    val retentionMs = retentionDays * 86400000L
+    if (state.hasTimedOut) {
+      val p = state.get
+      state.remove()
+      Iterator.single(PendingOutcome(p.key, p.payload, "expired", retentionDays))
+    } else {
+      val incoming = rows.toSeq
+      val matches = incoming.filter(_.payload.startsWith("MATCH:"))
+      val pendings = incoming.filterNot(_.payload.startsWith("MATCH:"))
+      val priorOpt = state.getOption
+      val pendingNow = priorOpt.toSeq ++ pendings
+      if (matches.nonEmpty && pendingNow.nonEmpty) {
+        // a match arrived for this key: resolve ALL pending copies
+        state.remove()
+        pendingNow.iterator.map { p =>
+          val age = ((matches.head.firstSeen.getTime - p.firstSeen.getTime)
+            / 86400000L).toInt
+          PendingOutcome(p.key, p.payload, "matched", age)
+        }
+      } else if (pendingNow.nonEmpty) {
+        val earliest = pendingNow.minBy(_.firstSeen.getTime)
+        state.update(earliest)
+        state.setTimeoutTimestamp(earliest.firstSeen.getTime + retentionMs)
+        Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** Wire keepNaStep over a stream of PendingRecord. */
+  def keepNaRetry(records: Dataset[PendingRecord], retentionDays: Int = 60)
+      : Dataset[PendingOutcome] = {
+    import records.sparkSession.implicits._
+    records
+      .withWatermark("firstSeen", "1 day")
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        keepNaStep(retentionDays))
+  }
+
+  /**
+   * Batch-mode semantic twin of [[keepNaRetry]] used for oracle checks
+   * (SURVEY §1.6: batch jobs over state tables are the recommended
+   * cadence-parity port): given the pending state table and today's match
+   * feed, produce matched / expired / still-pending partitions.
+   */
+  def keepNaBatch(pending: DataFrame, matches: DataFrame, keyCol: String,
+      runDate: org.apache.spark.sql.Column, retentionDays: Int = 60): DataFrame = {
+    val m = matches.select(col(keyCol).as("__mkey")).distinct()
+    pending
+      .join(m, pending(keyCol) === col("__mkey"), "left")
+      .withColumn("age_days", datediff(runDate, col("first_seen")))
+      .withColumn("outcome",
+        when(col("__mkey").isNotNull, "matched")
+          .when(col("age_days") > retentionDays, "expired")
+          .otherwise("pending"))
+      .drop("__mkey")
+  }
+}

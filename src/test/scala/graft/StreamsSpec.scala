@@ -1,0 +1,85 @@
+package graft
+
+import graft.streaming.{PendingRecord, Streams}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** Structured Streaming semantics: watermarked window agg and the keep_na
+  * 60-day retry/expiry state machine, driven through MemoryStream. */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedCounts over a bounded stream emits per-day totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Timestamp, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val q = Streams.windowedCounts(events, "1 day", "2 days")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, 1L, "click", ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 1L, "click", ts("2024-01-01 11:00:00"), 2.0),
+      (3L, 2L, "view", ts("2024-01-02 09:00:00"), 5.0))
+    q.processAllAvailable()
+    // far-future event advances the watermark; closed windows emit in the
+    // following batch
+    mem.addData((4L, 3L, "click", ts("2024-01-10 09:00:00"), 1.0))
+    q.processAllAvailable()
+    mem.addData((5L, 3L, "click", ts("2024-01-10 10:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_counts")
+      .select(col("window_start").cast("string"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    // windows closed by the 01-10 watermark advance: 01-01 and 01-02
+    assert(rows.contains(("2024-01-01 00:00:00", "click", 2L)))
+    assert(rows.contains(("2024-01-02 00:00:00", "view", 1L)))
+  }
+
+  test("keepNaRetry: match resolves pending; expiry after 60 days of event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PendingRecord]
+    val q = Streams.keepNaRetry(mem.toDS(), retentionDays = 60)
+      .writeStream.format("memory").queryName("keepna")
+      .outputMode("append").start()
+
+    // batch 1: two pending records
+    mem.addData(
+      PendingRecord("k1", "rec-one", ts("2024-01-01 00:00:00")),
+      PendingRecord("k2", "rec-two", ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    // batch 2: k1 gets matched on day 10; watermark advances
+    mem.addData(PendingRecord("k1", "MATCH:wdrs", ts("2024-01-10 00:00:00")))
+    q.processAllAvailable()
+    // batch 3: far-future event pushes event time past k2's 60-day timeout
+    mem.addData(PendingRecord("k9", "MATCH:noise", ts("2024-06-01 00:00:00")))
+    q.processAllAvailable()
+    // batch 4: the timeout fires on the batch after the watermark advance
+    mem.addData(PendingRecord("k9", "MATCH:noise2", ts("2024-06-02 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("keepna")
+      .select("key", "payload", "outcome").as[(String, String, String)]
+      .collect().toSet
+    assert(out.contains(("k1", "rec-one", "matched")))
+    assert(out.contains(("k2", "rec-two", "expired")))
+  }
+
+  test("keepNaBatch mirrors the state machine on state tables") {
+    val pending = Seq(
+      ("k1", "2024-01-01"), ("k2", "2023-10-01"), ("k3", "2024-02-01"))
+      .toDF("key", "first_seen")
+      .withColumn("first_seen", col("first_seen").cast("date"))
+    val matches = Seq("k1").toDF("key")
+    val out = Streams.keepNaBatch(pending, matches, "key",
+        to_date(lit("2024-02-15")), 60)
+      .select("key", "outcome").as[(String, String)].collect().toMap
+    assert(out === Map("k1" -> "matched", "k2" -> "expired", "k3" -> "pending"))
+  }
+}
