@@ -1,0 +1,139 @@
+package graft.pipelines
+
+import graft.functions.GraftFunctions._
+import graft.operators.FuzzyJoin
+import graft.qa.QaRules
+import graft.qa.QaRules.Rule
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The reference's fuzzy-matching run end-to-end (SURVEY §3.3,
+ * docs/notebooks/fuzzy.Rmd): pre-match QA (Q2), alternate-name/DOB row
+ * multiplication, birth-year-blocked OSA join with name-flip union (J8),
+ * exact-DOB post-filter, ±14-day collection-date filter with flagged
+ * add-back, multi-candidate blanking (A1), and distance-tiered routing
+ * (0-1 → roster, 2-3 → manual review).
+ *
+ * Scale shape: ONE shuffle keyed by birth year (the block), window
+ * functions for per-row accounting — no driver-side collections. Skewed
+ * years are AQE-split; the reference shipped year-slices to a PSOCK pool
+ * (fuzzy.Rmd:585-603) — here that parallelism is partition parallelism.
+ */
+object FuzzyMatch {
+
+  /** Q2 pre-match battery (fuzzy.Rmd:399-462): usable names (non-null, no
+    * digits), real DOB (not the 1899-12-30 Excel epoch), collection date. */
+  def preMatchRules(): Seq[Rule] = Seq(
+    Rule("QA_NAME_NA",
+      QaRules.required(col("first_name")) || QaRules.required(col("last_name")) ||
+        col("first_name").rlike("[0-9]") || col("last_name").rlike("[0-9]")),
+    Rule("QA_DOB_NA",
+      col("dob").isNull || col("dob") === to_date(lit("1899-12-30"))),
+    Rule("QA_COLLECT_DATE_NA", col("collection_date").isNull))
+
+  /**
+   * Alternate-demographics row multiplication (fuzzy.Rmd:252-341, SURVEY
+   * §7.4#7): the match target gets a second candidate row per record for
+   * the alternate name (and DOB) when present — matched output is then
+   * deduped on the ORIGINAL identity, not the multiplied rows.
+   */
+  def multiplyAlternates(target: DataFrame): DataFrame = {
+    val base = target
+      .withColumn("__variant", lit("primary"))
+    val alt = target
+      .filter(col("alt_first_name").isNotNull && col("alt_last_name").isNotNull)
+      .withColumn("first_name", col("alt_first_name"))
+      .withColumn("last_name", col("alt_last_name"))
+      .withColumn("__variant", lit("alternate"))
+    base.unionByName(alt)
+  }
+
+  /**
+   * The blocked match: submissions (clean rows) vs multiplied target on
+   * birth-year block, straight ≤3 / flipped ≤2, exact-DOB equality after
+   * (fuzzy.Rmd:651-658).
+   */
+  def matchCandidates(clean: DataFrame, target: DataFrame): DataFrame = {
+    val l = clean
+      .withColumn("block", year(col("dob")))
+      .select(col("rowid"), col("block"),
+        col("first_name").as("l_first"), col("last_name").as("l_last"),
+        col("dob").as("l_dob"), col("collection_date"))
+    val r = multiplyAlternates(target)
+      .withColumn("block", year(col("dob")))
+      .select(col("case_id"), col("block"),
+        col("first_name").as("r_first"), col("last_name").as("r_last"),
+        col("dob").as("r_dob"), col("wdrs_collection"), col("__variant"))
+    FuzzyJoin.fuzzyNameMatch(
+        l, col("l_first"), col("l_last"),
+        r, col("r_first"), col("r_last"),
+        "block", maxDist = 3, flippedMaxDist = 2)
+      .filter(col("l_dob") === col("r_dob")) // exact DOB equality post-filter
+  }
+
+  /**
+   * ±14-day collection-date filter with add-back (fuzzy.Rmd:844-879): in-
+   * window candidates pass clean; rows whose ONLY candidates are out of
+   * window keep their closest candidate flagged QA_COLLECT_DATE=1.
+   */
+  def collectionDateFilter(cands: DataFrame, tolDays: Int = 14): DataFrame = {
+    val w = Window.partitionBy(col("rowid"))
+    val flagged = cands
+      .withColumn("__in_window",
+        when(withinDays(col("collection_date"), col("wdrs_collection"), tolDays), 1)
+          .otherwise(0))
+      .withColumn("__any_in_window", max(col("__in_window")).over(w))
+      .withColumn("__date_dist",
+        abs(datediff(col("collection_date"), col("wdrs_collection"))))
+      .withColumn("__min_dist", min(col("__date_dist")).over(w))
+    flagged
+      .filter(
+        (col("__any_in_window") === 1 && col("__in_window") === 1) ||
+        (col("__any_in_window") === 0 && col("__date_dist") === col("__min_dist")))
+      .withColumn("QA_COLLECT_DATE",
+        when(col("__any_in_window") === 0, 1).otherwise(0))
+      .drop("__in_window", "__any_in_window", "__date_dist", "__min_dist")
+  }
+
+  /**
+   * A1 multi-candidate handling (fuzzy.Rmd:883-913): a submission matching
+   * >1 distinct CASE_ID keeps the match at patient level: candidates
+   * deduped to one row per (rowid, case_id), then rows with multiple
+   * case_ids flagged QA_MULTIPLE_MATCH.
+   */
+  def resolveMultiMatch(cands: DataFrame): DataFrame = {
+    val wr = Window.partitionBy(col("rowid"), col("case_id"))
+      .orderBy(col("distance"), col("__variant"))
+    val w = Window.partitionBy(col("rowid"))
+    cands
+      .withColumn("__rn", row_number().over(wr))
+      .filter(col("__rn") === 1)
+      .withColumn("QA_MULTIPLE_MATCH",
+        when(count(lit(1)).over(w) > 1, 1).otherwise(0))
+      .drop("__rn")
+  }
+
+  /** Distance tiering (fuzzy.Rmd:923-1070): 0-1 roster, 2-3 review. */
+  def tier(): Column =
+    when(col("distance") <= 1, "roster").otherwise("manual_review")
+
+  /**
+   * Whole run: QA-split, match, date-filter, multi-match resolve, tier.
+   * Returns (bad_rows, matched-with-tier, unmatched-rowids): every input
+   * rowid lands in exactly one of the three (the rows_printed conservation
+   * property, fuzzy.Rmd:77,163,1078-1086 — tested, not assumed).
+   */
+  def run(submissions: DataFrame, target: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val flagged = QaRules.applyBattery(submissions, preMatchRules(), "qa_sum")
+    val bad = flagged.filter(col("qa_sum") > 0)
+    val clean = flagged.filter(col("qa_sum") === 0)
+    val matched = resolveMultiMatch(
+      collectionDateFilter(matchCandidates(clean, target)))
+      .withColumn("tier", tier())
+    val unmatched = clean.join(matched.select("rowid").distinct(),
+      Seq("rowid"), "left_anti")
+    (bad, matched, unmatched)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.pipelines.FuzzyMatch
+import org.apache.spark.sql.functions._
+
+/**
+ * Fuzzy pipeline e2e (SURVEY §3.3): QA split, blocked OSA match with
+ * name-flip + alternate-name multiplication, DOB equality, ±14-day filter
+ * with flagged add-back, multi-match resolution, tiering, and the
+ * rows-accounted-for conservation property.
+ */
+class FuzzyMatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = to_date(lit(s))
+
+  // submissions: rowid, names, dob, collection_date
+  private val submissions = Seq(
+    // 1: exact-name match, in-window date -> roster (distance 0)
+    (1L, "John", "Smith", "1980-03-01", "2021-06-01"),
+    // 2: one-typo match -> roster (distance 1)
+    (2L, "Jane", "Doe", "1985-07-10", "2021-06-05"),
+    // 3: flipped name in target -> roster via flip pass
+    (3L, "Amy", "Pond", "1990-01-20", "2021-06-10"),
+    // 4: two-typo match -> manual_review (distance 2)
+    (4L, "Rory", "Williams", "1988-11-02", "2021-06-15"),
+    // 5: no match at all -> unmatched
+    (5L, "Clara", "Oswald", "1986-11-23", "2021-06-20"),
+    // 6: digits in name -> bad_rows (Q2)
+    (6L, "R2D2", "Robot", "1977-05-25", "2021-06-25"),
+    // 7: match exists but only out-of-window date -> flagged add-back
+    (7L, "Martha", "Jones", "1986-07-01", "2021-06-30"),
+    // 8: matches TWO case_ids -> QA_MULTIPLE_MATCH
+    (8L, "Donna", "Noble", "1968-05-25", "2021-07-01"))
+    .toDF("rowid", "first_name", "last_name", "dob", "collection_date")
+    .withColumn("dob", col("dob").cast("date"))
+    .withColumn("collection_date", col("collection_date").cast("date"))
+
+  // target: case_id, names (+ alternates), dob, wdrs collection date
+  private val target = Seq(
+    (101L, "John", "Smith", null, null, "1980-03-01", "2021-06-03"),
+    (102L, "Jane", "Does", null, null, "1985-07-10", "2021-06-07"),
+    // stored flipped: first=Pond last=Amy; flip pass matches
+    (103L, "Pond", "Amy", null, null, "1990-01-20", "2021-06-12"),
+    (104L, "Roly", "Wilhiams", null, null, "1988-11-02", "2021-06-16"),
+    // alternate name is what the submission used
+    (107L, "Peggy", "Jones", "Martha", "Jones", "1986-07-01", "2021-09-30"),
+    (108L, "Donna", "Noble", null, null, "1968-05-25", "2021-07-02"),
+    (109L, "Donna", "Noble", null, null, "1968-05-25", "2021-07-03"))
+    .toDF("case_id", "first_name", "last_name", "alt_first_name",
+      "alt_last_name", "dob", "wdrs_collection")
+    .withColumn("dob", col("dob").cast("date"))
+    .withColumn("wdrs_collection", col("wdrs_collection").cast("date"))
+
+  private lazy val (bad, matched, unmatched) = FuzzyMatch.run(submissions, target)
+
+  test("QA pre-match split catches digit names") {
+    assert(bad.select("rowid").as[Long].collect().toSeq === Seq(6L))
+  }
+
+  test("tiering: exact/1-typo/flip to roster, 2-typo to review") {
+    val m = matched.select("rowid", "case_id", "tier", "distance")
+      .as[(Long, Long, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.toSet).toMap
+    assert(m(1L).head === ((1L, 101L, "roster", 0)))
+    assert(m(2L).head === ((2L, 102L, "roster", 1)))
+    assert(m(3L).head === ((3L, 103L, "roster", 0)))   // flip pass
+    assert(m(4L).head === ((4L, 104L, "manual_review", 2)))
+  }
+
+  test("alternate-name multiplication matches, flagged out-of-window add-back") {
+    val r7 = matched.filter(col("rowid") === 7)
+      .select("case_id", "QA_COLLECT_DATE").as[(Long, Int)].collect().toSeq
+    assert(r7 === Seq((107L, 1))) // matched via alternate, date out of window -> flagged
+  }
+
+  test("multi-candidate rows resolved one per case_id and flagged") {
+    val r8 = matched.filter(col("rowid") === 8)
+      .select("case_id", "QA_MULTIPLE_MATCH").as[(Long, Int)].collect().toSet
+    assert(r8 === Set((108L, 1), (109L, 1)))
+  }
+
+  test("conservation: every rowid in exactly one of bad/matched/unmatched") {
+    val all = submissions.select("rowid").as[Long].collect().toSet
+    val b = bad.select("rowid").as[Long].collect().toSet
+    val m = matched.select("rowid").distinct().as[Long].collect().toSet
+    val u = unmatched.select("rowid").as[Long].collect().toSet
+    assert(b.intersect(m).isEmpty && b.intersect(u).isEmpty && m.intersect(u).isEmpty)
+    assert((b ++ m ++ u) === all)
+    assert(u === Set(5L))
+  }
+}
