@@ -15,7 +15,10 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "j1_left_join", "j3_enrich_coalesce", "j9_range_join",
     "a10_dedup_first", "j8_fuzzy_osa", "dedup_minhash", "dedup_exact",
-    "ann_cosine_topk", "ev_sessionize", "qa_battery", "text_token_stats")
+    "dedup_ngram_jaccard", "dedup_embedding", "ann_cosine_topk",
+    "ev_sessionize", "qa_battery", "text_token_stats", "text_lang_id",
+    "a3_pivot", "j7_snapshot_diff", "mm_frame_sample",
+    "j13_composite_key_join", "q7_keepna_expiry")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

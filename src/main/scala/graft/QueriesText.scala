@@ -204,6 +204,21 @@ object QueriesText {
       (s, dir) => t(s, dir, "documents")
         .groupBy("source")
         .agg(countDistinct(fingerprint(col("text"))).as("n_unique"),
-          count(lit(1)).as("n_docs")))
+          count(lit(1)).as("n_docs"))),
+
+    // ------------------------------------------- text: rolling-hash fp
+    QueryDef("text_rolling_fp", Some(s"""
+      WITH c AS (SELECT doc_id, $canonSql AS t FROM documents)
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 [CAST(ord(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT)
+                  FOR i IN range(1, len(t) + 1)]),
+               (a, x) -> (a * 31 + x) % 2147483647) AS rolling_fp
+      FROM c"""),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), canonicalText(col("text")).as("__canon"))
+        .select(col("doc_id"),
+          rollingFingerprint(col("__canon")).as("rolling_fp")))
   )
 }

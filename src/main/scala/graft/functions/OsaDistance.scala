@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,11 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * distance("CA","ABC") = 3 (full DL would say 2).
  *
  * Implemented as a native Catalyst Expression so the fuzzy join predicate
- * stays on the JVM fast path (no Scala UDF boxing). Interpreted eval via
- * CodegenFallback — the DP loop dominates, codegen would not help.
+ * stays on the JVM fast path (no Scala UDF boxing). doGenCode emits a
+ * static call to the DP kernel, keeping enclosing filters/projections
+ * inside whole-stage codegen (a CodegenFallback here would split the
+ * generated pipeline at every fuzzy predicate).
  */
 case class OsaDistance(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == StringType && right.dataType == StringType) {
@@ -41,6 +43,10 @@ case class OsaDistance(left: Expression, right: Expression)
     val b = r.asInstanceOf[UTF8String].toString
     OsaDistance.osa(a, b)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.OsaDistance.osa($l.toString(), $r.toString())")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

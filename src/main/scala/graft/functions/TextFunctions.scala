@@ -128,6 +128,22 @@ object TextFunctions {
   /** Deterministic document fingerprint = md5 of the canonical form. */
   def fingerprint(text: Column): Column = md5(canonicalText(text).cast("binary"))
 
+  /**
+   * Rolling (polynomial) hash over the characters of an ALREADY-CANONICAL
+   * text column: h = fold(h*31 + code) mod (2^31-1). Engine-portable (pure
+   * integer arithmetic over codepoints) and incremental by construction —
+   * the Rabin-Karp family the reference-scale pipelines use for cheap
+   * content fingerprints. Pass an attribute (see charShinglesCanon note).
+   */
+  def rollingFingerprint(canon: Column): Column =
+    when(length(canon) > 0, // sequence(1, 0) would count DOWN
+      aggregate(
+        transform(sequence(lit(1), length(canon)),
+          i => ascii(call_function("substring", canon, i, lit(1))).cast("long")),
+        lit(0L),
+        (acc, x) => (acc * 31 + x) % 2147483647L))
+      .otherwise(lit(0L))
+
   // ------------------------------------------------------------ shingles
   /**
    * Character k-shingles over an ALREADY-CANONICAL text column. Pass an

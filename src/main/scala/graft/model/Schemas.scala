@@ -32,6 +32,11 @@ object Schemas {
     "SEQUENCE_ROSTER_PREPARE_DATE", "SEQUENCE_NOTES", "SEQUENCE_REVIEWED",
     "Case.Note")
 
+  /** Roster columns as Column refs — `Case.Note` needs backtick quoting or
+    * the dot parses as struct access. */
+  def rosterCols: Seq[org.apache.spark.sql.Column] =
+    rosterColumns.map(c => org.apache.spark.sql.functions.col(s"`$c`"))
+
   /** WDRS ENTIRE snapshot projection used by the match step
     * (docs/notebooks/template_submitters.Rmd:145-151). */
   val entireColumns: Seq[String] = Seq(

@@ -61,6 +61,21 @@ class OsaDistanceSpec extends SparkSpec {
     assert(df.as[Int].collect().toSeq === Seq(1, 3, 0))
   }
 
+  test("osa_distance compiles under whole-stage codegen (no fallback)") {
+    import spark.implicits._
+    // fallback=false makes janino failures throw instead of silently
+    // interpreting — proves doGenCode emits valid code.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = spark.range(1000)
+        .select(concat(lit("name"), col("id").cast("string")).as("a"),
+          concat(lit("name"), ((col("id") + 1) % 1000).cast("string")).as("b"))
+        .filter(osa_distance(col("a"), col("b")) <= 2)
+        .count()
+      assert(n > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("osa_distance is null-safe") {
     import spark.implicits._
     val df = Seq((Some("a"), None: Option[String]), (None, Some("b")))

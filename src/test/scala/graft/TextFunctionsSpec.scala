@@ -98,6 +98,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(z === 0.0)
   }
 
+  test("rollingFingerprint: polynomial hash, empty-safe, order-sensitive") {
+    val r = Seq("ab", "ba", "ab", "").toDF("x")
+      .select(canonicalText(col("x")).as("c"))
+      .select(rollingFingerprint(col("c")).as("h")).as[Long].collect()
+    // h("ab") = (0*31+97)*31+98 mod p = 3105
+    assert(r(0) === 97L * 31 + 98)
+    assert(r(1) === 98L * 31 + 97)   // order matters
+    assert(r(0) === r(2))            // deterministic
+    assert(r(3) === 0L)              // empty
+  }
+
   test("simhash32: deterministic, identical inputs equal, hamming 0/positive") {
     val df = Seq("the quick brown fox jumps", "the quick brown fox jumps",
       "totally different words here okay").toDF("x")
