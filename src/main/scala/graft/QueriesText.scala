@@ -34,20 +34,36 @@ object QueriesText {
       (s, dir) => Dedup.fingerprintGroups(t(s, dir, "documents"), "text", "doc_id")),
 
     // ------------------------------------------------- dedup: minhash LSH
-    QueryDef("dedup_minhash", Some(s"""
+    // Hash family mirrored exactly from MinhashSignature.a/b:
+    // x = polynomial hash of the shingle chars (mod 2^31-1),
+    // h_i(x) = (a_i * x + b_i) mod 2^31-1.
+    QueryDef("dedup_minhash", Some {
+      import graft.functions.MinhashSignature.{a, b}
+      val sigList = (0 until 16).map { i =>
+        s"list_min(list_transform(xs, x -> (${a(i)} * x + ${b(i)}) % 2147483647))"
+      }.mkString(",\n                ")
+      s"""
       WITH sh AS (
         SELECT doc_id,
                list_distinct([substr(c, i, 5) FOR i IN range(1, greatest(len(c) - 3, 2))]) AS shingles
         FROM (SELECT doc_id, $canonSql AS c FROM documents)),
+      hx AS (
+        SELECT doc_id, shingles,
+               list_transform(shingles, t ->
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     [CAST(ord(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT)
+                      FOR i IN range(1, len(t) + 1)]),
+                   (a, c2) -> (a * 31 + c2) % 2147483647)) AS xs
+        FROM sh),
       sig AS (
         SELECT doc_id, shingles,
-               [list_min(list_transform(shingles, t -> md5(CAST(h AS VARCHAR) || ':' || t)))
-                FOR h IN range(0, 16)] AS sig
-        FROM sh),
+               [$sigList] AS sig
+        FROM hx),
       banded AS (
         SELECT doc_id, shingles, b AS band,
-               md5(CAST(b AS VARCHAR) || '|' || sig[4*b+1] || '|' || sig[4*b+2] || '|' ||
-                   sig[4*b+3] || '|' || sig[4*b+4]) AS key
+               md5(CAST(b AS VARCHAR) || '|' || CAST(sig[4*b+1] AS VARCHAR) || '|' ||
+                   CAST(sig[4*b+2] AS VARCHAR) || '|' || CAST(sig[4*b+3] AS VARCHAR) || '|' ||
+                   CAST(sig[4*b+4] AS VARCHAR)) AS key
         FROM sig, range(0, 4) r(b)),
       pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -55,7 +71,8 @@ object QueriesText {
                CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard
         FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
         WHERE a.doc_id < b.doc_id)
-      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"""),
+      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"""
+    },
       (s, dir) => Dedup.minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
         shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5)),
 

@@ -69,6 +69,7 @@ object Dedup {
         array_distinct(charShinglesCanon(col("__canon"), shingleK)).as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
       .withColumn("bandkeys", minhashBandKeys(col("sig"), bands, rows))
+      .drop("sig")
     // posexplode_OUTER: the non-outer generate gets an inferred
     // `size(bandkeys) > 0` filter (InferFiltersFromGenerate) which predicate
     // pushdown re-expands through the aliases into the FULL signature
@@ -76,17 +77,30 @@ object Dedup {
     // minhash chain single-partition at the scan. bandkeys is never
     // null/empty, so outer is semantically identical and keeps the plan
     // clean of the inferred filter.
+    //
+    // Pair generation: bucket-collect IDs ONLY (tiny rows), expand id
+    // pairs per bucket, dedup, then join the shingle sets back and verify
+    // Jaccard with the work hash-distributed BY PAIR. Collecting shingles
+    // into buckets and verifying in-bucket would serialize a hot bucket
+    // into one task (a 747-doc bucket = 278k Jaccards on one core).
     val exploded = withSig
-      .select(col("id"), col("shingles"),
-        posexplode_outer(col("bandkeys")).as(Seq("band", "key")))
-    val a = exploded.select(col("band"), col("key"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = exploded.select(col("band"), col("key"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id"), posexplode_outer(col("bandkeys")).as(Seq("band", "key")))
+    val idPairs = exploded
+      .groupBy("band", "key")
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(
+        transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+    val sa = withSig.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = withSig.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    idPairs
+      .join(sa, Seq("id_a"))
+      .join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

@@ -60,16 +60,26 @@ object Joins {
    */
   def snapshotDiff(today: DataFrame, yesterday: DataFrame,
       identityKeys: Seq[String]): DataFrame = {
-    val added = today.except(yesterday)
-    val removed = yesterday.except(today)
-    val changedKeys = added.select(identityKeys.map(col): _*)
-      .intersect(removed.select(identityKeys.map(col): _*))
-    added.withColumn("diff_kind", lit("added"))
-      .unionByName(removed.withColumn("diff_kind", lit("removed")))
-      .join(changedKeys.withColumn("__changed", lit(1)), identityKeys, "left")
+    // Single-shuffle set diff: tag sides, group by ALL columns, keep rows
+    // present on exactly one side (EXCEPT-distinct semantics without the
+    // 4 shuffles of two except()s), then a window over the identity keys
+    // marks diffs whose key exists on both sides as changed.
+    val cols = today.columns.toSeq
+    val tagged = today.select(cols.map(col) :+ lit(1).as("__side"): _*)
+      .unionByName(yesterday.select(cols.map(col) :+ lit(2).as("__side"): _*))
+    val diffs = tagged
+      .groupBy(cols.map(col): _*)
+      .agg(max(when(col("__side") === 1, 1).otherwise(0)).as("__in_today"),
+        max(when(col("__side") === 2, 1).otherwise(0)).as("__in_yesterday"))
+      .filter(col("__in_today") =!= col("__in_yesterday"))
       .withColumn("diff_kind",
-        when(col("__changed").isNotNull, concat(col("diff_kind"), lit("_changed")))
+        when(col("__in_today") === 1, "added").otherwise("removed"))
+    val w = Window.partitionBy(identityKeys.map(col): _*)
+    diffs
+      .withColumn("__sides", size(collect_set(col("diff_kind")).over(w)))
+      .withColumn("diff_kind",
+        when(col("__sides") === 2, concat(col("diff_kind"), lit("_changed")))
           .otherwise(col("diff_kind")))
-      .drop("__changed")
+      .drop("__in_today", "__in_yesterday", "__sides")
   }
 }
