@@ -212,9 +212,18 @@ object QueriesRelational {
           .select(col("o_orderkey"), col("o_orderstatus"),
             when(col("o_orderkey") % 13 === 0, col("o_totalprice") * 2)
               .otherwise(col("o_totalprice")).as("o_totalprice"))
-        today.except(yesterday).select(col("o_orderkey"), lit("added").as("diff_kind"))
-          .unionByName(
-            yesterday.except(today).select(col("o_orderkey"), lit("removed").as("diff_kind")))
+        // single-shuffle set diff (see Joins.snapshotDiff): tag sides,
+        // group by all columns, keep one-sided rows — not two except()s
+        // (4 shuffles)
+        val tagged = today.withColumn("__side", lit(1))
+          .unionByName(yesterday.withColumn("__side", lit(2)))
+        tagged
+          .groupBy("o_orderkey", "o_orderstatus", "o_totalprice")
+          .agg(max(when(col("__side") === 1, 1).otherwise(0)).as("__t"),
+            max(when(col("__side") === 2, 1).otherwise(0)).as("__y"))
+          .filter(col("__t") =!= col("__y"))
+          .select(col("o_orderkey"),
+            when(col("__t") === 1, "added").otherwise("removed").as("diff_kind"))
       }),
 
     // ---------------------------------------------------------------- J9
