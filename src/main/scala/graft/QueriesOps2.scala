@@ -109,6 +109,47 @@ object QueriesOps2 {
           (col("__t").cast("double") /
             sum(col("__t")).over(Window.partitionBy()).cast("double")).as("pct"))),
 
+    // ---------------------------------------------------------------- Q4
+    // seq_qa_checks shape (wdrs_qa_functions.R:44-228): per-row _warn
+    // flags united into one flag string via concat_ws of non-null warns.
+    QueryDef("q4_united_warns", Some("""
+      SELECT o_orderkey,
+             concat_ws('; ',
+               CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 'status_warn' END,
+               CASE WHEN o_totalprice <= 0 THEN 'price_warn' END,
+               CASE WHEN o_orderpriority NOT LIKE '%-%' THEN 'priority_warn' END) AS warns
+      FROM orders"""),
+      (s, dir) => t(s, dir, "orders").select(col("o_orderkey"),
+        concat_ws("; ",
+          when(!col("o_orderstatus").isin("O", "F", "P"), "status_warn"),
+          when(col("o_totalprice") <= 0, "price_warn"),
+          when(!col("o_orderpriority").like("%-%"), "priority_warn")).as("warns"))),
+
+    // ------------------------------------------------- session_window
+    // Spark's native streaming session operator, batch-checked: sessions
+    // close after a 30-minute gap (window end exclusive => a gap of
+    // exactly 1800s starts a NEW session; oracle uses >=).
+    QueryDef("ev_session_window", Some("""
+      WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR datediff('second', lag(ts) OVER w, ts) >= 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps)
+      SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id"""),
+      (s, dir) => t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+        .select("user_id", "session_start", "n_events")),
+
     // ---------------------------------------------------------------- F9
     // Vocab-validated extraction (elr.Rmd:407-443): extract then keep only
     // values in the controlled list, else null.
