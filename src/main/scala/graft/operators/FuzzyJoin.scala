@@ -36,10 +36,13 @@ object FuzzyJoin {
     val l = left.withColumn("__lname", leftName)
     val r = right.withColumn("__rname", rightName)
       .withColumnRenamed(blockKey, "__rblock")
-    // Pure equi-join on the block, then ONE osa_distance evaluation per
-    // in-block pair (putting the distance predicate in the join condition
-    // would evaluate it twice: once as join filter, once for the column).
+    // Pure equi-join on the block; a CHEAP length pre-filter prunes pairs
+    // before the DP kernel runs (|len(a)-len(b)| > k implies osa > k),
+    // then ONE osa_distance evaluation per surviving pair (putting the
+    // distance predicate in the join condition would evaluate it twice:
+    // once as join filter, once for the column).
     l.join(r, col(blockKey) === col("__rblock"))
+      .filter(abs(length(col("__lname")) - length(col("__rname"))) <= maxDistance)
       .withColumn("distance", osa_distance(col("__lname"), col("__rname")))
       .filter(col("distance") <= maxDistance)
       .drop("__lname", "__rname", "__rblock")
