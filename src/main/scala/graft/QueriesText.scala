@@ -151,6 +151,17 @@ object QueriesText {
         Similarity.lshTopK(e, "embedding", "vec_id", qRow, 10)
       }),
 
+    // ------------------------------------------------- similarity: IVF
+    // KMeans coarse quantizer (seeded) + nProbe-cell search — the scale
+    // path. Clustering isn't SQL-reproducible; rows-only + recall spec.
+    QueryDef("ann_ivf_topk", None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qRow = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0)
+        Similarity.ivfTopK(e, "embedding", "vec_id", qRow, 10)
+      }),
+
     // ------------------------------------------------- text: language ID
     QueryDef("text_lang_id", Some(s"""
       WITH scored AS (

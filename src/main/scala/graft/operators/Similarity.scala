@@ -82,6 +82,46 @@ object Similarity {
   }
 
   /**
+   * True IVF (inverted-file) ANN: k-means coarse quantizer, probe the
+   * nProbe nearest cells. Index build is one MLlib KMeans fit (seeded —
+   * deterministic); search scans only the probed cells' vectors. At scale
+   * the assigned table is written partitioned by `cell`, so a probe reads
+   * nProbe partitions, not the corpus.
+   *
+   * Returns (assignments, topK): assignments for reuse across queries.
+   */
+  def ivfTopK(
+      embeddings: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, nCells: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val prepared = embeddings
+      .withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("cell")
+      .fit(prepared)
+    val assigned = model.transform(prepared).drop("__features")
+    // nProbe nearest centroids to the query — k centroids, driver-side math
+    val centroids = model.clusterCenters.map(_.toArray)
+    val q = query.map(_.toDouble).toArray
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        val dot = c.zip(q).map { case (a, b) => a * b }.sum
+        val nc = math.sqrt(c.map(x => x * x).sum)
+        val nq = math.sqrt(q.map(x => x * x).sum)
+        (i, if (nc > 0 && nq > 0) dot / (nc * nq) else 0.0)
+      }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val qCol = array(query.map(v => lit(v)): _*)
+    assigned
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+      .select(col(idCol).as("vec_id"), cosine(col(vecCol), qCol).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /**
    * All-pairs near-duplicate detection in embedding space, IVF-style:
    * coarse-quantize each vector to its nearest of 2^signBits deterministic
    * centroid directions (sign pattern of leading components), pair up only

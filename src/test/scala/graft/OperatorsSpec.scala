@@ -177,6 +177,33 @@ class OperatorsSpec extends SparkSpec {
       brute.select("vec_id").as[Long].collect().toSeq)
   }
 
+  test("IVF topK: probing all cells reproduces brute force exactly") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val ivf = Similarity.ivfTopK(vecs, "embedding", "vec_id", q, 5,
+      nCells = 8, nProbe = 8) // probe all cells => exact
+    val brute = Similarity.bruteForceTopK(vecs, "embedding", "vec_id", q, 5)
+    assert(ivf.select("vec_id").as[Long].collect().toSeq ===
+      brute.select("vec_id").as[Long].collect().toSeq)
+  }
+
+  test("IVF topK with partial probing keeps recall on clustered data") {
+    // two tight clusters; query near cluster A => top-5 all from A even
+    // probing 1 of 4 cells
+    val rnd = new scala.util.Random(5)
+    def near(base: Float) = Seq.tabulate(8)(j =>
+      base + (if (j == 0) 1f else 0f) + rnd.nextGaussian().toFloat * 0.01f)
+    val vecs = ((0L until 50L).map(i => (i, near(1f))) ++
+      (50L until 100L).map(i => (i, near(-1f)))).toDF("vec_id", "embedding")
+    val q = near(1f)
+    val ivf = Similarity.ivfTopK(vecs, "embedding", "vec_id", q, 5,
+      nCells = 4, nProbe = 1)
+    val ids = ivf.select("vec_id").as[Long].collect().toSeq
+    assert(ids.size === 5 && ids.forall(_ < 50L))
+  }
+
   test("embedding near-dup pairs finds parallel vectors only") {
     val vecs = Seq(
       (0L, Seq(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)),
