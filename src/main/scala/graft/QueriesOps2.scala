@@ -150,6 +150,37 @@ object QueriesOps2 {
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
         .select("user_id", "session_start", "n_events")),
 
+    // ---------------------------------------------------------------- Q9
+    // Missing-roster audit (rosters_wdrs.Rmd:205-265): key falls back to
+    // the clinical accession when the primary is null (coalesce key),
+    // anti-joined against the present set.
+    QueryDef("q9_missing_audit", Some("""
+      WITH archived AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE 'SA-' || CAST(o_orderkey AS VARCHAR) END AS sa,
+               'SCA-' || CAST(o_orderkey AS VARCHAR) AS sca
+        FROM orders),
+      present AS (
+        SELECT DISTINCT 'SA-' || CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+        WHERE l_orderkey % 2 = 0)
+      SELECT a.o_orderkey FROM archived a
+      WHERE NOT EXISTS (SELECT 1 FROM present p WHERE COALESCE(a.sa, a.sca) = p.k)"""),
+      (s, dir) => {
+        val archived = t(s, dir, "orders").select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("SA-"), col("o_orderkey").cast("string"))).as("sa"),
+          concat(lit("SCA-"), col("o_orderkey").cast("string")).as("sca"))
+        val present = t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 2 === 0)
+          .select(concat(lit("SA-"), col("l_orderkey").cast("string")).as("k"))
+          .distinct()
+        archived
+          .withColumn("__k", coalesce(col("sa"), col("sca")))
+          .join(present, col("__k") === col("k"), "left_anti")
+          .select("o_orderkey")
+      }),
+
     // ---------------------------------------------------------------- F9
     // Vocab-validated extraction (elr.Rmd:407-443): extract then keep only
     // values in the controlled list, else null.

@@ -71,6 +71,25 @@ class StreamsSpec extends SparkSpec {
     assert(out.contains(("k2", "rec-two", "expired")))
   }
 
+  test("streaming dedup within watermark drops replays, admits later keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = mem.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    mem.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    // replay of 1 within the watermark window: dropped
+    mem.addData((1L, ts("2024-01-01 10:30:00")), (3L, ts("2024-01-01 10:40:00")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("event_id").as[Long]
+      .collect().toSeq.sorted
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
   test("keepNaBatch mirrors the state machine on state tables") {
     val pending = Seq(
       ("k1", "2024-01-01"), ("k2", "2023-10-01"), ("k3", "2024-02-01"))
