@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.{MinhashSignature, OsaDistance}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/**
+ * SparkSessionExtensions hook: registers the engine's native expressions
+ * in the SQL function registry, so `spark.sql("... osa_distance(a, b)")`
+ * and `minhash_signature(arr, 16)` work for SQL users (and through any
+ * JDBC/Thrift front end). Enable with
+ *   .config("spark.sql.extensions", "graft.GraftExtensions")
+ * or `.withExtensions(new GraftExtensions)`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("osa_distance"),
+      new ExpressionInfo(classOf[OsaDistance].getName, "osa_distance"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "osa_distance(left, right)")
+        OsaDistance(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "minhash_signature(array<string>, numHashes literal)")
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"numHashes must be an integer literal, got $other")
+        }
+        MinhashSignature(children.head, n)
+      }))
+  }
+}

@@ -119,6 +119,20 @@ class TemplateSubmittersSpec extends SparkSpec {
     assert(RosterSink.appendWithCheck(d2, dir) === 3L)
   }
 
+  test("S3: gzipped TSV ingest (codec transparent, custom separator)") {
+    val dir = Files.createTempDirectory("graft_tsv").toFile
+    val gz = new java.io.File(dir, "feed.tsv.gz")
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gz))
+    out.write((Schemas.templateColumns.mkString("\t") +
+      "\nACC9\tg\t3/1/2021\tLabZ\tOTHER\tCOMPLETE\tB.1\tA\tB\t\t1/1/1990\t\n").getBytes)
+    out.close()
+    val df = StringCsv.read(spark, Schemas.templateSchema,
+      Seq(gz.getAbsolutePath), sep = "\t")
+    assert(df.count() === 1)
+    val r = df.select("LAB_ACCESSION_ID", "SUBMITTING_LAB").as[(String, String)].head()
+    assert(r === (("ACC9", "LabZ")))
+  }
+
   test("file stats flag empty files for the invalid channel") {
     val dir = Files.createTempDirectory("graft_files").toFile
     val good = new java.io.File(dir, "good.csv")
