@@ -14,6 +14,23 @@ import org.apache.spark.sql.functions._
 object Joins {
 
   /**
+   * U4 schema harmonization (SURVEY §2.6, scripts/Auto_seq/read_all_data
+   * .Rmd:192,211-216): union frames with drifting schemas. `intersectOnly`
+   * keeps just the shared columns (the reference's column-name
+   * intersection); otherwise missing columns null-fill
+   * (rbind.fill / unionByName(allowMissingColumns)).
+   */
+  def harmonizedUnion(dfs: Seq[DataFrame], intersectOnly: Boolean = false): DataFrame = {
+    require(dfs.nonEmpty, "harmonizedUnion of zero frames")
+    if (intersectOnly) {
+      val shared = dfs.map(_.columns.toSeq).reduce((a, b) => a.filter(b.contains))
+      dfs.map(_.select(shared.map(col): _*)).reduce(_.unionByName(_))
+    } else {
+      dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
+  /**
    * Fallback join on an alternate key (SURVEY J4, docs/notebooks/phl.Rmd:
    * 614-646): rows that miss on key1 are retried on key2; both matched sets
    * union. One pass each; the anti side reuses the first join's shuffle.

@@ -95,6 +95,17 @@ class OperatorsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------- joins
+  test("harmonizedUnion: intersect-only and null-fill modes") {
+    val a = Seq((1, "x", 1.0)).toDF("id", "name", "score")
+    val b = Seq((2, "y", true)).toDF("id", "name", "flag")
+    val inter = Joins.harmonizedUnion(Seq(a, b), intersectOnly = true)
+    assert(inter.columns.toSeq === Seq("id", "name") && inter.count() === 2)
+    val fill = Joins.harmonizedUnion(Seq(a, b))
+    assert(fill.columns.toSet === Set("id", "name", "score", "flag"))
+    assert(fill.filter(col("flag").isNull).count() === 1)
+    assert(fill.filter(col("score").isNull).count() === 1)
+  }
+
   test("fallbackJoin: key1 matches win, misses retry on key2") {
     val l = Seq((1, "a", "x"), (2, "b", "y"), (3, "zz", "c"))
       .toDF("id", "k1", "k2")

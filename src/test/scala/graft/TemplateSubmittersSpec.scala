@@ -119,6 +119,30 @@ class TemplateSubmittersSpec extends SparkSpec {
     assert(RosterSink.appendWithCheck(d2, dir) === 3L)
   }
 
+  test("capstone: ingest -> match -> QA -> roster -> compile -> chunked CSV") {
+    val path = writeFixture()
+    val raw = StringCsv.dropEmptyRows(
+      StringCsv.read(spark, Schemas.templateSchema, Seq(path)),
+      Schemas.templateColumns)
+    val routed = TemplateSubmitters.run(raw, entire)
+    val roster = TemplateSubmitters.toRoster(
+      routed.filter(col("disposition") === "roster"), to_date(lit("2021-04-01")))
+    val gisaid = Seq(("USA/WA-X1/2021", "EPI_ISL_777")).toDF("virus_name", "epi_isl")
+    val labDefaults = Seq(("LabA", "OTHER")).toDF("lab", "default_reason")
+    val compiled = graft.pipelines.RosterCompile.run(
+      Seq(roster), gisaid, labDefaults, maxRows = 500)
+
+    val outDir = Files.createTempDirectory("graft_e2e").toString
+    graft.sinks.RosterSink.writeChunked(
+      compiled.drop("_chunk"), outDir, Seq("CASE_ID"), maxRows = 500)
+    val back = spark.read.option("header", "true").csv(outDir)
+    assert(back.count() === 1)
+    val row = back.collect().head
+    assert(row.getAs[String]("CASE_ID") === "101")
+    assert(row.getAs[String]("SEQUENCE_EPI_ISL") === "EPI_ISL_777")
+    assert(row.getAs[String]("SEQUENCE_SPECIMEN_COLLECTION_DATE") === "03/15/2021")
+  }
+
   test("S3: gzipped TSV ingest (codec transparent, custom separator)") {
     val dir = Files.createTempDirectory("graft_tsv").toFile
     val gz = new java.io.File(dir, "feed.tsv.gz")
