@@ -150,6 +150,33 @@ object QueriesOps2 {
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
         .select("user_id", "session_start", "n_events")),
 
+    // ---------------------------------------------------------------- O1
+    QueryDef("o1_order_for_review", Some("""
+      SELECT s_suppkey, s_name FROM supplier ORDER BY s_name DESC, s_suppkey"""),
+      (s, dir) => t(s, dir, "supplier")
+        .orderBy(col("s_name").desc, col("s_suppkey"))
+        .select("s_suppkey", "s_name")),
+
+    // ---------------------------------------------------------------- P6
+    // Conditional row-level cleanup (QA_for_review.Rmd:743-896): repair
+    // single-error records programmatically — fill a missing status from
+    // other evidence, normalize a flag, regenerate a note.
+    QueryDef("p6_cleanup_fixes", Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus IS NULL AND o_totalprice > 0 THEN 'O'
+                  ELSE o_orderstatus END AS status_fixed,
+             CASE WHEN upper(o_orderpriority) LIKE '%URGENT%' THEN '1-URGENT'
+                  ELSE o_orderpriority END AS priority_fixed,
+             'Order ' || CAST(o_orderkey AS VARCHAR) || ' reviewed.' AS note_fixed
+      FROM orders"""),
+      (s, dir) => t(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_orderstatus").isNull && col("o_totalprice") > 0, "O")
+          .otherwise(col("o_orderstatus")).as("status_fixed"),
+        when(upper(col("o_orderpriority")).like("%URGENT%"), "1-URGENT")
+          .otherwise(col("o_orderpriority")).as("priority_fixed"),
+        concat(lit("Order "), col("o_orderkey").cast("string"),
+          lit(" reviewed.")).as("note_fixed"))),
+
     // ---------------------------------------------------------------- Q9
     // Missing-roster audit (rosters_wdrs.Rmd:205-265): key falls back to
     // the clinical accession when the primary is null (coalesce key),
