@@ -32,18 +32,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // noop sink, NOT count(): count() lets ColumnPruning strip the
+    // computed columns from projection-only queries, timing a parquet
+    // row-count instead of the advertised kernels. The noop writer
+    // materializes every output column.
+    def run(name: String): Unit =
+      Registry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
     val qs = headline.filter(Registry.queries.contains)
     // warmup pass (codegen + parquet footer caching)
     qs.foreach { name =>
       val t0 = System.nanoTime()
-      try Registry.queries(name)(spark, sfDir).count()
+      try run(name)
       catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: $e") }
       System.err.println(f"[bench] warmup $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     val results = qs.map { name =>
       val t0 = System.nanoTime()
-      try Registry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      try run(name)
+      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e") }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] timed  $name $dt%.2fs")
       name -> dt

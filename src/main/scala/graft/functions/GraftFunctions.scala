@@ -90,9 +90,10 @@ object GraftFunctions {
   def exactSum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
 
-  /** Exact mean built from exact sum / count. */
+  /** Exact mean built from exact sum / count. Divides by count(c) —
+    * null-skipping, matching SQL AVG — not count(*). */
   def exactAvg(c: Column): Column =
-    (sum(c.cast(DecimalType(18, 2))).cast("double") / count(lit(1)))
+    (sum(c.cast(DecimalType(18, 2))).cast("double") / count(c))
 
   /** Row-wise horizontal sum of flag columns, nulls as 0 (A6,
     * quality_filters.R:188-192). */

@@ -12,9 +12,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
  * running minima in a tight JVM loop.
  *
  * Semantics (mirrored bit-for-bit by the DuckDB oracle in
- * QueriesText.dedup_minhash):
- *   x(t)  = fold over chars: (acc * 31 + code) mod P,  P = 2^31-1
- *   h_i(x) = ((2i+1) * x + 7919i+1) mod P
+ * QueriesText.dedup_minhash, which is generated from the same a/b
+ * functions below):
+ *   x(t)   = fold over chars: (acc * 31 + code) mod P,  P = 2^31-1
+ *   h_i(x) = (a(i) * x + b(i)) mod P      — Knuth-style large odd a(i)
  *   sig[i] = min over shingles of h_i(x(t))
  *
  * Why an Expression and not Column combinators: the same computation as

@@ -173,12 +173,6 @@ object TextFunctions {
   }
 
   // ------------------------------------------------------------ MinHash
-  /** MinHash modulus (2^31 - 1) and the linear-family coefficients:
-    * h_i(x) = (a_i * x + b_i) mod P. Engine-portable pure arithmetic. */
-  val MinhashP: Long = 2147483647L
-  def minhashA(i: Int): Long = 2L * i + 1
-  def minhashB(i: Int): Long = 7919L * i + 1
-
   /** MinHash signature — native expression kernel (see [[MinhashSignature]]:
     * the HOF formulation of the same math ran 25x slower interpreted). */
   def minhashSignature(items: Column, numHashes: Int): Column =

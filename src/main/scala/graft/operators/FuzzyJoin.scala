@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.GraftFunctions.annihilate
 import graft.functions.osa_distance
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -65,6 +66,15 @@ object FuzzyJoin {
 
     val straight = blockedFuzzyJoin(left, right, blockKey, lName, rName, maxDist)
     val flipped = blockedFuzzyJoin(left, right, blockKey, lName, rFlip, flippedMaxDist)
-    straight.unionByName(flipped).dropDuplicates()
+    val unioned = straight.unionByName(flipped)
+    // Dedup on PAIR IDENTITY (all columns except distance), keeping the
+    // best distance: a pair matched by both passes carries two different
+    // distances, which an all-column dropDuplicates cannot collapse.
+    val identity = unioned.columns.filterNot(_ == "distance")
+    unioned
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(identity.map(col): _*).orderBy(col("distance"))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 }

@@ -50,11 +50,21 @@ object Similarity {
    * md5(i || dim) — probe only the query's bucket. At 100 TB the bucket id
    * becomes the partition key: the probe reads one bucket, not the corpus.
    */
+  /** splitmix64 finalizer — decorrelates (i, j) pairs; a linear mix like
+    * i*31+j would make hyperplane i+1 a 31-shifted copy of hyperplane i
+    * for dims > 31, collapsing the LSH buckets. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   def hyperplaneSig(vec: Column, dims: Int, bits: Int): Column = {
     val bitCols = (0 until bits).map { i =>
-      // deterministic pseudo-random +-1 hyperplane: parity of crc32(i:j)
+      // deterministic pseudo-random +-1 hyperplane per (bit, dim)
       val contrib = (0 until dims).map { j =>
-        val sign = if (((i * 31 + j) * 2654435761L >>> 16 & 1L) == 1L) 1.0 else -1.0
+        val sign = if ((mix64(i.toLong << 32 | j.toLong) & 1L) == 1L) 1.0 else -1.0
         element_at(vec, j + 1).cast("double") * lit(sign)
       }.reduce(_ + _)
       when(contrib >= 0, lit(1L << i)).otherwise(lit(0L))

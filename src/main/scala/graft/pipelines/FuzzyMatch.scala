@@ -77,6 +77,12 @@ object FuzzyMatch {
    * ±14-day collection-date filter with add-back (fuzzy.Rmd:844-879): in-
    * window candidates pass clean; rows whose ONLY candidates are out of
    * window keep their closest candidate flagged QA_COLLECT_DATE=1.
+   *
+   * Candidates with a NULL wdrs_collection date evaluate every predicate
+   * to null and are dropped — the submission then surfaces in the
+   * `unmatched` output for review. This matches the reference: R's
+   * interval() yields NA on NA dates and dplyr::filter drops NA rows
+   * (fuzzy.Rmd:845-859), routing the row to the did-not-match print.
    */
   def collectionDateFilter(cands: DataFrame, tolDays: Int = 14): DataFrame = {
     val w = Window.partitionBy(col("rowid"))

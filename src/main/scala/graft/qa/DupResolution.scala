@@ -40,8 +40,14 @@ object DupResolution {
   def resolve(df: DataFrame, dupKey: Column, caseKey: Column,
       order: Seq[Column] = Seq.empty): DataFrame = {
     val graded = grade(df, dupKey, caseKey)
-    val w = Window.partitionBy(dupKey).orderBy(
-      (if (order.isEmpty) Seq(caseKey) else order): _*)
+    // default tie-break: caseKey is CONSTANT within a same_case group, so
+    // add a content hash of the whole row — otherwise the survivor is
+    // non-deterministic (the exact order-dependent-dedup bug this module
+    // exists to fix, SURVEY §7.4#2)
+    val tieBreak =
+      if (order.nonEmpty) order
+      else Seq(caseKey, xxhash64(df.columns.map(col): _*))
+    val w = Window.partitionBy(dupKey).orderBy(tieBreak: _*)
     graded
       .withColumn("__rn", row_number().over(w))
       .withColumn("resolution",

@@ -70,10 +70,12 @@ class SnapshotStore(spark: SparkSession, root: String) {
   def versions(name: String): Seq[Long] = {
     val d = tableDir(name)
     if (!Files.exists(d)) Seq.empty
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
-      .toSeq.sorted
+    else scala.util.Using.resource(Files.list(d)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
+        .toSeq.sorted
+    }
   }
 
   /** Drop all but the newest `keep` versions (never the published one). */
@@ -82,7 +84,9 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val candidates = versions(name).dropRight(keep).filterNot(cur.contains)
     candidates.foreach { v =>
       val dir = tableDir(name).resolve(s"v=$v")
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      scala.util.Using.resource(Files.walk(dir)) { stream =>
+        stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
     }
   }
 }

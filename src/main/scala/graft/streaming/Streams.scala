@@ -13,6 +13,10 @@ case class Event(event_id: Long, user_id: Long, event_type: String,
   * `firstSeen`, retried until matched or expired. */
 case class PendingRecord(key: String, payload: String, firstSeen: Timestamp)
 
+/** keep_na state: ALL pending records for a key (a single-record state
+  * would silently drop later arrivals for the same key). */
+case class PendingList(records: Seq[PendingRecord])
+
 /** Outcome emitted by the keep-na state machine. */
 case class PendingOutcome(key: String, payload: String, outcome: String,
     ageDays: Int)
@@ -55,18 +59,28 @@ object Streams {
   def keepNaStep(retentionDays: Int)(
       key: String,
       rows: Iterator[PendingRecord],
-      state: GroupState[PendingRecord]): Iterator[PendingOutcome] = {
+      state: GroupState[PendingList]): Iterator[PendingOutcome] = {
     val retentionMs = retentionDays * 86400000L
+    def held: Seq[PendingRecord] = state.getOption.map(_.records).getOrElse(Seq.empty)
     if (state.hasTimedOut) {
-      val p = state.get
-      state.remove()
-      Iterator.single(PendingOutcome(p.key, p.payload, "expired", retentionDays))
+      // expire records past retention at the current watermark; keep the
+      // rest pending with a re-armed timeout on the new earliest
+      val wm = state.getCurrentWatermarkMs()
+      val (expired, remaining) =
+        held.partition(p => wm - p.firstSeen.getTime >= retentionMs)
+      if (remaining.isEmpty) state.remove()
+      else {
+        state.update(PendingList(remaining))
+        state.setTimeoutTimestamp(
+          remaining.map(_.firstSeen.getTime).min + retentionMs)
+      }
+      expired.iterator.map(p =>
+        PendingOutcome(p.key, p.payload, "expired", retentionDays))
     } else {
       val incoming = rows.toSeq
       val matches = incoming.filter(_.payload.startsWith("MATCH:"))
       val pendings = incoming.filterNot(_.payload.startsWith("MATCH:"))
-      val priorOpt = state.getOption
-      val pendingNow = priorOpt.toSeq ++ pendings
+      val pendingNow = held ++ pendings
       if (matches.nonEmpty && pendingNow.nonEmpty) {
         // a match arrived for this key: resolve ALL pending copies
         state.remove()
@@ -76,9 +90,9 @@ object Streams {
           PendingOutcome(p.key, p.payload, "matched", age)
         }
       } else if (pendingNow.nonEmpty) {
-        val earliest = pendingNow.minBy(_.firstSeen.getTime)
-        state.update(earliest)
-        state.setTimeoutTimestamp(earliest.firstSeen.getTime + retentionMs)
+        state.update(PendingList(pendingNow))
+        state.setTimeoutTimestamp(
+          pendingNow.map(_.firstSeen.getTime).min + retentionMs)
         Iterator.empty
       } else Iterator.empty
     }

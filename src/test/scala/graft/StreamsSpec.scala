@@ -71,6 +71,26 @@ class StreamsSpec extends SparkSpec {
     assert(out.contains(("k2", "rec-two", "expired")))
   }
 
+  test("keepNaRetry resolves ALL pending copies arriving across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PendingRecord]
+    val q = Streams.keepNaRetry(mem.toDS(), retentionDays = 60)
+      .writeStream.format("memory").queryName("keepna_multi")
+      .outputMode("append").start()
+    // two pendings for k1 in SEPARATE batches (single-record state would
+    // silently drop the second)
+    mem.addData(PendingRecord("k1", "copy-one", ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    mem.addData(PendingRecord("k1", "copy-two", ts("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    mem.addData(PendingRecord("k1", "MATCH:wdrs", ts("2024-01-10 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("keepna_multi")
+      .select("payload", "outcome").as[(String, String)].collect().toSet
+    assert(out === Set(("copy-one", "matched"), ("copy-two", "matched")))
+  }
+
   test("streaming dedup within watermark drops replays, admits later keys") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
