@@ -47,7 +47,7 @@ object Dedup {
   def minhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8, cacheShingles: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     // Each stage materializes its intermediate as a column: the canonical
     // text, shingle set, and signature are attributes by the time a lambda
@@ -61,12 +61,23 @@ object Dedup {
     // shrink an un-numbered repartition right back (CPU-heavy but
     // byte-light). At 100 TB the input arrives pre-partitioned and this
     // exchange is round-off; on small inputs it buys full parallelism.
-    val withSig = docs
+    val shingled0 = docs
       .select(col(idCol).as("id"), col(textCol))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
       .select(col("id"), canonicalText(col(textCol)).as("__canon"))
       .select(col("id"),
         array_distinct(charShinglesCanon(col("__canon"), shingleK)).as("shingles"))
+    // The shingle table feeds THREE consumers (band keys + both sides of
+    // the verify join). Recomputing the canon+shingle pipeline per
+    // consumer measured FASTER here than caching it (columnar cache build
+    // on millions of short strings costs more than the regex+slice
+    // recompute) — so default off; cacheShingles=true is for corpora
+    // where text normalization dominates (heavy regexes, long docs).
+    val shingled =
+      if (cacheShingles)
+        shingled0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shingled0
+    val withSig = shingled
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
       .withColumn("bandkeys", minhashBandKeys(col("sig"), bands, rows))
       .drop("sig")
@@ -95,8 +106,8 @@ object Dedup {
             y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    val sa = withSig.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val sb = withSig.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    val sa = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     idPairs
       .join(sa, Seq("id_a"))
       .join(sb, Seq("id_b"))
