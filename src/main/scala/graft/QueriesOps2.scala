@@ -150,6 +150,30 @@ object QueriesOps2 {
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
         .select("user_id", "session_start", "n_events")),
 
+    // ---------------------------------------------------------------- F4
+    QueryDef("f4_excel_date", Some("""
+      SELECT o_orderkey,
+             strftime(DATE '1899-12-30' + CAST(o_orderkey % 50000 AS INTEGER),
+                      '%Y-%m-%d') AS excel_parsed
+      FROM orders"""),
+      (s, dir) => t(s, dir, "orders").select(col("o_orderkey"),
+        date_format(graft.functions.GraftFunctions.excelDate(
+          (col("o_orderkey") % 50000).cast("string")), "yyyy-MM-dd")
+          .as("excel_parsed"))),
+
+    // ---------------------------------------------------------------- A6
+    QueryDef("a6_rowwise_sum", Some("""
+      SELECT l_orderkey, l_linenumber,
+             (CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END
+              + CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END
+              + CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS flag_sum
+      FROM lineitem"""),
+      (s, dir) => t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.GraftFunctions.rowSum(Seq(
+          when(col("l_quantity") > 30, 1),
+          when(col("l_discount") > 0.05, 1),
+          when(col("l_returnflag") === "R", 1))).as("flag_sum"))),
+
     // ---------------------------------------------------------------- O1
     QueryDef("o1_order_for_review", Some("""
       SELECT s_suppkey, s_name FROM supplier ORDER BY s_name DESC, s_suppkey"""),
