@@ -192,12 +192,12 @@ object TextFunctions {
         .cast("binary"))
     }: _*)
 
-  /** Jaccard similarity of two (distinct-element) array columns. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
-    when(uni > 0, inter / uni).otherwise(lit(0.0))
-  }
+  /** Jaccard similarity of two (distinct-element) array columns — native
+    * kernel (see [[JaccardSim]]; the array_intersect/array_union form
+    * walks both arrays twice through interpreted set machinery). */
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.exprToColumn(
+      JaccardSim(graft.functions.columnToExpr(a), graft.functions.columnToExpr(b)))
 
   // ------------------------------------------------------------ SimHash
   /** Per-token crc32 hashes; materialize this as a column before calling
