@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinhashSignature, OsaDistance}
+import graft.functions.{JaccardSim, MinhashSignature, OsaDistance}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "osa_distance(left, right)")
         OsaDistance(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "jaccard_sim(array<string>, array<string>)")
+        JaccardSim(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_signature"),

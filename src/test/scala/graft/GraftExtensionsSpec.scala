@@ -29,6 +29,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT minhash_signature(array('abcde', 'bcdef'), 4) AS s")
         .collect().head.getSeq[Long](0)
       assert(sig.length === 4)
+      val jac = spark.sql(
+        "SELECT jaccard_sim(array('a','b','c'), array('b','c','d')) AS j")
+        .collect().head.getDouble(0)
+      assert(math.abs(jac - 0.5) < 1e-12)
       // matches the Column-API expression
       import graft.functions.TextFunctions.minhashSignature
       import org.apache.spark.sql.functions._
