@@ -36,18 +36,43 @@ object FuzzyMatch {
   /**
    * Alternate-demographics row multiplication (fuzzy.Rmd:252-341, SURVEY
    * §7.4#7): the match target gets a second candidate row per record for
-   * the alternate name (and DOB) when present — matched output is then
-   * deduped on the ORIGINAL identity, not the multiplied rows.
+   * the alternate name, and — when an `alt_dob` column is present (the
+   * flattened table's BIRTH_DATE, fuzzy.Rmd:325-341) — the DOB is first
+   * null-filled from it and a further duplicate row is added per name
+   * variant where the two DOBs differ. Matched output is then deduped on
+   * the ORIGINAL identity, not the multiplied rows.
+   *
+   * The DOB arm composes over the name arm (reference order: name rbind
+   * at fuzzy.Rmd:260-266, DOB rbind at :335-341 on the already-multiplied
+   * frame), so a record with both alternates yields up to 4 variants. The
+   * caller recomputes the birth-year block AFTER multiplication, so each
+   * DOB variant lands in its own block.
    */
   def multiplyAlternates(target: DataFrame): DataFrame = {
-    val base = target
+    val hasAltDob = target.columns.contains("alt_dob")
+    // DOB null-fill from the flattened table (fuzzy.Rmd:329-333)
+    val filled =
+      if (hasAltDob) target.withColumn("dob", coalesce(col("dob"), col("alt_dob")))
+      else target
+    val base = filled
       .withColumn("__variant", lit("primary"))
-    val alt = target
+    val altName = filled
       .filter(col("alt_first_name").isNotNull && col("alt_last_name").isNotNull)
       .withColumn("first_name", col("alt_first_name"))
       .withColumn("last_name", col("alt_last_name"))
       .withColumn("__variant", lit("alternate"))
-    base.unionByName(alt)
+    val named = base.unionByName(altName)
+    if (!hasAltDob) named
+    else {
+      // duplicate row with the alternate DOB where it disagrees
+      // (fuzzy.Rmd:335-338); R's filter drops the NA comparisons, hence
+      // the explicit isNotNull guard.
+      val altDob = named
+        .filter(col("alt_dob").isNotNull && col("alt_dob") =!= col("dob"))
+        .withColumn("dob", col("alt_dob"))
+        .withColumn("__variant", concat(col("__variant"), lit("+dob")))
+      named.unionByName(altDob)
+    }
   }
 
   /**

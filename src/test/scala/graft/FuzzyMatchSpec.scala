@@ -31,25 +31,37 @@ class FuzzyMatchSpec extends SparkSpec {
     // 7: match exists but only out-of-window date -> flagged add-back
     (7L, "Martha", "Jones", "1986-07-01", "2021-06-30"),
     // 8: matches TWO case_ids -> QA_MULTIPLE_MATCH
-    (8L, "Donna", "Noble", "1968-05-25", "2021-07-01"))
+    (8L, "Donna", "Noble", "1968-05-25", "2021-07-01"),
+    // 9: matches ONLY via the alternate DOB (flattened BIRTH_DATE) — the
+    //    target's recorded DOB is in a different birth YEAR, so the block
+    //    itself must be recomputed per DOB variant for this to match
+    (9L, "Sarah", "Sponder", "1970-02-02", "2021-07-04"),
+    // 10: target DOB is null; flattened BIRTH_DATE null-fills it
+    (10L, "Vera", "Chan", "1975-03-03", "2021-07-06"))
     .toDF("rowid", "first_name", "last_name", "dob", "collection_date")
     .withColumn("dob", col("dob").cast("date"))
     .withColumn("collection_date", col("collection_date").cast("date"))
 
-  // target: case_id, names (+ alternates), dob, wdrs collection date
+  // target: case_id, names (+ alternates), dob (+ flattened alt), wdrs date
   private val target = Seq(
-    (101L, "John", "Smith", null, null, "1980-03-01", "2021-06-03"),
-    (102L, "Jane", "Does", null, null, "1985-07-10", "2021-06-07"),
+    (101L, "John", "Smith", null, null, "1980-03-01", null, "2021-06-03"),
+    (102L, "Jane", "Does", null, null, "1985-07-10", null, "2021-06-07"),
     // stored flipped: first=Pond last=Amy; flip pass matches
-    (103L, "Pond", "Amy", null, null, "1990-01-20", "2021-06-12"),
-    (104L, "Roly", "Wilhiams", null, null, "1988-11-02", "2021-06-16"),
+    (103L, "Pond", "Amy", null, null, "1990-01-20", null, "2021-06-12"),
+    (104L, "Roly", "Wilhiams", null, null, "1988-11-02", null, "2021-06-16"),
     // alternate name is what the submission used
-    (107L, "Peggy", "Jones", "Martha", "Jones", "1986-07-01", "2021-09-30"),
-    (108L, "Donna", "Noble", null, null, "1968-05-25", "2021-07-02"),
-    (109L, "Donna", "Noble", null, null, "1968-05-25", "2021-07-03"))
+    (107L, "Peggy", "Jones", "Martha", "Jones", "1986-07-01", null, "2021-09-30"),
+    (108L, "Donna", "Noble", null, null, "1968-05-25", null, "2021-07-02"),
+    (109L, "Donna", "Noble", null, null, "1968-05-25", null, "2021-07-03"),
+    // recorded DOB 1969-12-31, flattened BIRTH_DATE 1970-02-02 (different
+    // birth year -> different block); submission 9 carries the alt DOB
+    (110L, "Sarah", "Sponder", null, null, "1969-12-31", "1970-02-02", "2021-07-05"),
+    // recorded DOB missing entirely; flattened BIRTH_DATE fills it
+    (111L, "Vera", "Chan", null, null, null, "1975-03-03", "2021-07-07"))
     .toDF("case_id", "first_name", "last_name", "alt_first_name",
-      "alt_last_name", "dob", "wdrs_collection")
+      "alt_last_name", "dob", "alt_dob", "wdrs_collection")
     .withColumn("dob", col("dob").cast("date"))
+    .withColumn("alt_dob", col("alt_dob").cast("date"))
     .withColumn("wdrs_collection", col("wdrs_collection").cast("date"))
 
   private lazy val (bad, matched, unmatched) = FuzzyMatch.run(submissions, target)
@@ -72,6 +84,21 @@ class FuzzyMatchSpec extends SparkSpec {
     val r7 = matched.filter(col("rowid") === 7)
       .select("case_id", "QA_COLLECT_DATE").as[(Long, Int)].collect().toSeq
     assert(r7 === Seq((107L, 1))) // matched via alternate, date out of window -> flagged
+  }
+
+  test("alternate-DOB multiplication: match reachable only via flattened BIRTH_DATE") {
+    val r9 = matched.filter(col("rowid") === 9)
+      .select("case_id", "tier", "distance").as[(Long, String, Int)].collect().toSeq
+    assert(r9 === Seq((110L, "roster", 0)))
+  }
+
+  test("alternate-DOB null-fill: null target DOB filled from flattened") {
+    val r10 = matched.filter(col("rowid") === 10)
+      .select("case_id", "distance").as[(Long, Int)].collect().toSeq
+    assert(r10 === Seq((111L, 0)))
+    // fill only, no disagreement -> exactly one candidate row, not flagged multi
+    assert(matched.filter(col("rowid") === 10)
+      .select("QA_MULTIPLE_MATCH").as[Int].collect().toSeq === Seq(0))
   }
 
   test("multi-candidate rows resolved one per case_id and flagged") {
