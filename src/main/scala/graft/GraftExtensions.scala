@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{JaccardSim, MinhashSignature, OsaDistance}
+import graft.functions.{JaccardSim, MinhashSignature, OsaDistance, Simhash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -42,6 +42,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"numHashes must be an integer literal, got $other")
         }
         MinhashSignature(children.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[Simhash].getName, "simhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "simhash(array<string>, bits literal)")
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bits must be an integer literal, got $other")
+        }
+        Simhash(children.head, n)
       }))
   }
 }

@@ -77,47 +77,95 @@ object QueriesText {
         shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5)),
 
     // ------------------------------------------------- dedup: n-gram jaccard
+    // The prefix-filter blocking is recall-COMPLETE (any pair at Jaccard
+    // >= t shares a rarest-token prefix entry), so the oracle asserts the
+    // stronger property directly: brute-force all pairs >= t, pruned only
+    // by the size bound min(|A|,|B|) >= t*max(|A|,|B|) implied by t.
     QueryDef("dedup_ngram_jaccard", Some(s"""
       WITH prep AS (
-        SELECT doc_id, list_distinct(toks0) AS toks, toks0[1] AS first_tok,
-               CAST(len(toks0) // 10 AS INTEGER) AS len_band
-        FROM (SELECT doc_id, $toksSql AS toks0 FROM documents))
+        SELECT doc_id, list_distinct($toksSql) AS toks
+        FROM documents
+        WHERE len($toksSql) > 0)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              len(list_intersect(a.toks, b.toks)) /
              CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jaccard
-      FROM prep a JOIN prep b ON a.len_band = b.len_band AND a.first_tok = b.first_tok
-      WHERE a.doc_id < b.doc_id
-        AND len(list_intersect(a.toks, b.toks)) /
-            CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.6"""),
-      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.6)),
+      FROM prep a JOIN prep b
+        ON a.doc_id < b.doc_id
+       AND least(len(a.toks), len(b.toks)) >= 0.8 * greatest(len(a.toks), len(b.toks))
+      WHERE len(list_intersect(a.toks, b.toks)) /
+            CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.8"""),
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.8)),
 
     // ------------------------------------------------- dedup: simhash
-    // crc32 is not available in DuckDB — rows-only check; semantics are
-    // unit-tested in SimilarityDedupSpec.
-    QueryDef("dedup_simhash", None,
-      (s, dir) => Dedup.simhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id", 6)),
+    // 60-bit simhash from the polynomial/affine family (Simhash kernel),
+    // mirrored term-by-term below. 4x15-bit banding is recall-complete for
+    // hamming <= 3 (pigeonhole), so the oracle is the BRUTE-FORCE pair
+    // scan — it asserts the banded plan loses nothing.
+    QueryDef("dedup_simhash", Some {
+      import graft.functions.MinhashSignature.{a, b}
+      val polyhash =
+        """list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |                 [CAST(ord(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT)
+          |                  FOR i IN range(1, len(t) + 1)]),
+          |               (acc, c2) -> (acc * 31 + c2) % 2147483647)""".stripMargin
+      val bitTerms = (0 until 60).map { j =>
+        s"(CASE WHEN list_sum(list_transform(xs, x -> CASE WHEN (((x * ${a(j)} + ${b(j)}) % 2147483647) & 1) = 1 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n             + ")
+      s"""
+      WITH hx AS (
+        SELECT doc_id,
+               list_transform($toksSql, t -> $polyhash) AS xs
+        FROM documents),
+      sim AS (
+        SELECT doc_id,
+               ($bitTerms) AS simhash
+        FROM hx)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    },
+      (s, dir) => Dedup.simhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 3, bits = 60, bands = 4)),
 
     // ------------------------------------------- dedup: embedding cosine
-    QueryDef("dedup_embedding", Some("""
+    // Banded component-sign LSH (4 bands x 16 sign bits), mirrored exactly;
+    // the blocking is approximate by construction, so the oracle replays
+    // the same bands rather than brute-forcing.
+    QueryDef("dedup_embedding", Some {
+      val whens = (0 until 4).map { k =>
+        val key = (0 until 16).map { j =>
+          s"CASE WHEN embedding[${k * 16 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"WHEN $k THEN ($key)"
+      }.mkString("\n               ")
+      s"""
       WITH cells AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v,
-               (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-                + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-                + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-                + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
-                + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
-                + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
-                + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
-                + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS cell
-        FROM embeddings),
+        SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings),
+      banded AS (
+        SELECT vec_id,
+               r.band,
+               CASE r.band
+               $whens
+               END AS key
+        FROM cells, range(0, 4) r(band)),
       pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               list_dot_product(a.v, b.v) /
-                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-        FROM cells a JOIN cells b ON a.cell = b.cell WHERE a.vec_id < b.vec_id)
-      SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs WHERE round(cos, 6) >= 0.9"""),
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        WHERE a.vec_id < b.vec_id),
+      scored AS (
+        SELECT p.id_a, p.id_b,
+               list_dot_product(ca.v, cb.v) /
+                 (sqrt(list_dot_product(ca.v, ca.v)) *
+                  sqrt(list_dot_product(cb.v, cb.v))) AS cos
+        FROM pairs p
+        JOIN cells ca ON ca.vec_id = p.id_a
+        JOIN cells cb ON cb.vec_id = p.id_b)
+      SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored
+      WHERE round(cos, 6) >= 0.9"""
+    },
       (s, dir) => Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"),
-        "embedding", "vec_id", minCosine = 0.9, signBits = 8)),
+        "embedding", "vec_id", minCosine = 0.9, bands = 4, bitsPerBand = 16)),
 
     // ------------------------------------------------- similarity: brute
     QueryDef("ann_cosine_topk", Some("""
@@ -141,9 +189,34 @@ object QueriesText {
       }),
 
     // ------------------------------------------------- similarity: LSH
-    // Deterministic hyperplane constants live in Scala — not reproducible
-    // as compact SQL; rows-only check + overlap-vs-brute-force unit test.
-    QueryDef("ann_lsh_topk", None,
+    // The 12 deterministic +-1 hyperplanes are generated into the SQL from
+    // Similarity.hyperplaneSign, term order matching the Spark plan's
+    // left-fold exactly (x * +-1.0 == +-x bit-for-bit, so the signatures
+    // agree across engines without rounding).
+    QueryDef("ann_lsh_topk", Some {
+      def sigSql(vec: String): String = (0 until 12).map { i =>
+        val terms = (0 until 64).map { j =>
+          val op = if (Similarity.hyperplaneSign(i, j) > 0) "+" else "-"
+          s"$op CAST($vec[${j + 1}] AS DOUBLE)"
+        }.mkString(" ")
+        s"(CASE WHEN ($terms) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n             + ")
+      s"""
+      WITH q AS (
+        SELECT qv, (${sigSql("qv")}) AS qsig
+        FROM (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)),
+      sigs AS (
+        SELECT e.vec_id, e.embedding, q.qv, q.qsig,
+               (${sigSql("e.embedding")}) AS sig
+        FROM embeddings e, q)
+      SELECT vec_id,
+             round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[]) /
+               (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS cosine
+      FROM sigs
+      WHERE bit_count(xor(sig, qsig)) <= 2
+      ORDER BY cosine DESC, vec_id LIMIT 10"""
+    },
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val qRow = e.filter(col("vec_id") === 0).select("embedding")
@@ -152,14 +225,25 @@ object QueriesText {
       }),
 
     // ------------------------------------------------- similarity: IVF
-    // KMeans coarse quantizer (seeded) + nProbe-cell search — the scale
-    // path. Clustering isn't SQL-reproducible; rows-only + recall spec.
-    QueryDef("ann_ivf_topk", None,
+    // KMeans cells aren't SQL-reproducible, so the checked property is
+    // RECALL: the IVF top-k probing 8 of 16 cells must overlap the exact
+    // brute-force top-k in >= 6 of 10 ranks (the synthetic embeddings are
+    // near-uniform — the hardest case for a coarse quantizer; measured
+    // overlap is 7 and 10 at the two test SFs). The brute baseline itself
+    // is oracle-verified by ann_cosine_topk; this asserts the probe path
+    // doesn't lose the answer.
+    QueryDef("ann_ivf_topk", Some(
+      "SELECT 10 AS k_requested, TRUE AS recall_ok"),
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val qRow = e.filter(col("vec_id") === 0).select("embedding")
           .head().getSeq[Float](0)
-        Similarity.ivfTopK(e, "embedding", "vec_id", qRow, 10)
+        val ivf = Similarity.ivfTopK(e, "embedding", "vec_id", qRow, 10,
+          nCells = 16, nProbe = 8)
+        val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", qRow, 10)
+        ivf.select("vec_id").join(brute.select("vec_id"), Seq("vec_id"))
+          .agg(count(lit(1)).as("__overlap"))
+          .select(lit(10).as("k_requested"), (col("__overlap") >= 6).as("recall_ok"))
       }),
 
     // ------------------------------------------------- text: language ID

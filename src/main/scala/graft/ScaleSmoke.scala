@@ -1,15 +1,17 @@
 package graft
 
-import graft.operators.Dedup
-import org.apache.spark.sql.SparkSession
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
  * Duplication stress smoke: replicate the documents table `copies` times
  * with distinct ids (each doc then belongs to a `copies`-sized exact-dup
  * cluster — the adversarial case for near-dup pair generation) and run
- * MinHash dedup. Validates the pair path stays subquadratic-in-corpus
- * (pairs concentrate inside real clusters) and reports wall time.
+ * every near-dup variant. Validates each pair path stays
+ * subquadratic-in-corpus (pairs concentrate inside real clusters: pair
+ * count — and therefore verify work — tracks true-duplicate mass, not
+ * corpus size squared) and reports wall time per variant.
  * Usage: runMain graft.ScaleSmoke [sfDir] [copies]
  */
 object ScaleSmoke {
@@ -30,13 +32,47 @@ object ScaleSmoke {
       base.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"), col("text"))
     }.reduce(_.unionByName(_))
     val n = big.count()
-    val t0 = System.nanoTime()
-    val pairs = Dedup.minhashNearDupPairs(big, "text", "doc_id",
-      shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5).count()
-    val dt = (System.nanoTime() - t0) / 1e9
     // every original doc forms a `copies`-clique: expect >= n_docs * C(copies,2)
     val minExpected = (n / copies) * (copies.toLong * (copies - 1) / 2)
-    println(f"[scale-smoke] docs=$n pairs=$pairs (>=$minExpected expected) ${dt}%.1fs")
+
+    def timed(name: String)(pairsDf: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val pairs = pairsDf.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val ok = if (pairs >= minExpected) "ok" else "LOW"
+      println(f"[scale-smoke] $name%-16s docs=$n pairs=$pairs (>=$minExpected expected, $ok) ${dt}%.1fs")
+    }
+
+    timed("minhash") {
+      Dedup.minhashNearDupPairs(big, "text", "doc_id",
+        shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5)
+    }
+    timed("simhash") {
+      Dedup.simhashNearDupPairs(big, "text", "doc_id", maxHamming = 3)
+    }
+    // 0.98: the synthetic docs are template-generated — at 0.6 nearly every
+    // doc pair is a TRUE near-dup (71k of 125k possible pairs at sf0.01;
+    // 965k pairs at 0.9 on sf0.1, x100 under 10x duplication), so lower
+    // thresholds make the smoke measure the size of the correct answer
+    // rather than the blocking quality.
+    timed("ngram-jaccard") {
+      Dedup.ngramJaccardPairs(big, "text", "doc_id", 0.98)
+    }
+
+    // embedding variant: same construction over the embeddings table
+    val ebase = Tables.load(spark, sfDir, "embeddings")
+    val ebig = (0 until copies).map { c =>
+      ebase.select((col("vec_id") + lit(c * 10000000L)).as("vec_id"), col("embedding"))
+    }.reduce(_.unionByName(_))
+    val en = ebig.count()
+    val eMinExpected = (en / copies) * (copies.toLong * (copies - 1) / 2)
+    val t0 = System.nanoTime()
+    val epairs = Similarity.embeddingNearDupPairs(ebig, "embedding", "vec_id",
+      minCosine = 0.9).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    val ok = if (epairs >= eMinExpected) "ok" else "LOW"
+    println(f"[scale-smoke] embedding        vecs=$en pairs=$epairs (>=$eMinExpected expected, $ok) ${dt}%.1fs")
+
     spark.stop()
   }
 }

@@ -200,31 +200,16 @@ object TextFunctions {
       JaccardSim(graft.functions.columnToExpr(a), graft.functions.columnToExpr(b)))
 
   // ------------------------------------------------------------ SimHash
-  /** Per-token crc32 hashes; materialize this as a column before calling
-    * [[simhash32FromHashes]] so the crc is computed once per token, not
-    * once per (token, bit). */
-  def tokenHashes(items: Column): Column =
-    transform(items, t => crc32(t.cast("binary")))
-
-  /** 32-bit SimHash from precomputed token hashes: bit j is the sign of
-    * sum over tokens of (bit j of hash ? +1 : -1). */
-  def simhash32FromHashes(hashes: Column): Column = {
-    val bits = (0 until 32).map { j =>
-      val mask = 1L << j
-      val contrib = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(lit(mask)) =!= 0, lit(1L)).otherwise(lit(-1L)))
-      when(contrib >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
   /**
-   * 32-bit SimHash over a token array: bit j of the result is the sign of
-   * sum over tokens of (bit j of crc32(token) ? +1 : -1). Near-duplicate
-   * detection compares hamming distance of the resulting int. Convenience
-   * form — hot paths materialize [[tokenHashes]] first.
+   * SimHash over a token array — native expression kernel (see [[Simhash]]):
+   * bit j is the sign of sum over tokens of (g_j(polyhash(token)) odd ?
+   * +1 : -1), with g_j the MinhashSignature affine family — so the whole
+   * hash is reproducible in the DuckDB oracle. Near-duplicate detection
+   * compares hamming distance of the resulting long. bits <= 60.
    */
-  def simhash32(items: Column): Column = simhash32FromHashes(tokenHashes(items))
+  def simhash(items: Column, bits: Int = 60): Column =
+    graft.functions.exprToColumn(
+      Simhash(graft.functions.columnToExpr(items), bits))
 
   /** Hamming distance between two long-encoded bit vectors. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -15,6 +15,35 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /**
+   * Candidate pairs from a bucket table `(keyCols..., id)`: streamed skinny
+   * self-join on the bucket key, ordered-pair filter, distinct.
+   *
+   * Why a JOIN and not collect_list + in-row pair expansion: a giant
+   * near-dup clique (template corpora produce buckets of 10^4-10^6 docs)
+   * turns the collected array into ONE row carrying C(s,2) structs — an
+   * executor-OOM at scale and a single-task serialization point. The
+   * self-join streams the same cross product through sort-merge machinery
+   * row by row, and AQE's skew-join split handles hot keys by splitting
+   * one side. Rows are (key, id) only — bytes stay proportional to the
+   * candidate count, never to a bucket's square in memory.
+   */
+  private[operators] def bucketPairs(banded: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val a = banded.select(keyCols.map(col) :+ col("id").as("id_a"): _*)
+    val b = banded.select(keyCols.map(col) :+ col("id").as("id_b"): _*)
+    a.join(b, keyCols)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      // explicit partition count for the downstream verify join: the pair
+      // rows are byte-light (16 bytes) but the per-pair verify is
+      // CPU-heavy, and AQE's byte-based coalescing would shrink the
+      // exchange to a handful of partitions (observed: 8 of 32 cores busy
+      // in the Jaccard verify). The join key downstream is id_a, so this
+      // exchange is reused by the verify join.
+      .repartition(banded.sparkSession.sparkContext.defaultParallelism, col("id_a"))
+  }
+
+  /**
    * Exact dedup, deterministic keep-first: survivor per content fingerprint
    * is the row with the smallest tie-break key (SURVEY A10 — R's
    * order-dependent `distinct(.keep_all=TRUE)` made deterministic with
@@ -89,23 +118,14 @@ object Dedup {
     // null/empty, so outer is semantically identical and keeps the plan
     // clean of the inferred filter.
     //
-    // Pair generation: bucket-collect IDs ONLY (tiny rows), expand id
-    // pairs per bucket, dedup, then join the shingle sets back and verify
-    // Jaccard with the work hash-distributed BY PAIR. Collecting shingles
-    // into buckets and verifying in-bucket would serialize a hot bucket
-    // into one task (a 747-doc bucket = 278k Jaccards on one core).
+    // Pair generation: streamed skinny self-join per bucket (see
+    // bucketPairs), then join the shingle sets back and verify Jaccard
+    // with the work hash-distributed BY PAIR. Collecting shingles into
+    // buckets and verifying in-bucket would serialize a hot bucket into
+    // one task (a 747-doc bucket = 278k Jaccards on one core).
     val exploded = withSig
       .select(col("id"), posexplode_outer(col("bandkeys")).as(Seq("band", "key")))
-    val idPairs = exploded
-      .groupBy("band", "key")
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(
-        transform(col("ids"), (x, i) =>
-          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-            y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    val idPairs = bucketPairs(exploded, Seq("band", "key"))
     val sa = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val sb = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     idPairs
@@ -116,39 +136,54 @@ object Dedup {
   }
 
   /**
-   * SimHash near-dup: 32-bit simhash over the token stream; candidate pairs
-   * share one of four 8-bit sub-bands (guarantees recall for hamming<=3 on
-   * at least one band by pigeonhole when distance concentrates); verify by
-   * full hamming distance <= maxHamming.
+   * SimHash near-dup: 60-bit simhash over the token stream, banded into
+   * `bands` sub-bands of bits/bands bits each (default 4 x 15 bits = 32768
+   * buckets per band). By pigeonhole, any pair at hamming <= bands-1 agrees
+   * exactly on at least one full sub-band, so for maxHamming < bands the
+   * result is EXACTLY all pairs with hamming(simhash) <= maxHamming — the
+   * DuckDB oracle asserts that via a brute-force pair scan.
+   *
+   * Scale shape: bucket count grows with the key width (2^15 per band, not
+   * the fixed 256 of an 8-bit key), buckets collect IDs ONLY, and the
+   * verify work is redistributed hash-by-pair — a hot bucket never
+   * serializes into one task (same construction as minhashNearDupPairs).
    */
   def simhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bits: Int = 60, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits must divide into bands=$bands")
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming=$maxHamming < bands=$bands")
+    val rb = bits / bands
     val sh = docs
       .select(col(idCol).as("id"), col(textCol))
       // explicit partition count: AQE would coalesce a byte-light shuffle
       // to ~1 partition, serializing the CPU-heavy hash work
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
-      .select(col("id"), tokenHashes(tokens(col(textCol))).as("__hashes"))
-      .select(col("id"), simhash32FromHashes(col("__hashes")).as("simhash"))
-    val banded = sh.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xffL)).as("key"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
-    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), simhash(col("__toks"), bits).as("simhash"))
+    // band keys, outer generate (no inferred size()>0 filter pushdown)
+    val banded = sh.select(col("id"), posexplode_outer(
+      array((0 until bands).map { b =>
+        shiftright(col("simhash"), b * rb).bitwiseAND(lit((1L << rb) - 1))
+      }: _*)).as(Seq("band", "key")))
+    val idPairs = bucketPairs(banded, Seq("band", "key"))
+    val a = sh.select(col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("simhash").as("sh_b"))
+    idPairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
   /**
-   * N-gram Jaccard near-dup with cheap blocking: candidates share the same
-   * (token count band, first token), then verified token-set Jaccard.
+   * N-gram (token-set) Jaccard near-dup via prefix filtering: each doc's
+   * distinct tokens are ordered by GLOBAL document frequency (rarest
+   * first, ties by token), and only the first n - ceil(t*n) + 1 tokens
+   * become blocking keys. Any pair with Jaccard >= t must share a prefix
+   * token (SSJoin/PPJoin prefix-filter lemma), so the result is EXACTLY
+   * all pairs at Jaccard >= t — no first-token skew buckets: a stopword
+   * blocks only the docs rare-token-poor enough to carry it in their
+   * prefix. Verify work is redistributed hash-by-pair.
    */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
@@ -156,18 +191,33 @@ object Dedup {
     val prepared = docs
       .select(col(idCol).as("id"), col(textCol))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
-      .select(col("id"), tokens(col(textCol)).as("__toks0"))
-      .select(
-        col("id"),
-        array_distinct(col("__toks0")).as("toks"),
-        element_at(col("__toks0"), 1).as("first_tok"),
-        floor(size(col("__toks0")) / 10).cast("int").as("len_band"))
-    val a = prepared.select(col("len_band"), col("first_tok"),
-      col("id").as("id_a"), col("toks").as("t_a"))
-    val b = prepared.select(col("len_band"), col("first_tok"),
-      col("id").as("id_b"), col("toks").as("t_b"))
-    a.join(b, Seq("len_band", "first_tok"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("id"), array_distinct(tokens(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val tokDocs = prepared.select(
+      col("id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+    // global token document frequency — the rarity order every doc shares
+    val dfreq = tokDocs.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefix = tokDocs.join(dfreq, Seq("tok"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
+      .filter(col("__rn") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
+      .select(col("tok"), col("id"), col("n"))
+    // candidate pairs share a prefix token AND satisfy the size bound
+    // min(|A|,|B|) >= t*max(|A|,|B|) (implied by Jaccard >= t) — the
+    // standard length-filter companion to prefix filtering, pruning
+    // cross-length candidates before the expensive set verify
+    val pa = prefix.select(col("tok"), col("id").as("id_a"), col("n").as("n_a"))
+    val pb = prefix.select(col("tok"), col("id").as("id_b"), col("n").as("n_b"))
+    val pairs = pa.join(pb, Seq("tok"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")) >=
+          lit(minJaccard) * greatest(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id_a"))
+    val ta = prepared.select(col("id").as("id_a"), col("toks").as("t_a"))
+    val tb = prepared.select(col("id").as("id_b"), col("toks").as("t_b"))
+    pairs.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("t_a"), col("t_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }

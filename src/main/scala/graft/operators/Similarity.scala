@@ -60,12 +60,17 @@ object Similarity {
     z ^ (z >>> 31)
   }
 
+  /** The +-1.0 hyperplane coefficient for (bit i, dim j) — public so the
+    * DuckDB oracle SQL in QueriesText.ann_lsh_topk is generated from the
+    * same constants the Spark plan uses. */
+  def hyperplaneSign(i: Int, j: Int): Double =
+    if ((mix64(i.toLong << 32 | j.toLong) & 1L) == 1L) 1.0 else -1.0
+
   def hyperplaneSig(vec: Column, dims: Int, bits: Int): Column = {
     val bitCols = (0 until bits).map { i =>
       // deterministic pseudo-random +-1 hyperplane per (bit, dim)
       val contrib = (0 until dims).map { j =>
-        val sign = if ((mix64(i.toLong << 32 | j.toLong) & 1L) == 1L) 1.0 else -1.0
-        element_at(vec, j + 1).cast("double") * lit(sign)
+        element_at(vec, j + 1).cast("double") * lit(hyperplaneSign(i, j))
       }.reduce(_ + _)
       when(contrib >= 0, lit(1L << i)).otherwise(lit(0L))
     }
@@ -86,7 +91,9 @@ object Similarity {
     embeddings
       .withColumn("__sig", hyperplaneSig(col(vecCol), dims, bits))
       .filter(bit_count(col("__sig").bitwiseXOR(qSig)) <= probeHamming)
-      .select(col(idCol).as("vec_id"), cosine(col(vecCol), q).as("cosine"))
+      // 6dp rounding BEFORE the order: cross-engine fp summation orders
+      // agree to ~1e-13, so the oracle's top-k tie-breaks identically
+      .select(col(idCol).as("vec_id"), round(cosine(col(vecCol), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -132,28 +139,37 @@ object Similarity {
   }
 
   /**
-   * All-pairs near-duplicate detection in embedding space, IVF-style:
-   * coarse-quantize each vector to its nearest of 2^signBits deterministic
-   * centroid directions (sign pattern of leading components), pair up only
-   * within a cell, verify exact cosine >= threshold.
+   * All-pairs near-duplicate detection in embedding space via banded
+   * component-sign LSH: band k's key is the sign pattern of components
+   * [k*bitsPerBand+1 .. (k+1)*bitsPerBand] (default 4 bands x 16 bits =
+   * 65536 cells per band); candidates collide on ANY band, then verify
+   * exact cosine >= threshold. Requires dim >= bands*bitsPerBand.
+   *
+   * Scale shape: cell count grows with bitsPerBand (configurable — raise
+   * it as the corpus grows, vs the fixed 256 cells of a single 8-bit sign
+   * key), banding recovers the recall a wider key costs, buckets collect
+   * IDs ONLY, and the cosine verify is redistributed hash-by-pair so a
+   * dense cell never serializes into one task.
    */
   def embeddingNearDupPairs(
       embeddings: DataFrame, vecCol: String, idCol: String,
-      minCosine: Double = 0.95, signBits: Int = 8): DataFrame = {
-    val cell = (0 until signBits).map { j =>
-      when(element_at(col(vecCol), j + 1) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+      minCosine: Double = 0.95, bands: Int = 4, bitsPerBand: Int = 16): DataFrame = {
     // Norms are computed ONCE per vector before the pair join; per-pair
     // work is then a single dot-product scan instead of five.
     val cells = embeddings
-      .select(col(idCol).as("id"), col(vecCol).as("v"), cell.as("cell"))
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
-    val a = cells.select(col("cell"), col("id").as("id_a"),
-      col("v").as("v_a"), col("n").as("n_a"))
-    val b = cells.select(col("cell"), col("id").as("id_b"),
-      col("v").as("v_b"), col("n").as("n_b"))
-    a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
+    val banded = cells.select(col("id"), posexplode_outer(
+      array((0 until bands).map { k =>
+        (0 until bitsPerBand).map { j =>
+          when(element_at(col("v"), k * bitsPerBand + j + 1) >= 0,
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*)).as(Seq("band", "key")))
+    val idPairs = Dedup.bucketPairs(banded, Seq("band", "key"))
+    val a = cells.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = cells.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    idPairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
       // round to 6dp: keeps the threshold comparison stable across engines
       // (different fp summation orders agree to ~1e-13)
       .select(col("id_a"), col("id_b"),

@@ -222,7 +222,7 @@ class OperatorsSpec extends SparkSpec {
       (2L, Seq(-1f, 4f, 0f, 0f, 0f, 0f, 0f, 0f)))
       .toDF("vec_id", "embedding")
     val pairs = Similarity.embeddingNearDupPairs(vecs, "embedding", "vec_id",
-      minCosine = 0.95, signBits = 8)
+      minCosine = 0.95, bands = 2, bitsPerBand = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((0L, 1L)))
   }

@@ -109,10 +109,10 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(3) === 0L)              // empty
   }
 
-  test("simhash32: deterministic, identical inputs equal, hamming 0/positive") {
+  test("simhash: deterministic, identical inputs equal, hamming 0/positive") {
     val df = Seq("the quick brown fox jumps", "the quick brown fox jumps",
       "totally different words here okay").toDF("x")
-      .select(simhash32(tokens(col("x"))).as("sh"))
+      .select(simhash(tokens(col("x"))).as("sh"))
     val rows = df.as[Long].collect()
     assert(rows(0) === rows(1))
     val h = Seq((rows(0), rows(2))).toDF("a", "b")
