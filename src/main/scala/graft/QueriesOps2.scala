@@ -131,14 +131,14 @@ object QueriesOps2 {
     // exactly 1800s starts a NEW session; oracle uses >=).
     QueryDef("ev_session_window", Some("""
       WITH gaps AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                       OR datediff('second', lag(ts) OVER w, ts) >= 1800
                     THEN 1 ELSE 0 END AS new_session
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sessions AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM gaps)
       SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

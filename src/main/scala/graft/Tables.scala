@@ -14,10 +14,18 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
       // default. Read it as raw nanos and truncate to microseconds — the
       // same truncation DuckDB applies — keeping `ts` a TimestampType for
-      // every consumer.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      // every consumer. The conf only matters while the schema is being
+      // resolved here, so save/restore it instead of leaking a changed
+      // parquet-timestamp policy into the whole session.
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

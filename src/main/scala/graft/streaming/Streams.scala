@@ -14,8 +14,12 @@ case class Event(event_id: Long, user_id: Long, event_type: String,
 case class PendingRecord(key: String, payload: String, firstSeen: Timestamp)
 
 /** keep_na state: ALL pending records for a key (a single-record state
-  * would silently drop later arrivals for the same key). */
-case class PendingList(records: Seq[PendingRecord])
+  * would silently drop later arrivals for the same key), plus any match
+  * that arrived BEFORE its pending record — out of order but within the
+  * watermark — so later-arriving pendings still resolve instead of
+  * expiring. */
+case class PendingList(records: Seq[PendingRecord],
+    matches: Seq[PendingRecord] = Seq.empty)
 
 /** Outcome emitted by the keep-na state machine. */
 case class PendingOutcome(key: String, payload: String, outcome: String,
@@ -61,40 +65,44 @@ object Streams {
       rows: Iterator[PendingRecord],
       state: GroupState[PendingList]): Iterator[PendingOutcome] = {
     val retentionMs = retentionDays * 86400000L
-    def held: Seq[PendingRecord] = state.getOption.map(_.records).getOrElse(Seq.empty)
+    def heldState: PendingList = state.getOption.getOrElse(PendingList(Seq.empty))
+    def rearm(next: PendingList): Unit =
+      if (next.records.isEmpty && next.matches.isEmpty) state.remove()
+      else {
+        state.update(next)
+        state.setTimeoutTimestamp(
+          (next.records ++ next.matches).map(_.firstSeen.getTime).min + retentionMs)
+      }
     if (state.hasTimedOut) {
       // expire records past retention at the current watermark; keep the
-      // rest pending with a re-armed timeout on the new earliest
+      // rest (and still-fresh held matches) with a re-armed timeout
       val wm = state.getCurrentWatermarkMs()
-      val (expired, remaining) =
-        held.partition(p => wm - p.firstSeen.getTime >= retentionMs)
-      if (remaining.isEmpty) state.remove()
-      else {
-        state.update(PendingList(remaining))
-        state.setTimeoutTimestamp(
-          remaining.map(_.firstSeen.getTime).min + retentionMs)
-      }
+      def fresh(p: PendingRecord) = wm - p.firstSeen.getTime < retentionMs
+      val (remaining, expired) = heldState.records.partition(fresh)
+      rearm(PendingList(remaining, heldState.matches.filter(fresh)))
       expired.iterator.map(p =>
         PendingOutcome(p.key, p.payload, "expired", retentionDays))
     } else {
       val incoming = rows.toSeq
-      val matches = incoming.filter(_.payload.startsWith("MATCH:"))
-      val pendings = incoming.filterNot(_.payload.startsWith("MATCH:"))
-      val pendingNow = held ++ pendings
-      if (matches.nonEmpty && pendingNow.nonEmpty) {
-        // a match arrived for this key: resolve ALL pending copies
-        state.remove()
+      val (inMatches, pendings) = incoming.partition(_.payload.startsWith("MATCH:"))
+      // held matches participate too: a match that arrived BEFORE its
+      // pending record (out of order, within the watermark) was stored and
+      // resolves the pending now instead of letting it expire
+      val matchesNow = heldState.matches ++ inMatches
+      val pendingNow = heldState.records ++ pendings
+      if (matchesNow.nonEmpty && pendingNow.nonEmpty) {
+        // resolve ALL pending copies against the earliest match; the match
+        // stays in state (within its retention) for late pending copies
+        val matchMs = matchesNow.map(_.firstSeen.getTime).min
+        rearm(PendingList(Seq.empty, matchesNow))
         pendingNow.iterator.map { p =>
-          val age = ((matches.head.firstSeen.getTime - p.firstSeen.getTime)
-            / 86400000L).toInt
+          val age = ((matchMs - p.firstSeen.getTime) / 86400000L).toInt
           PendingOutcome(p.key, p.payload, "matched", age)
         }
-      } else if (pendingNow.nonEmpty) {
-        state.update(PendingList(pendingNow))
-        state.setTimeoutTimestamp(
-          pendingNow.map(_.firstSeen.getTime).min + retentionMs)
+      } else {
+        rearm(PendingList(pendingNow, matchesNow))
         Iterator.empty
-      } else Iterator.empty
+      }
     }
   }
 

@@ -91,6 +91,28 @@ class StreamsSpec extends SparkSpec {
     assert(out === Set(("copy-one", "matched"), ("copy-two", "matched")))
   }
 
+  test("keepNaRetry: match arriving BEFORE its pending record still resolves") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PendingRecord]
+    val q = Streams.keepNaRetry(mem.toDS(), retentionDays = 60)
+      .writeStream.format("memory").queryName("keepna_ooo")
+      .outputMode("append").start()
+    // out-of-order: the MATCH lands in an earlier batch than the pending
+    // record it resolves (both within the watermark) — the match is held
+    // in state rather than discarded
+    // watermark delay is 1 day, so after the match the watermark sits at
+    // 2024-01-09; the pending must be >= that to be admitted at all
+    mem.addData(PendingRecord("k1", "MATCH:wdrs", ts("2024-01-10 00:00:00")))
+    q.processAllAvailable()
+    mem.addData(PendingRecord("k1", "late-pending", ts("2024-01-09 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("keepna_ooo")
+      .select("key", "payload", "outcome", "ageDays")
+      .as[(String, String, String, Int)].collect().toSet
+    assert(out === Set(("k1", "late-pending", "matched", 0)))
+  }
+
   test("streaming dedup within watermark drops replays, admits later keys") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
