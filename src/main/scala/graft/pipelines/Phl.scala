@@ -63,13 +63,18 @@ object Phl {
       .drop("__in", "__out")
   }
 
-  /** Lineage cascade (phl.Rmd:743-765): None → Unassigned; Unassigned +
-    * COMPLETE stays COMPLETE with null repository when FAILED. */
+  /**
+   * Lineage cascade (phl.Rmd:713-723): lineage "None" → Unassigned (a
+   * NULL lineage stays NULL — R's `if_else(Lineage == "None", ...)`
+   * passes NA through, so no LOW QUALITY cascade for missing lineage);
+   * Unassigned → LOW QUALITY status; repository NULL only when FAILED,
+   * else "GISAID" — including LOW QUALITY rows, exactly as
+   * phl.Rmd:719-723's case_when does.
+   */
   def lineageCascade(df: DataFrame): DataFrame =
     df
       .withColumn("lineage",
-        when(col("lineage").isNull || col("lineage") === "None", "Unassigned")
-          .otherwise(col("lineage")))
+        when(col("lineage") === "None", "Unassigned").otherwise(col("lineage")))
       .withColumn("status",
         when(col("lineage") === "Unassigned" && col("status") === "COMPLETE",
           "LOW QUALITY").otherwise(col("status")))

@@ -1,0 +1,126 @@
+package graft.sinks
+
+import java.io.{BufferedOutputStream, FileOutputStream, OutputStream}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import org.apache.spark.sql.DataFrame
+
+/**
+ * S10 sink (SURVEY §2.1): styled XLSX workbook writer — the reference
+ * emits review workbooks via openxlsx with a bold, filled header row and
+ * NA written as blank (scripts/QA/gap_data.Rmd:393-428 writes the weekly
+ * gap workbook; template_submitters writes review workbooks the same
+ * way). Minimal OOXML over the JDK zip — no dependencies; the sibling
+ * [[graft.sources.Xlsx]] reader parses its output (round-trip tested).
+ *
+ * Driver-side by design: review workbooks are human-consumed documents
+ * (hundreds to thousands of rows). `maxRows` guards against wiring a
+ * 100 TB frame into a spreadsheet — that's a parquet/CSV sink's job; rows
+ * stream via toLocalIterator so the driver never holds a full partition
+ * set.
+ */
+object XlsxSink {
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def colRef(i: Int): String = {
+    var n = i + 1
+    val sb = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  private def entry(z: ZipOutputStream, name: String, content: String): Unit = {
+    z.putNextEntry(new ZipEntry(name))
+    z.write(content.getBytes("UTF-8"))
+    z.closeEntry()
+  }
+
+  /** Write `sheets` (name -> DataFrame) as one styled workbook. Every cell
+    * is written as its string form; null -> blank cell (NA-as-empty, S7
+    * semantics). Header row uses style 1 (bold on gray fill). */
+  def write(path: String, sheets: Seq[(String, DataFrame)],
+      maxRows: Int = 100000): Unit = {
+    val out = new BufferedOutputStream(new FileOutputStream(path))
+    try writeTo(out, sheets, maxRows) finally out.close()
+  }
+
+  def writeTo(out: OutputStream, sheets: Seq[(String, DataFrame)],
+      maxRows: Int): Unit = {
+    val z = new ZipOutputStream(out)
+    val n = sheets.size
+    entry(z, "[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+      """<Default Extension="xml" ContentType="application/xml"/>""" +
+      """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+      """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+      """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>""" +
+      (1 to n).map(i =>
+        s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+        .mkString + "</Types>")
+    entry(z, "_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+      "</Relationships>")
+    entry(z, "xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+      sheets.zipWithIndex.map { case ((name, _), i) =>
+        s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+      }.mkString + "</sheets></workbook>")
+    entry(z, "xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      sheets.indices.map(i =>
+        s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>""")
+        .mkString +
+      s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>""" +
+      "</Relationships>")
+    // two cell formats: 0 = default, 1 = header (bold on a gray fill) —
+    // the openxlsx createStyle(textDecoration="bold", fgFill=...) shape
+    entry(z, "xl/styles.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      """<fonts count="2"><font><sz val="11"/><name val="Calibri"/></font>""" +
+      """<font><b/><sz val="11"/><name val="Calibri"/></font></fonts>""" +
+      """<fills count="3"><fill><patternFill patternType="none"/></fill>""" +
+      """<fill><patternFill patternType="gray125"/></fill>""" +
+      """<fill><patternFill patternType="solid"><fgColor rgb="FFD9D9D9"/></patternFill></fill></fills>""" +
+      """<borders count="1"><border/></borders>""" +
+      """<cellStyleXfs count="1"><xf/></cellStyleXfs>""" +
+      """<cellXfs count="2"><xf xfId="0"/>""" +
+      """<xf xfId="0" fontId="1" fillId="2" applyFont="1" applyFill="1"/></cellXfs>""" +
+      "</styleSheet>")
+    sheets.zipWithIndex.foreach { case ((_, df), si) =>
+      z.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${si + 1}.xml"))
+      val w = new java.io.OutputStreamWriter(z, "UTF-8")
+      w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      val cols = df.columns
+      def cell(r: Int, c: Int, v: String, style: Int): String =
+        if (v == null) "" // NA-as-empty: blank cell
+        else s"""<c r="${colRef(c)}$r" t="inlineStr"${if (style > 0) s""" s="$style"""" else ""}><is><t>${esc(v)}</t></is></c>"""
+      w.write("<row r=\"1\">" +
+        cols.zipWithIndex.map { case (h, c) => cell(1, c, h, 1) }.mkString + "</row>")
+      val it = df.toLocalIterator()
+      var r = 2
+      while (it.hasNext) {
+        if (r - 2 >= maxRows) throw new IllegalStateException(
+          s"XlsxSink: more than $maxRows rows — use a parquet/CSV sink for data-scale output")
+        val row = it.next()
+        w.write(s"""<row r="$r">""" +
+          cols.indices.map { c =>
+            val v = row.get(c)
+            cell(r, c, if (v == null) null else v.toString, 0)
+          }.mkString + "</row>")
+        r += 1
+      }
+      w.write("</sheetData></worksheet>")
+      w.flush()
+      z.closeEntry()
+    }
+    z.finish()
+  }
+}

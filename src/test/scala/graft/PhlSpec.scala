@@ -60,5 +60,11 @@ class PhlSpec extends SparkSpec {
       .map(r => r._1 -> r).toMap
     assert(m("s6") === (("s6", "Unassigned", "FAILED", None)))
     assert(m("s7") === (("s7", "Unassigned", "LOW QUALITY", Some("GISAID"))))
+    // NULL lineage is NOT "None": stays null, no LOW QUALITY cascade
+    // (phl.Rmd:713-718 — R's if_else passes NA through)
+    val s2 = out.filter(col("specimen_id") === "s2")
+      .select("lineage", "status", "repository")
+      .as[(Option[String], String, Option[String])].head()
+    assert(s2 === ((None, "COMPLETE", Some("GISAID"))))
   }
 }
