@@ -48,18 +48,31 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: $e") }
       System.err.println(f"[bench] warmup $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    // three timed passes per query, p50 reported — kills run-to-run noise
+    // (GC pauses, JIT recompiles) without tripling the honest total. A
+    // throwing query is recorded in "failed" and fails the run: a broken
+    // query must read as a failure, not as a near-zero-time speedup.
+    val timedPasses = 3
     val results = qs.map { name =>
-      val t0 = System.nanoTime()
-      try run(name)
-      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] timed  $name $dt%.2fs")
-      name -> dt
+      val (times, errs) = (1 to timedPasses).map { _ =>
+        val t0 = System.nanoTime()
+        val err = try { run(name); None }
+        catch { case e: Throwable => Some(e) }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }.unzip
+      val p50 = times.sorted.apply(timedPasses / 2)
+      val failed = errs.flatten.headOption
+      failed.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
+      System.err.println(f"[bench] timed  $name p50=$p50%.2fs (${times.map(t => f"$t%.2f").mkString("/")})")
+      (name, p50, failed.isDefined)
     }
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = results.collect { case (k, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3)) sys.exit(1)
   }
 }
