@@ -247,6 +247,97 @@ object QueriesOps2 {
           .select(col("event_id"),
             when(col("__ex").isin("1", "2", "3", "5", "8", "13"), col("__ex"))
               .as("k_validated"))
+      }),
+
+    // ---------------------------------------------------------------- Q3
+    // File-level validation battery (template_submitters.Rmd:394-538):
+    // synthetic submission files derived from orders — 4 submitters x 3
+    // files, each submitter exhibiting one characteristic defect (Helix:
+    // GISAID format; Labcorp: lab vocabulary; NW_Genomics: date shape) —
+    // folded to one verdict row per file by FileValidation.validate.
+    QueryDef("q3_file_validation", Some("""
+      WITH base AS (
+        SELECT o_orderkey,
+               CASE CAST(o_orderkey % 4 AS INTEGER)
+                 WHEN 0 THEN 'Aegis' WHEN 1 THEN 'Helix'
+                 WHEN 2 THEN 'Labcorp' ELSE 'NW_Genomics' END AS sub,
+               CASE CAST(o_orderkey % 3 AS INTEGER)
+                 WHEN 0 THEN 'COMPLETE' WHEN 1 THEN 'LOW QUALITY'
+                 ELSE 'FAILED' END AS status
+        FROM orders),
+      src AS (
+        SELECT
+          'Submissions/' || sub || '/f' || CAST(o_orderkey % 3 AS VARCHAR)
+            || '.csv' AS _provenance,
+          sub, status,
+          CASE WHEN status <> 'FAILED' THEN
+            CASE WHEN sub IN ('Aegis', 'Helix')
+                   THEN 'ASC' || CAST(o_orderkey AS VARCHAR) || '-B.1'
+                 WHEN sub = 'Labcorp' THEN 'LC' || CAST(o_orderkey AS VARCHAR)
+                 ELSE 'USA/WA-NWG-' || CAST(o_orderkey AS VARCHAR) || '/2021'
+            END END AS gisaid_id,
+          CASE WHEN sub = 'Labcorp' THEN 'Labcorp Inc' ELSE sub END AS lab,
+          'SENTINEL SURVEILLANCE' AS reason,
+          CASE WHEN sub = 'NW_Genomics' THEN 'Jan 15, 2021'
+               ELSE '01-15-2021' END AS cdate,
+          'B.1.1.7' AS lineage
+        FROM base),
+      checked AS (
+        SELECT _provenance,
+          coalesce(regexp_matches(cdate,
+            '[0-9]{1,2}[[:punct:]][0-9]{1,2}[[:punct:]][0-9]{4}|[0-9]{4}[[:punct:]][0-9]{1,2}[[:punct:]][0-9]{1,2}|[0-9]{5}'),
+            FALSE) AS r_date,
+          ((upper(status) IN ('COMPLETE', 'LOW QUALITY') AND
+            coalesce(regexp_matches(gisaid_id,
+              CASE WHEN sub = 'Aegis' THEN '^ASC([0-9])*-B.*'
+                   WHEN sub = 'Helix' THEN 'USA/WA-CDC-STM-.*'
+                   WHEN sub = 'Labcorp' THEN '^LC[0-9]*$'
+                   ELSE '^(hCoV-19/)?USA/WA-.*/[0-9]{4}$' END), FALSE))
+           OR (coalesce(upper(status) <> 'COMPLETE', TRUE) AND gisaid_id IS NULL))
+            AS r_gisaid,
+          coalesce(lab IN ('Aegis', 'Helix', 'Labcorp', 'NW_Genomics'), FALSE) AS r_lab,
+          coalesce(upper(lineage) IN ('B.1.1.7', 'XBB.1.5'), FALSE) AS r_lineage,
+          coalesce(upper(reason) IN ('SENTINEL SURVEILLANCE', 'OUTBREAK'), FALSE) AS r_reason,
+          coalesce(upper(status) IN ('COMPLETE', 'LOW QUALITY', 'FAILED'), FALSE) AS r_status
+        FROM src)
+      SELECT _provenance,
+             bool_and(r_date) AS coll_date_ok,
+             bool_and(r_gisaid) AS gisaid_ok,
+             bool_and(r_lab) AS lab_ok,
+             bool_and(r_lineage) AS lineage_ok,
+             bool_and(r_reason) AS reason_ok,
+             bool_and(r_status) AS status_ok,
+             bool_and(r_date) AND bool_and(r_gisaid) AND bool_and(r_lab)
+               AND bool_and(r_lineage) AND bool_and(r_reason)
+               AND bool_and(r_status) AS valid
+      FROM checked GROUP BY _provenance"""),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val sub = element_at(
+          array(lit("Aegis"), lit("Helix"), lit("Labcorp"), lit("NW_Genomics")),
+          (col("o_orderkey") % 4).cast("int") + 1)
+        val status = element_at(
+          array(lit("COMPLETE"), lit("LOW QUALITY"), lit("FAILED")),
+          (col("o_orderkey") % 3).cast("int") + 1)
+        val gid = when(sub.isin("Aegis", "Helix"),
+          concat(lit("ASC"), col("o_orderkey"), lit("-B.1")))
+          .when(sub === "Labcorp", concat(lit("LC"), col("o_orderkey")))
+          .otherwise(concat(lit("USA/WA-NWG-"), col("o_orderkey"), lit("/2021")))
+        val src = o.select(
+          concat(lit("Submissions/"), sub, lit("/f"),
+            (col("o_orderkey") % 3).cast("string"), lit(".csv")).as("_provenance"),
+          when(status =!= "FAILED", gid).as("GISAID_ID"),
+          status.as("SEQUENCE_STATUS"),
+          when(sub === "Labcorp", "Labcorp Inc").otherwise(sub).as("SUBMITTING_LAB"),
+          lit("SENTINEL SURVEILLANCE").as("SEQUENCE_REASON"),
+          when(sub === "NW_Genomics", "Jan 15, 2021").otherwise("01-15-2021")
+            .as("SPECIMEN_COLLECTION_DATE"),
+          lit("B.1.1.7").as("PANGO_LINEAGE"))
+        graft.qa.FileValidation.validate(src,
+          labValues = Seq("Aegis", "Helix", "Labcorp", "NW_Genomics"),
+          reasonValues = Seq("SENTINEL SURVEILLANCE", "OUTBREAK"),
+          statusValues = Seq("COMPLETE", "LOW QUALITY", "FAILED"),
+          lineageValues = Seq("B.1.1.7", "XBB.1.5"))
       })
   )
 }
