@@ -79,8 +79,16 @@ object QueriesEvents {
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(exactSum(col("value")).as("total"))
+        // rank over (total desc, user_id) is a strict total order (user_id
+        // unique after the groupBy), so rnk <= 20 is exactly the first 20
+        // rows of that order: orderBy+limit gives TakeOrderedAndProject
+        // (per-partition top-k + driver merge of 20-row heaps) instead of
+        // a global Window funneling every user aggregate through one task.
+        // The rank is then recomputed over the 20 surviving rows — a
+        // single-partition window over a driver-sized result.
+        .orderBy(col("total").desc, col("user_id"))
+        .limit(20)
         .withColumn("rnk",
-          rank().over(Window.orderBy(col("total").desc, col("user_id"))).cast("long"))
-        .filter(col("rnk") <= 20))
+          rank().over(Window.orderBy(col("total").desc, col("user_id"))).cast("long")))
   )
 }

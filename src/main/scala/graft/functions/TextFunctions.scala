@@ -199,6 +199,14 @@ object TextFunctions {
     graft.functions.exprToColumn(
       JaccardSim(graft.functions.columnToExpr(a), graft.functions.columnToExpr(b)))
 
+  /** Jaccard similarity of two SORTED distinct-element array columns —
+    * zero-allocation merge-scan kernel (see [[SortedJaccard]]); ~5x
+    * cheaper per pair than the hash-set kernel when arrays are already
+    * held in canonical sorted form. */
+  def sortedJaccard(a: Column, b: Column): Column =
+    graft.functions.exprToColumn(
+      SortedJaccard(graft.functions.columnToExpr(a), graft.functions.columnToExpr(b)))
+
   // ------------------------------------------------------------ SimHash
   /**
    * SimHash over a token array — native expression kernel (see [[Simhash]]):

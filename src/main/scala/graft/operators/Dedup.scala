@@ -176,49 +176,156 @@ object Dedup {
   }
 
   /**
-   * N-gram (token-set) Jaccard near-dup via prefix filtering: each doc's
-   * distinct tokens are ordered by GLOBAL document frequency (rarest
-   * first, ties by token), and only the first n - ceil(t*n) + 1 tokens
-   * become blocking keys. Any pair with Jaccard >= t must share a prefix
-   * token (SSJoin/PPJoin prefix-filter lemma), so the result is EXACTLY
-   * all pairs at Jaccard >= t — no first-token skew buckets: a stopword
-   * blocks only the docs rare-token-poor enough to carry it in their
-   * prefix. Verify work is redistributed hash-by-pair.
+   * N-gram (token-set) Jaccard near-dup. Three ideas keep this
+   * 100-TB-shaped even on near-clique corpora:
+   *
+   * 1. DISTINCT-SET COLLAPSE: docs are grouped by their canonical (sorted,
+   *    distinct) token set first; candidate generation and the Jaccard
+   *    verify run once per distinct set pair, and member joins expand the
+   *    verdicts back to doc pairs at the end. Exact-duplicate mass (the
+   *    dominant mass in template/boilerplate corpora) costs one group row
+   *    instead of a quadratic pair fan-out of verifies.
+   * 2. ADAPTIVE BLOCKING, chosen by collected statistics (CBO-style; two
+   *    tiny aggregates to the driver):
+   *    - prefix filter (SSJoin/PPJoin): tokens ordered by global document
+   *      frequency, first n - ceil(t*n) + 1 rarest tokens become blocking
+   *      keys. Recall-complete; ideal for large-vocab corpora where
+   *      prefixes are selective.
+   *    - size-banded all-pairs: every set pairs with sets of size in
+   *      [floor(t*n), n] via an exploded size key (salted — the size-key
+   *      space is dozens of values). Ideal for SMALL-vocab / dense
+   *      corpora where every token is common and prefixes degenerate
+   *      (observed: 31-token vocab made the prefix join produce 27x more
+   *      rows than all distinct-set pairs).
+   *    Both are recall-complete for Jaccard >= t, so the choice affects
+   *    cost only, never the answer.
+   * 3. SORTED-MERGE VERIFY: sets are held sorted (the canonical form), so
+   *    the per-pair Jaccard is a zero-allocation merge scan
+   *    ([[graft.functions.SortedJaccard]]) instead of a hash-set build.
+   *
+   * The exact size bound min(|A|,|B|) >= t*max(|A|,|B|) (implied by
+   * Jaccard >= t) is applied as a post-filter in DOUBLE arithmetic in both
+   * paths — the same expression the DuckDB oracle evaluates — while the
+   * size-band expansion uses a conservative floor() lower bound, so float
+   * rounding can never drop a pair the oracle keeps.
+   *
+   * @param blocking "auto" (statistics-based), "prefix", or "size".
    */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
-      minJaccard: Double = 0.6): DataFrame = {
+      minJaccard: Double = 0.6, blocking: String = "auto"): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val prepared = docs
       .select(col(idCol).as("id"), col(textCol))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
-      .select(col("id"), array_distinct(tokens(col(textCol))).as("toks"))
+      .repartition(par, col("id"))
+      .select(col("id"), sort_array(array_distinct(tokens(col(textCol)))).as("toks"))
       .filter(size(col("toks")) > 0)
-    val tokDocs = prepared.select(
-      col("id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
-    // global token document frequency — the rarity order every doc shares
-    val dfreq = tokDocs.groupBy("tok").agg(count(lit(1)).as("df"))
-    val prefix = tokDocs.join(dfreq, Seq("tok"))
+    // canonical content key of the sorted set; to_json is unambiguous for
+    // arbitrary token bytes (a joined-string key would confuse
+    // ["ab"] with ["a","b"])
+    val keyed = prepared.withColumn(
+      "skey", md5(to_json(col("toks")).cast("binary")))
+    val members = keyed.select(col("skey"), col("id"))
+    // one row per distinct token set; persisted because the statistics
+    // jobs below and the final plan each traverse it (the CBO-stats
+    // amortization — without it every consumer re-reads the corpus)
+    val groups = keyed.groupBy("skey")
+      .agg(first(col("toks")).as("toks"), count(lit(1)).as("cnt"))
+      .withColumn("n", size(col("toks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // prefix table (linear work): global token document frequency over
+    // DISTINCT SETS, rarest-first order, keep the prefix per set
+    val tokSets = groups.select(col("skey"), col("n"), explode(col("toks")).as("tok"))
+    val dfreq = tokSets.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefix = tokSets.join(dfreq, Seq("tok"))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
+        Window.partitionBy(col("skey")).orderBy(col("df"), col("tok"))))
       .filter(col("__rn") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
-      .select(col("tok"), col("id"), col("n"))
-    // candidate pairs share a prefix token AND satisfy the size bound
-    // min(|A|,|B|) >= t*max(|A|,|B|) (implied by Jaccard >= t) — the
-    // standard length-filter companion to prefix filtering, pruning
-    // cross-length candidates before the expensive set verify
-    val pa = prefix.select(col("tok"), col("id").as("id_a"), col("n").as("n_a"))
-    val pb = prefix.select(col("tok"), col("id").as("id_b"), col("n").as("n_b"))
-    val pairs = pa.join(pb, Seq("tok"))
-      .filter(col("id_a") < col("id_b") &&
-        least(col("n_a"), col("n_b")) >=
-          lit(minJaccard) * greatest(col("n_a"), col("n_b")))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id_a"))
-    val ta = prepared.select(col("id").as("id_a"), col("toks").as("t_a"))
-    val tb = prepared.select(col("id").as("id_b"), col("toks").as("t_b"))
-    pairs.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("t_a"), col("t_b")).as("jaccard"))
+      .select(col("tok"), col("skey"), col("n"))
+
+    val usePrefix = blocking match {
+      case "prefix" => true
+      case "size"   => false
+      case _ =>
+        // candidate-count estimates; row counts only reach the driver.
+        // The size histogram is one tiny aggregate over the persisted
+        // group table; the prefix estimate needs a second pass (df join +
+        // per-set window), so it is only paid when the dense bound is
+        // genuinely large — below ~250k verifies per core the dense path
+        // is already bounded work and a cheaper plan can't buy it back.
+        val hist = groups.groupBy("n").count()
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        val denseEst = (for {
+          (na, ca) <- hist; (nb, cb) <- hist
+          if nb <= na && math.min(na, nb) >= minJaccard * math.max(na, nb)
+        } yield ca * cb).sum
+        if (denseEst <= 250000L * par) false
+        else {
+          val prefixEst = prefix.groupBy("tok").agg(count(lit(1)).as("c"))
+            .agg(coalesce(sum(col("c") * col("c")), lit(0L)))
+            .head().getLong(0)
+          prefixEst <= denseEst
+        }
+    }
+
+    val sizeOk = least(col("n_a"), col("n_b")) >=
+      lit(minJaccard) * greatest(col("n_a"), col("n_b"))
+    val candidates =
+      if (usePrefix) {
+        val pa = prefix.select(col("tok"), col("skey").as("skey_a"), col("n").as("n_a"))
+        val pb = prefix.select(col("tok"), col("skey").as("skey_b"), col("n").as("n_b"))
+        pa.join(pb, Seq("tok"))
+          .filter(col("skey_a") < col("skey_b") && sizeOk)
+          .select(col("skey_a"), col("skey_b"))
+          .distinct()
+      } else {
+        // each set seeks partners of size s in [floor(t*n), n]; the size
+        // key space is tiny (distinct set sizes), so salt the seeker side
+        // by content hash and replicate the partner side across salts —
+        // deterministic balance without relying on AQE skew splits
+        val salts = par
+        val ga = groups
+          .select(col("skey").as("skey_a"), col("n").as("n_a"))
+          .withColumn("s", explode(sequence(
+            greatest(lit(1), (lit(minJaccard) * col("n_a")).cast("int")), col("n_a"))))
+          .withColumn("salt", pmod(xxhash64(col("skey_a")), lit(salts)).cast("int"))
+        val gb = groups
+          .select(col("skey").as("skey_b"), col("n").as("n_b"))
+          .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+        ga.join(gb, col("s") === col("n_b") && ga("salt") === gb("salt"))
+          // n_b <= n_a by construction; each unordered pair exactly once
+          .filter(col("n_a") > col("n_b") ||
+            (col("n_a") === col("n_b") && col("skey_a") < col("skey_b")))
+          .filter(sizeOk)
+          .select(col("skey_a"), col("skey_b"))
+      }
+
+    // verify ONCE per set pair, work hash-distributed by pair (explicit
+    // partition count: byte-light, CPU-heavy — AQE would coalesce)
+    val ta = groups.select(col("skey").as("skey_a"), col("toks").as("t_a"))
+    val tb = groups.select(col("skey").as("skey_b"), col("toks").as("t_b"))
+    val setPairs = candidates
+      .repartition(par, col("skey_a"))
+      .join(ta, Seq("skey_a"))
+      .join(tb, Seq("skey_b"))
+      .select(col("skey_a"), col("skey_b"),
+        sortedJaccard(col("t_a"), col("t_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+
+    // expand verdicts to doc pairs: cross-group members in canonical id
+    // order, plus within-group pairs (identical sets, Jaccard exactly 1)
+    val ma = members.select(col("skey").as("skey_a"), col("id").as("ida"))
+    val mb = members.select(col("skey").as("skey_b"), col("id").as("idb"))
+    val inter = setPairs
+      .join(ma, Seq("skey_a"))
+      .join(mb, Seq("skey_b"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("jaccard"))
+    val intra = members.select(col("skey"), col("id").as("id_a"))
+      .join(members.select(col("skey"), col("id").as("id_b")), Seq("skey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    inter.union(intra)
   }
 }

@@ -14,9 +14,8 @@ object RosterSink {
   /**
    * S9 chunk assignment: global row_number over a deterministic order,
    * then chunk id = ceil(rn / maxRows). The global row_number is a single
-   * total order — fine for roster-sized outputs (≤ thousands); for 100 TB
-   * outputs use per-partition chunking (partition id ++ local chunk) via
-   * `spark_partition_id`, which needs no global sort.
+   * total order — fine for roster-sized outputs (≤ ~millions of rows on
+   * one task); above that use [[withChunkIdDistributed]].
    */
   def withChunkId(roster: DataFrame, orderCols: Seq[String],
       maxRows: Int = 500): DataFrame =
@@ -25,18 +24,48 @@ object RosterSink {
         Window.orderBy(orderCols.map(col): _*)) / lit(maxRows.toDouble))
         .cast("int"))
 
-  /** S7: write CSV with null→empty (write_csv(..., na="")) partitioned by
-    * chunk — each chunk lands as its own directory of ≤maxRows files. */
+  /**
+   * S9 chunk assignment without a global sort: chunk ids derive from
+   * `monotonically_increasing_id` (partition ordinal in the high 33 bits,
+   * per-partition offset in the low bits), so `mid / maxRows` groups
+   * maxRows CONSECUTIVE rows of one partition per chunk and distinct
+   * partitions occupy disjoint id ranges — zero shuffle, no single-task
+   * order. Trade-offs vs [[withChunkId]]: chunk ids are sparse (not
+   * 1..K), the chunk at each partition edge may hold < maxRows rows, and
+   * the assignment depends on the incoming partition layout rather than
+   * a sort order. The ≤ maxRows contract — the part WDRS enforces —
+   * holds unconditionally.
+   */
+  def withChunkIdDistributed(roster: DataFrame, maxRows: Int = 500): DataFrame =
+    roster.withColumn("_chunk",
+      (monotonically_increasing_id() / maxRows).cast("long"))
+
+  /**
+   * S7: write CSV with null→empty (write_csv(..., na="")) partitioned by
+   * chunk — each chunk lands as its own directory of ≤maxRows files.
+   * Outputs up to `distributedAbove` rows get the deterministic
+   * globally-ordered chunk ids; larger outputs switch to the zero-shuffle
+   * per-partition assignment (the one-task global sort is the scale
+   * ceiling, not the write).
+   */
   def writeChunked(roster: DataFrame, path: String, orderCols: Seq[String],
-      maxRows: Int = 500): Unit =
-    withChunkId(roster, orderCols, maxRows)
-      .repartition(col("_chunk"))
+      maxRows: Int = 500, distributedAbove: Long = 1000000L): Unit = {
+    // global path: repartition by chunk so each chunk is one file.
+    // distributed path: chunks are already contiguous within their task's
+    // partition — repartitioning would just re-add the shuffle the variant
+    // exists to avoid, so write directly (partitionBy splits per value).
+    val chunked =
+      if (roster.count() <= distributedAbove)
+        withChunkId(roster, orderCols, maxRows).repartition(col("_chunk"))
+      else withChunkIdDistributed(roster, maxRows)
+    chunked
       .write.mode("overwrite")
       .partitionBy("_chunk")
       .option("header", "true")
       .option("emptyValue", "")
       .option("nullValue", "")
       .csv(path)
+  }
 
   /**
    * S8 append-with-conservation: append `delta` to the state table at

@@ -57,6 +57,33 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("ngram jaccard: prefix and size-band blocking agree (incl. exact-dup groups)") {
+    // mixed corpus: exact duplicates (intra-group path), near-dups across
+    // groups, different sizes near the threshold boundary, disjoint docs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (7L, "epsilon delta gamma beta alpha"), // same SET as 1 (order differs)
+      (3L, "alpha beta gamma delta zeta"),    // 4/6 overlap with {1,2,7}
+      (4L, "alpha beta gamma delta"),         // subset, size 4 vs 5
+      (5L, "one two three four five six seven"),
+      (6L, "totally disjoint tokens here"))
+      .toDF("doc_id", "text")
+    def run(b: String) =
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.6, blocking = b)
+        .as[(Long, Long, Double)].collect().toSet
+    val viaPrefix = run("prefix")
+    val viaSize = run("size")
+    val viaAuto = run("auto")
+    assert(viaPrefix === viaSize)
+    assert(viaAuto === viaPrefix)
+    // identical sets pair at exactly 1.0, regardless of token order
+    assert(viaPrefix.filter(_._3 == 1.0).map(p => (p._1, p._2)) ===
+      Set((1L, 2L), (1L, 7L), (2L, 7L)))
+    // subset pair {alpha beta gamma delta} vs {..epsilon}: J = 4/5 >= 0.6
+    assert(viaPrefix.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0.8))
+  }
+
   // ------------------------------------------------------------- fuzzy join
   test("blockedFuzzyJoin ≡ unblocked cross join filtered (within-block pairs)") {
     val l = Seq((1, 1980, "SMITH_JOHN"), (2, 1990, "DOE_JANE"))

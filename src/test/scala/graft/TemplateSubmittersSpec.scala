@@ -111,6 +111,34 @@ class TemplateSubmittersSpec extends SparkSpec {
     assert(back.filter(col("SEQUENCE_NOTES").isNull).count() === 1201)
   }
 
+  test("distributed chunk ids: ≤maxRows per chunk, all rows kept, no shuffle") {
+    val big = spark.range(0, 2201, 1, 8)
+      .select(col("id").cast("string").as("CASE_ID"))
+    val chunked = RosterSink.withChunkIdDistributed(big, maxRows = 100)
+    // zero exchanges: the assignment must not introduce a shuffle or sort
+    val plan = chunked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no exchange:\n$plan")
+    val counts = chunked.groupBy("_chunk").count()
+    assert(counts.agg(max(col("count"))).head().getLong(0) <= 100)
+    assert(counts.agg(sum(col("count"))).head().getLong(0) === 2201)
+  }
+
+  test("writeChunked switches to distributed ids above the threshold") {
+    val dir = Files.createTempDirectory("graft_chunks_dist").toFile.getAbsolutePath
+    val big = spark.range(0, 1201, 1, 4).select(
+      col("id").cast("string").as("CASE_ID"),
+      lit(null).cast("string").as("SEQUENCE_NOTES"))
+    RosterSink.writeChunked(big, dir, Seq("CASE_ID"), maxRows = 500,
+      distributedAbove = 1000)
+    val back = spark.read.option("header", "true")
+      .option("basePath", dir).csv(dir)
+    assert(back.count() === 1201)
+    // every chunk directory respects the row cap
+    val perChunk = back.groupBy("_chunk").count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(perChunk <= 500)
+  }
+
   test("append sink conservation check") {
     val dir = Files.createTempDirectory("graft_state").toFile.getAbsolutePath + "/keep_na"
     val d1 = Seq(("1", "a"), ("2", "b")).toDF("id", "v")
