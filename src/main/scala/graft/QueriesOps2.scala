@@ -338,6 +338,137 @@ object QueriesOps2 {
           reasonValues = Seq("SENTINEL SURVEILLANCE", "OUTBREAK"),
           statusValues = Seq("COMPLETE", "LOW QUALITY", "FAILED"),
           lineageValues = Seq("B.1.1.7", "XBB.1.5"))
+      }),
+
+    // ------------------------------------------------------- separate_rows
+    // Parallel-column comma-list explode (SURVEY §2.9, tidyr::separate_rows;
+    // QA_for_review.Rmd:144-156) — unpacks the WDRS flattened sequence
+    // columns before dedup. DuckDB zips parallel unnests positionally, the
+    // exact semantics of the operator.
+    QueryDef("sep_rows_explode", Some("""
+      WITH src AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 0
+                    THEN 'A' || CAST(o_orderkey AS VARCHAR) ||
+                         ',B' || CAST(o_orderkey AS VARCHAR) ||
+                         ',C' || CAST(o_orderkey AS VARCHAR)
+                    ELSE 'A' || CAST(o_orderkey AS VARCHAR) END AS accs,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'd1,d2,d3' ELSE 'd1' END AS dates,
+               'YES' AS specimen
+        FROM orders)
+      SELECT o_orderkey, unnest(string_split(accs, ',')) AS accs,
+             unnest(string_split(dates, ',')) AS dates, specimen
+      FROM src"""),
+      (s, dir) => {
+        val okey = col("o_orderkey").cast("string")
+        val src = t(s, dir, "orders").select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 2 === 0,
+            concat(lit("A"), okey, lit(",B"), okey, lit(",C"), okey))
+            .otherwise(concat(lit("A"), okey)).as("accs"),
+          when(col("o_orderkey") % 2 === 0, lit("d1,d2,d3"))
+            .otherwise(lit("d1")).as("dates"),
+          lit("YES").as("specimen"))
+        graft.operators.SeparateRows.separateRows(src, ",", "accs", "dates")
+      }),
+
+    // ---------------------------------------------------------------- J12
+    // External-repo enrichment join (RosterCompile.enrichEpiIsl,
+    // ROSTER_COMPILE.Rmd:229-254): fill missing EPI_ISL from the GISAID
+    // snapshot keyed by accession; existing values win via coalesce.
+    QueryDef("j12_epi_enrich", Some("""
+      WITH roster AS (
+        SELECT 'C' || CAST(o_orderkey AS VARCHAR) AS case_id,
+               'USA/WA-NWG-' || CAST(o_orderkey AS VARCHAR) || '/2021' AS acc,
+               CASE WHEN o_orderkey % 5 = 0
+                    THEN 'EPI_EXISTING_' || CAST(o_orderkey AS VARCHAR) END AS epi
+        FROM orders),
+      g AS (
+        SELECT 'USA/WA-NWG-' || CAST(o_orderkey AS VARCHAR) || '/2021' AS vn,
+               'EPI_ISL_' || CAST(o_orderkey AS VARCHAR) AS epi2
+        FROM orders WHERE o_orderkey % 3 = 0)
+      SELECT roster.case_id AS CASE_ID, roster.acc AS SEQUENCE_ACCESSION,
+             coalesce(roster.epi, g.epi2) AS SEQUENCE_EPI_ISL
+      FROM roster LEFT JOIN g ON roster.acc = g.vn"""),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val okey = col("o_orderkey").cast("string")
+        val roster = o.select(
+          concat(lit("C"), okey).as("CASE_ID"),
+          concat(lit("USA/WA-NWG-"), okey, lit("/2021")).as("SEQUENCE_ACCESSION"),
+          when(col("o_orderkey") % 5 === 0,
+            concat(lit("EPI_EXISTING_"), okey)).as("SEQUENCE_EPI_ISL"))
+        val gisaid = o.filter(col("o_orderkey") % 3 === 0).select(
+          concat(lit("USA/WA-NWG-"), okey, lit("/2021")).as("virus_name"),
+          concat(lit("EPI_ISL_"), okey).as("epi_isl"))
+        graft.pipelines.RosterCompile.enrichEpiIsl(roster, gisaid)
+          .select("CASE_ID", "SEQUENCE_ACCESSION", "SEQUENCE_EPI_ISL")
+      }),
+
+    // --------------------------------------------------- Q8 full: gap report
+    // Repository-vs-WDRS gap with lab attribution from the virus-name ID
+    // parts and per-lab x year share of all submissions
+    // (gap_data.Rmd:160-452): virus names synthesized from orders in the
+    // reference's wire formats; 'F'-status orders stand in for WDRS-known
+    // accessions; pct in basis points (floor) for exact cross-engine
+    // arithmetic.
+    QueryDef("gap_lab_report", Some("""
+      WITH pop AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               'USA/WA-' ||
+               CASE CAST(o_orderkey % 6 AS INTEGER)
+                 WHEN 0 THEN 'UW' WHEN 1 THEN 'CDC-STM' WHEN 2 THEN 'CDC-LC'
+                 WHEN 3 THEN 'PHL' WHEN 4 THEN 'QDX' ELSE 'CDC' END ||
+               '-' || CAST(o_orderkey AS VARCHAR) || '/2023' AS virus_name
+        FROM orders),
+      wdrs AS (SELECT lower(virus_name) AS acc FROM pop WHERE o_orderstatus = 'F'),
+      gap AS (
+        SELECT * FROM pop
+        WHERE lower(virus_name) NOT IN (SELECT acc FROM wdrs)),
+      attr AS (
+        SELECT yr,
+               coalesce(regexp_replace(string_split(virus_name, '-')[2],
+                                       '[^A-Za-z_]', '', 'g'), '') AS p1,
+               CASE WHEN string_split(virus_name, '-')[3] = '2' THEN '2'
+                    ELSE coalesce(regexp_replace(string_split(virus_name, '-')[3],
+                                                 '[^A-Za-z_]', '', 'g'), '') END AS p2
+        FROM gap),
+      labeled AS (
+        SELECT yr,
+               CASE WHEN p1 = 'UW' THEN 'UW Virology'
+                    WHEN p1 = 'CDC' AND p2 = 'STM' THEN 'Helix'
+                    WHEN p1 = 'CDC' AND p2 = 'LC' THEN 'Labcorp'
+                    WHEN p1 = 'PHL' THEN 'PHL'
+                    WHEN p1 = 'QDX' THEN 'Quest'
+                    WHEN p1 = 'CDC' AND p2 = '' THEN 'CDC-ORIG'
+                    ELSE 'OTHER' END AS gap_lab
+        FROM attr),
+      popyr AS (SELECT yr, count(*) AS pop_n FROM pop GROUP BY yr)
+      SELECT l.gap_lab, l.yr, count(*) AS n,
+             CAST(floor(count(*) * 10000.0 / max(p.pop_n)) AS BIGINT) AS pct_bp
+      FROM labeled l JOIN popyr p ON l.yr = p.yr
+      GROUP BY l.gap_lab, l.yr"""),
+      (s, dir) => {
+        import graft.pipelines.GapReport
+        val o = t(s, dir, "orders")
+        val token = element_at(
+          array(lit("UW"), lit("CDC-STM"), lit("CDC-LC"),
+            lit("PHL"), lit("QDX"), lit("CDC")),
+          (col("o_orderkey") % 6).cast("int") + 1)
+        val pop = o.select(
+          col("o_orderstatus"),
+          year(col("o_orderdate")).as("yr"),
+          concat(lit("USA/WA-"), token, lit("-"),
+            col("o_orderkey").cast("string"), lit("/2023")).as("virus_name"))
+        val wdrs = pop.filter(col("o_orderstatus") === "F")
+          .select(col("virus_name"))
+        val gap = GapReport.gapAgainstWdrs(pop, "virus_name", wdrs, "virus_name")
+        val labeled = GapReport.withVirusIdParts(gap, "virus_name")
+          .withColumn("gap_lab", GapReport.gapLab(
+            col("VIRUS_ID_PART1"), col("VIRUS_ID_PART2"),
+            lit("CDC-ORIG"), lit("OTHER")))
+        GapReport.gapCounts(labeled, "gap_lab", "yr", pop, "yr")
       })
   )
 }

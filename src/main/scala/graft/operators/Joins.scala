@@ -70,6 +70,23 @@ object Joins {
   }
 
   /**
+   * [[closestDateMatch]] with the reference's null handling
+   * (SGTF_template_matching.Rmd:458-465): a candidate with an
+   * uncomputable distance survives only when NO candidate of its anchor
+   * has a computable one (all-null groups keep every row; mixed groups
+   * drop the null rows).
+   */
+  def closestDateMatchKeepNull(candidates: DataFrame, anchorId: String,
+      distCol: String): DataFrame = {
+    val w = Window.partitionBy(col(anchorId))
+    candidates
+      .withColumn("__min_dist", min(col(distCol)).over(w)) // min ignores nulls
+      .filter((col(distCol).isNull && col("__min_dist").isNull) ||
+        col(distCol) === col("__min_dist"))
+      .drop("__min_dist")
+  }
+
+  /**
    * Day-over-day snapshot diff with classification (SURVEY J7,
    * scripts/QA/wdrs_daily_diffs.R:45-148): rows only in today (added), only
    * in yesterday (removed), plus added rows whose identity key exists in

@@ -84,6 +84,24 @@ class OperatorsSpec extends SparkSpec {
     assert(viaPrefix.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0.8))
   }
 
+  // --------------------------------------------------------- separate_rows
+  test("separateRows: positional zip, scalar recycling, null rows kept") {
+    val df = Seq(
+      ("r1", "a,b,c", "1,2,3", "keep"),  // parallel 3-lists zip by position
+      ("r2", "x", "9", "solo"),          // scalars pass through
+      ("r3", null, "5,6", "rec"))        // null recycled beside a 2-list
+      .toDF("id", "accs", "dates", "flag")
+    val out = graft.operators.SeparateRows
+      .separateRows(df, ",", "accs", "dates")
+      .select("id", "accs", "dates", "flag")
+      .as[(String, Option[String], String, String)].collect().toSet
+    assert(out === Set(
+      ("r1", Some("a"), "1", "keep"), ("r1", Some("b"), "2", "keep"),
+      ("r1", Some("c"), "3", "keep"),
+      ("r2", Some("x"), "9", "solo"),
+      ("r3", None, "5", "rec"), ("r3", None, "6", "rec")))
+  }
+
   // ------------------------------------------------------------- fuzzy join
   test("blockedFuzzyJoin ≡ unblocked cross join filtered (within-block pairs)") {
     val l = Seq((1, 1980, "SMITH_JOHN"), (2, 1990, "DOE_JANE"))
