@@ -46,36 +46,25 @@ object Similarity {
 
   /**
    * LSH-bucketed ANN (scale path): random-hyperplane signature — bit i is
-   * sign(dot(v, h_i)) with h_i a deterministic +-1 hyperplane derived from
-   * md5(i || dim) — probe only the query's bucket. At 100 TB the bucket id
-   * becomes the partition key: the probe reads one bucket, not the corpus.
+   * sign(dot(v, h_i)) with h_i a deterministic +-1 hyperplane from the
+   * splitmix64 family — probe only the query's bucket. At 100 TB the
+   * bucket id becomes the partition key ([[AnnIndex.buildLsh]]): the
+   * probe reads one bucket, not the corpus.
    */
-  /** splitmix64 finalizer — decorrelates (i, j) pairs; a linear mix like
-    * i*31+j would make hyperplane i+1 a 31-shifted copy of hyperplane i
-    * for dims > 31, collapsing the LSH buckets. */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
 
   /** The +-1.0 hyperplane coefficient for (bit i, dim j) — public so the
     * DuckDB oracle SQL in QueriesText.ann_lsh_topk is generated from the
     * same constants the Spark plan uses. */
   def hyperplaneSign(i: Int, j: Int): Double =
-    if ((mix64(i.toLong << 32 | j.toLong) & 1L) == 1L) 1.0 else -1.0
+    graft.functions.HyperplaneSig.sign(i, j)
 
-  def hyperplaneSig(vec: Column, dims: Int, bits: Int): Column = {
-    val bitCols = (0 until bits).map { i =>
-      // deterministic pseudo-random +-1 hyperplane per (bit, dim)
-      val contrib = (0 until dims).map { j =>
-        element_at(vec, j + 1).cast("double") * lit(hyperplaneSign(i, j))
-      }.reduce(_ + _)
-      when(contrib >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  /** Signature column — native kernel ([[graft.functions.HyperplaneSig]]:
+    * the bits x dims combinator expansion overflowed the 64 KB codegen
+    * method limit and fell back to interpreted eval). `dims` is kept for
+    * signature stability; the kernel reads the array length. */
+  def hyperplaneSig(vec: Column, dims: Int, bits: Int): Column =
+    graft.functions.exprToColumn(graft.functions.HyperplaneSig(
+      graft.functions.columnToExpr(vec), bits))
 
   /**
    * ANN via hyperplane LSH: compute bucket sig for all vectors, keep only

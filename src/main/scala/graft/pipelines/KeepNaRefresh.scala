@@ -1,0 +1,119 @@
+package graft.pipelines
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * The keep_na SECOND pass (SURVEY Q7 refresh arm,
+ * scripts/Keep_na/KEEP_NA_ROSTER_SECOND_IN_PROGRESS.Rmd:360-560): the
+ * running file of records that could not be matched at intake is
+ * periodically re-joined against fresh WDRS / GISAID / CDC snapshots —
+ * matched records graduate to the roster, the rest stay pending.
+ *
+ * Join shapes: keep_na is the small side (thousands of stuck records);
+ * WDRS/GISAID/CDC are reference-data-scale, so every refresh join keys
+ * the pending batch against them and Spark broadcasts the batch — the
+ * snapshots are scanned once, never shuffled.
+ */
+object KeepNaRefresh {
+
+  /**
+   * Record normalization before matching (Rmd:375-404): CDC-lab blank
+   * reason → SENTINEL SURVEILLANCE, lab canonicalization by detection,
+   * multi-format collection-date parse (mdy / ymd / Excel serial), and
+   * the GISAID_ID join key (USA… names carry the hCoV-19/ prefix).
+   */
+  def normalize(keepNa: DataFrame, cdcLabs: Seq[String]): DataFrame =
+    keepNa
+      .withColumn("SEQUENCE_REASON",
+        when(col("SEQUENCE_REASON").isNull &&
+          col("SEQUENCE_LAB").isin(cdcLabs: _*), lit("SENTINEL SURVEILLANCE"))
+          .otherwise(upper(col("SEQUENCE_REASON"))))
+      .withColumn("SEQUENCE_LAB",
+        when(upper(col("SEQUENCE_LAB")).contains("AEGIS"), "Aegis")
+          .when(upper(col("SEQUENCE_LAB")).contains("OREGON"), "OHSU")
+          .when(upper(col("SEQUENCE_LAB")).contains("SCAN/BEDFORD"), "NW Genomics")
+          .otherwise(col("SEQUENCE_LAB")))
+      .withColumn("SEQUENCE_SPECIMEN_COLLECTION_DATE",
+        usFormat(parseAnyDate(col("SEQUENCE_SPECIMEN_COLLECTION_DATE"))))
+      .withColumn("GISAID_ID",
+        when(upper(col("SEQUENCE_ACCESSION")).startsWith("USA"),
+          concat(lit("hCoV-19/"), col("SEQUENCE_ACCESSION")))
+          .otherwise(col("SEQUENCE_ACCESSION")))
+
+  /**
+   * CASE_ID refresh (Rmd:425-447): join on SEQUENCE_CLINICAL_ACCESSION
+   * (null keys never match — Spark equi-join semantics ARE
+   * na_matches="never"), and adopt the WDRS case id only when the record
+   * has none, a match exists, and the collection dates agree within 14
+   * days. `dateOk` null-safe: an uncomputable distance blocks adoption.
+   */
+  def refreshCaseId(keepNa: DataFrame, wdrsEnt: DataFrame): DataFrame = {
+    val w = wdrsEnt.select(
+      col("SEQUENCE_CLINICAL_ACCESSION"),
+      col("CASE_ID").as("CASE_ID_SCA"),
+      col("COLLECTION_DATE").as("COLLECTION_DATE_WDRS"))
+    val dateOk = coalesce(
+      withinDays(parseAnyDate(col("SEQUENCE_SPECIMEN_COLLECTION_DATE")),
+        col("COLLECTION_DATE_WDRS"), 14), lit(false))
+    keepNa
+      .join(w, Seq("SEQUENCE_CLINICAL_ACCESSION"), "left")
+      .distinct()
+      .withColumn("CASE_ID",
+        when(col("CASE_ID").isNull && col("CASE_ID_SCA").isNotNull && dateOk,
+          col("CASE_ID_SCA")).otherwise(col("CASE_ID")))
+      .drop("CASE_ID_SCA", "COLLECTION_DATE_WDRS")
+  }
+
+  /**
+   * Lineage / status / date refresh from the repository snapshots
+   * (Rmd:453-545): lineage precedence is CDC-PANGO for CDC labs, GISAID
+   * Lineage for the rest, each falling back to the other, "None" treated
+   * as absent; the winner must be in the controlled lineage vocabulary.
+   * A found lineage upgrades a null SEQUENCE_STATUS to COMPLETE; a null
+   * collection date fills from the matching snapshot with the same
+   * lab-directed precedence.
+   */
+  def refreshLineage(df: DataFrame, gisaidMeta: DataFrame,
+      cdcCumulative: DataFrame, lineages: DataFrame,
+      cdcLabs: Seq[String]): DataFrame = {
+    val g = gisaidMeta.select(
+      col("virus_name").as("__g_vn"), col("lineage").as("__g_lineage"),
+      col("collection_date").as("COLLECTION_DATE_GISAID"))
+    val c = cdcCumulative.select(
+      col("gisaid_name").as("__c_vn"), col("pango_lineage").as("__c_lineage"),
+      col("collection_date").as("COLLECTION_DATE_CDC"))
+    val isCdcLab = col("SEQUENCE_LAB").isin(cdcLabs: _*)
+    val cdcLin = when(col("__c_lineage") =!= "None", col("__c_lineage"))
+    val gLin = when(col("__g_lineage") =!= "None", col("__g_lineage"))
+    val chosen = when(isCdcLab, coalesce(cdcLin, gLin))
+      .otherwise(coalesce(gLin, cdcLin))
+    val lin = broadcast(lineages.select(col("lineage").as("__valid_lin")))
+    df
+      .join(g, col("GISAID_ID") === col("__g_vn"), "left")
+      .join(c, col("GISAID_ID") === col("__c_vn"), "left")
+      .withColumn("__chosen", chosen)
+      // vocabulary gate (F10 shape): invalid lineage -> null, not a guess
+      .join(lin, col("__chosen") === col("__valid_lin"), "left")
+      .withColumn("SEQUENCE_VARIANT_OPEN_TEXT", col("__valid_lin"))
+      .withColumn("SEQUENCE_STATUS",
+        when(col("SEQUENCE_STATUS").isNull &&
+          col("SEQUENCE_VARIANT_OPEN_TEXT").isNotNull, lit("COMPLETE"))
+          .otherwise(col("SEQUENCE_STATUS")))
+      .withColumn("SEQUENCE_SPECIMEN_COLLECTION_DATE",
+        coalesce(col("SEQUENCE_SPECIMEN_COLLECTION_DATE"),
+          when(isCdcLab, usFormat(parseAnyDate(col("COLLECTION_DATE_CDC"))))
+            .otherwise(usFormat(parseAnyDate(col("COLLECTION_DATE_GISAID")))),
+          usFormat(parseAnyDate(col("COLLECTION_DATE_CDC"))),
+          usFormat(parseAnyDate(col("COLLECTION_DATE_GISAID")))))
+      .drop("__g_vn", "__g_lineage", "__c_vn", "__c_lineage",
+        "__chosen", "__valid_lin")
+  }
+
+  /** Graduation split (Rmd overall flow): matched records roster out,
+    * the rest stay in the keep_na file for the next refresh. */
+  def split(df: DataFrame): (DataFrame, DataFrame) =
+    (df.filter(col("CASE_ID").isNotNull),
+      df.filter(col("CASE_ID").isNull))
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{AnnIndex, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN indexes: partition-pruned probes must return the same
+  * answers as the in-memory variants, and the probe scan must actually
+  * prune at the partition level. */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+  private lazy val query: Seq[Float] = emb.filter(col("vec_id") === 0)
+    .select("embedding").as[Seq[Float]].head()
+
+  test("IVF index: persisted probe == in-memory ivfTopK; scan prunes partitions") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    AnnIndex.buildIvf(emb, "embedding", "vec_id", path, nCells = 8, seed = 42L)
+    val hits = AnnIndex.searchIvf(spark, path, query, k = 5, nProbe = 2)
+    // partition pruning is visible in the scan node: a cell partition
+    // filter and fewer selected directories than cells
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected a cell partition filter:\n$plan")
+    val inMem = Similarity.ivfTopK(emb, "embedding", "vec_id", query,
+      k = 5, nCells = 8, nProbe = 2, seed = 42L)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(hits.select("vec_id").as[Long].collect().toSeq === inMem)
+    // self-hit sanity: the query vector is vec 0
+    assert(hits.select("vec_id").as[Long].head() === 0L)
+  }
+
+  test("LSH index: persisted probe == in-memory lshTopK at same bits/probe") {
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh").toString + "/idx"
+    AnnIndex.buildLsh(emb, "embedding", "vec_id", path,
+      dims = query.length, bits = 8)
+    val hits = AnnIndex.searchLsh(spark, path, query, k = 5,
+      bits = 8, probeHamming = 2)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("sig"),
+      s"expected a sig partition filter:\n$plan")
+    val inMem = Similarity.lshTopK(emb, "embedding", "vec_id", query,
+      k = 5, bits = 8, probeHamming = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(hits.select("vec_id").as[Long].collect().toSeq === inMem)
+  }
+
+  test("probeSigs enumerates the hamming ball exactly") {
+    val ball = AnnIndex.probeSigs(sig = 5L, bits = 4, h = 1)
+    // 5 = 0101; flipping each of 4 bits: 0100=4, 0111=7, 0001=1, 1101=13
+    assert(ball.toSet === Set(5L, 4L, 7L, 1L, 13L))
+    assert(AnnIndex.probeSigs(0L, bits = 6, h = 2).size === 1 + 6 + 15)
+  }
+}
