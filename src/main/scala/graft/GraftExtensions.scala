@@ -9,13 +9,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
  * SparkSessionExtensions hook: registers the engine's native expressions
  * in the SQL function registry, so `spark.sql("... osa_distance(a, b)")`
  * and `minhash_signature(arr, 16)` work for SQL users (and through any
- * JDBC/Thrift front end). Enable with
+ * JDBC/Thrift front end), and injects the [[graft.plans.OsaJoinBlocking]]
+ * optimizer rule so a naive `osa_distance(l, r) <= k` join plans as a
+ * length-banded equi-join instead of a BroadcastNestedLoopJoin. Enable
+ * with
  *   .config("spark.sql.extensions", "graft.GraftExtensions")
  * or `.withExtensions(new GraftExtensions)`.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => new graft.plans.OsaJoinBlocking)
     ext.injectFunction((
       new FunctionIdentifier("osa_distance"),
       new ExpressionInfo(classOf[OsaDistance].getName, "osa_distance"),

@@ -223,8 +223,14 @@ object Dedup {
     // canonical content key of the sorted set; to_json is unambiguous for
     // arbitrary token bytes (a joined-string key would confuse
     // ["ab"] with ["a","b"])
-    val keyed = prepared.withColumn(
-      "skey", md5(to_json(col("toks")).cast("binary")))
+    // Persisted: the member-expansion joins and the group table each
+    // traverse this corpus-wide projection (5 consumers) — without the
+    // cache every consumer re-runs the scan+tokenize pipeline, and the
+    // statistics action below is a separate job, so shuffle reuse can't
+    // help across the boundary. MEMORY_AND_DISK: spills, never recomputes.
+    val keyed = prepared
+      .withColumn("skey", md5(to_json(col("toks")).cast("binary")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = keyed.select(col("skey"), col("id"))
     // one row per distinct token set; persisted because the statistics
     // jobs below and the final plan each traverse it (the CBO-stats
