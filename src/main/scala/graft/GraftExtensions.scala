@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{JaccardSim, MinhashSignature, OsaDistance, Simhash}
+import graft.functions.{HyperplaneSig, JaccardSim, MinhashSignature, OsaDistance, Simhash, SortedJaccard}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -58,6 +58,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"bits must be an integer literal, got $other")
         }
         Simhash(children.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_jaccard"),
+      new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "sorted_jaccard(sorted array<string>, sorted array<string>)")
+        SortedJaccard(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "hyperplane_sig(array<float|double>, bits literal)")
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bits must be an integer literal, got $other")
+        }
+        HyperplaneSig(children.head, n)
       }))
   }
 }

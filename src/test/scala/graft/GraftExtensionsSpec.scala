@@ -33,6 +33,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT jaccard_sim(array('a','b','c'), array('b','c','d')) AS j")
         .collect().head.getDouble(0)
       assert(math.abs(jac - 0.5) < 1e-12)
+      val sj = spark.sql(
+        "SELECT sorted_jaccard(array('a','b','c'), array('b','c','d')) AS j")
+        .collect().head.getDouble(0)
+      assert(sj === jac) // merge kernel agrees with the hash-set kernel
+      val hs = spark.sql(
+        "SELECT hyperplane_sig(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 8) AS s")
+        .collect().head.getLong(0)
+      assert(hs >= 0L && hs < 256L)
       // matches the Column-API expression
       import graft.functions.TextFunctions.minhashSignature
       import org.apache.spark.sql.functions._
