@@ -96,6 +96,25 @@ object QueriesText {
             CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.8"""),
       (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.8)),
 
+    // --------------------------------------------- dedup: survivor clusters
+    // Connected components over a pair graph (the transitive-closure step
+    // after any near-dup variant). Edges chain consecutive order keys, so
+    // the truth is the gaps-and-islands closed form: id - row_number() is
+    // constant exactly on runs of consecutive ids — an oracle that needs
+    // no recursion while the Spark side runs the general log-diameter
+    // label-propagation loop.
+    QueryDef("dedup_components", Some("""
+      WITH n AS (SELECT o_orderkey AS id FROM orders),
+      isl AS (SELECT id, id - row_number() OVER (ORDER BY id) AS grp FROM n)
+      SELECT id, min(id) OVER (PARTITION BY grp) AS component FROM isl"""),
+      (s, dir) => {
+        val n = t(s, dir, "orders").select(col("o_orderkey").as("id"))
+        val edges = n.select(col("id").as("id_a"))
+          .join(n.select(col("id").as("id_b")),
+            col("id_b") === col("id_a") + 1)
+        Dedup.connectedComponents(edges, Some(n))
+      }),
+
     // ------------------------------------------------- dedup: simhash
     // 60-bit simhash from the polynomial/affine family (Simhash kernel),
     // mirrored term-by-term below. 4x15-bit banding is recall-complete for

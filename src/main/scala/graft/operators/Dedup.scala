@@ -334,4 +334,83 @@ object Dedup {
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
     inter.union(intra)
   }
+
+  /**
+   * Connected components over a near-duplicate pair graph — the survivor
+   * step every dedup variant feeds: pairs from minhash/simhash/ngram/
+   * embedding become edges, each connected cluster keeps one canonical
+   * document (the minimum id), the rest drop. Duplicate clusters are
+   * transitive (A~B, B~C puts A,C in one cluster even below threshold),
+   * which per-pair filtering can't express.
+   *
+   * Algorithm: min-label propagation with POINTER JUMPING — each round,
+   * a node adopts the minimum label among itself and its neighbors, then
+   * labels compress through their current parent (label(x) :=
+   * label(label(x))), so convergence is O(log diameter) rounds, not
+   * O(diameter): a 1M-doc duplicate chain settles in ~20 rounds. Each
+   * round is two shuffles (neighbor agg + jump join) over the EDGE
+   * table, not the corpus; `localCheckpoint` truncates the growing
+   * lineage so round N's plan doesn't replay rounds 1..N-1. The driver
+   * loop itself is control plane only — one count per round for the
+   * convergence check.
+   *
+   * @param edges (id_a, id_b) undirected pairs
+   * @param nodes optional node universe; nodes without any edge become
+   *              singleton components (id = component). Defaults to the
+   *              ids appearing in edges.
+   * @return (id, component) with component = min id of the cluster
+   */
+  def connectedComponents(edges: DataFrame, nodes: Option[DataFrame] = None,
+      maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col(edges.columns(0)).as("src"),
+      col(edges.columns(1)).as("dst"))
+    val base = nodes match {
+      case Some(n) => n.select(col(n.columns(0)).as("id"))
+      case None => e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+    }
+    // symmetric edge list once; reused every round
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = base.distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // 1. neighbor-min: each node sees its neighbors' current labels
+      // (aggregate-then-join, not a union back into `labels` — a union
+      // whose second child embeds the first's attributes trips Catalyst's
+      // Union constraint rewriting)
+      val nbrMin = sym
+        .join(labels.select(col("id").as("src"), col("lbl")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("__nmin"))
+      val afterMin = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), col("__nmin")).as("lbl"))
+      // 2. pointer jump: follow the label one hop (label of my label)
+      val jumped = afterMin.alias("c")
+        .join(afterMin.select(col("id").as("__lid"), col("lbl").as("__plbl"))
+          .alias("p"), col("c.lbl") === col("__lid"), "left")
+        .select(col("c.id").as("id"),
+          least(col("c.lbl"), coalesce(col("__plbl"), col("c.lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = jumped.alias("n")
+        .join(labels.select(col("id"), col("lbl").as("__old")), Seq("id"))
+        .filter(col("lbl") =!= col("__old"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = jumped
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
+  /** Survivor table from a pair graph: one row per component —
+    * (component, n_members, keep_id = component). */
+  def dedupSurvivors(edges: DataFrame, nodes: Option[DataFrame] = None): DataFrame =
+    connectedComponents(edges, nodes)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+      .withColumn("keep_id", col("component"))
 }

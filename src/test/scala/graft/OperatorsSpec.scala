@@ -84,6 +84,38 @@ class OperatorsSpec extends SparkSpec {
     assert(viaPrefix.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0.8))
   }
 
+  // -------------------------------------------------- connected components
+  test("connectedComponents matches union-find on random graphs; long chains converge") {
+    val rnd = new scala.util.Random(7)
+    val nNodes = 60
+    val edges = (0 until 80).map(_ => (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)) ++
+      // a 25-node chain exercises pointer jumping (diameter >> a few hops)
+      (100L until 124L).map(i => (i, i + 1))
+    val nodes = ((0 until nNodes).map(_.toLong) ++ (100L to 124L)).distinct
+    // ground truth: driver-side union-find
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val truth = nodes.map(n => n -> find(n)).toMap
+    // canonical representative = min of component
+    val canon = truth.groupBy(_._2).flatMap { case (_, m) =>
+      val mn = m.keys.min; m.keys.map(_ -> mn) }
+
+    val got = Dedup.connectedComponents(
+      edges.toDF("id_a", "id_b"), Some(nodes.toDF("id")))
+      .as[(Long, Long)].collect().toMap
+    assert(got === canon)
+  }
+
+  test("dedupSurvivors keeps min id per cluster with member counts") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupSurvivors(edges)
+      .select("component", "n_members", "keep_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 3L, 1L), (10L, 2L, 10L)))
+  }
+
   // --------------------------------------------------------- separate_rows
   test("separateRows: positional zip, scalar recycling, null rows kept") {
     val df = Seq(
