@@ -36,6 +36,21 @@ object QueriesMultimodal {
         t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
         "payload", "doc_id", nFrames = 8, frameLen = 16)),
 
+    // ------------------------------------------------ stubbed resize
+    // resizedMeta's byte-budget contract (len scaled by target/VGA area,
+    // then truncate) is a pure expression both engines evaluate exactly:
+    // integer byte counts, md5 over the prefix.
+    QueryDef("mm_resize", Some("""
+      SELECT doc_id,
+             least(CAST(len(text) AS BIGINT),
+                   CAST(ceil(CAST(len(text) AS BIGINT) * 49152 / 307200.0) AS BIGINT)) AS out_len,
+             md5(substr(text, 1, CAST(least(CAST(len(text) AS BIGINT),
+                   CAST(ceil(CAST(len(text) AS BIGINT) * 49152 / 307200.0) AS BIGINT)) AS INTEGER))) AS out_md5
+      FROM documents"""),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id") +:
+          Multimodal.resizedMeta(col("text").cast("binary"), 256, 192): _*)),
+
     // ------------------------------------------------ stubbed decode
     // decodeStub's fake features are deterministic functions of the bytes,
     // reproducible in SQL: byte_len, fake dims, mean byte value.

@@ -64,6 +64,44 @@ object Multimodal {
     }
   }
 
+  /**
+   * ===== STUB =====
+   * Resize: a real implementation decodes, scales to (targetW, targetH)
+   * and re-encodes inside the per-partition codec context. The
+   * deterministic fake keeps the byte budget proportional to the target
+   * area (payload truncated to ceil(len * area / VGA-area)), so the
+   * Spark-side contract — payload in, smaller payload + new dimensions
+   * out — is real and oracle-stable.
+   */
+  def resizeStub(a: MediaAsset, targetW: Int, targetH: Int): MediaAsset = {
+    val keep = math.min(a.payload.length.toLong,
+      math.ceil(a.payload.length.toLong * (targetW.toLong * targetH) /
+        (640.0 * 480.0)).toLong).toInt
+    a.copy(payload = java.util.Arrays.copyOfRange(a.payload, 0, keep))
+  }
+
+  /** Partition-parallel resize — same once-per-partition codec-init shape
+    * as [[decodeAll]]; streams, never materializes a partition. */
+  def resizeAll(assets: Dataset[MediaAsset], targetW: Int,
+      targetH: Int): Dataset[MediaAsset] = {
+    implicit val enc = Encoders.product[MediaAsset]
+    assets.mapPartitions { it =>
+      // (real impl: initialize the codec HERE, once per partition)
+      it.map(resizeStub(_, targetW, targetH))
+    }
+  }
+
+  /** Expression-only twin of [[resizeStub]]'s byte-budget contract for
+    * DataFrame pipelines: (out_len, out_md5) of the resized payload
+    * without leaving codegen. */
+  def resizedMeta(payload: Column, targetW: Int, targetH: Int): Seq[Column] = {
+    val keep = least(length(payload).cast("long"),
+      ceil(length(payload).cast("long") * (targetW.toLong * targetH) /
+        lit(640.0 * 480.0)).cast("long"))
+    val out = call_function("substring", payload, lit(1), keep.cast("int"))
+    Seq(keep.as("out_len"), md5(out).as("out_md5"))
+  }
+
   /** Binary metadata as pure expressions — no decode needed; pushes down
     * to a column scan of just the payload. */
   def payloadMeta(payload: Column): Seq[Column] = Seq(

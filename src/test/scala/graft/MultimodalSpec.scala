@@ -28,6 +28,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).width === 11 && out(2L).height === 11)
   }
 
+  test("resizeAll shrinks payloads by area ratio; expression twin agrees") {
+    implicit val enc = Encoders.product[MediaAsset]
+    val ds = spark.createDataset(assets)(enc)
+    // 256x192 target = 49152/307200 of VGA -> keep ceil(len * 0.16) bytes
+    val out = Multimodal.resizeAll(ds, 256, 192).collect()
+      .map(a => a.media_id -> a.payload).toMap
+    assert(out(1L).length === math.ceil(33 * 49152 / 307200.0).toInt)
+    assert(out(1L).toSeq === assets.head.payload.take(out(1L).length).toSeq)
+    assert(out(3L).length === 0)
+    // the DataFrame expression twin reports the same byte budget
+    val meta = spark.createDataset(assets)(enc).toDF()
+      .select(col("media_id") +: Multimodal.resizedMeta(col("payload"), 256, 192): _*)
+      .select("media_id", "out_len").as[(Long, Long)].collect().toMap
+    assert(meta(1L) === out(1L).length.toLong)
+    assert(meta(2L) === out(2L).length.toLong)
+  }
+
   test("payloadMeta: byte length + digests as pure expressions") {
     implicit val enc = Encoders.product[MediaAsset]
     val df = spark.createDataset(assets)(enc)
