@@ -73,6 +73,25 @@ object ScaleSmoke {
     val ok = if (epairs >= eMinExpected) "ok" else "LOW"
     println(f"[scale-smoke] embedding        vecs=$en pairs=$epairs (>=$eMinExpected expected, $ok) ${dt}%.1fs")
 
+    // full dedup chain: minhash pairs -> connected components -> survivors.
+    // Every 10-copy clique must collapse to ONE survivor, so the survivor
+    // count is <= the base doc count (near-dup merges may shrink further)
+    // and every component must hold all `copies` replicas of its docs.
+    val t1 = System.nanoTime()
+    val edges = Dedup.minhashNearDupPairs(big, "text", "doc_id",
+      shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5)
+      .select("id_a", "id_b")
+    val comp = Dedup.dedupSurvivors(edges, Some(big.select(col("doc_id"))))
+    val stats = comp.agg(
+      count(lit(1)).as("n_comp"),
+      sum(when(col("n_members") % copies === 0 || col("n_members") === 1, 0)
+        .otherwise(1)).as("broken")).head()
+    val dt1 = (System.nanoTime() - t1) / 1e9
+    val nComp = stats.getLong(0)
+    val broken = stats.getLong(1)
+    val cOk = if (nComp <= n / copies && broken == 0) "ok" else "BAD"
+    println(f"[scale-smoke] components       comps=$nComp (<=${n / copies}, partial-cliques=$broken, $cOk) ${dt1}%.1fs")
+
     spark.stop()
   }
 }
