@@ -97,6 +97,26 @@ class SgtfSpec extends SparkSpec {
     assert(review.select("LAB_ACCESSION_ID").as[String].collect().toSet === Set("L3"))
   }
 
+  test("capstone: both arms -> union -> roster -> chunked CSV") {
+    val redcap = Sgtf.prepRedcap(Seq(
+      ("John", "Smith", "1980-01-01", "2021-03-12", "R1", 20.0, 21.0))
+      .toDF("FirstName", "LastName", "BirthDate", "CollectionDate",
+        "AccessionNumber", "NGENE", "ORF1ab"))
+    val surveillance = Sgtf.surveillanceSDropouts(Seq(
+      ("ACC-4", "2021-03-16", "S-DROPOUT", "0", 20.0, 20.0))
+      .toDF("AccessionId", "CollectionDate", "Reason", "SGene", "NGene", "ORF1ab"))
+    val matched = Sgtf.redcapWdrsMatch(redcap, wdrs).select("CASE_ID")
+      .unionByName(Sgtf.surveillanceWdrsMatch(surveillance, wdrs).select("CASE_ID"))
+      .distinct()
+    val roster = Sgtf.sgtfRoster(matched)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sgtf_e2e").toString
+    graft.sinks.RosterSink.writeChunked(roster, dir, Seq("CASE_ID"), maxRows = 500)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() === 2) // C1 (redcap) + C4 (surveillance)
+    assert(back.select("SEQUENCE_SGTF").as[String].collect().toSet === Set("Yes"))
+    assert(back.columns.length === graft.model.Schemas.rosterColumns.length + 1) // + _chunk
+  }
+
   test("withoutCurrentSgtf drops cases already flagged in FLATTENED") {
     val dobMatch = Seq(("C1", "L1"), ("C2", "L2")).toDF("CASE_ID", "LAB_ACCESSION_ID")
     val flattened = Seq(("C1", "Yes"), ("C2", "No"))
