@@ -72,8 +72,10 @@ object Sgtf {
     val joined = redcapRecent.join(wdrs,
       col("NAME_REDCAP") === col("NAME_WDRS") &&
         col("DOB_REDCAP") === col("DOB_WDRS"))
+    // SpecimenId breaks date ties — without it two WDRS rows sharing the
+    // collection date would make the survivor run-dependent
     val deduped = dedupByKeys(joined, Seq("CASE_ID", "AccessionNumber"),
-      Seq(col("COLLECTION_DATE_WDRS").asc_nulls_last))
+      Seq(col("COLLECTION_DATE_WDRS").asc_nulls_last, col("SpecimenId")))
     val gated = deduped
       .filter(withinDays(to_date(col("CollectionDate")),
         col("COLLECTION_DATE_WDRS"), 14))
@@ -102,7 +104,7 @@ object Sgtf {
     val joined = survRecent.join(wdrs,
       col("AccessionId") === col("SpecimenId"))
     val deduped = dedupByKeys(joined, Seq("CASE_ID", "AccessionId"),
-      Seq(col("COLLECTION_DATE_WDRS").asc_nulls_last))
+      Seq(col("COLLECTION_DATE_WDRS").asc_nulls_last, col("NAME_WDRS")))
     val gated = deduped.filter(
       withinDays(to_date(col("CollectionDate")), col("COLLECTION_DATE_WDRS"), 14))
     uniqueByAccession(gated, "AccessionId")
@@ -162,7 +164,7 @@ object Sgtf {
         col("COLLECTION_DATE_DISTANCE") <= 14 &&
         col("COLLECTION_DATE_DISTANCE").isNotNull)
     val deduped = dedupByKeys(perfect, Seq("LAB_ACCESSION_ID", "CASE_ID"),
-      Seq(col("COLLECTION_DATE_DISTANCE"), col("distance")))
+      Seq(col("COLLECTION_DATE_DISTANCE"), col("distance"), col("rowid")))
     val w = Window.partitionBy(col("LAB_ACCESSION_ID"))
     val counted = deduped.withColumn("__n", count(lit(1)).over(w))
     (counted.filter(col("__n") === 1).drop("__n"),
