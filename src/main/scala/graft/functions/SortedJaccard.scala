@@ -46,13 +46,19 @@ case class SortedJaccard(left: Expression, right: Expression)
 
 object SortedJaccard {
   /** |A ∩ B| / |A ∪ B| via merge scan of two sorted distinct arrays;
-    * 0.0 when both empty. Same math as JaccardSim.compute. */
+    * 0.0 when both empty. Null elements are skipped (treated as absent,
+    * like JaccardSim.compute — sort_array places them first, so the skip
+    * is a prefix scan). Same math as JaccardSim.compute. */
   def compute(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
-    if (na == 0 && nb == 0) return 0.0
     var i = 0
     var j = 0
+    while (i < na && a.isNullAt(i)) i += 1
+    while (j < nb && b.isNullAt(j)) j += 1
+    val effA = na - i
+    val effB = nb - j
+    if (effA == 0 && effB == 0) return 0.0
     var inter = 0
     while (i < na && j < nb) {
       val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
@@ -60,7 +66,7 @@ object SortedJaccard {
       else if (cmp < 0) i += 1
       else j += 1
     }
-    val union = na + nb - inter
+    val union = effA + effB - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
 }

@@ -71,9 +71,13 @@ object AnnIndex {
       }
       .sortBy(-_._2).take(nProbe).map(_._1).toSeq
     val qCol = array(query.map(v => lit(v)): _*)
+    // unrounded cosine — bit-identical ordering to the in-memory ivfTopK
+    // twin (lshTopK/searchLsh round because their ORACLE does; rounding
+    // only one IVF twin would let a 6dp near-tie at the k boundary
+    // return different top-k sets)
     spark.read.parquet(path)
       .filter(col("cell").isin(probeCells: _*))
-      .select(col("vec_id"), round(cosine(col("vec"), qCol), 6).as("cosine"))
+      .select(col("vec_id"), cosine(col("vec"), qCol).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }

@@ -209,6 +209,12 @@ object Dedup {
    * size-band expansion uses a conservative floor() lower bound, so float
    * rounding can never drop a pair the oracle keeps.
    *
+   * Cache lifecycle: two intermediates (the keyed corpus projection and
+   * the distinct-set table) stay persisted after the returned frame is
+   * consumed — Spark's CacheManager holds them until the session clears
+   * its cache, so drivers looping over MANY corpora in one session
+   * should `spark.catalog.clearCache()` between runs.
+   *
    * @param blocking "auto" (statistics-based), "prefix", or "size".
    */
   def ngramJaccardPairs(
@@ -289,8 +295,12 @@ object Dedup {
         // each set seeks partners of size s in [floor(t*n), n]; the size
         // key space is tiny (distinct set sizes), so salt the seeker side
         // by content hash and replicate the partner side across salts —
-        // deterministic balance without relying on AQE skew splits
-        val salts = par
+        // deterministic balance without relying on AQE skew splits.
+        // Capped: replication cost is |groups| x salts rows, so tying it
+        // to cluster width would make a 4000-core cluster pay 4000x
+        // partner duplication to balance work it could finish anyway;
+        // 64 salts splits any hot size-band finely enough.
+        val salts = math.min(par, 64)
         val ga = groups
           .select(col("skey").as("skey_a"), col("n").as("n_a"))
           .withColumn("s", explode(sequence(

@@ -2,6 +2,7 @@ package graft.pipelines
 
 import graft.functions.GraftFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -50,16 +51,26 @@ object KeepNaRefresh {
    * days. `dateOk` null-safe: an uncomputable distance blocks adoption.
    */
   def refreshCaseId(keepNa: DataFrame, wdrsEnt: DataFrame): DataFrame = {
+    // WDRS-entire is specimen-level and can carry one clinical accession
+    // on several rows (different specimens / case ids); joining it raw
+    // would fan a single stuck record into several output rows that
+    // graduate independently. One deterministic row per accession:
+    // earliest collection date, then min case id.
+    val wRank = Window.partitionBy(col("SEQUENCE_CLINICAL_ACCESSION"))
+      .orderBy(col("COLLECTION_DATE_WDRS").asc_nulls_last, col("CASE_ID_SCA"))
     val w = wdrsEnt.select(
       col("SEQUENCE_CLINICAL_ACCESSION"),
       col("CASE_ID").as("CASE_ID_SCA"),
       col("COLLECTION_DATE").as("COLLECTION_DATE_WDRS"))
+      .filter(col("SEQUENCE_CLINICAL_ACCESSION").isNotNull)
+      .withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
     val dateOk = coalesce(
       withinDays(parseAnyDate(col("SEQUENCE_SPECIMEN_COLLECTION_DATE")),
         col("COLLECTION_DATE_WDRS"), 14), lit(false))
     keepNa
       .join(w, Seq("SEQUENCE_CLINICAL_ACCESSION"), "left")
-      .distinct()
       .withColumn("CASE_ID",
         when(col("CASE_ID").isNull && col("CASE_ID_SCA").isNotNull && dateOk,
           col("CASE_ID_SCA")).otherwise(col("CASE_ID")))
@@ -96,6 +107,12 @@ object KeepNaRefresh {
       .withColumn("__chosen", chosen)
       // vocabulary gate (F10 shape): invalid lineage -> null, not a guess
       .join(lin, col("__chosen") === col("__valid_lin"), "left")
+      // DELIBERATE overwrite, not a coalesce: the reference's case_when
+      // ends `TRUE ~ NA_character_` (Rmd:487-503) — the repositories are
+      // authoritative for lineage ("should be populated using the variant
+      // in the GISAID or CDC files OVER what is already in" the column),
+      // so a record with no fresh repo match loses its stale value.
+      // Asymmetric with status/date on purpose: those two only fill gaps.
       .withColumn("SEQUENCE_VARIANT_OPEN_TEXT", col("__valid_lin"))
       .withColumn("SEQUENCE_STATUS",
         when(col("SEQUENCE_STATUS").isNull &&

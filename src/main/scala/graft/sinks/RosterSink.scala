@@ -54,9 +54,15 @@ object RosterSink {
     // distributed path: chunks are already contiguous within their task's
     // partition — repartitioning would just re-add the shuffle the variant
     // exists to avoid, so write directly (partitionBy splits per value).
+    //
+    // The strategy probe counts AT MOST distributedAbove+1 rows (limit
+    // before count): a full count() would execute the entire upstream
+    // pipeline a second time precisely for the large outputs the
+    // distributed path exists for.
+    val probe = math.min(distributedAbove + 1, Int.MaxValue.toLong).toInt
+    val small = roster.limit(probe).count() <= distributedAbove
     val chunked =
-      if (roster.count() <= distributedAbove)
-        withChunkId(roster, orderCols, maxRows).repartition(col("_chunk"))
+      if (small) withChunkId(roster, orderCols, maxRows).repartition(col("_chunk"))
       else withChunkIdDistributed(roster, maxRows)
     chunked
       .write.mode("overwrite")

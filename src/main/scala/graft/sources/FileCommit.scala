@@ -28,16 +28,20 @@ object FileCommit {
   final case class CommitResult(copied: Seq[String], deferred: Seq[String])
 
   /**
-   * Submitter folder routing by filename detection
+   * Submitter folder routing by FILENAME detection
    * (template_submitters.Rmd:1052-1105): first matching token wins; a
    * file may fan out to several folders (Aegis also lands in
-   * NW_Genomics). Unmatched files go to `default`.
+   * NW_Genomics). Unmatched files go to `default`. Only the final path
+   * segment is matched — a route token appearing in a parent directory
+   * (Submissions/Helix/batch.csv) must not capture every file under it.
    */
   def destinationsFor(file: String, routes: Seq[(String, Seq[String])],
-      default: String): Seq[String] =
+      default: String): Seq[String] = {
+    val name = Paths.get(file).getFileName.toString
     routes.collectFirst {
-      case (token, folders) if file.contains(token) => folders
+      case (token, folders) if name.contains(token) => folders
     }.getOrElse(Seq(default))
+  }
 
   /**
    * Commit a processed batch: copy each file to its completed folder(s),
@@ -57,15 +61,25 @@ object FileCommit {
         dest.toString
       }
     }
-    writeManifest(files, manifestPath)
+    // carry forward prior manifest entries whose original file still
+    // exists (a delete deferred TWICE would otherwise fall out of the
+    // manifest and be re-processed by run N+2 — the exact double-upload
+    // the gate exists to prevent)
+    val stillDeferred = readManifest(manifestPath)
+      .filter(f => Files.exists(Paths.get(f))) -- files
+    writeManifest(files ++ stillDeferred.toSeq.sorted, manifestPath)
     val deferred = files.filterNot(f =>
       Try(Files.deleteIfExists(Paths.get(f))).getOrElse(false))
     CommitResult(copied, deferred)
   }
 
-  /** Publish the completed-file list (one path per line, overwrite —
-    * the reference keeps only the last run's set,
-    * template_submitters.Rmd:1139). */
+  /** Publish the completed-file list (one path per line): this run's
+    * batch plus any prior entries still awaiting deletion. (The
+    * reference overwrites with only the last batch,
+    * template_submitters.Rmd:1139 — which silently drops a
+    * twice-deferred file from the gate; keeping live deferred entries
+    * closes that hole without unbounded growth, since swept or deleted
+    * entries fall out on the next commit.) */
   private def writeManifest(files: Seq[String], manifestPath: String): Unit = {
     val target = Paths.get(manifestPath)
     Option(target.getParent).foreach(Files.createDirectories(_))
@@ -99,9 +113,15 @@ object FileCommit {
     submissionDirs.flatMap { d =>
       val dir = Paths.get(d)
       if (!Files.isDirectory(dir)) Seq.empty[String]
-      else Files.list(dir).iterator().asScala
-        .filter(Files.isRegularFile(_))
-        .map(_.toString).toSeq
+      else {
+        // Files.list holds an open DirectoryStream — close it or leak an
+        // fd per poll in a long-lived driver
+        val s = Files.list(dir)
+        try s.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(_.toString).toSeq
+        finally s.close()
+      }
     }.filterNot(done).sorted
   }
 }

@@ -55,7 +55,32 @@ class FileCommitSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(fresh)))
   }
 
-  test("manifest overwrites per run (reference keeps only the last batch)") {
+  test("routing matches the FILENAME only, not parent directories") {
+    assert(FileCommit.destinationsFor(
+      "/drops/Helix/odd_batch.csv", routes, "Adhoc") === Seq("Adhoc"))
+    assert(FileCommit.destinationsFor(
+      "/drops/other/Helix_batch.csv", routes, "Adhoc") === Seq("Helix"))
+  }
+
+  test("a still-deferred file stays in the manifest across later commits") {
+    val (root, _, mk) = fixture()
+    val manifest = root.resolve("completed.txt").toString
+    val completedRoot = root.resolve("Completed").toString
+    val stuck = mk("Helix_stuck.csv")
+    // run 1 committed `stuck` but could not delete it: manifest holds it,
+    // the file is still on disk (the tolerated crash/lock window)
+    java.nio.file.Files.write(java.nio.file.Paths.get(manifest),
+      java.util.List.of(stuck))
+    // run 2 commits a new batch WITHOUT sweeping first; the gate must not
+    // forget `stuck`, or run 3 would re-process an uploaded submission
+    val fresh = mk("Helix_fresh.csv")
+    FileCommit.commitProcessed(Seq(fresh), completedRoot, routes, "Adhoc", manifest)
+    assert(FileCommit.readManifest(manifest) === Set(stuck, fresh))
+    assert(FileCommit.pendingFiles(
+      Seq(root.resolve("Submissions").toString), manifest).isEmpty)
+  }
+
+  test("fully-deleted prior batches fall out of the manifest") {
     val (root, _, mk) = fixture()
     val manifest = root.resolve("completed.txt").toString
     val completedRoot = root.resolve("Completed").toString

@@ -37,6 +37,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT sorted_jaccard(array('a','b','c'), array('b','c','d')) AS j")
         .collect().head.getDouble(0)
       assert(sj === jac) // merge kernel agrees with the hash-set kernel
+      // null elements are skipped, same as jaccard_sim (SQL callers can
+      // pass un-sanitized arrays; sort_array places nulls first)
+      val sjNull = spark.sql(
+        "SELECT sorted_jaccard(array(CAST(NULL AS STRING),'a'), array('a')) AS j")
+        .collect().head.getDouble(0)
+      assert(sjNull === 1.0)
       val hs = spark.sql(
         "SELECT hyperplane_sig(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 8) AS s")
         .collect().head.getLong(0)

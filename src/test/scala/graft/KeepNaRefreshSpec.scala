@@ -47,6 +47,21 @@ class KeepNaRefreshSpec extends SparkSpec {
       (Some("SCA1"), Some("C1")), (None, None)))
   }
 
+  test("refreshCaseId: duplicate WDRS rows per accession do not fan out the record") {
+    val kn = Seq((null.asInstanceOf[String], "SCA3", "03/05/2021"))
+      .toDF("CASE_ID", "SEQUENCE_CLINICAL_ACCESSION",
+        "SEQUENCE_SPECIMEN_COLLECTION_DATE")
+    // two specimen rows for the same clinical accession — earliest
+    // collection date (then min case id) wins deterministically
+    val wdrs = Seq(
+      ("SCA3", "C7", "2021-03-08"), ("SCA3", "C5", "2021-03-06"))
+      .toDF("SEQUENCE_CLINICAL_ACCESSION", "CASE_ID", "COLLECTION_DATE")
+      .withColumn("COLLECTION_DATE", to_date(col("COLLECTION_DATE")))
+    val out = KeepNaRefresh.refreshCaseId(kn, wdrs)
+      .select("CASE_ID").as[String].collect().toSeq
+    assert(out === Seq("C5")) // exactly ONE row, the 03-06 specimen's case
+  }
+
   test("refreshLineage: lab-directed precedence, vocab gate, status upgrade, date fill") {
     val df = Seq(
       // CDC lab: CDC lineage wins over GISAID's
