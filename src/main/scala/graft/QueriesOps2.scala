@@ -340,6 +340,68 @@ object QueriesOps2 {
           lineageValues = Seq("B.1.1.7", "XBB.1.5"))
       }),
 
+    // ---------------------------------------------------------------- U4
+    // Column-name-intersection union (Joins.harmonizedUnion(intersectOnly),
+    // read_all_data.Rmd's schema harmonization): two feeds sharing only a
+    // key subset union on the common columns.
+    QueryDef("u4_harmonized_union", Some("""
+      SELECT o_orderkey AS k, o_orderstatus AS status FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey AS k, o_orderpriority AS status FROM orders WHERE o_orderkey % 2 = 1"""),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val a = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+            col("o_totalprice").as("only_in_a"))
+        val b = o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey").as("k"), col("o_orderpriority").as("status"),
+            col("o_orderdate").as("only_in_b"))
+        graft.operators.Joins.harmonizedUnion(Seq(a, b), intersectOnly = true)
+      }),
+
+    // ---------------------------------------------------------------- Q6
+    // Duplicate-resolution decision tree (DupResolution.resolve,
+    // QA_for_review.Rmd routing): unique -> roster, same-case dup -> one
+    // deterministic survivor + removals, cross-case dup -> manual review.
+    QueryDef("q6_dup_resolution", Some("""
+      WITH src AS (
+        SELECT o_orderkey,
+               'ACC-' || CAST(o_orderkey // 4 AS VARCHAR) AS acc,
+               CASE WHEN o_orderkey % 16 < 8
+                    THEN 'C' || CAST(o_orderkey // 4 AS VARCHAR)
+                    ELSE 'C' || CAST(o_orderkey AS VARCHAR) END AS case_id
+        FROM orders),
+      grp AS (
+        SELECT acc, count(*) AS n, count(DISTINCT case_id) AS ncase
+        FROM src GROUP BY acc),
+      graded AS (
+        SELECT src.*, grp.n, grp.ncase,
+               row_number() OVER (PARTITION BY src.acc ORDER BY o_orderkey) AS rn
+        FROM src JOIN grp USING (acc))
+      SELECT o_orderkey, acc, case_id,
+             CASE WHEN n = 1 THEN 'unique'
+                  WHEN ncase = 1 THEN 'same_case'
+                  ELSE 'cross_case' END AS dup_grade,
+             CASE WHEN n = 1 THEN 'roster'
+                  WHEN ncase = 1 AND rn = 1 THEN 'roster'
+                  WHEN ncase = 1 THEN 'remove'
+                  ELSE 'manual_review' END AS resolution
+      FROM graded"""),
+      (s, dir) => {
+        // ACC groups of ~4 orders; half the groups share one case
+        // (same_case), half span distinct cases (cross_case)
+        val src = t(s, dir, "orders").select(
+          col("o_orderkey"),
+          concat(lit("ACC-"), (col("o_orderkey") / 4).cast("long").cast("string"))
+            .as("acc"),
+          when(col("o_orderkey") % 16 < 8,
+            concat(lit("C"), (col("o_orderkey") / 4).cast("long").cast("string")))
+            .otherwise(concat(lit("C"), col("o_orderkey").cast("string")))
+            .as("case_id"))
+        graft.qa.DupResolution.resolve(src, col("acc"), col("case_id"),
+          order = Seq(col("o_orderkey")))
+      }),
+
     // ------------------------------------------------------- separate_rows
     // Parallel-column comma-list explode (SURVEY §2.9, tidyr::separate_rows;
     // QA_for_review.Rmd:144-156) — unpacks the WDRS flattened sequence
