@@ -84,6 +84,26 @@ class OperatorsSpec extends SparkSpec {
     assert(viaPrefix.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0.8))
   }
 
+  test("ngram jaccard: prefix ≡ size on randomized corpora across thresholds") {
+    // seeded random docs over a small vocab — the dense regime where the
+    // two blockings diverge most in cost (never in answer)
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (1L to 120L).map { i =>
+      val n = 2 + rnd.nextInt(7)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val p = Dedup.ngramJaccardPairs(docs, "text", "doc_id", t, "prefix")
+        .as[(Long, Long, Double)].collect().toSet
+      val s = Dedup.ngramJaccardPairs(docs, "text", "doc_id", t, "size")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(p === s, s"blocking paths disagree at t=$t")
+      assert(p.nonEmpty, s"degenerate fixture at t=$t")
+    }
+  }
+
   // -------------------------------------------------- connected components
   test("connectedComponents matches union-find on random graphs; long chains converge") {
     val rnd = new scala.util.Random(7)

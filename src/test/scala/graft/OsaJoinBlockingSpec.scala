@@ -43,6 +43,24 @@ class OsaJoinBlockingSpec extends AnyFunSuiteWithExtSession {
     assert(joined.count() === 1)
   }
 
+  test("rewritten join ≡ cross-filter ground truth on randomized names") {
+    import extSession.implicits._
+    val rnd = new scala.util.Random(99)
+    def name() = (0 until 3 + rnd.nextInt(8))
+      .map(_ => ('A' + rnd.nextInt(4)).toChar).mkString // tiny alphabet -> many near-misses
+    val l = (1 to 40).map(i => (i.toLong, name())).toDF("lid", "lname")
+    val r = (1 to 40).map(i => (i.toLong, name())).toDF("rid", "rname")
+    for (k <- Seq(1, 3)) {
+      val got = l.join(r, osa_distance(col("lname"), col("rname")) <= k)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val truth = l.crossJoin(r)
+        .filter(osa_distance(col("lname"), col("rname")) <= k)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(got === truth, s"rewrite lost/added pairs at k=$k")
+      assert(truth.nonEmpty)
+    }
+  }
+
   test("left outer keeps unmatched left rows exactly once") {
     import extSession.implicits._
     val l = Seq("SMITH_JOHN", "ZZZZZZZZZZZZZZZZZZZZZZZZZ").toDF("lname")
