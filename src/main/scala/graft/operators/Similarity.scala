@@ -12,20 +12,25 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<numeric> columns, in double. */
+  /** Sequential-fold dot product of two array<numeric> columns, in
+    * double — native kernel ([[graft.functions.DotProduct]]: the
+    * zip_with+aggregate form runs interpreted HOF machinery per element;
+    * the kernel is one loop with bit-identical arithmetic). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.exprToColumn(graft.functions.DotProduct(
+      graft.functions.columnToExpr(a), graft.functions.columnToExpr(b)))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
-  }
+  /** Cosine similarity; 0 when either vector is all-zero — single-pass
+    * native kernel ([[graft.functions.CosineSim]]). The coalesce keeps
+    * the combinator contract for null input arrays (when/otherwise
+    * yielded 0.0, never null). */
+  def cosine(a: Column, b: Column): Column =
+    coalesce(graft.functions.exprToColumn(graft.functions.CosineSim(
+      graft.functions.columnToExpr(a), graft.functions.columnToExpr(b))),
+      lit(0.0))
 
   /**
    * Brute-force top-k by cosine against one query vector. One scan, one
