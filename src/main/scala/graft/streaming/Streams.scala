@@ -118,6 +118,53 @@ object Streams {
   }
 
   /**
+   * Stream-static refresh join (KEEP_NA_ROSTER_SECOND as a stream): the
+   * arriving pending-record stream joins the CURRENT WDRS snapshot — a
+   * static frame re-resolved per micro-batch, so a snapshot swap under a
+   * view/path is picked up without restarting the query. Records that
+   * match within the 14-day window graduate with the adopted case id;
+   * the rest flow on unmatched (outcome column, P5-style routing — the
+   * caller splits the one output stream). Stateless: no watermark
+   * needed, every micro-batch row is emitted exactly once.
+   */
+  def keepNaRefreshStream(pending: DataFrame, wdrsSnapshot: DataFrame,
+      keyCol: String, dateCol: String, toleranceDays: Int = 14): DataFrame = {
+    val w = wdrsSnapshot.select(
+      col(keyCol).as("__wkey"),
+      col("CASE_ID").as("__wcase"),
+      col("COLLECTION_DATE").as("__wdate"))
+    pending
+      .join(w, pending(keyCol) === col("__wkey"), "left")
+      .withColumn("__date_ok", coalesce(
+        abs(datediff(col(dateCol), col("__wdate"))) <= toleranceDays,
+        lit(false)))
+      .withColumn("adopted_case_id",
+        when(col("__wcase").isNotNull && col("__date_ok"), col("__wcase")))
+      .withColumn("outcome",
+        when(col("adopted_case_id").isNotNull, "matched").otherwise("pending"))
+      .drop("__wkey", "__wcase", "__wdate", "__date_ok")
+  }
+
+  /**
+   * Streaming roster sink: each micro-batch lands through the chunked
+   * CSV contract (S7/S9) under a batch-id directory via foreachBatch.
+   * The batch-id path plus overwrite mode makes re-delivered batches
+   * idempotent — a restart after a half-written batch rewrites the same
+   * directory, never duplicates rows into a new one. Checkpointing
+   * carries the stream's progress; the sink itself holds no state.
+   */
+  def rosterSink(graduated: DataFrame, outDir: String, checkpointDir: String,
+      orderCols: Seq[String], maxRows: Int = 500)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graduated.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sinks.RosterSink.writeChunked(
+          batch.toDF(), s"$outDir/batch=$batchId", orderCols, maxRows)
+      }
+      .start()
+
+  /**
    * Batch-mode semantic twin of [[keepNaRetry]] used for oracle checks
    * (SURVEY §1.6: batch jobs over state tables are the recommended
    * cadence-parity port): given the pending state table and today's match

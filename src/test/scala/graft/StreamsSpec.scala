@@ -41,6 +41,57 @@ class StreamsSpec extends SparkSpec {
     assert(rows.contains(("2024-01-02 00:00:00", "view", 1L)))
   }
 
+  test("keepNaRefreshStream: stream-static join adopts case ids within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val wdrs = Seq(
+      ("SCA1", "C9", "2021-03-10"),
+      ("SCA2", "C8", "2021-06-01"))
+      .toDF("SEQUENCE_CLINICAL_ACCESSION", "CASE_ID", "COLLECTION_DATE")
+      .withColumn("COLLECTION_DATE", to_date(col("COLLECTION_DATE")))
+    val mem = MemoryStream[(String, String)]
+    val pending = mem.toDF()
+      .toDF("SEQUENCE_CLINICAL_ACCESSION", "coll_date_raw")
+      .withColumn("coll_date", to_date(col("coll_date_raw")))
+    val q = Streams.keepNaRefreshStream(pending, wdrs,
+      "SEQUENCE_CLINICAL_ACCESSION", "coll_date")
+      .writeStream.format("memory").queryName("kn_refresh")
+      .outputMode("append").start()
+    mem.addData(
+      ("SCA1", "2021-03-05"),  // in window -> adopts C9
+      ("SCA2", "2021-03-05"),  // out of window -> pending
+      ("SCA9", "2021-03-05"))  // no snapshot row -> pending
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("kn_refresh")
+      .select(col("SEQUENCE_CLINICAL_ACCESSION"), col("adopted_case_id"), col("outcome"))
+      .as[(String, Option[String], String)].collect().toSet
+    assert(rows === Set(
+      ("SCA1", Some("C9"), "matched"),
+      ("SCA2", None, "pending"),
+      ("SCA9", None, "pending")))
+  }
+
+  test("rosterSink: micro-batches land as chunked CSV under batch-id dirs") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink")
+    val mem = MemoryStream[(String, String)]
+    val roster = mem.toDF().toDF("CASE_ID", "SEQUENCE_NOTES")
+    val q = Streams.rosterSink(roster, s"$dir/out", s"$dir/ckpt", Seq("CASE_ID"),
+      maxRows = 2)
+    mem.addData(("C1", "a"), ("C2", "b"), ("C3", "c"))
+    q.processAllAvailable()
+    mem.addData(("C4", "d"))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.option("header", "true")
+      .option("basePath", s"$dir/out").csv(s"$dir/out/batch=*")
+    assert(back.count() === 4)
+    // chunk cap respected inside each batch directory
+    val perChunk = back.groupBy("batch", "_chunk").count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(perChunk <= 2)
+  }
+
   test("keepNaRetry: match resolves pending; expiry after 60 days of event time") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[PendingRecord]
