@@ -340,6 +340,52 @@ object QueriesOps2 {
           lineageValues = Seq("B.1.1.7", "XBB.1.5"))
       }),
 
+    // ---------------------------------------------------------------- Q2
+    // Fuzzy pre-match battery (FuzzyMatch.preMatchRules, fuzzy.Rmd:399-462):
+    // usable-name / real-DOB / collection-date flags over a customer-derived
+    // demographic frame (Excel-epoch DOBs and digit-bearing names seeded by
+    // key arithmetic).
+    QueryDef("q2_prematch_checks", Some("""
+      WITH src AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    WHEN c_custkey % 7 = 1 THEN 'JO3HN' || CAST(c_custkey AS VARCHAR)
+                    ELSE 'FIRST' END AS first_name,
+               CASE WHEN c_custkey % 5 = 0 THEN '' ELSE 'LAST' END AS last_name,
+               CASE WHEN c_custkey % 3 = 0 THEN DATE '1899-12-30'
+                    WHEN c_custkey % 3 = 1 THEN NULL
+                    ELSE DATE '1980-06-01' END AS dob,
+               CASE WHEN c_custkey % 2 = 0 THEN DATE '2021-03-01' END AS collection_date
+        FROM customer)
+      SELECT c_custkey,
+             CASE WHEN first_name IS NULL OR trim(first_name) = ''
+                    OR last_name IS NULL OR trim(last_name) = ''
+                    OR regexp_matches(first_name, '[0-9]')
+                    OR regexp_matches(last_name, '[0-9]')
+                  THEN 1 ELSE 0 END AS QA_NAME_NA,
+             CASE WHEN dob IS NULL OR dob = DATE '1899-12-30'
+                  THEN 1 ELSE 0 END AS QA_DOB_NA,
+             CASE WHEN collection_date IS NULL THEN 1 ELSE 0 END AS QA_COLLECT_DATE_NA
+      FROM src"""),
+      (s, dir) => {
+        val src = t(s, dir, "customer").select(
+          col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+            .when(col("c_custkey") % 7 === 1,
+              concat(lit("JO3HN"), col("c_custkey").cast("string")))
+            .otherwise(lit("FIRST")).as("first_name"),
+          when(col("c_custkey") % 5 === 0, lit("")).otherwise(lit("LAST"))
+            .as("last_name"),
+          when(col("c_custkey") % 3 === 0, to_date(lit("1899-12-30")))
+            .when(col("c_custkey") % 3 === 1, lit(null).cast("date"))
+            .otherwise(to_date(lit("1980-06-01"))).as("dob"),
+          when(col("c_custkey") % 2 === 0, to_date(lit("2021-03-01")))
+            .as("collection_date"))
+        graft.qa.QaRules.applyBattery(src,
+            graft.pipelines.FuzzyMatch.preMatchRules())
+          .select("c_custkey", "QA_NAME_NA", "QA_DOB_NA", "QA_COLLECT_DATE_NA")
+      }),
+
     // ---------------------------------------------------------------- U4
     // Column-name-intersection union (Joins.harmonizedUnion(intersectOnly),
     // read_all_data.Rmd's schema harmonization): two feeds sharing only a
