@@ -25,25 +25,17 @@ object QueriesText {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
 
-  val defs: Seq[QueryDef] = Seq(
-
-    // ------------------------------------------------------ dedup: exact
-    QueryDef("dedup_exact", Some(s"""
-      SELECT md5($canonSql) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
-      FROM documents GROUP BY 1"""),
-      (s, dir) => Dedup.fingerprintGroups(t(s, dir, "documents"), "text", "doc_id")),
-
-    // ------------------------------------------------- dedup: minhash LSH
-    // Hash family mirrored exactly from MinhashSignature.a/b:
-    // x = polynomial hash of the shingle chars (mod 2^31-1),
-    // h_i(x) = (a_i * x + b_i) mod 2^31-1.
-    QueryDef("dedup_minhash", Some {
-      import graft.functions.MinhashSignature.{a, b}
-      val sigList = (0 until 16).map { i =>
-        s"list_min(list_transform(xs, x -> (${a(i)} * x + ${b(i)}) % 2147483647))"
-      }.mkString(",\n                ")
-      s"""
-      WITH sh AS (
+  /** The minhash-LSH candidate+verify pipeline as DuckDB CTEs ending in
+    * `pairs (id_a, id_b, jaccard)` — shared by the pair query and the
+    * survivor-cluster query. Hash family mirrored exactly from
+    * MinhashSignature.a/b: x = polynomial hash of the shingle chars
+    * (mod 2^31-1), h_i(x) = (a_i * x + b_i) mod 2^31-1. */
+  private val minhashPairsCtes: String = {
+    import graft.functions.MinhashSignature.{a, b}
+    val sigList = (0 until 16).map { i =>
+      s"list_min(list_transform(xs, x -> (${a(i)} * x + ${b(i)}) % 2147483647))"
+    }.mkString(",\n                ")
+    s"""sh AS (
         SELECT doc_id,
                list_distinct([substr(c, i, 5) FOR i IN range(1, greatest(len(c) - 3, 2))]) AS shingles
         FROM (SELECT doc_id, $canonSql AS c FROM documents)),
@@ -70,11 +62,55 @@ object QueriesText {
                len(list_intersect(a.shingles, b.shingles)) /
                CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard
         FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
-        WHERE a.doc_id < b.doc_id)
-      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"""
-    },
+        WHERE a.doc_id < b.doc_id)"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------ dedup: exact
+    QueryDef("dedup_exact", Some(s"""
+      SELECT md5($canonSql) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY 1"""),
+      (s, dir) => Dedup.fingerprintGroups(t(s, dir, "documents"), "text", "doc_id")),
+
+    // ------------------------------------------------- dedup: minhash LSH
+    // Hash family mirrored exactly from MinhashSignature.a/b:
+    // x = polynomial hash of the shingle chars (mod 2^31-1),
+    // h_i(x) = (a_i * x + b_i) mod 2^31-1.
+    QueryDef("dedup_minhash",
+      Some(s"WITH $minhashPairsCtes" +
+        " SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"),
       (s, dir) => Dedup.minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
         shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5)),
+
+    // --------------------------------- dedup: minhash -> survivor clusters
+    // The composed production chain: LSH pairs feed connected components,
+    // every doc maps to its duplicate-cluster representative. Oracle:
+    // recursive transitive closure over the same pair CTEs — component =
+    // min(self, min reachable id).
+    QueryDef("dedup_minhash_survivors",
+      Some(s"""
+      WITH RECURSIVE $minhashPairsCtes,
+      mp AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM mp
+        UNION SELECT id_b, id_a FROM mp),
+      reach AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      rm AS (SELECT src, min(dst) AS m FROM reach GROUP BY src)
+      SELECT d.doc_id AS id,
+             least(d.doc_id, coalesce(rm.m, d.doc_id)) AS component
+      FROM documents d LEFT JOIN rm ON d.doc_id = rm.src"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+          shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5)
+          .select("id_a", "id_b")
+        Dedup.connectedComponents(pairs,
+          Some(docs.select(col("doc_id").as("id"))))
+      }),
 
     // ------------------------------------------------- dedup: n-gram jaccard
     // The prefix-filter blocking is recall-COMPLETE (any pair at Jaccard
