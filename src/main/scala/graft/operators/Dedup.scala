@@ -423,4 +423,93 @@ object Dedup {
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"))
       .withColumn("keep_id", col("component"))
+
+  // ------------------------------------------------- incremental (indexed)
+
+  /** The per-doc minhash derivation shared by the one-shot and indexed
+    * paths: (id, shingles, band, key) — one row per band. */
+  private def minhashBanded(docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    docs
+      .select(col(idCol).as("id"), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"), canonicalText(col(textCol)).as("__canon"))
+      .select(col("id"),
+        array_distinct(charShinglesCanon(col("__canon"), shingleK)).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("bandkeys", minhashBandKeys(col("sig"), bands, rows))
+      .select(col("id"), col("shingles"),
+        posexplode_outer(col("bandkeys")).as(Seq("band", "key")))
+  }
+
+  /**
+   * Persist a minhash index at `path`: per-document shingle sets and LSH
+   * band keys, partitioned by band. This is the production ingestion
+   * pattern at corpus scale — signature work happens ONCE per document
+   * ever; each day's batch dedups against the index without touching the
+   * corpus text ([[incrementalNearDupPairs]]), then appends its own rows.
+   */
+  def buildMinhashIndex(docs: DataFrame, textCol: String, idCol: String,
+      path: String, shingleK: Int = 5, numHashes: Int = 16,
+      bands: Int = 4): Unit =
+    minhashBanded(docs, textCol, idCol, shingleK, numHashes, bands)
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+
+  /** Append a batch's rows to an existing index (same parameters as the
+    * build — the caller owns that contract). */
+  def appendToMinhashIndex(docs: DataFrame, textCol: String, idCol: String,
+      path: String, shingleK: Int = 5, numHashes: Int = 16,
+      bands: Int = 4): Unit =
+    minhashBanded(docs, textCol, idCol, shingleK, numHashes, bands)
+      .write.mode("append").partitionBy("band").parquet(path)
+
+  /**
+   * Near-dup pairs of a NEW batch against an indexed corpus (plus within
+   * the batch itself): batch signatures are computed fresh, corpus
+   * signatures come off the index — the corpus text is never re-read and
+   * never re-hashed. Join shape: the (band, key) equi-join touches only
+   * index rows whose band key collides with the batch (a day's batch vs
+   * a years-deep corpus: the batch side broadcasts), and the verify uses
+   * shingle sets stored in the index. Returns (id_a, id_b, jaccard) with
+   * the smaller id first, batch-internal pairs included.
+   */
+  def incrementalNearDupPairs(newDocs: DataFrame, textCol: String,
+      idCol: String, indexPath: String, shingleK: Int = 5,
+      numHashes: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.8): DataFrame = {
+    val spark = newDocs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val batch = minhashBanded(newDocs, textCol, idCol, shingleK, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val index = spark.read.parquet(indexPath)
+    // batch-vs-corpus candidates: collide on any band key
+    val cand = batch.select(col("band"), col("key"),
+        col("id").as("id_n"), col("shingles").as("sh_n"))
+      .join(index.select(col("band"), col("key"),
+        col("id").as("id_c"), col("shingles").as("sh_c")), Seq("band", "key"))
+      .filter(col("id_n") =!= col("id_c"))
+      .select(col("id_n"), col("id_c"), col("sh_n"), col("sh_c"))
+      .dropDuplicates("id_n", "id_c")
+      .repartition(par, col("id_n"))
+      .select(
+        least(col("id_n"), col("id_c")).as("id_a"),
+        greatest(col("id_n"), col("id_c")).as("id_b"),
+        jaccard(col("sh_n"), col("sh_c")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+    // batch-internal pairs: the regular in-memory path over the batch rows
+    val inBatch = {
+      val idPairs = bucketPairs(batch.select(col("band"), col("key"), col("id")),
+        Seq("band", "key"))
+      val sa = batch.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+        .dropDuplicates("id_a")
+      val sb = batch.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+        .dropDuplicates("id_b")
+      idPairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
+    }
+    cand.union(inBatch)
+  }
 }

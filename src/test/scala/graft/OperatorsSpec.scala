@@ -104,6 +104,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash index: batch-vs-corpus + in-batch pairs == one-shot restricted") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely unrelated content about spark catalyst optimizer internals"),
+      (3L, "yet another fully distinct document concerning parquet readers"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again tonight"), // ~1
+      (11L, "nothing like anything indexed before in this corpus at all"),
+      (12L, "duplicate pair inside the incoming batch of documents"),
+      (13L, "duplicate pair inside the incoming batch of documentz"))               // ~12
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString + "/idx"
+    Dedup.buildMinhashIndex(corpus, "text", "doc_id", path)
+    val got = Dedup.incrementalNearDupPairs(batch, "text", "doc_id", path,
+      minJaccard = 0.5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth: one-shot over the full corpus, keeping only pairs that
+    // touch the batch (corpus-internal pairs were found when indexed)
+    val oneShot = Dedup.minhashNearDupPairs(corpus.unionByName(batch),
+        "text", "doc_id", minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 >= 10L || p._2 >= 10L)
+    assert(got === oneShot)
+    assert(got.contains((1L, 10L)) && got.contains((12L, 13L)))
+    // appending the batch makes the index self-contained for the next day
+    Dedup.appendToMinhashIndex(batch, "text", "doc_id", path)
+    val next = Seq((20L, "the quick brown fox jumps over the lazy dog again and again tonight"))
+      .toDF("doc_id", "text")
+    val nextPairs = Dedup.incrementalNearDupPairs(next, "text", "doc_id", path,
+      minJaccard = 0.5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nextPairs.contains((10L, 20L))) // matches yesterday's batch doc
+    assert(nextPairs.contains((1L, 20L)))  // and the original corpus doc
+  }
+
   // -------------------------------------------------- connected components
   test("connectedComponents matches union-find on random graphs; long chains converge") {
     val rnd = new scala.util.Random(7)
