@@ -40,6 +40,13 @@ object Bench {
       Registry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // Cross-measurement cache isolation: operators scope their own caches
+    // (materialize-then-unpersist), but a stray persist from ANY query must
+    // never pollute the next measurement — round-3's bench showed six
+    // sub-second queries inflated 2-7x by cache-storage pressure from a
+    // leaked warmup cache. clearCache runs OUTSIDE the timed region.
+    def isolate(): Unit = spark.catalog.clearCache()
+
     val qs = headline.filter(Registry.queries.contains)
     // warmup pass (codegen + parquet footer caching)
     qs.foreach { name =>
@@ -47,6 +54,7 @@ object Bench {
       try run(name)
       catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: $e") }
       System.err.println(f"[bench] warmup $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      isolate()
     }
     // three timed passes per query, p50 reported — kills run-to-run noise
     // (GC pauses, JIT recompiles) without tripling the honest total. A
@@ -58,7 +66,9 @@ object Bench {
         val t0 = System.nanoTime()
         val err = try { run(name); None }
         catch { case e: Throwable => Some(e) }
-        ((System.nanoTime() - t0) / 1e9, err)
+        val t = (System.nanoTime() - t0) / 1e9
+        isolate()
+        (t, err)
       }.unzip
       val p50 = times.sorted.apply(timedPasses / 2)
       val failed = errs.flatten.headOption

@@ -2,12 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Run one registry query and count — for profiling. Usage:
-  * runMain graft.QuickRun <name> [sfDir] */
+/** Run one registry query and count — for profiling. Repeats in ONE
+  * session (cache-leak detection: prints the CacheManager state after
+  * each run). Usage: runMain graft.QuickRun <name> [sfDir] [reps] */
 object QuickRun {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 1
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -16,9 +18,12 @@ object QuickRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t0 = System.nanoTime()
-    val n = Registry.queries(name)(spark, sfDir).count()
-    println(f"[quickrun] $name rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = Registry.queries(name)(spark, sfDir).count()
+      val cached = !spark.sharedState.cacheManager.isEmpty
+      println(f"[quickrun] $name run=$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs cachedPlans=$cached")
+    }
     spark.stop()
   }
 }

@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /**
+   * Materialize `result` eagerly and release the operator's persisted
+   * intermediates — the cache stays scoped to the operator call instead of
+   * leaking into the shared session. `localCheckpoint` persists at the RDD
+   * level, where blocks are reference-tracked and cleaned by the
+   * ContextCleaner once the frame is garbage-collected; a CacheManager
+   * entry (what `Dataset.persist` creates) lives until an explicit
+   * unpersist/clearCache, so a driver looping over corpora would
+   * accumulate them until the storage pool OOMs.
+   */
+  private def materializeAndRelease(result: DataFrame, scoped: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    scoped.foreach(_.unpersist(false))
+    out
+  }
+
+  /**
    * Candidate pairs from a bucket table `(keyCols..., id)`: streamed skinny
    * self-join on the bucket key, ordered-pair filter, distinct.
    *
@@ -128,11 +144,14 @@ object Dedup {
     val idPairs = bucketPairs(exploded, Seq("band", "key"))
     val sa = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val sb = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    idPairs
+    val pairs = idPairs
       .join(sa, Seq("id_a"))
       .join(sb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+    // when the shingle table was cached, scope that cache to this call:
+    // materialize the (small) pair result and drop the corpus-sized cache
+    if (cacheShingles) materializeAndRelease(pairs, shingled) else pairs
   }
 
   /**
@@ -185,8 +204,8 @@ object Dedup {
    *    verdicts back to doc pairs at the end. Exact-duplicate mass (the
    *    dominant mass in template/boilerplate corpora) costs one group row
    *    instead of a quadratic pair fan-out of verifies.
-   * 2. ADAPTIVE BLOCKING, chosen by collected statistics (CBO-style; two
-   *    tiny aggregates to the driver):
+   * 2. ADAPTIVE BLOCKING, chosen by collected statistics (CBO-style; ONE
+   *    tiny rollup aggregate to the driver — see the stats job below):
    *    - prefix filter (SSJoin/PPJoin): tokens ordered by global document
    *      frequency, first n - ceil(t*n) + 1 rarest tokens become blocking
    *      keys. Recall-complete; ideal for large-vocab corpora where
@@ -209,11 +228,14 @@ object Dedup {
    * size-band expansion uses a conservative floor() lower bound, so float
    * rounding can never drop a pair the oracle keeps.
    *
-   * Cache lifecycle: two intermediates (the keyed corpus projection and
-   * the distinct-set table) stay persisted after the returned frame is
-   * consumed — Spark's CacheManager holds them until the session clears
-   * its cache, so drivers looping over MANY corpora in one session
-   * should `spark.catalog.clearCache()` between runs.
+   * Cache lifecycle: the two persisted intermediates (keyed corpus
+   * projection, distinct-set table) are SCOPED TO THIS CALL — the SMALL
+   * set-level tables (verified set pairs, skey->id membership) are
+   * materialized eagerly as GC-tracked local checkpoints, both persists
+   * are released before returning, and only the cheap member-expansion
+   * joins stay lazy. Repeated calls in a shared session leave nothing in
+   * the CacheManager, and the (potentially huge) doc-pair expansion is
+   * never round-tripped through block storage.
    *
    * @param blocking "auto" (statistics-based), "prefix", or "size".
    */
@@ -260,23 +282,49 @@ object Dedup {
       case "prefix" => true
       case "size"   => false
       case _ =>
-        // candidate-count estimates; row counts only reach the driver.
-        // The size histogram is one tiny aggregate over the persisted
-        // group table; the prefix estimate needs a second pass (df join +
-        // per-set window), so it is only paid when the dense bound is
-        // genuinely large — below ~250k verifies per core the dense path
-        // is already bounded work and a cheaper plan can't buy it back.
-        val hist = groups.groupBy("n").count()
-          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        // Candidate-count estimates; only a handful of rows reach the
+        // driver. ONE rollup job over the keyed table yields both the
+        // size histogram (distinct sets per set size) and the vocabulary
+        // size: grouping keys are tiny (dozens of sizes + the grand-total
+        // row), so map-side partial aggregation collapses each task's
+        // output to a few HLL sketches and the shuffle is a few KB. The
+        // previous design needed the full skey shuffle (groups) plus a
+        // second df-join + per-set-window pass for the exact prefix
+        // estimate — ~1.5s of wall-clock spent serially ahead of the main
+        // job at sf0.1. approx_count_distinct (~2% error) is fine: the
+        // stats only PICK a plan and both plans are recall-complete, so
+        // estimation error affects cost, never the answer.
+        val statRows = keyed
+          .select(col("skey"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+          .rollup("n")
+          .agg(approx_count_distinct(col("skey")).as("g"),
+            approx_count_distinct(col("tok")).as("v"))
+          .collect()
+        val hist = statRows.filter(!_.isNullAt(0))
+          .map(r => (r.getInt(0), r.getLong(1)))
+        val vocab = statRows.find(_.isNullAt(0)).map(_.getLong(2)).getOrElse(1L).max(1L)
+        // BigInt accumulation: a corpus with a few dominant set sizes puts
+        // counts ~1e9+ in the histogram, and a Long product would wrap
+        // negative — passing the threshold test and selecting the dense
+        // path exactly where it is quadratically catastrophic.
         val denseEst = (for {
           (na, ca) <- hist; (nb, cb) <- hist
           if nb <= na && math.min(na, nb) >= minJaccard * math.max(na, nb)
-        } yield ca * cb).sum
-        if (denseEst <= 250000L * par) false
+        } yield BigInt(ca) * BigInt(cb)).sum
+        if (denseEst <= BigInt(250000L) * par) false
         else {
-          val prefixEst = prefix.groupBy("tok").agg(count(lit(1)).as("c"))
-            .agg(coalesce(sum(col("c") * col("c")), lit(0L)))
-            .head().getLong(0)
+          // closed-form prefix-cost model instead of a second stats job:
+          // P = total prefix entries (from the histogram), and under a
+          // uniform token-frequency assumption the prefix join produces
+          // ~ sum_tok (P/V)^2 * V = P^2 / V rows. Rarest-first prefix
+          // selection makes real collisions strictly SMALLER than the
+          // uniform model, so this over-estimates prefix cost — it can
+          // only mis-choose toward the size path, never pick a
+          // degenerate prefix plan (cost-only decision either way).
+          val prefixEntries = hist.map { case (n, c) =>
+            BigInt(c) * (n - math.ceil(minJaccard * n).toLong + 1).max(1L)
+          }.sum
+          val prefixEst = prefixEntries * prefixEntries / BigInt(vocab)
           prefixEst <= denseEst
         }
     }
@@ -329,17 +377,29 @@ object Dedup {
         sortedJaccard(col("t_a"), col("t_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
 
+    // Materialize the SET-level results eagerly (GC-tracked local
+    // checkpoints; both are small — one row per verified distinct-set
+    // pair / per document), then release the corpus-sized caches. The
+    // doc-pair expansion below stays LAZY: it is a pair of cheap
+    // equi-joins whose output can be enormous (every member cross of
+    // every duplicate group), so round-tripping it through block storage
+    // would double the operator's heaviest write for nothing.
+    val setPairsCk = setPairs.localCheckpoint(true)
+    val membersCk = members.localCheckpoint(true)
+    keyed.unpersist(false)
+    groups.unpersist(false)
+
     // expand verdicts to doc pairs: cross-group members in canonical id
     // order, plus within-group pairs (identical sets, Jaccard exactly 1)
-    val ma = members.select(col("skey").as("skey_a"), col("id").as("ida"))
-    val mb = members.select(col("skey").as("skey_b"), col("id").as("idb"))
-    val inter = setPairs
+    val ma = membersCk.select(col("skey").as("skey_a"), col("id").as("ida"))
+    val mb = membersCk.select(col("skey").as("skey_b"), col("id").as("idb"))
+    val inter = setPairsCk
       .join(ma, Seq("skey_a"))
       .join(mb, Seq("skey_b"))
       .select(least(col("ida"), col("idb")).as("id_a"),
         greatest(col("ida"), col("idb")).as("id_b"), col("jaccard"))
-    val intra = members.select(col("skey"), col("id").as("id_a"))
-      .join(members.select(col("skey"), col("id").as("id_b")), Seq("skey"))
+    val intra = membersCk.select(col("skey"), col("id").as("id_a"))
+      .join(membersCk.select(col("skey"), col("id").as("id_b")), Seq("skey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
     inter.union(intra)
@@ -510,6 +570,8 @@ object Dedup {
           jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .filter(col("jaccard") >= minJaccard)
     }
-    cand.union(inBatch)
+    // scope the persisted batch signatures to this call: a daily driver
+    // looping over batches must not accumulate one cached table per day
+    materializeAndRelease(cand.union(inBatch), batch)
   }
 }

@@ -37,8 +37,13 @@ object RosterSink {
    * holds unconditionally.
    */
   def withChunkIdDistributed(roster: DataFrame, maxRows: Int = 500): DataFrame =
+    // `div`, not `/`: Spark's Divide is double-precision, and mid packs
+    // the partition ordinal into the high 33 bits — above ~2^20 partitions
+    // mid exceeds 2^53, the division rounds, and a boundary row could land
+    // in the adjacent chunk, breaking the ≤ maxRows contract by one row.
+    // IntegralDivide is exact for all 64-bit ids.
     roster.withColumn("_chunk",
-      (monotonically_increasing_id() / maxRows).cast("long"))
+      expr(s"monotonically_increasing_id() div $maxRows"))
 
   /**
    * S7: write CSV with null→empty (write_csv(..., na="")) partitioned by
@@ -84,7 +89,14 @@ object RosterSink {
     val spark = delta.sparkSession
     val before =
       try spark.read.option("header", "true").csv(path).count()
-      catch { case _: Throwable => 0L }
+      catch {
+        // ONLY "state table doesn't exist yet" maps to an empty baseline.
+        // Any other read failure (corrupt/unreadable state, empty
+        // directory, storage errors) must propagate: mapping it to 0 would
+        // let the conservation check pass against a state it never read.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => 0L
+      }
     val expected = delta.count()
     delta.write.mode("append").option("header", "true")
       .option("emptyValue", "").option("nullValue", "").csv(path)

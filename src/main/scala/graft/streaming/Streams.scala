@@ -125,14 +125,28 @@ object Streams {
    * match within the 14-day window graduate with the adopted case id;
    * the rest flow on unmatched (outcome column, P5-style routing — the
    * caller splits the one output stream). Stateless: no watermark
-   * needed, every micro-batch row is emitted exactly once.
+   * needed, every micro-batch row is emitted exactly once — which holds
+   * BECAUSE the snapshot is reduced to one row per key first: WDRS-entire
+   * is specimen-level and can carry one clinical accession on several
+   * rows, and a raw join would fan a stuck record into several outputs
+   * (possibly "matched" with different adopted case ids). Same
+   * deterministic pick as the batch twin
+   * [[graft.pipelines.KeepNaRefresh.refreshCaseId]]: earliest collection
+   * date, then min case id.
    */
   def keepNaRefreshStream(pending: DataFrame, wdrsSnapshot: DataFrame,
       keyCol: String, dateCol: String, toleranceDays: Int = 14): DataFrame = {
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__wkey"))
+      .orderBy(col("__wdate").asc_nulls_last, col("__wcase"))
     val w = wdrsSnapshot.select(
       col(keyCol).as("__wkey"),
       col("CASE_ID").as("__wcase"),
       col("COLLECTION_DATE").as("__wdate"))
+      .filter(col("__wkey").isNotNull)
+      .withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
     pending
       .join(w, pending(keyCol) === col("__wkey"), "left")
       .withColumn("__date_ok", coalesce(

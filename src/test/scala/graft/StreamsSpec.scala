@@ -43,8 +43,14 @@ class StreamsSpec extends SparkSpec {
 
   test("keepNaRefreshStream: stream-static join adopts case ids within the window") {
     implicit val sqlCtx = spark.sqlContext
+    // SCA1 appears on THREE specimen rows (the WDRS-entire fan-out shape):
+    // the snapshot must reduce to one deterministic row per accession —
+    // earliest collection date, then min case id — so the stuck record is
+    // emitted exactly once, never once per specimen
     val wdrs = Seq(
       ("SCA1", "C9", "2021-03-10"),
+      ("SCA1", "C7", "2021-03-20"),
+      ("SCA1", "C5", null),
       ("SCA2", "C8", "2021-06-01"))
       .toDF("SEQUENCE_CLINICAL_ACCESSION", "CASE_ID", "COLLECTION_DATE")
       .withColumn("COLLECTION_DATE", to_date(col("COLLECTION_DATE")))

@@ -147,6 +147,18 @@ class TemplateSubmittersSpec extends SparkSpec {
     assert(RosterSink.appendWithCheck(d2, dir) === 3L)
   }
 
+  test("append sink: unreadable state surfaces instead of passing as empty") {
+    // an empty directory is NOT a missing state table — schema inference
+    // fails on it, and the narrowed catch must let that surface rather
+    // than treating it as a zero-row baseline (the conservation check
+    // would otherwise pass against a state it never actually read)
+    val emptyDir = Files.createTempDirectory("graft_state_bad").toFile.getAbsolutePath
+    val d = Seq(("1", "a")).toDF("id", "v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      RosterSink.appendWithCheck(d, emptyDir)
+    }
+  }
+
   test("capstone: ingest -> match -> QA -> roster -> compile -> chunked CSV") {
     val path = writeFixture()
     val raw = StringCsv.dropEmptyRows(
