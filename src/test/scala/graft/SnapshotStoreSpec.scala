@@ -52,4 +52,52 @@ class SnapshotStoreSpec extends SparkSpec {
       (2, "added_changed"), (2, "removed_changed"),  // id 2 changed value
       (4, "added"), (3, "removed")))
   }
+
+  test("snapshotDiffCauses: roster, merge, lineage, unexpected arms") {
+    // columns: case id / accession (stable) / lineage (mutable) — one
+    // scenario per cause, in the reference's precedence order
+    val prev = Seq(
+      ("C1", "A1", "B.1"),    // case-id merge: same attrs, new id C1N
+      ("C2", "A2", "B.2"),    // lineage update: same row except lineage
+      ("C3", "A3", "B.3"),    // unexpected: accession AND lineage changed
+      ("C4", "A4", "B.4"),    // removed, no counterpart -> unexpected
+      ("C6", "A6", "B.6"))    // unchanged (also in current)
+      .toDF("case_id", "acc", "lineage")
+    val current = Seq(
+      ("C1N", "A1", "B.1"),
+      ("C2", "A2", "B.2.1"),
+      ("C3", "A3x", "B.3x"),
+      ("C5", "A5", "B.5"),    // added by roster upload -> expected
+      ("C6", "A6", "B.6"))
+      .toDF("case_id", "acc", "lineage")
+    // roster columns are a SUBSET of the snapshot columns (any_of, with
+    // null-fill on the way back out): C5 uploaded fine; C9 never appeared
+    // as a new diff -> upload problem
+    val roster = Seq(("C5", "A5"), ("C9", "A9")).toDF("case_id", "acc")
+
+    val out = Joins.snapshotDiffCauses(current, prev, "case_id",
+        Seq("lineage"), Some(roster))
+      .select("case_id", "diff_side", "cause")
+      .as[(String, String, String)].collect().toSet
+    assert(out === Set(
+      ("C5", "current", "roster_expected"),
+      ("C9", "roster", "roster_missing"),
+      ("C1N", "current", "case_id_merge"),
+      ("C1", "prev", "case_id_merge"),
+      ("C2", "current", "lineage_update"),
+      ("C2", "prev", "lineage_update"),
+      ("C3", "current", "unexpected"),
+      ("C3", "prev", "unexpected"),
+      ("C4", "prev", "unexpected")))
+  }
+
+  test("snapshotDiffCauses without a roster still classifies merges") {
+    val prev = Seq(("C1", "A1"), ("C2", "A2")).toDF("case_id", "acc")
+    val current = Seq(("C1N", "A1"), ("C2", "A2")).toDF("case_id", "acc")
+    val out = Joins.snapshotDiffCauses(current, prev, "case_id",
+        Seq.empty, None)
+      .select("case_id", "cause").as[(String, String)].collect().toSet
+    assert(out === Set(
+      ("C1N", "case_id_merge"), ("C1", "case_id_merge")))
+  }
 }
