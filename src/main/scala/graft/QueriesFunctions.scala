@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.GraftFunctions._
 import graft.functions.osa_distance
-import graft.operators.FuzzyJoin
+import graft.operators.{Corrections, FuzzyJoin}
 import graft.qa.QaRules
 import graft.qa.QaRules.Rule
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -257,6 +257,41 @@ object QueriesFunctions {
             substring(col("s_name"), 10, 100).as("sid"))
         FuzzyJoin.blockedFuzzyJoin(c, sup, "block", col("cid"), col("sid"), 2)
           .select(col("c_custkey"), col("s_suppkey"), col("distance"))
+      }),
+
+    // ------------------------------------------------------------ F15
+    // Data-driven GISAID-ID correction table (read_all_data.Rmd:266-321,
+    // SURVEY §7.4#6): partial ids synthesized over orders, a broadcast
+    // mapping table completes them, one scrub arm nulls a known-bad id,
+    // and a removal list drops withdrawn ids AFTER correction — the
+    // reference's order. Null ids ride through both steps untouched.
+    QueryDef("f15_id_corrections", Some("""
+      WITH src AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                    ELSE 'GID-' || CAST(o_orderkey % 500 AS VARCHAR) END AS gisaid_id
+        FROM orders),
+      corr(from_id, to_id) AS (VALUES
+        ('GID-7', 'GID-70007'), ('GID-13', 'GID-130013'),
+        ('GID-21', NULL), ('GID-400', 'GID-4000400')),
+      rem(gid) AS (VALUES ('GID-55'), ('GID-3'))
+      SELECT s.o_orderkey,
+             CASE WHEN c.from_id IS NOT NULL THEN c.to_id ELSE s.gisaid_id END AS gisaid_id
+      FROM src s LEFT JOIN corr c ON s.gisaid_id = c.from_id
+      WHERE CASE WHEN c.from_id IS NOT NULL THEN c.to_id ELSE s.gisaid_id END IS NULL
+         OR CASE WHEN c.from_id IS NOT NULL THEN c.to_id ELSE s.gisaid_id END
+            NOT IN (SELECT gid FROM rem)"""),
+      (s, dir) => {
+        import s.implicits._
+        val src = t(s, dir, "orders").select(col("o_orderkey"),
+          when(col("o_orderkey") % 97 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("GID-"), (col("o_orderkey") % 500).cast("string")))
+            .as("gisaid_id"))
+        val corr = Seq(("GID-7", Some("GID-70007")), ("GID-13", Some("GID-130013")),
+          ("GID-21", None), ("GID-400", Some("GID-4000400")))
+          .toDF("from_id", "to_id")
+        val rem = Seq("GID-55", "GID-3").toDF("gid")
+        Corrections.applyIdCorrections(src, corr, "gisaid_id", Some(rem))
       })
   )
 }

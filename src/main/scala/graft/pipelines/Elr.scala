@@ -26,21 +26,43 @@ object Elr {
 
   /** F7 flavor: per-submitter accession synthesis. Aegis embeds the id in
     * a suffixed form, Helix gets a CDC-STM prefix (elr.Rmd:189-283) —
-    * data-driven via when-chain on the submitter column. */
-  def synthesizeAccession(df: DataFrame): DataFrame =
+    * data-driven via when-chain on the submitter column.
+    *
+    * The Aegis prefix SWITCHES ON COLLECTION DATE (elr.Rmd:197-211):
+    * specimens collected before 2022-05-01 carry "USA/WA-CDC-ASC<id>",
+    * later ones "USA/WA-ASC-<id>" — both forms require a non-null id and
+    * collection date (no date, no accession: the year suffix would lie). */
+  def synthesizeAccession(df: DataFrame): DataFrame = {
+    val aegisId = regexp_extract(col("raw_id"), "ASC(\\d+)", 1)
+    val aegisOk = col("submitter") === "aegis" &&
+      col("raw_id").isNotNull && col("collection_date").isNotNull
     df.withColumn("gisaid_id",
-      when(col("submitter") === "aegis",
-        concat(lit("USA/WA-ASC"), regexp_extract(col("raw_id"), "ASC(\\d+)", 1),
+      when(aegisOk && col("collection_date") < lit("2022-05-01").cast("date"),
+        concat(lit("USA/WA-CDC-ASC"), aegisId,
           lit("/"), year(col("collection_date"))))
+        .when(aegisOk,
+          concat(lit("USA/WA-ASC-"), aegisId,
+            lit("/"), year(col("collection_date"))))
         .when(col("submitter") === "helix",
           concat(lit("USA/WA-CDC-STM-"), col("raw_id"), lit("/"),
             year(col("collection_date"))))
+        .when(col("submitter") === "aegis", lit(null).cast("string"))
         .otherwise(stripGisaidPrefix(col("raw_id"))))
+  }
 
   /** F9: lineage from free-text result via lookarounds, validated against
     * the controlled lineage list (elr.Rmd:407-443). */
-  def extractLineage(df: DataFrame, lineages: DataFrame): DataFrame = {
-    val lin = broadcast(lineages.select(col("lineage").as("__lin")))
+  def extractLineage(df: DataFrame, lineages: DataFrame): DataFrame =
+    extractLineageResolved(df,
+      lineages.select(col("lineage"), col("lineage").as("canonical")))
+
+  /** F9 with WITHDRAWN-ALIAS RESOLUTION: same extraction, but validated
+    * against a (lineage, canonical) vocabulary ([[Lineages.vocabulary]])
+    * — a record annotated with a withdrawn name resolves to its active
+    * replacement instead of nulling out against the flat list. */
+  def extractLineageResolved(df: DataFrame, vocab: DataFrame): DataFrame = {
+    val lin = broadcast(vocab.select(
+      col("lineage").as("__lin"), col("canonical").as("__canon")))
     df
       // regexp_extract yields "" (not null) on no-match — nullif EACH arm
       // before coalesce or the fallback never fires
@@ -49,10 +71,10 @@ object Elr {
         nullif(regexp_extract(col("test_result"), "(?<=Other; ).*", 0), lit(""))))
       .join(lin, col("__extracted") === col("__lin"), "left")
       .withColumn("lineage",
-        when(col("__lin").isNotNull, col("__lin"))
+        when(col("__canon").isNotNull, col("__canon"))
           .when(col("test_result").rlike("Unassigned$"), "Unassigned")
           .otherwise(lit(null).cast("string")))
-      .drop("__extracted", "__lin")
+      .drop("__extracted", "__lin", "__canon")
   }
 
   /** O2: Helix rank-then-dedup — prefer the 'Sequencing study identifier'

@@ -18,18 +18,34 @@ class ElrSpec extends SparkSpec {
     assert(out === Seq("a3"))
   }
 
-  test("synthesizeAccession per submitter") {
+  test("synthesizeAccession per submitter, Aegis prefix switches at 2022-05-01") {
     val df = Seq(
-      ("aegis", "ASC123-B", "2021-05-01"),
-      ("helix", "XYZ9", "2022-01-15"),
-      ("other", "hCoV-19/USA/WA-PLAIN/2021", "2021-03-01"))
-      .toDF("submitter", "raw_id", "collection_date")
+      ("aegis", "ASC123-B", "2021-05-01", "pre"),   // before the switch
+      ("aegis", "ASC456-C", "2022-04-30", "edge_pre"),
+      ("aegis", "ASC456-C", "2022-05-01", "edge_post"), // first day of new form
+      ("aegis", "ASC789-D", "2023-01-02", "post"),
+      ("aegis", null, "2021-06-01", "no_id"),        // no id -> no accession
+      ("helix", "XYZ9", "2022-01-15", "hx"),
+      ("other", "hCoV-19/USA/WA-PLAIN/2021", "2021-03-01", "ot"))
+      .toDF("submitter", "raw_id", "collection_date", "tag")
       .withColumn("collection_date", col("collection_date").cast("date"))
     val out = Elr.synthesizeAccession(df)
-      .select("submitter", "gisaid_id").as[(String, String)].collect().toMap
-    assert(out("aegis") === "USA/WA-ASC123/2021")
-    assert(out("helix") === "USA/WA-CDC-STM-XYZ9/2022")
-    assert(out("other") === "USA/WA-PLAIN/2021")
+      .select("tag", "gisaid_id").as[(String, Option[String])].collect().toMap
+    assert(out("pre") === Some("USA/WA-CDC-ASC123/2021"))
+    assert(out("edge_pre") === Some("USA/WA-CDC-ASC456/2022"))
+    assert(out("edge_post") === Some("USA/WA-ASC-456/2022"))
+    assert(out("post") === Some("USA/WA-ASC-789/2023"))
+    assert(out("no_id") === None)
+    assert(out("hx") === Some("USA/WA-CDC-STM-XYZ9/2022"))
+    assert(out("ot") === Some("USA/WA-PLAIN/2021"))
+  }
+
+  test("synthesizeAccession: Aegis with a null collection date yields null") {
+    val df = Seq(("aegis", "ASC1-A")).toDF("submitter", "raw_id")
+      .withColumn("collection_date", lit(null).cast("date"))
+    val out = Elr.synthesizeAccession(df)
+      .select("gisaid_id").as[Option[String]].collect()
+    assert(out === Seq(None))
   }
 
   test("extractLineage: lookaround extraction validated against vocab") {

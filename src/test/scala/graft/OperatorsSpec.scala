@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, FuzzyJoin, Joins, Routing, Similarity}
+import graft.operators.{Corrections, Dedup, FuzzyJoin, Joins, Routing, Similarity}
 import graft.functions.osa_distance
 import org.apache.spark.sql.functions._
 
@@ -356,5 +356,38 @@ class OperatorsSpec extends SparkSpec {
       minCosine = 0.95, bands = 2, bitsPerBand = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((0L, 1L)))
+  }
+
+  test("id corrections: mapping + scrub + removal, conservation holds") {
+    val feed = Seq(
+      ("r1", "A1"),   // corrected to its full form
+      ("r2", "A2"),   // corrected
+      ("r3", "BAD"),  // scrub arm: mapped to null, row KEPT
+      ("r4", null),   // null id rides through untouched
+      ("r5", "A1"),   // same correction applied to a second row
+      ("r6", "RM"),   // on the removal list -> dropped post-correction
+      ("r7", "KEEP")) // no correction, not removed
+      .toDF("rid", "gid")
+    val corr = Seq(("A1", Some("A1-full")), ("A2", Some("A2-full")),
+      ("BAD", None)).toDF("from_id", "to_id")
+    val rem = Seq("RM").toDF("g")
+    val out = Corrections.applyIdCorrections(feed, corr, "gid", Some(rem))
+    // conservation: the correction join never changes the row count —
+    // only the removal list drops rows (exactly one here)
+    assert(Corrections.applyIdCorrections(feed, corr, "gid", None).count() === 7)
+    assert(out.count() === 6)
+    val m = out.select("rid", "gid").as[(String, Option[String])].collect().toMap
+    assert(m === Map(
+      "r1" -> Some("A1-full"), "r2" -> Some("A2-full"), "r3" -> None,
+      "r4" -> None, "r5" -> Some("A1-full"), "r7" -> Some("KEEP")))
+  }
+
+  test("id corrections: duplicate correction keys resolve deterministically") {
+    val feed = Seq(("r1", "A1")).toDF("rid", "gid")
+    val corr = Seq(("A1", Some("B2")), ("A1", Some("B1")), ("A1", None))
+      .toDF("from_id", "to_id")
+    val out = Corrections.applyIdCorrections(feed, corr, "gid", None)
+      .select("gid").as[Option[String]].collect()
+    assert(out === Seq(Some("B1"))) // min non-null target wins
   }
 }
