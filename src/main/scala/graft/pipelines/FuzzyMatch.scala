@@ -167,4 +167,36 @@ object FuzzyMatch {
       Seq("rowid"), "left_anti")
     (bad, matched, unmatched)
   }
+
+  /**
+   * [[run]] with the CROSS-RUN saved-rows safety net (fuzzy.Rmd:
+   * 1078-1086): records that matched nothing this run are not dropped —
+   * they persist to the `saved_rows` state table and re-enter the next
+   * run's submissions, retrying until the target catches up (a WDRS case
+   * often lands days after the lab submission). The reference implements
+   * this as delete-old-file + `saved_rows_<date>.csv`; here the state
+   * table is a [[graft.sources.SnapshotStore]] publish — same
+   * replace-the-whole-file semantics, atomic `_CURRENT` flip, versions
+   * retained for audit.
+   *
+   * A rowid present in BOTH the saved state and today's submissions (a
+   * resubmission) is taken from today's batch — deterministic keep-new —
+   * so conservation stays per-rowid exact: every rowid ever submitted is
+   * in exactly one of bad / matched / saved after each run.
+   */
+  def runWithSavedRows(submissions: DataFrame, target: DataFrame,
+      store: graft.sources.SnapshotStore, table: String = "fuzzy_saved_rows")
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cols = submissions.columns.toSeq
+    val saved = store.readOrEmpty(table, submissions.schema)
+      .select(cols.map(col): _*)
+    val todays = submissions.select(cols.map(col): _*)
+    val allSubs = todays
+      .unionByName(saved.join(todays.select("rowid"), Seq("rowid"), "left_anti"))
+    val (bad, matched, unmatched) = run(allSubs, target)
+    // persist the original submission columns only (QA flags are
+    // per-run judgments, recomputed on every retry)
+    store.publish(table, unmatched.select(cols.map(col): _*))
+    (bad, matched, unmatched)
+  }
 }

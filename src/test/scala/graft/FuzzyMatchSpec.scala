@@ -116,4 +116,70 @@ class FuzzyMatchSpec extends SparkSpec {
     assert((b ++ m ++ u) === all)
     assert(u === Set(5L))
   }
+
+  test("saved rows: a run-1 unmatched record retries and matches in run 2") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fuzzy_state").toString
+    val store = new graft.sources.SnapshotStore(spark, root)
+    val subs1 = Seq(
+      (21L, "Rose", "Tyler", "1987-04-27", "2021-06-01"),   // matches now
+      (22L, "Jack", "Harkness", "1971-08-15", "2021-06-02")) // WDRS case not in yet
+      .toDF("rowid", "first_name", "last_name", "dob", "collection_date")
+      .withColumn("dob", col("dob").cast("date"))
+      .withColumn("collection_date", col("collection_date").cast("date"))
+    val target1 = Seq(
+      (201L, "Rose", "Tyler", "1987-04-27", "2021-06-03"))
+      .toDF("case_id", "first_name", "last_name", "dob", "wdrs_collection")
+      .withColumn("dob", col("dob").cast("date"))
+      .withColumn("wdrs_collection", col("wdrs_collection").cast("date"))
+      .withColumn("alt_first_name", lit(null).cast("string"))
+      .withColumn("alt_last_name", lit(null).cast("string"))
+
+    val (b1, m1, u1) = FuzzyMatch.runWithSavedRows(subs1, target1, store)
+    assert(m1.select("rowid").as[Long].collect().toSet === Set(21L))
+    assert(u1.select("rowid").as[Long].collect().toSet === Set(22L))
+    assert(store.read("fuzzy_saved_rows").count() === 1)
+
+    // run 2: an EMPTY submission batch; the saved row re-enters on its
+    // own and the target now carries Jack's case
+    val subs2 = subs1.limit(0)
+    val target2 = target1.unionByName(Seq(
+      (202L, "Jack", "Harkness", "1971-08-15", "2021-06-04"))
+      .toDF("case_id", "first_name", "last_name", "dob", "wdrs_collection")
+      .withColumn("dob", col("dob").cast("date"))
+      .withColumn("wdrs_collection", col("wdrs_collection").cast("date"))
+      .withColumn("alt_first_name", lit(null).cast("string"))
+      .withColumn("alt_last_name", lit(null).cast("string")))
+    val (b2, m2, u2) = FuzzyMatch.runWithSavedRows(subs2, target2, store)
+    assert(m2.select("rowid", "case_id").as[(Long, Long)].collect().toSet
+      === Set((22L, 202L)))
+    assert(u2.count() === 0)
+    // cross-run conservation: both rowids printed exactly once over the
+    // two runs, and the saved state drained to empty
+    assert(b1.count() + b2.count() === 0)
+    assert(store.read("fuzzy_saved_rows").count() === 0)
+  }
+
+  test("saved rows: a resubmitted rowid is taken from today's batch once") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fuzzy_state2").toString
+    val store = new graft.sources.SnapshotStore(spark, root)
+    val subs = Seq((31L, "Mickey", "Smith", "1980-01-01", "2021-06-01"))
+      .toDF("rowid", "first_name", "last_name", "dob", "collection_date")
+      .withColumn("dob", col("dob").cast("date"))
+      .withColumn("collection_date", col("collection_date").cast("date"))
+    val noTarget = Seq.empty[(Long, String, String, String, String)]
+      .toDF("case_id", "first_name", "last_name", "dob", "wdrs_collection")
+      .withColumn("dob", col("dob").cast("date"))
+      .withColumn("wdrs_collection", col("wdrs_collection").cast("date"))
+      .withColumn("alt_first_name", lit(null).cast("string"))
+      .withColumn("alt_last_name", lit(null).cast("string"))
+    FuzzyMatch.runWithSavedRows(subs, noTarget, store)
+    // run 2 resubmits the same rowid (newer collection date): the saved
+    // copy must not double it
+    val resubmit = subs.withColumn("collection_date", d("2021-06-10"))
+    val (_, _, u2) = FuzzyMatch.runWithSavedRows(resubmit, noTarget, store)
+    assert(u2.count() === 1)
+    val kept = store.read("fuzzy_saved_rows")
+      .select("collection_date").as[java.sql.Date].collect().toSeq
+    assert(kept === Seq(java.sql.Date.valueOf("2021-06-10"))) // today's copy won
+  }
 }
