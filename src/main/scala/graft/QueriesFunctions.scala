@@ -3,6 +3,7 @@ package graft
 import graft.functions.GraftFunctions._
 import graft.functions.osa_distance
 import graft.operators.{Corrections, FuzzyJoin}
+import graft.pipelines.Lineages
 import graft.qa.QaRules
 import graft.qa.QaRules.Rule
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -292,6 +293,78 @@ object QueriesFunctions {
           .toDF("from_id", "to_id")
         val rem = Seq("GID-55", "GID-3").toDF("gid")
         Corrections.applyIdCorrections(src, corr, "gisaid_id", Some(rem))
+      }),
+
+    // ------------------------------------------------------------ F16
+    // Lineage-notes transform end-to-end (lineages_pull.Rmd:36-140):
+    // synthesize a notes file from orders with the real file's defects —
+    // header row, '*' withdrawn markers, stray space instead of tab —
+    // then parse, dedupe (Withdrawn wins a status tie), and expand
+    // withdrawn aliases whose successor is active into the (lineage,
+    // canonical) validation vocabulary. The oracle mirrors every step;
+    // note ids sharing a lineage value differ only in description tails,
+    // so the keep-first dedup is deterministic in both engines.
+    QueryDef("f16_lineage_vocab", Some("""
+      WITH raw AS (
+        SELECT CASE
+          WHEN o_orderkey % 17 = 0 THEN '*B.' || CAST(o_orderkey % 400 AS VARCHAR) || chr(9) ||
+               'Withdrawn: Reassigned to B.' || CAST((o_orderkey + 1) % 400 AS VARCHAR)
+          WHEN o_orderkey % 13 = 0 THEN '*B.' || CAST(o_orderkey % 400 AS VARCHAR) || chr(9) ||
+               'Withdrawn: no designation'
+          WHEN o_orderkey % 11 = 0 THEN 'B.' || CAST(o_orderkey % 400 AS VARCHAR) ||
+               ' stray space desc'
+          ELSE 'B.' || CAST(o_orderkey % 400 AS VARCHAR) || chr(9) || 'Active description'
+          END AS line
+        FROM orders
+        UNION ALL SELECT 'Lineage' || chr(9) || 'Description'),
+      parsed0 AS (
+        SELECT split_part(line, chr(9), 1) AS raw_lin,
+               CASE WHEN strpos(line, chr(9)) > 0
+                    THEN substr(line, strpos(line, chr(9)) + 1) ELSE '' END AS description
+        FROM raw),
+      parsed AS (
+        SELECT regexp_replace(regexp_extract(raw_lin, '^\S+'), '\*', '', 'g') AS lineage_extracted,
+               description,
+               CASE WHEN contains(lower(description), 'withdrawn')
+                    THEN 'Withdrawn' ELSE 'Active' END AS status
+        FROM parsed0
+        WHERE NOT (raw_lin = '' AND description = '')
+          AND NOT (raw_lin = 'Lineage' AND description = 'Description')),
+      d1 AS (
+        SELECT lineage_extracted, description, status
+        FROM (SELECT *, row_number() OVER (PARTITION BY lineage_extracted, status
+                                           ORDER BY description) AS rn
+              FROM parsed)
+        WHERE rn = 1),
+      d2 AS (
+        SELECT * FROM d1
+        WHERE NOT (status = 'Active' AND lineage_extracted IN (
+          SELECT lineage_extracted FROM d1
+          GROUP BY 1 HAVING COUNT(DISTINCT status) = 2))),
+      active AS (SELECT lineage_extracted AS lineage FROM d2 WHERE status = 'Active'),
+      wd AS (
+        SELECT lineage_extracted,
+               nullif(regexp_extract(description, '([A-Z]+(?:\.[0-9]+)+)', 1), '') AS target
+        FROM d2 WHERE status = 'Withdrawn')
+      SELECT lineage, lineage AS canonical FROM active
+      UNION ALL
+      SELECT w.lineage_extracted AS lineage, w.target AS canonical
+      FROM wd w JOIN active a ON w.target = a.lineage"""),
+      (s, dir) => {
+        import s.implicits._
+        val linVal = concat(lit("B."), (col("o_orderkey") % 400).cast("string"))
+        val raw = t(s, dir, "orders").select(
+          when(col("o_orderkey") % 17 === 0,
+            concat(lit("*"), linVal, lit("\tWithdrawn: Reassigned to B."),
+              ((col("o_orderkey") + 1) % 400).cast("string")))
+            .when(col("o_orderkey") % 13 === 0,
+              concat(lit("*"), linVal, lit("\tWithdrawn: no designation")))
+            .when(col("o_orderkey") % 11 === 0,
+              concat(linVal, lit(" stray space desc")))
+            .otherwise(concat(linVal, lit("\tActive description")))
+            .as("line"))
+          .unionByName(Seq("Lineage\tDescription").toDF("line"))
+        Lineages.vocabulary(Lineages.dedupe(Lineages.parseNotes(raw, "line")))
       })
   )
 }

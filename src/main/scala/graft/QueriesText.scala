@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Sharding, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,30 @@ object QueriesText {
         " SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"),
       (s, dir) => Dedup.minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
         shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5)),
+
+    // ------------------------------- dedup: incremental (persisted index)
+    // The production ingestion shape: the corpus (doc_id % 5 != 0) is
+    // indexed ONCE (band-partitioned parquet of shingles + LSH keys); the
+    // day's batch (doc_id % 5 = 0) dedups against the index without
+    // re-reading corpus text, plus within itself. The result must equal
+    // the one-shot LSH pairs restricted to pairs touching the batch —
+    // which is exactly what the oracle asserts, reusing the same
+    // splitmix-mirrored banding CTEs as dedup_minhash.
+    QueryDef("dedup_minhash_incremental",
+      Some(s"WITH $minhashPairsCtes" + """
+        SELECT id_a, id_b, jaccard FROM pairs
+        WHERE jaccard >= 0.5 AND (id_a % 5 = 0 OR id_b % 5 = 0)"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_mh_idx").toString
+        Dedup.buildMinhashIndex(corpus, "text", "doc_id", idx,
+          shingleK = 5, numHashes = 16, bands = 4)
+        Dedup.incrementalNearDupPairs(batch, "text", "doc_id", idx,
+          shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5)
+      }),
 
     // --------------------------------- dedup: minhash -> survivor clusters
     // The composed production chain: LSH pairs feed connected components,
@@ -363,6 +387,24 @@ object QueriesText {
           aggregate(col("__toks"), lit(0L),
             (acc, x) => acc + ceil(length(x) / lit(4.0)).cast("long"))
             .as("n_subwords"))),
+
+    // --------------------------------------------- text: token sharding
+    // Token-budget shard assignment for training-data assembly: contiguous
+    // ~4096-token shards in doc_id order. The oracle is the single-task
+    // global-window formulation; the Spark side computes the identical
+    // running total with a range partitioning + two-level prefix sum
+    // (operators/Sharding), which is the shape that survives corpus scale.
+    QueryDef("text_token_shards", Some(s"""
+      WITH t AS (SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+            FROM t)
+      SELECT doc_id, n_tokens, (cum - n_tokens) // 4096 AS shard FROM c"""),
+      (s, dir) => Sharding.tokenBudgetShards(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        size(tokens(col("text"))), "doc_id", 4096L)
+        .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+          col("shard"))),
 
     // ------------------------------------------------- text: fingerprint
     QueryDef("text_fingerprint", Some(s"""

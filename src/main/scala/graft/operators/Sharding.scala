@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed prefix sums and token-budget sharding for training-data
+ * assembly: a corpus is cut into contiguous shards of ~`budget` tokens
+ * each (the unit a tokenizer/packer consumes downstream). The naive
+ * expression — `sum(tok) over (order by id)` — is a SINGLE-TASK global
+ * window; this implementation gets the same answer with a range
+ * partitioning and a two-level prefix sum, so it holds at corpus scale.
+ */
+object Sharding {
+
+  /**
+   * Global running total of `valueCol` in `orderCol` order, computed
+   * scalably:
+   *
+   *  1. `repartitionByRange(orderCol)` — contiguous, ascending ranges
+   *     per partition (the sampled boundaries affect only the split
+   *     points, never the result, because the sum is order-defined);
+   *  2. per-partition running totals (window within each partition —
+   *     parallel);
+   *  3. per-partition GRAND totals offset-summed (one row per
+   *     partition — driver-scale; the only non-parallel step is a
+   *     window over ~hundreds of rows) and broadcast-joined back.
+   *
+   * `orderCol` must be unique and non-null (ties would make "running
+   * total" ill-defined).
+   */
+  def runningTotal(df: DataFrame, valueCol: Column, orderCol: String,
+      cumName: String = "cum"): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df
+      .withColumn("__v", valueCol.cast("long"))
+      .repartitionByRange(par, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val inCum = ranged.withColumn("__incum", sum(col("__v")).over(wIn))
+    // one row per partition; the unpartitioned window here is bounded by
+    // the partition COUNT, not the data
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = inCum.groupBy(col("__pid"))
+      .agg(sum(col("__v")).as("__ptot"))
+      .withColumn("__offset", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    inCum
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(cumName, col("__incum") + col("__offset"))
+      .drop("__pid", "__incum", "__offset", "__v")
+  }
+
+  /**
+   * Token-budget shard assignment: docs keep their `orderCol` order and
+   * shard k covers the docs whose running token total STARTS in
+   * [k*budget, (k+1)*budget). Budget is a soft cap — a shard can exceed
+   * it by at most one document (a doc longer than the whole budget still
+   * lands in exactly one shard); shards are contiguous and dense from 0.
+   * Integral division (`div`) keeps the assignment exact for totals
+   * beyond 2^53.
+   */
+  def tokenBudgetShards(docs: DataFrame, tokenCountCol: Column,
+      orderCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    runningTotal(docs.withColumn("__tok", tokenCountCol.cast("long")),
+        col("__tok"), orderCol, "__cum")
+      .withColumn("shard", expr(s"(__cum - __tok) div $budget"))
+      .withColumn("n_tokens", col("__tok"))
+      .drop("__tok", "__cum")
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corrections, Dedup, FuzzyJoin, Joins, Routing, Similarity}
+import graft.operators.{Corrections, Dedup, FuzzyJoin, Joins, Routing, Sharding, Similarity}
 import graft.functions.osa_distance
 import org.apache.spark.sql.functions._
 
@@ -356,6 +356,27 @@ class OperatorsSpec extends SparkSpec {
       minCosine = 0.95, bands = 2, bitsPerBand = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((0L, 1L)))
+  }
+
+  test("token shards: distributed prefix sum matches the global window") {
+    val docs = (1L to 1000L).map(i => (i, (i % 37 + 1).toInt)).toDF("id", "ntok")
+    val out = Sharding.tokenBudgetShards(docs, col("ntok"), "id", 100L)
+    // truth: the single-task global-window formulation
+    val truth = docs
+      .withColumn("cum", sum(col("ntok"))
+        .over(org.apache.spark.sql.expressions.Window.orderBy("id")))
+      .select(col("id"), expr("(cum - ntok) div 100").as("tshard"))
+    val mismatches = out.select(col("id"), col("shard"))
+      .join(truth, Seq("id"))
+      .filter(col("shard") =!= col("tshard")).count()
+    assert(mismatches === 0)
+    // soft cap: a shard never exceeds budget + one doc (max doc = 37 here)
+    val maxShard = out.groupBy("shard").agg(sum(col("n_tokens")).as("s"))
+      .agg(max(col("s"))).head().getLong(0)
+    assert(maxShard <= 100L + 37L)
+    // shards are dense from 0 (no doc here is bigger than the budget)
+    val shards = out.select("shard").distinct().as[Long].collect().sorted.toSeq
+    assert(shards === (0L until shards.length).toSeq)
   }
 
   test("id corrections: mapping + scrub + removal, conservation holds") {
