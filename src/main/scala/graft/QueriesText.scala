@@ -388,6 +388,70 @@ object QueriesText {
             (acc, x) => acc + ceil(length(x) / lit(4.0)).cast("long"))
             .as("n_subwords"))),
 
+    // ---------------------------------------------- text: PII scrubbing
+    // Pre-training scrub pass: emails, then SSNs, then phone numbers, in
+    // that order (a dashed SSN must not half-match the phone shape).
+    // One in seven docs gets a synthesized PII tail so the scrub is
+    // exercised on every shape; all patterns are RE2-safe so the oracle
+    // replays them verbatim (with the 'g' flag — DuckDB's regexp_replace
+    // is first-match-only by default, Spark's is replace-all).
+    QueryDef("text_pii_scrub", Some("""
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact bob@example.com or (555) 123-4567 ssn 123-45-6789'
+                    ELSE text END,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+               '(?:\+?1[-. ])?(?:\([0-9]{3}\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g')
+               AS clean
+      FROM documents"""),
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        scrubPii(
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"),
+              lit(" contact bob@example.com or (555) 123-4567 ssn 123-45-6789")))
+            .otherwise(col("text"))).as("clean"))),
+
+    // --------------------------------------------- text: repetition stats
+    // Gopher-family repetition signals: duplicate-line fraction (sentences
+    // split to lines first — the corpus has no raw newlines) and word
+    // 2-gram repetition ratio. Both are pure expression trees.
+    QueryDef("text_repetition", Some("""
+      WITH src AS (
+        SELECT doc_id, replace(text, '. ', chr(10)) AS t FROM documents),
+      lines AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                           x -> len(x) > 0) AS ls
+        FROM src),
+      toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(t), '\s+'), x -> len(x) > 0) AS tk
+        FROM src),
+      grams AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 2
+                    THEN list_transform(range(0, len(tk) - 1),
+                           i -> array_to_string(list_slice(tk,
+                             CAST(i + 1 AS INTEGER), CAST(i + 2 AS INTEGER)), ' '))
+                    ELSE [array_to_string(tk, ' ')] END AS gs
+        FROM toks)
+      SELECT l.doc_id,
+             CASE WHEN len(ls) > 0
+                  THEN (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
+                  ELSE 0.0 END AS dup_line_frac,
+             CASE WHEN len(gs) > 0
+                  THEN 1.0 - len(list_distinct(gs)) / CAST(len(gs) AS DOUBLE)
+                  ELSE 0.0 END AS bigram_rep
+      FROM lines l JOIN grams g ON l.doc_id = g.doc_id"""),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "\\. ", "\n").as("t"))
+        .select(col("doc_id"),
+          dupLineFraction(col("t")).as("dup_line_frac"),
+          ngramRepetitionRatio(col("t"), 2).as("bigram_rep"))),
+
     // --------------------------------------------- text: token sharding
     // Token-budget shard assignment for training-data assembly: contiguous
     // ~4096-token shards in doc_id order. The oracle is the single-task

@@ -119,6 +119,50 @@ object TextFunctions {
     lengthOk + alphaOk + punctOk + meanOk
   }
 
+  // ------------------------------------------------------------ PII scrub
+  /**
+   * Redact common PII shapes with typed placeholders — the standard
+   * pre-training scrub pass: emails, US SSNs, then NANP-ish phone
+   * numbers. A pure regexp_replace chain (codegen'd, replace-all). SSNs
+   * run BEFORE phones so a dashed SSN can't half-match the phone shape.
+   * Heuristic by design: the patterns favor precision on the common
+   * shapes over recall on exotic ones, and every pattern is RE2-safe so
+   * the DuckDB oracle replays them verbatim.
+   */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ssn = regexp_replace(email,
+      "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>")
+    regexp_replace(ssn,
+      "(?:\\+?1[-. ])?(?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\\b",
+      "<PHONE>")
+  }
+
+  // ------------------------------------------------------------ repetition
+  /** Fraction of lines that are duplicates of an earlier line (Gopher
+    * repetition-signal family): 1 - distinct/total over trimmed non-empty
+    * lines; 0 for line-less text. */
+  def dupLineFraction(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val n = size(lines)
+    when(n > 0,
+      (n - size(array_distinct(lines))).cast("double") / n)
+      .otherwise(lit(0.0))
+  }
+
+  /** Word n-gram repetition ratio: 1 - distinct/total n-grams — high
+    * values mark boilerplate/looping text (the top-n-gram-fraction
+    * family, expressed distinct-based so it stays one expression). */
+  def ngramRepetitionRatio(text: Column, n: Int): Column = {
+    val gs = wordNgrams(text, n)
+    val cnt = size(gs)
+    when(cnt > 0,
+      lit(1.0) - size(array_distinct(gs)).cast("double") / cnt)
+      .otherwise(lit(0.0))
+  }
+
   // ------------------------------------------------------------ fingerprint
   /** Canonical text form: lowercase, strip non-alnum (keeping spaces),
     * collapse whitespace, trim. */

@@ -109,6 +109,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(3) === 0L)              // empty
   }
 
+  test("scrubPii: emails, SSNs, phones redacted; SSN wins over phone shape") {
+    val out = Seq(
+      "mail bob.smith+x@sub.example.org now",
+      "ssn is 123-45-6789 thanks",
+      "call (555) 123-4567 or 555-123-4567 or +1 555 123 4567",
+      "order 123-45 ships 12-34-5678")  // near-misses stay untouched
+      .toDF("x").select(scrubPii(col("x")).as("c")).as[String].collect()
+    assert(out(0) === "mail <EMAIL> now")
+    assert(out(1) === "ssn is <SSN> thanks")
+    assert(out(2) === "call <PHONE> or <PHONE> or <PHONE>")
+    assert(out(3) === "order 123-45 ships 12-34-5678")
+  }
+
+  test("repetition: duplicate-line fraction and bigram repetition ratio") {
+    val r = Seq(
+      "alpha beta\ngamma\nalpha beta\n  \n",  // 3 non-empty lines, 1 dup
+      "a b a b a b",                           // bigrams: ab ba ab ba ab -> 2 distinct of 5
+      "")                                       // empty-safe
+      .toDF("x")
+      .select(dupLineFraction(col("x")).as("d"),
+        ngramRepetitionRatio(col("x"), 2).as("g"))
+      .as[(Double, Double)].collect()
+    assert(math.abs(r(0)._1 - 1.0 / 3) < 1e-9)
+    assert(math.abs(r(1)._2 - (1.0 - 2.0 / 5)) < 1e-9)
+    assert(r(2) === ((0.0, 0.0)))
+  }
+
   test("simhash: deterministic, identical inputs equal, hamming 0/positive") {
     val df = Seq("the quick brown fox jumps", "the quick brown fox jumps",
       "totally different words here okay").toDF("x")
