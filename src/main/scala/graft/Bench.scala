@@ -45,7 +45,29 @@ object Bench {
     // never pollute the next measurement — round-3's bench showed six
     // sub-second queries inflated 2-7x by cache-storage pressure from a
     // leaked warmup cache. clearCache runs OUTSIDE the timed region.
-    def isolate(): Unit = spark.catalog.clearCache()
+    //
+    // clearCache alone is NOT enough: `localCheckpoint(eager = true)`
+    // blocks are GC-tracked, freed only when the RDD object is collected
+    // and the async ContextCleaner drains its reference queue. Left alone,
+    // every checkpointing query (ngram set collapse, connected-components
+    // label rounds, snapshot diffs) stacks blocks in the storage pool until
+    // the JVM happens to GC — round-4's bench showed dedup_minhash samples
+    // of 35.6/19.7/1.6s, decaying exactly as that pressure drained. So:
+    // force the collection here and wait (bounded) until the block managers
+    // report zero stored RDD blocks.
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      val sc = spark.sparkContext
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var blocks = org.apache.spark.graftshim.BlockShim.rddBlockCount(sc)
+      while (blocks > 0 && System.nanoTime() < deadline) {
+        System.gc()
+        Thread.sleep(50)
+        blocks = org.apache.spark.graftshim.BlockShim.rddBlockCount(sc)
+      }
+      if (blocks > 0)
+        System.err.println(s"[bench] WARN isolate: $blocks RDD blocks still stored after drain")
+    }
 
     val qs = headline.filter(Registry.queries.contains)
     // warmup pass (codegen + parquet footer caching)
@@ -73,15 +95,25 @@ object Bench {
       val p50 = times.sorted.apply(timedPasses / 2)
       val failed = errs.flatten.headOption
       failed.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
+      // Reproducibility guard: a steady-state measurement has samples
+      // within a small factor of each other. A big spread means the
+      // number reported is environment (GC, storage pressure, compilation
+      // storms), not the query — flag it loudly so a regression report
+      // can't be mistaken for a plan problem.
+      val spread = times.max / math.max(times.min, 1e-9)
+      if (spread > 3.0)
+        System.err.println(f"[bench] WARN spread $name max/min=$spread%.1fx — samples not steady-state")
       System.err.println(f"[bench] timed  $name p50=$p50%.2fs (${times.map(t => f"$t%.2f").mkString("/")})")
-      (name, p50, failed.isDefined)
+      (name, p50, failed.isDefined, spread)
     }
-    val qJson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failedJson = results.collect { case (k, _, true) => "\"" + k + "\"" }
+    val failedJson = results.collect { case (k, _, true, _) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val spreadJson = results.collect { case (k, _, _, s) if s > 3.0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"unsteady":$spreadJson,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3)) sys.exit(1)
   }

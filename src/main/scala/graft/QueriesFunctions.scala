@@ -4,8 +4,9 @@ import graft.functions.GraftFunctions._
 import graft.functions.osa_distance
 import graft.operators.{Corrections, FuzzyJoin}
 import graft.pipelines.Lineages
-import graft.qa.QaRules
+import graft.qa.{QaRules, WeeklyChange}
 import graft.qa.QaRules.Rule
+import graft.sources.SnapshotStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,6 +22,49 @@ object QueriesFunctions {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  // The orders QA battery (Q1): shared between qa_battery and the weekly
+  // Change comparison so the two query surfaces flag identically.
+  private def ordersQaRules: Seq[Rule] = Seq(
+    Rule("qa_status", QaRules.notInVocab(col("o_orderstatus"), Seq("O", "F", "P"))),
+    Rule("qa_priority", !col("o_orderpriority").rlike("^[1-5]-.*$")),
+    Rule("qa_price", col("o_totalprice").isNull || col("o_totalprice") <= 0),
+    Rule("qa_date", col("o_orderdate").cast("date") < to_date(lit("1990-01-01")) ||
+      col("o_orderdate").cast("date") > to_date(lit("2005-12-31"))),
+    Rule("qa_int_dupe",
+      QaRules.dupWithinBatch(col("o_custkey"), col("o_orderdate").cast("date"))))
+
+  // ---- weekly-Change oracle SQL (mirrors WeeklyChange.errorSummary) ----
+  private val qaYears: Seq[Int] = 1992 to 1998
+
+  /** The five battery flags as DuckDB expressions over a given source. */
+  private def qaFlagsSql(src: String): String = s"""
+      SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+             CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END AS qa_status,
+             CASE WHEN NOT regexp_full_match(o_orderpriority, '[1-5]-.*') THEN 1 ELSE 0 END AS qa_priority,
+             CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END AS qa_price,
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '1990-01-01'
+                    OR CAST(o_orderdate AS DATE) > DATE '2005-12-31' THEN 1 ELSE 0 END AS qa_date,
+             CASE WHEN COUNT(*) OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)) > 1
+                  THEN 1 ELSE 0 END AS qa_int_dupe
+      FROM $src"""
+
+  /** Error-summary pivot over a flags CTE: (error, y<year>..., Total). */
+  private def qaSummarySql(flagsCte: String): String = {
+    val flagNames = Seq("qa_status", "qa_priority", "qa_price", "qa_date", "qa_int_dupe")
+    val kv = flagNames.map(f =>
+        s"SELECT '$f' AS error, yr, SUM($f) AS n FROM $flagsCte GROUP BY yr")
+      .mkString("\n        UNION ALL ")
+    val yearCols = qaYears.map(y =>
+        s"CAST(SUM(CASE WHEN yr = $y THEN n ELSE 0 END) AS BIGINT) AS y$y")
+      .mkString(",\n             ")
+    val total = qaYears.map(y => s"SUM(CASE WHEN yr = $y THEN n ELSE 0 END)").mkString(" + ")
+    s"""SELECT error,
+             $yearCols,
+             CAST($total AS BIGINT) AS Total
+      FROM ($kv)
+      GROUP BY error"""
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -186,18 +230,41 @@ object QueriesFunctions {
               + CASE WHEN COUNT(*) OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)) > 1
                      THEN 1 ELSE 0 END) AS qa_sum
       FROM orders"""),
-      (s, dir) => {
-        val rules = Seq(
-          Rule("qa_status", QaRules.notInVocab(col("o_orderstatus"), Seq("O", "F", "P"))),
-          Rule("qa_priority", !col("o_orderpriority").rlike("^[1-5]-.*$")),
-          Rule("qa_price", col("o_totalprice").isNull || col("o_totalprice") <= 0),
-          Rule("qa_date", col("o_orderdate").cast("date") < to_date(lit("1990-01-01")) ||
-            col("o_orderdate").cast("date") > to_date(lit("2005-12-31"))),
-          Rule("qa_int_dupe",
-            QaRules.dupWithinBatch(col("o_custkey"), col("o_orderdate").cast("date"))))
-        QaRules.applyBattery(t(s, dir, "orders"), rules)
+      (s, dir) =>
+        QaRules.applyBattery(t(s, dir, "orders"), ordersQaRules)
           .select("o_orderkey", "qa_status", "qa_priority", "qa_price",
-            "qa_date", "qa_int_dupe", "qa_sum")
+            "qa_date", "qa_int_dupe", "qa_sum")),
+
+    // ------------------------------------------------------------ Q4+A7
+    // Weekly QA error-summary "Change" comparison (wdrs_qa_main.R:314-341):
+    // the previous week's summary (here: the battery over last week's
+    // snapshot, orders with o_orderkey % 3 <> 0) is persisted to a
+    // SnapshotStore; this week's summary (all orders) full-joins the
+    // latest published version, zero-fills, and reports
+    // Change = Total - prev Total. The dup-window flag is computed within
+    // each week's own snapshot, like the reference re-running its battery
+    // per weekly export. Exercises the real store round-trip: publish
+    // prev -> read latest -> compare -> publish current.
+    QueryDef("q4_weekly_change", Some(s"""
+      WITH cur_flags AS (${qaFlagsSql("orders")}),
+      prev_flags AS (${qaFlagsSql("(SELECT * FROM orders WHERE o_orderkey % 3 <> 0)")}),
+      cur AS (${qaSummarySql("cur_flags")}),
+      prev AS (${qaSummarySql("prev_flags")})
+      SELECT COALESCE(c.error, p.error) AS error,
+             ${qaYears.map(y => s"COALESCE(c.y$y, 0) AS y$y").mkString(",\n             ")},
+             COALESCE(c.Total, 0) AS Total,
+             COALESCE(c.Total, 0) - COALESCE(p.Total, 0) AS Change
+      FROM cur c FULL JOIN prev p ON c.error = p.error"""),
+      (s, dir) => {
+        def summary(df: DataFrame): DataFrame = WeeklyChange.errorSummary(
+          QaRules.applyBattery(df, ordersQaRules), ordersQaRules.map(_.name),
+          year(col("o_orderdate").cast("date")), qaYears)
+        val orders = t(s, dir, "orders")
+        val store = new SnapshotStore(s,
+          java.nio.file.Files.createTempDirectory("graft_qa_sum").toString)
+        store.publish("summary_table",
+          summary(orders.filter(col("o_orderkey") % 3 =!= 0)))
+        WeeklyChange.weeklyChange(store, "summary_table", summary(orders))
       }),
 
     // ------------------------------------------------------------ A7

@@ -1,0 +1,23 @@
+package org.apache.spark.graftshim
+
+import org.apache.spark.SparkContext
+import org.apache.spark.storage.RDDBlockId
+
+/**
+ * Bridge to the private[spark] block-manager surface: lets the bench ask
+ * "are any RDD blocks still stored?" — which covers both Dataset-cache
+ * partitions AND the GC-tracked blocks that `localCheckpoint(eager = true)`
+ * creates. `spark.catalog.clearCache()` only empties the CacheManager; a
+ * checkpoint block lives until its RDD object is garbage-collected and the
+ * ContextCleaner drains its reference queue, so a measurement harness needs
+ * this signal to know when the storage pool is actually empty.
+ */
+object BlockShim {
+  /** Number of RDD blocks currently held by any block manager. Asks the
+   *  storage endpoints directly (not the master's cached view) so a block
+   *  dropped a moment ago doesn't read as still present. */
+  def rddBlockCount(sc: SparkContext): Int =
+    sc.env.blockManager.master
+      .getMatchingBlockIds(_.isInstanceOf[RDDBlockId], askStorageEndpoints = true)
+      .size
+}
