@@ -386,6 +386,139 @@ object QueriesOps2 {
           .select("c_custkey", "QA_NAME_NA", "QA_DOB_NA", "QA_COLLECT_DATE_NA")
       }),
 
+    // ------------------------------------------------------------ Q2+J8
+    // The CROSS-RUN saved_rows state machine (FuzzyMatch.runWithSavedRows,
+    // fuzzy.Rmd:1078-1086), oracled end-to-end: two fuzzy-match runs over
+    // one temp SnapshotStore. Run 1 = odd custkeys vs cases %3=0; run 2 =
+    // even custkeys PLUS resubmissions (%10=1, collection date shifted
+    // +10 days — the keep-new rule must take today's row) vs the grown
+    // target (%3 in (0,1)), with run 1's unmatched rows re-entering from
+    // the published state. The output is every rowid ever submitted with
+    // its FINAL disposition and the run whose judgment stands — per-rowid
+    // conservation is the row count itself. Construction keeps the oracle
+    // exact: names are letter-encoded keys (no digits, so the QA battery
+    // only fires on the %37 null-name arm), DOBs are unique per key (the
+    // exact-DOB post-filter makes candidate sets singletons, so a row
+    // matched in run 1 gains nothing from the grown target), %11 bumps
+    // distance to 2 (manual_review tier), %13 to >=4 (no match -> saved
+    // despite a case existing), %40 drives the ±14-day window flag.
+    QueryDef("q2_saved_rows_rerun", Some("""
+      WITH subs AS (
+        SELECT CAST(c_custkey AS BIGINT) AS rowid,
+               CASE WHEN c_custkey % 37 = 0 THEN NULL
+                    ELSE 'FN' || translate(CAST(c_custkey % 50 AS VARCHAR), '0123456789', 'ABCDEFGHIJ') END AS first_name,
+               'LN' || translate(CAST(c_custkey AS VARCHAR), '0123456789', 'ABCDEFGHIJ') AS last_name,
+               DATE '1970-01-01' + CAST(c_custkey AS INTEGER) AS dob,
+               DATE '2021-01-01' + CAST(c_custkey % 300 AS INTEGER) AS coll0
+        FROM customer),
+      eff AS (
+        SELECT rowid, first_name, last_name, dob,
+               CASE WHEN rowid % 2 = 1 AND rowid % 10 = 1 THEN coll0 + 10 ELSE coll0 END AS coll
+        FROM subs),
+      cases AS (
+        SELECT CAST(c_custkey AS BIGINT) AS case_id,
+               CASE WHEN c_custkey % 11 = 0 THEN 'F' ELSE 'FN' END ||
+                 translate(CAST(c_custkey % 50 AS VARCHAR), '0123456789', 'ABCDEFGHIJ') AS r_first,
+               CASE WHEN c_custkey % 13 = 0 THEN 'ZZZZ' ELSE 'LM' END ||
+                 translate(CAST(c_custkey AS VARCHAR), '0123456789', 'ABCDEFGHIJ') AS r_last,
+               DATE '1970-01-01' + CAST(c_custkey AS INTEGER) AS r_dob,
+               DATE '2021-01-01' + CAST(c_custkey % 300 AS INTEGER)
+                 + CAST(c_custkey % 40 - 20 AS INTEGER) AS wdrs
+        FROM customer WHERE c_custkey % 3 IN (0, 1)),
+      cand AS (
+        SELECT e.rowid, c.case_id,
+               CAST(damerau_levenshtein(e.first_name || '_' || e.last_name,
+                                        c.r_first || '_' || c.r_last) AS INTEGER) AS distance,
+               e.coll, c.wdrs
+        FROM eff e JOIN cases c ON e.dob = c.r_dob
+        WHERE e.first_name IS NOT NULL
+          AND damerau_levenshtein(e.first_name || '_' || e.last_name,
+                                  c.r_first || '_' || c.r_last) <= 3),
+      matched AS (
+        SELECT rowid, case_id, distance,
+               CASE WHEN distance <= 1 THEN 'roster' ELSE 'manual_review' END AS tier,
+               CASE WHEN abs(date_diff('day', wdrs, coll)) <= 14 THEN 0 ELSE 1 END AS qa_collect,
+               coll
+        FROM cand)
+      SELECT e.rowid, 'bad' AS disposition,
+             CASE WHEN e.rowid % 2 = 0 OR e.rowid % 10 = 1 THEN 2 ELSE 1 END AS run,
+             CAST(NULL AS BIGINT) AS case_id, CAST(NULL AS INTEGER) AS distance,
+             CAST(NULL AS VARCHAR) AS tier, CAST(NULL AS INTEGER) AS qa_collect,
+             strftime(e.coll, '%Y-%m-%d') AS coll_date
+      FROM eff e WHERE e.first_name IS NULL
+      UNION ALL
+      SELECT m.rowid, 'matched',
+             CASE WHEN m.rowid % 2 = 1 AND m.rowid % 10 <> 1 AND m.rowid % 3 = 0 THEN 1 ELSE 2 END,
+             m.case_id, m.distance, m.tier, m.qa_collect, strftime(m.coll, '%Y-%m-%d')
+      FROM matched m
+      UNION ALL
+      SELECT e.rowid, 'saved', 2,
+             CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+             CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), strftime(e.coll, '%Y-%m-%d')
+      FROM eff e
+      WHERE e.first_name IS NOT NULL
+        AND e.rowid NOT IN (SELECT rowid FROM matched)"""),
+      (s, dir) => {
+        val digits = "0123456789"; val letters = "ABCDEFGHIJ"
+        val base = t(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("k"))
+        val subsAll = base.select(
+          col("k").as("rowid"),
+          when(col("k") % 37 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("FN"),
+              translate((col("k") % 50).cast("string"), digits, letters)))
+            .as("first_name"),
+          concat(lit("LN"), translate(col("k").cast("string"), digits, letters))
+            .as("last_name"),
+          date_add(to_date(lit("1970-01-01")), col("k").cast("int")).as("dob"),
+          date_add(to_date(lit("2021-01-01")), (col("k") % 300).cast("int"))
+            .as("collection_date"))
+        val batch1 = subsAll.filter(col("rowid") % 2 === 1)
+        val resub = batch1.filter(col("rowid") % 10 === 1)
+          .withColumn("collection_date", date_add(col("collection_date"), 10))
+        val batch2 = subsAll.filter(col("rowid") % 2 === 0).unionByName(resub)
+        def cases(keyFilter: org.apache.spark.sql.Column): DataFrame =
+          base.filter(keyFilter).select(
+            col("k").as("case_id"),
+            concat(when(col("k") % 11 === 0, "F").otherwise("FN"),
+              translate((col("k") % 50).cast("string"), digits, letters))
+              .as("first_name"),
+            concat(when(col("k") % 13 === 0, "ZZZZ").otherwise("LM"),
+              translate(col("k").cast("string"), digits, letters))
+              .as("last_name"),
+            lit(null).cast("string").as("alt_first_name"),
+            lit(null).cast("string").as("alt_last_name"),
+            date_add(to_date(lit("1970-01-01")), col("k").cast("int")).as("dob"),
+            date_add(
+              date_add(to_date(lit("2021-01-01")), (col("k") % 300).cast("int")),
+              (col("k") % 40 - 20).cast("int")).as("wdrs_collection"))
+        val target1 = cases(col("k") % 3 === 0)
+        val target2 = cases(col("k") % 3 === 0 || col("k") % 3 === 1)
+        val store = new graft.sources.SnapshotStore(s,
+          java.nio.file.Files.createTempDirectory("graft_saved_rows").toString)
+        val (bad1, m1, _) =
+          graft.pipelines.FuzzyMatch.runWithSavedRows(batch1, target1, store)
+        val (bad2, m2, un2) =
+          graft.pipelines.FuzzyMatch.runWithSavedRows(batch2, target2, store)
+        val batch2Ids = batch2.select("rowid")
+        def mOut(m: DataFrame, run: Int): DataFrame = m.select(col("rowid"),
+          lit("matched").as("disposition"), lit(run).as("run"), col("case_id"),
+          col("distance"), col("tier"), col("QA_COLLECT_DATE").as("qa_collect"),
+          date_format(col("collection_date"), "yyyy-MM-dd").as("coll_date"))
+        def noMatchOut(d: DataFrame, disposition: String, run: Int): DataFrame =
+          d.select(col("rowid"), lit(disposition).as("disposition"),
+            lit(run).as("run"), lit(null).cast("long").as("case_id"),
+            lit(null).cast("int").as("distance"),
+            lit(null).cast("string").as("tier"),
+            lit(null).cast("int").as("qa_collect"),
+            date_format(col("collection_date"), "yyyy-MM-dd").as("coll_date"))
+        mOut(m2, 2)
+          .unionByName(noMatchOut(bad2, "bad", 2))
+          .unionByName(noMatchOut(un2, "saved", 2))
+          .unionByName(mOut(m1.join(batch2Ids, Seq("rowid"), "left_anti"), 1))
+          .unionByName(noMatchOut(bad1.join(batch2Ids, Seq("rowid"), "left_anti"), "bad", 1))
+      }),
+
     // ---------------------------------------------------------------- U4
     // Column-name-intersection union (Joins.harmonizedUnion(intersectOnly),
     // read_all_data.Rmd's schema harmonization): two feeds sharing only a

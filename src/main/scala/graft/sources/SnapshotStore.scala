@@ -66,6 +66,15 @@ class SnapshotStore(spark: SparkSession, root: String) {
     next
   }
 
+  /** Read a specific on-disk version (day-over-day comparisons read the
+    * published version AND its predecessor). */
+  def readVersion(name: String, v: Long): DataFrame = {
+    val dir = tableDir(name).resolve(s"v=$v")
+    if (!Files.exists(dir))
+      throw new IllegalArgumentException(s"state table $name has no version $v")
+    spark.read.parquet(dir.toString)
+  }
+
   /** All versions on disk (for retention/audit). */
   def versions(name: String): Seq[Long] = {
     val d = tableDir(name)
