@@ -246,6 +246,85 @@ object QueriesText {
       (s, dir) => Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"),
         "embedding", "vec_id", minCosine = 0.9, bands = 4, bitsPerBand = 16)),
 
+    // ------------------------------------------- embeddings: SemDeDup
+    // Semantic dedup (SemDeDup, arXiv:2303.09540) end-to-end: sign-pattern
+    // clusters -> per-cluster centroids -> within-cluster cosine pairs ->
+    // connected components -> keep the lowest-cos-to-centroid member of
+    // each dup group. Oracle replays the whole operator: zipped-unnest
+    // per-dim means, list_dot_product cosines, recursive-CTE closure.
+    // The synthetic embeddings carry no cos>=0.9 pairs at the oracle SFs
+    // (dedup_embedding legitimately returns zero rows there), so the drop
+    // arm is exercised by planting semantic dups: every %97 vector gets a
+    // x2-scaled copy under a shifted id. Cosine is scale-invariant and x2
+    // is exact in IEEE754, so copy and original tie exactly on
+    // cos-to-centroid and the id tie-break must keep the ORIGINAL.
+    QueryDef("emb_semdedup", Some {
+      val clusterKey = (0 until 6).map(j =>
+        s"(CASE WHEN v[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH RECURSIVE cells0 AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      cells1 AS (
+        SELECT id, v FROM cells0
+        UNION ALL
+        SELECT id + 1000000, list_transform(v, x -> x * 2)
+        FROM cells0 WHERE id % 97 = 0),
+      cells AS (
+        SELECT id, v, $clusterKey AS cluster FROM cells1),
+      cent AS (
+        SELECT cluster, i, avg(x) AS m FROM (
+          SELECT cluster, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x
+          FROM cells)
+        GROUP BY cluster, i),
+      centroid AS (
+        SELECT cluster, list(m ORDER BY i) AS c FROM cent GROUP BY cluster),
+      cosc AS (
+        SELECT k.id, k.cluster,
+               round(CASE WHEN list_dot_product(k.v, k.v) > 0
+                           AND list_dot_product(c.c, c.c) > 0
+                     THEN list_dot_product(k.v, c.c) /
+                          (sqrt(list_dot_product(k.v, k.v)) *
+                           sqrt(list_dot_product(c.c, c.c)))
+                     ELSE 0.0 END, 6) AS cos_centroid
+        FROM cells k JOIN centroid c ON k.cluster = c.cluster),
+      mp AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM cells a JOIN cells b ON a.cluster = b.cluster AND a.id < b.id
+        WHERE round(CASE WHEN list_dot_product(a.v, a.v) > 0
+                          AND list_dot_product(b.v, b.v) > 0
+                    THEN list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(b.v, b.v)))
+                    ELSE 0.0 END, 6) >= 0.9),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM mp
+        UNION SELECT id_b, id_a FROM mp),
+      reach AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      rm AS (SELECT src, min(dst) AS m FROM reach GROUP BY src),
+      comp AS (
+        SELECT k.id, k.cluster,
+               least(k.id, coalesce(rm.m, k.id)) AS component
+        FROM cells k LEFT JOIN rm ON k.id = rm.src)
+      SELECT c.id AS vec_id, c.cluster, c.component, s.cos_centroid,
+             CASE WHEN COUNT(*) OVER (PARTITION BY c.component) > 1
+                    AND ROW_NUMBER() OVER (PARTITION BY c.component
+                          ORDER BY s.cos_centroid, c.id) > 1
+                  THEN 'drop' ELSE 'keep' END AS action
+      FROM comp c JOIN cosc s ON c.id = s.id"""
+    },
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val planted = e.filter(col("vec_id") % 97 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        Similarity.semDedup(e.unionByName(planted),
+            "embedding", "vec_id", minCosine = 0.9, signBits = 6)
+          .withColumnRenamed("id", "vec_id")
+      }),
+
     // ------------------------------------------------- similarity: brute
     QueryDef("ann_cosine_topk", Some("""
       WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
@@ -451,6 +530,131 @@ object QueriesText {
         .select(col("doc_id"),
           dupLineFraction(col("t")).as("dup_line_frac"),
           ngramRepetitionRatio(col("t"), 2).as("bigram_rep"))),
+
+    // ----------------------------------------- text: quality gate pipeline
+    // The composed C4/Gopher-style keep-or-drop gate: every doc gets ONE
+    // disposition, the FIRST failing rule in precedence order —
+    // too_short (<10 tokens), non_english (stopword-argmax lang id),
+    // low_alpha (<0.6 alphabetic), repetitive (bigram repetition >0.5),
+    // pii (the scrub pass would change the text; %7 docs carry a
+    // synthesized PII tail so the arm is exercised) — else keep. All
+    // signals are computed from MATERIALIZED attribute columns (tokens,
+    // scores, grams), so the whole gate is one codegen'd projection pass;
+    // at corpus scale it is a pure map stage with zero shuffles.
+    QueryDef("text_quality_gate", Some(s"""
+      WITH src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact bob@example.com or (555) 123-4567'
+                    ELSE text END AS t
+        FROM documents),
+      toks AS (
+        SELECT doc_id, t,
+               list_filter(string_split_regex(lower(t), '\\s+'), x -> len(x) > 0) AS tk
+        FROM src),
+      scored AS (
+        SELECT doc_id, t, tk,
+               len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+               len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','un','los','se','por'))) AS s_es,
+               len(list_filter(tk, x -> x IN ('der','die','das','und','ist','ein','zu','den','von','mit'))) AS s_de,
+               len(list_filter(tk, x -> x IN ('le','la','de','et','un','est','que','pour','dans','des'))) AS s_fr,
+               CASE WHEN len(tk) >= 2
+                    THEN list_transform(range(0, len(tk) - 1),
+                           i -> array_to_string(list_slice(tk,
+                             CAST(i + 1 AS INTEGER), CAST(i + 2 AS INTEGER)), ' '))
+                    ELSE [array_to_string(tk, ' ')] END AS gs
+        FROM toks)
+      SELECT doc_id,
+             CASE
+               WHEN len(tk) < 10 THEN 'too_short'
+               WHEN NOT (greatest(s_en, s_es, s_de, s_fr) > 0
+                         AND s_en = greatest(s_en, s_es, s_de, s_fr)) THEN 'non_english'
+               WHEN (CASE WHEN len(t) > 0
+                          THEN len(regexp_replace(t, '[^A-Za-z]', '', 'g')) / CAST(len(t) AS DOUBLE)
+                          ELSE 0.0 END) < 0.6 THEN 'low_alpha'
+               WHEN (CASE WHEN len(gs) > 0
+                          THEN 1.0 - len(list_distinct(gs)) / CAST(len(gs) AS DOUBLE)
+                          ELSE 0.0 END) > 0.5 THEN 'repetitive'
+               WHEN regexp_replace(regexp_replace(regexp_replace(t,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                      '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+                      '(?:\\+?1[-. ])?(?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g')
+                    <> t THEN 'pii'
+               ELSE 'keep' END AS disposition
+      FROM scored"""),
+      (s, dir) => {
+        val langs = Seq("en", "es", "de", "fr")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0,
+              concat(col("text"),
+                lit(" contact bob@example.com or (555) 123-4567")))
+              .otherwise(col("text")).as("t"))
+          .select(col("doc_id"), col("t"), tokens(col("t")).as("__toks"))
+          .select(Seq(col("doc_id"), col("t"), col("__toks"),
+            wordNgramsFromTokens(col("__toks"), 2).as("__grams")) ++
+            langs.map(l => langScoreFromTokens(col("__toks"), l).as(s"__s_$l")): _*)
+          .select(col("doc_id"),
+            when(size(col("__toks")) < 10, "too_short")
+              .when(langIdFromScores(langs.map(l => l -> col(s"__s_$l"))) =!= "en",
+                "non_english")
+              .when(alphaRatio(col("t")) < 0.6, "low_alpha")
+              .when(when(size(col("__grams")) > 0,
+                  lit(1.0) - size(array_distinct(col("__grams"))).cast("double") /
+                    size(col("__grams"))).otherwise(lit(0.0)) > 0.5, "repetitive")
+              .when(scrubPii(col("t")) =!= col("t"), "pii")
+              .otherwise("keep").as("disposition"))
+      }),
+
+    // ------------------------------------- text: benchmark decontamination
+    // Training-data decontamination by n-gram overlap (the GPT-3 appendix-C
+    // shape): an eval/benchmark set (here doc_id % 101 = 0) is reduced to
+    // its distinct word 5-grams; every training doc is flagged with the
+    // number of distinct 5-grams it shares with the benchmark. Scale
+    // shape: the benchmark gram set is SMALL by construction (eval suites
+    // are thousands of docs, not billions) -> broadcast; the training side
+    // explodes grams and aggregates per doc — one shuffle on doc_id, no
+    // all-pairs anything. The corpus' near-dup cliques make real overlaps:
+    // a training doc that is a near-copy of an eval doc lights up here.
+    QueryDef("text_decontaminate", Some(s"""
+      WITH toks AS (
+        SELECT doc_id, $toksSql AS tk FROM documents),
+      grams AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 5
+                    THEN list_transform(range(0, len(tk) - 4),
+                           i -> array_to_string(list_slice(tk,
+                             CAST(i + 1 AS INTEGER), CAST(i + 5 AS INTEGER)), ' '))
+                    ELSE [array_to_string(tk, ' ')] END AS gs
+        FROM toks),
+      eval_grams AS (
+        SELECT DISTINCT unnest(gs) AS ngram FROM grams WHERE doc_id % 101 = 0),
+      train AS (
+        SELECT doc_id, unnest(gs) AS ngram FROM grams WHERE doc_id % 101 <> 0)
+      SELECT t.doc_id,
+             CAST(COUNT(DISTINCT CASE WHEN e.ngram IS NOT NULL THEN t.ngram END) AS BIGINT) AS n_overlap,
+             CASE WHEN COUNT(DISTINCT CASE WHEN e.ngram IS NOT NULL THEN t.ngram END) > 0
+                  THEN 1 ELSE 0 END AS contaminated
+      FROM train t LEFT JOIN eval_grams e ON t.ngram = e.ngram
+      GROUP BY t.doc_id"""),
+      (s, dir) => {
+        val n = 5
+        val grams = t(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("__toks"))
+          .select(col("doc_id"),
+            wordNgramsFromTokens(col("__toks"), n).as("__grams"))
+        val evalGrams = grams.filter(col("doc_id") % 101 === 0)
+          .select(explode_outer(col("__grams")).as("ngram"))
+          .distinct()
+          .withColumn("__hit", lit(1))
+        grams.filter(col("doc_id") % 101 =!= 0)
+          .select(col("doc_id"), explode_outer(col("__grams")).as("ngram"))
+          .join(broadcast(evalGrams), Seq("ngram"), "left")
+          .groupBy("doc_id")
+          .agg(countDistinct(when(col("__hit") === 1, col("ngram"))).as("n_overlap"),
+            when(countDistinct(when(col("__hit") === 1, col("ngram"))) > 0, 1)
+              .otherwise(0).as("contaminated"))
+      }),
 
     // --------------------------------------------- text: token sharding
     // Token-budget shard assignment for training-data assembly: contiguous

@@ -208,13 +208,20 @@ object TextFunctions {
     charShinglesCanon(canonicalText(text), k)
 
   /** Word n-grams of the token stream. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsFromTokens(tokens(text), n)
+
+  /** Word n-grams from an ALREADY-MATERIALIZED token array column. Hot
+    * paths must pass an attribute here, not an inline `tokens(...)`
+    * expression — the lambda references the array once per element and an
+    * inline expression re-evaluates each time (the HOF-inlining trap).
+    * A document shorter than `n` tokens yields its whole token stream as
+    * one gram (never an empty array). */
+  def wordNgramsFromTokens(ts: Column, n: Int): Column =
     when(size(ts) >= n,
       transform(sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + lit(1), lit(n)))))
       .otherwise(array(concat_ws(" ", ts)))
-  }
 
   // ------------------------------------------------------------ MinHash
   /** MinHash signature — native expression kernel (see [[MinhashSignature]]:

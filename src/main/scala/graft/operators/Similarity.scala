@@ -145,6 +145,66 @@ object Similarity {
    * IDs ONLY, and the cosine verify is redistributed hash-by-pair so a
    * dense cell never serializes into one task.
    */
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): cluster the corpus in embedding space, find
+   * within-cluster pairs above a cosine threshold, connect them into dup
+   * groups, and from each group KEEP the member with the LOWEST cosine to
+   * its cluster centroid (the paper keeps the low-similarity-to-centroid
+   * representative; ties break on id). The paper clusters with k-means;
+   * here the cluster key is the sign pattern of the first `signBits`
+   * dimensions — deterministic (so the DuckDB oracle can replay the whole
+   * operator exactly) with the identical plan shape: one constant-width
+   * cluster assignment pass, centroids via partial-aggregated per-dim
+   * means, broadcast centroid join, skinny within-cluster self-join.
+   *
+   * Scale shape: no all-pairs — pair work is per-cluster (the k-means
+   * analogue of an LSH bucket); the centroid table is #clusters rows and
+   * broadcasts; components run on the dup-pair graph only, which is
+   * duplicate-mass-sized, not corpus-sized.
+   *
+   * @return (id, cluster, component, cos_centroid, action keep|drop)
+   */
+  def semDedup(embeddings: DataFrame, vecCol: String, idCol: String,
+      minCosine: Double = 0.9, signBits: Int = 6): DataFrame = {
+    val cells = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cluster", (0 until signBits).map(j =>
+        when(element_at(col("v"), j + 1) >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _))
+    // per-dim means: the explode is wide but partial aggregation collapses
+    // it to (#clusters x dims) before the exchange
+    val centroids = cells
+      .select(col("cluster"), posexplode_outer(col("v")).as(Seq("i", "x")))
+      .groupBy("cluster", "i").agg(avg(col("x")).as("m"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("cm"))
+      .select(col("cluster"), transform(col("cm"), s => s.getField("m")).as("centroid"))
+    val cosc = cells.join(broadcast(centroids), Seq("cluster"))
+      .select(col("id"), col("cluster"),
+        round(cosine(col("v"), col("centroid")), 6).as("cos_centroid"))
+    // within-cluster candidate pairs, verified by pair-distributed cosine
+    val idPairs = Dedup.bucketPairs(
+      cells.select(col("cluster"), col("id")), Seq("cluster"))
+    val a = cells.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = cells.select(col("id").as("id_b"), col("v").as("v_b"))
+    val dupPairs = idPairs
+      .join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .select("id_a", "id_b")
+    val comp = Dedup.connectedComponents(dupPairs, Some(cells.select("id")))
+    val wComp = Window.partitionBy(col("component"))
+    comp.join(cosc, Seq("id"))
+      .withColumn("__rn", row_number().over(
+        wComp.orderBy(col("cos_centroid"), col("id"))))
+      .withColumn("__n", count(lit(1)).over(wComp))
+      .select(col("id"), col("cluster"), col("component"), col("cos_centroid"),
+        when(col("__n") > 1 && col("__rn") > 1, "drop").otherwise("keep")
+          .as("action"))
+  }
+
   def embeddingNearDupPairs(
       embeddings: DataFrame, vecCol: String, idCol: String,
       minCosine: Double = 0.95, bands: Int = 4, bitsPerBand: Int = 16): DataFrame = {
