@@ -179,6 +179,53 @@ object Streams {
       .start()
 
   /**
+   * Streaming near-dup ingestion — the production cadence of the
+   * incremental minhash index (SURVEY dedup family; the batch twin is
+   * `Dedup.incrementalNearDupPairs` + `buildMinhashIndex`): each
+   * micro-batch of documents is deduplicated against everything ingested
+   * BEFORE it (corpus text never re-read — signatures come off the
+   * index), its near-dup pairs land under `pairsDir/batch=<id>`, and its
+   * own signatures are added to the index under `indexDir/batch=<id>`.
+   *
+   * Idempotency follows the [[rosterSink]] batch-directory contract: both
+   * writes are per-batch-dir overwrites, so a replayed batch rewrites its
+   * two directories instead of duplicating rows. If a crash lands between
+   * the index write and the checkpoint commit, the replayed batch sees its
+   * own rows in the index — self-pairs are filtered inside the operator
+   * and the `.distinct()` here collapses the in-batch pairs that would
+   * otherwise double-emit via the index path.
+   *
+   * The index directory is OWNED by this job (batch=N/band=K layout);
+   * don't mix with `buildMinhashIndex`'s flat band=K layout in one dir.
+   */
+  def dedupIngest(docs: DataFrame, textCol: String, idCol: String,
+      indexDir: String, pairsDir: String, checkpointDir: String,
+      shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val df = batch.toDF()
+        val spark = df.sparkSession
+        val p = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val hasIndex = fs.exists(p) && fs.listStatus(p).nonEmpty
+        val pairs =
+          if (hasIndex)
+            graft.operators.Dedup.incrementalNearDupPairs(df, textCol, idCol,
+              indexDir, shingleK, numHashes, bands, minJaccard)
+          else // first batch: nothing indexed yet, in-batch pairs only
+            graft.operators.Dedup.minhashNearDupPairs(df, textCol, idCol,
+              shingleK, numHashes, bands, minJaccard)
+        pairs.distinct()
+          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        graft.operators.Dedup.buildMinhashIndex(df, textCol, idCol,
+          s"$indexDir/batch=$batchId", shingleK, numHashes, bands)
+      }
+      .start()
+
+  /**
    * Batch-mode semantic twin of [[keepNaRetry]] used for oracle checks
    * (SURVEY §1.6: batch jobs over state tables are the recommended
    * cadence-parity port): given the pending state table and today's match

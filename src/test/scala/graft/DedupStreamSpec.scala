@@ -1,0 +1,44 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming incremental dedup: batch 2 must find its near-dups against
+  * batch 1 WITHOUT re-reading batch 1's text — only the index. */
+class DedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA =
+    "the quick brown fox jumps over the lazy dog while the band plays on"
+  private val docB =
+    "the quick brown fox jumps over the lazy dog while the band plays off"
+  private val docC =
+    "completely different content about sorting algorithms and hash tables"
+
+  test("dedupIngest: cross-batch pairs via the index, per-batch dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dstream").toString
+    val (idx, pairs, ckpt) = (s"$dir/idx", s"$dir/pairs", s"$dir/ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.dedupIngest(mem.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", idx, pairs, ckpt, minJaccard = 0.5)
+    try {
+      // batch 0: near-dup pair inside the batch, one unrelated doc
+      mem.addData((1L, docA), (2L, docB), (5L, docC))
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$pairs/batch=0")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(b0 === Set((1L, 2L)))
+      // batch 1: another near-copy of docA -> pairs vs BOTH indexed docs
+      mem.addData((3L, docA))
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(s"$pairs/batch=1")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(b1 === Set((1L, 3L), (2L, 3L)))
+      // the index holds both batches, band-partitioned under batch dirs
+      val idxDf = spark.read.parquet(idx)
+      assert(idxDf.select("id").distinct().count() === 4)
+      assert(idxDf.columns.toSet === Set("id", "shingles", "key", "batch", "band"))
+    } finally q.stop()
+  }
+}
