@@ -18,7 +18,11 @@ object Bench {
     "dedup_ngram_jaccard", "dedup_embedding", "ann_cosine_topk",
     "ev_sessionize", "qa_battery", "text_token_stats", "text_lang_id",
     "a3_pivot", "j7_snapshot_diff", "mm_frame_sample",
-    "j13_composite_key_join", "q7_keepna_expiry")
+    "j13_composite_key_join", "q7_keepna_expiry",
+    // round-5 additions: decontamination sweep, composed quality gate,
+    // SemDeDup — the LLM-pipeline operators a training-data run executes
+    // corpus-wide, so their steady-state cost belongs in the headline
+    "text_decontaminate", "text_quality_gate", "emb_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

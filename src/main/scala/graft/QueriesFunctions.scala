@@ -267,6 +267,45 @@ object QueriesFunctions {
         WeeklyChange.weeklyChange(store, "summary_table", summary(orders))
       }),
 
+    // ------------------------------------------------------------ F17
+    // Wide Target/Ct instrument slots -> named gene Ct columns
+    // (Sgtf.geneCtColumns, S_Dropout_Records.Rmd:254-264). Slots rotate
+    // the gene panel by key; %13 rows null out Ct1 to pin the
+    // first-MATCHING-slot rule: a matching slot with a null Ct yields
+    // null (R case_when), it does NOT fall through to a later slot.
+    QueryDef("f17_gene_ct_map", Some {
+      val annih = (e: String) =>
+        s"upper(replace(regexp_replace(trim(regexp_replace($e, '[^A-Za-z0-9 ]', '', 'g')), ' [A-Za-z]$$', ''), ' ', ''))"
+      val slotT = (i: Int) =>
+        s"(CASE (o_orderkey + $i) % 4 WHEN 0 THEN 'N gene' WHEN 1 THEN 'ORF1ab' WHEN 2 THEN 'S gene' ELSE 'RNaseP' END)"
+      val slotC = (i: Int) =>
+        s"(CASE WHEN o_orderkey % 13 = 0 AND $i = 1 THEN NULL ELSE ((o_orderkey * 7 + $i * 3) % 150) / 10.0 + 15 END)"
+      def gene(pred: String => String): String =
+        (1 to 4).foldRight("CAST(NULL AS DOUBLE)") { (i, els) =>
+          s"CASE WHEN ${pred(annih(slotT(i)))} THEN ${slotC(i)} ELSE $els END"
+        }
+      s"""
+      SELECT o_orderkey,
+             ${gene(t => s"(strpos($t, 'NGENE') > 0 OR $t = 'N')")} AS NGENE,
+             ${gene(t => s"strpos($t, 'ORF') > 0")} AS ORF1ab,
+             ${gene(t => s"(strpos($t, 'SGENE') > 0 OR $t = 'S')")} AS SGENE
+      FROM orders"""
+    },
+      (s, dir) => {
+        val genes = Seq("N gene", "ORF1ab", "S gene", "RNaseP")
+        val k = col("o_orderkey")
+        val slotted = (1 to 4).foldLeft(t(s, dir, "orders").select(col("o_orderkey"))) {
+          (d, i) =>
+            d.withColumn(s"Target$i",
+                element_at(array(genes.map(lit): _*), ((k + i) % 4).cast("int") + 1))
+              .withColumn(s"Ct$i",
+                when(k % 13 === 0 && lit(i) === 1, lit(null).cast("double"))
+                  .otherwise(((k * 7 + i * 3) % 150) / lit(10.0) + 15))
+        }
+        graft.pipelines.Sgtf.geneCtColumns(slotted)
+          .select("o_orderkey", "NGENE", "ORF1ab", "SGENE")
+      }),
+
     // ------------------------------------------------------------ A7
     QueryDef("qa_report", Some("""
       SELECT CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS qa_status,

@@ -22,6 +22,28 @@ import org.apache.spark.sql.functions._
 object Sgtf {
 
   /**
+   * Wide Target/Ct slot pairs -> named gene Ct columns
+   * (S_Dropout_Records.Rmd:254-264): instruments report up to `slots`
+   * (target-name, Ct-value) column pairs in arbitrary slot order; each
+   * gene's Ct is taken from the FIRST slot whose annihilated target name
+   * matches that gene — including a matching slot whose Ct is null (R's
+   * case_when stops at the first true arm), which is why this is a
+   * when-chain and not a coalesce. The reference's SGENE arm tests
+   * `Target1` in slots 2-4 (a copy-paste slip, S_Dropout_Records.Rmd:
+   * 263-265); this port tests each slot's own target, documented here
+   * rather than transliterated.
+   */
+  def geneCtColumns(df: DataFrame, slots: Int = 4): DataFrame = {
+    def pick(pred: Column => Column): Column =
+      (1 to slots).foldRight(lit(null).cast("double")) { (i, els) =>
+        when(pred(annihilate(col(s"Target$i"))), col(s"Ct$i")).otherwise(els)
+      }
+    df.withColumn("NGENE", pick(t => t.contains("NGENE") || t === "N"))
+      .withColumn("ORF1ab", pick(t => t.contains("ORF")))
+      .withColumn("SGENE", pick(t => t.contains("SGENE") || t === "S"))
+  }
+
+  /**
    * High-watermark recency gate (S_Dropout_Records.Rmd:296-297,373-375):
    * only records uploaded after the previous run participate; everything
    * older was handled by an earlier run. Partition-prunable when the

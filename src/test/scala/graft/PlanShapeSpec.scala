@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** 100 TB-lens plan assertions for the round-5 operators: the quality
+  * gate must be a pure map stage, decontamination must broadcast the
+  * benchmark gram set, SemDeDup must never broadcast the corpus side. */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // force AQE's final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def docs(n: Int): DataFrame =
+    (1 to n).map(i => (i.toLong, s"the quick doc number $i of many more words here"))
+      .toDF("doc_id", "text")
+
+  test("text_quality_gate shape: zero exchanges (pure projection pass)") {
+    val gate = Registry.queries("text_quality_gate")
+    // plan over a local frame written to parquet, matching the real input
+    val dir = java.nio.file.Files.createTempDirectory("graft_ps").toString
+    docs(200).withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val df = gate(spark, dir)
+    df.collect()
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case e: Exchange => 1 + e.children.map(exchanges).sum
+        case other => other.children.map(exchanges).sum
+      }
+      self
+    }
+    assert(exchanges(df.queryExecution.executedPlan) === 0,
+      s"quality gate must not shuffle:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("text_decontaminate shape: benchmark gram set is broadcast") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ps2").toString
+    docs(300).withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val df = Registry.queries("text_decontaminate")(spark, dir)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval gram set must broadcast, not shuffle the corpus:\n$plan")
+  }
+
+  test("semDedup shape: no broadcast of the corpus side, no cartesian") {
+    val vecs = (1 to 200).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    val df = graft.operators.Similarity.semDedup(vecs, "embedding", "vec_id",
+      minCosine = 0.99, signBits = 3)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"semDedup must stay an equi-join pipeline:\n$plan")
+  }
+}
