@@ -434,16 +434,17 @@ object Dedup {
       maxIter: Int = 50): DataFrame = {
     val e = edges.select(col(edges.columns(0)).as("src"),
       col(edges.columns(1)).as("dst"))
-    val base = nodes match {
-      case Some(n) => n.select(col(n.columns(0)).as("id"))
-      case None => e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id")))
-    }
     // symmetric edge list once; reused every round
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = base.distinct()
+    // The iteration runs over EDGE-PARTICIPATING nodes only: in a dedup
+    // graph the duplicate mass is a sliver of the corpus, and a node with
+    // no edge can never change its label — iterating the full node
+    // universe would shuffle corpus-sized label tables O(log d) times for
+    // nothing. Isolated nodes join back as singletons at the end, one
+    // corpus-sized left join total.
+    var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
     var iter = 0
@@ -473,7 +474,15 @@ object Dedup {
       labels = jumped
       iter += 1
     }
-    labels.select(col("id"), col("lbl").as("component"))
+    val connected = labels.select(col("id"), col("lbl").as("component"))
+    nodes match {
+      case None => connected
+      case Some(n) =>
+        // singleton components for nodes that never appeared in an edge
+        n.select(col(n.columns(0)).as("id")).distinct()
+          .join(connected, Seq("id"), "left")
+          .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    }
   }
 
   /** Survivor table from a pair graph: one row per component —
