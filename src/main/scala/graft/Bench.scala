@@ -103,8 +103,13 @@ object Bench {
       // within a small factor of each other. A big spread means the
       // number reported is environment (GC, storage pressure, compilation
       // storms), not the query — flag it loudly so a regression report
-      // can't be mistaken for a plan problem.
-      val spread = times.max / math.max(times.min, 1e-9)
+      // can't be mistaken for a plan problem. Only SUCCESSFUL passes
+      // count: a fast-failing pass is near-zero time and would flag every
+      // partially-failing query as unsteady on top of failed:[].
+      val okTimes = times.zip(errs).collect { case (t, None) => t }
+      val spread =
+        if (okTimes.size < 2) 1.0
+        else okTimes.max / math.max(okTimes.min, 1e-9)
       if (spread > 3.0)
         System.err.println(f"[bench] WARN spread $name max/min=$spread%.1fx — samples not steady-state")
       System.err.println(f"[bench] timed  $name p50=$p50%.2fs (${times.map(t => f"$t%.2f").mkString("/")})")

@@ -261,16 +261,28 @@ object QueriesText {
     QueryDef("emb_semdedup", Some {
       val clusterKey = (0 until 6).map(j =>
         s"(CASE WHEN v[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      val bandWhens = (0 until 4).map { k =>
+        val key = (0 until 16).map { j =>
+          s"CASE WHEN v[${k * 16 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"WHEN $k THEN ($key)"
+      }.mkString("\n               ")
       s"""
       WITH RECURSIVE cells0 AS (
         SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
       cells1 AS (
         SELECT id, v FROM cells0
         UNION ALL
-        SELECT id + 1000000, list_transform(v, x -> x * 2)
+        SELECT id + 1000000000000, list_transform(v, x -> x * 2)
         FROM cells0 WHERE id % 97 = 0),
       cells AS (
         SELECT id, v, $clusterKey AS cluster FROM cells1),
+      banded AS (
+        SELECT id, cluster, r.band,
+               CASE r.band
+               $bandWhens
+               END AS key
+        FROM cells, range(0, 4) r(band)),
       cent AS (
         SELECT cluster, i, avg(x) AS m FROM (
           SELECT cluster, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x
@@ -287,9 +299,16 @@ object QueriesText {
                            sqrt(list_dot_product(c.c, c.c)))
                      ELSE 0.0 END, 6) AS cos_centroid
         FROM cells k JOIN centroid c ON k.cluster = c.cluster),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b
+          ON a.cluster = b.cluster AND a.band = b.band AND a.key = b.key
+        WHERE a.id < b.id),
       mp AS (
-        SELECT a.id AS id_a, b.id AS id_b
-        FROM cells a JOIN cells b ON a.cluster = b.cluster AND a.id < b.id
+        SELECT p.id_a, p.id_b
+        FROM cand p
+        JOIN cells a ON a.id = p.id_a
+        JOIN cells b ON b.id = p.id_b
         WHERE round(CASE WHEN list_dot_product(a.v, a.v) > 0
                           AND list_dot_product(b.v, b.v) > 0
                     THEN list_dot_product(a.v, b.v) /
@@ -318,7 +337,7 @@ object QueriesText {
       (s, dir) => {
         val e = t(s, dir, "embeddings").select("vec_id", "embedding")
         val planted = e.filter(col("vec_id") % 97 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
+          .select((col("vec_id") + 1000000000000L).as("vec_id"),
             transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
         Similarity.semDedup(e.unionByName(planted),
             "embedding", "vec_id", minCosine = 0.9, signBits = 6)
@@ -638,22 +657,11 @@ object QueriesText {
       FROM train t LEFT JOIN eval_grams e ON t.ngram = e.ngram
       GROUP BY t.doc_id"""),
       (s, dir) => {
-        val n = 5
-        val grams = t(s, dir, "documents")
-          .select(col("doc_id"), tokens(col("text")).as("__toks"))
-          .select(col("doc_id"),
-            wordNgramsFromTokens(col("__toks"), n).as("__grams"))
-        val evalGrams = grams.filter(col("doc_id") % 101 === 0)
-          .select(explode_outer(col("__grams")).as("ngram"))
-          .distinct()
-          .withColumn("__hit", lit(1))
-        grams.filter(col("doc_id") % 101 =!= 0)
-          .select(col("doc_id"), explode_outer(col("__grams")).as("ngram"))
-          .join(broadcast(evalGrams), Seq("ngram"), "left")
-          .groupBy("doc_id")
-          .agg(countDistinct(when(col("__hit") === 1, col("ngram"))).as("n_overlap"),
-            when(countDistinct(when(col("__hit") === 1, col("ngram"))) > 0, 1)
-              .otherwise(0).as("contaminated"))
+        val docs = t(s, dir, "documents")
+        graft.operators.Decontaminate.ngramOverlap(
+          docs.filter(col("doc_id") % 101 =!= 0),
+          docs.filter(col("doc_id") % 101 === 0),
+          "text", "doc_id", n = 5)
       }),
 
     // --------------------------------------------- text: token sharding

@@ -92,6 +92,35 @@ object ScaleSmoke {
     val cOk = if (nComp <= n / copies && broken == 0) "ok" else "BAD"
     println(f"[scale-smoke] components       comps=$nComp (<=${n / copies}, partial-cliques=$broken, $cOk) ${dt1}%.1fs")
 
+    // SemDeDup under duplication: every exact-copy clique collapses to one
+    // kept member, so drops >= vecs - (distinct originals). Near-dup
+    // merges only shrink component count further, which raises drops.
+    val t2 = System.nanoTime()
+    val sd = Similarity.semDedup(ebig, "embedding", "vec_id",
+      minCosine = 0.9, signBits = 6)
+    val drops = sd.filter(col("action") === "drop").count()
+    val minDrops = en - en / copies
+    val dt2 = (System.nanoTime() - t2) / 1e9
+    val sdOk = if (drops >= minDrops) "ok" else "LOW"
+    println(f"[scale-smoke] semdedup         vecs=$en drops=$drops (>=$minDrops expected, $sdOk) ${dt2}%.1fs")
+
+    // Decontamination under duplication: every training doc sharing its
+    // EXACT text with an eval doc must flag contaminated — an independent
+    // lower bound computed by exact text join. Same operator as the
+    // registry query (Decontaminate.ngramOverlap), not a re-derivation.
+    val t3 = System.nanoTime()
+    val evalSide = big.filter(col("doc_id") % 101 === 0)
+    val train = big.filter(col("doc_id") % 101 =!= 0)
+    val contaminated = graft.operators.Decontaminate
+      .ngramOverlap(train, evalSide, "text", "doc_id", n = 5)
+      .filter(col("contaminated") === 1).count()
+    val lowerBound = train.select("doc_id", "text")
+      .join(evalSide.select("text").distinct(), Seq("text"), "left_semi")
+      .count()
+    val dt3 = (System.nanoTime() - t3) / 1e9
+    val dcOk = if (contaminated >= lowerBound && lowerBound > 0) "ok" else "LOW"
+    println(f"[scale-smoke] decontaminate    train-flagged=$contaminated (>=$lowerBound exact-copy bound, $dcOk) ${dt3}%.1fs")
+
     spark.stop()
   }
 }

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.functions.TextFunctions.{tokens, wordNgramsFromTokens}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data decontamination by word n-gram overlap (the GPT-3
+ * appendix-C shape): the eval/benchmark corpus is reduced to its distinct
+ * word n-grams, and every training document is scored with the number of
+ * distinct n-grams it shares. Scale shape: benchmark suites are thousands
+ * of documents, not billions, so the gram set BROADCASTS; the training
+ * side is one generate-explode + broadcast join + per-doc aggregation —
+ * a single shuffle keyed by document id. Tokens are materialized as an
+ * attribute before the n-gram lambda (HOF-inlining trap).
+ */
+object Decontaminate {
+
+  /**
+   * @return one row per training doc: (idCol, n_overlap = distinct shared
+   *         n-grams, contaminated = 1 when n_overlap > 0)
+   */
+  def ngramOverlap(train: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), wordNgramsFromTokens(col("__toks"), n).as("__grams"))
+    val evalGrams = grams(evalDocs)
+      .select(explode_outer(col("__grams")).as("ngram"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    grams(train)
+      .select(col(idCol), explode_outer(col("__grams")).as("ngram"))
+      .join(broadcast(evalGrams), Seq("ngram"), "left")
+      .groupBy(idCol)
+      .agg(countDistinct(when(col("__hit") === 1, col("ngram"))).as("n_overlap"),
+        when(countDistinct(when(col("__hit") === 1, col("ngram"))) > 0, 1)
+          .otherwise(0).as("contaminated"))
+  }
+}

@@ -432,8 +432,24 @@ object Dedup {
    */
   def connectedComponents(edges: DataFrame, nodes: Option[DataFrame] = None,
       maxIter: Int = 50): DataFrame = {
-    val e = edges.select(col(edges.columns(0)).as("src"),
+    val e0 = edges.select(col(edges.columns(0)).as("src"),
       col(edges.columns(1)).as("dst"))
+    // when a node universe is given, propagation is CONFINED to it: an
+    // edge endpoint outside the universe must neither become a component
+    // label nor bridge two in-universe nodes (callers pass supersets in
+    // practice, but the contract is "components of the induced subgraph")
+    val e = nodes match {
+      case None => e0
+      case Some(n0) =>
+        val n = n0.select(col(n0.columns(0)).as("id")).distinct()
+        e0.join(n.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(n.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          // USING-joins move the join column FIRST, so after the dst
+          // semi-join the frame is (dst, src) — and the symmetric union
+          // below is POSITIONAL. Restore the order explicitly or the
+          // reversal becomes a values-level no-op.
+          .select(col("src"), col("dst"))
+    }
     // symmetric edge list once; reused every round
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -582,5 +598,65 @@ object Dedup {
     // scope the persisted batch signatures to this call: a daily driver
     // looping over batches must not accumulate one cached table per day
     materializeAndRelease(cand.union(inBatch), batch)
+  }
+
+  /**
+   * One ingestion micro-batch, signature work done ONCE: compute the
+   * batch's banded signatures a single time, write them to
+   * `indexBatchDir` (the batch's own index partition — overwrite, so a
+   * replayed batch is idempotent), and return the batch's near-dup pairs
+   * — against the existing index when `indexPath` is given, plus within
+   * the batch itself. This is the streaming-cadence entry point
+   * ([[graft.streaming.Streams.dedupIngest]]); calling the one-shot
+   * operators per batch would run the CPU-heavy canon+shingle+minhash
+   * chain twice per document (once for pairs, once for the index append),
+   * violating the index contract that signatures are computed once ever.
+   */
+  def ingestBatch(newDocs: DataFrame, textCol: String, idCol: String,
+      indexPath: Option[String], indexBatchDir: String, shingleK: Int = 5,
+      numHashes: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.8): DataFrame = {
+    val spark = newDocs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val batch = minhashBanded(newDocs, textCol, idCol, shingleK, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inBatch = {
+      val idPairs = bucketPairs(batch.select(col("band"), col("key"), col("id")),
+        Seq("band", "key"))
+      val sa = batch.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+        .dropDuplicates("id_a")
+      val sb = batch.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+        .dropDuplicates("id_b")
+      idPairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
+    }
+    val pairs = indexPath match {
+      case None => inBatch
+      case Some(p) =>
+        val index = spark.read.parquet(p)
+        val cand = batch.select(col("band"), col("key"),
+            col("id").as("id_n"), col("shingles").as("sh_n"))
+          .join(index.select(col("band"), col("key"),
+            col("id").as("id_c"), col("shingles").as("sh_c")), Seq("band", "key"))
+          .filter(col("id_n") =!= col("id_c"))
+          .select(col("id_n"), col("id_c"), col("sh_n"), col("sh_c"))
+          .dropDuplicates("id_n", "id_c")
+          .repartition(par, col("id_n"))
+          .select(
+            least(col("id_n"), col("id_c")).as("id_a"),
+            greatest(col("id_n"), col("id_c")).as("id_b"),
+            jaccard(col("sh_n"), col("sh_c")).as("jaccard"))
+          .filter(col("jaccard") >= minJaccard)
+        cand.union(inBatch)
+    }
+    // materialize the pairs FIRST (reads the index before this batch's
+    // own rows join it), then write the index partition from the cached
+    // signatures — both actions reuse the one persisted signature table
+    val out = pairs.distinct().localCheckpoint(true)
+    batch.write.mode("overwrite").partitionBy("band").parquet(indexBatchDir)
+    batch.unpersist(false)
+    out
   }
 }

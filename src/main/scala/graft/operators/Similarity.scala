@@ -156,12 +156,15 @@ object Similarity {
    * dimensions — deterministic (so the DuckDB oracle can replay the whole
    * operator exactly) with the identical plan shape: one constant-width
    * cluster assignment pass, centroids via partial-aggregated per-dim
-   * means, broadcast centroid join, skinny within-cluster self-join.
+   * means, broadcast centroid join.
    *
-   * Scale shape: no all-pairs — pair work is per-cluster (the k-means
-   * analogue of an LSH bucket); the centroid table is #clusters rows and
-   * broadcasts; components run on the dup-pair graph only, which is
-   * duplicate-mass-sized, not corpus-sized.
+   * Scale shape: no all-pairs ANYWHERE — candidate pairs come from the
+   * sign-band LSH with the cluster folded into the bucket key, never a
+   * full within-cluster self-join (clusters are corpus FRACTIONS, and a
+   * sign-biased embedding family can drop most of a corpus into a few
+   * sign patterns — pairwise-in-cluster would be quadratic). The
+   * centroid table is #clusters rows and broadcasts; components run on
+   * the dup-pair graph only, which is duplicate-mass-sized.
    *
    * @return (id, cluster, component, cos_centroid, action keep|drop)
    */
@@ -170,7 +173,8 @@ object Similarity {
     val cells = embeddings
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cluster", (0 until signBits).map(j =>
-        when(element_at(col("v"), j + 1) >= 0, lit(1L << j)).otherwise(lit(0L)))
+        when(try_element_at(col("v"), lit(j + 1)) >= 0, lit(1L << j))
+          .otherwise(lit(0L)))
         .reduce(_ + _))
     // per-dim means: the explode is wide but partial aggregation collapses
     // it to (#clusters x dims) before the exchange
@@ -183,9 +187,27 @@ object Similarity {
     val cosc = cells.join(broadcast(centroids), Seq("cluster"))
       .select(col("id"), col("cluster"),
         round(cosine(col("v"), col("centroid")), 6).as("cos_centroid"))
-    // within-cluster candidate pairs, verified by pair-distributed cosine
-    val idPairs = Dedup.bucketPairs(
-      cells.select(col("cluster"), col("id")), Seq("cluster"))
+    // Within-cluster candidate pairs via the SIGN-BAND LSH (the
+    // embeddingNearDupPairs machinery) with the cluster in the bucket
+    // key — NOT a full within-cluster self-join: clusters are corpus
+    // fractions (sign-biased embedding families can drop most of a
+    // corpus into a handful of sign patterns), so pairwise-in-cluster
+    // would be quadratic. Band collisions keep candidate counts at
+    // near-dup mass; exact copies agree on every band, so recall on
+    // true semantic dups is unaffected.
+    // try_element_at: dims past the vector length contribute 0 to the
+    // band key (ANSI element_at throws; DuckDB's v[i] OOB yields NULL and
+    // the oracle's CASE treats it as 0 — this matches that exactly), so
+    // shorter embeddings than bands*bitsPerBand dims are fine.
+    val bands = 4; val bitsPerBand = 16
+    val banded = cells.select(col("cluster"), col("id"), posexplode_outer(
+      array((0 until bands).map { k =>
+        (0 until bitsPerBand).map { j =>
+          when(try_element_at(col("v"), lit(k * bitsPerBand + j + 1)) >= 0,
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*)).as(Seq("band", "key")))
+    val idPairs = Dedup.bucketPairs(banded, Seq("cluster", "band", "key"))
     val a = cells.select(col("id").as("id_a"), col("v").as("v_a"))
     val b = cells.select(col("id").as("id_b"), col("v").as("v_b"))
     val dupPairs = idPairs

@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
  */
 object LabMonitoring {
 
-  /** One landing-zone file: full path, parent dir, modification date,
-    * tree label ("Submitted" / "Completed"). `_RUNNING` temp files are
-    * excluded, like the reference's `!str_detect(files, "_RUNNING.*")`. */
+  /** One landing-zone file: full path, parent dir, modification TIMESTAMP
+    * (an absolute instant — the day boundary is applied later in the
+    * SESSION timezone, so the lag never shifts with the driver JVM's
+    * default zone), tree label ("Submitted" / "Completed"). `_RUNNING`
+    * temp files are excluded, like the reference's
+    * `!str_detect(files, "_RUNNING.*")`. */
   def scanLandingZone(spark: SparkSession, roots: Seq[(String, String)],
       extensions: Seq[String] = Seq(".xlsx", ".csv", ".xls")): DataFrame = {
     import spark.implicits._
@@ -36,14 +39,14 @@ object LabMonitoring {
       else {
         val it = fs.listFiles(p, true)
         val buf = scala.collection.mutable.ArrayBuffer
-          .empty[(String, String, java.sql.Date, String)]
+          .empty[(String, String, java.sql.Timestamp, String)]
         while (it.hasNext) {
           val st = it.next()
           val name = st.getPath.getName
           if (extensions.exists(name.toLowerCase.endsWith) &&
               !name.contains("_RUNNING")) {
             buf += ((st.getPath.toString, st.getPath.getParent.toString,
-              new java.sql.Date(st.getModificationTime), label))
+              new java.sql.Timestamp(st.getModificationTime), label))
           }
         }
         buf.toSeq
@@ -63,7 +66,9 @@ object LabMonitoring {
           .orderBy(col("mtime").desc, col("path"))))
       .filter(col("__rn") === 1)
       .drop("__rn")
-      .withColumn("datediff", datediff(asOf, col("mtime")))
+      // cast-to-date happens HERE, in the session timezone — consistent
+      // with an asOf of current_date()
+      .withColumn("datediff", datediff(asOf, col("mtime").cast("date")))
 
   /** Folder -> lab mapping: first matching pattern wins, no match => ""
     * (the reference's grepl case_when chain — a vocab-standardization

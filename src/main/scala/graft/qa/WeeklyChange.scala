@@ -75,14 +75,19 @@ object WeeklyChange {
    */
   def weeklyChange(store: SnapshotStore, table: String,
       current: DataFrame): DataFrame = {
+    // resolve the PREVIOUS version's path before publishing flips _CURRENT
+    // (readOrEmpty pins the version dir eagerly)
     val prev = store.readOrEmpty(table,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("error",
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("Total",
           org.apache.spark.sql.types.LongType))))
-    val out = change(current, prev.select("error", "Total"))
     store.publish(table, current)
-    out
+    // build the comparison from the PUBLISHED parquet, not the live plan:
+    // the corpus-wide summary aggregation already ran for the publish, and
+    // a caller materializing the returned frame must re-read a version
+    // dir, not replay the aggregation a third time
+    change(store.read(table), prev.select("error", "Total"))
   }
 }

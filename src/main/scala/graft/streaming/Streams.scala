@@ -191,9 +191,10 @@ object Streams {
    * writes are per-batch-dir overwrites, so a replayed batch rewrites its
    * two directories instead of duplicating rows. If a crash lands between
    * the index write and the checkpoint commit, the replayed batch sees its
-   * own rows in the index — self-pairs are filtered inside the operator
-   * and the `.distinct()` here collapses the in-batch pairs that would
-   * otherwise double-emit via the index path.
+   * own rows in the index — self-pairs are filtered inside
+   * [[graft.operators.Dedup.ingestBatch]] and its pair `distinct()`
+   * collapses in-batch pairs that would otherwise double-emit via the
+   * index path.
    *
    * The index directory is OWNED by this job (batch=N/band=K layout);
    * don't mix with `buildMinhashIndex`'s flat band=K layout in one dir.
@@ -211,17 +212,12 @@ object Streams {
         val p = new org.apache.hadoop.fs.Path(indexDir)
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
         val hasIndex = fs.exists(p) && fs.listStatus(p).nonEmpty
-        val pairs =
-          if (hasIndex)
-            graft.operators.Dedup.incrementalNearDupPairs(df, textCol, idCol,
-              indexDir, shingleK, numHashes, bands, minJaccard)
-          else // first batch: nothing indexed yet, in-batch pairs only
-            graft.operators.Dedup.minhashNearDupPairs(df, textCol, idCol,
-              shingleK, numHashes, bands, minJaccard)
-        pairs.distinct()
-          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-        graft.operators.Dedup.buildMinhashIndex(df, textCol, idCol,
-          s"$indexDir/batch=$batchId", shingleK, numHashes, bands)
+        // one signature pass per batch: pairs + index write share the
+        // cached banded table (Dedup.ingestBatch)
+        val pairs = graft.operators.Dedup.ingestBatch(df, textCol, idCol,
+          if (hasIndex) Some(indexDir) else None, s"$indexDir/batch=$batchId",
+          shingleK, numHashes, bands, minJaccard)
+        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
       }
       .start()
 
