@@ -519,6 +519,85 @@ object QueriesOps2 {
           .unionByName(noMatchOut(bad1.join(batch2Ids, Seq("rowid"), "left_anti"), "bad", 1))
       }),
 
+    // ---------------------------------------------------------------- Q9b
+    // Per-lab missing-SEQUENCE_REASON rollup (missing_sequence_reason.Rmd:
+    // 106-116): one row per lab that HAS missing reasons, carrying the
+    // missing count, lab total, and missing fraction. Reason nulls are
+    // keyed off order arithmetic; lab = priority class.
+    QueryDef("q9_missing_reason_pct", Some("""
+      WITH src AS (
+        SELECT o_orderpriority AS lab,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE 'SENTINEL SURVEILLANCE' END AS reason
+        FROM orders),
+      g AS (
+        SELECT lab,
+               CAST(SUM(CASE WHEN reason IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS is_missing,
+               CAST(COUNT(*) AS BIGINT) AS lab_total
+        FROM src GROUP BY lab)
+      SELECT lab, is_missing, lab_total,
+             round(is_missing / CAST(lab_total AS DOUBLE), 6) AS percent_missing
+      FROM g WHERE is_missing > 0"""),
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderpriority").as("lab"),
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(lit("SENTINEL SURVEILLANCE")).as("reason"))
+        .groupBy("lab")
+        .agg(sum(when(col("reason").isNull, 1).otherwise(0)).as("is_missing"),
+          count(lit(1)).as("lab_total"))
+        .filter(col("is_missing") > 0)
+        .select(col("lab"), col("is_missing"), col("lab_total"),
+          round(col("is_missing").cast("double") / col("lab_total"), 6)
+            .as("percent_missing"))),
+
+    // ---------------------------------------------------------------- Q9c
+    // Silently-filtered observation audit (check_for_filtered_observations
+    // .Rmd:370-392): submitted rows not in the clean roster nor ANY manual
+    // review bucket (chained anti-joins), split into the SA arm (accession
+    // present, not in WDRS flat) and the SA-null arm (checked against the
+    // clinical accession instead). Every row the pipeline dropped must be
+    // explainable — these are the unexplained ones.
+    QueryDef("q9_filtered_obs", Some("""
+      WITH sub AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                    ELSE 'SA' || CAST(o_orderkey AS VARCHAR) END AS sa,
+               'SCA' || CAST(o_orderkey AS VARCHAR) AS sca
+        FROM orders),
+      leftover AS (
+        SELECT DISTINCT * FROM sub
+        WHERE k % 2 <> 0 AND k % 3 <> 0 AND k % 5 <> 0 AND k % 7 <> 0),
+      arm_sa AS (
+        SELECT k, sa, sca, 'no_wdrs_sa' AS arm FROM leftover
+        WHERE sa IS NOT NULL AND k % 13 <> 0),
+      arm_sca AS (
+        SELECT k, sa, sca, 'no_wdrs_sca' AS arm FROM leftover
+        WHERE sa IS NULL AND k % 17 <> 0)
+      SELECT * FROM arm_sa UNION ALL SELECT * FROM arm_sca"""),
+      (s, dir) => {
+        val sub = t(s, dir, "orders").select(
+          col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("SA"), col("o_orderkey").cast("string"))).as("sa"),
+          concat(lit("SCA"), col("o_orderkey").cast("string")).as("sca"))
+        // rostered + three manual-review buckets, as key frames
+        def bucket(m: Int) = sub.filter(col("k") % m === 0).select("k")
+        val leftover = Seq(2, 3, 5, 7).map(bucket)
+          .foldLeft(sub)((d, b) => d.join(b, Seq("k"), "left_anti"))
+          .distinct()
+        // WDRS membership sets (anti-join, not isin: the value sets are
+        // table-sized at scale, never a literal list)
+        val wdrsSa = sub.filter(col("k") % 13 === 0)
+          .select(col("sa")).filter(col("sa").isNotNull)
+        val wdrsSca = sub.filter(col("k") % 17 === 0).select(col("sca"))
+        val armSa = leftover.filter(col("sa").isNotNull)
+          .join(wdrsSa, Seq("sa"), "left_anti")
+          .select(col("k"), col("sa"), col("sca"), lit("no_wdrs_sa").as("arm"))
+        val armSca = leftover.filter(col("sa").isNull)
+          .join(wdrsSca, Seq("sca"), "left_anti")
+          .select(col("k"), col("sa"), col("sca"), lit("no_wdrs_sca").as("arm"))
+        armSa.unionByName(armSca)
+      }),
+
     // ---------------------------------------------------------------- U4
     // Column-name-intersection union (Joins.harmonizedUnion(intersectOnly),
     // read_all_data.Rmd's schema harmonization): two feeds sharing only a
