@@ -222,6 +222,47 @@ object Streams {
       .start()
 
   /**
+   * The full streaming ingestion pipeline: quality-gate each micro-batch
+   * (a caller-supplied transform adding a `disposition` column — the
+   * composed first-failing-rule gate of `text_quality_gate` is the
+   * canonical one), write the rejects with their reasons, and feed only
+   * the keepers into the incremental near-dup index
+   * ([[graft.operators.Dedup.ingestBatch]] — one signature pass, pairs +
+   * index write off one cached table). The gate runs ONCE per batch: the
+   * judged frame is persisted for its two consumers and released before
+   * the batch returns, the same cache-lifecycle discipline as the batch
+   * operators. All three writes are per-batch-dir overwrites (replay
+   * rewrites, never duplicates).
+   */
+  def qualityGatedDedupIngest(docs: DataFrame,
+      gate: DataFrame => DataFrame, textCol: String, idCol: String,
+      indexDir: String, pairsDir: String, rejectsDir: String,
+      checkpointDir: String, shingleK: Int = 5, numHashes: Int = 16,
+      bands: Int = 4, minJaccard: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val judged = gate(batch.toDF())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          judged.filter(col("disposition") =!= "keep")
+            .write.mode("overwrite").parquet(s"$rejectsDir/batch=$batchId")
+          val kept = judged.filter(col("disposition") === "keep")
+            .drop("disposition")
+          val p = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          val hasIndex = fs.exists(p) && fs.listStatus(p).nonEmpty
+          graft.operators.Dedup.ingestBatch(kept, textCol, idCol,
+              if (hasIndex) Some(indexDir) else None,
+              s"$indexDir/batch=$batchId", shingleK, numHashes, bands, minJaccard)
+            .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        } finally judged.unpersist(false)
+      }
+      .start()
+
+  /**
    * Batch-mode semantic twin of [[keepNaRetry]] used for oracle checks
    * (SURVEY §1.6: batch jobs over state tables are the recommended
    * cadence-parity port): given the pending state table and today's match

@@ -41,4 +41,32 @@ class DedupStreamSpec extends SparkSpec {
       assert(idxDf.columns.toSet === Set("id", "shingles", "key", "batch", "band"))
     } finally q.stop()
   }
+
+  test("qualityGatedDedupIngest: rejects diverted, keepers dedup via index") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_qstream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // minimal gate: docs under 5 tokens are 'too_short', else keep
+    def gate(df: org.apache.spark.sql.DataFrame) = df.withColumn("disposition",
+      when(size(split(col("text"), "\\s+")) < 5, "too_short").otherwise("keep"))
+    val q = Streams.qualityGatedDedupIngest(mem.toDF().toDF("doc_id", "text"),
+      gate, "text", "doc_id", s"$dir/idx", s"$dir/pairs", s"$dir/rejects",
+      s"$dir/ckpt", minJaccard = 0.5)
+    try {
+      mem.addData((1L, docA), (2L, "too short"), (5L, docC))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/rejects/batch=0")
+        .select("doc_id").as[Long].collect().toSeq === Seq(2L))
+      // rejected docs never enter the index
+      assert(spark.read.parquet(s"$dir/idx")
+        .select("id").distinct().as[Long].collect().toSet === Set(1L, 5L))
+      // a later near-copy of docA pairs against the indexed keeper
+      mem.addData((3L, docB))
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(s"$dir/pairs/batch=1")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(b1 === Set((1L, 3L)))
+    } finally q.stop()
+  }
 }
