@@ -664,6 +664,56 @@ object QueriesText {
           "text", "doc_id", n = 5)
       }),
 
+    // --------------------------------------- text: corpus n-gram top-k
+    // Exact heavy-hitter bigrams corpus-wide — the frequency table behind
+    // n-gram-based filters and stopword induction. Total order (count
+    // desc, gram asc) so the limit is deterministic; the plan is partial
+    // hash agg -> one shuffle on the gram -> TakeOrderedAndProject (a
+    // 20-row total order, never a full sort of the gram table).
+    QueryDef("text_top_ngrams", Some(s"""
+      WITH toks AS (
+        SELECT doc_id, $toksSql AS tk FROM documents),
+      grams AS (
+        SELECT CASE WHEN len(tk) >= 2
+                    THEN list_transform(range(0, len(tk) - 1),
+                           i -> array_to_string(list_slice(tk,
+                             CAST(i + 1 AS INTEGER), CAST(i + 2 AS INTEGER)), ' '))
+                    ELSE [array_to_string(tk, ' ')] END AS gs
+        FROM toks),
+      flat AS (SELECT unnest(gs) AS ngram FROM grams)
+      SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM flat GROUP BY ngram
+      ORDER BY n DESC, ngram LIMIT 20"""),
+      (s, dir) => t(s, dir, "documents")
+        .select(tokens(col("text")).as("__toks"))
+        .select(explode_outer(wordNgramsFromTokens(col("__toks"), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)),
+
+    // --------------------------------- text: per-source length quantiles
+    // Token-count percentiles per source — the length profile a curation
+    // run reads before choosing truncation/shard budgets. Exact
+    // percentile (both engines linear-interpolate on the sorted values),
+    // exploded to (source, p, value) rows.
+    QueryDef("text_token_percentiles", Some(s"""
+      WITH t AS (
+        SELECT source, CAST(len($toksSql) AS INTEGER) AS n_tokens FROM documents),
+      g AS (
+        SELECT source, quantile_cont(n_tokens, [0.5, 0.9, 0.99]) AS q
+        FROM t GROUP BY source)
+      SELECT source, unnest([0.5, 0.9, 0.99]) AS p,
+             round(unnest(q), 6) AS value
+      FROM g"""),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"), size(tokens(col("text"))).as("n_tokens"))
+        .groupBy("source")
+        .agg(expr("percentile(n_tokens, array(0.5D, 0.9D, 0.99D))").as("q"))
+        .select(col("source"), posexplode(col("q")).as(Seq("i", "v")))
+        .select(col("source"),
+          element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("i") + 1).as("p"),
+          round(col("v"), 6).as("value"))),
+
     // --------------------------------------------- text: token sharding
     // Token-budget shard assignment for training-data assembly: contiguous
     // ~4096-token shards in doc_id order. The oracle is the single-task
