@@ -96,17 +96,23 @@ object Bench {
         isolate()
         (t, err)
       }.unzip
-      val p50 = times.sorted.apply(timedPasses / 2)
       val failed = errs.flatten.headOption
       failed.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
+      // Only SUCCESSFUL passes produce numbers: a fast-failing pass is
+      // near-zero time — including it would deflate the reported p50 and
+      // total into a phantom speedup, and would flag every
+      // partially-failing query as unsteady on top of failed:[]. (A
+      // query with zero successful passes keeps the raw p50; its failed
+      // status exits the run nonzero anyway.)
+      val okTimes = times.zip(errs).collect { case (t, None) => t }
+      val p50 =
+        if (okTimes.nonEmpty) okTimes.sorted.apply(okTimes.size / 2)
+        else times.sorted.apply(timedPasses / 2)
       // Reproducibility guard: a steady-state measurement has samples
       // within a small factor of each other. A big spread means the
       // number reported is environment (GC, storage pressure, compilation
       // storms), not the query — flag it loudly so a regression report
-      // can't be mistaken for a plan problem. Only SUCCESSFUL passes
-      // count: a fast-failing pass is near-zero time and would flag every
-      // partially-failing query as unsteady on top of failed:[].
-      val okTimes = times.zip(errs).collect { case (t, None) => t }
+      // can't be mistaken for a plan problem.
       val spread =
         if (okTimes.size < 2) 1.0
         else okTimes.max / math.max(okTimes.min, 1e-9)

@@ -438,10 +438,15 @@ object Dedup {
     // edge endpoint outside the universe must neither become a component
     // label nor bridge two in-universe nodes (callers pass supersets in
     // practice, but the contract is "components of the induced subgraph")
-    val e = nodes match {
+    // The distinct node universe is consumed twice (edge confinement +
+    // the singleton join-back at the end) — materialize it ONCE, scoped
+    // to this call like every other intermediate, instead of running the
+    // corpus-sized scan+distinct per consumer.
+    val nOpt = nodes.map(n0 =>
+      n0.select(col(n0.columns(0)).as("id")).distinct().localCheckpoint(true))
+    val e = nOpt match {
       case None => e0
-      case Some(n0) =>
-        val n = n0.select(col(n0.columns(0)).as("id")).distinct()
+      case Some(n) =>
         e0.join(n.select(col("id").as("src")), Seq("src"), "left_semi")
           .join(n.select(col("id").as("dst")), Seq("dst"), "left_semi")
           // USING-joins move the join column FIRST, so after the dst
@@ -491,12 +496,11 @@ object Dedup {
       iter += 1
     }
     val connected = labels.select(col("id"), col("lbl").as("component"))
-    nodes match {
+    nOpt match {
       case None => connected
       case Some(n) =>
         // singleton components for nodes that never appeared in an edge
-        n.select(col(n.columns(0)).as("id")).distinct()
-          .join(connected, Seq("id"), "left")
+        n.join(connected, Seq("id"), "left")
           .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     }
   }
@@ -559,17 +563,27 @@ object Dedup {
    * shingle sets stored in the index. Returns (id_a, id_b, jaccard) with
    * the smaller id first, batch-internal pairs included.
    */
-  def incrementalNearDupPairs(newDocs: DataFrame, textCol: String,
-      idCol: String, indexPath: String, shingleK: Int = 5,
-      numHashes: Int = 16, bands: Int = 4,
-      minJaccard: Double = 0.8): DataFrame = {
-    val spark = newDocs.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val batch = minhashBanded(newDocs, textCol, idCol, shingleK, numHashes, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val index = spark.read.parquet(indexPath)
-    // batch-vs-corpus candidates: collide on any band key
-    val cand = batch.select(col("band"), col("key"),
+  /** Batch-internal pairs over a banded signature table: bucket self-join
+    * + pair-distributed Jaccard verify (shared by the one-shot-per-batch
+    * and streaming ingestion paths). */
+  private def inBatchPairs(batch: DataFrame, minJaccard: Double): DataFrame = {
+    val idPairs = bucketPairs(batch.select(col("band"), col("key"), col("id")),
+      Seq("band", "key"))
+    val sa = batch.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+      .dropDuplicates("id_a")
+    val sb = batch.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+      .dropDuplicates("id_b")
+    idPairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Batch-vs-corpus candidates: collide the batch's band keys with the
+    * index rows, canonical id order, pair-distributed verify. */
+  private def indexCandPairs(batch: DataFrame, index: DataFrame, par: Int,
+      minJaccard: Double): DataFrame =
+    batch.select(col("band"), col("key"),
         col("id").as("id_n"), col("shingles").as("sh_n"))
       .join(index.select(col("band"), col("key"),
         col("id").as("id_c"), col("shingles").as("sh_c")), Seq("band", "key"))
@@ -582,19 +596,18 @@ object Dedup {
         greatest(col("id_n"), col("id_c")).as("id_b"),
         jaccard(col("sh_n"), col("sh_c")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-    // batch-internal pairs: the regular in-memory path over the batch rows
-    val inBatch = {
-      val idPairs = bucketPairs(batch.select(col("band"), col("key"), col("id")),
-        Seq("band", "key"))
-      val sa = batch.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-        .dropDuplicates("id_a")
-      val sb = batch.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-        .dropDuplicates("id_b")
-      idPairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-        .filter(col("jaccard") >= minJaccard)
-    }
+
+  def incrementalNearDupPairs(newDocs: DataFrame, textCol: String,
+      idCol: String, indexPath: String, shingleK: Int = 5,
+      numHashes: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.8): DataFrame = {
+    val spark = newDocs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val batch = minhashBanded(newDocs, textCol, idCol, shingleK, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val index = spark.read.parquet(indexPath)
+    val cand = indexCandPairs(batch, index, par, minJaccard)
+    val inBatch = inBatchPairs(batch, minJaccard)
     // scope the persisted batch signatures to this call: a daily driver
     // looping over batches must not accumulate one cached table per day
     materializeAndRelease(cand.union(inBatch), batch)
@@ -620,36 +633,12 @@ object Dedup {
     val par = spark.sparkContext.defaultParallelism
     val batch = minhashBanded(newDocs, textCol, idCol, shingleK, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inBatch = {
-      val idPairs = bucketPairs(batch.select(col("band"), col("key"), col("id")),
-        Seq("band", "key"))
-      val sa = batch.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-        .dropDuplicates("id_a")
-      val sb = batch.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-        .dropDuplicates("id_b")
-      idPairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-        .filter(col("jaccard") >= minJaccard)
-    }
+    val inBatch = inBatchPairs(batch, minJaccard)
     val pairs = indexPath match {
       case None => inBatch
       case Some(p) =>
-        val index = spark.read.parquet(p)
-        val cand = batch.select(col("band"), col("key"),
-            col("id").as("id_n"), col("shingles").as("sh_n"))
-          .join(index.select(col("band"), col("key"),
-            col("id").as("id_c"), col("shingles").as("sh_c")), Seq("band", "key"))
-          .filter(col("id_n") =!= col("id_c"))
-          .select(col("id_n"), col("id_c"), col("sh_n"), col("sh_c"))
-          .dropDuplicates("id_n", "id_c")
-          .repartition(par, col("id_n"))
-          .select(
-            least(col("id_n"), col("id_c")).as("id_a"),
-            greatest(col("id_n"), col("id_c")).as("id_b"),
-            jaccard(col("sh_n"), col("sh_c")).as("jaccard"))
-          .filter(col("jaccard") >= minJaccard)
-        cand.union(inBatch)
+        indexCandPairs(batch, spark.read.parquet(p), par, minJaccard)
+          .union(inBatch)
     }
     // materialize the pairs FIRST (reads the index before this batch's
     // own rows join it), then write the index partition from the cached

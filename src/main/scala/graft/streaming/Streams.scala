@@ -199,6 +199,25 @@ object Streams {
    * The index directory is OWNED by this job (batch=N/band=K layout);
    * don't mix with `buildMinhashIndex`'s flat band=K layout in one dir.
    */
+  /** True only when the directory holds at least one parquet DATA file:
+    * an all-rejected or empty micro-batch leaves a batch dir with only
+    * `_SUCCESS`, and `fs.exists && listStatus.nonEmpty` would then send
+    * the next batch into `spark.read.parquet` on a data-less tree —
+    * schema inference fails and the stream dies. */
+  private def indexHasData(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) false
+    else {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+  }
+
   def dedupIngest(docs: DataFrame, textCol: String, idCol: String,
       indexDir: String, pairsDir: String, checkpointDir: String,
       shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
@@ -209,13 +228,11 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val df = batch.toDF()
         val spark = df.sparkSession
-        val p = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        val hasIndex = fs.exists(p) && fs.listStatus(p).nonEmpty
         // one signature pass per batch: pairs + index write share the
         // cached banded table (Dedup.ingestBatch)
         val pairs = graft.operators.Dedup.ingestBatch(df, textCol, idCol,
-          if (hasIndex) Some(indexDir) else None, s"$indexDir/batch=$batchId",
+          if (indexHasData(spark, indexDir)) Some(indexDir) else None,
+          s"$indexDir/batch=$batchId",
           shingleK, numHashes, bands, minJaccard)
         pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
       }
@@ -247,15 +264,15 @@ object Streams {
         val judged = gate(batch.toDF())
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          judged.filter(col("disposition") =!= "keep")
+          // null-safe split: a gate built from a when() chain with no
+          // otherwise() leaves disposition null — those rows must land in
+          // rejects, not vanish (every dropped row stays explainable)
+          judged.filter(!(col("disposition") <=> "keep"))
             .write.mode("overwrite").parquet(s"$rejectsDir/batch=$batchId")
-          val kept = judged.filter(col("disposition") === "keep")
+          val kept = judged.filter(col("disposition") <=> "keep")
             .drop("disposition")
-          val p = new org.apache.hadoop.fs.Path(indexDir)
-          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-          val hasIndex = fs.exists(p) && fs.listStatus(p).nonEmpty
           graft.operators.Dedup.ingestBatch(kept, textCol, idCol,
-              if (hasIndex) Some(indexDir) else None,
+              if (indexHasData(spark, indexDir)) Some(indexDir) else None,
               s"$indexDir/batch=$batchId", shingleK, numHashes, bands, minJaccard)
             .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
         } finally judged.unpersist(false)

@@ -69,4 +69,31 @@ class DedupStreamSpec extends SparkSpec {
       assert(b1 === Set((1L, 3L)))
     } finally q.stop()
   }
+
+  test("qualityGatedDedupIngest: all-rejected first batch leaves a data-less " +
+      "index dir and the stream survives; null dispositions land in rejects") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_qstream2").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // gate WITHOUT otherwise(): docs under 5 tokens get disposition null
+    def gate(df: org.apache.spark.sql.DataFrame) = df.withColumn("disposition",
+      when(size(split(col("text"), "\\s+")) >= 5, "keep"))
+    val q = Streams.qualityGatedDedupIngest(mem.toDF().toDF("doc_id", "text"),
+      gate, "text", "doc_id", s"$dir/idx", s"$dir/pairs", s"$dir/rejects",
+      s"$dir/ckpt", minJaccard = 0.5)
+    try {
+      mem.addData((2L, "too short"))           // batch 0: everything rejected
+      q.processAllAvailable()
+      // null disposition is still a reject, not a silent drop
+      assert(spark.read.parquet(s"$dir/rejects/batch=0")
+        .select("doc_id").as[Long].collect().toSeq === Seq(2L))
+      // batch 1 must not die on the data-less index dir from batch 0
+      mem.addData((1L, docA), (3L, docB))
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(s"$dir/pairs/batch=1")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(b1 === Set((1L, 3L)))
+    } finally q.stop()
+  }
 }
