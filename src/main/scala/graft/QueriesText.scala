@@ -664,6 +664,42 @@ object QueriesText {
           "text", "doc_id", n = 5)
       }),
 
+    // --------------------------------- text: eval-side leak report
+    // The report a curation team reads after decontamination: per
+    // BENCHMARK doc, how many training docs share at least one 5-gram
+    // with it (zero included — a clean eval item is a row, not an
+    // absence).
+    QueryDef("text_decontaminate_report", Some(s"""
+      WITH toks AS (
+        SELECT doc_id, $toksSql AS tk FROM documents),
+      grams AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 5
+                    THEN list_transform(range(0, len(tk) - 4),
+                           i -> array_to_string(list_slice(tk,
+                             CAST(i + 1 AS INTEGER), CAST(i + 5 AS INTEGER)), ' '))
+                    ELSE [array_to_string(tk, ' ')] END AS gs
+        FROM toks),
+      eval_map AS (
+        SELECT DISTINCT eval_id, ngram FROM (
+          SELECT doc_id AS eval_id, unnest(gs) AS ngram FROM grams
+          WHERE doc_id % 101 = 0)),
+      train_g AS (
+        SELECT DISTINCT train_id, ngram FROM (
+          SELECT doc_id AS train_id, unnest(gs) AS ngram FROM grams
+          WHERE doc_id % 101 <> 0))
+      SELECT e.eval_id AS doc_id,
+             CAST(COUNT(DISTINCT t.train_id) AS BIGINT) AS n_leaking_docs
+      FROM eval_map e LEFT JOIN train_g t ON e.ngram = t.ngram
+      GROUP BY e.eval_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Decontaminate.evalLeakReport(
+          docs.filter(col("doc_id") % 101 =!= 0),
+          docs.filter(col("doc_id") % 101 === 0),
+          "text", "doc_id", n = 5)
+      }),
+
     // --------------------------------------- text: corpus n-gram top-k
     // Exact heavy-hitter bigrams corpus-wide — the frequency table behind
     // n-gram-based filters and stopword induction. Total order (count

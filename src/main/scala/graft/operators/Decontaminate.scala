@@ -37,4 +37,28 @@ object Decontaminate {
         when(countDistinct(when(col("__hit") === 1, col("ngram"))) > 0, 1)
           .otherwise(0).as("contaminated"))
   }
+
+  /**
+   * The eval-side view — the report a curation team reads: for every
+   * BENCHMARK document, how many training documents share at least one
+   * word n-gram with it ("leak count"), zero included. The gram->eval-doc
+   * mapping is benchmark-sized and broadcasts; train grams are deduped
+   * per (train doc, gram) first so a gram repeated inside one training
+   * doc counts that doc once.
+   */
+  def evalLeakReport(train: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), wordNgramsFromTokens(col("__toks"), n).as("__grams"))
+    val evalMap = grams(evalDocs)
+      .select(col(idCol).as("__eval_id"), explode_outer(col("__grams")).as("ngram"))
+      .distinct()
+    grams(train)
+      .select(col(idCol).as("__train_id"), explode_outer(col("__grams")).as("ngram"))
+      .distinct()
+      .join(broadcast(evalMap), Seq("ngram"), "right")
+      .groupBy(col("__eval_id").as(idCol))
+      .agg(countDistinct(col("__train_id")).as("n_leaking_docs"))
+  }
 }
