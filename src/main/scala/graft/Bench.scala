@@ -22,7 +22,10 @@ object Bench {
     // round-5 additions: decontamination sweep, composed quality gate,
     // SemDeDup — the LLM-pipeline operators a training-data run executes
     // corpus-wide, so their steady-state cost belongs in the headline
-    "text_decontaminate", "text_quality_gate", "emb_semdedup")
+    "text_decontaminate", "text_quality_gate", "emb_semdedup",
+    // repeated-span removal and bigram-LM scoring are corpus-wide curation
+    // passes (two shuffles / two count aggs) — headline-class cost
+    "text_line_dedup", "text_lm_perplexity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Sharding, Similarity}
+import graft.operators.{Bm25, Dedup, LineDedup, Mixture, NgramLm, RepeatedSpans, Sharding, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -767,6 +767,190 @@ object QueriesText {
         size(tokens(col("text"))), "doc_id", 4096L)
         .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
           col("shard"))),
+
+    // ------------------------------------- text: repeated-span removal
+    // C4/RefinedWeb boilerplate strip: documents cut into non-overlapping
+    // 10-token chunks; any chunk occurring in >1 distinct docs (the
+    // near-dup cliques make real cross-doc repeats) is dropped from every
+    // doc and the survivors reassembled in order. The DF count groups
+    // md5 hashes (fixed-width shuffle keys), the reassembly is one
+    // shuffle on doc_id — linear in corpus tokens at any duplication.
+    QueryDef("text_line_dedup", Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      chunks AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT)),
+                 i -> array_to_string(list_slice(tk,
+                   CAST(i * 10 + 1 AS INTEGER), CAST(i * 10 + 10 AS INTEGER)), ' '))) AS line,
+               unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS pos
+        FROM toks WHERE len(tk) > 0),
+      df AS (SELECT md5(line) AS h, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY 1)
+      SELECT c.doc_id,
+             coalesce(string_agg(CASE WHEN d.df <= 1 THEN c.line END, ' ' ORDER BY c.pos), '') AS clean,
+             CAST(COUNT(CASE WHEN d.df > 1 THEN 1 END) AS BIGINT) AS n_dropped,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks
+      FROM chunks c JOIN df d ON md5(c.line) = d.h
+      GROUP BY c.doc_id"""),
+      (s, dir) => LineDedup.removeRepeatedChunks(
+        t(s, dir, "documents"), "text", "doc_id", chunkTokens = 10, maxDf = 1)),
+
+    // --------------------------------------- text: bigram LM quality score
+    // CCNet-style fluency signal: an add-1 bigram LM trained on the corpus
+    // scores each doc's mean -ln P(w2|w1). Near-dup cliques score low
+    // (their grams are over-counted), one-off word soup scores high.
+    // Rounded to 6 decimals so last-ulp ln() differences between engines
+    // can't break the value hash.
+    QueryDef("text_lm_perplexity", Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(tk) - 1),
+                 i -> array_to_string(list_slice(tk,
+                   CAST(i + 1 AS INTEGER), CAST(i + 2 AS INTEGER)), ' '))) AS gram
+        FROM toks WHERE len(tk) >= 2),
+      counts AS (SELECT gram, COUNT(*) AS c12 FROM g GROUP BY gram),
+      ctx AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
+              FROM counts GROUP BY 1),
+      v AS (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS vs
+            FROM (SELECT unnest(tk) AS x FROM toks))
+      SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(AVG(-ln((c.c12 + 1.0) / (x.c1 + v.vs))), 6) AS avg_nll
+      FROM g d
+      JOIN counts c USING (gram)
+      JOIN ctx x ON string_split(d.gram, ' ')[1] = x.w1
+      CROSS JOIN v
+      GROUP BY d.doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        NgramLm.scoreNll(docs, "text", "doc_id", NgramLm.train(docs, "text"))
+      }),
+
+    // ------------------------------------------ text: data-mixture sample
+    // Deterministic source-weighted downsampling to a 30k-token budget:
+    // weight_s = (source ordinal % 4) + 1 normalized, keep fraction
+    // min(1, budget*w/tokens) — the cap arm IS exercised (heavy sources
+    // saturate at sf0.01). Membership = Knuth multiplicative hash of
+    // doc_id, integer-exact in both engines, partitioning-independent.
+    QueryDef("text_mixture_sample", Some(s"""
+      WITH t AS (
+        SELECT doc_id, source, CAST(len($toksSql) AS INTEGER) AS n_tokens
+        FROM documents),
+      w AS (SELECT source,
+                   CAST(CAST(substr(source, 4) AS INTEGER) % 4 + 1 AS DOUBLE) AS raw
+            FROM (SELECT DISTINCT source FROM documents)),
+      wn AS (SELECT source, raw / (SELECT SUM(raw) FROM w) AS wgt FROM w),
+      tot AS (SELECT source, SUM(n_tokens) AS tot FROM t GROUP BY source),
+      f AS (SELECT wn.source, least(1.0, 30000 * wgt / tot) AS keep_frac
+            FROM wn JOIN tot USING (source))
+      SELECT t.doc_id, t.source, t.n_tokens
+      FROM t JOIN f USING (source)
+      WHERE ((t.doc_id * 2654435761) % 1000000) / 1000000.0 < f.keep_frac"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).as("n_tokens"))
+        val weights = docs.select(col("source")).distinct()
+          .select(col("source"),
+            (substring(col("source"), 4, 10).cast("int") % 4 + 1)
+              .cast("double").as("weight"))
+        Mixture.sampleByTokenBudget(docs, "doc_id", "source",
+          col("n_tokens"), weights, budgetTokens = 30000L)
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+      }),
+
+    // ------------------------------------ dedup: cross-source copy matrix
+    // Which sources duplicate each other: minhash near-dup pairs labeled
+    // with both sides' sources, folded symmetric (least/greatest), counted
+    // per source pair. The pair table is skinny (ids only); the two
+    // source-label joins shuffle on doc id — at corpus scale the label map
+    // is corpus-sized, so no broadcast, and that is the right shape.
+    QueryDef("dedup_source_matrix",
+      Some(s"""WITH $minhashPairsCtes,
+      m AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5)
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM m JOIN documents da ON m.id_a = da.doc_id
+             JOIN documents db ON m.id_b = db.doc_id
+      GROUP BY 1, 2"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val srcs = docs.select(col("doc_id"), col("source"))
+        Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+          shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5)
+          .select(col("id_a"), col("id_b"))
+          .join(srcs.select(col("doc_id").as("id_a"), col("source").as("__sa")),
+            Seq("id_a"))
+          .join(srcs.select(col("doc_id").as("id_b"), col("source").as("__sb")),
+            Seq("id_b"))
+          .select(least(col("__sa"), col("__sb")).as("source_a"),
+            greatest(col("__sa"), col("__sb")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+      }),
+
+    // ---------------------------------- dedup: repeated substring spans
+    // Exact-substring dedup, token-window approximation (Lee et al.
+    // 2021): 20-token sliding windows hashed to md5, windows occurring in
+    // >=2 distinct docs mark repeated regions, overlapping/adjacent
+    // windows merge into maximal per-doc spans (gaps-and-islands INSIDE
+    // each doc partition — no global window anywhere). Catches copies at
+    // any offset, where chunk-aligned line dedup only sees aligned ones.
+    QueryDef("dedup_repeated_spans", Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      wins AS (
+        SELECT doc_id,
+               unnest(range(0, len(tk) - 19)) AS pos,
+               unnest(list_transform(range(0, len(tk) - 19),
+                 i -> md5(array_to_string(list_slice(tk,
+                   CAST(i + 1 AS INTEGER), CAST(i + 20 AS INTEGER)), ' ')))) AS h
+        FROM toks WHERE len(tk) >= 20),
+      rep AS (SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS df FROM wins GROUP BY h) WHERE df >= 2),
+      r AS (SELECT w.doc_id, w.pos FROM wins w JOIN rep USING (h)),
+      isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                      OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+                    THEN 1 ELSE 0 END AS ni
+        FROM r),
+      isl2 AS (
+        SELECT doc_id, pos,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl)
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 20 AS span_end,
+             CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM isl2 GROUP BY doc_id, island"""),
+      (s, dir) => RepeatedSpans.repeatedSpans(
+        t(s, dir, "documents"), "text", "doc_id", windowTokens = 20, minDf = 2)),
+
+    // ------------------------------------------------ text: BM25 search
+    // Lexical retrieval over the corpus: Okapi BM25 (k1=1.2, b=0.75,
+    // Lucene-style non-negative idf) for a 3-term query, top-10 by
+    // (rounded score desc, doc_id). The tf aggregation filters to query
+    // terms before grouping; df/idf and corpus stats broadcast; the
+    // top-k is TakeOrderedAndProject, never a full sort.
+    QueryDef("text_bm25_topk", Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      lens AS (SELECT doc_id, len(tk) AS dl FROM toks),
+      stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+      tf AS (
+        SELECT doc_id, t AS term, COUNT(*) AS tf FROM (
+          SELECT doc_id, unnest(tk) AS t FROM toks)
+        WHERE t IN ('join', 'merge', 'vector') GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      idf AS (SELECT term, ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS idf
+              FROM df d CROSS JOIN stats s),
+      sc AS (
+        SELECT t.doc_id,
+               i.idf * t.tf * (1.2 + 1.0) /
+                 (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS s
+        FROM tf t JOIN idf i USING (term) JOIN lens l USING (doc_id)
+        CROSS JOIN stats s)
+      SELECT doc_id, round(SUM(s), 6) AS score FROM sc GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 10"""),
+      (s, dir) => Bm25.topK(t(s, dir, "documents"), "text", "doc_id",
+        Seq("join", "merge", "vector"), k = 10)),
 
     // ------------------------------------------------- text: fingerprint
     QueryDef("text_fingerprint", Some(s"""

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, LineDedup, RepeatedSpans, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -120,6 +120,37 @@ object ScaleSmoke {
     val dt3 = (System.nanoTime() - t3) / 1e9
     val dcOk = if (contaminated >= lowerBound && lowerBound > 0) "ok" else "LOW"
     println(f"[scale-smoke] decontaminate    train-flagged=$contaminated (>=$lowerBound exact-copy bound, $dcOk) ${dt3}%.1fs")
+
+    // Repeated-span detection under duplication: every window of every doc
+    // now repeats (copies-clique), so every doc with >= windowTokens tokens
+    // must collapse to exactly ONE whole-doc span — the output stays
+    // doc-bounded (one row per doc) no matter how duplicated the corpus
+    // is, because spans merge per doc instead of materializing pairs.
+    val t4 = System.nanoTime()
+    val spans = RepeatedSpans.repeatedSpans(big, "text", "doc_id",
+      windowTokens = 20, minDf = 2)
+    val sStats = spans.agg(
+      count(lit(1)).as("rows"),
+      countDistinct(col("doc_id")).as("docs")).head()
+    val dt4 = (System.nanoTime() - t4) / 1e9
+    val spanRows = sStats.getLong(0)
+    val spanDocs = sStats.getLong(1)
+    val spOk = if (spanRows == spanDocs && spanRows > 0) "ok" else "BAD"
+    println(f"[scale-smoke] repeated-spans   rows=$spanRows docs=$spanDocs (1 whole-doc span each, $spOk) ${dt4}%.1fs")
+
+    // Line dedup under duplication: every chunk repeats across the clique,
+    // so every doc empties (clean='', n_dropped=n_chunks) — and the row
+    // count stays exactly the corpus size (linear reassembly, no pair
+    // blowup).
+    val t5 = System.nanoTime()
+    val ld = LineDedup.removeRepeatedChunks(big, "text", "doc_id",
+      chunkTokens = 10, maxDf = 1)
+    val lStats = ld.agg(
+      count(lit(1)).as("rows"),
+      sum(when(col("clean") === "", 0).otherwise(1)).as("nonEmpty")).head()
+    val dt5 = (System.nanoTime() - t5) / 1e9
+    val ldOk = if (lStats.getLong(0) == n && lStats.getLong(1) == 0) "ok" else "BAD"
+    println(f"[scale-smoke] line-dedup       rows=${lStats.getLong(0)} non-emptied=${lStats.getLong(1)} (expect $n/0, $ldOk) ${dt5}%.1fs")
 
     spark.stop()
   }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.functions.TextFunctions.{tokens, wordNgramsFromTokens}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus bigram language model for perplexity-style quality scoring —
+ * the CCNet/Wikipedia-LM curation signal: documents whose token stream
+ * is improbable under a reference model (here: the corpus itself, or
+ * any corpus passed to [[train]]) score a high mean negative
+ * log-likelihood and can be filtered or bucketed by fluency.
+ *
+ * Model: add-k smoothed bigram probabilities
+ * P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k·|V|), scored as the mean
+ * of -ln P over a document's bigrams.
+ *
+ * Scale shape (100 TB lens): training is two hash aggregations (bigram
+ * counts, then context counts derived from them — never a second pass
+ * over the corpus); the model lives as DataFrames keyed by gram /
+ * context word, bounded by distinct-bigram count, not corpus size.
+ * Scoring explodes each doc's bigrams and joins the count tables —
+ * shuffle joins that AQE turns into broadcasts when the vocabulary is
+ * small; the only corpus-wide shuffle is the per-document regroup.
+ * |V| is the single driver-side scalar (one count).
+ */
+object NgramLm {
+
+  /** Trained model: `grams(gram, __c12)`, `contexts(__w1, __c1)`,
+    * vocabulary size. Both tables are vocabulary-bounded. */
+  case class BigramModel(grams: DataFrame, contexts: DataFrame, vocabSize: Long)
+
+  /** Count bigrams and contexts over the training corpus. Documents
+    * shorter than two tokens contribute nothing. */
+  def train(docs: DataFrame, textCol: String): BigramModel = {
+    val toks = docs.select(tokens(col(textCol)).as("__toks"))
+    val grams = toks
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(wordNgramsFromTokens(col("__toks"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("__c12"))
+    val contexts = grams
+      .groupBy(substring_index(col("gram"), " ", 1).as("__w1"))
+      .agg(sum("__c12").as("__c1"))
+    val vocab = toks
+      .select(explode(col("__toks")).as("__w"))
+      .agg(countDistinct(col("__w")))
+      .head.getLong(0)
+    BigramModel(grams, contexts, vocab)
+  }
+
+  /**
+   * Score documents under a trained model. Unseen bigrams/contexts fall
+   * back to count 0 (pure smoothing mass), so scoring a corpus the
+   * model was not trained on is well-defined.
+   *
+   * @return one row per document with >= 2 tokens:
+   *         (idCol, n_bigrams, avg_nll rounded to 6 decimals — the
+   *         rounding absorbs last-ulp libm differences so independent
+   *         engines reproduce the value bit-for-bit).
+   */
+  def scoreNll(docs: DataFrame, textCol: String, idCol: String,
+      model: BigramModel, addK: Double = 1.0): DataFrame = {
+    val docGrams = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(wordNgramsFromTokens(col("__toks"), 2)).as("gram"))
+    docGrams
+      .join(model.grams, Seq("gram"), "left")
+      .withColumn("__w1", substring_index(col("gram"), " ", 1))
+      .join(model.contexts, Seq("__w1"), "left")
+      .select(col(idCol),
+        (-log((coalesce(col("__c12"), lit(0L)) + lit(addK)) /
+          (coalesce(col("__c1"), lit(0L)) + lit(addK) * model.vocabSize)))
+          .as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__nll")), 6).as("avg_nll"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.{LineDedup, Mixture, NgramLm}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: repeated-span removal, bigram-LM quality
+  * scoring, deterministic mixture sampling. */
+class CorpusCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------- LineDedup
+  test("removeRepeatedChunks drops cross-doc chunks, keeps order, keeps emptied docs") {
+    // chunkTokens=3: doc 1 = [shared chunk][unique tail]; doc 2 = [shared
+    // chunk][other tail]; doc 3 = only the shared chunk -> fully emptied;
+    // doc 4 = no overlap at all.
+    val docs = Seq(
+      (1L, "cookie banner text alpha beta gamma"),
+      (2L, "cookie banner text delta epsilon zeta"),
+      (3L, "cookie banner text"),
+      (4L, "entirely original content here now yes"))
+      .toDF("doc_id", "text")
+    val out = LineDedup.removeRepeatedChunks(docs, "text", "doc_id",
+        chunkTokens = 3, maxDf = 1)
+      .as[(Long, String, Long, Long)].collect().toMap2
+    assert(out(1L) === (("alpha beta gamma", 1L, 2L)))
+    assert(out(2L) === (("delta epsilon zeta", 1L, 2L)))
+    assert(out(3L) === (("", 1L, 1L)))
+    assert(out(4L) === (("entirely original content here now yes", 0L, 2L)))
+  }
+
+  test("removeRepeatedChunks reassembles multi-chunk survivors in original order") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "four five six totally different words here then"))
+      .toDF("doc_id", "text")
+    // chunk=3: doc1 chunks = [one two three][four five six][seven eight nine],
+    // doc2 = [four five six][totally different words][here then]; the middle
+    // chunk of doc1 is shared and must vanish without disturbing order.
+    val out = LineDedup.removeRepeatedChunks(docs, "text", "doc_id",
+        chunkTokens = 3, maxDf = 1)
+      .as[(Long, String, Long, Long)].collect().toMap2
+    assert(out(1L) === (("one two three seven eight nine", 1L, 3L)))
+    assert(out(2L) === (("totally different words here then", 1L, 3L)))
+  }
+
+  test("removeRepeatedChunks: empty document keeps a zero-chunk row") {
+    val docs = Seq((1L, ""), (2L, "some actual words")).toDF("doc_id", "text")
+    val out = LineDedup.removeRepeatedChunks(docs, "text", "doc_id",
+        chunkTokens = 3, maxDf = 1)
+      .as[(Long, String, Long, Long)].collect().toMap2
+    assert(out(1L) === (("", 0L, 0L)))
+    assert(out(2L) === (("some actual words", 0L, 1L)))
+  }
+
+  // --------------------------------------------------- NgramLm
+  test("bigram LM: hand-computed add-1 probabilities") {
+    // Corpus: "a b a b" and "a c". Bigrams: (a b)x2, (b a)x1, (a c)x1.
+    // Contexts: a->3, b->1. V=3.
+    // P(b|a) = (2+1)/(3+3) = 0.5; P(a|b) = (1+1)/(1+3) = 0.5;
+    // P(c|a) = (1+1)/(3+3) = 1/3.
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val m = NgramLm.train(docs, "text")
+    assert(m.vocabSize === 3L)
+    val out = NgramLm.scoreNll(docs, "text", "doc_id", m)
+      .as[(Long, Long, Double)].collect().toMap2
+    val ln2 = math.log(2.0)
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - BigDecimal(ln2).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    val expected2 = BigDecimal(-math.log(1.0 / 3.0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L)._1 === 1L)
+    assert(math.abs(out(2L)._2 - expected2) < 1e-9)
+  }
+
+  test("bigram LM: unseen grams score pure smoothing mass") {
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val m = NgramLm.train(train, "text")   // V=2, contexts a->2, b->1
+    val out = NgramLm.scoreNll(Seq((9L, "z q")).toDF("doc_id", "text"),
+        "text", "doc_id", m)
+      .as[(Long, Long, Double)].collect().toMap2
+    // unseen context and gram: P = (0+1)/(0+2) = 0.5
+    assert(math.abs(out(9L)._2 - BigDecimal(math.log(2.0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("bigram LM: docs under two tokens are excluded from scoring") {
+    val docs = Seq((1L, "solo"), (2L, "two tokens")).toDF("doc_id", "text")
+    val m = NgramLm.train(docs, "text")
+    val ids = NgramLm.scoreNll(docs, "text", "doc_id", m)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(2L))
+  }
+
+  // --------------------------------------------------- Mixture
+  test("mixture sampling hits per-source fractions deterministically") {
+    // source hot: 400 docs x 10 tokens = 4000; source cold: 100 x 10 = 1000.
+    // weights 1:1, budget 2000 -> f(hot) = 1000/4000 = 0.25,
+    // f(cold) = 1000/1000 = 1.0 (cap arm: min(1, 1.0)).
+    val docs = (0L until 400L).map(i => (i, "hot", 10))
+      .++((1000L until 1100L).map(i => (i, "cold", 10)))
+      .toDF("doc_id", "source", "n_tokens")
+    val weights = Seq(("hot", 1.0), ("cold", 1.0)).toDF("source", "weight")
+    val kept = Mixture.sampleByTokenBudget(docs, "doc_id", "source",
+      col("n_tokens"), weights, budgetTokens = 2000L)
+    val bySource = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource("cold") === 100L)          // fraction capped at 1.0
+    assert(bySource("hot") > 50L && bySource("hot") < 150L) // ~0.25 of 400
+    // deterministic: the same call selects the same ids
+    val again = Mixture.sampleByTokenBudget(docs, "doc_id", "source",
+      col("n_tokens"), weights, budgetTokens = 2000L)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ===
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("mixture sampling: zero-weight source contributes nothing") {
+    val docs = (0L until 50L).map(i => (i, if (i % 2 == 0) "a" else "b", 5))
+      .toDF("doc_id", "source", "n_tokens")
+    val weights = Seq(("a", 1.0), ("b", 0.0)).toDF("source", "weight")
+    val kept = Mixture.sampleByTokenBudget(docs, "doc_id", "source",
+      col("n_tokens"), weights, budgetTokens = 1000L)
+    assert(!kept.select("source").as[String].collect().contains("b"))
+  }
+
+  private implicit class MapOps[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+  private implicit class MapOps3[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}
