@@ -26,11 +26,13 @@ object QueriesText {
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
 
   /** The minhash-LSH candidate+verify pipeline as DuckDB CTEs ending in
-    * `pairs (id_a, id_b, jaccard)` — shared by the pair query and the
-    * survivor-cluster query. Hash family mirrored exactly from
+    * `pairs (id_a, id_b, jaccard)` — shared by the pair query, the
+    * survivor-cluster query, and the curation pipeline (which runs it
+    * over a derived relation, hence the `rel` parameter: any CTE/table
+    * with (doc_id, text) columns). Hash family mirrored exactly from
     * MinhashSignature.a/b: x = polynomial hash of the shingle chars
     * (mod 2^31-1), h_i(x) = (a_i * x + b_i) mod 2^31-1. */
-  private val minhashPairsCtes: String = {
+  private[graft] def minhashPairsCtesFrom(rel: String): String = {
     import graft.functions.MinhashSignature.{a, b}
     val sigList = (0 until 16).map { i =>
       s"list_min(list_transform(xs, x -> (${a(i)} * x + ${b(i)}) % 2147483647))"
@@ -38,7 +40,7 @@ object QueriesText {
     s"""sh AS (
         SELECT doc_id,
                list_distinct([substr(c, i, 5) FOR i IN range(1, greatest(len(c) - 3, 2))]) AS shingles
-        FROM (SELECT doc_id, $canonSql AS c FROM documents)),
+        FROM (SELECT doc_id, $canonSql AS c FROM $rel)),
       hx AS (
         SELECT doc_id, shingles,
                list_transform(shingles, t ->
@@ -64,6 +66,8 @@ object QueriesText {
         FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
         WHERE a.doc_id < b.doc_id)"""
   }
+
+  private val minhashPairsCtes: String = minhashPairsCtesFrom("documents")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -601,29 +605,14 @@ object QueriesText {
                     <> t THEN 'pii'
                ELSE 'keep' END AS disposition
       FROM scored"""),
-      (s, dir) => {
-        val langs = Seq("en", "es", "de", "fr")
+      (s, dir) => graft.pipelines.Curation.withDisposition(
         t(s, dir, "documents")
           .select(col("doc_id"),
             when(col("doc_id") % 7 === 0,
               concat(col("text"),
                 lit(" contact bob@example.com or (555) 123-4567")))
-              .otherwise(col("text")).as("t"))
-          .select(col("doc_id"), col("t"), tokens(col("t")).as("__toks"))
-          .select(Seq(col("doc_id"), col("t"), col("__toks"),
-            wordNgramsFromTokens(col("__toks"), 2).as("__grams")) ++
-            langs.map(l => langScoreFromTokens(col("__toks"), l).as(s"__s_$l")): _*)
-          .select(col("doc_id"),
-            when(size(col("__toks")) < 10, "too_short")
-              .when(langIdFromScores(langs.map(l => l -> col(s"__s_$l"))) =!= "en",
-                "non_english")
-              .when(alphaRatio(col("t")) < 0.6, "low_alpha")
-              .when(when(size(col("__grams")) > 0,
-                  lit(1.0) - size(array_distinct(col("__grams"))).cast("double") /
-                    size(col("__grams"))).otherwise(lit(0.0)) > 0.5, "repetitive")
-              .when(scrubPii(col("t")) =!= col("t"), "pii")
-              .otherwise("keep").as("disposition"))
-      }),
+              .otherwise(col("text")).as("t")),
+        "t").select(col("doc_id"), col("disposition"))),
 
     // ------------------------------------- text: benchmark decontamination
     // Training-data decontamination by n-gram overlap (the GPT-3 appendix-C
@@ -951,6 +940,114 @@ object QueriesText {
       ORDER BY score DESC, doc_id LIMIT 10"""),
       (s, dir) => Bm25.topK(t(s, dir, "documents"), "text", "doc_id",
         Seq("join", "merge", "vector"), k = 10)),
+
+    // ------------------------------------- pipeline: composed curation run
+    // The end-to-end curation chain a training-data team schedules —
+    // quality gate -> repeated-chunk removal -> minhash near-dup survivors
+    // -> benchmark decontamination -> mixture sampling — emitted as the
+    // per-stage attrition report (docs/tokens after each stage). The
+    // oracle replays every stage from the individually-proven SQL
+    // fragments (gate arms, chunk reassembly, the shared minhash CTEs over
+    // the CLEANED relation, recursive closure, 5-gram overlap, mixture
+    // hash) — so the composition itself is what this row verifies.
+    // One emergent semantic the report makes visible: chunk-level dedup
+    // upstream also strips the text that decontamination would have
+    // caught, so the decontaminate stage legitimately shows zero drops on
+    // this corpus.
+    QueryDef("curation_report", Some(s"""
+      WITH RECURSIVE
+      tr AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 101 <> 0),
+      ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0),
+      g_sc AS (
+        SELECT doc_id, source, text, tk,
+               len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+               len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','un','los','se','por'))) AS s_es,
+               len(list_filter(tk, x -> x IN ('der','die','das','und','ist','ein','zu','den','von','mit'))) AS s_de,
+               len(list_filter(tk, x -> x IN ('le','la','de','et','un','est','que','pour','dans','des'))) AS s_fr,
+               CASE WHEN len(tk) >= 2
+                    THEN list_transform(range(0, len(tk) - 1),
+                           i -> array_to_string(list_slice(tk, CAST(i + 1 AS INTEGER), CAST(i + 2 AS INTEGER)), ' '))
+                    ELSE [array_to_string(tk, ' ')] END AS gs
+        FROM (SELECT doc_id, source, text, $toksSql AS tk FROM tr)),
+      keep2 AS (
+        SELECT doc_id, source, text FROM g_sc
+        WHERE NOT (len(tk) < 10)
+          AND (greatest(s_en, s_es, s_de, s_fr) > 0 AND s_en = greatest(s_en, s_es, s_de, s_fr))
+          AND (CASE WHEN len(text) > 0 THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(len(text) AS DOUBLE) ELSE 0.0 END) >= 0.6
+          AND (CASE WHEN len(gs) > 0 THEN 1.0 - len(list_distinct(gs)) / CAST(len(gs) AS DOUBLE) ELSE 0.0 END) <= 0.5
+          AND regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+                '(?:\\+?1[-. ])?(?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g') = text),
+      l_ch AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT)),
+                 i -> array_to_string(list_slice(tk, CAST(i * 10 + 1 AS INTEGER), CAST(i * 10 + 10 AS INTEGER)), ' '))) AS line,
+               unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS pos
+        FROM (SELECT doc_id, $toksSql AS tk FROM keep2) WHERE len(tk) > 0),
+      l_df AS (SELECT md5(line) AS h, COUNT(DISTINCT doc_id) AS df FROM l_ch GROUP BY 1),
+      l_re AS (
+        SELECT c.doc_id,
+               coalesce(string_agg(CASE WHEN d.df <= 1 THEN c.line END, ' ' ORDER BY c.pos), '') AS clean
+        FROM l_ch c JOIN l_df d ON md5(c.line) = d.h
+        GROUP BY c.doc_id),
+      keep3 AS (
+        SELECT r.doc_id, k.source, r.clean AS text
+        FROM l_re r JOIN keep2 k USING (doc_id) WHERE r.clean <> ''),
+      ${minhashPairsCtesFrom("keep3")},
+      mp AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a AS a, id_b AS b FROM mp UNION SELECT id_b, id_a FROM mp),
+      reach AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      rm AS (SELECT src, min(dst) AS m FROM reach GROUP BY src),
+      keep4 AS (
+        SELECT k.* FROM keep3 k LEFT JOIN rm ON k.doc_id = rm.src
+        WHERE least(k.doc_id, coalesce(rm.m, k.doc_id)) = k.doc_id),
+      d_tr AS (
+        SELECT doc_id, unnest(CASE WHEN len(tk) >= 5
+                 THEN list_transform(range(0, len(tk) - 4),
+                        i -> array_to_string(list_slice(tk, CAST(i + 1 AS INTEGER), CAST(i + 5 AS INTEGER)), ' '))
+                 ELSE [array_to_string(tk, ' ')] END) AS ngram
+        FROM (SELECT doc_id, $toksSql AS tk FROM keep4)),
+      d_ev AS (
+        SELECT DISTINCT unnest(CASE WHEN len(tk) >= 5
+                 THEN list_transform(range(0, len(tk) - 4),
+                        i -> array_to_string(list_slice(tk, CAST(i + 1 AS INTEGER), CAST(i + 5 AS INTEGER)), ' '))
+                 ELSE [array_to_string(tk, ' ')] END) AS ngram
+        FROM (SELECT doc_id, $toksSql AS tk FROM ev)),
+      contam AS (SELECT DISTINCT t.doc_id FROM d_tr t JOIN d_ev e USING (ngram)),
+      keep5 AS (SELECT * FROM keep4 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      m_t AS (SELECT doc_id, source, text, CAST(len($toksSql) AS INTEGER) AS ntok FROM keep5),
+      m_w AS (SELECT source, CAST(CAST(substr(source, 4) AS INTEGER) % 4 + 1 AS DOUBLE) AS raw
+              FROM (SELECT DISTINCT source FROM tr)),
+      m_wn AS (SELECT source, raw / (SELECT SUM(raw) FROM m_w) AS wgt FROM m_w),
+      m_tot AS (SELECT source, SUM(ntok) AS tot FROM m_t GROUP BY source),
+      m_f AS (SELECT m_wn.source, least(1.0, 20000 * wgt / tot) AS keep_frac
+              FROM m_wn JOIN m_tot USING (source)),
+      keep6 AS (
+        SELECT t.doc_id, t.source, t.text FROM m_t t JOIN m_f USING (source)
+        WHERE ((t.doc_id * 2654435761) % 1000000) / 1000000.0 < m_f.keep_frac)
+      SELECT * FROM (
+        SELECT 'ingest' AS stage, 1 AS stage_order, COUNT(*) AS n_docs,
+               CAST(coalesce(SUM(len($toksSql)), 0) AS BIGINT) AS n_tokens FROM tr
+        UNION ALL SELECT 'quality_gate', 2, COUNT(*), CAST(coalesce(SUM(len($toksSql)), 0) AS BIGINT) FROM keep2
+        UNION ALL SELECT 'line_dedup', 3, COUNT(*), CAST(coalesce(SUM(len($toksSql)), 0) AS BIGINT) FROM keep3
+        UNION ALL SELECT 'near_dup', 4, COUNT(*), CAST(coalesce(SUM(len($toksSql)), 0) AS BIGINT) FROM keep4
+        UNION ALL SELECT 'decontaminate', 5, COUNT(*), CAST(coalesce(SUM(len($toksSql)), 0) AS BIGINT) FROM keep5
+        UNION ALL SELECT 'mixture', 6, COUNT(*), CAST(coalesce(SUM(len($toksSql)), 0) AS BIGINT) FROM keep6)"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val train = docs.filter(col("doc_id") % 101 =!= 0)
+        val weights = train.select(col("source")).distinct()
+          .select(col("source"),
+            (substring(col("source"), 4, 10).cast("int") % 4 + 1)
+              .cast("double").as("weight"))
+        graft.pipelines.Curation.attritionReport(train,
+          docs.filter(col("doc_id") % 101 === 0), weights,
+          "text", "doc_id", "source")
+      }),
 
     // ------------------------------------------------- text: fingerprint
     QueryDef("text_fingerprint", Some(s"""

@@ -1,0 +1,136 @@
+package graft.pipelines
+
+import graft.functions.TextFunctions._
+import graft.operators.{Decontaminate, Dedup, LineDedup, Mixture}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The composed end-to-end corpus-curation run — the job a training-data
+ * team actually schedules, chaining the individually-oracled stages:
+ *
+ *   quality gate → repeated-chunk (boilerplate) removal → minhash
+ *   near-dup survivors → benchmark decontamination → mixture sampling
+ *
+ * and emitting the per-stage attrition report (docs and tokens remaining
+ * after each stage) that a curation review reads before training starts.
+ *
+ * Scale shape (100 TB lens): each stage is one of the already-audited
+ * operators (their shuffle structure is unchanged by composition); stage
+ * outputs are materialized once as GC-tracked local checkpoints so the
+ * six report aggregations never recompute the upstream chain, and the
+ * report itself is six 1-row aggregates unioned — driver-side cost is
+ * six rows.
+ */
+object Curation {
+
+  /** Stage parameters; defaults match the individually-oracled registry
+    * queries (gate rules, 10-token chunks, minhash 5/16/4 at 0.5,
+    * 5-gram decontamination). */
+  case class CurationConfig(
+      chunkTokens: Int = 10, chunkMaxDf: Int = 1,
+      shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.5,
+      decontamN: Int = 5, budgetTokens: Long = 20000L)
+
+  private val langs = Seq("en", "es", "de", "fr")
+
+  /**
+   * Append a `disposition` column: the FIRST failing rule in precedence
+   * order — too_short (<10 tokens), non_english (stopword-argmax lang
+   * id), low_alpha (<0.6 alphabetic), repetitive (bigram repetition
+   * >0.5), pii (the scrub pass would change the text) — else "keep".
+   * All signals come from MATERIALIZED attribute columns, so the gate
+   * stays one codegen'd projection pass (zero shuffles); the
+   * `text_quality_gate` registry query and the streaming ingest share
+   * this exact implementation.
+   */
+  def withDisposition(docs: DataFrame, textCol: String,
+      outCol: String = "disposition"): DataFrame = {
+    val t = col(textCol)
+    val scored = docs
+      .withColumn("__toks", tokens(t))
+      .withColumn("__grams", wordNgramsFromTokens(col("__toks"), 2))
+      .withColumns(
+        langs.map(l => s"__s_$l" -> langScoreFromTokens(col("__toks"), l)).toMap)
+    scored
+      .withColumn(outCol,
+        when(size(col("__toks")) < 10, "too_short")
+          .when(langIdFromScores(langs.map(l => l -> col(s"__s_$l"))) =!= "en",
+            "non_english")
+          .when(alphaRatio(t) < 0.6, "low_alpha")
+          .when(when(size(col("__grams")) > 0,
+              lit(1.0) - size(array_distinct(col("__grams"))).cast("double") /
+                size(col("__grams"))).otherwise(lit(0.0)) > 0.5, "repetitive")
+          .when(scrubPii(t) =!= t, "pii")
+          .otherwise("keep"))
+      .drop(("__toks" +: "__grams" +: langs.map(l => s"__s_$l")): _*)
+  }
+
+  /**
+   * Run the full curation chain and return the attrition report:
+   * (stage, stage_order, n_docs, n_tokens) — one row per stage, tokens
+   * counted on that stage's surviving text (post-cleaning stages count
+   * the cleaned text).
+   *
+   * @param train   corpus to curate (idCol, sourceCol, textCol)
+   * @param evalDocs benchmark/eval set for decontamination
+   * @param weights (sourceCol, "weight") mixture ratios
+   */
+  def attritionReport(train: DataFrame, evalDocs: DataFrame,
+      weights: DataFrame, textCol: String, idCol: String, sourceCol: String,
+      cfg: CurationConfig = CurationConfig()): DataFrame = {
+
+    def stageRow(df: DataFrame, name: String, ord: Int): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(tokens(col(textCol))).cast("long")), lit(0L))
+          .as("n_tokens"))
+        .select(lit(name).as("stage"), lit(ord).as("stage_order"),
+          col("n_docs"), col("n_tokens"))
+
+    val ingest = train.select(col(idCol), col(sourceCol), col(textCol))
+
+    val gated = withDisposition(ingest, textCol)
+      .filter(col("disposition") === "keep")
+      .drop("disposition")
+      .localCheckpoint(true)
+
+    val cleaned = LineDedup
+      .removeRepeatedChunks(gated, textCol, idCol, cfg.chunkTokens, cfg.chunkMaxDf)
+      .filter(col("clean") =!= "")
+      .select(col(idCol), col("clean").as(textCol))
+      .join(gated.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .localCheckpoint(true)
+
+    val pairs = Dedup.minhashNearDupPairs(cleaned, textCol, idCol,
+      cfg.shingleK, cfg.numHashes, cfg.bands, cfg.minJaccard)
+      .select("id_a", "id_b")
+    val survivors = cleaned
+      .join(Dedup.connectedComponents(pairs, Some(cleaned.select(col(idCol))))
+        .filter(col("id") === col("component"))
+        .select(col("id").as(idCol)), Seq(idCol))
+      .localCheckpoint(true)
+
+    val deconKeep = survivors
+      .join(Decontaminate
+        .ngramOverlap(survivors, evalDocs, textCol, idCol, cfg.decontamN)
+        .filter(col("contaminated") === 0)
+        .select(col(idCol)), Seq(idCol))
+      .localCheckpoint(true)
+
+    val sampled = Mixture.sampleByTokenBudget(
+      deconKeep.withColumn("__n", size(tokens(col(textCol)))),
+      idCol, sourceCol, col("__n"), weights, cfg.budgetTokens)
+      .drop("__n")
+
+    Seq(
+      stageRow(ingest, "ingest", 1),
+      stageRow(gated, "quality_gate", 2),
+      stageRow(cleaned, "line_dedup", 3),
+      stageRow(survivors, "near_dup", 4),
+      stageRow(deconKeep, "decontaminate", 5),
+      stageRow(sampled, "mixture", 6)
+    ).reduce(_.unionByName(_))
+  }
+}

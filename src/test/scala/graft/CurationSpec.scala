@@ -1,0 +1,73 @@
+package graft
+
+import graft.pipelines.Curation
+import org.apache.spark.sql.functions._
+
+/** Composed curation chain: each stage drops exactly the doc planted for
+  * it, and the attrition report records the progression. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 10-token shared boilerplate chunk (stripped from C and D):
+  private val boiler = "the cat sat on the mat and it was fine"
+  // E and F: every 10-token chunk is canon-IDENTICAL but string-distinct
+  // (trailing period on F's chunk-final tokens), so line dedup keeps both
+  // (distinct chunk strings) while minhash sees identical shingle sets —
+  // a GUARANTEED near-dup pair, no LSH luck involved.
+  private val eText = "crew sailed north beyond the old country coast again today " +
+    "it was a calm and quiet morning for all hands"
+  private val fText = "crew sailed north beyond the old country coast again today. " +
+    "it was a calm and quiet morning for all hands."
+  // G shares its first five tokens with the eval doc -> decontaminated.
+  private val gText = "secret benchmark answer string five more words beyond the " +
+    "leak plus some extra filler tokens here now also done"
+
+  private def trainDocs = Seq(
+    (1L, "s", "tiny doc"),                                        // too_short
+    (2L, "s", "the the the the the the the the the the the the"), // repetitive
+    (3L, "s", s"$boiler company news report for the circus and its members today"),
+    (4L, "s", s"$boiler another story about the weather in the city was nice"),
+    (5L, "s", eText),
+    (6L, "s", fText),
+    (7L, "s", gText))
+    .toDF("doc_id", "source", "text")
+
+  private def evalDocs = Seq((100L, "secret benchmark answer string five"))
+    .toDF("doc_id", "text")
+
+  test("attrition report: each stage drops its planted doc") {
+    val weights = Seq(("s", 1.0)).toDF("source", "weight")
+    val report = Curation.attritionReport(trainDocs, evalDocs, weights,
+        "text", "doc_id", "source",
+        Curation.CurationConfig(budgetTokens = 100000L))
+      .orderBy("stage_order")
+      .as[(String, Int, Long, Long)].collect()
+    assert(report.map(r => (r._1, r._3)).toSeq === Seq(
+      ("ingest", 7L),         // all docs
+      ("quality_gate", 5L),   // drops 1 (too_short) and 2 (repetitive)
+      ("line_dedup", 5L),     // boilerplate stripped, no doc emptied
+      ("near_dup", 4L),       // drops 6 (guaranteed pair with 5, min-id keeps 5)
+      ("decontaminate", 3L),  // drops 7 (shares a 5-gram with the eval doc)
+      ("mixture", 3L)))       // budget >> tokens: keep fraction capped at 1
+    // tokens monotonically non-increasing, and line dedup removed exactly
+    // the two 10-token boilerplate copies
+    val toks = report.map(_._4).toSeq
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a })
+    assert(toks(1) - toks(2) === 20L)
+  }
+
+  test("withDisposition precedence: first failing arm wins") {
+    val out = Curation.withDisposition(
+      Seq((1L, "tiny doc 123-45-6789")).toDF("doc_id", "text"), "text")
+      .select("disposition").as[String].head()
+    assert(out === "too_short") // not "pii", though the SSN is there
+  }
+
+  test("withDisposition keeps a clean English doc") {
+    val out = Curation.withDisposition(
+      Seq((1L, "the report for the board was finished and it was good today"))
+        .toDF("doc_id", "text"), "text")
+      .select("disposition").as[String].head()
+    assert(out === "keep")
+  }
+}

@@ -53,6 +53,31 @@ class PlanShapeSpec extends SparkSpec {
       s"eval gram set must broadcast, not shuffle the corpus:\n$plan")
   }
 
+  test("bm25 topK shape: TakeOrderedAndProject, never a full global sort") {
+    val df = graft.operators.Bm25.topK(docs(300), "text", "doc_id",
+      Seq("quick", "words"), k = 10)
+    val plan = finalPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must push the limit into TakeOrderedAndProject:\n$plan")
+    // the only acceptable Sort would be inside SMJ joins, not a global one;
+    // with broadcast-sized sides there must be none at all
+    assert(!plan.contains("Sort ["),
+      s"no sort operator expected anywhere in the top-k plan:\n$plan")
+  }
+
+  test("repeatedSpans shape: windows partitioned by doc id, no global window") {
+    val df = graft.operators.RepeatedSpans.repeatedSpans(docs(200), "text",
+      "doc_id", windowTokens = 4, minDf = 2)
+    val plan = finalPlan(df)
+    // every Window operator must carry a partition spec on doc_id — an
+    // empty partitionBy would serialize the corpus through one task
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty)
+    windowLines.foreach(l =>
+      assert(l.contains("doc_id"),
+        s"window must partition by the doc id:\n$l\n$plan"))
+  }
+
   test("semDedup shape: no broadcast of the corpus side, no cartesian") {
     val vecs = (1 to 200).map { i =>
       (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))
