@@ -87,6 +87,36 @@ object QueriesText {
       (s, dir) => Dedup.minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
         shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5)),
 
+    // --------------------------------- dedup: bloom-accelerated incremental
+    // The daily-ingest exact-dedup: which batch docs are NEW vs the corpus
+    // fingerprint table, using Spark's own runtime-filter expressions
+    // (BloomFilterAggregate / BloomFilterMightContain — codegen'd, no UDF)
+    // as an explicit pre-filter. No false negatives, false positives die
+    // in the verification semi-join, so the result is EXACTLY the
+    // anti-join the oracle states. The batch carries re-idd copies of the
+    // corpus (%7 docs) so the dup-detection arm really fires.
+    QueryDef("dedup_bloom_incremental", Some(s"""
+      WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+      batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM corpus WHERE doc_id % 7 = 0),
+      fps AS (SELECT DISTINCT md5($canonSql) AS fp FROM corpus)
+      SELECT b.doc_id FROM (SELECT doc_id, md5($canonSql) AS fp FROM batch) b
+      WHERE b.fp NOT IN (SELECT fp FROM fps)"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(corpus.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        graft.operators.BloomDedup.newDocs(batch,
+          corpus.select(fingerprint(col("text")).as("fp")).distinct(),
+          "text", "doc_id")
+          .select(col("doc_id"))
+      }),
+
     // ------------------------------- dedup: incremental (persisted index)
     // The production ingestion shape: the corpus (doc_id % 5 != 0) is
     // indexed ONCE (band-partitioned parquet of shingles + LSH keys); the
@@ -423,6 +453,30 @@ object QueriesText {
           nCells = 16, nProbe = 8)
         val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", qRow, 10)
         ivf.select("vec_id").join(brute.select("vec_id"), Seq("vec_id"))
+          .agg(count(lit(1)).as("__overlap"))
+          .select(lit(10).as("k_requested"), (col("__overlap") >= 6).as("recall_ok"))
+      }),
+
+    // --------------------------------------------- ANN: product quantization
+    // PQ compresses 64 floats to 8 code bytes; search scores CODES against
+    // a driver-side distance table (raw vectors untouched), then an exact
+    // re-rank of the 4x-overfetched candidates recovers the true head.
+    // Same restricted-oracle pattern as ann_ivf_topk: the assertion is
+    // recall >= 6/10 vs brute force, which survives k-means seed jitter.
+    QueryDef("ann_pq_topk", Some(
+      "SELECT 10 AS k_requested, TRUE AS recall_ok"),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qRow = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_pq_idx").toString + "/idx"
+        graft.operators.AnnIndex.buildPq(e, "embedding", "vec_id", idx,
+          m = 8, k = 32)
+        val pq = graft.operators.AnnIndex.searchPqRerank(s, idx, e,
+          "embedding", "vec_id", qRow, 10)
+        val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", qRow, 10)
+        pq.select("vec_id").join(brute.select("vec_id"), Seq("vec_id"))
           .agg(count(lit(1)).as("__overlap"))
           .select(lit(10).as("k_requested"), (col("__overlap") >= 6).as("recall_ok"))
       }),

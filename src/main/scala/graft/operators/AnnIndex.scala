@@ -82,6 +82,116 @@ object AnnIndex {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------- PQ
+
+  /**
+   * Build a product-quantization index at `path`: each vector splits
+   * into `m` subvectors, each subspace gets its own seeded k-means
+   * codebook, and the stored table is (vec_id, code[m]) — d floats
+   * compressed to m small ints. Codebooks persist under `_codebooks`
+   * (same underscore convention as IVF's `_centroids`).
+   *
+   * 100 TB shape: m small k-means fits (each over the corpus but with
+   * sub-dimensional vectors; sampled fits are a drop-in if even that is
+   * too hot), one encode pass, one write. The index is ~m bytes/vector —
+   * the variant that still fits in cluster memory when raw vectors
+   * don't.
+   */
+  def buildPq(embeddings: DataFrame, vecCol: String, idCol: String,
+      path: String, m: Int = 8, k: Int = 16, seed: Long = 42L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    // UNIT-normalize before encoding: on the unit sphere squared-L2 is
+    // monotone in cosine (||a-b||^2 = 2 - 2cos), so the asymmetric
+    // distance ranks candidates in true cosine order — unnormalized, the
+    // two metrics disagree and recall collapses for off-norm neighbors.
+    val base = embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("raw"))
+      .withColumn("__n",
+        sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
+      .select(col("vec_id"),
+        transform(col("raw"),
+          x => when(col("__n") > 0, x / col("__n")).otherwise(x)).as("vec"))
+      .localCheckpoint(true) // read by m fits + the encode pass
+    val dim = base.select(size(col("vec"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    var coded = base
+    val codebooks = (0 until m).map { j =>
+      val featCol = s"__f$j"
+      val withFeat = coded.withColumn(featCol,
+        array_to_vector(slice(col("vec"), j * sub + 1, sub)))
+      val model = new KMeans().setK(k).setSeed(seed + j)
+        .setFeaturesCol(featCol).setPredictionCol(s"__c$j")
+        .fit(withFeat)
+      coded = model.transform(withFeat).drop(featCol)
+      (j, model.clusterCenters.map(_.toArray))
+    }
+    coded
+      .select(col("vec_id"),
+        array((0 until m).map(j => col(s"__c$j")): _*).as("code"))
+      .write.mode("overwrite").parquet(path)
+    import spark.implicits._
+    codebooks.flatMap { case (j, cents) =>
+      cents.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toDF("subspace", "centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+  }
+
+  /**
+   * PQ search by asymmetric distance: the query's per-subspace distance
+   * table to every centroid is computed on the driver (m x k doubles)
+   * and inlined as literals, so scoring a vector is m array lookups +
+   * adds over its CODE — the raw vectors are never read. Returns
+   * (vec_id, approx_dist) ascending.
+   */
+  def searchPq(spark: SparkSession, path: String, query: Seq[Float],
+      k: Int): DataFrame = {
+    val cb = spark.read.parquet(s"$path/_codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val m = cb.keys.map(_._1).max + 1
+    val kk = cb.keys.map(_._2).max + 1
+    val sub = query.length / m
+    // the index lives on the unit sphere (see buildPq) — the query must too
+    val q0 = query.map(_.toDouble).toArray
+    val qn = math.sqrt(q0.map(x => x * x).sum)
+    val q = if (qn > 0) q0.map(_ / qn) else q0
+    val table = Array.tabulate(m, kk) { (j, i) =>
+      cb((j, i)).zip(q.slice(j * sub, (j + 1) * sub))
+        .map { case (a, b) => val d = a - b; d * d }.sum
+    }
+    val perSub = (0 until m).map { j =>
+      element_at(array(table(j).toIndexedSeq.map(lit): _*),
+        col("code").getItem(j) + 1)
+    }
+    spark.read.parquet(path)
+      .select(col("vec_id"), perSub.reduce(_ + _).as("approx_dist"))
+      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /**
+   * PQ search with exact re-rank: fetch `k * overFetch` candidates by
+   * asymmetric distance, then re-rank JUST those by exact cosine against
+   * the original vectors (a candidate-sized semi-join into the raw
+   * table — the only time raw vectors are touched).
+   */
+  def searchPqRerank(spark: SparkSession, path: String,
+      embeddings: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, overFetch: Int = 4): DataFrame = {
+    val qCol = array(query.map(v => lit(v)): _*)
+    val candidates = searchPq(spark, path, query, k * overFetch)
+      .select(col("vec_id"))
+    embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .join(broadcast(candidates), Seq("vec_id"))
+      .select(col("vec_id"), cosine(col("vec"), qCol).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   // ------------------------------------------------------------------ LSH
 
   /** Build a hyperplane-LSH index at `path`: signature computed once per

@@ -67,19 +67,29 @@ object Curation {
       .drop(("__toks" +: "__grams" +: langs.map(l => s"__s_$l")): _*)
   }
 
+  /** A finished curation run: the training-ready corpus (idCol,
+    * sourceCol, textCol with CLEANED text) and the per-stage attrition
+    * report (stage, stage_order, n_docs, n_tokens). */
+  case class CurationResult(corpus: DataFrame, report: DataFrame)
+
+  /** Report-only convenience over [[run]]. */
+  def attritionReport(train: DataFrame, evalDocs: DataFrame,
+      weights: DataFrame, textCol: String, idCol: String, sourceCol: String,
+      cfg: CurationConfig = CurationConfig()): DataFrame =
+    run(train, evalDocs, weights, textCol, idCol, sourceCol, cfg).report
+
   /**
-   * Run the full curation chain and return the attrition report:
-   * (stage, stage_order, n_docs, n_tokens) — one row per stage, tokens
-   * counted on that stage's surviving text (post-cleaning stages count
-   * the cleaned text).
+   * Run the full curation chain. The returned corpus is the mixture
+   * stage's survivors carrying the post-cleaning text; the report has
+   * one row per stage, tokens counted on that stage's surviving text.
    *
    * @param train   corpus to curate (idCol, sourceCol, textCol)
    * @param evalDocs benchmark/eval set for decontamination
    * @param weights (sourceCol, "weight") mixture ratios
    */
-  def attritionReport(train: DataFrame, evalDocs: DataFrame,
+  def run(train: DataFrame, evalDocs: DataFrame,
       weights: DataFrame, textCol: String, idCol: String, sourceCol: String,
-      cfg: CurationConfig = CurationConfig()): DataFrame = {
+      cfg: CurationConfig = CurationConfig()): CurationResult = {
 
     def stageRow(df: DataFrame, name: String, ord: Int): DataFrame =
       df.agg(
@@ -124,13 +134,15 @@ object Curation {
       idCol, sourceCol, col("__n"), weights, cfg.budgetTokens)
       .drop("__n")
 
-    Seq(
-      stageRow(ingest, "ingest", 1),
-      stageRow(gated, "quality_gate", 2),
-      stageRow(cleaned, "line_dedup", 3),
-      stageRow(survivors, "near_dup", 4),
-      stageRow(deconKeep, "decontaminate", 5),
-      stageRow(sampled, "mixture", 6)
-    ).reduce(_.unionByName(_))
+    CurationResult(
+      corpus = sampled,
+      report = Seq(
+        stageRow(ingest, "ingest", 1),
+        stageRow(gated, "quality_gate", 2),
+        stageRow(cleaned, "line_dedup", 3),
+        stageRow(survivors, "near_dup", 4),
+        stageRow(deconKeep, "decontaminate", 5),
+        stageRow(sampled, "mixture", 6)
+      ).reduce(_.unionByName(_)))
   }
 }

@@ -280,6 +280,65 @@ object Streams {
       .start()
 
   /**
+   * The streaming twin of the full [[graft.pipelines.Curation]] chain's
+   * per-document stages: each micro-batch is quality-gated (the
+   * canonical composed gate), DECONTAMINATED against a static
+   * benchmark/eval set, and only clean keepers feed the incremental
+   * near-dup index. Contaminated docs land in rejects with disposition
+   * "contaminated" — every dropped row stays explainable. The eval set
+   * reduces to its distinct word n-grams ONCE at stream start
+   * (GC-tracked eager checkpoint, benchmark-sized) and broadcasts into
+   * each batch's semi-join; the corpus-level stages (survivor selection,
+   * mixture) remain scheduled batch jobs over the accumulated index —
+   * they need global state a micro-batch cannot see.
+   */
+  def curationIngest(docs: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String,
+      indexDir: String, pairsDir: String, rejectsDir: String,
+      checkpointDir: String, shingleK: Int = 5, numHashes: Int = 16,
+      bands: Int = 4, minJaccard: Double = 0.8, decontamN: Int = 5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextFunctions.{tokens, wordNgramsFromTokens}
+    val evalGrams = evalDocs
+      .select(tokens(col(textCol)).as("__toks"))
+      .select(explode_outer(wordNgramsFromTokens(col("__toks"), decontamN))
+        .as("ngram"))
+      .distinct()
+      .localCheckpoint(true)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val gated = graft.pipelines.Curation.withDisposition(batch.toDF(), textCol)
+        val contaminatedIds = gated.filter(col("disposition") === "keep")
+          .select(col(idCol), tokens(col(textCol)).as("__toks"))
+          .select(col(idCol),
+            explode_outer(wordNgramsFromTokens(col("__toks"), decontamN))
+              .as("ngram"))
+          .join(broadcast(evalGrams), Seq("ngram"), "left_semi")
+          .select(col(idCol)).distinct()
+        val judged = gated
+          .join(contaminatedIds.withColumn("__cont", lit(1)), Seq(idCol), "left")
+          .withColumn("disposition",
+            when(col("__cont") === 1 && col("disposition") === "keep",
+              "contaminated").otherwise(col("disposition")))
+          .drop("__cont")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          judged.filter(!(col("disposition") <=> "keep"))
+            .write.mode("overwrite").parquet(s"$rejectsDir/batch=$batchId")
+          val kept = judged.filter(col("disposition") <=> "keep")
+            .drop("disposition")
+          graft.operators.Dedup.ingestBatch(kept, textCol, idCol,
+              if (indexHasData(spark, indexDir)) Some(indexDir) else None,
+              s"$indexDir/batch=$batchId", shingleK, numHashes, bands, minJaccard)
+            .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        } finally judged.unpersist(false)
+      }
+      .start()
+  }
+
+  /**
    * Batch-mode semantic twin of [[keepNaRetry]] used for oracle checks
    * (SURVEY §1.6: batch jobs over state tables are the recommended
    * cadence-parity port): given the pending state table and today's match

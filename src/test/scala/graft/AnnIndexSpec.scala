@@ -46,6 +46,32 @@ class AnnIndexSpec extends SparkSpec {
     assert(hits.select("vec_id").as[Long].collect().toSeq === inMem)
   }
 
+  test("PQ index: codes-only scoring finds the neighborhood, re-rank recovers " +
+      "the exact top-k head") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/idx"
+    AnnIndex.buildPq(emb, "embedding", "vec_id", path, m = 8, k = 32)
+    // code table is m small ints per vector, codebooks m x k
+    val codes = spark.read.parquet(path)
+    assert(codes.columns.toSet === Set("vec_id", "code"))
+    assert(codes.select(size($"code")).distinct().as[Int].head() === 8)
+    val cb = spark.read.parquet(s"$path/_codebooks")
+    assert(cb.count() === 8L * 32)
+    // approx search never reads raw vectors: the plan scans only the code
+    // table (no join, no embeddings scan)
+    val approx = AnnIndex.searchPq(spark, path, query, k = 40)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Join"),
+      "asymmetric-distance scoring must be a pure scan of the code table")
+    // exact re-rank of the candidate set recovers the true nearest head
+    val rr = AnnIndex.searchPqRerank(spark, path, emb, "embedding", "vec_id",
+      query, k = 10)
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = rr.select("vec_id").as[Long].collect()
+    assert(got.head === 0L) // self-hit first
+    assert(got.toSet.intersect(brute).size >= 6,
+      s"recall too low: ${got.toSet} vs $brute")
+  }
+
   test("probeSigs enumerates the hamming ball exactly") {
     val ball = AnnIndex.probeSigs(sig = 5L, bits = 4, h = 1)
     // 5 = 0101; flipping each of 4 bits: 0100=4, 0111=7, 0001=1, 1101=13

@@ -92,6 +92,36 @@ class CorpusCurationSpec extends SparkSpec {
     assert(ids === Set(2L))
   }
 
+  test("bigram LM scores are invariant under training-order permutation") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val m1 = NgramLm.train(docs, "text")
+    val m2 = NgramLm.train(
+      docs.orderBy(org.apache.spark.sql.functions.col("doc_id").desc)
+        .repartition(5), "text")
+    assert(m1.vocabSize === m2.vocabSize)
+    val s1 = NgramLm.scoreNll(docs, "text", "doc_id", m1)
+      .as[(Long, Long, Double)].collect().toSet
+    val s2 = NgramLm.scoreNll(docs, "text", "doc_id", m2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(s1 === s2)
+  }
+
+  test("removeRepeatedChunks is idempotent on its own output (fixture)") {
+    val docs = Seq(
+      (1L, "cookie banner text alpha beta gamma"),
+      (2L, "cookie banner text delta epsilon zeta"),
+      (3L, "entirely original content here now yes"))
+      .toDF("doc_id", "text")
+    val once = LineDedup.removeRepeatedChunks(docs, "text", "doc_id",
+      chunkTokens = 3, maxDf = 1)
+    val twice = LineDedup.removeRepeatedChunks(
+      once.select(col("doc_id"), col("clean").as("text")), "text", "doc_id",
+      chunkTokens = 3, maxDf = 1)
+    assert(twice.filter(col("n_dropped") > 0).count() === 0L)
+    assert(twice.select("doc_id", "clean").as[(Long, String)].collect().toMap
+      === once.select("doc_id", "clean").as[(Long, String)].collect().toMap)
+  }
+
   // --------------------------------------------------- Mixture
   test("mixture sampling hits per-source fractions deterministically") {
     // source hot: 400 docs x 10 tokens = 4000; source cold: 100 x 10 = 1000.

@@ -56,6 +56,21 @@ class CurationSpec extends SparkSpec {
     assert(toks(1) - toks(2) === 20L)
   }
 
+  test("run returns the cleaned curated corpus, not just the report") {
+    val weights = Seq(("s", 1.0)).toDF("source", "weight")
+    val res = Curation.run(trainDocs, evalDocs, weights,
+      "text", "doc_id", "source",
+      Curation.CurationConfig(budgetTokens = 100000L))
+    val corpus = res.corpus.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(corpus.keySet === Set(3L, 4L, 5L))
+    // doc 3 carries the POST-cleaning text: boilerplate chunk stripped
+    assert(corpus(3L) ===
+      "company news report for the circus and its members today")
+    // doc 5 was untouched by cleaning (its chunks are unique strings)
+    assert(corpus(5L) === eText)
+  }
+
   test("withDisposition precedence: first failing arm wins") {
     val out = Curation.withDisposition(
       Seq((1L, "tiny doc 123-45-6789")).toDF("doc_id", "text"), "text")

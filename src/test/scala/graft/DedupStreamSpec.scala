@@ -70,6 +70,37 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curationIngest: gate + decontamination + index, contaminated docs " +
+      "land in rejects with their own disposition") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cstream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val evalDocs = Seq((100L, "secret benchmark answer string five"))
+      .toDF("doc_id", "text")
+    val docLeak =
+      "the secret benchmark answer string five appears in this document today"
+    val q = Streams.curationIngest(mem.toDF().toDF("doc_id", "text"), evalDocs,
+      "text", "doc_id", s"$dir/idx", s"$dir/pairs", s"$dir/rejects",
+      s"$dir/ckpt", minJaccard = 0.5)
+    try {
+      mem.addData((1L, docA), (2L, "too short"), (7L, docLeak))
+      q.processAllAvailable()
+      val rejects = spark.read.parquet(s"$dir/rejects/batch=0")
+        .select("doc_id", "disposition").as[(Long, String)].collect().toMap
+      assert(rejects === Map(2L -> "too_short", 7L -> "contaminated"))
+      // neither the short doc nor the leaking doc reached the index
+      assert(spark.read.parquet(s"$dir/idx")
+        .select("id").distinct().as[Long].collect().toSet === Set(1L))
+      // clean keepers still dedup across batches via the index
+      mem.addData((3L, docB))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/pairs/batch=1")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet ===
+        Set((1L, 3L)))
+    } finally q.stop()
+  }
+
   test("qualityGatedDedupIngest: all-rejected first batch leaves a data-less " +
       "index dir and the stream survives; null dispositions land in rejects") {
     import org.apache.spark.sql.functions._

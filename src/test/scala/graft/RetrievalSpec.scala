@@ -52,6 +52,28 @@ class RetrievalSpec extends SparkSpec {
       windowTokens = 3, minDf = 2).count() === 0L)
   }
 
+  test("repeatedSpans invariants on real data: disjoint, in-bounds, window-covered") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val spans = RepeatedSpans.repeatedSpans(docs, "text", "doc_id",
+        windowTokens = 20, minDf = 2)
+      .as[(Long, Int, Int, Long)].collect()
+    assert(spans.nonEmpty) // the near-dup cliques guarantee repeats
+    val lens = docs.select($"doc_id",
+      org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.tokens($"text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.foreach { s =>
+        assert(s._2 >= 0 && s._3 <= lens(id), s"span out of bounds: $s")
+        assert(s._3 - s._2 >= 20, s"span shorter than one window: $s")
+      }
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b._2 > a._3, s"overlapping spans for doc $id: $a, $b")
+      }
+    }
+  }
+
   // --------------------------------------------------- Bm25
   test("bm25 ranks term-dense short docs first, omits non-matching docs") {
     val docs = Seq(
@@ -77,6 +99,15 @@ class RetrievalSpec extends SparkSpec {
     val scores = Bm25.score(docs, "text", "doc_id", Seq("rare", "common"))
       .as[(Long, Double)].collect().toMap
     assert(scores(1L) > scores(2L))
+  }
+
+  test("bm25 scores are partitioning-invariant") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = Bm25.score(docs, "text", "doc_id", Seq("join", "merge"))
+      .as[(Long, Double)].collect().toSet
+    val b = Bm25.score(docs.repartition(7), "text", "doc_id", Seq("join", "merge"))
+      .as[(Long, Double)].collect().toSet
+    assert(a === b)
   }
 
   test("bm25 topK tiebreak is deterministic on equal rounded scores") {
