@@ -1103,6 +1103,39 @@ object QueriesText {
           "text", "doc_id", "source")
       }),
 
+    // --------------------------------- text: incremental HLL corpus stats
+    // Per-source distinct-token cardinality from MERGED per-batch HLL
+    // sketches (two disjoint halves sketched independently, unioned,
+    // estimated) — the incremental-statistics path that never rescans the
+    // corpus. DuckDB has no DataSketches twin, so the restricted oracle
+    // mirrors the EXACT side: the Spark result carries the exact distinct
+    // count (the oracle replays it) plus est_ok asserting the sketch
+    // estimate landed within 5% — the union-correctness claim the
+    // incremental path rests on.
+    QueryDef("text_distinct_tokens_hll", Some(s"""
+      WITH f AS (SELECT source, unnest($toksSql) AS tok FROM documents)
+      SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact,
+             TRUE AS est_ok
+      FROM f GROUP BY source"""),
+      (s, dir) => {
+        import graft.operators.CorpusStats
+        val docs = t(s, dir, "documents")
+        val sketches = CorpusStats.tokenSketches(
+          docs.filter(col("doc_id") % 2 === 0), "text", "source")
+          .unionByName(CorpusStats.tokenSketches(
+            docs.filter(col("doc_id") % 2 =!= 0), "text", "source"))
+        val est = CorpusStats.estimates(
+          CorpusStats.mergeSketches(sketches, "source"), "source")
+        val exact = docs
+          .select(col("source"), explode_outer(tokens(col("text"))).as("__tok"))
+          .groupBy("source")
+          .agg(countDistinct(col("__tok")).as("n_exact"))
+        exact.join(est, Seq("source"))
+          .select(col("source"), col("n_exact"),
+            (abs(col("n_distinct_est") - col("n_exact")) <=
+              col("n_exact") * 0.05).as("est_ok"))
+      }),
+
     // ------------------------------------------------- text: fingerprint
     QueryDef("text_fingerprint", Some(s"""
       SELECT source, COUNT(DISTINCT md5($canonSql)) AS n_unique, COUNT(*) AS n_docs

@@ -122,6 +122,35 @@ class CorpusCurationSpec extends SparkSpec {
       === once.select("doc_id", "clean").as[(Long, String)].collect().toMap)
   }
 
+  test("HLL sketches: batch-union estimate equals the one-shot estimate exactly") {
+    import graft.operators.CorpusStats
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // one-shot sketch over everything
+    val oneShot = CorpusStats.estimates(
+      CorpusStats.tokenSketches(docs, "text", "source"), "source")
+      .as[(String, Long)].collect().toMap
+    // same corpus sketched as two batches, then merged — HLL union is a
+    // register-wise max, so this must be EXACTLY equal, not approximately
+    val merged = CorpusStats.estimates(
+      CorpusStats.mergeSketches(
+        CorpusStats.tokenSketches(
+          docs.filter($"doc_id" % 2 === 0), "text", "source")
+          .unionByName(CorpusStats.tokenSketches(
+            docs.filter($"doc_id" % 2 =!= 0), "text", "source")),
+        "source"), "source")
+      .as[(String, Long)].collect().toMap
+    assert(merged === oneShot)
+    // and the estimate is close to the exact count
+    val exact = docs
+      .select($"source", explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .groupBy("source").agg(countDistinct($"t").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (src, n) =>
+      assert(math.abs(merged(src) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"estimate off for $src: ${merged(src)} vs $n")
+    }
+  }
+
   // --------------------------------------------------- Mixture
   test("mixture sampling hits per-source fractions deterministically") {
     // source hot: 400 docs x 10 tokens = 4000; source cold: 100 x 10 = 1000.
