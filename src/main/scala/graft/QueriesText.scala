@@ -1103,6 +1103,24 @@ object QueriesText {
           "text", "doc_id", "source")
       }),
 
+    // ------------------------------------- text: length-sorted packing
+    // Sorted next-fit shard assignment: the same distributed prefix sum
+    // as text_token_shards but over (tokens desc, doc_id) — long docs
+    // placed first so shard-boundary overshoot comes from the short
+    // tail. The oracle is the single-task global-window formulation of
+    // the identical composite order.
+    QueryDef("text_token_shards_packed", Some(s"""
+      WITH t AS (SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS cum
+            FROM t)
+      SELECT doc_id, n_tokens, (cum - n_tokens) // 4096 AS shard FROM c"""),
+      (s, dir) => Sharding.packedShards(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        size(tokens(col("text"))), "doc_id", 4096L)
+        .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+          col("shard"))),
+
     // --------------------------------- text: incremental HLL corpus stats
     // Per-source distinct-token cardinality from MERGED per-batch HLL
     // sketches (two disjoint halves sketched independently, unioned,

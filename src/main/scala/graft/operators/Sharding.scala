@@ -31,13 +31,20 @@ object Sharding {
    * total" ill-defined).
    */
   def runningTotal(df: DataFrame, valueCol: Column, orderCol: String,
+      cumName: String = "cum"): DataFrame =
+    runningTotalBy(df, valueCol, Seq(col(orderCol)), cumName)
+
+  /** [[runningTotal]] over a COMPOSITE ordering (e.g. length-desc with an
+    * id tiebreak for packing). The ordering must be total — make the
+    * last column unique. */
+  def runningTotalBy(df: DataFrame, valueCol: Column, orderCols: Seq[Column],
       cumName: String = "cum"): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val ranged = df
       .withColumn("__v", valueCol.cast("long"))
-      .repartitionByRange(par, col(orderCol))
+      .repartitionByRange(par, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-    val wIn = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val wIn = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
     val inCum = ranged.withColumn("__incum", sum(col("__v")).over(wIn))
     // one row per partition; the unpartitioned window here is bounded by
     // the partition COUNT, not the data
@@ -67,6 +74,26 @@ object Sharding {
     require(budget > 0, s"budget must be positive, got $budget")
     runningTotal(docs.withColumn("__tok", tokenCountCol.cast("long")),
         col("__tok"), orderCol, "__cum")
+      .withColumn("shard", expr(s"(__cum - __tok) div $budget"))
+      .withColumn("n_tokens", col("__tok"))
+      .drop("__tok", "__cum")
+  }
+
+  /**
+   * Length-sorted packing (sorted next-fit): same contiguous shard
+   * assignment as [[tokenBudgetShards]], but over the (tokens desc,
+   * id asc) order — placing long documents first concentrates the
+   * hard-to-place mass early, so shard-boundary overshoot comes from
+   * the SHORT tail and per-shard waste drops (the classic
+   * first-fit-decreasing intuition, kept contiguous so the assignment
+   * stays one distributed prefix-sum pass instead of a sequential
+   * bin-packer).
+   */
+  def packedShards(docs: DataFrame, tokenCountCol: Column,
+      idCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    runningTotalBy(docs.withColumn("__tok", tokenCountCol.cast("long")),
+        col("__tok"), Seq(col("__tok").desc, col(idCol)), "__cum")
       .withColumn("shard", expr(s"(__cum - __tok) div $budget"))
       .withColumn("n_tokens", col("__tok"))
       .drop("__tok", "__cum")

@@ -379,6 +379,29 @@ class OperatorsSpec extends SparkSpec {
     assert(shards === (0L until shards.length).toSeq)
   }
 
+  test("packed shards: composite-order prefix sum matches the global window, " +
+      "and sorted packing wastes less than arrival order") {
+    val docs = (1L to 1000L).map(i => (i, ((i * 7) % 97 + 1).toInt)).toDF("id", "ntok")
+    val out = Sharding.packedShards(docs, col("ntok"), "id", 100L)
+    val truth = docs
+      .withColumn("cum", sum(col("ntok"))
+        .over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ntok").desc, col("id"))))
+      .select(col("id"), expr("(cum - ntok) div 100").as("tshard"))
+    val mismatches = out.select(col("id"), col("shard"))
+      .join(truth, Seq("id"))
+      .filter(col("shard") =!= col("tshard")).count()
+    assert(mismatches === 0)
+    // waste = total overshoot beyond budget across shards; sorted packing
+    // bounds each shard's overshoot by the SMALLEST doc in it, so total
+    // waste must not exceed arrival-order packing's
+    def waste(df: org.apache.spark.sql.DataFrame): Long = df
+      .groupBy("shard").agg(sum(col("n_tokens")).as("s"))
+      .agg(sum(greatest(col("s") - 100L, lit(0L)))).head().getLong(0)
+    val arrival = Sharding.tokenBudgetShards(docs, col("ntok"), "id", 100L)
+    assert(waste(out) <= waste(arrival))
+  }
+
   test("id corrections: mapping + scrub + removal, conservation holds") {
     val feed = Seq(
       ("r1", "A1"),   // corrected to its full form
