@@ -152,6 +152,30 @@ object ScaleSmoke {
     val ldOk = if (lStats.getLong(0) == n && lStats.getLong(1) == 0) "ok" else "BAD"
     println(f"[scale-smoke] line-dedup       rows=${lStats.getLong(0)} non-emptied=${lStats.getLong(1)} (expect $n/0, $ldOk) ${dt5}%.1fs")
 
+    // The composed curation chain end-to-end on the duplicated corpus:
+    // gate -> chunk dedup -> minhash survivors -> decontaminate ->
+    // mixture. Under total duplication the chunk-dedup stage empties
+    // every doc (all chunks repeat), so the chain must drain to zero
+    // WITHOUT a blowup anywhere in between — the adversarial proof that
+    // composition inherits each stage's boundedness.
+    val t6 = System.nanoTime()
+    val src = big.withColumn("source",
+      concat(lit("src"), (col("doc_id") % 20).cast("string")))
+    val weights = src.select(col("source")).distinct()
+      .withColumn("weight", lit(1.0))
+    val report = graft.pipelines.Curation.attritionReport(
+      src.filter(col("doc_id") % 101 =!= 0),
+      src.filter(col("doc_id") % 101 === 0),
+      weights, "text", "doc_id", "source")
+      .orderBy("stage_order")
+      .collect()
+    val dt6 = (System.nanoTime() - t6) / 1e9
+    val monotone = report.map(_.getLong(2)).sliding(2)
+      .forall(w => w.length < 2 || w(1) <= w(0))
+    val drained = report.last.getLong(2) == 0
+    val cOk2 = if (report.length == 6 && monotone && drained) "ok" else "BAD"
+    println(f"[scale-smoke] curation-chain   stages=${report.map(r => s"${r.getString(0)}:${r.getLong(2)}").mkString(",")} ($cOk2) ${dt6}%.1fs")
+
     spark.stop()
   }
 }
