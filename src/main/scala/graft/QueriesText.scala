@@ -103,7 +103,7 @@ object QueriesText {
         SELECT doc_id + 1000000, text FROM corpus WHERE doc_id % 7 = 0),
       fps AS (SELECT DISTINCT md5($canonSql) AS fp FROM corpus)
       SELECT b.doc_id FROM (SELECT doc_id, md5($canonSql) AS fp FROM batch) b
-      WHERE b.fp NOT IN (SELECT fp FROM fps)"""),
+      WHERE NOT EXISTS (SELECT 1 FROM fps WHERE fps.fp = b.fp)"""),
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val corpus = docs.filter(col("doc_id") % 5 =!= 0)
@@ -833,7 +833,12 @@ object QueriesText {
              CAST(COUNT(CASE WHEN d.df > 1 THEN 1 END) AS BIGINT) AS n_dropped,
              CAST(COUNT(*) AS BIGINT) AS n_chunks
       FROM chunks c JOIN df d ON md5(c.line) = d.h
-      GROUP BY c.doc_id"""),
+      GROUP BY c.doc_id
+      UNION ALL
+      -- zero-token docs keep a (clean='', 0, 0) row, matching the Spark
+      -- side's posexplode_outer contract: an audit reads absence as a bug
+      SELECT doc_id, '' AS clean, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM toks WHERE len(tk) = 0"""),
       (s, dir) => LineDedup.removeRepeatedChunks(
         t(s, dir, "documents"), "text", "doc_id", chunkTokens = 10, maxDf = 1)),
 

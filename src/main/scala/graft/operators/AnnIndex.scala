@@ -158,9 +158,15 @@ object AnnIndex {
     val q0 = query.map(_.toDouble).toArray
     val qn = math.sqrt(q0.map(x => x * x).sum)
     val q = if (qn > 0) q0.map(_ / qn) else q0
+    // k-means can return FEWER than k centers for a low-cardinality
+    // subspace (constant/padded dims), leaving the codebooks ragged —
+    // absent (subspace, id) slots get +inf so no stored code can ever
+    // rank by a hole in the table
     val table = Array.tabulate(m, kk) { (j, i) =>
-      cb((j, i)).zip(q.slice(j * sub, (j + 1) * sub))
-        .map { case (a, b) => val d = a - b; d * d }.sum
+      cb.get((j, i)).fold(Double.MaxValue) {
+        _.zip(q.slice(j * sub, (j + 1) * sub))
+          .map { case (a, b) => val d = a - b; d * d }.sum
+      }
     }
     val perSub = (0 until m).map { j =>
       element_at(array(table(j).toIndexedSeq.map(lit): _*),

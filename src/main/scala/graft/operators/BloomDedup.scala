@@ -57,8 +57,9 @@ object BloomDedup {
    *                  canonical text — [[graft.functions.TextFunctions.fingerprint]])
    */
   def newDocs(batch: DataFrame, corpusFps: DataFrame,
-      textCol: String, idCol: String, fpCol: String = "fp"): DataFrame = {
-    val bloom = buildBloom(corpusFps, col(fpCol))
+      textCol: String, idCol: String, fpCol: String = "fp",
+      expectedItems: Long = 1000000L, numBits: Long = 1L << 23): DataFrame = {
+    val bloom = buildBloom(corpusFps, col(fpCol), expectedItems, numBits)
     val withFp = batch.withColumn("__fp", fingerprint(col(textCol)))
     if (bloom == null) return withFp.drop("__fp") // empty corpus: all new
     val verifiedDups = withFp

@@ -16,21 +16,32 @@ import org.apache.spark.sql.functions._
  */
 object Decontaminate {
 
+  /** Per-doc exploded word n-grams: (idCol, ngram) — the single
+    * derivation every decontamination surface (batch overlap, leak
+    * report, streaming ingest) shares, so the short-doc
+    * whole-text-as-one-gram fallback of wordNgramsFromTokens can never
+    * drift between them. */
+  def docGrams(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), wordNgramsFromTokens(col("__toks"), n).as("__grams"))
+      .select(col(idCol), explode_outer(col("__grams")).as("ngram"))
+
+  /** The benchmark side reduced to its distinct grams: (ngram). Small by
+    * construction (eval suites, not corpora) — broadcast at use sites. */
+  def evalGramSet(evalDocs: DataFrame, textCol: String, n: Int): DataFrame =
+    evalDocs.select(tokens(col(textCol)).as("__toks"))
+      .select(explode_outer(wordNgramsFromTokens(col("__toks"), n)).as("ngram"))
+      .distinct()
+
   /**
    * @return one row per training doc: (idCol, n_overlap = distinct shared
    *         n-grams, contaminated = 1 when n_overlap > 0)
    */
   def ngramOverlap(train: DataFrame, evalDocs: DataFrame,
       textCol: String, idCol: String, n: Int = 5): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), wordNgramsFromTokens(col("__toks"), n).as("__grams"))
-    val evalGrams = grams(evalDocs)
-      .select(explode_outer(col("__grams")).as("ngram"))
-      .distinct()
+    val evalGrams = evalGramSet(evalDocs, textCol, n)
       .withColumn("__hit", lit(1))
-    grams(train)
-      .select(col(idCol), explode_outer(col("__grams")).as("ngram"))
+    docGrams(train, textCol, idCol, n)
       .join(broadcast(evalGrams), Seq("ngram"), "left")
       .groupBy(idCol)
       .agg(countDistinct(when(col("__hit") === 1, col("ngram"))).as("n_overlap"),
@@ -48,14 +59,11 @@ object Decontaminate {
    */
   def evalLeakReport(train: DataFrame, evalDocs: DataFrame,
       textCol: String, idCol: String, n: Int = 5): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), wordNgramsFromTokens(col("__toks"), n).as("__grams"))
-    val evalMap = grams(evalDocs)
-      .select(col(idCol).as("__eval_id"), explode_outer(col("__grams")).as("ngram"))
+    val evalMap = docGrams(evalDocs, textCol, idCol, n)
+      .select(col(idCol).as("__eval_id"), col("ngram"))
       .distinct()
-    grams(train)
-      .select(col(idCol).as("__train_id"), explode_outer(col("__grams")).as("ngram"))
+    docGrams(train, textCol, idCol, n)
+      .select(col(idCol).as("__train_id"), col("ngram"))
       .distinct()
       .join(broadcast(evalMap), Seq("ngram"), "right")
       .groupBy(col("__eval_id").as(idCol))

@@ -298,23 +298,23 @@ object Streams {
       checkpointDir: String, shingleK: Int = 5, numHashes: Int = 16,
       bands: Int = 4, minJaccard: Double = 0.8, decontamN: Int = 5)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.functions.TextFunctions.{tokens, wordNgramsFromTokens}
-    val evalGrams = evalDocs
-      .select(tokens(col(textCol)).as("__toks"))
-      .select(explode_outer(wordNgramsFromTokens(col("__toks"), decontamN))
-        .as("ngram"))
-      .distinct()
+    val evalGrams = graft.operators.Decontaminate
+      .evalGramSet(evalDocs, textCol, decontamN)
       .localCheckpoint(true)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // the gate's expression tree (tokenize, repetition, language
+        // scores, PII regexes) is the expensive part — persist it so the
+        // contaminated-id derivation and the judged join both read the
+        // materialized frame (the run-ONCE-per-batch discipline of
+        // qualityGatedDedupIngest)
         val gated = graft.pipelines.Curation.withDisposition(batch.toDF(), textCol)
-        val contaminatedIds = gated.filter(col("disposition") === "keep")
-          .select(col(idCol), tokens(col(textCol)).as("__toks"))
-          .select(col(idCol),
-            explode_outer(wordNgramsFromTokens(col("__toks"), decontamN))
-              .as("ngram"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val contaminatedIds = graft.operators.Decontaminate
+          .docGrams(gated.filter(col("disposition") === "keep"),
+            textCol, idCol, decontamN)
           .join(broadcast(evalGrams), Seq("ngram"), "left_semi")
           .select(col(idCol)).distinct()
         val judged = gated
@@ -333,7 +333,10 @@ object Streams {
               if (indexHasData(spark, indexDir)) Some(indexDir) else None,
               s"$indexDir/batch=$batchId", shingleK, numHashes, bands, minJaccard)
             .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-        } finally judged.unpersist(false)
+        } finally {
+          judged.unpersist(false)
+          gated.unpersist(false)
+        }
       }
       .start()
   }

@@ -43,6 +43,22 @@ class CorpusCurationSpec extends SparkSpec {
     assert(out(2L) === (("totally different words here then", 1L, 3L)))
   }
 
+  test("removeRepeatedChunks: maxDf permits repeats up to the threshold") {
+    // chunk shared by 3 docs: dropped at maxDf=2; chunk shared by 2: kept
+    val docs = Seq(
+      (1L, "three way shared pair shared too"),
+      (2L, "three way shared pair shared too"),
+      (3L, "three way shared other unique tail")).toDF("doc_id", "text")
+    val out = LineDedup.removeRepeatedChunks(docs, "text", "doc_id",
+        chunkTokens = 3, maxDf = 2)
+      .select("doc_id", "clean").as[(Long, String)].collect().toMap
+    // "three way shared" df=3 -> dropped everywhere;
+    // "pair shared too" df=2 -> kept in docs 1 and 2
+    assert(out(1L) === "pair shared too")
+    assert(out(2L) === "pair shared too")
+    assert(out(3L) === "other unique tail")
+  }
+
   test("removeRepeatedChunks: empty document keeps a zero-chunk row") {
     val docs = Seq((1L, ""), (2L, "some actual words")).toDF("doc_id", "text")
     val out = LineDedup.removeRepeatedChunks(docs, "text", "doc_id",

@@ -43,6 +43,19 @@ class RetrievalSpec extends SparkSpec {
     assert(doc1 === Seq((0, 4), (9, 13)))
   }
 
+  test("repeatedSpans honors minDf above two") {
+    val shared = "alpha beta gamma delta"
+    val docs = Seq(
+      (1L, s"$shared one fill"), (2L, s"$shared two fill"),
+      (3L, s"$shared three fill")).toDF("doc_id", "text")
+    // the 4-token window appears in 3 docs: present at minDf=3,
+    // absent at minDf=4
+    assert(RepeatedSpans.repeatedSpans(docs, "text", "doc_id",
+      windowTokens = 4, minDf = 3).count() === 3L)
+    assert(RepeatedSpans.repeatedSpans(docs, "text", "doc_id",
+      windowTokens = 4, minDf = 4).count() === 0L)
+  }
+
   test("repeatedSpans: no spans when nothing repeats") {
     val docs = Seq(
       (1L, "aa bb cc dd ee"),
