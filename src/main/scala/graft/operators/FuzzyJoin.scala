@@ -73,7 +73,8 @@ object FuzzyJoin {
     val identity = unioned.columns.filterNot(_ == "distance")
     unioned
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(identity.map(col): _*).orderBy(col("distance"))))
+        Window.partitionBy(identity.map(col).toIndexedSeq: _*)
+          .orderBy(col("distance"))))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }

@@ -44,7 +44,7 @@ object NgramLm {
     val vocab = toks
       .select(explode(col("__toks")).as("__w"))
       .agg(countDistinct(col("__w")))
-      .head.getLong(0)
+      .head().getLong(0)
     BigramModel(grams, contexts, vocab)
   }
 

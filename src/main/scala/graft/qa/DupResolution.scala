@@ -46,7 +46,7 @@ object DupResolution {
     // exists to fix, SURVEY §7.4#2)
     val tieBreak =
       if (order.nonEmpty) order
-      else Seq(caseKey, xxhash64(df.columns.map(col): _*))
+      else Seq(caseKey, xxhash64(df.columns.map(col).toIndexedSeq: _*))
     val w = Window.partitionBy(dupKey).orderBy(tieBreak: _*)
     graded
       .withColumn("__rn", row_number().over(w))
