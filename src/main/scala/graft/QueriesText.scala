@@ -399,6 +399,45 @@ object QueriesText {
           .limit(10)
       }),
 
+    // ------------------------------------- similarity: hard negatives
+    // Contrastive-training data mining: for each anchor vector, the top-3
+    // most-similar vectors with a DIFFERENT label (similar-but-wrong — the
+    // negatives that actually teach). Anchors broadcast (mining batches
+    // are small vs the corpus); ranking is per-anchor on the ROUNDED
+    // cosine with a vec_id tiebreak so both engines cut identically;
+    // parallelism is the anchor count — the real mining case ranks every
+    // training query as an anchor, so the per-anchor window distributes.
+    QueryDef("emb_hard_negatives", Some("""
+      WITH a AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av, label AS a_label
+                 FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT a.anchor_id, e.vec_id,
+               round(list_dot_product(e.embedding::DOUBLE[], a.av) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(a.av, a.av))), 6) AS cosine
+        FROM embeddings e CROSS JOIN a
+        WHERE e.label <> a.a_label),
+      r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                        ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+      SELECT anchor_id, vec_id, cosine FROM r WHERE rn <= 3"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "embeddings")
+        val anchors = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("anchor_id"), col("embedding").as("__av"),
+            col("label").as("__al"))
+        val w = Window.partitionBy("anchor_id")
+          .orderBy(col("cosine").desc, col("vec_id"))
+        e.crossJoin(broadcast(anchors))
+          .filter(col("label") =!= col("__al"))
+          .select(col("anchor_id"), col("vec_id"),
+            round(Similarity.cosine(col("embedding"), col("__av")), 6)
+              .as("cosine"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 3)
+          .drop("__rn")
+      }),
+
     // ------------------------------------------------- similarity: LSH
     // The 12 deterministic +-1 hyperplanes are generated into the SQL from
     // Similarity.hyperplaneSign, term order matching the Spark plan's
