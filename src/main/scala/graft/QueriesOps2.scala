@@ -128,12 +128,18 @@ object QueriesOps2 {
     // ------------------------------------------------- session_window
     // Spark's native streaming session operator, batch-checked: sessions
     // close after a 30-minute gap (window end exclusive => a gap of
-    // exactly 1800s starts a NEW session; oracle uses >=).
+    // exactly 1800s starts a NEW session; oracle uses >=). The gap must
+    // be measured as ELAPSED microseconds (epoch_us diff — each value
+    // truncated ns->us exactly like Tables.load does for Spark), NOT
+    // datediff('second'): that counts second-BOUNDARY crossings, and with
+    // fractional-second timestamps a 1799.9s gap that crosses 1800
+    // boundaries would split a session the native operator keeps open
+    // (one such gap exists at sf0.1 — caught by an off-gate sweep).
     QueryDef("ev_session_window", Some("""
       WITH gaps AS (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                      OR datediff('second', lag(ts) OVER w, ts) >= 1800
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                     THEN 1 ELSE 0 END AS new_session
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sessions AS (

@@ -512,8 +512,13 @@ object QueriesText {
           .createTempDirectory("graft_pq_idx").toString + "/idx"
         graft.operators.AnnIndex.buildPq(e, "embedding", "vec_id", idx,
           m = 8, k = 32)
+        // overFetch 16: 8x32 codebooks quantize coarsely enough that a
+        // 4x overfetch loses true neighbors once the corpus outgrows the
+        // codebook (observed recall_ok=false at sf0.1's 5000 vectors);
+        // 160 candidates is still ~3% of that corpus and scale-invariant
+        // in cost (k * overFetch, independent of corpus size)
         val pq = graft.operators.AnnIndex.searchPqRerank(s, idx, e,
-          "embedding", "vec_id", qRow, 10)
+          "embedding", "vec_id", qRow, 10, overFetch = 16)
         val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", qRow, 10)
         pq.select("vec_id").join(brute.select("vec_id"), Seq("vec_id"))
           .agg(count(lit(1)).as("__overlap"))

@@ -145,4 +145,39 @@ object Curation {
         stageRow(sampled, "mixture", 6)
       ).reduce(_.unionByName(_)))
   }
+
+  /** Publish a finished run into the versioned store (atomic pointer
+    * flip — readers never see a torn run): the curated corpus and its
+    * report under paired table names. Returns the report's version. */
+  def publishRun(store: graft.sources.SnapshotStore,
+      result: CurationResult, name: String = "curation"): Long = {
+    store.publish(s"${name}_corpus", result.corpus)
+    store.publish(s"${name}_report", result.report)
+  }
+
+  /**
+   * Run-over-run attrition drift — the reference's weekly "Change"
+   * comparison applied to the curation domain: this run's per-stage
+   * report full-joined with the most recent PUBLISHED report, zero-fill,
+   * per-stage deltas. The review a curation operator actually reads:
+   * "why did quality_gate suddenly drop 4x more documents than last
+   * run?" Stage-level rows (6 of them) — driver-scale by construction.
+   */
+  def reportDrift(store: graft.sources.SnapshotStore,
+      current: DataFrame, name: String = "curation"): DataFrame = {
+    val prev = store.readOrEmpty(s"${name}_report", current.schema)
+    current.select(col("stage"), col("stage_order"),
+        col("n_docs").as("docs_now"), col("n_tokens").as("tokens_now"))
+      .join(prev.select(col("stage"),
+        col("n_docs").as("docs_prev"), col("n_tokens").as("tokens_prev")),
+        Seq("stage"), "full_outer")
+      .select(col("stage"),
+        coalesce(col("stage_order"), lit(0)).as("stage_order"),
+        coalesce(col("docs_now"), lit(0L)).as("docs_now"),
+        coalesce(col("docs_prev"), lit(0L)).as("docs_prev"),
+        (coalesce(col("docs_now"), lit(0L)) -
+          coalesce(col("docs_prev"), lit(0L))).as("docs_change"),
+        (coalesce(col("tokens_now"), lit(0L)) -
+          coalesce(col("tokens_prev"), lit(0L))).as("tokens_change"))
+  }
 }

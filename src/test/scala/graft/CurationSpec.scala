@@ -71,6 +71,38 @@ class CurationSpec extends SparkSpec {
     assert(corpus(5L) === eText)
   }
 
+  test("publishRun + reportDrift: run-over-run attrition deltas from stored state") {
+    val weights = Seq(("s", 1.0)).toDF("source", "weight")
+    val store = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_cur_store").toString)
+    val cfg = Curation.CurationConfig(budgetTokens = 100000L)
+    // run 1 over a subset (no doc 7 -> decontaminate drops nothing)
+    val r1 = Curation.run(trainDocs.filter($"doc_id" =!= 7L), evalDocs,
+      weights, "text", "doc_id", "source", cfg)
+    Curation.publishRun(store, r1)
+    // run 2 over the full corpus; drift vs the published run-1 report
+    val r2 = Curation.run(trainDocs, evalDocs, weights,
+      "text", "doc_id", "source", cfg)
+    val drift = Curation.reportDrift(store, r2.report)
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    // ingest gained doc 7; the final mixture stage did not (7 is
+    // decontaminated away), so its docs_change is zero
+    assert(drift("ingest") === ((7L, 6L, 1L)))
+    assert(drift("mixture") === ((3L, 3L, 0L)))
+    // publishing run 2 advances the version; a later drift sees run 2
+    Curation.publishRun(store, r2)
+    val drift2 = Curation.reportDrift(store, r2.report)
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+    assert(drift2.forall(r => r._5 === 0L && r._6 === 0L))
+    // first-run edge: an empty store zero-fills instead of failing
+    val freshStore = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_cur_store2").toString)
+    val cold = Curation.reportDrift(freshStore, r2.report)
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+    assert(cold.length === 6 && cold.forall(r => r._4 === 0L))
+  }
+
   test("withDisposition precedence: first failing arm wins") {
     val out = Curation.withDisposition(
       Seq((1L, "tiny doc 123-45-6789")).toDF("doc_id", "text"), "text")
