@@ -879,10 +879,11 @@ object QueriesText {
       FROM chunks c JOIN df d ON md5(c.line) = d.h
       GROUP BY c.doc_id
       UNION ALL
-      -- zero-token docs keep a (clean='', 0, 0) row, matching the Spark
-      -- side's posexplode_outer contract: an audit reads absence as a bug
+      -- zero-token AND null-text docs keep a (clean='', 0, 0) row,
+      -- matching the Spark side's posexplode_outer contract: an audit
+      -- reads absence as a bug (coalesce: len(NULL) is NULL, not 0)
       SELECT doc_id, '' AS clean, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-      FROM toks WHERE len(tk) = 0"""),
+      FROM toks WHERE coalesce(len(tk), 0) = 0"""),
       (s, dir) => LineDedup.removeRepeatedChunks(
         t(s, dir, "documents"), "text", "doc_id", chunkTokens = 10, maxDf = 1)),
 

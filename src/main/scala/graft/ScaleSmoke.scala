@@ -161,8 +161,11 @@ object ScaleSmoke {
     val t6 = System.nanoTime()
     val src = big.withColumn("source",
       concat(lit("src"), (col("doc_id") % 20).cast("string")))
-    val weights = src.select(col("source")).distinct()
-      .withColumn("weight", lit(1.0))
+    // the 20 sources are constructed literals — build the weights table
+    // from range(20), not a corpus-wide distinct inside the timed section
+    val weights = spark.range(20)
+      .select(concat(lit("src"), col("id").cast("string")).as("source"),
+        lit(1.0).as("weight"))
     val report = graft.pipelines.Curation.attritionReport(
       src.filter(col("doc_id") % 101 =!= 0),
       src.filter(col("doc_id") % 101 === 0),

@@ -146,13 +146,18 @@ object Curation {
       ).reduce(_.unionByName(_)))
   }
 
-  /** Publish a finished run into the versioned store (atomic pointer
-    * flip — readers never see a torn run): the curated corpus and its
-    * report under paired table names. Returns the report's version. */
+  /** Publish a finished run into the versioned store. Each table flip is
+    * atomic but the PAIR is not, so the REPORT is the commit record: the
+    * corpus publishes first, and the report — published last, carrying
+    * `corpus_version` — is what marks the run complete. A crash between
+    * the two leaves a corpus version no report references (dead weight
+    * for vacuum, never observed by a reader that keys off the report,
+    * as [[reportDrift]] does). Returns the report's version. */
   def publishRun(store: graft.sources.SnapshotStore,
       result: CurationResult, name: String = "curation"): Long = {
-    store.publish(s"${name}_corpus", result.corpus)
-    store.publish(s"${name}_report", result.report)
+    val corpusVersion = store.publish(s"${name}_corpus", result.corpus)
+    store.publish(s"${name}_report",
+      result.report.withColumn("corpus_version", lit(corpusVersion)))
   }
 
   /**
@@ -168,11 +173,13 @@ object Curation {
     val prev = store.readOrEmpty(s"${name}_report", current.schema)
     current.select(col("stage"), col("stage_order"),
         col("n_docs").as("docs_now"), col("n_tokens").as("tokens_now"))
-      .join(prev.select(col("stage"),
+      .join(prev.select(col("stage"), col("stage_order").as("__prev_ord"),
         col("n_docs").as("docs_prev"), col("n_tokens").as("tokens_prev")),
         Seq("stage"), "full_outer")
       .select(col("stage"),
-        coalesce(col("stage_order"), lit(0)).as("stage_order"),
+        // a stage present only in the PREVIOUS run (renamed/removed since)
+        // keeps its historical order instead of a bogus 0-before-ingest
+        coalesce(col("stage_order"), col("__prev_ord")).as("stage_order"),
         coalesce(col("docs_now"), lit(0L)).as("docs_now"),
         coalesce(col("docs_prev"), lit(0L)).as("docs_prev"),
         (coalesce(col("docs_now"), lit(0L)) -

@@ -90,6 +90,12 @@ class CurationSpec extends SparkSpec {
     // decontaminated away), so its docs_change is zero
     assert(drift("ingest") === ((7L, 6L, 1L)))
     assert(drift("mixture") === ((3L, 3L, 0L)))
+    // the published report is the commit record: it carries the corpus
+    // version it describes, and that version is readable
+    val cv = store.read("curation_report")
+      .select("corpus_version").distinct().as[Long].head()
+    assert(store.readVersion("curation_corpus", cv).count() ===
+      r1.corpus.count())
     // publishing run 2 advances the version; a later drift sees run 2
     Curation.publishRun(store, r2)
     val drift2 = Curation.reportDrift(store, r2.report)
