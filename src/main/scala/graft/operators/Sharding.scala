@@ -45,7 +45,17 @@ object Sharding {
       .repartitionByRange(par, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
     val wIn = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    // MATERIALIZE the per-partition sums before fanning out to the two
+    // consumers (offset table + final join): repartitionByRange SAMPLES
+    // its boundaries, and a re-executed plan fragment may sample
+    // DIFFERENT boundaries — offsets computed for one partitioning
+    // joined against sums computed for another silently corrupts the
+    // totals (observed at sf0.1: 468 shifted shard assignments). The
+    // checkpoint pins one partitioning for both consumers; it is
+    // GC-tracked and costs one pass over data the range shuffle already
+    // moved.
     val inCum = ranged.withColumn("__incum", sum(col("__v")).over(wIn))
+      .localCheckpoint(true)
     // one row per partition; the unpartitioned window here is bounded by
     // the partition COUNT, not the data
     val wOff = Window.orderBy(col("__pid"))
