@@ -113,7 +113,7 @@ object QueriesText {
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
         graft.operators.BloomDedup.newDocs(batch,
           corpus.select(fingerprint(col("text")).as("fp")).distinct(),
-          "text", "doc_id")
+          "text")
           .select(col("doc_id"))
       }),
 
@@ -133,8 +133,10 @@ object QueriesText {
         val docs = t(s, dir, "documents")
         val corpus = docs.filter(col("doc_id") % 5 =!= 0)
         val batch = docs.filter(col("doc_id") % 5 === 0)
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft_mh_idx").toString
+        // fixed scratch path: buildMinhashIndex overwrite-replaces it per
+        // run, so repeated correctness runs don't accumulate temp dirs
+        val idx = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_mh_idx_scratch").toString
         Dedup.buildMinhashIndex(corpus, "text", "doc_id", idx,
           shingleK = 5, numHashes = 16, bands = 4)
         Dedup.incrementalNearDupPairs(batch, "text", "doc_id", idx,
@@ -475,54 +477,102 @@ object QueriesText {
       }),
 
     // ------------------------------------------------- similarity: IVF
-    // KMeans cells aren't SQL-reproducible, so the checked property is
-    // RECALL: the IVF top-k probing 8 of 16 cells must overlap the exact
-    // brute-force top-k in >= 6 of 10 ranks (the synthetic embeddings are
-    // near-uniform — the hardest case for a coarse quantizer; measured
-    // overlap is 7 and 10 at the two test SFs). The brute baseline itself
-    // is oracle-verified by ann_cosine_topk; this asserts the probe path
-    // doesn't lose the answer.
-    QueryDef("ann_ivf_topk", Some(
-      "SELECT 10 AS k_requested, TRUE AS recall_ok"),
+    // VALUE-MATCHED oracle: the sign-pattern coarse quantizer (cell =
+    // sign bits of the first 4 dims, centroid = per-dim member mean —
+    // the quantizer family emb_semdedup already replays) is fully
+    // deterministic, so DuckDB replays cells, centroids, the nProbe=8
+    // probe ranking AND the final top-k value-for-value. K-means stays
+    // the production quantizer behind the same ivfTopK interface
+    // (AnnIndexSpec covers it, incl. recall vs brute force); rankings
+    // round to 6dp with cell/vec_id tiebreaks so both engines cut
+    // identically.
+    QueryDef("ann_ivf_topk", Some("""
+      WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cells AS (
+        SELECT vec_id, v,
+          (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END) +
+          (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS cell
+        FROM raw),
+      expl AS (SELECT cell, unnest(range(len(v))) AS i, unnest(v) AS x FROM cells),
+      cm AS (SELECT cell, i, avg(x) AS m FROM expl GROUP BY cell, i),
+      cent AS (SELECT cell, list(m ORDER BY i) AS c FROM cm GROUP BY cell),
+      q AS (SELECT v AS qv FROM raw WHERE vec_id = 0),
+      probes AS (
+        SELECT cell FROM cent, q
+        ORDER BY round(CASE WHEN sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv)) > 0
+          THEN list_dot_product(c, qv) / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv)))
+          ELSE 0.0 END, 6) DESC, cell
+        LIMIT 8)
+      SELECT e.vec_id,
+        round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv)) > 0
+          THEN list_dot_product(e.v, qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv)))
+          ELSE 0.0 END, 6) AS cosine
+      FROM cells e JOIN probes USING (cell), q
+      ORDER BY cosine DESC, vec_id LIMIT 10"""),
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val qRow = e.filter(col("vec_id") === 0).select("embedding")
           .head().getSeq[Float](0)
-        val ivf = Similarity.ivfTopK(e, "embedding", "vec_id", qRow, 10,
-          nCells = 16, nProbe = 8)
-        val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", qRow, 10)
-        ivf.select("vec_id").join(brute.select("vec_id"), Seq("vec_id"))
-          .agg(count(lit(1)).as("__overlap"))
-          .select(lit(10).as("k_requested"), (col("__overlap") >= 6).as("recall_ok"))
+        Similarity.ivfTopK(e, "embedding", "vec_id", qRow, 10,
+          nCells = 16, nProbe = 8, quantizer = "sign")
       }),
 
     // --------------------------------------------- ANN: product quantization
     // PQ compresses 64 floats to 8 code bytes; search scores CODES against
     // a driver-side distance table (raw vectors untouched), then an exact
-    // re-rank of the 4x-overfetched candidates recovers the true head.
-    // Same restricted-oracle pattern as ann_ivf_topk: the assertion is
-    // recall >= 6/10 vs brute force, which survives k-means seed jitter.
-    QueryDef("ann_pq_topk", Some(
-      "SELECT 10 AS k_requested, TRUE AS recall_ok"),
+    // re-rank of the 16x-overfetched candidates recovers the true head.
+    // VALUE-MATCHED oracle via the sign sub-quantizer (code = sign bits of
+    // the unit-normalized subvector, codebook entry = member mean): DuckDB
+    // replays encode, codebooks, asymmetric distance, the 160-candidate
+    // cut and the exact re-rank value-for-value. K-means codebooks stay
+    // the production option behind the same buildPq interface
+    // (AnnIndexSpec covers them, incl. recall vs brute force). The index
+    // lands at a FIXED scratch path that overwrite-replaces per run — no
+    // temp-dir accumulation across correctness runs.
+    QueryDef("ann_pq_topk", Some {
+      val codeList = (0 until 8).map { j =>
+        (0 until 8).map { b =>
+          s"(CASE WHEN nv[${j * 8 + b + 1}] >= 0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+      }.mkString("[", ",\n        ", "]")
+      s"""
+      WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      nrm AS (SELECT vec_id, v,
+        CASE WHEN sqrt(list_dot_product(v, v)) > 0
+             THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             ELSE v END AS nv FROM raw),
+      coded AS (SELECT vec_id, nv, $codeList AS code FROM nrm),
+      expl AS (SELECT code, unnest(range(len(nv))) AS i, unnest(nv) AS x FROM coded),
+      assign AS (SELECT CAST(i // 8 AS INT) AS j, CAST(i % 8 AS INT) AS p, x,
+                        code[CAST(i // 8 AS INT) + 1] AS c FROM expl),
+      cb AS (SELECT j, c, p, avg(x) AS m FROM assign GROUP BY j, c, p),
+      qn AS (SELECT nv AS qv FROM nrm WHERE vec_id = 0),
+      qd AS (SELECT j, c, sum((m - qv[j * 8 + p + 1]) * (m - qv[j * 8 + p + 1])) AS d
+             FROM cb, qn GROUP BY j, c),
+      dcode AS (SELECT vec_id, unnest(range(8)) AS j, unnest(code) AS c FROM coded),
+      cand AS (SELECT vec_id, round(sum(d), 6) AS ad
+               FROM dcode JOIN qd USING (j, c) GROUP BY vec_id
+               ORDER BY ad, vec_id LIMIT 160),
+      qr AS (SELECT v AS qrv FROM raw WHERE vec_id = 0)
+      SELECT r.vec_id,
+        round(CASE WHEN sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(qrv, qrv)) > 0
+          THEN list_dot_product(r.v, qrv) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(qrv, qrv)))
+          ELSE 0.0 END, 6) AS cosine
+      FROM raw r JOIN cand USING (vec_id), qr
+      ORDER BY cosine DESC, vec_id LIMIT 10"""
+    },
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val qRow = e.filter(col("vec_id") === 0).select("embedding")
           .head().getSeq[Float](0)
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft_pq_idx").toString + "/idx"
+        val idx = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_pq_sign_idx").toString
         graft.operators.AnnIndex.buildPq(e, "embedding", "vec_id", idx,
-          m = 8, k = 32)
-        // overFetch 16: 8x32 codebooks quantize coarsely enough that a
-        // 4x overfetch loses true neighbors once the corpus outgrows the
-        // codebook (observed recall_ok=false at sf0.1's 5000 vectors);
-        // 160 candidates is still ~3% of that corpus and scale-invariant
-        // in cost (k * overFetch, independent of corpus size)
-        val pq = graft.operators.AnnIndex.searchPqRerank(s, idx, e,
+          m = 8, quantizer = "sign")
+        // overFetch 16: 160 candidates is ~3% of the sf0.1 corpus and
+        // scale-invariant in cost (k * overFetch, corpus-size-independent)
+        graft.operators.AnnIndex.searchPqRerank(s, idx, e,
           "embedding", "vec_id", qRow, 10, overFetch = 16)
-        val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", qRow, 10)
-        pq.select("vec_id").join(brute.select("vec_id"), Seq("vec_id"))
-          .agg(count(lit(1)).as("__overlap"))
-          .select(lit(10).as("k_requested"), (col("__overlap") >= 6).as("recall_ok"))
       }),
 
     // ------------------------------------------------- text: language ID
@@ -687,7 +737,7 @@ object QueriesText {
         FROM toks)
       SELECT doc_id,
              CASE
-               WHEN len(tk) < 10 THEN 'too_short'
+               WHEN t IS NULL OR len(tk) < 10 THEN 'too_short'
                WHEN NOT (greatest(s_en, s_es, s_de, s_fr) > 0
                          AND s_en = greatest(s_en, s_es, s_de, s_fr)) THEN 'non_english'
                WHEN (CASE WHEN len(t) > 0

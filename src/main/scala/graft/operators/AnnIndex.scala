@@ -61,9 +61,14 @@ object AnnIndex {
       k: Int, nProbe: Int = 4): DataFrame = {
     val q = query.map(_.toDouble).toArray
     val nq = math.sqrt(q.map(x => x * x).sum)
-    val probeCells = spark.read.parquet(s"$path/_centroids")
+    val cents = spark.read.parquet(s"$path/_centroids")
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    cents.headOption.foreach { case (_, c) =>
+      require(c.length == query.length, s"searchIvf: query has " +
+        s"${query.length} dims but the index was built over ${c.length}")
+    }
+    val probeCells = cents
       .map { case (i, c) =>
         val d = c.zip(q).map { case (a, b) => a * b }.sum
         val nc = math.sqrt(c.map(x => x * x).sum)
@@ -86,21 +91,31 @@ object AnnIndex {
 
   /**
    * Build a product-quantization index at `path`: each vector splits
-   * into `m` subvectors, each subspace gets its own seeded k-means
-   * codebook, and the stored table is (vec_id, code[m]) — d floats
-   * compressed to m small ints. Codebooks persist under `_codebooks`
-   * (same underscore convention as IVF's `_centroids`).
+   * into `m` subvectors, each subspace gets its own codebook, and the
+   * stored table is (vec_id, code[m]) — d floats compressed to m small
+   * ints. Codebooks persist under `_codebooks` (same underscore
+   * convention as IVF's `_centroids`).
    *
-   * 100 TB shape: m small k-means fits (each over the corpus but with
-   * sub-dimensional vectors; sampled fits are a drop-in if even that is
-   * too hot), one encode pass, one write. The index is ~m bytes/vector —
-   * the variant that still fits in cluster memory when raw vectors
-   * don't.
+   * Two sub-quantizers behind the same interface:
+   *  - `"kmeans"` (production default): one seeded k-means fit per
+   *    subspace (k codes each) — deterministic within a Spark build but
+   *    not replayable by another engine.
+   *  - `"sign"`: the code is the sign pattern of the subvector (up to
+   *    2^sub codes) and the codebook entry is the per-dim mean of the
+   *    members — fully deterministic and SQL-replayable (the
+   *    `ann_pq_topk` DuckDB oracle replays encode, codebooks, asymmetric
+   *    distance and the re-rank value-for-value). `k` is ignored: the
+   *    code space is fixed by the subvector width.
+   *
+   * 100 TB shape: m codebook fits (sub-dimensional; sampled k-means fits
+   * are a drop-in if even that is too hot — the sign path is one
+   * projection + one bounded aggregation), one encode pass, one write.
+   * The index is ~m bytes/vector — the variant that still fits in
+   * cluster memory when raw vectors don't.
    */
   def buildPq(embeddings: DataFrame, vecCol: String, idCol: String,
-      path: String, m: Int = 8, k: Int = 16, seed: Long = 42L): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      path: String, m: Int = 8, k: Int = 16, seed: Long = 42L,
+      quantizer: String = "kmeans"): Unit = {
     val spark = embeddings.sparkSession
     // UNIT-normalize before encoding: on the unit sphere squared-L2 is
     // monotone in cosine (||a-b||^2 = 2 - 2cos), so the asymmetric
@@ -113,30 +128,64 @@ object AnnIndex {
       .select(col("vec_id"),
         transform(col("raw"),
           x => when(col("__n") > 0, x / col("__n")).otherwise(x)).as("vec"))
-      .localCheckpoint(true) // read by m fits + the encode pass
+      .localCheckpoint(true) // read by the fits + the encode pass
     val dim = base.select(size(col("vec"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    var coded = base
-    val codebooks = (0 until m).map { j =>
-      val featCol = s"__f$j"
-      val withFeat = coded.withColumn(featCol,
-        array_to_vector(slice(col("vec"), j * sub + 1, sub)))
-      val model = new KMeans().setK(k).setSeed(seed + j)
-        .setFeaturesCol(featCol).setPredictionCol(s"__c$j")
-        .fit(withFeat)
-      coded = model.transform(withFeat).drop(featCol)
-      (j, model.clusterCenters.map(_.toArray))
+    quantizer match {
+      case "kmeans" =>
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        var coded = base
+        val codebooks = (0 until m).map { j =>
+          val featCol = s"__f$j"
+          val withFeat = coded.withColumn(featCol,
+            array_to_vector(slice(col("vec"), j * sub + 1, sub)))
+          val model = new KMeans().setK(k).setSeed(seed + j)
+            .setFeaturesCol(featCol).setPredictionCol(s"__c$j")
+            .fit(withFeat)
+          coded = model.transform(withFeat).drop(featCol)
+          (j, model.clusterCenters.map(_.toArray))
+        }
+        coded
+          .select(col("vec_id"),
+            array((0 until m).map(j => col(s"__c$j")): _*).as("code"))
+          .write.mode("overwrite").parquet(path)
+        import spark.implicits._
+        codebooks.flatMap { case (j, cents) =>
+          cents.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+        }.toDF("subspace", "centroid_id", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+      case "sign" =>
+        require(sub <= 16, s"buildPq(sign): subvector width $sub would " +
+          s"mean 2^$sub codes per subspace — raise m or use kmeans")
+        val coded = base.withColumn("code",
+          array((0 until m).map { j =>
+            (0 until sub).map { b =>
+              when(try_element_at(col("vec"), lit(j * sub + b + 1)) >= 0,
+                lit(1 << b)).otherwise(lit(0))
+            }.reduce(_ + _)
+          }: _*))
+          .localCheckpoint(true) // read by the write + the codebook agg
+        coded.select(col("vec_id"), col("code"))
+          .write.mode("overwrite").parquet(path)
+        // codebook entries are member means per (subspace, code, pos) —
+        // partial aggregation collapses the explode to (m x codes x sub)
+        // rows before the exchange, same shape as semDedup centroids
+        coded
+          .select(col("code"), posexplode_outer(col("vec")).as(Seq("i", "x")))
+          .withColumn("subspace", (col("i") / lit(sub)).cast("int"))
+          .withColumn("centroid_id", element_at(col("code"), col("subspace") + 1))
+          .withColumn("p", (col("i") % lit(sub)).cast("int"))
+          .groupBy("subspace", "centroid_id", "p").agg(avg(col("x")).as("m"))
+          .groupBy("subspace", "centroid_id")
+          .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("cm"))
+          .select(col("subspace"), col("centroid_id"),
+            transform(col("cm"), s => s.getField("m")).as("centroid"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+      case other => throw new IllegalArgumentException(
+        s"buildPq: unknown quantizer '$other' (kmeans|sign)")
     }
-    coded
-      .select(col("vec_id"),
-        array((0 until m).map(j => col(s"__c$j")): _*).as("code"))
-      .write.mode("overwrite").parquet(path)
-    import spark.implicits._
-    codebooks.flatMap { case (j, cents) =>
-      cents.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
-    }.toDF("subspace", "centroid_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
   }
 
   /**
@@ -153,7 +202,12 @@ object AnnIndex {
       .toMap
     val m = cb.keys.map(_._1).max + 1
     val kk = cb.keys.map(_._2).max + 1
-    val sub = query.length / m
+    // the indexed dimensionality is encoded in the codebooks themselves
+    // (m subspaces x sub-centroid width); a query of any other length
+    // would silently score misaligned slices, so it is an error
+    val sub = cb.values.head.length
+    require(query.length == sub * m, s"searchPq: query has " +
+      s"${query.length} dims but the index encodes ${sub * m} (m=$m)")
     // the index lives on the unit sphere (see buildPq) — the query must too
     val q0 = query.map(_.toDouble).toArray
     val qn = math.sqrt(q0.map(x => x * x).sum)
@@ -172,8 +226,11 @@ object AnnIndex {
       element_at(array(table(j).toIndexedSeq.map(lit): _*),
         col("code").getItem(j) + 1)
     }
+    // 6dp rounding BEFORE the cut (with a vec_id tiebreak): the distance
+    // table sums small fp terms whose order differs engine-to-engine, so
+    // an unrounded candidate cut could differ at the k boundary
     spark.read.parquet(path)
-      .select(col("vec_id"), perSub.reduce(_ + _).as("approx_dist"))
+      .select(col("vec_id"), round(perSub.reduce(_ + _), 6).as("approx_dist"))
       .orderBy(col("approx_dist").asc, col("vec_id").asc)
       .limit(k)
   }
@@ -193,7 +250,7 @@ object AnnIndex {
     embeddings
       .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
       .join(broadcast(candidates), Seq("vec_id"))
-      .select(col("vec_id"), cosine(col("vec"), qCol).as("cosine"))
+      .select(col("vec_id"), round(cosine(col("vec"), qCol), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }

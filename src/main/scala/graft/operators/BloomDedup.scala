@@ -53,19 +53,26 @@ object BloomDedup {
    * Batch documents whose content fingerprint does NOT appear in the
    * corpus fingerprint table — exactly the anti-join, bloom-accelerated.
    *
+   * The verification anti-join is keyed on the FINGERPRINT, never on a
+   * batch id: duplicate or null batch ids cannot drop a genuinely-new
+   * row, and null fingerprints (null text) survive like the oracle's
+   * `NOT EXISTS` with equality. Rows the bloom clears skip the join
+   * entirely (no false negatives); only might-contain survivors — true
+   * dups plus the fpp sliver of the batch — pay the shuffle.
+   *
    * @param corpusFps one row per known fingerprint (fpCol, hex md5 of
    *                  canonical text — [[graft.functions.TextFunctions.fingerprint]])
    */
   def newDocs(batch: DataFrame, corpusFps: DataFrame,
-      textCol: String, idCol: String, fpCol: String = "fp",
+      textCol: String, fpCol: String = "fp",
       expectedItems: Long = 1000000L, numBits: Long = 1L << 23): DataFrame = {
     val bloom = buildBloom(corpusFps, col(fpCol), expectedItems, numBits)
     val withFp = batch.withColumn("__fp", fingerprint(col(textCol)))
     if (bloom == null) return withFp.drop("__fp") // empty corpus: all new
-    val verifiedDups = withFp
-      .filter(mightContain(bloom, col("__fp")))
-      .join(corpusFps.select(col(fpCol).as("__fp")), Seq("__fp"), "left_semi")
-      .select(col(idCol))
-    withFp.join(verifiedDups, Seq(idCol), "left_anti").drop("__fp")
+    val knownFps = corpusFps.select(col(fpCol).as("__fp"))
+    withFp.filter(!mightContain(bloom, col("__fp")))
+      .unionByName(withFp.filter(mightContain(bloom, col("__fp")))
+        .join(knownFps, Seq("__fp"), "left_anti"))
+      .drop("__fp")
   }
 }

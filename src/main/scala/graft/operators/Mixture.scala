@@ -22,13 +22,30 @@ object Mixture {
 
   /** Deterministic hash of an id to [0, 1): (id * 2654435761) mod 10^6
     * scaled — Knuth's multiplicative constant, integer-exact in any
-    * engine. Not cryptographic; collision-free enough for sampling. */
-  def idHashUnit(id: Column): Column =
-    pmod(id.cast("long") * lit(2654435761L), lit(1000000L))
+    * engine. Not cryptographic; collision-free enough for sampling.
+    * Requires a numeric (long-castable) non-null id — a silent NULL here
+    * would drop the row from every sample, so it raises instead. */
+  def idHashUnit(id: Column): Column = {
+    val asLong = when(id.isNull || id.try_cast("long").isNull,
+        raise_error(concat(lit("Mixture.idHashUnit: id is null or not "
+          + "castable to long: "), coalesce(id.cast("string"), lit("NULL")))))
+      .otherwise(id.try_cast("long"))
+    // (id·C) mod m as ((id mod m)·C) mod m: the product stays below
+    // m·C ≈ 2.7e15, so ids up to Long.MaxValue can't overflow (a raw
+    // id·C overflows — ANSI would raise — once ids pass ~3.5e9, i.e.
+    // exactly the 100 TB corpus id range). Mathematically identical.
+    pmod(pmod(asLong, lit(1000000L)) * lit(2654435761L), lit(1000000L))
       .cast("double") / lit(1000000.0)
+  }
 
   /**
    * Sample `docs` so each source contributes ~budgetTokens·w_s tokens.
+   *
+   * Preconditions fail FAST, not silently: a doc whose source has no
+   * weights row raises (an inner join would silently drop the whole
+   * source from the sample), and a null / non-numeric id raises in
+   * [[idHashUnit]] (a NULL hash would silently drop every row). Both
+   * checks are map-side expressions — no extra action or shuffle.
    *
    * @param weights (sourceCol, "weight") rows; weights are normalized
    *                internally so callers pass any positive ratios.
@@ -48,8 +65,12 @@ object Mixture {
         least(lit(1.0), lit(budgetTokens) * col("__w") / col("__tot"))
           .as("__keep_frac"))
     docs
-      .join(broadcast(fractions), Seq(sourceCol))
-      .filter(idHashUnit(col(idCol)) < col("__keep_frac"))
+      .join(broadcast(fractions), Seq(sourceCol), "left")
+      .filter(
+        when(col("__keep_frac").isNull, raise_error(concat(
+          lit("Mixture.sampleByTokenBudget: no weight for source '"),
+          coalesce(col(sourceCol).cast("string"), lit("NULL")), lit("'"))))
+        .otherwise(idHashUnit(col(idCol)) < col("__keep_frac")))
       .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 }

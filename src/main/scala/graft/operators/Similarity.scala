@@ -93,41 +93,92 @@ object Similarity {
   }
 
   /**
-   * True IVF (inverted-file) ANN: k-means coarse quantizer, probe the
-   * nProbe nearest cells. Index build is one MLlib KMeans fit (seeded —
-   * deterministic); search scans only the probed cells' vectors. At scale
-   * the assigned table is written partitioned by `cell`, so a probe reads
-   * nProbe partitions, not the corpus.
+   * True IVF (inverted-file) ANN: coarse-quantize the corpus into cells,
+   * rank cells by centroid-to-query cosine, probe the nProbe best. At
+   * scale the assigned table is written partitioned by `cell`, so a probe
+   * reads nProbe partitions, not the corpus.
    *
-   * Returns (assignments, topK): assignments for reuse across queries.
+   * Two coarse quantizers behind the same interface:
+   *  - `"kmeans"` (production default): one MLlib KMeans fit (seeded —
+   *    deterministic within a Spark build, but NOT replayable by another
+   *    engine).
+   *  - `"sign"`: the cell is the sign pattern of the first log2(nCells)
+   *    dimensions and the centroid is the per-dim member mean — fully
+   *    deterministic and SQL-replayable (the `ann_ivf_topk` DuckDB oracle
+   *    replays cells, centroids, probe ranking and the final top-k
+   *    value-for-value), with the identical plan shape: constant-width
+   *    cell assignment, partial-aggregated centroid means, nProbe-pruned
+   *    exact scan. Centroid ranking and the final cosine are rounded to
+   *    6dp (with cell / vec_id tiebreaks) so both engines cut identically.
    */
   def ivfTopK(
       embeddings: DataFrame, vecCol: String, idCol: String,
       query: Seq[Float], k: Int, nCells: Int = 16, nProbe: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val prepared = embeddings
-      .withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(nCells).setSeed(seed)
-      .setFeaturesCol("__features").setPredictionCol("cell")
-      .fit(prepared)
-    val assigned = model.transform(prepared).drop("__features")
-    // nProbe nearest centroids to the query — k centroids, driver-side math
-    val centroids = model.clusterCenters.map(_.toArray)
-    val q = query.map(_.toDouble).toArray
-    val probeCells = centroids.zipWithIndex
-      .map { case (c, i) =>
-        val dot = c.zip(q).map { case (a, b) => a * b }.sum
-        val nc = math.sqrt(c.map(x => x * x).sum)
-        val nq = math.sqrt(q.map(x => x * x).sum)
-        (i, if (nc > 0 && nq > 0) dot / (nc * nq) else 0.0)
-      }
-      .sortBy(-_._2).take(nProbe).map(_._1)
+      seed: Long = 42L, quantizer: String = "kmeans"): DataFrame = quantizer match {
+    case "sign" => ivfSignTopK(embeddings, vecCol, idCol, query, k, nCells, nProbe)
+    case "kmeans" =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val prepared = embeddings
+        .withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
+      val model = new KMeans().setK(nCells).setSeed(seed)
+        .setFeaturesCol("__features").setPredictionCol("cell")
+        .fit(prepared)
+      val assigned = model.transform(prepared).drop("__features")
+      // nProbe nearest centroids to the query — k centroids, driver-side math
+      val centroids = model.clusterCenters.map(_.toArray)
+      val q = query.map(_.toDouble).toArray
+      val probeCells = centroids.zipWithIndex
+        .map { case (c, i) =>
+          val dot = c.zip(q).map { case (a, b) => a * b }.sum
+          val nc = math.sqrt(c.map(x => x * x).sum)
+          val nq = math.sqrt(q.map(x => x * x).sum)
+          (i, if (nc > 0 && nq > 0) dot / (nc * nq) else 0.0)
+        }
+        .sortBy(-_._2).take(nProbe).map(_._1)
+      val qCol = array(query.map(v => lit(v)): _*)
+      assigned
+        .filter(col("cell").isin(probeCells.toSeq: _*))
+        .select(col(idCol).as("vec_id"), cosine(col(vecCol), qCol).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(k)
+    case other => throw new IllegalArgumentException(
+      s"ivfTopK: unknown quantizer '$other' (kmeans|sign)")
+  }
+
+  /** The `"sign"` arm of [[ivfTopK]]. Cells, centroids and both rankings
+    * are deterministic expression trees; the centroid table is nCells
+    * rows and the probe list is collected driver-side exactly like the
+    * k-means arm (and [[AnnIndex.searchIvf]]) already do. */
+  private def ivfSignTopK(
+      embeddings: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val signBits = java.lang.Long.numberOfTrailingZeros(nCells.toLong).toInt
+    require(nCells > 0 && (1 << signBits) == nCells,
+      s"ivfTopK(sign): nCells must be a power of two, got $nCells")
+    val cells = embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", (0 until signBits).map(j =>
+        when(try_element_at(col("v"), lit(j + 1)) >= 0, lit(1L << j))
+          .otherwise(lit(0L)))
+        .reduce(_ + _))
+    // per-dim means, partial-aggregated to (nCells x dims) pre-exchange —
+    // the same centroid machinery semDedup proves replayable
+    val centroids = cells
+      .select(col("cell"), posexplode_outer(col("v")).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(avg(col("x")).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("cm"))
+      .select(col("cell"), transform(col("cm"), s => s.getField("m")).as("centroid"))
     val qCol = array(query.map(v => lit(v)): _*)
-    assigned
-      .filter(col("cell").isin(probeCells.toSeq: _*))
-      .select(col(idCol).as("vec_id"), cosine(col(vecCol), qCol).as("cosine"))
+    val probeCells = centroids
+      .select(col("cell"), round(cosine(col("centroid"), qCol), 6).as("cc"))
+      .orderBy(col("cc").desc, col("cell").asc)
+      .limit(nProbe)
+      .collect().map(_.getLong(0)).toSeq
+    cells
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), round(cosine(col("v"), qCol), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }

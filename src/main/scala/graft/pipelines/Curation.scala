@@ -37,7 +37,9 @@ object Curation {
 
   /**
    * Append a `disposition` column: the FIRST failing rule in precedence
-   * order — too_short (<10 tokens), non_english (stopword-argmax lang
+   * order — too_short (<10 tokens; NULL text is an empty doc and lands
+   * here explicitly, so both engines agree before any null-arm
+   * three-valued logic can diverge), non_english (stopword-argmax lang
    * id), low_alpha (<0.6 alphabetic), repetitive (bigram repetition
    * >0.5), pii (the scrub pass would change the text) — else "keep".
    * All signals come from MATERIALIZED attribute columns, so the gate
@@ -55,7 +57,7 @@ object Curation {
         langs.map(l => s"__s_$l" -> langScoreFromTokens(col("__toks"), l)).toMap)
     scored
       .withColumn(outCol,
-        when(size(col("__toks")) < 10, "too_short")
+        when(t.isNull || size(col("__toks")) < 10, "too_short")
           .when(langIdFromScores(langs.map(l => l -> col(s"__s_$l"))) =!= "en",
             "non_english")
           .when(alphaRatio(t) < 0.6, "low_alpha")

@@ -72,6 +72,57 @@ class AnnIndexSpec extends SparkSpec {
       s"recall too low: ${got.toSet} vs $brute")
   }
 
+  test("kmeans IVF (production quantizer) recalls >= 6/10 of the brute head") {
+    // the recall gate the registry row used to self-certify — kept here
+    // so the production path stays covered now that ann_ivf_topk
+    // value-matches the sign quantizer instead
+    val ivf = Similarity.ivfTopK(emb, "embedding", "vec_id", query, 10,
+      nCells = 16, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.intersect(brute).size >= 6, s"recall too low: $ivf vs $brute")
+  }
+
+  test("sign quantizer: IVF and PQ are deterministic and recall the head") {
+    val ivf = Similarity.ivfTopK(emb, "embedding", "vec_id", query, 10,
+      nCells = 16, nProbe = 8, quantizer = "sign")
+      .select("vec_id").as[Long].collect()
+    assert(ivf.head === 0L) // self-hit first
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.toSet.intersect(brute).size >= 6)
+    // run-to-run determinism (no seed involved at all)
+    val again = Similarity.ivfTopK(emb, "embedding", "vec_id", query, 10,
+      nCells = 16, nProbe = 8, quantizer = "sign")
+      .select("vec_id").as[Long].collect()
+    assert(ivf.toSeq === again.toSeq)
+
+    val path = java.nio.file.Files.createTempDirectory("graft_pqs").toString + "/idx"
+    AnnIndex.buildPq(emb, "embedding", "vec_id", path, m = 8, quantizer = "sign")
+    val rr = AnnIndex.searchPqRerank(spark, path, emb, "embedding", "vec_id",
+      query, 10, overFetch = 16)
+      .select("vec_id").as[Long].collect()
+    assert(rr.head === 0L)
+    assert(rr.toSet.intersect(brute).size >= 6)
+  }
+
+  test("searchIvf/searchPq reject a query of the wrong dimensionality") {
+    val ivfPath = java.nio.file.Files.createTempDirectory("graft_ivfd").toString + "/idx"
+    AnnIndex.buildIvf(emb, "embedding", "vec_id", ivfPath, nCells = 4)
+    val short = query.take(16)
+    val eIvf = intercept[IllegalArgumentException] {
+      AnnIndex.searchIvf(spark, ivfPath, short, k = 5)
+    }
+    assert(eIvf.getMessage.contains("dims"))
+    val pqPath = java.nio.file.Files.createTempDirectory("graft_pqd").toString + "/idx"
+    AnnIndex.buildPq(emb, "embedding", "vec_id", pqPath, m = 8, quantizer = "sign")
+    val ePq = intercept[IllegalArgumentException] {
+      AnnIndex.searchPq(spark, pqPath, short, k = 5)
+    }
+    assert(ePq.getMessage.contains("dims"))
+  }
+
   test("probeSigs enumerates the hamming ball exactly") {
     val ball = AnnIndex.probeSigs(sig = 5L, bits = 4, h = 1)
     // 5 = 0101; flipping each of 4 bits: 0100=4, 0111=7, 0001=1, 1101=13

@@ -17,9 +17,26 @@ class BloomDedupSpec extends SparkSpec {
       (2L, "Known  Document TEXT here!"), // canon-equal dup (case/spacing)
       (3L, "genuinely new content"))
       .toDF("doc_id", "text")
-    val out = BloomDedup.newDocs(batch, corpus, "text", "doc_id")
+    val out = BloomDedup.newDocs(batch, corpus, "text")
       .select("doc_id").as[Long].collect().toSet
     assert(out === Set(3L))
+  }
+
+  test("duplicate batch ids: the fingerprint keying keeps the new row") {
+    // Two batch rows share id=1; only one text is a known duplicate. An
+    // id-keyed anti-join would drop both; fingerprint keying keeps the
+    // genuinely-new row. Null text survives (null fp never matches).
+    val corpus = Seq("known document text here")
+      .toDF("text").select(fingerprint($"text").as("fp")).distinct()
+    val batch = Seq(
+      (1L, "known document text here"), // dup
+      (1L, "new text, same id"),        // new — must survive
+      (2L, null.asInstanceOf[String]))  // null text — must survive
+      .toDF("doc_id", "text")
+    val out = BloomDedup.newDocs(batch, corpus, "text")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(out === Set((1L, Some("new text, same id")), (2L, None)))
   }
 
   test("bloom path result equals the plain anti-join on real data") {
@@ -30,7 +47,7 @@ class BloomDedupSpec extends SparkSpec {
       .unionByName(corpus.limit(20)
         .select(($"doc_id" + 500000L).as("doc_id"), $"text"))
     val fps = corpus.select(fingerprint($"text").as("fp")).distinct()
-    val viaBloom = BloomDedup.newDocs(batch, fps, "text", "doc_id")
+    val viaBloom = BloomDedup.newDocs(batch, fps, "text")
       .select("doc_id").as[Long].collect().toSet
     val plain = batch.withColumn("__fp", fingerprint($"text"))
       .join(fps.select($"fp".as("__fp")), Seq("__fp"), "left_anti")
@@ -44,7 +61,7 @@ class BloomDedupSpec extends SparkSpec {
     val corpus = spark.emptyDataset[String].toDF("text")
       .select(fingerprint($"text").as("fp")).filter(lit(false))
     val batch = Seq((1L, "anything")).toDF("doc_id", "text")
-    val out = BloomDedup.newDocs(batch, corpus, "text", "doc_id")
+    val out = BloomDedup.newDocs(batch, corpus, "text")
       .select("doc_id").as[Long].collect().toSet
     assert(out === Set(1L))
   }

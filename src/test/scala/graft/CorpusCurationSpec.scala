@@ -189,6 +189,24 @@ class CorpusCurationSpec extends SparkSpec {
       again.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("mixture sampling fails fast on uncovered source and bad id") {
+    val docs = Seq((1L, "known", 5), (2L, "orphan", 5))
+      .toDF("doc_id", "source", "n_tokens")
+    val weights = Seq(("known", 1.0)).toDF("source", "weight")
+    val eMissing = intercept[Exception] {
+      Mixture.sampleByTokenBudget(docs, "doc_id", "source",
+        col("n_tokens"), weights, budgetTokens = 1000L).collect()
+    }
+    assert(eMissing.getMessage.contains("no weight for source"))
+    val badId = Seq(("not-a-number", "known", 5))
+      .toDF("doc_id", "source", "n_tokens")
+    val eBadId = intercept[Exception] {
+      Mixture.sampleByTokenBudget(badId, "doc_id", "source",
+        col("n_tokens"), weights, budgetTokens = 1000L).collect()
+    }
+    assert(eBadId.getMessage.contains("idHashUnit"))
+  }
+
   test("mixture sampling: zero-weight source contributes nothing") {
     val docs = (0L until 50L).map(i => (i, if (i % 2 == 0) "a" else "b", 5))
       .toDF("doc_id", "source", "n_tokens")

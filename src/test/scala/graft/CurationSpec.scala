@@ -116,6 +116,16 @@ class CurationSpec extends SparkSpec {
     assert(out === "too_short") // not "pii", though the SSN is there
   }
 
+  test("withDisposition: NULL text is an empty doc -> too_short") {
+    // Defined explicitly so the Spark gate and the DuckDB oracle agree
+    // before null docs ever appear in a fixture (the oracle's CASE would
+    // otherwise fall through its null arms to 'low_alpha').
+    val out = Curation.withDisposition(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"), "text")
+      .select("disposition").as[String].head()
+    assert(out === "too_short")
+  }
+
   test("withDisposition keeps a clean English doc") {
     val out = Curation.withDisposition(
       Seq((1L, "the report for the board was finished and it was good today"))
