@@ -25,7 +25,11 @@ object Bench {
     "text_decontaminate", "text_quality_gate", "emb_semdedup",
     // repeated-span removal and bigram-LM scoring are corpus-wide curation
     // passes (two shuffles / two count aggs) — headline-class cost
-    "text_line_dedup", "text_lm_perplexity")
+    "text_line_dedup", "text_lm_perplexity",
+    // round 6: the composed 6-stage curation run — the heaviest job a
+    // user actually schedules. Its stages are timed individually above;
+    // this row times the COMPOSITION (stage checkpoints included)
+    "curation_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,6 +40,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

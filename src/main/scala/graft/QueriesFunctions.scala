@@ -4,7 +4,7 @@ import graft.functions.GraftFunctions._
 import graft.functions.osa_distance
 import graft.operators.{Corrections, FuzzyJoin}
 import graft.pipelines.Lineages
-import graft.qa.{QaRules, WeeklyChange}
+import graft.qa.{LabMonitoring, QaRules, WeeklyChange}
 import graft.qa.QaRules.Rule
 import graft.sources.SnapshotStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -33,6 +33,54 @@ object QueriesFunctions {
       col("o_orderdate").cast("date") > to_date(lit("2005-12-31"))),
     Rule("qa_int_dupe",
       QaRules.dupWithinBatch(col("o_custkey"), col("o_orderdate").cast("date"))))
+
+  // ---- Q11 lab-freshness inventory + oracle CTEs ----
+
+  /** Deterministic landing-zone inventory derived from events (see the
+    * q11_lab_freshness comment). Columns match scanLandingZone's output
+    * contract: (path, folder, mtime, type). */
+  private def q11Inventory(events: DataFrame): DataFrame = {
+    val tree = when(col("event_id") % 2 === 0, "Submitted").otherwise("Completed")
+    val lab = (col("user_id") % 20).cast("string")
+    events
+      .filter(col("event_id") < lit(9000L) - (col("user_id") % 20) * 400)
+      .select(
+        concat(lit("lz/lab_"), lab, lit("/"), tree,
+          lit("/f_"), col("event_id").cast("string"), lit(".csv")).as("path"),
+        concat(lit("lz/lab_"), lab, lit("/"), tree).as("folder"),
+        col("ts").as("mtime"),
+        tree.as("type"))
+  }
+
+  /** Folder patterns for labs 0..17 — trailing slash so 'lab_1/' never
+    * substring-matches 'lab_13/'. Labs 18/19 intentionally unmatched. */
+  private def q11Patterns: Seq[(String, String)] =
+    (0 to 17).map(i => (s"lab_$i/", s"Lab $i"))
+
+  /** Oracle CTEs: the inventory + newest-per-folder + days-lag. */
+  private def q11RecentCtes: String = """
+      inv AS (
+        SELECT 'lz/lab_' || (user_id % 20) || '/' ||
+               (CASE WHEN event_id % 2 = 0 THEN 'Submitted' ELSE 'Completed' END) ||
+               '/f_' || event_id || '.csv' AS path,
+               'lz/lab_' || (user_id % 20) || '/' ||
+               (CASE WHEN event_id % 2 = 0 THEN 'Submitted' ELSE 'Completed' END) AS folder,
+               ts AS mtime,
+               CASE WHEN event_id % 2 = 0 THEN 'Submitted' ELSE 'Completed' END AS type
+        FROM events
+        WHERE event_id < 9000 - (user_id % 20) * 400),
+      recent AS (
+        SELECT folder, type, path,
+               datediff('day', CAST(mtime AS DATE), DATE '2024-02-01') AS lag_days
+        FROM (SELECT *, row_number() OVER (PARTITION BY folder, type
+                ORDER BY mtime DESC, path) AS rn FROM inv)
+        WHERE rn = 1)"""
+
+  /** First-matching-pattern lab CASE, mirroring labFromFolder. */
+  private def q11LabCase: String =
+    "CASE " + (0 to 17).map(i =>
+      s"WHEN contains(folder, 'lab_$i/') THEN 'Lab $i'").mkString(" ") +
+      " ELSE '' END"
 
   // ---- weekly-Change oracle SQL (mirrors WeeklyChange.errorSummary) ----
   private val qaYears: Seq[Int] = 1992 to 1998
@@ -267,6 +315,51 @@ object QueriesFunctions {
         WeeklyChange.weeklyChange(store, "summary_table", summary(orders))
       }),
 
+    // ------------------------------------------------------------ Q11
+    // Lab-submission freshness monitor (lab_submissions_monitoring.Rmd:
+    // 40-167) over an INVENTORY TABLE instead of the FS walk — the swap
+    // LabMonitoring.scanLandingZone's scaladoc designs for (a cloud
+    // landing zone publishes an object inventory; the report logic is
+    // unchanged, which is exactly what these rows prove). The inventory
+    // derives deterministically from events: folder = lab bucket
+    // (user_id % 20) x Submitted/Completed tree (event_id % 2), mtime =
+    // ts, with a per-lab event_id cap so each lab's NEWEST file lands on
+    // a different day (lags 5..24, not a constant). Labs 18/19 have no
+    // folder pattern (the no-match arm drops them); Lab 17 is excluded
+    // (the excludeLabs arm). The FS-walk e2e stays in LabMonitoringSpec.
+    QueryDef("q11_lab_freshness", Some(
+      s"WITH $q11RecentCtes," + s"""
+      labeled AS (SELECT $q11LabCase AS lab, lag_days FROM recent),
+      kept AS (SELECT * FROM labeled WHERE lab <> '' AND lab <> 'Lab 17')
+      SELECT DISTINCT lab, lag_days
+      FROM (SELECT lab, lag_days, min(lag_days) OVER (PARTITION BY lab) AS mn FROM kept)
+      WHERE lag_days = mn"""),
+      (s, dir) => {
+        val (_, summary) = LabMonitoring.report(
+          LabMonitoring.latestPerFolder(q11Inventory(t(s, dir, "events")),
+            to_date(lit("2024-02-01"))),
+          q11Patterns, excludeLabs = Seq("Lab 17"))
+        summary.select(col("Lab").as("lab"), col("datediff").as("lag_days"))
+      }),
+
+    // The newest-file-per-folder table feeding the summary: one row per
+    // (lab, tree) carrying the exact winning path — pins the
+    // row_number-over-mtime window (ties broken by path) and the
+    // days-lag arithmetic at file granularity.
+    QueryDef("q11_lab_detailed", Some(
+      s"WITH $q11RecentCtes," + s"""
+      labeled AS (SELECT $q11LabCase AS lab, path, folder, type, lag_days FROM recent)
+      SELECT lab, path, folder, type, lag_days FROM labeled
+      WHERE lab <> '' AND lab <> 'Lab 17'"""),
+      (s, dir) => {
+        val (detailed, _) = LabMonitoring.report(
+          LabMonitoring.latestPerFolder(q11Inventory(t(s, dir, "events")),
+            to_date(lit("2024-02-01"))),
+          q11Patterns, excludeLabs = Seq("Lab 17"))
+        detailed.select(col("Lab").as("lab"), col("path"), col("folder"),
+          col("type"), col("datediff").as("lag_days"))
+      }),
+
     // ------------------------------------------------------------ F17
     // Wide Target/Ct instrument slots -> named gene Ct columns
     // (Sgtf.geneCtColumns, S_Dropout_Records.Rmd:254-264). Slots rotate
@@ -364,6 +457,32 @@ object QueriesFunctions {
             substring(col("s_name"), 10, 100).as("sid"))
         FuzzyJoin.blockedFuzzyJoin(c, sup, "block", col("cid"), col("sid"), 2)
           .select(col("c_custkey"), col("s_suppkey"), col("distance"))
+      }),
+
+    // ------------------------------------------------- J8 via the rule
+    // The NAIVE osa(a,b)<=k theta-join — no hand-built blocking at all —
+    // relying on the OsaJoinBlocking optimizer rule (installed by
+    // GraftExtensions in the Verify/Bench sessions) to inject the
+    // length-band equi key; without the rule Catalyst would plan a
+    // BroadcastNestedLoopJoin (OsaJoinBlockingSpec asserts none
+    // survives for this exact registry query). Oracle note: the fixture
+    // ids are EQUAL-LENGTH 9-digit strings, where OSA == full
+    // Damerau-Levenshtein at threshold <= 2 (divergence needs an edit
+    // between transposed chars, which at distance 2 requires a length
+    // change), so DuckDB's damerau_levenshtein replays it exactly.
+    QueryDef("j8_fuzzy_osa_rewritten", Some("""
+      SELECT c.c_custkey, s.s_suppkey,
+             CAST(damerau_levenshtein(substr(c.c_name, 10), substr(s.s_name, 10)) AS INTEGER) AS distance
+      FROM customer c, supplier s
+      WHERE damerau_levenshtein(substr(c.c_name, 10), substr(s.s_name, 10)) <= 2"""),
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), substring(col("c_name"), 10, 100).as("cid"))
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey"), substring(col("s_name"), 10, 100).as("sid"))
+        c.join(sup, osa_distance(col("cid"), col("sid")) <= 2)
+          .select(col("c_custkey"), col("s_suppkey"),
+            osa_distance(col("cid"), col("sid")).as("distance"))
       }),
 
     // ------------------------------------------------------------ F15

@@ -18,6 +18,7 @@ object QuickRun {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (show) Registry.queries(name)(spark, sfDir).show(20, truncate = false)

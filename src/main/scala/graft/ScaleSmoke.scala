@@ -169,7 +169,9 @@ object ScaleSmoke {
     val report = graft.pipelines.Curation.attritionReport(
       src.filter(col("doc_id") % 101 =!= 0),
       src.filter(col("doc_id") % 101 === 0),
-      weights, "text", "doc_id", "source")
+      weights, "text", "doc_id", "source",
+      onStage = (stage, sec) =>
+        println(f"[scale-smoke]   curation-stage $stage%-14s ${sec}%.1fs"))
       .orderBy("stage_order")
       .collect()
     val dt6 = (System.nanoTime() - t6) / 1e9

@@ -421,8 +421,9 @@ object Dedup {
    * round is two shuffles (neighbor agg + jump join) over the EDGE
    * table, not the corpus; `localCheckpoint` truncates the growing
    * lineage so round N's plan doesn't replay rounds 1..N-1. The driver
-   * loop itself is control plane only — one count per round for the
-   * convergence check.
+   * loop itself is control plane only — the convergence check is a
+   * limit-1 scan of the round's own checkpoint blocks (the changed flag
+   * is computed inside the jump join, not by a second join).
    *
    * @param edges (id_a, id_b) undirected pairs
    * @param nodes optional node universe; nodes without any edge become
@@ -479,20 +480,25 @@ object Dedup {
         .join(labels.select(col("id").as("src"), col("lbl")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("__nmin"))
       val afterMin = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), col("__nmin")).as("lbl"))
-      // 2. pointer jump: follow the label one hop (label of my label)
+        .select(col("id"), least(col("lbl"), col("__nmin")).as("lbl"),
+          col("lbl").as("__old"))
+      // 2. pointer jump: follow the label one hop (label of my label).
+      // The round's OLD label rides along so the convergence flag is
+      // computed inside this same plan — the per-round check then reads
+      // the already-materialized checkpoint blocks with an early-exit
+      // limit(1), instead of re-joining two label tables (a second
+      // shuffle join per round, which dominated fixed overhead at small
+      // duplicate mass).
       val jumped = afterMin.alias("c")
         .join(afterMin.select(col("id").as("__lid"), col("lbl").as("__plbl"))
           .alias("p"), col("c.lbl") === col("__lid"), "left")
         .select(col("c.id").as("id"),
-          least(col("c.lbl"), coalesce(col("__plbl"), col("c.lbl"))).as("lbl"))
+          least(col("c.lbl"), coalesce(col("__plbl"), col("c.lbl"))).as("lbl"),
+          col("c.__old").as("__old"))
+        .select(col("id"), col("lbl"), (col("lbl") =!= col("__old")).as("__chg"))
         .localCheckpoint(true)
-      val changed = jumped.alias("n")
-        .join(labels.select(col("id"), col("lbl").as("__old")), Seq("id"))
-        .filter(col("lbl") =!= col("__old"))
-        .limit(1).count()
-      converged = changed == 0
-      labels = jumped
+      converged = jumped.filter(col("__chg")).limit(1).count() == 0
+      labels = jumped.select(col("id"), col("lbl"))
       iter += 1
     }
     val connected = labels.select(col("id"), col("lbl").as("component"))

@@ -77,8 +77,9 @@ object Curation {
   /** Report-only convenience over [[run]]. */
   def attritionReport(train: DataFrame, evalDocs: DataFrame,
       weights: DataFrame, textCol: String, idCol: String, sourceCol: String,
-      cfg: CurationConfig = CurationConfig()): DataFrame =
-    run(train, evalDocs, weights, textCol, idCol, sourceCol, cfg).report
+      cfg: CurationConfig = CurationConfig(),
+      onStage: (String, Double) => Unit = (_, _) => ()): DataFrame =
+    run(train, evalDocs, weights, textCol, idCol, sourceCol, cfg, onStage).report
 
   /**
    * Run the full curation chain. The returned corpus is the mixture
@@ -88,10 +89,22 @@ object Curation {
    * @param train   corpus to curate (idCol, sourceCol, textCol)
    * @param evalDocs benchmark/eval set for decontamination
    * @param weights (sourceCol, "weight") mixture ratios
+   * @param onStage per-stage wall-time hook (stage name, seconds) —
+   *                fired as each stage's eager checkpoint materializes,
+   *                so the boundaries are honest compute times. Default
+   *                no-op; ScaleSmoke passes a printer.
    */
   def run(train: DataFrame, evalDocs: DataFrame,
       weights: DataFrame, textCol: String, idCol: String, sourceCol: String,
-      cfg: CurationConfig = CurationConfig()): CurationResult = {
+      cfg: CurationConfig = CurationConfig(),
+      onStage: (String, Double) => Unit = (_, _) => ()): CurationResult = {
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      onStage(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
 
     def stageRow(df: DataFrame, name: String, ord: Int): DataFrame =
       df.agg(
@@ -103,34 +116,44 @@ object Curation {
 
     val ingest = train.select(col(idCol), col(sourceCol), col(textCol))
 
-    val gated = withDisposition(ingest, textCol)
-      .filter(col("disposition") === "keep")
-      .drop("disposition")
-      .localCheckpoint(true)
+    val gated = timed("quality_gate") {
+      withDisposition(ingest, textCol)
+        .filter(col("disposition") === "keep")
+        .drop("disposition")
+        .localCheckpoint(true)
+    }
 
-    val cleaned = LineDedup
-      .removeRepeatedChunks(gated, textCol, idCol, cfg.chunkTokens, cfg.chunkMaxDf)
-      .filter(col("clean") =!= "")
-      .select(col(idCol), col("clean").as(textCol))
-      .join(gated.select(col(idCol), col(sourceCol)), Seq(idCol))
-      .localCheckpoint(true)
+    val cleaned = timed("line_dedup") {
+      LineDedup
+        .removeRepeatedChunks(gated, textCol, idCol, cfg.chunkTokens, cfg.chunkMaxDf)
+        .filter(col("clean") =!= "")
+        .select(col(idCol), col("clean").as(textCol))
+        .join(gated.select(col(idCol), col(sourceCol)), Seq(idCol))
+        .localCheckpoint(true)
+    }
 
-    val pairs = Dedup.minhashNearDupPairs(cleaned, textCol, idCol,
-      cfg.shingleK, cfg.numHashes, cfg.bands, cfg.minJaccard)
-      .select("id_a", "id_b")
-    val survivors = cleaned
-      .join(Dedup.connectedComponents(pairs, Some(cleaned.select(col(idCol))))
-        .filter(col("id") === col("component"))
-        .select(col("id").as(idCol)), Seq(idCol))
-      .localCheckpoint(true)
+    val survivors = timed("near_dup") {
+      val pairs = Dedup.minhashNearDupPairs(cleaned, textCol, idCol,
+        cfg.shingleK, cfg.numHashes, cfg.bands, cfg.minJaccard)
+        .select("id_a", "id_b")
+      cleaned
+        .join(Dedup.connectedComponents(pairs, Some(cleaned.select(col(idCol))))
+          .filter(col("id") === col("component"))
+          .select(col("id").as(idCol)), Seq(idCol))
+        .localCheckpoint(true)
+    }
 
-    val deconKeep = survivors
-      .join(Decontaminate
-        .ngramOverlap(survivors, evalDocs, textCol, idCol, cfg.decontamN)
-        .filter(col("contaminated") === 0)
-        .select(col(idCol)), Seq(idCol))
-      .localCheckpoint(true)
+    val deconKeep = timed("decontaminate") {
+      survivors
+        .join(Decontaminate
+          .ngramOverlap(survivors, evalDocs, textCol, idCol, cfg.decontamN)
+          .filter(col("contaminated") === 0)
+          .select(col(idCol)), Seq(idCol))
+        .localCheckpoint(true)
+    }
 
+    // the mixture stage is lazy — its cost lands in the report/consumer
+    // actions, so it has no honest checkpoint boundary to time here
     val sampled = Mixture.sampleByTokenBudget(
       deconKeep.withColumn("__n", size(tokens(col(textCol)))),
       idCol, sourceCol, col("__n"), weights, cfg.budgetTokens)

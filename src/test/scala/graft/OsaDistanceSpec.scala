@@ -83,4 +83,81 @@ class OsaDistanceSpec extends SparkSpec {
       .select(osa_distance(col("a"), col("b")).as("d"))
     assert(df.collect().forall(_.isNullAt(0)))
   }
+
+  // ------------------------------------------------ property-based parity
+
+  /** Independent reference OSA: the full-matrix textbook DP (the engine's
+    * kernel is the rolling 3-row variant — a genuinely different
+    * implementation, so agreement is evidence, not tautology). */
+  private def refOsa(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length) {
+      val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + cost)
+      if (i > 1 && j > 1 && a(i - 1) == b(j - 2) && a(i - 2) == b(j - 1))
+        d(i)(j) = math.min(d(i)(j), d(i - 2)(j - 2) + 1)
+    }
+    d(a.length)(b.length)
+  }
+
+  private def check(prop: org.scalacheck.Prop, tests: Int = 500): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(tests)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: kernel == full-matrix reference on adversarial alphabets") {
+    import org.scalacheck.{Gen, Prop}
+    // tiny alphabet (dense transpositions near the threshold), plus
+    // unicode incl. a combining mark and a surrogate-pair char (both
+    // impls operate on UTF-16 code units, so they must agree there too),
+    // plus empty strings (Gen.listOf starts at length 0)
+    val alphabets = Seq("ab", "abcd", "aß日́x😀")
+    alphabets.foreach { alpha =>
+      val genStr = Gen.choose(0, 14).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(alpha.toSeq)).map(_.mkString))
+      check(Prop.forAll(genStr, genStr) { (a, b) =>
+        osa(a, b) == refOsa(a, b)
+      })
+    }
+  }
+
+  test("property: k disjoint adjacent transpositions cost exactly k (boundary 3 and 4)") {
+    import org.scalacheck.{Gen, Prop}
+    // distinct-character base strings: each disjoint adjacent swap leaves
+    // 2 mismatched positions that only a transposition fixes in one op,
+    // so the distance sits EXACTLY at the threshold boundary k
+    val base = "abcdefghijklmnop"
+    val genK = Gen.oneOf(3, 4)
+    val prop = Prop.forAll(genK, Gen.choose(0L, Long.MaxValue)) { (k, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // pick k disjoint adjacent pairs: positions 2*i offsets shuffled
+      val slots = rnd.shuffle((0 until base.length / 2).toList).take(k)
+        .map(_ * 2)
+      val chars = base.toCharArray
+      slots.foreach { p =>
+        val t = chars(p); chars(p) = chars(p + 1); chars(p + 1) = t
+      }
+      val swapped = new String(chars)
+      osa(base, swapped) == k && refOsa(base, swapped) == k
+    }
+    check(prop)
+  }
+
+  test("property: metamorphic bounds (symmetry, identity, length bounds)") {
+    import org.scalacheck.{Gen, Prop}
+    val genStr = Gen.choose(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("abcXYZ0189 _-".toSeq)).map(_.mkString))
+    check(Prop.forAll(genStr, genStr) { (a, b) =>
+      val d = osa(a, b)
+      d == osa(b, a) &&
+        osa(a, a) == 0 &&
+        d >= math.abs(a.length - b.length) &&
+        d <= math.max(a.length, b.length)
+    })
+  }
 }

@@ -61,6 +61,20 @@ class OsaJoinBlockingSpec extends AnyFunSuiteWithExtSession {
     }
   }
 
+  test("registry j8_fuzzy_osa_rewritten goes through the rewrite: no nested loop") {
+    // the exact query the correctness gate runs — end-to-end through the
+    // rule, on real testdata, with the banded plan
+    val q = Registry.queries("j8_fuzzy_osa_rewritten")(
+      extSession, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"registry query did not take the banded rewrite:\n$plan")
+    assert(plan.contains("__osa_probe") || plan.contains("__osa_band"),
+      s"expected the band/probe helper columns in the plan:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("left outer keeps unmatched left rows exactly once") {
     import extSession.implicits._
     val l = Seq("SMITH_JOHN", "ZZZZZZZZZZZZZZZZZZZZZZZZZ").toDF("lname")
