@@ -1276,6 +1276,118 @@ object QueriesText {
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), canonicalText(col("text")).as("__canon"))
         .select(col("doc_id"),
-          rollingFingerprint(col("__canon")).as("rolling_fp")))
+          rollingFingerprint(col("__canon")).as("rolling_fp"))),
+
+    // ------------------------------------------------- url: normalization
+    // URL-level curation (the CCNet / RefinedWeb / Dolma provenance
+    // stages that run BEFORE any text pass). The crawl URL synthesizes
+    // deterministically from (doc_id, source), exercising every
+    // normalization arm: uppercase scheme/host + www + tracking params +
+    // fragment (%5=0), trailing slash (%5=1), mid-query tracking params
+    // (%5=2), surrounding whitespace + bare host (%5=3), a blocklisted
+    // domain (%5=4). Normalization is one codegen'd regexp projection —
+    // zero shuffles at any scale.
+    QueryDef("url_normalize", Some(
+      s"WITH urls AS ($urlSynthSql), norm AS ($urlNormSql)" + """
+      SELECT doc_id, u AS url_norm,
+             regexp_extract(u, '^[a-z]+://([^/?#:]+)', 1) AS domain
+      FROM norm"""),
+      (s, dir) => {
+        import graft.operators.UrlCuration
+        val withUrl = synthUrls(t(s, dir, "documents"))
+        withUrl
+          .select(col("doc_id"),
+            UrlCuration.normalizeUrl(col("url")).as("url_norm"))
+          .withColumn("domain", UrlCuration.domainOf(col("url_norm")))
+      }),
+
+    // ------------------------------------------- url: blocklist + domain cap
+    // Domain-diversity cap: blocklisted domains drop (broadcast
+    // anti-join), then each surviving domain contributes at most 5
+    // documents, chosen by the deterministic multiplicative id hash with
+    // an id tiebreak (reproducible, partitioning-independent — never
+    // "first N by partition order"). One shuffle keyed by domain.
+    QueryDef("url_domain_cap", Some(
+      s"WITH urls AS ($urlSynthSql), norm AS ($urlNormSql)," + """
+      dom AS (
+        SELECT doc_id, regexp_extract(u, '^[a-z]+://([^/?#:]+)', 1) AS domain
+        FROM norm),
+      kept AS (
+        SELECT * FROM dom
+        WHERE NOT EXISTS (SELECT 1 FROM (VALUES ('blocked.example.com')) bl(domain)
+                          WHERE bl.domain = dom.domain)),
+      ranked AS (
+        SELECT doc_id, domain,
+               row_number() OVER (PARTITION BY domain
+                 ORDER BY (doc_id % 1000000 * 2654435761) % 1000000, doc_id) AS rn
+        FROM kept)
+      SELECT doc_id, domain FROM ranked WHERE rn <= 5"""),
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.UrlCuration
+        val doms = synthUrls(t(s, dir, "documents"))
+          .select(col("doc_id"),
+            UrlCuration.domainOf(UrlCuration.normalizeUrl(col("url")))
+              .as("domain"))
+        val blocklist = Seq("blocked.example.com").toDF("domain")
+        UrlCuration.capPerDomain(
+          UrlCuration.filterBlocklist(doms, "domain", blocklist),
+          "domain", "doc_id", maxPerDomain = 5)
+          .select(col("doc_id"), col("domain"))
+      })
   )
+
+  /** Deterministic crawl-URL synthesis for the url_* queries (Spark
+    * side; [[urlSynthSql]] is the DuckDB mirror). */
+  private def synthUrls(docs: DataFrame): DataFrame = {
+    val arm = col("doc_id") % 5
+    val id50 = (col("doc_id") % 50).cast("string")
+    val id = col("doc_id").cast("string")
+    docs.select(col("doc_id"),
+      when(arm === 0, concat(lit("HTTPS://WWW."), upper(col("source")),
+          lit(".Example.COM/A/B/?utm_source=feed&id="), id50, lit("#frag")))
+        .when(arm === 1, concat(lit("https://"), col("source"),
+          lit(".example.com/page/"), id, lit("/")))
+        .when(arm === 2, concat(lit("http://www."), col("source"),
+          lit(".example.org/x?id="), id50, lit("&utm_campaign=c&ref=tw")))
+        .when(arm === 3, concat(lit(" https://"), col("source"),
+          lit(".example.net ")))
+        .otherwise(concat(lit("https://blocked.example.com/item/"), id))
+        .as("url"))
+  }
+
+  // defs, not vals: `defs` above initializes first, and a forward val
+  // reference would interpolate as null into the oracle SQL
+  private def urlSynthSql: String = """
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN 'HTTPS://WWW.' || upper(source) || '.Example.COM/A/B/?utm_source=feed&id=' || (doc_id % 50) || '#frag'
+          WHEN 1 THEN 'https://' || source || '.example.com/page/' || doc_id || '/'
+          WHEN 2 THEN 'http://www.' || source || '.example.org/x?id=' || (doc_id % 50) || '&utm_campaign=c&ref=tw'
+          WHEN 3 THEN ' https://' || source || '.example.net '
+          ELSE 'https://blocked.example.com/item/' || doc_id
+        END AS url
+      FROM documents"""
+
+  /** DuckDB mirror of UrlCuration.normalizeUrl over the `urls` CTE
+    * (backrefs are \1 in DuckDB vs $1 in Spark; 'g' = replace-all). */
+  private def urlNormSql: String = """
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      lower(regexp_extract(trim(url), '^([^:]+://[^/?#]*)', 1)) ||
+                        substring(trim(url), length(regexp_extract(trim(url), '^([^:]+://[^/?#]*)', 1)) + 1, 1000000),
+                      '#.*$', '', 'g'),
+                    '^([a-z]+://)www\.', '\1', 'g'),
+                  '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '\1', 'g'),
+                '\?&+', '?', 'g'),
+              '&&+', '&', 'g'),
+            '[?&]+$', '', 'g'),
+          '([a-z]+://[^/]+/.+?)/$', '\1', 'g') AS u
+      FROM urls"""
 }

@@ -78,6 +78,40 @@ class PlanShapeSpec extends SparkSpec {
         s"window must partition by the doc id:\n$l\n$plan"))
   }
 
+  test("url curation shape: normalize is exchange-free, blocklist broadcasts, " +
+      "cap windows partition by domain") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val urls = (1 to 300).map(i =>
+      (i.toLong, s"https://www.site${i % 7}.com/p/$i?utm_source=x#f"))
+      .toDF("doc_id", "url")
+    // normalization: pure projection, zero exchanges
+    val norm = urls.select(col("doc_id"),
+      graft.operators.UrlCuration.normalizeUrl(col("url")).as("u"))
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case e: Exchange => 1 + e.children.map(exchanges).sum
+      case other => other.children.map(exchanges).sum
+    }
+    norm.collect()
+    assert(exchanges(norm.queryExecution.executedPlan) === 0,
+      s"normalizeUrl must not shuffle:\n${norm.queryExecution.executedPlan}")
+    // blocklist: broadcast anti-join, never a shuffled corpus join
+    val doms = urls.select(col("doc_id"),
+      concat(lit("site"), (col("doc_id") % 7).cast("string"), lit(".com")).as("domain"))
+    val bl = Seq("site3.com").toDF("domain")
+    val kept = graft.operators.UrlCuration.filterBlocklist(doms, "domain", bl)
+    val kPlan = finalPlan(kept)
+    assert(kPlan.contains("BroadcastHashJoin") || kPlan.contains("BroadcastExchange"),
+      s"blocklist must broadcast:\n$kPlan")
+    // cap: every window partitions by domain (no global window)
+    val capped = graft.operators.UrlCuration.capPerDomain(doms, "domain", "doc_id", 3)
+    val cPlan = finalPlan(capped)
+    val windowLines = cPlan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty)
+    windowLines.foreach(l => assert(l.contains("domain"),
+      s"cap window must partition by domain:\n$l\n$cPlan"))
+  }
+
   test("semDedup shape: no broadcast of the corpus side, no cartesian") {
     val vecs = (1 to 200).map { i =>
       (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.UrlCuration
+import org.apache.spark.sql.functions._
+
+/** URL-level curation: canonicalization edge cases, blocklist anti-join,
+  * deterministic per-domain cap. */
+class UrlCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlCuration.normalizeUrl($"u").as("n"))
+      .as[String].collect().toSeq
+
+  test("normalizeUrl: scheme/host case, www, fragment, tracking params, slash") {
+    assert(norm(
+      "HTTPS://WWW.Site.COM/Path/To/X/?utm_source=a&id=5#frag",
+      "https://site.com/page/",
+      "http://www.site.org/x?id=2&utm_campaign=c&ref=tw",
+      "  https://site.net  ",
+      // xref is NOT a tracking param: the ?/& anchor must protect it
+      "https://site.com/x?xref=keep&utm_medium=drop",
+      // all params tracking -> '?' disappears entirely
+      "https://site.com/x?utm_source=a&utm_medium=b",
+      // path case is preserved; only scheme+host lowercase
+      "HTTP://HOST.COM/CaseKept") === Seq(
+      "https://site.com/Path/To/X/?id=5",
+      "https://site.com/page",
+      "http://site.org/x?id=2",
+      "https://site.net",
+      "https://site.com/x?xref=keep",
+      "https://site.com/x",
+      "http://host.com/CaseKept"))
+  }
+
+  test("domainOf extracts the host of a normalized url") {
+    val d = Seq("https://a.b.com/x?q=1", "http://h.org").toDF("u")
+      .select(UrlCuration.domainOf($"u")).as[String].collect().toSeq
+    assert(d === Seq("a.b.com", "h.org"))
+  }
+
+  test("blocklist drops exactly the listed domains; null domain survives") {
+    val docs = Seq((1L, "good.com"), (2L, "evil.com"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "domain")
+    val bl = Seq("evil.com").toDF("domain")
+    val kept = UrlCuration.filterBlocklist(docs, "domain", bl)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+  }
+
+  test("capPerDomain keeps exactly maxPerDomain, deterministically") {
+    val docs = (1L to 100L).map(i => (i, if (i <= 80) "big.com" else "small.com"))
+      .toDF("doc_id", "domain")
+    val capped = UrlCuration.capPerDomain(docs, "domain", "doc_id", 5)
+    val byDom = capped.groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(byDom("big.com") === 5L)
+    assert(byDom("small.com") === 5L)
+    // a domain under the cap passes through whole
+    val under = UrlCuration.capPerDomain(docs, "domain", "doc_id", 100)
+    assert(under.count() === 100L)
+    // deterministic: the same call keeps the same ids
+    val again = UrlCuration.capPerDomain(docs, "domain", "doc_id", 5)
+    assert(capped.select("doc_id").as[Long].collect().sorted.toSeq ===
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+}
