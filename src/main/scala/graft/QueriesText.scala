@@ -1200,7 +1200,9 @@ object QueriesText {
               .cast("double").as("weight"))
         graft.pipelines.Curation.attritionReport(train,
           docs.filter(col("doc_id") % 101 === 0), weights,
-          "text", "doc_id", "source")
+          "text", "doc_id", "source",
+          onStage = (st, sec) =>
+            System.err.println(f"[curation] stage $st%-14s ${sec}%.1fs"))
       }),
 
     // ------------------------------------- text: length-sorted packing

@@ -43,9 +43,18 @@ object Curation {
    * id), low_alpha (<0.6 alphabetic), repetitive (bigram repetition
    * >0.5), pii (the scrub pass would change the text) — else "keep".
    * All signals come from MATERIALIZED attribute columns, so the gate
-   * stays one codegen'd projection pass (zero shuffles); the
-   * `text_quality_gate` registry query and the streaming ingest share
-   * this exact implementation.
+   * stays one projection pass (zero shuffles); the `text_quality_gate`
+   * registry query and the streaming ingest share this exact
+   * implementation.
+   *
+   * CONSUMER TRAP: do not `.filter` directly on the returned column.
+   * Predicate pushdown inlines the whole when-chain into a Filter node,
+   * and Filter evaluation — unlike projection — has no common-
+   * subexpression elimination (the HOF signals also keep it out of
+   * codegen), so `tokens(text)` re-evaluates per ARM per row: measured
+   * 80x slower at sf0.1 (12s vs 0.14s). Materialize first (persist /
+   * localCheckpoint, as [[run]] and the streaming ingest do) and filter
+   * the materialized attribute.
    */
   def withDisposition(docs: DataFrame, textCol: String,
       outCol: String = "disposition"): DataFrame = {
@@ -117,10 +126,16 @@ object Curation {
     val ingest = train.select(col(idCol), col(sourceCol), col(textCol))
 
     val gated = timed("quality_gate") {
+      // checkpoint BEFORE the filter: filtering the lazy gate output
+      // pushes the when-chain into an interpreted, CSE-less Filter that
+      // re-tokenizes per arm per row (see the withDisposition scaladoc —
+      // this exact reorder took the stage from ~12s to sub-second at
+      // sf0.1). The checkpoint holds ingest-sized rows; the keep-filter
+      // over its materialized attribute is a trivial scan.
       withDisposition(ingest, textCol)
+        .localCheckpoint(true)
         .filter(col("disposition") === "keep")
         .drop("disposition")
-        .localCheckpoint(true)
     }
 
     val cleaned = timed("line_dedup") {
