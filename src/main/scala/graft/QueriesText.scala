@@ -25,6 +25,19 @@ object QueriesText {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
 
+  /** The 12-bit hyperplane-LSH signature as DuckDB SQL over a 64-dim
+    * vector expression — generated from the SAME splitmix constants the
+    * Spark kernel uses, term order matching its left fold exactly
+    * (x * +-1.0 == +-x bit-for-bit, so signatures agree across engines
+    * without rounding). Shared by ann_lsh_topk and ann_knn_join. */
+  private def lshSigSql(vec: String): String = (0 until 12).map { i =>
+    val terms = (0 until 64).map { j =>
+      val op = if (graft.operators.Similarity.hyperplaneSign(i, j) > 0) "+" else "-"
+      s"$op CAST($vec[${j + 1}] AS DOUBLE)"
+    }.mkString(" ")
+    s"(CASE WHEN ($terms) >= 0 THEN ${1L << i} ELSE 0 END)"
+  }.mkString("\n             + ")
+
   /** The minhash-LSH candidate+verify pipeline as DuckDB CTEs ending in
     * `pairs (id_a, id_b, jaccard)` — shared by the pair query, the
     * survivor-cluster query, and the curation pipeline (which runs it
@@ -446,13 +459,7 @@ object QueriesText {
     // left-fold exactly (x * +-1.0 == +-x bit-for-bit, so the signatures
     // agree across engines without rounding).
     QueryDef("ann_lsh_topk", Some {
-      def sigSql(vec: String): String = (0 until 12).map { i =>
-        val terms = (0 until 64).map { j =>
-          val op = if (Similarity.hyperplaneSign(i, j) > 0) "+" else "-"
-          s"$op CAST($vec[${j + 1}] AS DOUBLE)"
-        }.mkString(" ")
-        s"(CASE WHEN ($terms) >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString("\n             + ")
+      def sigSql(vec: String): String = lshSigSql(vec)
       s"""
       WITH q AS (
         SELECT qv, (${sigSql("qv")}) AS qsig
@@ -474,6 +481,36 @@ object QueriesText {
         val qRow = e.filter(col("vec_id") === 0).select("embedding")
           .head().getSeq[Float](0)
         Similarity.lshTopK(e, "embedding", "vec_id", qRow, 10)
+      }),
+
+    // ------------------------------------------------- similarity: kNN join
+    // Batched k-NN JOIN: every query row (here vec_id < 5, realistic
+    // mining shape: queries drawn from the corpus itself) gets its top-3
+    // corpus neighbors. Spark executes the SCALE formulation — the query
+    // side explodes its hamming-1 multiprobe ball and equi-joins the
+    // corpus on the bucket key, per-query windows — while the oracle
+    // states the equivalent hamming-distance filter over the small query
+    // set. Same probe ball, same candidates, value-matched.
+    QueryDef("ann_knn_join", Some(s"""
+      WITH sigs AS (
+        SELECT vec_id, embedding, (${lshSigSql("embedding")}) AS sig
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qv, sig AS qsig
+            FROM sigs WHERE vec_id < 5),
+      cand AS (
+        SELECT q.query_id, s.vec_id,
+               round(list_dot_product(s.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+                 (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) AS cosine
+        FROM sigs s, q
+        WHERE bit_count(xor(s.sig, q.qsig)) <= 1),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS rn FROM cand)
+      SELECT query_id, vec_id, cosine FROM r WHERE rn <= 3"""),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.lshKnnJoin(e.filter(col("vec_id") < 5), e,
+          "embedding", "vec_id", k = 3, bits = 12, probeHamming = 1)
       }),
 
     // ------------------------------------------------- similarity: IVF

@@ -93,6 +93,47 @@ object Similarity {
   }
 
   /**
+   * Batched k-NN JOIN: every row of `queries` gets its top-k neighbors
+   * from `corpus` — the scale-path form of per-query ANN for jobs that
+   * rank thousands-to-millions of queries at once (retrieval-backed
+   * dedup, hard-negative mining over a whole training set). Candidates
+   * come from hyperplane-LSH buckets: the query side EXPLODES its
+   * multiprobe hamming ball (sum of C(bits, <=h) probe keys per query,
+   * a compile-time literal mask list) and equi-joins the corpus on the
+   * bucket key — NEVER a query x corpus cross join, and unlike
+   * broadcast-anchor mining the query side may be corpus-sized: both
+   * sides shuffle on the bucket key only. Ranking windows partition by
+   * query id, so parallelism scales with the query count. Cosines are
+   * rounded to 6dp with a vec_id tiebreak (cross-engine-stable cuts).
+   *
+   * Recall matches [[lshTopK]] at the same bits/probeHamming: the probe
+   * ball IS the hamming-distance filter, expressed as an equi-join.
+   *
+   * @return (query_id, vec_id, cosine) — up to k rows per query
+   */
+  def lshKnnJoin(queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      bits: Int = 12, probeHamming: Int = 1): DataFrame = {
+    val masks = AnnIndex.probeSigs(0L, bits, probeHamming)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qsig", hyperplaneSig(col("__qv"), 0, bits))
+      .withColumn("sig", explode(array(
+        masks.map(m => col("__qsig").bitwiseXOR(lit(m))): _*)))
+    val c = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+      .withColumn("sig", hyperplaneSig(col("__cv"), 0, bits))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    q.join(c, Seq("sig")) // each corpus row has ONE sig: no duplicate pairs
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /**
    * True IVF (inverted-file) ANN: coarse-quantize the corpus into cells,
    * rank cells by centroid-to-query cosine, probe the nProbe best. At
    * scale the assigned table is written partitioned by `cell`, so a probe

@@ -123,6 +123,30 @@ class AnnIndexSpec extends SparkSpec {
     assert(ePq.getMessage.contains("dims"))
   }
 
+  test("lshKnnJoin: probe-ball equi-join == per-query lshTopK, no cross join") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val joined = Similarity.lshKnnJoin(queries, emb, "embedding", "vec_id",
+      k = 5, bits = 8, probeHamming = 1)
+    // plan: bucket equi-join + per-query windows, never a cross product
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"knn join must stay an equi-join:\n$plan")
+    val got = joined.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    // every query self-hits at rank 1 (cosine 1.0, id tiebreak)
+    (0L until 3L).foreach { qid =>
+      assert(got(qid).head._2 === qid && got(qid).head._3 === 1.0)
+      // and the batched result equals the one-query path at the same knobs
+      val single = Similarity.lshTopK(emb, "embedding", "vec_id",
+        emb.filter(col("vec_id") === qid).select("embedding").as[Seq[Float]].head(),
+        k = 5, bits = 8, probeHamming = 1)
+        .as[(Long, Double)].collect().toSeq
+      assert(got(qid).map(t => (t._2, t._3)).toSeq === single)
+    }
+  }
+
   test("probeSigs enumerates the hamming ball exactly") {
     val ball = AnnIndex.probeSigs(sig = 5L, bits = 4, h = 1)
     // 5 = 0101; flipping each of 4 bits: 0100=4, 0111=7, 0001=1, 1101=13
