@@ -1317,6 +1317,69 @@ object QueriesText {
         .select(col("doc_id"),
           rollingFingerprint(col("__canon")).as("rolling_fp"))),
 
+    // ------------------------------------------------- text: Gopher rules
+    // The published Gopher quality-rule battery (Rae et al. 2021,
+    // arXiv:2112.11446 Appendix A) as one projection pass. The synthetic
+    // arms drive every rule in BOTH directions: %11 prepends bullet
+    // lines, %13 appends ellipsis-ended lines, %17 appends '#' symbol
+    // words (also dropping the alpha-word fraction), %7 appends enough
+    // stop words to pass the stop-word probe; word-count splits
+    // naturally on the corpus length distribution.
+    QueryDef("text_gopher_rules", Some(raw"""
+      WITH src AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 11 = 0 THEN '- bullet one' || chr(10) || '- bullet two' || chr(10) || text
+               WHEN doc_id % 13 = 0 THEN text || chr(10) || 'trailing thought...' || chr(10) || 'another...'
+               WHEN doc_id % 17 = 0 THEN text || ' # # # # # # # # # # # #'
+               WHEN doc_id % 7 = 0 THEN text || ' and that with have be'
+               ELSE text END AS t
+        FROM documents),
+      m AS (
+        SELECT doc_id, t,
+          list_filter(string_split_regex(lower(t), '\s+'), x -> len(x) > 0) AS toks,
+          string_split(coalesce(t, ''), chr(10)) AS lines
+        FROM src),
+      f AS (
+        SELECT doc_id,
+          len(toks) AS n_words,
+          CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS mean_len,
+          CAST((len(t) - len(replace(t, '#', ''))) + (len(t) - len(replace(t, '...', ''))) / 3 AS DOUBLE) / len(toks) AS sym_ratio,
+          CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE) / len(lines) AS bullet_frac,
+          CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$$'))) AS DOUBLE) / len(lines) AS ellipsis_frac,
+          CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha_frac,
+          len(list_intersect(toks, ['the','be','to','of','and','that','have','with'])) AS n_stops,
+          t IS NOT NULL AS nn
+        FROM m)
+      SELECT doc_id,
+        coalesce(nn AND n_words >= 50 AND n_words <= 100000, FALSE) AS flag_word_count,
+        coalesce(nn AND mean_len >= 3.0 AND mean_len <= 10.0, FALSE) AS flag_mean_word_len,
+        coalesce(nn AND sym_ratio <= 0.1, FALSE) AS flag_symbol_ratio,
+        coalesce(nn AND bullet_frac <= 0.1, FALSE) AS flag_bullet_lines,
+        coalesce(nn AND ellipsis_frac <= 0.3, FALSE) AS flag_ellipsis_lines,
+        coalesce(nn AND alpha_frac >= 0.8, FALSE) AS flag_alpha_words,
+        coalesce(nn AND n_stops >= 2, FALSE) AS flag_stop_words,
+        (coalesce(nn AND n_words >= 50 AND n_words <= 100000, FALSE)
+         AND coalesce(nn AND mean_len >= 3.0 AND mean_len <= 10.0, FALSE)
+         AND coalesce(nn AND sym_ratio <= 0.1, FALSE)
+         AND coalesce(nn AND bullet_frac <= 0.1, FALSE)
+         AND coalesce(nn AND ellipsis_frac <= 0.3, FALSE)
+         AND coalesce(nn AND alpha_frac >= 0.8, FALSE)
+         AND coalesce(nn AND n_stops >= 2, FALSE)) AS gopher_keep
+      FROM f"""),
+      (s, dir) => {
+        val src = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 11 === 0,
+            concat(lit("- bullet one\n- bullet two\n"), col("text")))
+          .when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit("\ntrailing thought...\nanother...")))
+          .when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit(" # # # # # # # # # # # #")))
+          .when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" and that with have be")))
+          .otherwise(col("text")).as("t"))
+        graft.functions.GopherRules.withGopherFlags(src, "t").drop("t")
+      }),
+
     // ------------------------------------------------- url: normalization
     // URL-level curation (the CCNet / RefinedWeb / Dolma provenance
     // stages that run BEFORE any text pass). The crawl URL synthesizes

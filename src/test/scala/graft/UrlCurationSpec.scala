@@ -33,6 +33,31 @@ class UrlCurationSpec extends SparkSpec {
       "http://host.com/CaseKept"))
   }
 
+  test("property: normalizeUrl is idempotent") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genUrl = for {
+      scheme <- Gen.oneOf("http://", "https://", "HTTPS://", "")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("site.com", "A.B.org", "h-x.net")
+      path <- Gen.oneOf("", "/", "/x", "/X/y/", "/p/q")
+      query <- Gen.oneOf("", "?id=1", "?utm_source=a", "?utm_source=a&id=2",
+        "?id=3&ref=t", "?xref=keep&utm_medium=m")
+      frag <- Gen.oneOf("", "#f", "#a/b?c")
+      pad <- Gen.oneOf("", " ", "  ")
+    } yield s"$pad$scheme$www$host$path$query$frag$pad"
+    val prop = Prop.forAll(Gen.listOfN(20, genUrl)) { urls =>
+      val once = urls.toDF("u")
+        .select(UrlCuration.normalizeUrl($"u").as("n")).as[String].collect()
+      val twice = once.toSeq.toDF("u")
+        .select(UrlCuration.normalizeUrl($"u").as("n")).as[String].collect()
+      once.toSeq == twice.toSeq
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20)
+      .withInitialSeed(org.scalacheck.rng.Seed(7L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("domainOf extracts the host of a normalized url") {
     val d = Seq("https://a.b.com/x?q=1", "http://h.org").toDF("u")
       .select(UrlCuration.domainOf($"u")).as[String].collect().toSeq
