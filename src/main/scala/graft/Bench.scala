@@ -29,7 +29,9 @@ object Bench {
     // round 6: the composed 6-stage curation run — the heaviest job a
     // user actually schedules. Its stages are timed individually above;
     // this row times the COMPOSITION (stage checkpoints included)
-    "curation_report")
+    "curation_report",
+    // round 6: the two new corpus-wide single-pass curation stages
+    "text_gopher_rules", "url_domain_cap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -201,6 +201,33 @@ object Curation {
   }
 
   /**
+   * Garbage-collect old curation runs: keep the newest `keepReports`
+   * report versions, then drop every corpus version no KEPT report
+   * references — including the dead weight a crash between
+   * [[publishRun]]'s two publishes leaves behind (a corpus version no
+   * report ever references). The corpus table's _CURRENT version is
+   * never dropped even when unreferenced (a crash leaves _CURRENT on
+   * the orphan; readers key off the report, and the pointer heals at
+   * the next successful publishRun — deleting it would dangle the
+   * pointer for any direct reader in the meantime).
+   */
+  def vacuumRuns(store: graft.sources.SnapshotStore,
+      name: String = "curation", keepReports: Int = 2): Unit = {
+    val reportTable = s"${name}_report"
+    val corpusTable = s"${name}_corpus"
+    val keptReports = store.versions(reportTable).takeRight(keepReports)
+    val live = keptReports.map(v =>
+      store.readVersion(reportTable, v)
+        .select(col("corpus_version")).head().getLong(0)).toSet
+    store.vacuum(reportTable, keepReports)
+    val currentCorpus = store.currentVersion(corpusTable)
+    store.versions(corpusTable)
+      .filterNot(live.contains)
+      .filterNot(currentCorpus.contains)
+      .foreach(v => store.dropVersion(corpusTable, v))
+  }
+
+  /**
    * Run-over-run attrition drift — the reference's weekly "Change"
    * comparison applied to the curation domain: this run's per-stage
    * report full-joined with the most recent PUBLISHED report, zero-fill,

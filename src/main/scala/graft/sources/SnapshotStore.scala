@@ -90,9 +90,17 @@ class SnapshotStore(spark: SparkSession, root: String) {
   /** Drop all but the newest `keep` versions (never the published one). */
   def vacuum(name: String, keep: Int = 2): Unit = {
     val cur = currentVersion(name)
-    val candidates = versions(name).dropRight(keep).filterNot(cur.contains)
-    candidates.foreach { v =>
-      val dir = tableDir(name).resolve(s"v=$v")
+    versions(name).dropRight(keep).filterNot(cur.contains)
+      .foreach(v => dropVersion(name, v))
+  }
+
+  /** Delete one on-disk version. Refuses the published version — that
+    * would leave `_CURRENT` dangling for every reader. */
+  def dropVersion(name: String, v: Long): Unit = {
+    require(!currentVersion(name).contains(v),
+      s"dropVersion: v$v is the published version of $name")
+    val dir = tableDir(name).resolve(s"v=$v")
+    if (Files.exists(dir)) {
       scala.util.Using.resource(Files.walk(dir)) { stream =>
         stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
       }

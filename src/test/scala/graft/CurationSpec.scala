@@ -109,6 +109,35 @@ class CurationSpec extends SparkSpec {
     assert(cold.length === 6 && cold.forall(r => r._4 === 0L))
   }
 
+  test("vacuumRuns: crash-orphan corpus versions are collected, live runs survive") {
+    val weights = Seq(("s", 1.0)).toDF("source", "weight")
+    val store = new graft.sources.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_cur_vac").toString)
+    val cfg = Curation.CurationConfig(budgetTokens = 100000L)
+    val r = Curation.run(trainDocs, evalDocs, weights,
+      "text", "doc_id", "source", cfg)
+    Curation.publishRun(store, r)               // corpus v0, report v0
+    Curation.publishRun(store, r)               // corpus v1, report v1
+    // crash between publishes: corpus v2 lands, no report references it
+    store.publish("curation_corpus", r.corpus)
+    Curation.publishRun(store, r)               // corpus v3, report v2 (heals)
+    Curation.publishRun(store, r)               // corpus v4, report v3
+    assert(store.versions("curation_corpus") === Seq(0L, 1L, 2L, 3L, 4L))
+    Curation.vacuumRuns(store, keepReports = 2)
+    // kept: reports v2/v3 -> live corpora v3/v4; v0/v1/orphan-v2 gone
+    assert(store.versions("curation_report") === Seq(2L, 3L))
+    assert(store.versions("curation_corpus") === Seq(3L, 4L))
+    // the published pair still reads; drift off the kept reports works
+    assert(store.read("curation_corpus").count() === r.corpus.count())
+    assert(Curation.reportDrift(store, r.report).count() === 6L)
+    // a vacuum can never drop the corpus _CURRENT, even unreferenced:
+    // simulate a fresh crash-orphan (becomes _CURRENT) and vacuum again
+    store.publish("curation_corpus", r.corpus)  // orphan v5, now current
+    Curation.vacuumRuns(store, keepReports = 2)
+    assert(store.versions("curation_corpus").contains(5L))
+    assert(store.read("curation_corpus").count() === r.corpus.count())
+  }
+
   test("withDisposition precedence: first failing arm wins") {
     val out = Curation.withDisposition(
       Seq((1L, "tiny doc 123-45-6789")).toDF("doc_id", "text"), "text")
