@@ -146,10 +146,9 @@ object QueriesText {
         val docs = t(s, dir, "documents")
         val corpus = docs.filter(col("doc_id") % 5 =!= 0)
         val batch = docs.filter(col("doc_id") % 5 === 0)
-        // fixed scratch path: buildMinhashIndex overwrite-replaces it per
-        // run, so repeated correctness runs don't accumulate temp dirs
-        val idx = new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_mh_idx_scratch").toString
+        // per-process scratch (unique per JVM, shutdown-deleted): no
+        // cross-session overwrite race, no accumulation across runs
+        val idx = Tables.scratchDir("mh_idx")
         Dedup.buildMinhashIndex(corpus, "text", "doc_id", idx,
           shingleK = 5, numHashes = 16, bands = 4)
         Dedup.incrementalNearDupPairs(batch, "text", "doc_id", idx,
@@ -458,24 +457,26 @@ object QueriesText {
     // Similarity.hyperplaneSign, term order matching the Spark plan's
     // left-fold exactly (x * +-1.0 == +-x bit-for-bit, so the signatures
     // agree across engines without rounding).
-    QueryDef("ann_lsh_topk", Some {
-      def sigSql(vec: String): String = lshSigSql(vec)
+    QueryDef("ann_lsh_topk", Some(
       s"""
       WITH q AS (
-        SELECT qv, (${sigSql("qv")}) AS qsig
+        SELECT qv, (${lshSigSql("qv")}) AS qsig
         FROM (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)),
       sigs AS (
         SELECT e.vec_id, e.embedding, q.qv, q.qsig,
-               (${sigSql("e.embedding")}) AS sig
+               (${lshSigSql("e.embedding")}) AS sig
         FROM embeddings e, q)
       SELECT vec_id,
-             round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[]) /
-               (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
-                sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS cosine
+             round(CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                             sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) > 0
+               THEN list_dot_product(embedding::DOUBLE[], qv::DOUBLE[]) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])))
+               ELSE 0.0 END, 6) AS cosine
       FROM sigs
       WHERE bit_count(xor(sig, qsig)) <= 2
       ORDER BY cosine DESC, vec_id LIMIT 10"""
-    },
+    ),
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val qRow = e.filter(col("vec_id") === 0).select("embedding")
@@ -499,9 +500,12 @@ object QueriesText {
             FROM sigs WHERE vec_id < 5),
       cand AS (
         SELECT q.query_id, s.vec_id,
-               round(list_dot_product(s.embedding::DOUBLE[], q.qv::DOUBLE[]) /
-                 (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[])) *
-                  sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) AS cosine
+               round(CASE WHEN sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[])) *
+                               sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) > 0
+                 THEN list_dot_product(s.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+                   (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))
+                 ELSE 0.0 END, 6) AS cosine
         FROM sigs s, q
         WHERE bit_count(xor(s.sig, q.qsig)) <= 1),
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -564,8 +568,8 @@ object QueriesText {
     // cut and the exact re-rank value-for-value. K-means codebooks stay
     // the production option behind the same buildPq interface
     // (AnnIndexSpec covers them, incl. recall vs brute force). The index
-    // lands at a FIXED scratch path that overwrite-replaces per run — no
-    // temp-dir accumulation across correctness runs.
+    // lands in a per-process scratch dir (shutdown-deleted) — no
+    // temp-dir accumulation across runs and no cross-session races.
     QueryDef("ann_pq_topk", Some {
       val codeList = (0 until 8).map { j =>
         (0 until 8).map { b =>
@@ -602,8 +606,7 @@ object QueriesText {
         val e = t(s, dir, "embeddings")
         val qRow = e.filter(col("vec_id") === 0).select("embedding")
           .head().getSeq[Float](0)
-        val idx = new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_pq_sign_idx").toString
+        val idx = Tables.scratchDir("pq_sign_idx")
         graft.operators.AnnIndex.buildPq(e, "embedding", "vec_id", idx,
           m = 8, quantizer = "sign")
         // overFetch 16: 160 candidates is ~3% of the sf0.1 corpus and

@@ -30,4 +30,36 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     }
   }
+
+  /**
+   * Per-PROCESS scratch directory for registry queries that build a
+   * throwaway index: unique per JVM (concurrent sessions — a background
+   * bench beside a verify run — can't overwrite each other's index
+   * mid-read, the race a fixed path had) and deleted on JVM exit (no
+   * accumulation across runs, the leak a fresh temp dir per run had).
+   * Repeated calls with the same tag in one JVM reuse the path —
+   * overwrite-mode writes replace it, matching single-session reruns.
+   */
+  def scratchDir(tag: String): String = {
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(dir)
+    scratchRegistered.computeIfAbsent(dir.toString, { d =>
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(p)) {
+          scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
+            s.iterator().asScala.toSeq.reverse
+              .foreach(f => java.nio.file.Files.deleteIfExists(f))
+          }
+        }
+      }
+      java.lang.Boolean.TRUE
+    })
+    dir.toString
+  }
+  private val scratchRegistered =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 }

@@ -215,7 +215,14 @@ object Curation {
       name: String = "curation", keepReports: Int = 2): Unit = {
     val reportTable = s"${name}_report"
     val corpusTable = s"${name}_corpus"
-    val keptReports = store.versions(reportTable).takeRight(keepReports)
+    // the kept set is the newest N report dirs PLUS the published one:
+    // store.vacuum never drops the published version even when it is
+    // older than the window (crashed report publishes can leave
+    // _CURRENT behind the newest v= dirs), so its referenced corpus
+    // must stay live too or the surviving report would dangle
+    val keptReports =
+      (store.versions(reportTable).takeRight(keepReports) ++
+        store.currentVersion(reportTable)).distinct
     val live = keptReports.map(v =>
       store.readVersion(reportTable, v)
         .select(col("corpus_version")).head().getLong(0)).toSet

@@ -136,6 +136,24 @@ class CurationSpec extends SparkSpec {
     Curation.vacuumRuns(store, keepReports = 2)
     assert(store.versions("curation_corpus").contains(5L))
     assert(store.read("curation_corpus").count() === r.corpus.count())
+    // crashed REPORT publishes: v-dirs land but _CURRENT stays behind.
+    // The published report (v3 -> corpus v4) falls outside keepReports=1's
+    // newest-dirs window, yet its corpus must stay live — store.vacuum
+    // keeps the published report, so dropping its corpus would dangle it.
+    val storeRoot = store.read("curation_report").inputFiles.head
+      .replaceAll("/curation_report/.*", "")
+      .replaceAll("^file:", "")
+    (4L to 5L).foreach { v =>
+      r.report.withColumn("corpus_version", lit(5L))
+        .write.parquet(s"$storeRoot/curation_report/v=$v")
+    }
+    assert(store.currentVersion("curation_report") === Some(3L))
+    Curation.vacuumRuns(store, keepReports = 1)
+    // corpus v4 (referenced by the still-published report v3) survives
+    assert(store.versions("curation_corpus").contains(4L))
+    val cv2 = store.read("curation_report")
+      .select("corpus_version").distinct().as[Long].head()
+    assert(store.readVersion("curation_corpus", cv2).count() === r.corpus.count())
   }
 
   test("withDisposition precedence: first failing arm wins") {
