@@ -1008,6 +1008,51 @@ object QueriesText {
         NgramLm.scoreNll(docs, "text", "doc_id", NgramLm.train(docs, "text"))
       }),
 
+    // -------------------------------------- text: DSIR importance resampling
+    // DSIR (Xie et al. 2023): select raw docs whose bigram-LM likelihood
+    // ratio favors a TARGET domain (here source='src0'), via
+    // deterministic Gumbel-top-k over log w + g(id). Both LMs, both
+    // scoring passes, the hash-derived noise and the rounded-key cut all
+    // replay in DuckDB. Unseen grams score through the smoothing mass
+    // (LEFT joins + coalesce 0 — the target model has NOT seen most raw
+    // docs, unlike the self-trained perplexity query's inner joins).
+    QueryDef("text_dsir_sample", Some {
+      val gramUnnest = """unnest(list_transform(range(0, len(tk) - 1),
+                 i -> array_to_string(list_slice(tk, CAST(i + 1 AS INTEGER), CAST(i + 2 AS INTEGER)), ' ')))"""
+      s"""
+      WITH toks AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+      g AS (SELECT doc_id, $gramUnnest AS gram FROM toks WHERE len(tk) >= 2),
+      rc AS (SELECT gram, COUNT(*) AS c12 FROM g GROUP BY gram),
+      rx AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1 FROM rc GROUP BY 1),
+      rv AS (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS vs FROM (SELECT unnest(tk) AS x FROM toks)),
+      tg AS (SELECT doc_id, $gramUnnest AS gram FROM toks WHERE source = 'src0' AND len(tk) >= 2),
+      tc AS (SELECT gram, COUNT(*) AS c12 FROM tg GROUP BY gram),
+      tx AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1 FROM tc GROUP BY 1),
+      tv AS (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS vs
+             FROM (SELECT unnest(tk) AS x FROM toks WHERE source = 'src0')),
+      rs AS (SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               round(AVG(-ln((coalesce(c.c12, 0) + 1.0) / (coalesce(x.c1, 0) + rv.vs))), 6) AS nll_raw
+             FROM g d LEFT JOIN rc c USING (gram)
+             LEFT JOIN rx x ON string_split(d.gram, ' ')[1] = x.w1
+             CROSS JOIN rv GROUP BY d.doc_id),
+      ts AS (SELECT d.doc_id,
+               round(AVG(-ln((coalesce(c.c12, 0) + 1.0) / (coalesce(x.c1, 0) + tv.vs))), 6) AS nll_target
+             FROM g d LEFT JOIN tc c USING (gram)
+             LEFT JOIN tx x ON string_split(d.gram, ' ')[1] = x.w1
+             CROSS JOIN tv GROUP BY d.doc_id),
+      w AS (SELECT r.doc_id, r.n_bigrams, r.nll_raw, t.nll_target,
+              round(r.n_bigrams * (r.nll_raw - t.nll_target), 6) AS log_weight
+            FROM rs r JOIN ts t USING (doc_id))
+      SELECT doc_id, n_bigrams, nll_raw, nll_target, log_weight,
+             round(log_weight + (-ln(-ln((((doc_id % 1000000) * 2654435761) % 1000000 + 0.5) / 1000000.0))), 6) AS sample_key
+      FROM w ORDER BY sample_key DESC, doc_id LIMIT 100"""
+    },
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Dsir.resampleTopK(docs,
+          docs.filter(col("source") === "src0"), "text", "doc_id", k = 100)
+      }),
+
     // ------------------------------------------ text: data-mixture sample
     // Deterministic source-weighted downsampling to a 30k-token budget:
     // weight_s = (source ordinal % 4) + 1 normalized, keep fraction

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Dsir
+import org.apache.spark.sql.functions._
+
+/** DSIR importance resampling: target-like docs out-rank corpus-typical
+  * ones, selection is deterministic, and the Gumbel noise is well-formed. */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  // target domain: nautical vocabulary; raw corpus: mostly office-speak
+  // plus two nautical infiltrators that DSIR should surface
+  private val nautical = Seq(
+    "the ship sailed the harbor and the tide rose past the quay",
+    "the crew rigged the mast while the tide turned near the harbor",
+    "the captain charted the reef beyond the harbor mouth at dawn")
+  private def rawDocs = (
+    (1L to 20L).map(i => (i, s"the report number $i was filed and the meeting " +
+      "was moved to thursday for the quarterly budget review session")) ++
+    Seq((100L, "the ship sailed the harbor while the crew rigged the mast"),
+        (101L, "the tide rose past the reef beyond the quay at dawn")))
+    .toDF("doc_id", "text")
+  private def targetDocs = nautical.zipWithIndex
+    .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+
+  test("importance weights rank nautical docs above office boilerplate") {
+    val w = Dsir.logImportance(rawDocs, targetDocs, "text", "doc_id")
+      .select("doc_id", "log_weight").as[(Long, Double)].collect().toMap
+    val nauticalW = Seq(100L, 101L).map(w)
+    val officeW = (1L to 20L).map(w)
+    assert(nauticalW.min > officeW.max,
+      s"nautical $nauticalW should out-weigh office max ${officeW.max}")
+  }
+
+  test("resampleTopK: deterministic, k-bounded, prefers the target-like docs") {
+    val top5 = Dsir.resampleTopK(rawDocs, targetDocs, "text", "doc_id", k = 5)
+    val ids = top5.select("doc_id").as[Long].collect().toSeq
+    assert(ids.length === 5)
+    assert(Set(100L, 101L).subsetOf(ids.toSet)) // both infiltrators selected
+    val again = Dsir.resampleTopK(rawDocs, targetDocs, "text", "doc_id", k = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids === again)
+    // sample keys arrive sorted descending (TakeOrderedAndProject contract)
+    val keys = top5.select("sample_key").as[Double].collect().toSeq
+    assert(keys === keys.sorted.reverse)
+  }
+
+  test("gumbelNoise is finite and deterministic for any id") {
+    val g = spark.range(0, 2000000, 99991)
+      .select(Dsir.gumbelNoise(col("id")).as("g")).as[Double].collect()
+    assert(g.forall(v => !v.isNaN && !v.isInfinite))
+    // u in (0,1) strictly: extremes of the hash can't produce ln(0)
+    val edge = Seq(0L, 999999L).toDF("id")
+      .select(Dsir.gumbelNoise(col("id"))).as[Double].collect()
+    assert(edge.forall(v => !v.isNaN && !v.isInfinite))
+  }
+}
