@@ -30,8 +30,9 @@ object Bench {
     // user actually schedules. Its stages are timed individually above;
     // this row times the COMPOSITION (stage checkpoints included)
     "curation_report",
-    // round 6: the two new corpus-wide single-pass curation stages
-    "text_gopher_rules", "url_domain_cap")
+    // round 6: the two new corpus-wide single-pass curation stages and
+    // the two-LM importance-resampling selection job
+    "text_gopher_rules", "url_domain_cap", "text_dsir_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
