@@ -1044,7 +1044,7 @@ object QueriesText {
               round(r.n_bigrams * (r.nll_raw - t.nll_target), 6) AS log_weight
             FROM rs r JOIN ts t USING (doc_id))
       SELECT doc_id, n_bigrams, nll_raw, nll_target, log_weight,
-             round(log_weight + (-ln(-ln((((doc_id % 1000000) * 2654435761) % 1000000 + 0.5) / 1000000.0))), 6) AS sample_key
+             round(log_weight + (-ln(-ln((((((doc_id % 1000000) + 1000000) % 1000000) * 2654435761) % 1000000 + 0.5) / 1000000.0))), 6) AS sample_key
       FROM w ORDER BY sample_key DESC, doc_id LIMIT 100"""
     },
       (s, dir) => {

@@ -27,34 +27,75 @@ import org.apache.spark.sql.functions._
  */
 object Dsir {
 
-  /** Deterministic standard-Gumbel noise from the multiplicative id
-    * hash: u = (hash(id) + 0.5) / 10^6 lies strictly inside (0, 1) — the
-    * +0.5 keeps ln() off 0 and 1, where Spark returns null and DuckDB
-    * raises — then g = -ln(-ln(u)). */
+  /** Deterministic standard-Gumbel PSEUDO-noise from the multiplicative
+    * id hash ([[Mixture.guardedIdHash]] — same hash, same null/cast
+    * fail-fast): u = (hash(id) + 0.5) / 10^6 lies strictly inside
+    * (0, 1) — the +0.5 keeps ln() off 0 and 1, where Spark returns null
+    * and DuckDB raises — then g = -ln(-ln(u)). Caveat at extreme scale:
+    * the hash has period 10^6 in the id, so ids in the same residue
+    * class share a draw (10^6 distinct values corpus-wide) — fine as
+    * deterministic tie-breaking pseudo-noise, but NOT iid Gumbel noise
+    * across >10^6 docs; widen the modulus (e.g. mod 2^31-1 with
+    * overflow-safe modular multiplication) if true Gumbel-top-k
+    * statistics matter at that size. */
   def gumbelNoise(id: Column): Column = {
-    val u = (pmod(pmod(id, lit(1000000L)) * lit(2654435761L), lit(1000000L))
-      .cast("double") + lit(0.5)) / lit(1000000.0)
+    val u = (Mixture.guardedIdHash(id).cast("double") + lit(0.5)) /
+      lit(1000000.0)
     -log(-log(u))
   }
 
   /**
    * Per-document log importance weight:
    * log w = n_bigrams * (avg_nll_raw - avg_nll_target), i.e. the total
-   * log-likelihood ratio (avg_nll values are the 6dp-rounded outputs of
-   * [[NgramLm.scoreNll]], so the product is integer x rounded-double —
-   * exact and engine-independent).
+   * log-likelihood ratio (avg_nll values are 6dp-rounded per
+   * [[NgramLm.scoreNll]]'s convention, so the product is integer x
+   * rounded-double — exact and engine-independent).
+   *
+   * The corpus-wide work — tokenize, bigram explode, per-doc regroup —
+   * runs ONCE: a single exploded-gram frame left-joins both models'
+   * vocabulary-bounded tables and one groupBy computes both NLLs (two
+   * separate scoreNll passes would double the dominant shuffles; the
+   * DuckDB oracle shares its gram CTE across the two scoring arms the
+   * same way). An EMPTY model corpus fails fast instead of silently
+   * returning Infinity weights for every doc (the typo'd-source-filter
+   * trap).
    *
    * @return (idCol, n_bigrams, nll_raw, nll_target, log_weight)
    */
   def logImportance(raw: DataFrame, target: DataFrame,
       textCol: String, idCol: String, addK: Double = 1.0): DataFrame = {
-    val rawScores = NgramLm.scoreNll(raw, textCol, idCol,
-      NgramLm.train(raw, textCol), addK)
-      .withColumnRenamed("avg_nll", "nll_raw")
-    val tgtScores = NgramLm.scoreNll(raw, textCol, idCol,
-      NgramLm.train(target, textCol), addK)
-      .select(col(idCol), col("avg_nll").as("nll_target"))
-    rawScores.join(tgtScores, Seq(idCol))
+    import graft.functions.TextFunctions.{tokens, wordNgramsFromTokens}
+    val rawModel = NgramLm.train(raw, textCol)
+    val tgtModel = NgramLm.train(target, textCol)
+    require(rawModel.vocabSize > 0, "Dsir.logImportance: raw corpus has " +
+      "an empty vocabulary (no docs, or all text empty/null)")
+    require(tgtModel.vocabSize > 0, "Dsir.logImportance: target corpus " +
+      "has an empty vocabulary (no docs, or all text empty/null) — " +
+      "every importance weight would be Infinity")
+    val docGrams = raw
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol),
+        explode(wordNgramsFromTokens(col("__toks"), 2)).as("gram"))
+      .withColumn("__w1", substring_index(col("gram"), " ", 1))
+    def nll(c12: Column, c1: Column, vocab: Long): Column =
+      -log((coalesce(c12, lit(0L)) + lit(addK)) /
+        (coalesce(c1, lit(0L)) + lit(addK) * vocab))
+    docGrams
+      .join(rawModel.grams.withColumnRenamed("__c12", "__rc12"),
+        Seq("gram"), "left")
+      .join(rawModel.contexts.withColumnRenamed("__c1", "__rc1"),
+        Seq("__w1"), "left")
+      .join(tgtModel.grams.withColumnRenamed("__c12", "__tc12"),
+        Seq("gram"), "left")
+      .join(tgtModel.contexts.withColumnRenamed("__c1", "__tc1"),
+        Seq("__w1"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(nll(col("__rc12"), col("__rc1"), rawModel.vocabSize)), 6)
+          .as("nll_raw"),
+        round(avg(nll(col("__tc12"), col("__tc1"), tgtModel.vocabSize)), 6)
+          .as("nll_target"))
       .select(col(idCol), col("n_bigrams"), col("nll_raw"), col("nll_target"),
         round(col("n_bigrams") * (col("nll_raw") - col("nll_target")), 6)
           .as("log_weight"))
@@ -62,11 +103,13 @@ object Dsir {
 
   /**
    * Gumbel-top-k resampling: select the k documents maximizing
-   * log w(x) + Gumbel(id) — equivalent to sampling k docs without
-   * replacement with probability proportional to w, with the noise
-   * fixed by the id hash. The sampling KEY is rounded to 6dp (the
-   * Gumbel passes through ln, whose last ulp differs across engines)
-   * and ties break on id, so the cut is identical everywhere.
+   * log w(x) + Gumbel(id) — with iid noise this samples k docs without
+   * replacement with probability proportional to w; here the noise is
+   * the deterministic hash-derived pseudo-noise of [[gumbelNoise]]
+   * (see its periodicity caveat), trading exact sampling statistics for
+   * reproducibility and engine replay. The sampling KEY is rounded to
+   * 6dp (the Gumbel passes through ln, whose last ulp differs across
+   * engines) and ties break on id, so the cut is identical everywhere.
    *
    * @return the k selected rows of [[logImportance]] plus `sample_key`
    */

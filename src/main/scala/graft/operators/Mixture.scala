@@ -25,18 +25,23 @@ object Mixture {
     * engine. Not cryptographic; collision-free enough for sampling.
     * Requires a numeric (long-castable) non-null id — a silent NULL here
     * would drop the row from every sample, so it raises instead. */
-  def idHashUnit(id: Column): Column = {
+  /** The guarded integer hash behind [[idHashUnit]] (and
+    * [[Dsir.gumbelNoise]]): value in [0, 10^6), raises on null /
+    * non-numeric ids — a silent NULL would drop the row from every
+    * sample. (id·C) mod m is computed as ((id mod m)·C) mod m so the
+    * product stays below m·C ≈ 2.7e15 and ids up to Long.MaxValue can't
+    * overflow (a raw id·C overflows — ANSI would raise — once ids pass
+    * ~3.5e9, i.e. exactly the 100 TB corpus id range). */
+  private[operators] def guardedIdHash(id: Column): Column = {
     val asLong = when(id.isNull || id.try_cast("long").isNull,
         raise_error(concat(lit("Mixture.idHashUnit: id is null or not "
           + "castable to long: "), coalesce(id.cast("string"), lit("NULL")))))
       .otherwise(id.try_cast("long"))
-    // (id·C) mod m as ((id mod m)·C) mod m: the product stays below
-    // m·C ≈ 2.7e15, so ids up to Long.MaxValue can't overflow (a raw
-    // id·C overflows — ANSI would raise — once ids pass ~3.5e9, i.e.
-    // exactly the 100 TB corpus id range). Mathematically identical.
     pmod(pmod(asLong, lit(1000000L)) * lit(2654435761L), lit(1000000L))
-      .cast("double") / lit(1000000.0)
   }
+
+  def idHashUnit(id: Column): Column =
+    guardedIdHash(id).cast("double") / lit(1000000.0)
 
   /**
    * Sample `docs` so each source contributes ~budgetTokens·w_s tokens.

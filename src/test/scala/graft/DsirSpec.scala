@@ -49,9 +49,27 @@ class DsirSpec extends SparkSpec {
     val g = spark.range(0, 2000000, 99991)
       .select(Dsir.gumbelNoise(col("id")).as("g")).as[Double].collect()
     assert(g.forall(v => !v.isNaN && !v.isInfinite))
-    // u in (0,1) strictly: extremes of the hash can't produce ln(0)
-    val edge = Seq(0L, 999999L).toDF("id")
+    // determinism: a second evaluation produces identical doubles
+    val g2 = spark.range(0, 2000000, 99991)
+      .select(Dsir.gumbelNoise(col("id")).as("g")).as[Double].collect()
+    assert(g.toSeq === g2.toSeq)
+    // the TRUE hash extremes (u -> 0+ and u -> 1-): solve for the ids
+    // whose multiplicative hash lands on 0 and 999999, and check ln()
+    // never sees 0 or 1 there (the +0.5 offset is what protects them)
+    def hash(id: Long): Long = (id % 1000000L) * 2654435761L % 1000000L
+    val idLow = (0L until 1000000L).find(hash(_) == 0L).get
+    val idHigh = (0L until 1000000L).find(hash(_) == 999999L).get
+    val edge = Seq(idLow, idHigh).toDF("id")
       .select(Dsir.gumbelNoise(col("id"))).as[Double].collect()
-    assert(edge.forall(v => !v.isNaN && !v.isInfinite))
+    assert(edge.forall(v => !v.isNaN && !v.isInfinite),
+      s"extreme-hash ids $idLow/$idHigh produced $edge")
+  }
+
+  test("empty target corpus fails fast instead of Infinity weights") {
+    val e = intercept[IllegalArgumentException] {
+      Dsir.logImportance(rawDocs,
+        rawDocs.filter(col("doc_id") < 0), "text", "doc_id")
+    }
+    assert(e.getMessage.contains("target corpus"))
   }
 }

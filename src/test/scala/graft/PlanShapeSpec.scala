@@ -112,6 +112,18 @@ class PlanShapeSpec extends SparkSpec {
       s"cap window must partition by domain:\n$l\n$cPlan"))
   }
 
+  test("dsir resampleTopK shape: k-bounded TakeOrderedAndProject, no global sort") {
+    val raw = docs(200).union(
+      Seq((900L, "the ship sailed the harbor and the tide rose at dawn"))
+        .toDF("doc_id", "text"))
+    val target = Seq((1000L, "the ship sailed the harbor while the tide turned"))
+      .toDF("doc_id", "text")
+    val df = graft.operators.Dsir.resampleTopK(raw, target, "text", "doc_id", k = 5)
+    val plan = finalPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the k-cut must collapse to TakeOrderedAndProject, not a global sort:\n$plan")
+  }
+
   test("semDedup shape: no broadcast of the corpus side, no cartesian") {
     val vecs = (1 to 200).map { i =>
       (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))
