@@ -1044,7 +1044,7 @@ object QueriesText {
               round(r.n_bigrams * (r.nll_raw - t.nll_target), 6) AS log_weight
             FROM rs r JOIN ts t USING (doc_id))
       SELECT doc_id, n_bigrams, nll_raw, nll_target, log_weight,
-             round(log_weight + (-ln(-ln((((((doc_id % 1000000) + 1000000) % 1000000) * 2654435761) % 1000000 + 0.5) / 1000000.0))), 6) AS sample_key
+             round(log_weight + (-ln(-ln((((((doc_id % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 2147483647 + 0.5) / 2147483647.0))), 6) AS sample_key
       FROM w ORDER BY sample_key DESC, doc_id LIMIT 100"""
     },
       (s, dir) => {
@@ -1072,7 +1072,7 @@ object QueriesText {
             FROM wn JOIN tot USING (source))
       SELECT t.doc_id, t.source, t.n_tokens
       FROM t JOIN f USING (source)
-      WHERE ((t.doc_id * 2654435761) % 1000000) / 1000000.0 < f.keep_frac"""),
+      WHERE ((t.doc_id % 2147483647 * 2654435761) % 2147483647) / 2147483647.0 < f.keep_frac"""),
       (s, dir) => {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("source"),
@@ -1267,7 +1267,7 @@ object QueriesText {
               FROM m_wn JOIN m_tot USING (source)),
       keep6 AS (
         SELECT t.doc_id, t.source, t.text FROM m_t t JOIN m_f USING (source)
-        WHERE ((t.doc_id * 2654435761) % 1000000) / 1000000.0 < m_f.keep_frac)
+        WHERE ((t.doc_id % 2147483647 * 2654435761) % 2147483647) / 2147483647.0 < m_f.keep_frac)
       SELECT * FROM (
         SELECT 'ingest' AS stage, 1 AS stage_order, COUNT(*) AS n_docs,
                CAST(coalesce(SUM(len($toksSql)), 0) AS BIGINT) AS n_tokens FROM tr
@@ -1368,18 +1368,22 @@ object QueriesText {
     // ------------------------------------------------- text: Gopher rules
     // The published Gopher quality-rule battery (Rae et al. 2021,
     // arXiv:2112.11446 Appendix A) as one projection pass. The synthetic
-    // arms drive every rule in BOTH directions: %11 prepends bullet
-    // lines, %13 appends ellipsis-ended lines, %17 appends '#' symbol
-    // words (also dropping the alpha-word fraction), %7 appends enough
-    // stop words to pass the stop-word probe; word-count splits
-    // naturally on the corpus length distribution.
+    // arms drive every rule in BOTH directions: %11 prepends TEN bullet
+    // lines (10/11 > the paper's 0.9 mostly-bullets threshold), %13
+    // appends ellipsis-ended lines, %17 appends '#' symbol words (also
+    // dropping the alpha-word fraction), %7 appends enough stop words to
+    // pass the stop-word probe, %19 prepends two bullet lines (nonzero
+    // fraction that PASSES 0.9); word-count splits naturally on the
+    // corpus length distribution. The symbol rule tests '#' and '...'
+    // ratios separately, as the paper does.
     QueryDef("text_gopher_rules", Some(raw"""
       WITH src AS (
         SELECT doc_id,
-          CASE WHEN doc_id % 11 = 0 THEN '- bullet one' || chr(10) || '- bullet two' || chr(10) || text
+          CASE WHEN doc_id % 11 = 0 THEN repeat('- bullet line' || chr(10), 10) || text
                WHEN doc_id % 13 = 0 THEN text || chr(10) || 'trailing thought...' || chr(10) || 'another...'
                WHEN doc_id % 17 = 0 THEN text || ' # # # # # # # # # # # #'
                WHEN doc_id % 7 = 0 THEN text || ' and that with have be'
+               WHEN doc_id % 19 = 0 THEN '- bullet one' || chr(10) || '- bullet two' || chr(10) || text
                ELSE text END AS t
         FROM documents),
       m AS (
@@ -1391,7 +1395,8 @@ object QueriesText {
         SELECT doc_id,
           len(toks) AS n_words,
           CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS mean_len,
-          CAST((len(t) - len(replace(t, '#', ''))) + (len(t) - len(replace(t, '...', ''))) / 3 AS DOUBLE) / len(toks) AS sym_ratio,
+          CAST(len(t) - len(replace(t, '#', '')) AS DOUBLE) / len(toks) AS hash_ratio,
+          CAST((len(t) - len(replace(t, '...', ''))) / 3 AS DOUBLE) / len(toks) AS ell_sym_ratio,
           CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE) / len(lines) AS bullet_frac,
           CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$$'))) AS DOUBLE) / len(lines) AS ellipsis_frac,
           CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha_frac,
@@ -1401,15 +1406,15 @@ object QueriesText {
       SELECT doc_id,
         coalesce(nn AND n_words >= 50 AND n_words <= 100000, FALSE) AS flag_word_count,
         coalesce(nn AND mean_len >= 3.0 AND mean_len <= 10.0, FALSE) AS flag_mean_word_len,
-        coalesce(nn AND sym_ratio <= 0.1, FALSE) AS flag_symbol_ratio,
-        coalesce(nn AND bullet_frac <= 0.1, FALSE) AS flag_bullet_lines,
+        coalesce(nn AND hash_ratio <= 0.1 AND ell_sym_ratio <= 0.1, FALSE) AS flag_symbol_ratio,
+        coalesce(nn AND bullet_frac <= 0.9, FALSE) AS flag_bullet_lines,
         coalesce(nn AND ellipsis_frac <= 0.3, FALSE) AS flag_ellipsis_lines,
         coalesce(nn AND alpha_frac >= 0.8, FALSE) AS flag_alpha_words,
         coalesce(nn AND n_stops >= 2, FALSE) AS flag_stop_words,
         (coalesce(nn AND n_words >= 50 AND n_words <= 100000, FALSE)
          AND coalesce(nn AND mean_len >= 3.0 AND mean_len <= 10.0, FALSE)
-         AND coalesce(nn AND sym_ratio <= 0.1, FALSE)
-         AND coalesce(nn AND bullet_frac <= 0.1, FALSE)
+         AND coalesce(nn AND hash_ratio <= 0.1 AND ell_sym_ratio <= 0.1, FALSE)
+         AND coalesce(nn AND bullet_frac <= 0.9, FALSE)
          AND coalesce(nn AND ellipsis_frac <= 0.3, FALSE)
          AND coalesce(nn AND alpha_frac >= 0.8, FALSE)
          AND coalesce(nn AND n_stops >= 2, FALSE)) AS gopher_keep
@@ -1417,13 +1422,15 @@ object QueriesText {
       (s, dir) => {
         val src = t(s, dir, "documents").select(col("doc_id"),
           when(col("doc_id") % 11 === 0,
-            concat(lit("- bullet one\n- bullet two\n"), col("text")))
+            concat(lit("- bullet line\n" * 10), col("text")))
           .when(col("doc_id") % 13 === 0,
             concat(col("text"), lit("\ntrailing thought...\nanother...")))
           .when(col("doc_id") % 17 === 0,
             concat(col("text"), lit(" # # # # # # # # # # # #")))
           .when(col("doc_id") % 7 === 0,
             concat(col("text"), lit(" and that with have be")))
+          .when(col("doc_id") % 19 === 0,
+            concat(lit("- bullet one\n- bullet two\n"), col("text")))
           .otherwise(col("text")).as("t"))
         graft.functions.GopherRules.withGopherFlags(src, "t").drop("t")
       }),
@@ -1469,7 +1476,7 @@ object QueriesText {
       ranked AS (
         SELECT doc_id, domain,
                row_number() OVER (PARTITION BY domain
-                 ORDER BY (doc_id % 1000000 * 2654435761) % 1000000, doc_id) AS rn
+                 ORDER BY (doc_id % 2147483647 * 2654435761) % 2147483647, doc_id) AS rn
         FROM kept)
       SELECT doc_id, domain FROM ranked WHERE rn <= 5"""),
       (s, dir) => {

@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
  *
  *  - word count within [minWords, maxWords]
  *  - mean word length within [minMeanWordLen, maxMeanWordLen]
- *  - symbol-to-word ratio (# / ellipsis) <= maxSymbolWordRatio
+ *  - symbol-to-word ratio <= maxSymbolWordRatio for '#' AND for '...'
+ *    SEPARATELY (the paper tests each symbol's ratio against 0.1 on its
+ *    own, not a pooled count)
  *  - fraction of lines starting with a bullet <= maxBulletLineFrac
+ *    (paper default 0.9: remove docs that are >90% bullet lines)
  *  - fraction of lines ending with an ellipsis <= maxEllipsisLineFrac
  *  - fraction of words containing an alphabetic char >= minAlphaWordFrac
  *  - at least minStopWords DISTINCT stop words present
@@ -33,7 +36,7 @@ object GopherRules {
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
       maxSymbolWordRatio: Double = 0.1,
-      maxBulletLineFrac: Double = 0.1, maxEllipsisLineFrac: Double = 0.3,
+      maxBulletLineFrac: Double = 0.9, maxEllipsisLineFrac: Double = 0.3,
       minAlphaWordFrac: Double = 0.8, minStopWords: Int = 2)
 
   /** The paper's stop-word probe set. */
@@ -54,11 +57,12 @@ object GopherRules {
     val nWords = size(col("__toks"))
     val meanLen = aggregate(col("__toks"), lit(0L),
       (a, x) => a + length(x)).cast("double") / nWords
-    // '#' chars + '...' runs, counted by length deltas (split-free:
-    // replace semantics are identical across engines)
-    val nSymbols =
-      (length(t) - length(regexp_replace(t, "#", ""))) +
-        (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    // '#' chars and '...' runs, counted by length deltas (split-free:
+    // replace semantics are identical across engines); the paper tests
+    // each symbol's word ratio separately, never a pooled count
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEllipsis =
+      (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
     val nLines = size(col("__lines"))
     val bulletLines = size(filter(col("__lines"),
       l => l.rlike("^\\s*[-*•]")))
@@ -74,7 +78,8 @@ object GopherRules {
       "flag_mean_word_len" ->
         rule(meanLen >= cfg.minMeanWordLen && meanLen <= cfg.maxMeanWordLen),
       "flag_symbol_ratio" ->
-        rule(nSymbols.cast("double") / nWords <= cfg.maxSymbolWordRatio),
+        rule(nHash.cast("double") / nWords <= cfg.maxSymbolWordRatio &&
+          nEllipsis.cast("double") / nWords <= cfg.maxSymbolWordRatio),
       "flag_bullet_lines" ->
         rule(bulletLines.cast("double") / nLines <= cfg.maxBulletLineFrac),
       "flag_ellipsis_lines" ->

@@ -60,6 +60,14 @@ object BloomDedup {
    * entirely (no false negatives); only might-contain survivors — true
    * dups plus the fpp sliver of the batch — pay the shuffle.
    *
+   * The fingerprinted batch is localCheckpoint'ed before it fans out to
+   * the cleared/suspect branches: the md5 + canonicalization projection
+   * and the bloom probe run ONCE per row; both branches then filter the
+   * materialized blocks instead of re-scanning the source (without the
+   * checkpoint, a union of two filters over the same projection
+   * recomputes it per branch). The blocks are GC-tracked and freed with
+   * the frame.
+   *
    * @param corpusFps one row per known fingerprint (fpCol, hex md5 of
    *                  canonical text — [[graft.functions.TextFunctions.fingerprint]])
    */
@@ -67,12 +75,15 @@ object BloomDedup {
       textCol: String, fpCol: String = "fp",
       expectedItems: Long = 1000000L, numBits: Long = 1L << 23): DataFrame = {
     val bloom = buildBloom(corpusFps, col(fpCol), expectedItems, numBits)
-    val withFp = batch.withColumn("__fp", fingerprint(col(textCol)))
-    if (bloom == null) return withFp.drop("__fp") // empty corpus: all new
+    if (bloom == null) return batch // empty corpus: all new
+    val withFp = batch
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .withColumn("__mc", mightContain(bloom, col("__fp")))
+      .localCheckpoint()
     val knownFps = corpusFps.select(col(fpCol).as("__fp"))
-    withFp.filter(!mightContain(bloom, col("__fp")))
-      .unionByName(withFp.filter(mightContain(bloom, col("__fp")))
+    withFp.filter(!col("__mc"))
+      .unionByName(withFp.filter(col("__mc"))
         .join(knownFps, Seq("__fp"), "left_anti"))
-      .drop("__fp")
+      .drop("__fp", "__mc")
   }
 }

@@ -29,18 +29,18 @@ object Dsir {
 
   /** Deterministic standard-Gumbel PSEUDO-noise from the multiplicative
     * id hash ([[Mixture.guardedIdHash]] — same hash, same null/cast
-    * fail-fast): u = (hash(id) + 0.5) / 10^6 lies strictly inside
+    * fail-fast): u = (hash(id) + 0.5) / (2^31 - 1) lies strictly inside
     * (0, 1) — the +0.5 keeps ln() off 0 and 1, where Spark returns null
-    * and DuckDB raises — then g = -ln(-ln(u)). Caveat at extreme scale:
-    * the hash has period 10^6 in the id, so ids in the same residue
-    * class share a draw (10^6 distinct values corpus-wide) — fine as
-    * deterministic tie-breaking pseudo-noise, but NOT iid Gumbel noise
-    * across >10^6 docs; widen the modulus (e.g. mod 2^31-1 with
-    * overflow-safe modular multiplication) if true Gumbel-top-k
-    * statistics matter at that size. */
+    * and DuckDB raises — then g = -ln(-ln(u)). The hash period is
+    * [[Mixture.HashMod]] = 2^31 - 1 in the id (overflow-safe modular
+    * multiplication keeps ((id mod m)·C) under Long.MaxValue), so draws
+    * stay distinct per-id up to ~2.1e9 documents — beyond the id range
+    * of a 100 TB corpus shard. Still deterministic pseudo-noise (the
+    * point: run-to-run and engine-replayable selection), not iid
+    * randomness. */
   def gumbelNoise(id: Column): Column = {
     val u = (Mixture.guardedIdHash(id).cast("double") + lit(0.5)) /
-      lit(1000000.0)
+      lit(Mixture.HashMod.toDouble)
     -log(-log(u))
   }
 

@@ -20,16 +20,23 @@ import org.apache.spark.sql.functions._
  */
 object Mixture {
 
-  /** Deterministic hash of an id to [0, 1): (id * 2654435761) mod 10^6
-    * scaled — Knuth's multiplicative constant, integer-exact in any
-    * engine. Not cryptographic; collision-free enough for sampling.
-    * Requires a numeric (long-castable) non-null id — a silent NULL here
-    * would drop the row from every sample, so it raises instead. */
+  /** The hash modulus, 2^31 - 1 (a Mersenne prime): large enough that
+    * ids only share a draw past ~2.1e9 docs per residue class, and small
+    * enough that ((id mod m)·C) stays below m·C ≈ 5.7e18 < Long.MaxValue
+    * in any 64-bit engine. */
+  val HashMod: Long = 2147483647L
+
+  /** Deterministic hash of an id to [0, 1): (id * 2654435761) mod
+    * (2^31 - 1) scaled — Knuth's multiplicative constant, integer-exact
+    * in any engine. Not cryptographic; collision-free enough for
+    * sampling. Requires a numeric (long-castable) non-null id — a silent
+    * NULL here would drop the row from every sample, so it raises
+    * instead. */
   /** The guarded integer hash behind [[idHashUnit]] (and
-    * [[Dsir.gumbelNoise]]): value in [0, 10^6), raises on null /
+    * [[Dsir.gumbelNoise]]): value in [0, 2^31-1), raises on null /
     * non-numeric ids — a silent NULL would drop the row from every
     * sample. (id·C) mod m is computed as ((id mod m)·C) mod m so the
-    * product stays below m·C ≈ 2.7e15 and ids up to Long.MaxValue can't
+    * product stays below m·C ≈ 5.7e18 and ids up to Long.MaxValue can't
     * overflow (a raw id·C overflows — ANSI would raise — once ids pass
     * ~3.5e9, i.e. exactly the 100 TB corpus id range). */
   private[operators] def guardedIdHash(id: Column): Column = {
@@ -37,11 +44,11 @@ object Mixture {
         raise_error(concat(lit("Mixture.idHashUnit: id is null or not "
           + "castable to long: "), coalesce(id.cast("string"), lit("NULL")))))
       .otherwise(id.try_cast("long"))
-    pmod(pmod(asLong, lit(1000000L)) * lit(2654435761L), lit(1000000L))
+    pmod(pmod(asLong, lit(HashMod)) * lit(2654435761L), lit(HashMod))
   }
 
   def idHashUnit(id: Column): Column =
-    guardedIdHash(id).cast("double") / lit(1000000.0)
+    guardedIdHash(id).cast("double") / lit(HashMod.toDouble)
 
   /**
    * Sample `docs` so each source contributes ~budgetTokens·w_s tokens.

@@ -197,12 +197,17 @@ object Similarity {
     val signBits = java.lang.Long.numberOfTrailingZeros(nCells.toLong).toInt
     require(nCells > 0 && (1 << signBits) == nCells,
       s"ivfTopK(sign): nCells must be a power of two, got $nCells")
-    val cells = embeddings
-      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("cell", (0 until signBits).map(j =>
+    // nCells=1 => signBits=0: one cell, every vector in it (degenerates
+    // to the exact scan instead of tripping an empty reduce)
+    val cellExpr =
+      if (signBits == 0) lit(0L)
+      else (0 until signBits).map(j =>
         when(try_element_at(col("v"), lit(j + 1)) >= 0, lit(1L << j))
           .otherwise(lit(0L)))
-        .reduce(_ + _))
+        .reduce(_ + _)
+    val cells = embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", cellExpr)
     // per-dim means, partial-aggregated to (nCells x dims) pre-exchange —
     // the same centroid machinery semDedup proves replayable
     val centroids = cells

@@ -18,10 +18,10 @@ import org.apache.spark.sql.functions._
  * left-anti; the per-domain cap is one shuffle keyed by domain. The cap
  * ranks by a deterministic multiplicative id hash, so the kept subset
  * is reproducible run-to-run and engine-independent — not "first N by
- * partition order". A mega-domain makes its cap partition hot; since
- * only ranks <= maxPerDomain survive, the mitigation at extreme skew is
- * a pre-filter on the same hash (keep hash < ~(maxPerDomain * safety /
- * est_count)) before the exact window — same answer, bounded partition.
+ * partition order". A mega-domain would make its cap partition hot, so
+ * domains whose count exceeds skewFactor x the cap take an EXACT salted
+ * pre-cut first (see [[capPerDomain]]) — same answer, bounded window
+ * input.
  */
 object UrlCuration {
 
@@ -77,14 +77,59 @@ object UrlCuration {
    * deterministic multiplicative id hash (ties broken by id) — the
    * domain-diversity cap. Adds nothing and reorders nothing for domains
    * under the cap.
+   *
+   * Mega-domain skew: a domain with millions of rows would serialize
+   * into one window partition, so domains whose row count exceeds
+   * `skewFactor * maxPerDomain` first take an EXACT salted pre-cut
+   * ([[saltedPrecut]]): rank within (domain, hash-salt) subgroups and
+   * keep the per-subgroup top `maxPerDomain`. Any row in the domain's
+   * true top-`maxPerDomain` ranks at least as high inside its subgroup,
+   * so the pre-cut NEVER drops a survivor — no probabilistic safety
+   * margin — while bounding the final window's input to
+   * `skewSalts * maxPerDomain` rows per hot domain. Cold domains skip
+   * the pre-cut (salt 0 = the whole domain) and their pre-cut stage is
+   * the exact cap already. The hot-domain table is tiny (only domains
+   * over the threshold) and broadcasts; the count aggregation is
+   * map-side partial, domain-count-sized.
    */
   def capPerDomain(docs: DataFrame, domainCol: String, idCol: String,
-      maxPerDomain: Int): DataFrame = {
+      maxPerDomain: Int, skewFactor: Int = 10, skewSalts: Int = 32): DataFrame = {
+    val pre = saltedPrecut(docs, domainCol, idCol, maxPerDomain,
+      skewFactor, skewSalts)
     val w = Window.partitionBy(col(domainCol))
       .orderBy(Mixture.idHashUnit(col(idCol)).asc, col(idCol).asc)
-    docs
+    pre
       .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= maxPerDomain)
       .drop("__rank")
+  }
+
+  /** Stage 1 of [[capPerDomain]]: per-(domain, salt) top-`maxPerDomain`
+    * by the same (hash, id) order, where hot domains (count >
+    * skewFactor*maxPerDomain) salt by `pmod(hash(id), skewSalts)` and
+    * cold domains use salt 0 (subgroup = domain, so their pre-cut IS the
+    * exact cap). Output per domain is <= skewSalts * maxPerDomain rows
+    * and contains every row of the domain's true top-`maxPerDomain`
+    * (subgroup rank <= domain rank, always). */
+  private[graft] def saltedPrecut(docs: DataFrame, domainCol: String,
+      idCol: String, maxPerDomain: Int, skewFactor: Int,
+      skewSalts: Int): DataFrame = {
+    require(skewSalts >= 1, s"capPerDomain: skewSalts must be >= 1, got $skewSalts")
+    val hot = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__dn"))
+      .filter(col("__dn") > skewFactor.toLong * maxPerDomain)
+      .select(col(domainCol))
+      .withColumn("__hot", lit(true))
+    val w1 = Window.partitionBy(col(domainCol), col("__salt"))
+      .orderBy(Mixture.idHashUnit(col(idCol)).asc, col(idCol).asc)
+    docs
+      .join(broadcast(hot), Seq(domainCol), "left")
+      .withColumn("__salt",
+        when(col("__hot"),
+          pmod(Mixture.guardedIdHash(col(idCol)), lit(skewSalts.toLong)))
+          .otherwise(lit(0L)))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= maxPerDomain)
+      .drop("__hot", "__salt", "__r1")
   }
 }

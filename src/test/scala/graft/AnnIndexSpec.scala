@@ -107,6 +107,49 @@ class AnnIndexSpec extends SparkSpec {
     assert(rr.toSet.intersect(brute).size >= 6)
   }
 
+  test("sign quantizer degrades to one cell at nCells=1 (exact scan)") {
+    // signBits=0: every vector lands in cell 0 and the probe is the
+    // whole corpus — the result IS the brute-force head
+    val one = Similarity.ivfTopK(emb, "embedding", "vec_id", query, 10,
+      nCells = 1, nProbe = 1, quantizer = "sign")
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(one === brute)
+  }
+
+  test("lshKnnJoin default parameters carry recall evidence vs brute force") {
+    // the corpus-sized k-NN join's default probe ball (bits=12,
+    // probeHamming=1) against per-query brute force on a CLUSTERED
+    // fixture — hyperplane LSH's recall claim is about finding vectors
+    // that are actually close (same tight cluster => same sign pattern),
+    // not ranking near-orthogonal noise (where the sf0.001 table's
+    // "top-10" sits at cosine ~0.2 and any 12-bit scheme scores ~0.1).
+    // Everything is seeded, so the bound is tight and deterministic.
+    val rnd = new scala.util.Random(42L)
+    val dim = 64
+    val centroids = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val points = for {
+      c <- centroids.indices
+      j <- 0 until 25
+    } yield (c.toLong * 25 + j, centroids(c).map(v =>
+      v + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    val clustered = points.toDF("vec_id", "embedding")
+    val queries = clustered.filter(col("vec_id") % 25 === 0) // 1 per cluster
+    val joined = Similarity.lshKnnJoin(queries, clustered, "embedding",
+      "vec_id", k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = points.filter(_._1 % 25 == 0).map { case (q, qv) =>
+      val brute = Similarity.bruteForceTopK(clustered, "embedding", "vec_id",
+        qv.map(_.toFloat), 10)
+        .select("vec_id").as[Long].collect().toSet
+      joined.getOrElse(q, Set.empty[Long]).intersect(brute).size / 10.0
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.9, s"avg recall@10 $avg below gate (per-query: $recalls)")
+  }
+
   test("searchIvf/searchPq reject a query of the wrong dimensionality") {
     val ivfPath = java.nio.file.Files.createTempDirectory("graft_ivfd").toString + "/idx"
     AnnIndex.buildIvf(emb, "embedding", "vec_id", ivfPath, nCells = 4)

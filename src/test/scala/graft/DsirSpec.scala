@@ -54,15 +54,34 @@ class DsirSpec extends SparkSpec {
       .select(Dsir.gumbelNoise(col("id")).as("g")).as[Double].collect()
     assert(g.toSeq === g2.toSeq)
     // the TRUE hash extremes (u -> 0+ and u -> 1-): solve for the ids
-    // whose multiplicative hash lands on 0 and 999999, and check ln()
+    // whose multiplicative hash lands on 0 and m-1 (modular inverse of
+    // the Knuth constant — m is prime so it exists), and check ln()
     // never sees 0 or 1 there (the +0.5 offset is what protects them)
-    def hash(id: Long): Long = (id % 1000000L) * 2654435761L % 1000000L
-    val idLow = (0L until 1000000L).find(hash(_) == 0L).get
-    val idHigh = (0L until 1000000L).find(hash(_) == 999999L).get
+    val m = 2147483647L
+    val cInv = BigInt(2654435761L).modInverse(BigInt(m)).toLong
+    def hash(id: Long): Long = (id % m) * 2654435761L % m
+    val idLow = 0L
+    val idHigh = cInv * (m - 1) % m
+    assert(hash(idLow) == 0L && hash(idHigh) == m - 1)
     val edge = Seq(idLow, idHigh).toDF("id")
       .select(Dsir.gumbelNoise(col("id"))).as[Double].collect()
     assert(edge.forall(v => !v.isNaN && !v.isInfinite),
       s"extreme-hash ids $idLow/$idHigh produced $edge")
+  }
+
+  test("noise draws are distinct across >10^6 ids (no residue sharing)") {
+    // the old mod-10^6 hash shared a draw across ids in the same residue
+    // class; mod 2^31-1 (prime, constant coprime) the hash is a bijection
+    // below the modulus, so every id draws distinct noise
+    val n = 1200000L
+    val distinct = spark.range(0, n)
+      .select(graft.operators.Mixture.idHashUnit(col("id")).as("u"))
+      .agg(countDistinct(col("u"))).as[Long].head()
+    assert(distinct === n, s"expected $n distinct draws, got $distinct")
+    // and the pair the old modulus collided on now differs
+    val pair = Seq(7L, 1000007L).toDF("id")
+      .select(Dsir.gumbelNoise(col("id"))).as[Double].collect()
+    assert(pair(0) !== pair(1))
   }
 
   test("empty target corpus fails fast instead of Infinity weights") {

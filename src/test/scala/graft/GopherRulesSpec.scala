@@ -29,7 +29,13 @@ class GopherRulesSpec extends SparkSpec {
   test("each rule fails on its own trigger, others unaffected") {
     assert(!flagsOf("too few words here")("flag_word_count"))
     assert(!flagsOf(goodDoc + " " + "# " * 30)("flag_symbol_ratio"))
-    assert(!flagsOf("- b1\n- b2\n" + goodDoc)("flag_bullet_lines"))
+    // each symbol's ratio trips the rule on its own (the paper tests
+    // '#' and '...' separately, not pooled)
+    assert(!flagsOf(goodDoc + " " + "... " * 30)("flag_symbol_ratio"))
+    // bullet rule: paper threshold is MOSTLY-bullets (>90% of lines) —
+    // a 2-bullet preamble passes, a 10-of-11-bullet-lines doc fails
+    assert(flagsOf("- b1\n- b2\n" + goodDoc)("flag_bullet_lines"))
+    assert(!flagsOf("- b\n" * 10 + goodDoc)("flag_bullet_lines"))
     assert(!flagsOf(goodDoc + "\nhmm...\nmore...")("flag_ellipsis_lines"))
     assert(!flagsOf(goodDoc + " " + "99 " * 40)("flag_alpha_words"))
     assert(!flagsOf(("lorem ipsum dolor sit amet " * 12).trim)("flag_stop_words"))

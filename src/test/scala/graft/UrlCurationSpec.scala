@@ -88,4 +88,35 @@ class UrlCurationSpec extends SparkSpec {
     assert(capped.select("doc_id").as[Long].collect().sorted.toSeq ===
       again.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("mega-domain skew pre-cut: same answer as the naive window, bounded input") {
+    import graft.operators.Mixture
+    import org.apache.spark.sql.expressions.Window
+    // one 5000-row mega-domain, two cold domains
+    val docs = ((1L to 5000L).map((_, "mega.com")) ++
+      (5001L to 5020L).map((_, "cold.org")) ++
+      (5021L to 5023L).map((_, "tiny.net"))).toDF("doc_id", "domain")
+    val cap = 5
+    // the naive single-window reference (what the operator computed
+    // before the skew stage existed)
+    val w = Window.partitionBy($"domain")
+      .orderBy(Mixture.idHashUnit($"doc_id").asc, $"doc_id".asc)
+    val naive = docs.withColumn("__r", row_number().over(w))
+      .filter($"__r" <= cap).drop("__r")
+      .select("doc_id").as[Long].collect().toSet
+    val capped = UrlCuration.capPerDomain(docs, "domain", "doc_id", cap)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped === naive, "salted pre-cut changed the kept set")
+    // the exact window's input is bounded: <= skewSalts*cap rows for the
+    // hot domain, <= the domain size for cold ones (salt 0 = exact cap)
+    val pre = UrlCuration.saltedPrecut(docs, "domain", "doc_id", cap,
+      skewFactor = 10, skewSalts = 32)
+    val preByDom = pre.groupBy("domain").count().as[(String, Long)]
+      .collect().toMap
+    assert(preByDom("mega.com") <= 32L * cap,
+      s"hot-domain window input not bounded: ${preByDom("mega.com")}")
+    assert(preByDom("mega.com") > cap.toLong) // salted: more than one subgroup fed
+    assert(preByDom("cold.org") === cap.toLong) // cold: pre-cut IS the exact cap
+    assert(preByDom("tiny.net") === 3L) // under the cap: untouched
+  }
 }
