@@ -70,6 +70,39 @@ object QueriesOps2 {
           .select("event_id")
       }),
 
+    // ---------------------------------------------------------------- S8
+    // Append-with-conservation END-TO-END (template_submitters.Rmd:961-985):
+    // two appendWithCheck runs against one temp CSV state table — run 1
+    // seeds the state, run 2 appends — and the row hashes the state table
+    // AS RE-READ from disk, so the append, the NA-as-empty round trip
+    // (%37 null names write as "" and read back null) and the
+    // conservation count are all under the oracle. All-string columns:
+    // the reference reads keep_na with col_types = cols(.default = "c").
+    QueryDef("s8_append_conservation", Some("""
+      WITH runs AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+        WHERE c_custkey % 3 IN (0, 1))
+      SELECT CAST(k AS VARCHAR) AS rowid,
+             CASE WHEN k % 37 = 0 THEN NULL ELSE 'K' || CAST(k AS VARCHAR) END AS name,
+             strftime(DATE '2024-01-01' + CAST(k % 90 AS INTEGER), '%Y-%m-%d') AS first_seen
+      FROM runs"""),
+      (s, dir) => {
+        val base = t(s, dir, "customer").select(col("c_custkey").cast("long").as("k"))
+        def rows(f: org.apache.spark.sql.Column): DataFrame = base.filter(f)
+          .select(
+            col("k").cast("string").as("rowid"),
+            when(col("k") % 37 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("K"), col("k").cast("string"))).as("name"),
+            date_format(
+              date_add(to_date(lit("2024-01-01")), (col("k") % 90).cast("int")),
+              "yyyy-MM-dd").as("first_seen"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_s8").toString + "/keep_na"
+        graft.sinks.RosterSink.appendWithCheck(rows(col("k") % 3 === 0), path)
+        graft.sinks.RosterSink.appendWithCheck(rows(col("k") % 3 === 1), path)
+        s.read.option("header", "true").csv(path)
+      }),
+
     // ---------------------------------------------------------------- S9
     QueryDef("s9_chunk_assign", Some("""
       SELECT o_orderkey,

@@ -234,110 +234,50 @@ object QueriesRelational {
     // reference's classification joins — roster removal first, then the
     // all-but-id merge join, then the all-but-lineage join; whatever
     // remains is unexpected.
-    QueryDef("j7_diff_classes", Some("""
-      WITH base AS (
-        SELECT o_orderkey AS id, o_orderpriority AS acc, o_orderstatus AS lin,
-               o_totalprice AS price,
-               CASE WHEN o_orderkey % 23 = 0 THEN 'merge'
-                    WHEN o_orderkey % 19 = 0 THEN 'lineage'
-                    WHEN o_orderkey % 13 = 0 THEN 'price'
-                    WHEN o_orderkey % 10 = 0 THEN 'addonly'
-                    WHEN o_orderkey % 11 = 0 THEN 'rmonly'
-                    ELSE 'same' END AS klass
-        FROM orders),
-      cur AS (
-        SELECT CASE WHEN klass = 'merge' THEN id + 10000000 ELSE id END AS id,
-               acc,
-               CASE WHEN klass = 'lineage' THEN lin || '_X' ELSE lin END AS lin,
-               CASE WHEN klass = 'price' THEN price * 2 ELSE price END AS price
-        FROM base WHERE klass <> 'rmonly'),
-      prv AS (SELECT id, acc, lin, price FROM base WHERE klass <> 'addonly'),
-      roster AS (
-        SELECT id, acc, lin, price FROM base
-        WHERE klass = 'addonly' OR (klass = 'same' AND id % 29 = 0)),
-      dcur AS (SELECT *, 'current' AS diff_side
-               FROM (SELECT * FROM cur EXCEPT SELECT * FROM prv)),
-      dprev AS (SELECT *, 'prev' AS diff_side
-                FROM (SELECT * FROM prv EXCEPT SELECT * FROM cur)),
-      rexp AS (
-        SELECT d.id, d.acc, d.lin, d.price FROM dcur d
-        WHERE EXISTS (SELECT 1 FROM roster r
-          WHERE r.id IS NOT DISTINCT FROM d.id AND r.acc IS NOT DISTINCT FROM d.acc
-            AND r.lin IS NOT DISTINCT FROM d.lin AND r.price IS NOT DISTINCT FROM d.price)),
-      rmiss AS (
-        SELECT r.id, r.acc, r.lin, r.price FROM roster r
-        WHERE NOT EXISTS (SELECT 1 FROM dcur d
-          WHERE r.id IS NOT DISTINCT FROM d.id AND r.acc IS NOT DISTINCT FROM d.acc
-            AND r.lin IS NOT DISTINCT FROM d.lin AND r.price IS NOT DISTINCT FROM d.price)),
-      dcur1 AS (
-        SELECT d.* FROM dcur d
-        WHERE NOT EXISTS (SELECT 1 FROM roster r
-          WHERE r.id IS NOT DISTINCT FROM d.id AND r.acc IS NOT DISTINCT FROM d.acc
-            AND r.lin IS NOT DISTINCT FROM d.lin AND r.price IS NOT DISTINCT FROM d.price)),
-      merges AS (
-        SELECT p.id AS prev_id, c.id AS cur_id
-        FROM dprev p JOIN dcur1 c
-          ON p.acc IS NOT DISTINCT FROM c.acc
-         AND p.lin IS NOT DISTINCT FROM c.lin
-         AND p.price IS NOT DISTINCT FROM c.price),
-      dprev1 AS (SELECT * FROM dprev WHERE id NOT IN (SELECT prev_id FROM merges)),
-      dcur2 AS (SELECT * FROM dcur1 WHERE id NOT IN (SELECT cur_id FROM merges)),
-      lins AS (
-        SELECT DISTINCT p.id
-        FROM dprev1 p JOIN dcur2 c
-          ON p.id IS NOT DISTINCT FROM c.id
-         AND p.acc IS NOT DISTINCT FROM c.acc
-         AND p.price IS NOT DISTINCT FROM c.price)
-      SELECT id, acc, lin, price, diff_side, 'case_id_merge' AS cause
-        FROM dcur1 WHERE id IN (SELECT cur_id FROM merges)
-      UNION ALL
-      SELECT id, acc, lin, price, diff_side, 'lineage_update' AS cause
-        FROM dcur2 WHERE id IN (SELECT id FROM lins)
-      UNION ALL
-      SELECT id, acc, lin, price, diff_side, 'case_id_merge' AS cause
-        FROM dprev WHERE id IN (SELECT prev_id FROM merges)
-      UNION ALL
-      SELECT id, acc, lin, price, diff_side, 'lineage_update' AS cause
-        FROM dprev1 WHERE id IN (SELECT id FROM lins)
-      UNION ALL
-      SELECT id, acc, lin, price, diff_side, 'unexpected' AS cause
-        FROM dcur2 WHERE id NOT IN (SELECT id FROM lins)
-      UNION ALL
-      SELECT id, acc, lin, price, diff_side, 'unexpected' AS cause
-        FROM dprev1 WHERE id NOT IN (SELECT id FROM lins)
-      UNION ALL
-      SELECT id, acc, lin, price, 'current' AS diff_side, 'roster_expected' AS cause
-        FROM rexp
-      UNION ALL
-      SELECT id, acc, lin, price, 'roster' AS diff_side, 'roster_missing' AS cause
-        FROM rmiss"""),
+    QueryDef("j7_diff_classes", Some(s"WITH $diffCausesCtes\n      $diffCausesSelect"),
       (s, dir) => {
-        val o = t(s, dir, "orders")
-        val base = o.select(col("o_orderkey").as("id"),
-            col("o_orderpriority").as("acc"), col("o_orderstatus").as("lin"),
-            col("o_totalprice").as("price"))
-          .withColumn("klass",
-            when(col("id") % 23 === 0, "merge")
-              .when(col("id") % 19 === 0, "lineage")
-              .when(col("id") % 13 === 0, "price")
-              .when(col("id") % 10 === 0, "addonly")
-              .when(col("id") % 11 === 0, "rmonly")
-              .otherwise("same"))
-        val cur = base.filter(col("klass") =!= "rmonly")
-          .select(
-            when(col("klass") === "merge", col("id") + 10000000)
-              .otherwise(col("id")).as("id"),
-            col("acc"),
-            when(col("klass") === "lineage", concat(col("lin"), lit("_X")))
-              .otherwise(col("lin")).as("lin"),
-            when(col("klass") === "price", col("price") * 2)
-              .otherwise(col("price")).as("price"))
-        val prv = base.filter(col("klass") =!= "addonly")
-          .select("id", "acc", "lin", "price")
-        val roster = base.filter(col("klass") === "addonly" ||
-            (col("klass") === "same" && col("id") % 29 === 0))
-          .select("id", "acc", "lin", "price")
+        val (cur, prv, roster) = diffInputs(s, dir)
         Joins.snapshotDiffCauses(cur, prv, "id", Seq("lin"), Some(roster))
+      }),
+
+    // ---------------------------------------------------- Q12 composed run
+    // The DailyDiffs job END-TO-END (scripts/QA/wdrs_daily_diffs.R:150-199):
+    // the same synthesized snapshots flow through a real SnapshotStore —
+    // prev published as v1, current as v2, the roster alongside — and the
+    // pipeline picks the published version + predecessor, classifies, and
+    // publishes the report back; the row hashes the report AS RE-READ from
+    // its published version dir, so the store round-trip itself is under
+    // the oracle (the j7_diff_classes row covers the classification
+    // in-memory; this one covers the composed job, the way
+    // q2_saved_rows_rerun and q11_* wrap their stateful pipelines).
+    QueryDef("q12_daily_diffs", Some(s"WITH $diffCausesCtes\n      $diffCausesSelect"),
+      (s, dir) => {
+        val (cur, prv, roster) = diffInputs(s, dir)
+        val store = new graft.sources.SnapshotStore(s,
+          java.nio.file.Files.createTempDirectory("graft_daily_diffs").toString)
+        store.publish("seq_snapshot", prv)
+        store.publish("seq_snapshot", cur)
+        store.publish("compiled_roster", roster)
+        graft.pipelines.DailyDiffs.run(store, "seq_snapshot", "id", Seq("lin"))
+          .select("id", "acc", "lin", "price", "diff_side", "cause")
+      }),
+
+    // Per-(cause, side) counts — the reference's email-body summary table,
+    // over the same published report.
+    QueryDef("q12_diffs_summary", Some(s"""
+      WITH $diffCausesCtes,
+      report AS ($diffCausesSelect)
+      SELECT cause, diff_side, CAST(COUNT(*) AS BIGINT) AS n
+      FROM report GROUP BY cause, diff_side"""),
+      (s, dir) => {
+        val (cur, prv, roster) = diffInputs(s, dir)
+        val store = new graft.sources.SnapshotStore(s,
+          java.nio.file.Files.createTempDirectory("graft_daily_diffs_s").toString)
+        store.publish("seq_snapshot", prv)
+        store.publish("seq_snapshot", cur)
+        store.publish("compiled_roster", roster)
+        graft.pipelines.DailyDiffs.summarize(
+          graft.pipelines.DailyDiffs.run(store, "seq_snapshot", "id", Seq("lin")))
       }),
 
     // ---------------------------------------------------------------- J9
@@ -539,4 +479,120 @@ object QueriesRelational {
       (s, dir) => t(s, dir, "customer").select(col("c_custkey").as("id"))
         .intersect(t(s, dir, "events").select(col("user_id").as("id"))))
   )
+
+  /** The wdrs_daily_diffs cause-taxonomy oracle (CTE block + final
+    * select), shared verbatim by the in-memory classification row
+    * (j7_diff_classes) and the composed-run rows (q12_daily_diffs /
+    * q12_diffs_summary) — the published report must hash-match the
+    * direct classification. */
+  private def diffCausesCtes: String = """base AS (
+        SELECT o_orderkey AS id, o_orderpriority AS acc, o_orderstatus AS lin,
+               o_totalprice AS price,
+               CASE WHEN o_orderkey % 23 = 0 THEN 'merge'
+                    WHEN o_orderkey % 19 = 0 THEN 'lineage'
+                    WHEN o_orderkey % 13 = 0 THEN 'price'
+                    WHEN o_orderkey % 10 = 0 THEN 'addonly'
+                    WHEN o_orderkey % 11 = 0 THEN 'rmonly'
+                    ELSE 'same' END AS klass
+        FROM orders),
+      cur AS (
+        SELECT CASE WHEN klass = 'merge' THEN id + 10000000 ELSE id END AS id,
+               acc,
+               CASE WHEN klass = 'lineage' THEN lin || '_X' ELSE lin END AS lin,
+               CASE WHEN klass = 'price' THEN price * 2 ELSE price END AS price
+        FROM base WHERE klass <> 'rmonly'),
+      prv AS (SELECT id, acc, lin, price FROM base WHERE klass <> 'addonly'),
+      roster AS (
+        SELECT id, acc, lin, price FROM base
+        WHERE klass = 'addonly' OR (klass = 'same' AND id % 29 = 0)),
+      dcur AS (SELECT *, 'current' AS diff_side
+               FROM (SELECT * FROM cur EXCEPT SELECT * FROM prv)),
+      dprev AS (SELECT *, 'prev' AS diff_side
+                FROM (SELECT * FROM prv EXCEPT SELECT * FROM cur)),
+      rexp AS (
+        SELECT d.id, d.acc, d.lin, d.price FROM dcur d
+        WHERE EXISTS (SELECT 1 FROM roster r
+          WHERE r.id IS NOT DISTINCT FROM d.id AND r.acc IS NOT DISTINCT FROM d.acc
+            AND r.lin IS NOT DISTINCT FROM d.lin AND r.price IS NOT DISTINCT FROM d.price)),
+      rmiss AS (
+        SELECT r.id, r.acc, r.lin, r.price FROM roster r
+        WHERE NOT EXISTS (SELECT 1 FROM dcur d
+          WHERE r.id IS NOT DISTINCT FROM d.id AND r.acc IS NOT DISTINCT FROM d.acc
+            AND r.lin IS NOT DISTINCT FROM d.lin AND r.price IS NOT DISTINCT FROM d.price)),
+      dcur1 AS (
+        SELECT d.* FROM dcur d
+        WHERE NOT EXISTS (SELECT 1 FROM roster r
+          WHERE r.id IS NOT DISTINCT FROM d.id AND r.acc IS NOT DISTINCT FROM d.acc
+            AND r.lin IS NOT DISTINCT FROM d.lin AND r.price IS NOT DISTINCT FROM d.price)),
+      merges AS (
+        SELECT p.id AS prev_id, c.id AS cur_id
+        FROM dprev p JOIN dcur1 c
+          ON p.acc IS NOT DISTINCT FROM c.acc
+         AND p.lin IS NOT DISTINCT FROM c.lin
+         AND p.price IS NOT DISTINCT FROM c.price),
+      dprev1 AS (SELECT * FROM dprev WHERE id NOT IN (SELECT prev_id FROM merges)),
+      dcur2 AS (SELECT * FROM dcur1 WHERE id NOT IN (SELECT cur_id FROM merges)),
+      lins AS (
+        SELECT DISTINCT p.id
+        FROM dprev1 p JOIN dcur2 c
+          ON p.id IS NOT DISTINCT FROM c.id
+         AND p.acc IS NOT DISTINCT FROM c.acc
+         AND p.price IS NOT DISTINCT FROM c.price)"""
+
+  private def diffCausesSelect: String =
+    """SELECT id, acc, lin, price, diff_side, 'case_id_merge' AS cause
+        FROM dcur1 WHERE id IN (SELECT cur_id FROM merges)
+      UNION ALL
+      SELECT id, acc, lin, price, diff_side, 'lineage_update' AS cause
+        FROM dcur2 WHERE id IN (SELECT id FROM lins)
+      UNION ALL
+      SELECT id, acc, lin, price, diff_side, 'case_id_merge' AS cause
+        FROM dprev WHERE id IN (SELECT prev_id FROM merges)
+      UNION ALL
+      SELECT id, acc, lin, price, diff_side, 'lineage_update' AS cause
+        FROM dprev1 WHERE id IN (SELECT id FROM lins)
+      UNION ALL
+      SELECT id, acc, lin, price, diff_side, 'unexpected' AS cause
+        FROM dcur2 WHERE id NOT IN (SELECT id FROM lins)
+      UNION ALL
+      SELECT id, acc, lin, price, diff_side, 'unexpected' AS cause
+        FROM dprev1 WHERE id NOT IN (SELECT id FROM lins)
+      UNION ALL
+      SELECT id, acc, lin, price, 'current' AS diff_side, 'roster_expected' AS cause
+        FROM rexp
+      UNION ALL
+      SELECT id, acc, lin, price, 'roster' AS diff_side, 'roster_missing' AS cause
+        FROM rmiss"""
+
+  /** The synthesized (current, prev, roster) snapshot inputs behind the
+    * J7/Q12 rows — every order falls in exactly one churn class. */
+  private def diffInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+        val o = t(s, dir, "orders")
+        val base = o.select(col("o_orderkey").as("id"),
+            col("o_orderpriority").as("acc"), col("o_orderstatus").as("lin"),
+            col("o_totalprice").as("price"))
+          .withColumn("klass",
+            when(col("id") % 23 === 0, "merge")
+              .when(col("id") % 19 === 0, "lineage")
+              .when(col("id") % 13 === 0, "price")
+              .when(col("id") % 10 === 0, "addonly")
+              .when(col("id") % 11 === 0, "rmonly")
+              .otherwise("same"))
+        val cur = base.filter(col("klass") =!= "rmonly")
+          .select(
+            when(col("klass") === "merge", col("id") + 10000000)
+              .otherwise(col("id")).as("id"),
+            col("acc"),
+            when(col("klass") === "lineage", concat(col("lin"), lit("_X")))
+              .otherwise(col("lin")).as("lin"),
+            when(col("klass") === "price", col("price") * 2)
+              .otherwise(col("price")).as("price"))
+        val prv = base.filter(col("klass") =!= "addonly")
+          .select("id", "acc", "lin", "price")
+        val roster = base.filter(col("klass") === "addonly" ||
+            (col("klass") === "same" && col("id") % 29 === 0))
+          .select("id", "acc", "lin", "price")
+    (cur, prv, roster)
+  }
 }
