@@ -26,13 +26,17 @@ object Bench {
     // repeated-span removal and bigram-LM scoring are corpus-wide curation
     // passes (two shuffles / two count aggs) — headline-class cost
     "text_line_dedup", "text_lm_perplexity",
-    // round 6: the composed 6-stage curation run — the heaviest job a
-    // user actually schedules. Its stages are timed individually above;
-    // this row times the COMPOSITION (stage checkpoints included)
-    "curation_report",
     // round 6: the two new corpus-wide single-pass curation stages and
     // the two-LM importance-resampling selection job
-    "text_gopher_rules", "url_domain_cap", "text_dsir_sample")
+    "text_gopher_rules", "url_domain_cap", "text_dsir_sample",
+    // the composed 6-stage curation run — the heaviest job a user
+    // actually schedules. Its stages are timed individually above; this
+    // row times the COMPOSITION (stage checkpoints included). It runs
+    // LAST: its checkpoint/scratch writes and cold index builds put
+    // storage and page-cache pressure on whatever runs next (round 6's
+    // record showed untouched carried queries 1.4-2.2x slower with it
+    // mid-list), and nothing runs after it.
+    "curation_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -85,20 +89,33 @@ object Bench {
     }
 
     val qs = headline.filter(Registry.queries.contains)
-    // warmup pass (codegen + parquet footer caching)
+    // Global warmup pass FIRST: JIT/codegen of the shared Spark hot paths
+    // and parquet footer caching amortize across all queries before any
+    // timed pass — without it, the run's first few timed queries measure
+    // the C2 compiler, not the plan (a trial run showed j1_left_join at
+    // 2.2x its steady state purely from running second in a young JVM).
     qs.foreach { name =>
-      val t0 = System.nanoTime()
       try run(name)
-      catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: $e") }
-      System.err.println(f"[bench] warmup $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      catch { case e: Throwable => System.err.println(s"[bench] $name prewarm failed: $e") }
       isolate()
     }
-    // three timed passes per query, p50 reported — kills run-to-run noise
-    // (GC pauses, JIT recompiles) without tripling the honest total. A
-    // throwing query is recorded in "failed" and fails the run: a broken
-    // query must read as a failure, not as a near-zero-time speedup.
+    // Then per-query: one MORE warmup run immediately before the timed
+    // passes, then three timed passes, p50 reported. The global pass
+    // alone is not enough either: by the time a query's timed passes
+    // ran, its warmup was ~25 queries (and gigabytes of scratch and
+    // page-cache churn) earlier — round 6's record showed untouched
+    // carried queries 1.4-2.2x over their r5 steady state from exactly
+    // that interference. The immediate warmup re-establishes the query's
+    // own file cache; the global pass handles the JVM. A throwing query
+    // is recorded in "failed" and fails the run: a broken query must
+    // read as a failure, not a near-zero-time speedup.
     val timedPasses = 3
     val results = qs.map { name =>
+      val w0 = System.nanoTime()
+      try run(name)
+      catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: $e") }
+      System.err.println(f"[bench] warmup $name ${(System.nanoTime() - w0) / 1e9}%.2fs")
+      isolate()
       val (times, errs) = (1 to timedPasses).map { _ =>
         val t0 = System.nanoTime()
         val err = try { run(name); None }
@@ -123,20 +140,25 @@ object Bench {
       // within a small factor of each other. A big spread means the
       // number reported is environment (GC, storage pressure, compilation
       // storms), not the query — flag it loudly so a regression report
-      // can't be mistaken for a plan problem.
+      // can't be mistaken for a plan problem. Sub-second queries get 3x
+      // (a 0.2s-vs-0.5s wobble is scheduler noise, not signal); queries
+      // over 2s p50 get 2x — round 6's 22.7/10.1/7.7s curation samples
+      // read as "steady" under a flat 3x and hid a cold-start effect.
       val spread =
         if (okTimes.size < 2) 1.0
         else okTimes.max / math.max(okTimes.min, 1e-9)
-      if (spread > 3.0)
-        System.err.println(f"[bench] WARN spread $name max/min=$spread%.1fx — samples not steady-state")
+      val spreadLimit = if (p50 > 2.0) 2.0 else 3.0
+      val unsteady = spread > spreadLimit
+      if (unsteady)
+        System.err.println(f"[bench] WARN spread $name max/min=$spread%.1fx (limit $spreadLimit%.0fx at p50=$p50%.2fs) — samples not steady-state")
       System.err.println(f"[bench] timed  $name p50=$p50%.2fs (${times.map(t => f"$t%.2f").mkString("/")})")
-      (name, p50, failed.isDefined, spread)
+      (name, p50, failed.isDefined, unsteady)
     }
     val qJson = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = results.collect { case (k, _, true, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val spreadJson = results.collect { case (k, _, _, s) if s > 3.0 => "\"" + k + "\"" }
+    val spreadJson = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"unsteady":$spreadJson,"sf":"$sfDir"}""")
