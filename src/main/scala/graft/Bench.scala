@@ -5,9 +5,11 @@ import org.apache.spark.sql.SparkSession
 /**
  * Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
  * prints one JSON line {"metric":...,"value":...,"queries":{...}}.
- * Queries run twice each; the timed pass is the second, so JIT/codegen
- * warmup and file-listing noise don't dominate — the driver's comparison
- * is against steady-state engine throughput.
+ * Each query runs five times — once in a global JIT/footer prewarm
+ * pass, once as an immediate per-query warmup, then three timed passes
+ * with the p50 reported — so the number is steady-state engine
+ * throughput, not JIT compilation or harness history (see the loop
+ * comments below for why both warmups exist).
  */
 object Bench {
   // Headline set: heavy scan-agg, joins (broadcast + shuffled), window

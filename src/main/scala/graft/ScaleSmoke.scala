@@ -181,6 +181,59 @@ object ScaleSmoke {
     val cOk2 = if (report.length == 6 && monotone && drained) "ok" else "BAD"
     println(f"[scale-smoke] curation-chain   stages=${report.map(r => s"${r.getString(0)}:${r.getLong(2)}").mkString(",")} ($cOk2) ${dt6}%.1fs")
 
+    // Gopher gate under duplication: a pure projection pass — row count
+    // must equal the corpus size (no shuffle, no blowup), and clique
+    // copies share text, so the kept fraction is exactly the base
+    // corpus's kept fraction.
+    val t7 = System.nanoTime()
+    val gf = graft.functions.GopherRules.withGopherFlags(big, "text")
+    val gStats = gf.agg(count(lit(1)), sum(when(col("gopher_keep"), 1L).otherwise(0L))).head()
+    val dt7 = (System.nanoTime() - t7) / 1e9
+    val gKept = gStats.getLong(1)
+    val gOk = if (gStats.getLong(0) == n && gKept % copies == 0) "ok" else "BAD"
+    println(f"[scale-smoke] gopher-gate      rows=${gStats.getLong(0)} kept=$gKept (rows=$n, kept %% $copies == 0, $gOk) ${dt7}%.1fs")
+
+    // DSIR under duplication: both LM tables stay vocab-bounded no matter
+    // the duplication factor, and the Gumbel-top-k cut returns EXACTLY k
+    // rows (TakeOrderedAndProject, never corpus-sized).
+    val t8 = System.nanoTime()
+    val dsirRows = graft.operators.Dsir.resampleTopK(
+      big.filter(col("doc_id") % 101 =!= 0),
+      big.filter(col("doc_id") % 101 === 0), "text", "doc_id", k = 100).count()
+    val dt8 = (System.nanoTime() - t8) / 1e9
+    val dsOk = if (dsirRows == 100L) "ok" else "BAD"
+    println(f"[scale-smoke] dsir-resample    selected=$dsirRows (expect 100, $dsOk) ${dt8}%.1fs")
+
+    // Domain cap under duplication: 20 synthetic domains over the whole
+    // duplicated corpus — every one a mega-domain (n/20 rows >> 10x the
+    // cap), so ALL of them take the salted pre-cut, and the output is
+    // exactly cap x domains rows.
+    val t9 = System.nanoTime()
+    val domDocs = big.select(col("doc_id"),
+      concat(lit("d"), (col("doc_id") % 20).cast("string"), lit(".com")).as("domain"))
+    val cappedN = graft.operators.UrlCuration
+      .capPerDomain(domDocs, "domain", "doc_id", maxPerDomain = 5).count()
+    val dt9 = (System.nanoTime() - t9) / 1e9
+    val capOk = if (cappedN == 5L * 20) "ok" else "BAD"
+    println(f"[scale-smoke] url-domain-cap   kept=$cappedN (expect ${5 * 20} over 20 mega-domains, $capOk) ${dt9}%.1fs")
+
+    // Batched LSH k-NN join under duplication: every 10th ORIGINAL vector
+    // queries the duplicated corpus. Each query's own clique (`copies`
+    // identical vectors) shares its exact signature, so its bucket always
+    // holds >= min(k, copies) candidates and the join returns EXACTLY
+    // that many rows per query — per-query output stays k-bounded however
+    // duplicated the corpus. k is capped at `copies` so the guarantee
+    // holds for any CLI duplication factor.
+    val t10 = System.nanoTime()
+    val knnK = math.min(10, copies)
+    val knnQueries = ebig.filter(col("vec_id") < 10000000L && col("vec_id") % 10 === 0)
+    val nQ = knnQueries.count()
+    val knnRows = Similarity.lshKnnJoin(knnQueries, ebig,
+      "embedding", "vec_id", k = knnK).count()
+    val dt10 = (System.nanoTime() - t10) / 1e9
+    val knnOk = if (knnRows == nQ * knnK) "ok" else "BAD"
+    println(f"[scale-smoke] lsh-knn-join     queries=$nQ rows=$knnRows (expect ${nQ * knnK}, $knnOk) ${dt10}%.1fs")
+
     spark.stop()
   }
 }

@@ -34,10 +34,12 @@ object Dsir {
     * and DuckDB raises — then g = -ln(-ln(u)). The hash period is
     * [[Mixture.HashMod]] = 2^31 - 1 in the id (overflow-safe modular
     * multiplication keeps ((id mod m)·C) under Long.MaxValue), so draws
-    * stay distinct per-id up to ~2.1e9 documents — beyond the id range
-    * of a 100 TB corpus shard. Still deterministic pseudo-noise (the
-    * point: run-to-run and engine-replayable selection), not iid
-    * randomness. */
+    * stay distinct within any window of ~2.1e9 consecutive ids; a corpus
+    * whose id range exceeds that (ids can reach ~3.5e9 at full 100 TB —
+    * see the overflow note on the hash) shares draws between ids exactly
+    * 2^31-1 apart, 2147x finer than the old 10^6 modulus. Still
+    * deterministic pseudo-noise (the point: run-to-run and
+    * engine-replayable selection), not iid randomness. */
   def gumbelNoise(id: Column): Column = {
     val u = (Mixture.guardedIdHash(id).cast("double") + lit(0.5)) /
       lit(Mixture.HashMod.toDouble)

@@ -109,13 +109,18 @@ class AnnIndexSpec extends SparkSpec {
 
   test("sign quantizer degrades to one cell at nCells=1 (exact scan)") {
     // signBits=0: every vector lands in cell 0 and the probe is the
-    // whole corpus — the result IS the brute-force head
+    // whole corpus. The reference is the SAME sign arm probing every
+    // cell (nProbe = nCells = an exact scan too) — identical rounded
+    // ranking and tiebreaks, so equality is deterministic; comparing
+    // against bruteForceTopK's UNROUNDED order would hinge on no 6dp
+    // ties near the cut.
     val one = Similarity.ivfTopK(emb, "embedding", "vec_id", query, 10,
       nCells = 1, nProbe = 1, quantizer = "sign")
       .select("vec_id").as[Long].collect().toSeq
-    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 10)
+    val all = Similarity.ivfTopK(emb, "embedding", "vec_id", query, 10,
+      nCells = 16, nProbe = 16, quantizer = "sign")
       .select("vec_id").as[Long].collect().toSeq
-    assert(one === brute)
+    assert(one === all)
   }
 
   test("lshKnnJoin default parameters carry recall evidence vs brute force") {
