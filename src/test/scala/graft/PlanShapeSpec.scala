@@ -110,6 +110,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(windowLines.nonEmpty)
     windowLines.foreach(l => assert(l.contains("domain"),
       s"cap window must partition by domain:\n$l\n$cPlan"))
+    // skew stage: ~43 docs per domain > skewFactor*cap = 30, so every
+    // domain is hot here — the hot-domain list must join as a BROADCAST
+    // (it is domains-count-sized, never a shuffled corpus join), and the
+    // pre-cut window must partition by (domain, salt), visible as __salt
+    // in exactly the stage-1 window
+    assert(cPlan.contains("BroadcastHashJoin") || cPlan.contains("BroadcastExchange"),
+      s"hot-domain list must broadcast:\n$cPlan")
+    assert(windowLines.exists(_.contains("__salt")),
+      s"expected a (domain, __salt)-partitioned pre-cut window:\n$cPlan")
   }
 
   test("dsir resampleTopK shape: k-bounded TakeOrderedAndProject, no global sort") {
