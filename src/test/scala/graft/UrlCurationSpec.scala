@@ -89,6 +89,40 @@ class UrlCurationSpec extends SparkSpec {
       again.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("property: capPerDomain == the naive window for arbitrary skews, caps, salts") {
+    import graft.operators.{Mixture, UrlCuration}
+    import org.apache.spark.sql.expressions.Window
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // arbitrary domain-size mixes (including empty and sub-cap domains),
+    // caps, skew thresholds and salt counts: the salted pre-cut must be
+    // invisible in the answer — its exactness argument (subgroup rank <=
+    // domain rank) has no data-shape escape hatch, so neither may the code
+    val genDocs = for {
+      nDomains <- Gen.choose(1, 4)
+      sizes <- Gen.listOfN(nDomains, Gen.choose(0, 90))
+      offset <- Gen.choose(0L, 5000000L) // vary the hash landscape
+    } yield sizes.zipWithIndex.flatMap { case (sz, d) =>
+      (0 until sz).map(i => (offset + d.toLong * 7919 + i * 13, s"dom$d"))
+    }
+    val prop = Prop.forAll(genDocs, Gen.choose(1, 6), Gen.choose(1, 3),
+        Gen.oneOf(1, 2, 8)) { (rows, cap, skewFactor, salts) =>
+      val df = rows.toDF("doc_id", "domain")
+      val w = Window.partitionBy($"domain")
+        .orderBy(Mixture.idHashUnit($"doc_id").asc, $"doc_id".asc)
+      val naive = df.withColumn("__r", row_number().over(w))
+        .filter($"__r" <= cap).drop("__r")
+        .select("doc_id").as[Long].collect().toSet
+      val got = UrlCuration.capPerDomain(df, "domain", "doc_id", cap,
+        skewFactor = skewFactor, skewSalts = salts)
+        .select("doc_id").as[Long].collect().toSet
+      got == naive
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(15)
+      .withInitialSeed(org.scalacheck.rng.Seed(11L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("mega-domain skew pre-cut: same answer as the naive window, bounded input") {
     import graft.operators.Mixture
     import org.apache.spark.sql.expressions.Window
