@@ -877,6 +877,81 @@ object QueriesText {
           "text", "doc_id", n = 5)
       }),
 
+    // ----------------------------------- text: semantic decontamination
+    // Embedding-cosine eval overlap — the paraphrase-robust complement to
+    // the n-gram pass (reworded leaks keep their embedding neighborhood
+    // but lose their surface grams). Eval side broadcasts; one per-doc
+    // regroup. Threshold 0.3 fits the synthetic near-orthogonal vectors
+    // (max eval-vs-train cosine ~0.44; real embedding models use ~0.9+),
+    // driving both flag directions. Cosines are 6dp-rounded before the
+    // cut; zero-norm vectors score 0 (the kernel's convention).
+    QueryDef("text_semantic_decontaminate", Some("""
+      WITH ev AS (
+        SELECT DISTINCT embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 101 = 0),
+      tr AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 101 <> 0),
+      h AS (
+        SELECT t.vec_id,
+               CAST(SUM(CASE WHEN round(
+                      CASE WHEN list_dot_product(t.v, t.v) > 0
+                            AND list_dot_product(e.v, e.v) > 0
+                           THEN list_dot_product(t.v, e.v) /
+                                (sqrt(list_dot_product(t.v, t.v)) *
+                                 sqrt(list_dot_product(e.v, e.v)))
+                           ELSE 0 END, 6) >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_semantic_hits
+        FROM tr t CROSS JOIN ev e GROUP BY t.vec_id)
+      SELECT vec_id, n_semantic_hits,
+             CASE WHEN n_semantic_hits > 0 THEN 1 ELSE 0 END AS contaminated
+      FROM h"""),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        graft.operators.Decontaminate.semanticOverlap(
+          e.filter(col("vec_id") % 101 =!= 0),
+          e.filter(col("vec_id") % 101 === 0),
+          "embedding", "vec_id", minCosine = 0.3)
+      }),
+
+    // ------------------------------------- text: CCNet perplexity buckets
+    // Head/middle/tail per source at the LM-score terciles (Wenzek et al.
+    // 2020 §4.3) — "keep the head, sample the middle, drop the tail". The
+    // boundaries are an exact interpolated percentile per source
+    // (group-sized, broadcast back; quantile_cont == Spark percentile on
+    // identical 6dp-rounded scores), never a per-group sort.
+    QueryDef("text_ccnet_buckets", Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(tk) - 1),
+                 i -> array_to_string(list_slice(tk,
+                   CAST(i + 1 AS INTEGER), CAST(i + 2 AS INTEGER)), ' '))) AS gram
+        FROM toks WHERE len(tk) >= 2),
+      counts AS (SELECT gram, COUNT(*) AS c12 FROM g GROUP BY gram),
+      ctx AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
+              FROM counts GROUP BY 1),
+      v AS (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS vs
+            FROM (SELECT unnest(tk) AS x FROM toks)),
+      s AS (SELECT d.doc_id, round(AVG(-ln((c.c12 + 1.0) / (x.c1 + v.vs))), 6) AS avg_nll
+            FROM g d JOIN counts c USING (gram)
+            JOIN ctx x ON string_split(d.gram, ' ')[1] = x.w1
+            CROSS JOIN v GROUP BY d.doc_id),
+      sg AS (SELECT s.doc_id, doc.source, s.avg_nll
+             FROM s JOIN documents doc USING (doc_id)),
+      b AS (SELECT source, round(quantile_cont(avg_nll, 1.0/3), 6) AS b1,
+                   round(quantile_cont(avg_nll, 2.0/3), 6) AS b2
+            FROM sg GROUP BY source)
+      SELECT sg.doc_id, sg.source, sg.avg_nll,
+             CASE WHEN avg_nll <= b1 THEN 'head'
+                  WHEN avg_nll <= b2 THEN 'middle' ELSE 'tail' END AS bucket
+      FROM sg JOIN b USING (source)"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        NgramLm.perplexityBuckets(docs, "text", "doc_id", "source",
+          NgramLm.train(docs, "text"))
+      }),
+
     // --------------------------------------- text: corpus n-gram top-k
     // Exact heavy-hitter bigrams corpus-wide — the frequency table behind
     // n-gram-based filters and stopword induction. Total order (count

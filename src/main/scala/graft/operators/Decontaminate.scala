@@ -50,6 +50,41 @@ object Decontaminate {
   }
 
   /**
+   * Semantic decontamination: flag training documents whose EMBEDDING
+   * lies within `minCosine` of any eval/benchmark embedding — the
+   * paraphrase-robust complement to [[ngramOverlap]] (surface n-grams
+   * miss reworded leaks; embedding proximity survives rewording). Scale
+   * shape: the eval side is benchmark-sized and BROADCASTS; the train
+   * side computes |eval| cosines per row map-side (a broadcast
+   * nested-loop join by construction — the right plan when one side is
+   * thousands of rows and the other is the corpus) and the only shuffle
+   * is the per-doc regroup, exactly [[ngramOverlap]]'s shape. Cosines
+   * round to 6dp before the threshold compare (cross-engine-stable cut).
+   * An EMPTY eval set fails fast instead of silently flagging nothing
+   * (the typo'd-filter trap).
+   *
+   * @return one row per training doc: (idCol, n_semantic_hits = eval
+   *         docs within the threshold, contaminated = 1 when any hit)
+   */
+  def semanticOverlap(train: DataFrame, evalDocs: DataFrame,
+      vecCol: String, idCol: String, minCosine: Double = 0.95): DataFrame = {
+    val evalVecs = evalDocs
+      .select(col(vecCol).cast("array<double>").as("__ev")).distinct()
+    require(!evalVecs.isEmpty,
+      "Decontaminate.semanticOverlap: eval set is empty — every training " +
+        "doc would silently pass")
+    val hit = when(
+      round(Similarity.cosine(col(vecCol).cast("array<double>"), col("__ev")), 6)
+        >= minCosine, 1L).otherwise(0L)
+    train
+      .crossJoin(broadcast(evalVecs))
+      .groupBy(col(idCol))
+      .agg(sum(hit).as("n_semantic_hits"))
+      .select(col(idCol), col("n_semantic_hits"),
+        when(col("n_semantic_hits") > 0, 1).otherwise(0).as("contaminated"))
+  }
+
+  /**
    * The eval-side view — the report a curation team reads: for every
    * BENCHMARK document, how many training documents share at least one
    * word n-gram with it ("leak count"), zero included. The gram->eval-doc

@@ -138,6 +138,58 @@ class CorpusCurationSpec extends SparkSpec {
       === once.select("doc_id", "clean").as[(Long, String)].collect().toMap)
   }
 
+  test("semanticOverlap: near-duplicate embeddings flag, orthogonal ones pass, " +
+      "empty eval fails fast") {
+    import graft.operators.Decontaminate
+    // eval = e1; train doc 10 is a tiny perturbation of e1 (cosine ~1),
+    // train doc 11 is orthogonal (cosine 0), doc 12 anti-parallel
+    val eval = Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (10L, Seq(0.99f, 0.01f, 0.0f, 0.0f)),
+      (11L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (12L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Decontaminate.semanticOverlap(train, eval, "embedding", "vec_id",
+        minCosine = 0.95)
+      .select("vec_id", "n_semantic_hits", "contaminated")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(10L) === ((1L, 1)))
+    assert(out(11L) === ((0L, 0)))
+    assert(out(12L) === ((0L, 0)))
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.semanticOverlap(train, eval.filter($"vec_id" < 0),
+        "embedding", "vec_id", 0.95)
+    }
+    assert(e.getMessage.contains("eval set is empty"))
+  }
+
+  test("perplexityBuckets: per-group terciles — fluent head, soup tail, " +
+      "short docs excluded") {
+    import graft.operators.NgramLm
+    // one group: 9 scoreable docs — 3 made of a heavily repeated bigram
+    // (c12 ~ c1, low nll), 3 of a lightly repeated one, 3 rare-word soup
+    // (every bigram count 1, high nll) — plus a 1-token doc that must be
+    // excluded. Counts, not intuition, set the order: under add-k, nll
+    // tracks -ln((c12+1)/(c1+V)), so separation needs c12 separation.
+    val fluent = ("aa bb " * 10).trim
+    val mixed = "cc dd cc dd"
+    val soup = Seq("zeta quux fnord blarg wibble", "corge grault xyzzy plugh thud",
+      "snark boojum frabjous vorpal tove")
+    val docs = (
+      (1L to 3L).map((_, "g1", fluent)) ++
+      (4L to 6L).map((_, "g1", mixed)) ++
+      soup.zipWithIndex.map { case (t, i) => (7L + i, "g1", t) } ++
+      Seq((99L, "g1", "solo"))).toDF("doc_id", "source", "text")
+    val out = NgramLm.perplexityBuckets(docs, "text", "doc_id", "source",
+        NgramLm.train(docs, "text"))
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(!out.contains(99L)) // short doc excluded
+    assert(out.size === 9)
+    // terciles: the three fluent docs are the head, the soup is the tail
+    (1L to 3L).foreach(id => assert(out(id) === "head", s"doc $id: ${out(id)}"))
+    (7L to 9L).foreach(id => assert(out(id) === "tail", s"doc $id: ${out(id)}"))
+    (4L to 6L).foreach(id => assert(out(id) === "middle", s"doc $id: ${out(id)}"))
+  }
+
   test("HLL sketches: batch-union estimate equals the one-shot estimate exactly") {
     import graft.operators.CorpusStats
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
