@@ -133,6 +133,35 @@ class PlanShapeSpec extends SparkSpec {
       s"the k-cut must collapse to TakeOrderedAndProject, not a global sort:\n$plan")
   }
 
+  test("semanticOverlap shape: eval vectors broadcast, never an unbroadcast cartesian") {
+    val train = (1 to 200).map(i =>
+      (i.toLong, Seq.fill(8)(i.toFloat / 100))).toDF("vec_id", "embedding")
+    val eval = (1 to 3).map(i =>
+      (1000L + i, Seq.fill(8)(i.toFloat))).toDF("vec_id", "embedding")
+    val df = graft.operators.Decontaminate.semanticOverlap(
+      train, eval, "embedding", "vec_id", 0.9)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastExchange"),
+      s"the eval side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"never an unbroadcast corpus x eval product:\n$plan")
+  }
+
+  test("perplexityBuckets shape: tercile boundaries broadcast, no per-group window") {
+    val d = docs(150).withColumn("source",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("s"), ($"doc_id" % 3).cast("string")))
+    val model = graft.operators.NgramLm.train(d, "text")
+    val df = graft.operators.NgramLm.perplexityBuckets(
+      d, "text", "doc_id", "source", model)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastExchange"),
+      s"the group-sized boundary table must broadcast:\n$plan")
+    assert(!plan.contains("Window ["),
+      s"bucket assignment must be a map-side compare, not a per-group window:\n$plan")
+  }
+
   test("semDedup shape: no broadcast of the corpus side, no cartesian") {
     val vecs = (1 to 200).map { i =>
       (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))
