@@ -183,15 +183,17 @@ object ScaleSmoke {
 
     // Gopher gate under duplication: a pure projection pass — row count
     // must equal the corpus size (no shuffle, no blowup), and clique
-    // copies share text, so the kept fraction is exactly the base
-    // corpus's kept fraction.
+    // copies share text, so the kept count must be EXACTLY copies x the
+    // base corpus's kept count (computed independently on the base).
     val t7 = System.nanoTime()
     val gf = graft.functions.GopherRules.withGopherFlags(big, "text")
     val gStats = gf.agg(count(lit(1)), sum(when(col("gopher_keep"), 1L).otherwise(0L))).head()
     val dt7 = (System.nanoTime() - t7) / 1e9
     val gKept = gStats.getLong(1)
-    val gOk = if (gStats.getLong(0) == n && gKept % copies == 0) "ok" else "BAD"
-    println(f"[scale-smoke] gopher-gate      rows=${gStats.getLong(0)} kept=$gKept (rows=$n, kept %% $copies == 0, $gOk) ${dt7}%.1fs")
+    val baseKept = graft.functions.GopherRules.withGopherFlags(base, "text")
+      .filter(col("gopher_keep")).count()
+    val gOk = if (gStats.getLong(0) == n && gKept == copies * baseKept) "ok" else "BAD"
+    println(f"[scale-smoke] gopher-gate      rows=${gStats.getLong(0)} kept=$gKept (rows=$n, kept == $copies x $baseKept, $gOk) ${dt7}%.1fs")
 
     // DSIR under duplication: both LM tables stay vocab-bounded no matter
     // the duplication factor, and the Gumbel-top-k cut returns EXACTLY k

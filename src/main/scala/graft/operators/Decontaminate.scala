@@ -63,8 +63,10 @@ object Decontaminate {
    * An EMPTY eval set fails fast instead of silently flagging nothing
    * (the typo'd-filter trap).
    *
-   * @return one row per training doc: (idCol, n_semantic_hits = eval
-   *         docs within the threshold, contaminated = 1 when any hit)
+   * @return one row per training doc: (idCol, n_semantic_hits = DISTINCT
+   *         eval embeddings within the threshold — duplicate eval vectors
+   *         count once, like the gram set dedup in [[ngramOverlap]] —
+   *         contaminated = 1 when any hit)
    */
   def semanticOverlap(train: DataFrame, evalDocs: DataFrame,
       vecCol: String, idCol: String, minCosine: Double = 0.95): DataFrame = {

@@ -58,38 +58,6 @@ object NgramLm {
    *         rounding absorbs last-ulp libm differences so independent
    *         engines reproduce the value bit-for-bit).
    */
-  /**
-   * CCNet-style perplexity bucketing (Wenzek et al. 2020, arXiv:
-   * 1911.00359 §4.3): score every document under `model` and split each
-   * group (language / source) into head / middle / tail at the group's
-   * LM-score terciles — the standard "keep the head, sample the middle,
-   * drop the tail" curation signal. Scale shape: the boundaries are TWO
-   * numbers per group — an exact interpolated-percentile aggregation
-   * over the scored frame (group-count-sized, BROADCAST back) — never a
-   * per-group global sort; bucket assignment is a map-side comparison.
-   * Scores and boundaries are 6dp-rounded ([[scoreNll]]'s convention +
-   * round on the percentile), so the tercile cuts replay identically in
-   * any engine. Documents with fewer than two tokens have no score and
-   * are excluded, as in [[scoreNll]].
-   *
-   * @return (idCol, groupCol, avg_nll, bucket in head|middle|tail)
-   */
-  def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
-      groupCol: String, model: BigramModel, addK: Double = 1.0): DataFrame = {
-    val scored = scoreNll(docs, textCol, idCol, model, addK)
-      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
-    val bounds = scored.groupBy(col(groupCol))
-      .agg(expr("percentile(avg_nll, array(1.0D/3, 2.0D/3))").as("__q"))
-      .select(col(groupCol),
-        round(element_at(col("__q"), 1), 6).as("__b1"),
-        round(element_at(col("__q"), 2), 6).as("__b2"))
-    scored.join(broadcast(bounds), Seq(groupCol))
-      .select(col(idCol), col(groupCol), col("avg_nll"),
-        when(col("avg_nll") <= col("__b1"), "head")
-          .when(col("avg_nll") <= col("__b2"), "middle")
-          .otherwise("tail").as("bucket"))
-  }
-
   def scoreNll(docs: DataFrame, textCol: String, idCol: String,
       model: BigramModel, addK: Double = 1.0): DataFrame = {
     val docGrams = docs
@@ -107,5 +75,42 @@ object NgramLm {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("__nll")), 6).as("avg_nll"))
+  }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020, arXiv:
+   * 1911.00359 §4.3): score every document under `model` and split each
+   * group (language / source) into head / middle / tail at the group's
+   * LM-score terciles — the standard "keep the head, sample the middle,
+   * drop the tail" curation signal. Scale shape: the boundaries are TWO
+   * numbers per group — an exact interpolated-percentile aggregation
+   * over the scored frame (group-count-sized, BROADCAST back) — never a
+   * per-group global sort; bucket assignment is a map-side comparison.
+   * The scored frame is skinny (id, group, score) and localCheckpoint'ed
+   * before it fans out to the boundary aggregation and the assignment
+   * join, so the corpus-sized scoring pipeline runs ONCE (the same
+   * double-pass trap [[Dsir.logImportance]] documents). Scores and
+   * boundaries are 6dp-rounded ([[scoreNll]]'s convention + round on the
+   * percentile), so the tercile cuts replay identically in any engine.
+   * Documents with fewer than two tokens have no score and are excluded,
+   * as in [[scoreNll]].
+   *
+   * @return (idCol, groupCol, avg_nll, bucket in head|middle|tail)
+   */
+  def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
+      groupCol: String, model: BigramModel, addK: Double = 1.0): DataFrame = {
+    val scored = scoreNll(docs, textCol, idCol, model, addK)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .localCheckpoint()
+    val bounds = scored.groupBy(col(groupCol))
+      .agg(expr("percentile(avg_nll, array(1.0D/3, 2.0D/3))").as("__q"))
+      .select(col(groupCol),
+        round(element_at(col("__q"), 1), 6).as("__b1"),
+        round(element_at(col("__q"), 2), 6).as("__b2"))
+    scored.join(broadcast(bounds), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("avg_nll"),
+        when(col("avg_nll") <= col("__b1"), "head")
+          .when(col("avg_nll") <= col("__b2"), "middle")
+          .otherwise("tail").as("bucket"))
   }
 }

@@ -109,11 +109,11 @@ class AnnIndexSpec extends SparkSpec {
 
   test("sign quantizer degrades to one cell at nCells=1 (exact scan)") {
     // signBits=0: every vector lands in cell 0 and the probe is the
-    // whole corpus. The reference is the SAME sign arm probing every
-    // cell (nProbe = nCells = an exact scan too) — identical rounded
-    // ranking and tiebreaks, so equality is deterministic; comparing
-    // against bruteForceTopK's UNROUNDED order would hinge on no 6dp
-    // ties near the cut.
+    // whole corpus. Two references: the SAME sign arm probing every cell
+    // (identical rounded ranking, deterministic equality), and an
+    // INDEPENDENT brute-force reference re-ranked under the sign arm's
+    // contract — round(cosine, 6) with a vec_id tiebreak — so a defect
+    // shared by both sign-arm paths cannot hide.
     val one = Similarity.ivfTopK(emb, "embedding", "vec_id", query, 10,
       nCells = 1, nProbe = 1, quantizer = "sign")
       .select("vec_id").as[Long].collect().toSeq
@@ -121,6 +121,14 @@ class AnnIndexSpec extends SparkSpec {
       nCells = 16, nProbe = 16, quantizer = "sign")
       .select("vec_id").as[Long].collect().toSeq
     assert(one === all)
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 30)
+      .select("vec_id", "cosine").as[(Long, Double)].collect()
+      .map { case (id, c) =>
+        (id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(10).map(_._1).toSeq
+    assert(one === brute)
   }
 
   test("lshKnnJoin default parameters carry recall evidence vs brute force") {

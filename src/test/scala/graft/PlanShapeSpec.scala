@@ -155,9 +155,26 @@ class PlanShapeSpec extends SparkSpec {
     val model = graft.operators.NgramLm.train(d, "text")
     val df = graft.operators.NgramLm.perplexityBuckets(
       d, "text", "doc_id", "source", model)
-    val plan = finalPlan(df)
-    assert(plan.contains("BroadcastExchange"),
-      s"the group-sized boundary table must broadcast:\n$plan")
+    df.collect()
+    // the BOUNDS join specifically must be the broadcast one — a
+    // BroadcastExchange elsewhere (e.g. the tiny model-table joins
+    // inside scoreNll) must not satisfy this assert. __b1 only exists
+    // on the boundary table, so find a broadcast hash join carrying it.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def boundsBroadcast(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => boundsBroadcast(a.executedPlan)
+      case s: QueryStageExec => boundsBroadcast(s.plan)
+      case j: BroadcastHashJoinExec
+          if j.output.exists(_.name == "__b1") => true
+      case other => other.children.exists(boundsBroadcast) ||
+        other.subqueries.exists(boundsBroadcast)
+    }
+    assert(boundsBroadcast(df.queryExecution.executedPlan),
+      "the boundary table must join as a broadcast:\n" +
+        df.queryExecution.executedPlan.toString)
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window ["),
       s"bucket assignment must be a map-side compare, not a per-group window:\n$plan")
   }
