@@ -31,10 +31,11 @@ object Bench {
     // round 6: the two new corpus-wide single-pass curation stages and
     // the two-LM importance-resampling selection job
     "text_gopher_rules", "url_domain_cap", "text_dsir_sample",
-    // round 7: semantic decontamination (corpus x broadcast eval cosines)
-    // and CCNet perplexity bucketing (LM score + tercile assignment) —
-    // both corpus-wide curation passes a training-data run executes
-    "text_semantic_decontaminate", "text_ccnet_buckets",
+    // round 7: semantic decontamination (corpus x broadcast eval cosines),
+    // CCNet perplexity bucketing (LM score + tercile assignment), and
+    // snapshot distribution drift (two token-count aggs + union-vocab
+    // divergences) — corpus-wide passes a training-data run executes
+    "text_semantic_decontaminate", "text_ccnet_buckets", "text_dist_drift",
     // the composed 6-stage curation run — the heaviest job a user
     // actually schedules. Its stages are timed individually above; this
     // row times the COMPOSITION (stage checkpoints included). It runs

@@ -1161,6 +1161,69 @@ object QueriesText {
           .select(col("doc_id"), col("source"), col("n_tokens"))
       }),
 
+    // ------------------------------- text: leakage-safe train/val/test split
+    // Deterministic hash split (90/5/5): assignment depends ONLY on the
+    // id, so docs keep their split across runs, repartitions and
+    // incremental appends — eval can never bleed into training as the
+    // corpus grows. Zero shuffles (one codegen'd projection). The oracle
+    // writes the val bound as 0.9 + 0.05 (the same ADDITION the Scala
+    // cumulative fold performs) so the boundary double is bit-identical
+    // in both engines.
+    QueryDef("text_hash_split", Some("""
+      SELECT doc_id, source,
+             CASE WHEN u < 0.9 THEN 'train'
+                  WHEN u < 0.9 + 0.05 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, source,
+              ((doc_id % 2147483647 * 2654435761) % 2147483647) / 2147483647.0 AS u
+            FROM documents)"""),
+      (s, dir) => Mixture.hashSplit(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
+
+    // ----------------------------------- text: corpus distribution drift
+    // Per-source token-distribution drift between two snapshots: snapshot
+    // B injects boilerplate ('spam spam spam') into every %4 doc, and the
+    // report's add-k-smoothed KL(A||B) / Jensen-Shannon divergences
+    // surface exactly the shifted sources. Two vocab-bounded count aggs,
+    // a vocab-sized full-outer join, broadcast per-source totals — never
+    // corpus-sized state. ln-sums rounded 6dp.
+    QueryDef("text_dist_drift", Some(s"""
+      WITH ta AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+      bsrc AS (SELECT source,
+                 CASE WHEN doc_id % 4 = 0 THEN text || ' spam spam spam'
+                      ELSE text END AS text
+               FROM documents),
+      tb AS (SELECT source, unnest($toksSql) AS tok FROM bsrc),
+      ca AS (SELECT source, tok, COUNT(*) AS c FROM ta GROUP BY 1, 2),
+      cb AS (SELECT source, tok, COUNT(*) AS c FROM tb GROUP BY 1, 2),
+      j AS (SELECT coalesce(ca.source, cb.source) AS source,
+                   coalesce(ca.tok, cb.tok) AS tok,
+                   coalesce(ca.c, 0) AS cca, coalesce(cb.c, 0) AS ccb
+            FROM ca FULL OUTER JOIN cb
+              ON ca.source = cb.source AND ca.tok = cb.tok),
+      t AS (SELECT source, CAST(SUM(cca) AS BIGINT) AS tna,
+                   CAST(SUM(ccb) AS BIGINT) AS tnb, COUNT(*) AS v
+            FROM j GROUP BY source),
+      p AS (SELECT j.source, t.tna, t.tnb,
+                   (cca + 0.5) / (tna + 0.5 * v) AS pa,
+                   (ccb + 0.5) / (tnb + 0.5 * v) AS pb
+            FROM j JOIN t USING (source))
+      SELECT source, tna AS n_tokens_a, tnb AS n_tokens_b,
+             round(SUM(pa * ln(pa / pb)), 6) AS kl_ab,
+             round((SUM(pa * ln(pa / ((pa + pb) / 2))) +
+                    SUM(pb * ln(pb / ((pa + pb) / 2)))) / 2, 6) AS js
+      FROM p GROUP BY source, tna, tnb"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val shifted = docs.select(col("source"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" spam spam spam")))
+            .otherwise(col("text")).as("text"))
+        graft.operators.CorpusStats.distributionDrift(
+          docs, shifted, "text", "source")
+      }),
+
     // ------------------------------------ dedup: cross-source copy matrix
     // Which sources duplicate each other: minhash near-dup pairs labeled
     // with both sides' sources, folded symmetric (least/greatest), counted

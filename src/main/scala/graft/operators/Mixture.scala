@@ -51,6 +51,38 @@ object Mixture {
     guardedIdHash(id).cast("double") / lit(HashMod.toDouble)
 
   /**
+   * Leakage-safe deterministic train/val/test split: assign each document
+   * to the first split whose cumulative fraction bound exceeds the
+   * document's id hash — `fractions` like ("train" -> 0.98, "val" ->
+   * 0.01, "test" -> 0.01). Membership depends ONLY on the id (the same
+   * doc lands in the same split across runs, repartitions, engines and
+   * incremental appends — the property that keeps eval sets from bleeding
+   * into training as the corpus grows), and the assignment is one
+   * codegen'd projection: zero shuffles at any scale. Fractions must sum
+   * to ~1 (fail-fast otherwise); the hash is [[idHashUnit]], so splits
+   * are exact in expectation and engine-replayable.
+   *
+   * @return `docs` plus a `split` column
+   */
+  def hashSplit(docs: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "Mixture.hashSplit: fractions must be positive")
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"Mixture.hashSplit: fractions must sum to 1, got $total")
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val u = idHashUnit(col(idCol))
+    // the last split takes everything below 1.0 unconditionally, so
+    // float accumulation at the top boundary can never drop a row
+    val assign = fractions.init.zip(cum.init)
+      .foldRight(lit(fractions.last._1): Column) { case (((name, _), bound), els) =>
+        when(u < lit(bound), lit(name)).otherwise(els)
+      }
+    docs.withColumn("split", assign)
+  }
+
+  /**
    * Sample `docs` so each source contributes ~budgetTokens·w_s tokens.
    *
    * Preconditions fail FAST, not silently: a doc whose source has no

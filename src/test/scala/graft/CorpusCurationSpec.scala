@@ -190,6 +190,64 @@ class CorpusCurationSpec extends SparkSpec {
     (4L to 6L).foreach(id => assert(out(id) === "middle", s"doc $id: ${out(id)}"))
   }
 
+  test("hashSplit: deterministic, exhaustive, fractions validated") {
+    import graft.operators.Mixture
+    val docs = spark.range(0, 10000).toDF("doc_id")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = Mixture.hashSplit(docs, "doc_id", fr)
+    val bydist = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    // exhaustive: every row in exactly one split, all three present
+    assert(bydist.values.sum === 10000L)
+    assert(bydist.keySet === Set("train", "val", "test"))
+    // hash-uniform: fractions hold within a loose tolerance
+    assert(bydist("train") > 7500 && bydist("train") < 8500, bydist.toString)
+    // deterministic across calls AND across an appended corpus (the
+    // leakage-safety property: old ids keep their split)
+    val s2 = Mixture.hashSplit(spark.range(0, 20000).toDF("doc_id"),
+      "doc_id", fr).filter($"doc_id" < 10000)
+    assert(s1.orderBy("doc_id").select("split").as[String].collect().toSeq ===
+      s2.orderBy("doc_id").select("split").as[String].collect().toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Mixture.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    assert(e.getMessage.contains("sum to 1"))
+  }
+
+  test("distributionDrift: zero on identical corpora, positive on a shifted " +
+      "source, finite for a B-only source") {
+    import graft.operators.CorpusStats
+    val a = Seq((1L, "s1", "the cat sat on the mat"),
+      (2L, "s1", "the dog ran far"), (3L, "s2", "alpha beta gamma delta"))
+      .toDF("doc_id", "source", "text")
+    val same = CorpusStats.distributionDrift(a, a, "text", "source")
+      .select("source", "kl_ab", "js").as[(String, Double, Double)]
+      .collect().map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(same("s1") === ((0.0, 0.0)))
+    assert(same("s2") === ((0.0, 0.0)))
+    // shift s2 only; s1 must stay exactly zero, s2 strictly positive
+    val b = a.withColumn("text",
+      when($"source" === "s2", concat($"text", lit(" spam spam spam")))
+        .otherwise($"text"))
+    val drift = CorpusStats.distributionDrift(a, b, "text", "source")
+      .select("source", "kl_ab", "js").as[(String, Double, Double)]
+      .collect().map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(drift("s1") === ((0.0, 0.0)))
+    assert(drift("s2")._1 > 0 && drift("s2")._2 > 0)
+    // a source present only on one side smooths, never NaN/Inf (its
+    // absent side is uniform, so a SKEWED new source must diverge —
+    // an all-distinct-token text would be uniform too and honestly
+    // score zero)
+    val bNew = b.union(Seq((9L, "s3", "new new new new source text"))
+      .toDF("doc_id", "source", "text"))
+    val withNew = CorpusStats.distributionDrift(a, bNew, "text", "source")
+      .select("source", "n_tokens_a", "kl_ab", "js")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(withNew("s3")._1 === 0L)
+    assert(!withNew("s3")._2.isNaN && !withNew("s3")._2.isInfinite)
+    assert(!withNew("s3")._3.isNaN && withNew("s3")._3 > 0)
+  }
+
   test("HLL sketches: batch-union estimate equals the one-shot estimate exactly") {
     import graft.operators.CorpusStats
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
