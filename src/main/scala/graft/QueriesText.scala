@@ -184,6 +184,50 @@ object QueriesText {
           Some(docs.select(col("doc_id").as("id"))))
       }),
 
+    // --------------------------------- dedup: quality-policy survivors
+    // Keep the BEST member of each near-dup cluster (here: the most
+    // tokens, ties to the smallest id) instead of the min-id — the
+    // representative-selection policy production dedup actually ships.
+    // Same recursive-closure components as dedup_minhash_survivors; the
+    // oracle's per-component argmax is the window formulation of the
+    // engine's struct-max aggregation (integer scores, no float cuts).
+    QueryDef("dedup_best_survivors",
+      Some(s"""
+      WITH RECURSIVE $minhashPairsCtes,
+      mp AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM mp
+        UNION SELECT id_b, id_a FROM mp),
+      reach AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      rm AS (SELECT src, min(dst) AS m FROM reach GROUP BY src),
+      comp AS (
+        SELECT d.doc_id AS id,
+               least(d.doc_id, coalesce(rm.m, d.doc_id)) AS component,
+               CAST(len($toksSql) AS BIGINT) AS score
+        FROM documents d LEFT JOIN rm ON d.doc_id = rm.src),
+      r AS (
+        SELECT component, id, score,
+               row_number() OVER (PARTITION BY component
+                 ORDER BY score DESC, id) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+        FROM comp)
+      SELECT component, n_members, id AS keep_id, score AS keep_score
+      FROM r WHERE rn = 1"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+          shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5)
+          .select("id_a", "id_b")
+        Dedup.dedupSurvivorsBest(pairs,
+          docs.select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("score")),
+          "doc_id", "score",
+          Some(docs.select(col("doc_id").as("id"))))
+      }),
+
     // ------------------------------------------------- dedup: n-gram jaccard
     // The prefix-filter blocking is recall-COMPLETE (any pair at Jaccard
     // >= t shares a rarest-token prefix entry), so the oracle asserts the
@@ -1166,13 +1210,18 @@ object QueriesText {
     // id, so docs keep their split across runs, repartitions and
     // incremental appends — eval can never bleed into training as the
     // corpus grows. Zero shuffles (one codegen'd projection). The oracle
-    // writes the val bound as 0.9 + 0.05 (the same ADDITION the Scala
-    // cumulative fold performs) so the boundary double is bit-identical
-    // in both engines.
+    // writes the val bound as 0.9::DOUBLE + 0.05::DOUBLE — the same IEEE
+    // double ADDITION the Scala cumulative fold performs (a bare
+    // 0.9 + 0.05 would constant-fold in DuckDB DECIMAL arithmetic to
+    // exactly 0.95, one ulp BELOW the Scala sum 0.9500000000000001).
+    // Independent safety margin: the hash grid m/2147483647 keeps every
+    // u at least ~1.6e-10 from any short-decimal bound, so an ulp-level
+    // boundary difference could never flip a row anyway — but the
+    // invariant coded here is bit-identity, not the grid argument.
     QueryDef("text_hash_split", Some("""
       SELECT doc_id, source,
              CASE WHEN u < 0.9 THEN 'train'
-                  WHEN u < 0.9 + 0.05 THEN 'val'
+                  WHEN u < 0.9::DOUBLE + 0.05::DOUBLE THEN 'val'
                   ELSE 'test' END AS split
       FROM (SELECT doc_id, source,
               ((doc_id % 2147483647 * 2654435761) % 2147483647) / 2147483647.0 AS u

@@ -66,10 +66,15 @@ object CorpusStats {
       .groupBy(sourceCol, "__tok").agg(count(lit(1)).as("__c"))
     val a = counts(corpusA).withColumnRenamed("__c", "__ca")
     val b = counts(corpusB).withColumnRenamed("__c", "__cb")
+    // the union-vocab frame fans out to the totals aggregation AND the
+    // probability projection — checkpoint it so the full-outer join (the
+    // operator's heaviest stage) executes once, not once per consumer
+    // (the Dsir/BloomDedup fan-out rule)
     val joined = a.join(b, Seq(sourceCol, "__tok"), "full_outer")
       .select(col(sourceCol),
         coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .localCheckpoint()
     // per-source totals + union-vocab size: a tiny table (one row per
     // source) broadcast back onto the vocab-sized frame
     val totals = joined.groupBy(sourceCol)

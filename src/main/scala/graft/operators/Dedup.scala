@@ -519,6 +519,37 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"))
       .withColumn("keep_id", col("component"))
 
+  /**
+   * Survivor table with a QUALITY policy: one row per component keeping
+   * the highest-scoring member (ties -> smallest id) instead of the
+   * min-id — production pipelines keep the longest / highest-quality
+   * member of a duplicate cluster, not the first-crawled. A node with no
+   * score row fails fast (an inner join would silently shrink its
+   * component's member count instead).
+   *
+   * Scale shape: the [[connectedComponents]] label table, one id-keyed
+   * join against the score table, one component aggregation — the argmax
+   * is a struct-max inside the agg (score, then negated id, so ties take
+   * the smallest id under MAX), never a per-component window.
+   *
+   * @return (component, n_members, keep_id, keep_score)
+   */
+  def dedupSurvivorsBest(edges: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String,
+      nodes: Option[DataFrame] = None): DataFrame =
+    connectedComponents(edges, nodes)
+      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("__s")),
+        Seq("id"), "left")
+      .withColumn("__s",
+        when(col("__s").isNull, raise_error(concat(
+          lit("Dedup.dedupSurvivorsBest: no score for id "),
+          col("id").cast("string")))).otherwise(col("__s")))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("__s").as("s"), (-col("id")).as("negid"))).as("__best"))
+      .select(col("component"), col("n_members"),
+        (-col("__best.negid")).as("keep_id"), col("__best.s").as("keep_score"))
+
   // ------------------------------------------------- incremental (indexed)
 
   /** The per-doc minhash derivation shared by the one-shot and indexed

@@ -59,20 +59,31 @@ object NgramLm {
    *         engines reproduce the value bit-for-bit).
    */
   def scoreNll(docs: DataFrame, textCol: String, idCol: String,
-      model: BigramModel, addK: Double = 1.0): DataFrame = {
+      model: BigramModel, addK: Double = 1.0): DataFrame =
+    scoreNllCarrying(docs, textCol, idCol, Nil, model, addK)
+
+  /** [[scoreNll]] with extra per-doc columns carried through the scoring
+    * pipeline (grouped alongside the id — callers pass columns
+    * functionally dependent on it, e.g. source/language), so consumers
+    * that need them avoid a second corpus scan + re-join. */
+  private[operators] def scoreNllCarrying(docs: DataFrame, textCol: String,
+      idCol: String, carryCols: Seq[String], model: BigramModel,
+      addK: Double): DataFrame = {
+    val keyCols = (idCol +: carryCols).map(col)
     val docGrams = docs
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(keyCols :+ tokens(col(textCol)).as("__toks"): _*)
       .filter(size(col("__toks")) >= 2)
-      .select(col(idCol), explode(wordNgramsFromTokens(col("__toks"), 2)).as("gram"))
+      .select(keyCols :+
+        explode(wordNgramsFromTokens(col("__toks"), 2)).as("gram"): _*)
     docGrams
       .join(model.grams, Seq("gram"), "left")
       .withColumn("__w1", substring_index(col("gram"), " ", 1))
       .join(model.contexts, Seq("__w1"), "left")
-      .select(col(idCol),
+      .select(keyCols :+
         (-log((coalesce(col("__c12"), lit(0L)) + lit(addK)) /
           (coalesce(col("__c1"), lit(0L)) + lit(addK) * model.vocabSize)))
-          .as("__nll"))
-      .groupBy(col(idCol))
+          .as("__nll"): _*)
+      .groupBy(keyCols: _*)
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("__nll")), 6).as("avg_nll"))
   }
@@ -99,8 +110,10 @@ object NgramLm {
    */
   def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
       groupCol: String, model: BigramModel, addK: Double = 1.0): DataFrame = {
-    val scored = scoreNll(docs, textCol, idCol, model, addK)
-      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+    // the group column rides through the scoring aggregation itself —
+    // no second corpus scan, no doc-count-sized re-join to re-attach it
+    val scored = scoreNllCarrying(docs, textCol, idCol, Seq(groupCol),
+        model, addK)
       .localCheckpoint()
     val bounds = scored.groupBy(col(groupCol))
       .agg(expr("percentile(avg_nll, array(1.0D/3, 2.0D/3))").as("__q"))

@@ -121,7 +121,8 @@ class AnnIndexSpec extends SparkSpec {
       nCells = 16, nProbe = 16, quantizer = "sign")
       .select("vec_id").as[Long].collect().toSeq
     assert(one === all)
-    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 30)
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", query,
+        emb.count().toInt) // ALL cosines: no unrounded-rank buffer to straddle
       .select("vec_id", "cosine").as[(Long, Double)].collect()
       .map { case (id, c) =>
         (id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)

@@ -170,6 +170,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Set((1L, 3L, 1L), (10L, 2L, 10L)))
   }
 
+  test("dedupSurvivorsBest keeps the top score, ties to smallest id, " +
+      "fails fast on a missing score") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("id") // 9 = singleton
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (9L, 1L))
+      .toDF("id", "score")
+    val out = Dedup.dedupSurvivorsBest(edges, scores, "id", "score",
+        Some(nodes))
+      .select("component", "n_members", "keep_id", "keep_score")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // {1,2,3}: top score 9 shared by 2 and 3 -> smallest id 2 wins;
+    // singleton 9 keeps itself
+    assert(out === Set((1L, 3L, 2L, 9L), (9L, 1L, 9L, 1L)))
+    val e = intercept[Exception] {
+      Dedup.dedupSurvivorsBest(edges, scores.filter($"id" =!= 9L),
+        "id", "score", Some(nodes)).collect()
+    }
+    assert(e.getMessage.contains("no score for id") ||
+      Option(e.getCause).exists(_.getMessage.contains("no score for id")))
+  }
+
   // --------------------------------------------------------- separate_rows
   test("separateRows: positional zip, scalar recycling, null rows kept") {
     val df = Seq(
