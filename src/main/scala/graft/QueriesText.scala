@@ -82,6 +82,22 @@ object QueriesText {
 
   private val minhashPairsCtes: String = minhashPairsCtesFrom("documents")
 
+  /** The min-reachable-id transitive-closure CTE block shared by every
+    * components-over-minhash-pairs oracle (survivors, best-survivors,
+    * the curation near_dup stage): mp -> edges -> reach -> rm, where
+    * rm(src, m) is the min id reachable from src. Component of a doc =
+    * least(doc_id, coalesce(rm.m, doc_id)). */
+  private val closureCtes: String =
+    """mp AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM mp
+        UNION SELECT id_b, id_a FROM mp),
+      reach AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      rm AS (SELECT src, min(dst) AS m FROM reach GROUP BY src)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------ dedup: exact
@@ -163,15 +179,7 @@ object QueriesText {
     QueryDef("dedup_minhash_survivors",
       Some(s"""
       WITH RECURSIVE $minhashPairsCtes,
-      mp AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
-      edges AS (
-        SELECT id_a AS a, id_b AS b FROM mp
-        UNION SELECT id_b, id_a FROM mp),
-      reach AS (
-        SELECT a AS src, b AS dst FROM edges
-        UNION
-        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-      rm AS (SELECT src, min(dst) AS m FROM reach GROUP BY src)
+      $closureCtes
       SELECT d.doc_id AS id,
              least(d.doc_id, coalesce(rm.m, d.doc_id)) AS component
       FROM documents d LEFT JOIN rm ON d.doc_id = rm.src"""),
@@ -194,15 +202,7 @@ object QueriesText {
     QueryDef("dedup_best_survivors",
       Some(s"""
       WITH RECURSIVE $minhashPairsCtes,
-      mp AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
-      edges AS (
-        SELECT id_a AS a, id_b AS b FROM mp
-        UNION SELECT id_b, id_a FROM mp),
-      reach AS (
-        SELECT a AS src, b AS dst FROM edges
-        UNION
-        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-      rm AS (SELECT src, min(dst) AS m FROM reach GROUP BY src),
+      $closureCtes,
       comp AS (
         SELECT d.doc_id AS id,
                least(d.doc_id, coalesce(rm.m, d.doc_id)) AS component,
@@ -1421,13 +1421,7 @@ object QueriesText {
         SELECT r.doc_id, k.source, r.clean AS text
         FROM l_re r JOIN keep2 k USING (doc_id) WHERE r.clean <> ''),
       ${minhashPairsCtesFrom("keep3")},
-      mp AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
-      edges AS (SELECT id_a AS a, id_b AS b FROM mp UNION SELECT id_b, id_a FROM mp),
-      reach AS (
-        SELECT a AS src, b AS dst FROM edges
-        UNION
-        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-      rm AS (SELECT src, min(dst) AS m FROM reach GROUP BY src),
+      $closureCtes,
       keep4 AS (
         SELECT k.* FROM keep3 k LEFT JOIN rm ON k.doc_id = rm.src
         WHERE least(k.doc_id, coalesce(rm.m, k.doc_id)) = k.doc_id),

@@ -530,7 +530,11 @@ object Dedup {
    * Scale shape: the [[connectedComponents]] label table, one id-keyed
    * join against the score table, one component aggregation — the argmax
    * is a struct-max inside the agg (score, then negated id, so ties take
-   * the smallest id under MAX), never a per-component window.
+   * the smallest id under MAX), never a per-component window. The score
+   * table is max-collapsed per id first (map-side partial agg), so
+   * duplicate score rows can neither inflate `n_members` through join
+   * fan-out nor make the winner depend on row order — a doc's score is
+   * the max of its score rows.
    *
    * @return (component, n_members, keep_id, keep_score)
    */
@@ -538,7 +542,8 @@ object Dedup {
       idCol: String, scoreCol: String,
       nodes: Option[DataFrame] = None): DataFrame =
     connectedComponents(edges, nodes)
-      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("__s")),
+      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("__s"))
+          .groupBy("id").agg(max(col("__s")).as("__s")),
         Seq("id"), "left")
       .withColumn("__s",
         when(col("__s").isNull, raise_error(concat(

@@ -69,6 +69,11 @@ object NgramLm {
   private[operators] def scoreNllCarrying(docs: DataFrame, textCol: String,
       idCol: String, carryCols: Seq[String], model: BigramModel,
       addK: Double): DataFrame = {
+    val reserved = Set("gram", "__toks", "__w1", "__nll", "__c12", "__c1",
+      "n_bigrams", "avg_nll")
+    require(!carryCols.exists(reserved), "NgramLm.scoreNllCarrying: carried " +
+      s"columns collide with the scoring pipeline's internals: " +
+      carryCols.filter(reserved).mkString(", "))
     val keyCols = (idCol +: carryCols).map(col)
     val docGrams = docs
       .select(keyCols :+ tokens(col(textCol)).as("__toks"): _*)
