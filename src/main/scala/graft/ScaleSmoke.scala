@@ -219,6 +219,87 @@ object ScaleSmoke {
     val capOk = if (cappedN == 5L * 20) "ok" else "BAD"
     println(f"[scale-smoke] url-domain-cap   kept=$cappedN (expect ${5 * 20} over 20 mega-domains, $capOk) ${dt9}%.1fs")
 
+    // Distribution drift under duplication: split the duplicated corpus
+    // into the even and the odd copies of every doc — two snapshots with
+    // IDENTICAL token multisets (copies/2 of each base doc each), so
+    // every smoothed probability is bit-identical on both sides and KL
+    // and JS must be EXACTLY zero for every source. (Comparing base vs
+    // the 20x corpus would NOT be zero: add-k smoothing is not
+    // scale-invariant — the even/odd split is the exact invariant.)
+    val t11 = System.nanoTime()
+    val srcBig = big.withColumn("source",
+      concat(lit("s"), (col("doc_id") % 10000000L % 10).cast("string")))
+    val copyIdx = (col("doc_id") / 10000000L).cast("long")
+    val driftRows = graft.operators.CorpusStats.distributionDrift(
+      srcBig.filter(copyIdx % 2 === 0), srcBig.filter(copyIdx % 2 === 1),
+      "text", "source")
+    val maxDrift = driftRows.agg(max(greatest(abs(col("kl_ab")), col("js"))))
+      .head().getDouble(0)
+    val dt11 = (System.nanoTime() - t11) / 1e9
+    val drOk = if (maxDrift == 0.0) "ok" else "BAD"
+    println(f"[scale-smoke] dist-drift       max|KL|/JS even-vs-odd copies = $maxDrift%.6f (expect 0, $drOk) ${dt11}%.1fs")
+
+    // Hash split under duplication: one projection, row-for-row, and the
+    // fractions hold on 100k ids
+    val t12 = System.nanoTime()
+    val splits = graft.operators.Mixture.hashSplit(
+      big.select("doc_id"), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dt12 = (System.nanoTime() - t12) / 1e9
+    val trainFrac = splits("train").toDouble / n
+    val spOk2 = if (splits.values.sum == n && math.abs(trainFrac - 0.9) < 0.01)
+      "ok" else "BAD"
+    println(f"[scale-smoke] hash-split       total=${splits.values.sum} train=$trainFrac%.3f (expect $n/0.900, $spOk2) ${dt12}%.1fs")
+
+    // Quality-policy survivors under duplication: clique members share
+    // text, so scores tie and the keep goes to the SMALLEST id — which is
+    // always the original (copies add c*10^7). Every keep_id must be an
+    // original id and the survivor count can't exceed the base corpus.
+    val t13 = System.nanoTime()
+    val bestEdges = Dedup.minhashNearDupPairs(big, "text", "doc_id",
+      shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5)
+      .select("id_a", "id_b")
+    val best = Dedup.dedupSurvivorsBest(bestEdges,
+      big.select(col("doc_id"),
+        length(col("text")).cast("long").as("score")),
+      "doc_id", "score", Some(big.select(col("doc_id").as("id"))))
+    val bStats = best.agg(count(lit(1)),
+      sum(when(col("keep_id") >= 10000000L, 1L).otherwise(0L))).head()
+    val dt13 = (System.nanoTime() - t13) / 1e9
+    val bOk = if (bStats.getLong(0) <= n / copies && bStats.getLong(1) == 0L)
+      "ok" else "BAD"
+    println(f"[scale-smoke] best-survivors   comps=${bStats.getLong(0)} non-original-keeps=${bStats.getLong(1)} (<=${n / copies}/0, $bOk) ${dt13}%.1fs")
+
+    // CCNet buckets under duplication: clique members share text AND
+    // source, so they land in the same bucket — every bucket count is a
+    // multiple of `copies` and the scoreable total is copies x the base's
+    val t14 = System.nanoTime()
+    val bkts = graft.operators.NgramLm.perplexityBuckets(srcBig, "text",
+      "doc_id", "source", graft.operators.NgramLm.train(srcBig, "text"))
+      .groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dt14 = (System.nanoTime() - t14) / 1e9
+    val bkOk = if (bkts.values.forall(_ % copies == 0) && bkts.size == 3)
+      "ok" else "BAD"
+    println(f"[scale-smoke] ccnet-buckets    ${bkts.map(kv => s"${kv._1}:${kv._2}").mkString(",")} (each %% $copies == 0, $bkOk) ${dt14}%.1fs")
+
+    // Semantic decontamination under duplication: eval = the %101
+    // ORIGINAL vectors; train keeps every other row INCLUDING the 19
+    // exact copies of each eval vector (cosine 1.0), so at least
+    // (copies-1) x |eval| train docs must flag.
+    val t15 = System.nanoTime()
+    val evalVecs = ebig.filter(col("vec_id") < 10000000L && col("vec_id") % 101 === 0)
+    val nEval = evalVecs.count()
+    val semFlagged = graft.operators.Decontaminate.semanticOverlap(
+      ebig.join(evalVecs.select("vec_id"), Seq("vec_id"), "left_anti"),
+      evalVecs, "embedding", "vec_id", minCosine = 0.99)
+      .filter(col("contaminated") === 1).count()
+    val dt15 = (System.nanoTime() - t15) / 1e9
+    val semOk = if (semFlagged >= (copies - 1) * nEval) "ok" else "LOW"
+    println(f"[scale-smoke] sem-decontam     flagged=$semFlagged (>=${(copies - 1) * nEval} exact-copy bound, $semOk) ${dt15}%.1fs")
+
     // Batched LSH k-NN join under duplication: every 10th ORIGINAL vector
     // queries the duplicated corpus. Each query's own clique (`copies`
     // identical vectors) shares its exact signature, so its bucket always
