@@ -48,6 +48,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional CLI subset (investigation runs): `runMain graft.Bench q1 q2`
+    // times just those queries under the full warmup+isolation harness.
+    // The driver invokes with no args — the full headline, unchanged.
+    val subset = if (args.nonEmpty) headline.filter(args.contains) else headline
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -81,21 +85,31 @@ object Bench {
     // of 35.6/19.7/1.6s, decaying exactly as that pressure drained. So:
     // force the collection here and wait (bounded) until the block managers
     // report zero stored RDD blocks.
+    // Round-8 addition: the drain used to force GC ONLY while RDD blocks
+    // remained — a run whose RDD count was already zero skipped GC
+    // entirely, so BROADCAST blocks (every broadcast join leaves
+    // GC-tracked torrent pieces) and plain heap garbage accumulated
+    // across the whole sweep and collected MID-measurement. That was the
+    // r7 dedup_minhash instability: p50 1.1s with <=1.2x spread in an
+    // isolated session, 2.0s flagged unsteady mid-sweep on identical
+    // code. Now every isolate forces one collection and the drain counts
+    // broadcast blocks too.
     def isolate(): Unit = {
       spark.catalog.clearCache()
       val sc = spark.sparkContext
+      System.gc()
       val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-      var blocks = org.apache.spark.graftshim.BlockShim.rddBlockCount(sc)
+      var blocks = org.apache.spark.graftshim.BlockShim.gcTrackedBlockCount(sc)
       while (blocks > 0 && System.nanoTime() < deadline) {
         System.gc()
         Thread.sleep(50)
-        blocks = org.apache.spark.graftshim.BlockShim.rddBlockCount(sc)
+        blocks = org.apache.spark.graftshim.BlockShim.gcTrackedBlockCount(sc)
       }
       if (blocks > 0)
-        System.err.println(s"[bench] WARN isolate: $blocks RDD blocks still stored after drain")
+        System.err.println(s"[bench] WARN isolate: $blocks GC-tracked blocks still stored after drain")
     }
 
-    val qs = headline.filter(Registry.queries.contains)
+    val qs = subset.filter(Registry.queries.contains)
     // Global warmup pass FIRST: JIT/codegen of the shared Spark hot paths
     // and parquet footer caching amortize across all queries before any
     // timed pass — without it, the run's first few timed queries measure
@@ -116,7 +130,7 @@ object Bench {
     // own file cache; the global pass handles the JVM. A throwing query
     // is recorded in "failed" and fails the run: a broken query must
     // read as a failure, not a near-zero-time speedup.
-    val timedPasses = 3
+    val timedPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val results = qs.map { name =>
       val w0 = System.nanoTime()
       try run(name)

@@ -309,7 +309,7 @@ object QueriesFunctions {
           year(col("o_orderdate").cast("date")), qaYears)
         val orders = t(s, dir, "orders")
         val store = new SnapshotStore(s,
-          java.nio.file.Files.createTempDirectory("graft_qa_sum").toString)
+          Tables.freshScratch("qa_sum"))
         store.publish("summary_table",
           summary(orders.filter(col("o_orderkey") % 3 =!= 0)))
         WeeklyChange.weeklyChange(store, "summary_table", summary(orders))

@@ -96,8 +96,7 @@ object QueriesOps2 {
             date_format(
               date_add(to_date(lit("2024-01-01")), (col("k") % 90).cast("int")),
               "yyyy-MM-dd").as("first_seen"))
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_s8").toString + "/keep_na"
+        val path = Tables.freshScratch("s8") + "/keep_na"
         graft.sinks.RosterSink.appendWithCheck(rows(col("k") % 3 === 0), path)
         graft.sinks.RosterSink.appendWithCheck(rows(col("k") % 3 === 1), path)
         s.read.option("header", "true").csv(path)
@@ -534,7 +533,7 @@ object QueriesOps2 {
         val target1 = cases(col("k") % 3 === 0)
         val target2 = cases(col("k") % 3 === 0 || col("k") % 3 === 1)
         val store = new graft.sources.SnapshotStore(s,
-          java.nio.file.Files.createTempDirectory("graft_saved_rows").toString)
+          Tables.freshScratch("saved_rows"))
         val (bad1, m1, _) =
           graft.pipelines.FuzzyMatch.runWithSavedRows(batch1, target1, store)
         val (bad2, m2, un2) =

@@ -254,7 +254,7 @@ object QueriesRelational {
       (s, dir) => {
         val (cur, prv, roster) = diffInputs(s, dir)
         val store = new graft.sources.SnapshotStore(s,
-          java.nio.file.Files.createTempDirectory("graft_daily_diffs").toString)
+          Tables.freshScratch("daily_diffs"))
         store.publish("seq_snapshot", prv)
         store.publish("seq_snapshot", cur)
         store.publish("compiled_roster", roster)
@@ -272,7 +272,7 @@ object QueriesRelational {
       (s, dir) => {
         val (cur, prv, roster) = diffInputs(s, dir)
         val store = new graft.sources.SnapshotStore(s,
-          java.nio.file.Files.createTempDirectory("graft_daily_diffs_s").toString)
+          Tables.freshScratch("daily_diffs_s"))
         store.publish("seq_snapshot", prv)
         store.publish("seq_snapshot", cur)
         store.publish("compiled_roster", roster)

@@ -82,6 +82,49 @@ object QueriesText {
 
   private val minhashPairsCtes: String = minhashPairsCtesFrom("documents")
 
+  /** The composed quality-gate disposition (Curation.withDisposition's
+    * first-failing-rule CASE) as DuckDB CTEs ending in
+    * `disp (doc_id, t, disposition)` — `rel` is any relation with
+    * (doc_id, t) where t is the document text. Shared by
+    * text_quality_gate and the streaming-ingest oracles so the gate SQL
+    * can never drift between them. */
+  private def gateDispCtes(rel: String): String = s"""
+      g_toks AS (
+        SELECT doc_id, t,
+               list_filter(string_split_regex(lower(t), '\\s+'), x -> len(x) > 0) AS tk
+        FROM $rel),
+      g_scored AS (
+        SELECT doc_id, t, tk,
+               len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+               len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','un','los','se','por'))) AS s_es,
+               len(list_filter(tk, x -> x IN ('der','die','das','und','ist','ein','zu','den','von','mit'))) AS s_de,
+               len(list_filter(tk, x -> x IN ('le','la','de','et','un','est','que','pour','dans','des'))) AS s_fr,
+               CASE WHEN len(tk) >= 2
+                    THEN list_transform(range(0, len(tk) - 1),
+                           i -> array_to_string(list_slice(tk,
+                             CAST(i + 1 AS INTEGER), CAST(i + 2 AS INTEGER)), ' '))
+                    ELSE [array_to_string(tk, ' ')] END AS gs
+        FROM g_toks),
+      disp AS (
+        SELECT doc_id, t,
+             CASE
+               WHEN t IS NULL OR len(tk) < 10 THEN 'too_short'
+               WHEN NOT (greatest(s_en, s_es, s_de, s_fr) > 0
+                         AND s_en = greatest(s_en, s_es, s_de, s_fr)) THEN 'non_english'
+               WHEN (CASE WHEN len(t) > 0
+                          THEN len(regexp_replace(t, '[^A-Za-z]', '', 'g')) / CAST(len(t) AS DOUBLE)
+                          ELSE 0.0 END) < 0.6 THEN 'low_alpha'
+               WHEN (CASE WHEN len(gs) > 0
+                          THEN 1.0 - len(list_distinct(gs)) / CAST(len(gs) AS DOUBLE)
+                          ELSE 0.0 END) > 0.5 THEN 'repetitive'
+               WHEN regexp_replace(regexp_replace(regexp_replace(t,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                      '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+                      '(?:\\+?1[-. ])?(?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g')
+                    <> t THEN 'pii'
+               ELSE 'keep' END AS disposition
+        FROM g_scored)"""
+
   /** The min-reachable-id transitive-closure CTE block shared by every
     * components-over-minhash-pairs oracle (survivors, best-survivors,
     * the curation near_dup stage): mp -> edges -> reach -> rm, where
@@ -803,40 +846,8 @@ object QueriesText {
                     THEN text || ' contact bob@example.com or (555) 123-4567'
                     ELSE text END AS t
         FROM documents),
-      toks AS (
-        SELECT doc_id, t,
-               list_filter(string_split_regex(lower(t), '\\s+'), x -> len(x) > 0) AS tk
-        FROM src),
-      scored AS (
-        SELECT doc_id, t, tk,
-               len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
-               len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','un','los','se','por'))) AS s_es,
-               len(list_filter(tk, x -> x IN ('der','die','das','und','ist','ein','zu','den','von','mit'))) AS s_de,
-               len(list_filter(tk, x -> x IN ('le','la','de','et','un','est','que','pour','dans','des'))) AS s_fr,
-               CASE WHEN len(tk) >= 2
-                    THEN list_transform(range(0, len(tk) - 1),
-                           i -> array_to_string(list_slice(tk,
-                             CAST(i + 1 AS INTEGER), CAST(i + 2 AS INTEGER)), ' '))
-                    ELSE [array_to_string(tk, ' ')] END AS gs
-        FROM toks)
-      SELECT doc_id,
-             CASE
-               WHEN t IS NULL OR len(tk) < 10 THEN 'too_short'
-               WHEN NOT (greatest(s_en, s_es, s_de, s_fr) > 0
-                         AND s_en = greatest(s_en, s_es, s_de, s_fr)) THEN 'non_english'
-               WHEN (CASE WHEN len(t) > 0
-                          THEN len(regexp_replace(t, '[^A-Za-z]', '', 'g')) / CAST(len(t) AS DOUBLE)
-                          ELSE 0.0 END) < 0.6 THEN 'low_alpha'
-               WHEN (CASE WHEN len(gs) > 0
-                          THEN 1.0 - len(list_distinct(gs)) / CAST(len(gs) AS DOUBLE)
-                          ELSE 0.0 END) > 0.5 THEN 'repetitive'
-               WHEN regexp_replace(regexp_replace(regexp_replace(t,
-                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                      '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
-                      '(?:\\+?1[-. ])?(?:\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g')
-                    <> t THEN 'pii'
-               ELSE 'keep' END AS disposition
-      FROM scored"""),
+      ${gateDispCtes("src")}
+      SELECT doc_id, disposition FROM disp"""),
       (s, dir) => graft.pipelines.Curation.withDisposition(
         t(s, dir, "documents")
           .select(col("doc_id"),
@@ -1672,8 +1683,138 @@ object QueriesText {
           UrlCuration.filterBlocklist(doms, "domain", blocklist),
           "domain", "doc_id", maxPerDomain = 5)
           .select(col("doc_id"), col("domain"))
+      }),
+
+    // ----------------------------------- streaming: incremental dedup ingest
+    // The streaming ingestion paths replayed END-TO-END inside one
+    // registry query: the corpus is staged as three parquet files, read
+    // back as a real FileStreamSource with maxFilesPerTrigger=1 (three
+    // micro-batches, fully distributed — no driver-held data), and the
+    // actual production StreamingQuery (Streams.dedupIngest →
+    // foreachBatch → Dedup.ingestBatch against the accumulated index)
+    // runs to completion. The union of the per-batch pair outputs must
+    // equal the ONE-SHOT LSH pair set — each pair is emitted exactly
+    // once, in the batch where its later member arrives (in-batch pairs
+    // via the band self-join, cross-batch pairs via the index), and the
+    // collision criterion and Jaccard are identical — so the oracle is
+    // dedup_minhash's own whole-corpus CTE block. This is the streaming
+    // cadence of the reference's incremental processed-list anti-join
+    // (docs/notebooks/elr.Rmd:296-310) at near-dup granularity.
+    QueryDef("stream_dedup_ingest",
+      Some(s"WITH $minhashPairsCtes" +
+        " SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"),
+      (s, dir) => {
+        val root = streamScratch("stream_mh")
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val src = stageMicroBatches(s, docs, root)
+        val q = graft.streaming.Streams.dedupIngest(src, "text", "doc_id",
+          s"$root/idx", s"$root/pairs", s"$root/ckpt", minJaccard = 0.5)
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$root/pairs")
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+      }),
+
+    // ------------------------- streaming: quality-gated dedup ingest (pairs)
+    // Streams.qualityGatedDedupIngest with the canonical composed gate:
+    // only gate-keepers enter the index, so the unioned per-batch pairs
+    // must equal the one-shot LSH pairs over the gate-keeper SUBSET —
+    // the oracle runs the shared gate CTEs and then the shared minhash
+    // CTE block over the keepers.
+    QueryDef("stream_qgate_pairs",
+      Some(s"""
+      WITH tr AS (SELECT doc_id, text AS t FROM documents),
+      ${gateDispCtes("tr")},
+      gkeep AS (SELECT doc_id, t AS text FROM disp WHERE disposition = 'keep'),
+      ${minhashPairsCtesFrom("gkeep")}
+      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"""),
+      (s, dir) => {
+        val root = streamScratch("stream_qg")
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val src = stageMicroBatches(s, docs, root)
+        val q = graft.streaming.Streams.qualityGatedDedupIngest(src,
+          df => graft.pipelines.Curation.withDisposition(df, "text"),
+          "text", "doc_id", s"$root/idx", s"$root/pairs", s"$root/rejects",
+          s"$root/ckpt", minJaccard = 0.5)
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$root/pairs")
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+      }),
+
+    // --------------------------------- streaming: curation ingest (rejects)
+    // Streams.curationIngest end-to-end: gate + per-batch n-gram
+    // decontamination against a static eval set, rejects carrying their
+    // reason. Decontamination is batch-local (keeper grams vs the ONE
+    // broadcast eval gram set), so the accumulated rejects must equal
+    // the whole-corpus judgment: gate-failures with their first-failing
+    // rule, plus gate-keepers sharing a 5-gram with the eval set as
+    // 'contaminated'. The %7 PII tail keeps that gate arm exercised
+    // (same synthesis as text_quality_gate).
+    QueryDef("stream_curation_rejects",
+      Some(s"""
+      WITH tr AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact bob@example.com or (555) 123-4567'
+                    ELSE text END AS t
+        FROM documents WHERE doc_id % 101 <> 0),
+      ${gateDispCtes("tr")},
+      ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0),
+      gkeep AS (SELECT doc_id, t AS text FROM disp WHERE disposition = 'keep'),
+      d_tr AS (
+        SELECT doc_id, unnest(CASE WHEN len(tk) >= 5
+                 THEN list_transform(range(0, len(tk) - 4),
+                        i -> array_to_string(list_slice(tk, CAST(i + 1 AS INTEGER), CAST(i + 5 AS INTEGER)), ' '))
+                 ELSE [array_to_string(tk, ' ')] END) AS ngram
+        FROM (SELECT doc_id, $toksSql AS tk FROM gkeep)),
+      d_ev AS (
+        SELECT DISTINCT unnest(CASE WHEN len(tk) >= 5
+                 THEN list_transform(range(0, len(tk) - 4),
+                        i -> array_to_string(list_slice(tk, CAST(i + 1 AS INTEGER), CAST(i + 5 AS INTEGER)), ' '))
+                 ELSE [array_to_string(tk, ' ')] END) AS ngram
+        FROM (SELECT doc_id, $toksSql AS tk FROM ev)),
+      contam AS (SELECT DISTINCT t.doc_id FROM d_tr t JOIN d_ev e USING (ngram))
+      SELECT doc_id, disposition FROM disp WHERE disposition <> 'keep'
+      UNION ALL
+      SELECT doc_id, 'contaminated' AS disposition FROM contam"""),
+      (s, dir) => {
+        val root = streamScratch("stream_cur")
+        val docs = t(s, dir, "documents")
+        val train = docs.filter(col("doc_id") % 101 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0,
+              concat(col("text"),
+                lit(" contact bob@example.com or (555) 123-4567")))
+              .otherwise(col("text")).as("text"))
+        val evalDocs = docs.filter(col("doc_id") % 101 === 0)
+          .select(col("doc_id"), col("text"))
+        val src = stageMicroBatches(s, train, root)
+        val q = graft.streaming.Streams.curationIngest(src, evalDocs,
+          "text", "doc_id", s"$root/idx", s"$root/pairs", s"$root/rejects",
+          s"$root/ckpt", minJaccard = 0.5)
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$root/rejects")
+          .select(col("doc_id"), col("disposition"))
       })
   )
+
+  /** Fresh per-invocation scratch root for the streaming-ingest queries
+    * (clean checkpoint/index/stage tree per run, shutdown-deleted). */
+  private def streamScratch(tag: String): String = Tables.freshScratch(tag)
+
+  /** Stage `df` as `nBatches` single-file parquet writes under
+    * `root/stage` and open a FileStreamSource over them with
+    * maxFilesPerTrigger=1 — a real streaming source delivering the frame
+    * as `nBatches` micro-batches, rows split by a doc_id mod (fully
+    * distributed; no driver-held data). */
+  private def stageMicroBatches(s: SparkSession, df: DataFrame,
+      root: String, nBatches: Int = 3): DataFrame = {
+    val stage = s"$root/stage"
+    (0 until nBatches).foreach(i =>
+      df.filter(pmod(col("doc_id"), lit(nBatches)) === i)
+        .coalesce(1).write.mode("append").parquet(stage))
+    s.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+  }
 
   /** Deterministic crawl-URL synthesis for the url_* queries (Spark
     * side; [[urlSynthSql]] is the DuckDB mirror). */

@@ -62,4 +62,17 @@ object Tables {
   }
   private val scratchRegistered =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** A FRESH per-invocation directory under the per-process scratch root:
+    * unique every call (reruns in one JVM get a clean tree instead of
+    * replaying against leftover state) but still deleted at JVM exit via
+    * the [[scratchDir]] shutdown hook — unlike a bare
+    * `Files.createTempDirectory`, which leaked one state dir per builder
+    * invocation across repeated correctness/bench runs. */
+  def freshScratch(tag: String): String = {
+    val root = java.nio.file.Paths.get(
+      scratchDir(tag), java.util.UUID.randomUUID().toString)
+    java.nio.file.Files.createDirectories(root)
+    root.toString
+  }
 }

@@ -54,36 +54,38 @@ object Decontaminate {
    * lies within `minCosine` of any eval/benchmark embedding — the
    * paraphrase-robust complement to [[ngramOverlap]] (surface n-grams
    * miss reworded leaks; embedding proximity survives rewording). Scale
-   * shape: the eval side is benchmark-sized and BROADCASTS; the train
-   * side computes |eval| cosines per row map-side (a broadcast
-   * nested-loop join by construction — the right plan when one side is
-   * thousands of rows and the other is the corpus) and the only shuffle
-   * is the per-doc regroup, exactly [[ngramOverlap]]'s shape. Cosines
-   * round to 6dp before the threshold compare (cross-engine-stable cut).
-   * An EMPTY eval set fails fast instead of silently flagging nothing
-   * (the typo'd-filter trap).
+   * shape: the eval side is benchmark-sized, so its distinct vectors are
+   * collected once (a driver-scale action, same class as the IVF
+   * centroid pull) and embedded as ONE array-of-arrays literal that
+   * ships with the task binary; each training row then folds the eval
+   * array inside a single projection — `size(filter(evalLit, ev ->
+   * cosine >= tau))` — with NO join, NO regroup, and ZERO shuffles (the
+   * round-7 crossJoin + groupBy form streamed an avoidable N x |eval|
+   * intermediate through the aggregation machinery; the fold computes
+   * the same |eval| cosines per row without materializing rows for
+   * them). Cosines round to 6dp before the threshold compare
+   * (cross-engine-stable cut). An EMPTY eval set fails fast instead of
+   * silently flagging nothing (the typo'd-filter trap).
    *
-   * @return one row per training doc: (idCol, n_semantic_hits = DISTINCT
-   *         eval embeddings within the threshold — duplicate eval vectors
-   *         count once, like the gram set dedup in [[ngramOverlap]] —
-   *         contaminated = 1 when any hit)
+   * @return one row per training row (idCol is the document's unique
+   *         id): (idCol, n_semantic_hits = DISTINCT eval embeddings
+   *         within the threshold — duplicate eval vectors count once,
+   *         like the gram set dedup in [[ngramOverlap]] — contaminated
+   *         = 1 when any hit)
    */
   def semanticOverlap(train: DataFrame, evalDocs: DataFrame,
       vecCol: String, idCol: String, minCosine: Double = 0.95): DataFrame = {
-    val evalVecs = evalDocs
+    val evalVecs: Seq[Seq[Double]] = evalDocs
       .select(col(vecCol).cast("array<double>").as("__ev")).distinct()
-    require(!evalVecs.isEmpty,
+      .collect().map(_.getSeq[Double](0)).toSeq
+    require(evalVecs.nonEmpty,
       "Decontaminate.semanticOverlap: eval set is empty — every training " +
         "doc would silently pass")
-    val hit = when(
-      round(Similarity.cosine(col(vecCol).cast("array<double>"), col("__ev")), 6)
-        >= minCosine, 1L).otherwise(0L)
-    train
-      .crossJoin(broadcast(evalVecs))
-      .groupBy(col(idCol))
-      .agg(sum(hit).as("n_semantic_hits"))
-      .select(col(idCol), col("n_semantic_hits"),
-        when(col("n_semantic_hits") > 0, 1).otherwise(0).as("contaminated"))
+    val hits = size(filter(typedLit(evalVecs), ev =>
+      round(Similarity.cosine(col(vecCol).cast("array<double>"), ev), 6)
+        >= minCosine))
+    train.select(col(idCol), hits.cast("long").as("n_semantic_hits"),
+      when(hits > 0, 1).otherwise(0).as("contaminated"))
   }
 
   /**

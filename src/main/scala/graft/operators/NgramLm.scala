@@ -74,6 +74,13 @@ object NgramLm {
     require(!carryCols.exists(reserved), "NgramLm.scoreNllCarrying: carried " +
       s"columns collide with the scoring pipeline's internals: " +
       carryCols.filter(reserved).mkString(", "))
+    // idCol already leads the grouping key: carrying it again (or the
+    // same column twice) would build a duplicate grouping column and die
+    // later as an ambiguous-reference analysis error — fail fast instead
+    require(!carryCols.contains(idCol) &&
+      carryCols.distinct.size == carryCols.size,
+      "NgramLm.scoreNllCarrying: carried columns must not repeat the id " +
+        s"column or each other: ${carryCols.mkString(", ")}")
     val keyCols = (idCol +: carryCols).map(col)
     val docGrams = docs
       .select(keyCols :+ tokens(col(textCol)).as("__toks"): _*)
@@ -111,17 +118,36 @@ object NgramLm {
    * Documents with fewer than two tokens have no score and are excluded,
    * as in [[scoreNll]].
    *
+   * Percentile machinery: the default (`approxBounds = false`) is
+   * Spark's EXACT `percentile` — it buffers distinct (value, count)
+   * pairs per group, which is bounded here because avg_nll is 6dp-ROUNDED
+   * (the distinct-value count is capped by the score range x 10^6, not
+   * the corpus), and it is what the DuckDB oracle (`quantile_cont`)
+   * replays bit-for-bit. At 100 TB-native group cardinalities pass
+   * `approxBounds = true`: `approx_percentile` with `accuracy` (default
+   * 10^5) bounds memory at O(accuracy) per group regardless of the score
+   * distribution, at the price of boundary placement within
+   * ~1/accuracy relative rank error — documents whose score lies within
+   * that rank band of a tercile may land in the adjacent bucket, and the
+   * result is no longer cross-engine reproducible (keep exact for oracle
+   * work, approx for production scale).
+   *
    * @return (idCol, groupCol, avg_nll, bucket in head|middle|tail)
    */
   def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
-      groupCol: String, model: BigramModel, addK: Double = 1.0): DataFrame = {
+      groupCol: String, model: BigramModel, addK: Double = 1.0,
+      approxBounds: Boolean = false, accuracy: Int = 100000): DataFrame = {
     // the group column rides through the scoring aggregation itself —
     // no second corpus scan, no doc-count-sized re-join to re-attach it
     val scored = scoreNllCarrying(docs, textCol, idCol, Seq(groupCol),
         model, addK)
       .localCheckpoint()
+    val pctExpr =
+      if (approxBounds)
+        s"approx_percentile(avg_nll, array(1.0D/3, 2.0D/3), $accuracy)"
+      else "percentile(avg_nll, array(1.0D/3, 2.0D/3))"
     val bounds = scored.groupBy(col(groupCol))
-      .agg(expr("percentile(avg_nll, array(1.0D/3, 2.0D/3))").as("__q"))
+      .agg(expr(pctExpr).as("__q"))
       .select(col(groupCol),
         round(element_at(col("__q"), 1), 6).as("__b1"),
         round(element_at(col("__q"), 2), 6).as("__b2"))

@@ -1,7 +1,7 @@
 package org.apache.spark.graftshim
 
 import org.apache.spark.SparkContext
-import org.apache.spark.storage.RDDBlockId
+import org.apache.spark.storage.{BroadcastBlockId, RDDBlockId}
 
 /**
  * Bridge to the private[spark] block-manager surface: lets the bench ask
@@ -19,5 +19,18 @@ object BlockShim {
   def rddBlockCount(sc: SparkContext): Int =
     sc.env.blockManager.master
       .getMatchingBlockIds(_.isInstanceOf[RDDBlockId], askStorageEndpoints = true)
+      .size
+
+  /** RDD blocks plus BROADCAST blocks. Broadcast pieces are the other
+   *  GC-tracked block class: every broadcast join leaves torrent pieces in
+   *  the storage pool until the Broadcast object is collected and the
+   *  ContextCleaner drains it — across a 30-query sweep that is hundreds
+   *  of blocks of storage-pool pressure landing on whichever query
+   *  happens to run when the JVM finally collects. */
+  def gcTrackedBlockCount(sc: SparkContext): Int =
+    sc.env.blockManager.master
+      .getMatchingBlockIds(
+        id => id.isInstanceOf[RDDBlockId] || id.isInstanceOf[BroadcastBlockId],
+        askStorageEndpoints = true)
       .size
 }

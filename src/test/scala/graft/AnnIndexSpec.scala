@@ -164,6 +164,78 @@ class AnnIndexSpec extends SparkSpec {
     assert(avg >= 0.9, s"avg recall@10 $avg below gate (per-query: $recalls)")
   }
 
+  test("recall sweep: every ANN variant's default parameters vs brute force " +
+      "on the clustered fixture (generates the README recall table)") {
+    // The published recall@10 table: one seeded clustered fixture
+    // (20 clusters x 25 points, dim 64, sigma 0.05 — the geometry ANN
+    // recall claims are about), one query per cluster, every variant at
+    // its DEFAULT parameters. The per-method floors are the table's
+    // regression guard; the printed rows are pasted into README verbatim.
+    val rnd = new scala.util.Random(42L)
+    val dim = 64
+    val centroids = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val points = for {
+      c <- centroids.indices
+      j <- 0 until 25
+    } yield (c.toLong * 25 + j, centroids(c).map(v =>
+      v + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    val clustered = points.toDF("vec_id", "embedding").cache()
+    val queryIds = points.map(_._1).filter(_ % 25 == 0)
+    val queryVecs: Map[Long, Seq[Float]] = points.collect {
+      case (id, v) if id % 25 == 0 => id -> v.map(_.toFloat)
+    }.toMap
+    val brute: Map[Long, Set[Long]] = queryVecs.map { case (id, qv) =>
+      id -> Similarity.bruteForceTopK(clustered, "embedding", "vec_id", qv, 10)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    def avgRecall(got: Map[Long, Set[Long]]): Double =
+      queryIds.map(q => got.getOrElse(q, Set.empty[Long])
+        .intersect(brute(q)).size / 10.0).sum / queryIds.size
+
+    val pqPath = java.nio.file.Files.createTempDirectory("graft_pqsweep")
+      .toString + "/idx"
+    AnnIndex.buildPq(clustered, "embedding", "vec_id", pqPath, m = 8, k = 32)
+    val perQuery: Seq[(String, Seq[Float] => Set[Long])] = Seq(
+      "lsh_topk (bits=12, probeHamming=2)" -> ((qv: Seq[Float]) =>
+        Similarity.lshTopK(clustered, "embedding", "vec_id", qv, 10)
+          .select("vec_id").as[Long].collect().toSet),
+      "ivf_kmeans (nCells=16, nProbe=4)" -> ((qv: Seq[Float]) =>
+        Similarity.ivfTopK(clustered, "embedding", "vec_id", qv, 10)
+          .select("vec_id").as[Long].collect().toSet),
+      "ivf_sign (nCells=16, nProbe=4)" -> ((qv: Seq[Float]) =>
+        Similarity.ivfTopK(clustered, "embedding", "vec_id", qv, 10,
+            quantizer = "sign")
+          .select("vec_id").as[Long].collect().toSet),
+      "pq_rerank (m=8, k=32, overFetch=4)" -> ((qv: Seq[Float]) =>
+        AnnIndex.searchPqRerank(spark, pqPath, clustered, "embedding",
+            "vec_id", qv, 10)
+          .select("vec_id").as[Long].collect().toSet))
+    val knn = Similarity.lshKnnJoin(
+        clustered.filter(col("vec_id") % 25 === 0), clustered,
+        "embedding", "vec_id", k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows =
+      perQuery.map { case (name, f) =>
+        name -> avgRecall(queryVecs.map { case (id, qv) => id -> f(qv) })
+      } :+ ("lsh_knn_join (bits=12, probeHamming=1)" -> avgRecall(knn))
+    rows.foreach { case (name, r) =>
+      println(f"[ann-recall] | $name%-40s | $r%.3f |")
+    }
+    // floors: observed values minus a small buffer — a parameter or
+    // kernel regression that costs real recall trips these
+    val floors = Map(
+      "lsh_topk (bits=12, probeHamming=2)" -> 0.9,
+      "ivf_kmeans (nCells=16, nProbe=4)" -> 0.9,
+      "ivf_sign (nCells=16, nProbe=4)" -> 0.9,
+      "pq_rerank (m=8, k=32, overFetch=4)" -> 0.9,
+      "lsh_knn_join (bits=12, probeHamming=1)" -> 0.9)
+    rows.foreach { case (name, r) =>
+      assert(r >= floors(name), f"$name recall@10 $r%.3f below ${floors(name)}")
+    }
+    clustered.unpersist()
+  }
+
   test("searchIvf/searchPq reject a query of the wrong dimensionality") {
     val ivfPath = java.nio.file.Files.createTempDirectory("graft_ivfd").toString + "/idx"
     AnnIndex.buildIvf(emb, "embedding", "vec_id", ivfPath, nCells = 4)

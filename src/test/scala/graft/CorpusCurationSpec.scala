@@ -190,6 +190,42 @@ class CorpusCurationSpec extends SparkSpec {
     (4L to 6L).foreach(id => assert(out(id) === "middle", s"doc $id: ${out(id)}"))
   }
 
+  test("perplexityBuckets: approxBounds agrees with exact terciles on a " +
+      "realistic NLL distribution") {
+    import graft.operators.NgramLm
+    // 120 docs over 2 groups with a realistic spread of scores: doc i
+    // repeats a common bigram i%7 times and adds i%13 rare words, so
+    // avg_nll takes many distinct values per group (not a 3-level
+    // fixture). At default accuracy (1e5, far above the doc count) the
+    // sketch is effectively exact and the bucket assignment must agree
+    // with the exact-percentile default for every document.
+    val docs = (1 to 120).map { i =>
+      val common = Seq.fill(1 + i % 7)("aa bb").mkString(" ")
+      val rare = (0 until i % 13).map(j => s"rare${i}x$j").mkString(" ")
+      (i.toLong, s"g${i % 2}", s"$common $rare".trim)
+    }.toDF("doc_id", "source", "text")
+    val model = NgramLm.train(docs, "text")
+    val exact = NgramLm.perplexityBuckets(docs, "text", "doc_id", "source",
+      model).select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val approx = NgramLm.perplexityBuckets(docs, "text", "doc_id", "source",
+        model, approxBounds = true)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    val disagree = exact.keys.filter(id => exact(id) != approx(id))
+    assert(disagree.isEmpty,
+      s"approx buckets diverged for docs: ${disagree.toSeq.sorted}")
+  }
+
+  test("scoreNllCarrying: carrying the id column or a duplicate fails fast") {
+    import graft.operators.NgramLm
+    val docs = Seq((1L, "s1", "aa bb cc")).toDF("doc_id", "source", "text")
+    val model = NgramLm.train(docs, "text")
+    val e1 = intercept[IllegalArgumentException] {
+      NgramLm.perplexityBuckets(docs, "text", "doc_id", "doc_id", model)
+    }
+    assert(e1.getMessage.contains("must not repeat the id"))
+  }
+
   test("hashSplit: deterministic, exhaustive, fractions validated") {
     import graft.operators.Mixture
     val docs = spark.range(0, 10000).toDF("doc_id")

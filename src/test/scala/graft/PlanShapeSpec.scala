@@ -133,7 +133,7 @@ class PlanShapeSpec extends SparkSpec {
       s"the k-cut must collapse to TakeOrderedAndProject, not a global sort:\n$plan")
   }
 
-  test("semanticOverlap shape: eval vectors broadcast, never an unbroadcast cartesian") {
+  test("semanticOverlap shape: one projection — no join, no exchange at all") {
     val train = (1 to 200).map(i =>
       (i.toLong, Seq.fill(8)(i.toFloat / 100))).toDF("vec_id", "embedding")
     val eval = (1 to 3).map(i =>
@@ -141,11 +141,14 @@ class PlanShapeSpec extends SparkSpec {
     val df = graft.operators.Decontaminate.semanticOverlap(
       train, eval, "embedding", "vec_id", 0.9)
     val plan = finalPlan(df)
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-        plan.contains("BroadcastExchange"),
-      s"the eval side must broadcast:\n$plan")
-    assert(!plan.contains("CartesianProduct"),
-      s"never an unbroadcast corpus x eval product:\n$plan")
+    // round 8: the eval set rides as ONE array-of-arrays literal folded
+    // per row — the r7 crossJoin+groupBy fan-out (and its regroup
+    // exchange) is gone entirely
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"semanticOverlap must not join at all:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"semanticOverlap must be a zero-shuffle projection:\n$plan")
   }
 
   test("perplexityBuckets shape: tercile boundaries broadcast, no per-group window") {
