@@ -49,9 +49,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Optional CLI subset (investigation runs): `runMain graft.Bench q1 q2`
-    // times just those queries under the full warmup+isolation harness.
+    // times just those queries (any registry query, headline or not) under
+    // the full warmup+isolation harness. Unknown names fail fast — a typo
+    // must not produce a zero-query run that reads as a green benchmark.
     // The driver invokes with no args — the full headline, unchanged.
-    val subset = if (args.nonEmpty) headline.filter(args.contains) else headline
+    val subset =
+      if (args.isEmpty) headline
+      else {
+        val unknown = args.filterNot(Registry.queries.contains)
+        require(unknown.isEmpty,
+          s"unknown queries: ${unknown.mkString(", ")}")
+        args.toSeq
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -131,6 +140,8 @@ object Bench {
     // is recorded in "failed" and fails the run: a broken query must
     // read as a failure, not a near-zero-time speedup.
     val timedPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    require(timedPasses > 0,
+      s"SPARK_GRAFT_BENCH_PASSES must be positive, got $timedPasses")
     val results = qs.map { name =>
       val w0 = System.nanoTime()
       try run(name)

@@ -1704,7 +1704,7 @@ object QueriesText {
       Some(s"WITH $minhashPairsCtes" +
         " SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"),
       (s, dir) => {
-        val root = streamScratch("stream_mh")
+        val root = Tables.freshScratch("stream_mh")
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val src = stageMicroBatches(s, docs, root)
         val q = graft.streaming.Streams.dedupIngest(src, "text", "doc_id",
@@ -1728,7 +1728,7 @@ object QueriesText {
       ${minhashPairsCtesFrom("gkeep")}
       SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"""),
       (s, dir) => {
-        val root = streamScratch("stream_qg")
+        val root = Tables.freshScratch("stream_qg")
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val src = stageMicroBatches(s, docs, root)
         val q = graft.streaming.Streams.qualityGatedDedupIngest(src,
@@ -1777,7 +1777,7 @@ object QueriesText {
       UNION ALL
       SELECT doc_id, 'contaminated' AS disposition FROM contam"""),
       (s, dir) => {
-        val root = streamScratch("stream_cur")
+        val root = Tables.freshScratch("stream_cur")
         val docs = t(s, dir, "documents")
         val train = docs.filter(col("doc_id") % 101 =!= 0)
           .select(col("doc_id"),
@@ -1796,10 +1796,6 @@ object QueriesText {
           .select(col("doc_id"), col("disposition"))
       })
   )
-
-  /** Fresh per-invocation scratch root for the streaming-ingest queries
-    * (clean checkpoint/index/stage tree per run, shutdown-deleted). */
-  private def streamScratch(tag: String): String = Tables.freshScratch(tag)
 
   /** Stage `df` as `nBatches` single-file parquet writes under
     * `root/stage` and open a FileStreamSource over them with

@@ -8,9 +8,13 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // Optional query-name subset (investigation runs): args beyond the
-    // two dirs restrict the dump to just those queries. The driver
-    // passes exactly two args — the full surface, unchanged.
+    // two dirs restrict the dump to just those queries. Unknown names
+    // fail fast — a typo must not write an empty dump + empty
+    // oracle_sql.json that the downstream compare passes vacuously. The
+    // driver passes exactly two args — the full surface, unchanged.
     val subset = args.drop(2).toSet
+    val unknown = subset.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -66,7 +66,7 @@ object NgramLm {
     * pipeline (grouped alongside the id — callers pass columns
     * functionally dependent on it, e.g. source/language), so consumers
     * that need them avoid a second corpus scan + re-join. */
-  private[operators] def scoreNllCarrying(docs: DataFrame, textCol: String,
+  private[graft] def scoreNllCarrying(docs: DataFrame, textCol: String,
       idCol: String, carryCols: Seq[String], model: BigramModel,
       addK: Double): DataFrame = {
     val reserved = Set("gram", "__toks", "__w1", "__nll", "__c12", "__c1",

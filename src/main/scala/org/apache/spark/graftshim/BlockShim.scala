@@ -16,17 +16,14 @@ object BlockShim {
   /** Number of RDD blocks currently held by any block manager. Asks the
    *  storage endpoints directly (not the master's cached view) so a block
    *  dropped a moment ago doesn't read as still present. */
-  def rddBlockCount(sc: SparkContext): Int =
-    sc.env.blockManager.master
-      .getMatchingBlockIds(_.isInstanceOf[RDDBlockId], askStorageEndpoints = true)
-      .size
-
   /** RDD blocks plus BROADCAST blocks. Broadcast pieces are the other
    *  GC-tracked block class: every broadcast join leaves torrent pieces in
    *  the storage pool until the Broadcast object is collected and the
    *  ContextCleaner drains it — across a 30-query sweep that is hundreds
    *  of blocks of storage-pool pressure landing on whichever query
-   *  happens to run when the JVM finally collects. */
+   *  happens to run when the JVM finally collects. (An RDD-only variant
+   *  existed through round 7; it is gone because counting only RDD blocks
+   *  was exactly the drain bug — don't reintroduce it.) */
   def gcTrackedBlockCount(sc: SparkContext): Int =
     sc.env.blockManager.master
       .getMatchingBlockIds(

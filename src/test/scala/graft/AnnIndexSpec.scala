@@ -192,8 +192,7 @@ class AnnIndexSpec extends SparkSpec {
       queryIds.map(q => got.getOrElse(q, Set.empty[Long])
         .intersect(brute(q)).size / 10.0).sum / queryIds.size
 
-    val pqPath = java.nio.file.Files.createTempDirectory("graft_pqsweep")
-      .toString + "/idx"
+    val pqPath = Tables.freshScratch("pqsweep") + "/idx"
     AnnIndex.buildPq(clustered, "embedding", "vec_id", pqPath, m = 8, k = 32)
     val perQuery: Seq[(String, Seq[Float] => Set[Long])] = Seq(
       "lsh_topk (bits=12, probeHamming=2)" -> ((qv: Seq[Float]) =>

@@ -224,6 +224,13 @@ class CorpusCurationSpec extends SparkSpec {
       NgramLm.perplexityBuckets(docs, "text", "doc_id", "doc_id", model)
     }
     assert(e1.getMessage.contains("must not repeat the id"))
+    // the duplicate-carry arm, unreachable through perplexityBuckets
+    // (single carry column), exercised directly
+    val e2 = intercept[IllegalArgumentException] {
+      NgramLm.scoreNllCarrying(docs, "text", "doc_id",
+        Seq("source", "source"), model, 1.0)
+    }
+    assert(e2.getMessage.contains("must not repeat the id"))
   }
 
   test("hashSplit: deterministic, exhaustive, fractions validated") {
