@@ -220,12 +220,13 @@ object ScaleSmoke {
     println(f"[scale-smoke] url-domain-cap   kept=$cappedN (expect ${5 * 20} over 20 mega-domains, $capOk) ${dt9}%.1fs")
 
     // Distribution drift under duplication: split the duplicated corpus
-    // into the even and the odd copies of every doc — two snapshots with
-    // IDENTICAL token multisets (copies/2 of each base doc each), so
-    // every smoothed probability is bit-identical on both sides and KL
-    // and JS must be EXACTLY zero for every source. (Comparing base vs
-    // the 20x corpus would NOT be zero: add-k smoothing is not
-    // scale-invariant — the even/odd split is the exact invariant.)
+    // into the first and the second half of every doc's copies — two
+    // snapshots with IDENTICAL token multisets (copies/2 of each base
+    // doc each), so every smoothed probability is bit-identical on both
+    // sides and KL and JS must be EXACTLY zero for every source.
+    // (Comparing base vs the 20x corpus would NOT be zero: add-k
+    // smoothing is not scale-invariant — equal halves is the exact
+    // invariant.)
     val t11 = System.nanoTime()
     val srcBig = big.withColumn("source",
       concat(lit("s"), (col("doc_id") % 10000000L % 10).cast("string")))
