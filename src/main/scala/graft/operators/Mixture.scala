@@ -83,6 +83,129 @@ object Mixture {
   }
 
   /**
+   * Leakage-safe split hashed on an ARBITRARY column: the generalization
+   * behind [[hashSplit]] (id-hashed) and [[splitByComponent]]
+   * (duplicate-cluster-hashed). Everything sharing a `hashOf` value lands
+   * in the same split. Same zero-shuffle projection, same fail-fast
+   * fraction validation, same engine-replayable hash.
+   */
+  def hashSplitOn(docs: DataFrame, hashOf: Column,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "Mixture.hashSplit: fractions must be positive")
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"Mixture.hashSplit: fractions must sum to 1, got $total")
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val u = idHashUnit(hashOf)
+    // the last split takes everything below 1.0 unconditionally, so
+    // float accumulation at the top boundary can never drop a row
+    val assign = fractions.init.zip(cum.init)
+      .foldRight(lit(fractions.last._1): Column) { case (((name, _), bound), els) =>
+        when(u < lit(bound), lit(name)).otherwise(els)
+      }
+    docs.withColumn("split", assign)
+  }
+
+  /**
+   * Leakage-safe split where near-duplicate clusters travel TOGETHER:
+   * split assignment hashes the duplicate-component representative (the
+   * min-id label from [[Dedup.connectedComponents]] over any near-dup
+   * pair graph), so two near-duplicates can never land in different
+   * splits — the contamination channel a plain id-hash split leaves open
+   * (a train doc's near-copy in test is leakage the exact-id split
+   * can't see; Lee et al. 2022 "Deduplicating Training Data Makes
+   * Language Models Better" measures exactly this train/test overlap).
+   * Docs with no component row (never edge-adjacent) split on their own
+   * id — bit-identical to [[hashSplit]] for a corpus with no duplicates.
+   *
+   * Scale shape: one co-partitioned equi-join on the id against the
+   * already-computed CC label frame (both sides shuffle on the same key
+   * once), then the zero-shuffle split projection. No new global state:
+   * the component frame is the dedup pipeline's existing artifact.
+   *
+   * @param components (id, component) rows — [[Dedup.connectedComponents]]
+   *                   output; ids absent from it split on their own id.
+   * @return `docs` plus `split`
+   */
+  def splitByComponent(docs: DataFrame, idCol: String, components: DataFrame,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    val c = components.select(col("id").as("__cid"), col("component").as("__comp"))
+    hashSplitOn(
+      docs.join(c, docs(idCol) === col("__cid"), "left").drop("__cid"),
+      coalesce(col("__comp"), col(idCol)), fractions)
+      .drop("__comp")
+  }
+
+  /**
+   * Score-proportional soft sampling (the FineWeb-Edu shape: keep a
+   * document with probability equal to its quality weight, rather than a
+   * hard threshold): keep iff idHashUnit(id) < weight, weight clamped to
+   * [0, 1]. Deterministic, partitioning-independent, engine-replayable;
+   * a null or negative weight raises (a silent NULL would drop the row
+   * from every sample with no audit trail). Zero shuffles — one
+   * codegen'd filter at any scale.
+   */
+  def sampleByWeight(docs: DataFrame, idCol: String, weightCol: String): DataFrame = {
+    val w = col(weightCol).try_cast("double")
+    docs.filter(
+      when(col(weightCol).isNull || w.isNull || w < 0,
+        raise_error(concat(
+          lit(s"Mixture.sampleByWeight: weight '$weightCol' is null, "
+            + "non-numeric or negative: "),
+          coalesce(col(weightCol).cast("string"), lit("NULL")))))
+        .otherwise(idHashUnit(col(idCol)) < least(lit(1.0), w)))
+  }
+
+  /**
+   * Temperature-scaled mixture sampling (the multilingual "alpha
+   * sampling" of mT5 / UniMax): instead of caller-supplied weights, each
+   * source's weight is derived from the data as w_s ∝ (token count)^α,
+   * normalized. α = 1 recovers proportional sampling; α < 1 flattens the
+   * natural distribution (upsampling small sources relative to
+   * proportional — the standard fix for head-language dominance); α = 0
+   * gives every source equal token share. Keep fraction per source is
+   * min(1, budget·w_s / tokens_s); membership is the [[idHashUnit]] hash.
+   *
+   * Cross-engine determinism: `pow` is the one non-correctly-rounded
+   * IEEE operation in the chain, so the keep fraction is rounded to 9
+   * decimals before the comparison — an engine replaying the formula
+   * with a last-ulp-different pow lands on the same rounded fraction.
+   * The rounding moves each fraction by < 5e-10, invisible next to the
+   * 1/2³¹ hash grid.
+   *
+   * Scale shape mirrors [[sampleByTokenBudget]]: one aggregation shuffle
+   * keyed by source; the source-count-sized fraction table broadcasts
+   * back; the sample is a map-side filter.
+   *
+   * @return the kept subset of `docs` (original columns)
+   */
+  def sampleByTemperature(docs: DataFrame, idCol: String, sourceCol: String,
+      tokenCount: Column, alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"Mixture.sampleByTemperature: alpha must be in [0, 1], got $alpha")
+    val totals = docs
+      .select(col(sourceCol), tokenCount.as("__n"))
+      .groupBy(sourceCol).agg(sum("__n").as("__tot"))
+      .select(col(sourceCol), col("__tot"),
+        pow(col("__tot").cast("double"), lit(alpha)).as("__pw"))
+    val fractions = totals
+      .crossJoin(broadcast(totals.agg(sum("__pw").as("__psum"))))
+      .select(col(sourceCol),
+        // a zero-token source keeps nothing (its weight is zero mass;
+        // 0/0 would otherwise poison the comparison with NaN)
+        when(col("__tot") === 0, lit(0.0)).otherwise(
+          round(least(lit(1.0),
+            lit(budgetTokens.toDouble) * (col("__pw") / col("__psum"))
+              / col("__tot")), 9))
+          .as("__keep_frac"))
+    docs
+      .join(broadcast(fractions), Seq(sourceCol))
+      .filter(idHashUnit(col(idCol)) < col("__keep_frac"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /**
    * Sample `docs` so each source contributes ~budgetTokens·w_s tokens.
    *
    * Preconditions fail FAST, not silently: a doc whose source has no
