@@ -10,24 +10,47 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-      // default. Read it as raw nanos and truncate to microseconds — the
-      // same truncation DuckDB applies — keeping `ts` a TimestampType for
-      // every consumer. The conf only matters while the schema is being
-      // resolved here, so save/restore it instead of leaking a changed
-      // parquet-timestamp policy into the whole session.
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
-      try spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (name == "events") loadEvents(spark, s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /**
+   * Events loader resilient to the testdata generator's physical timestamp
+   * encoding, which has changed between rounds (TIMESTAMP(NANOS) → plain
+   * timestamp[us]). Read under the legacy nanos conf — a no-op for non-nanos
+   * files — then dispatch on the type Spark actually inferred for `ts`:
+   *
+   *  - `LongType`: the file is TIMESTAMP(NANOS) surfaced as raw nanos under
+   *    the conf → truncate to micros (same truncation DuckDB applies).
+   *  - `TimestampNTZType`: plain timestamp without UTC-adjust metadata
+   *    (pyarrow's default for naive timestamps) → cast to session-TZ
+   *    TimestampType; the session TZ is UTC so instants are unchanged.
+   *  - `TimestampType`: use as-is.
+   *
+   * Every consumer sees `ts: TimestampType` regardless of the file's
+   * physical encoding. The conf only matters while the schema is being
+   * resolved here, so save/restore it instead of leaking a changed
+   * parquet-timestamp policy into the whole session.
+   */
+  def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val raw =
+      try spark.read.parquet(path)
       finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other at $path")
     }
   }
 
