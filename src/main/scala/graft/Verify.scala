@@ -28,6 +28,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A throwing query must be a first-class failure in the artifact, not
+    // silent absence: round 8's 21 loader-broken queries surfaced only as
+    // missing rows in CORRECTNESS_r08.json because the stderr line was the
+    // sole trace. Collect per-query errors and always write _errors.json
+    // (empty object when clean) so the dump is self-describing either way.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset(name) }
       .foreach { case (name, fn) =>
@@ -35,6 +41,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) =
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
       }
       // 91 queries share this session: never let one query's cache
       // (operators scope their own, but belt-and-braces) leak into the next
@@ -56,6 +64,13 @@ object Verify {
       .filter { case (k, _) => subset.isEmpty || subset(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Exit code stays 0 either way: the driver must still compare the
+    // queries that DID dump — one broken query zeroing the whole artifact
+    // would be worse than the absence it replaces. _errors.json is the
+    // honest record.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     spark.stop()
   }
 }

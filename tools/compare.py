@@ -33,6 +33,11 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
+    errs_path = f"{out}/_errors.json"
+    if os.path.exists(errs_path):
+        for name, msg in sorted(json.load(open(errs_path)).items()):
+            print(f"ERR  {name}: {msg}")
+            n_fail += 1
     for name in sorted(oracle):
         sql = oracle[name]
         try:
