@@ -1241,6 +1241,48 @@ object QueriesText {
         t(s, dir, "documents").select(col("doc_id"), col("source")),
         "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
 
+    // --------------------- text: cluster-aware leakage-safe split
+    // splitByComponent: near-duplicate clusters travel TOGETHER — the
+    // split hashes the duplicate-component label (min id), so two
+    // near-dups can never straddle train/test; docs with no component
+    // row split on their own id, bit-identical to hashSplit on a
+    // dup-free corpus. The component frame here is a deterministic
+    // chain graph (consecutive doc_ids < 300 chained within div-5
+    // groups) so DuckDB can replay the transitive closure in closed
+    // form: islands of consecutive ids within a div-5 group are
+    // exactly (id // 5, id - row_number) partitions. The Spark side
+    // runs the general log-diameter CC loop on the same edges. Val
+    // bound written 0.8::DOUBLE + 0.1::DOUBLE — the same IEEE addition
+    // as the Scala cumulative fold (see text_hash_split note).
+    QueryDef("text_component_split", Some("""
+      WITH sub AS (SELECT doc_id AS id FROM documents WHERE doc_id < 300),
+      isl AS (
+        SELECT id, id // 5 AS g,
+               id - row_number() OVER (PARTITION BY id // 5 ORDER BY id) AS grp
+        FROM sub),
+      comp AS (
+        SELECT id, min(id) OVER (PARTITION BY g, grp) AS component FROM isl),
+      k AS (
+        SELECT d.doc_id, d.source, coalesce(c.component, d.doc_id) AS key
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+      SELECT doc_id, source,
+             CASE WHEN u < 0.8 THEN 'train'
+                  WHEN u < 0.8::DOUBLE + 0.1::DOUBLE THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, source,
+              ((key % 2147483647 * 2654435761) % 2147483647) / 2147483647.0 AS u
+            FROM k)"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        val sub = docs.select(col("doc_id").as("id")).filter(col("id") < 300)
+        val edges = sub.select(col("id").as("id_a"))
+          .join(sub.select(col("id").as("id_b")),
+            col("id_b") === col("id_a") + 1 && col("id_a") % 5 =!= 4)
+        val comps = Dedup.connectedComponents(edges, Some(sub))
+        Mixture.splitByComponent(docs, "doc_id", comps,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      }),
+
     // ----------------------------------- text: corpus distribution drift
     // Per-source token-distribution drift between two snapshots: snapshot
     // B injects boilerplate ('spam spam spam') into every %4 doc, and the

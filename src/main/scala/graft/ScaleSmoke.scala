@@ -266,6 +266,25 @@ object ScaleSmoke {
       "ok" else "BAD"
     println(f"[scale-smoke] hash-split       total=${splits.values.sum} train=$trainFrac%.3f (expect $n/0.900, $spOk2) ${dt12}%.1fs")
 
+    // Component split under duplication: CC labels over the minhash pair
+    // graph — every `copies`-clique must travel WHOLE into one split
+    // (zero components straddling splits; that straddle is exactly the
+    // train/test near-dup leakage the operator exists to prevent), and
+    // the split stays a projection: row-for-row with the corpus.
+    val t16 = System.nanoTime()
+    val ccLabels = Dedup.connectedComponents(edges, Some(big.select(col("doc_id"))))
+    val cSplit = graft.operators.Mixture.splitByComponent(
+      big.select("doc_id"), "doc_id", ccLabels,
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val straddle = cSplit
+      .join(ccLabels.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .groupBy("component").agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    val cSplitRows = cSplit.count()
+    val dt16 = (System.nanoTime() - t16) / 1e9
+    val csOk = if (straddle == 0L && cSplitRows == n) "ok" else "BAD"
+    println(f"[scale-smoke] component-split  rows=$cSplitRows straddling-components=$straddle (expect $n/0, $csOk) ${dt16}%.1fs")
+
     // Quality-policy survivors under duplication: clique members share
     // text, so scores tie and the keep goes to the SMALLEST id — which is
     // always the original (copies add c*10^7). Every keep_id must be an

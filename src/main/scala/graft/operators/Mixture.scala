@@ -65,22 +65,8 @@ object Mixture {
    * @return `docs` plus a `split` column
    */
   def hashSplit(docs: DataFrame, idCol: String,
-      fractions: Seq[(String, Double)]): DataFrame = {
-    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
-      "Mixture.hashSplit: fractions must be positive")
-    val total = fractions.map(_._2).sum
-    require(math.abs(total - 1.0) < 1e-9,
-      s"Mixture.hashSplit: fractions must sum to 1, got $total")
-    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
-    val u = idHashUnit(col(idCol))
-    // the last split takes everything below 1.0 unconditionally, so
-    // float accumulation at the top boundary can never drop a row
-    val assign = fractions.init.zip(cum.init)
-      .foldRight(lit(fractions.last._1): Column) { case (((name, _), bound), els) =>
-        when(u < lit(bound), lit(name)).otherwise(els)
-      }
-    docs.withColumn("split", assign)
-  }
+      fractions: Seq[(String, Double)]): DataFrame =
+    hashSplitOn(docs, col(idCol), fractions)
 
   /**
    * Leakage-safe split hashed on an ARBITRARY column: the generalization
@@ -92,10 +78,10 @@ object Mixture {
   def hashSplitOn(docs: DataFrame, hashOf: Column,
       fractions: Seq[(String, Double)]): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0),
-      "Mixture.hashSplit: fractions must be positive")
+      "Mixture.hashSplitOn: fractions must be positive")
     val total = fractions.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9,
-      s"Mixture.hashSplit: fractions must sum to 1, got $total")
+      s"Mixture.hashSplitOn: fractions must sum to 1, got $total")
     val cum = fractions.scanLeft(0.0)(_ + _._2).tail
     val u = idHashUnit(hashOf)
     // the last split takes everything below 1.0 unconditionally, so
@@ -148,11 +134,15 @@ object Mixture {
    */
   def sampleByWeight(docs: DataFrame, idCol: String, weightCol: String): DataFrame = {
     val w = col(weightCol).try_cast("double")
+    // isnan is part of the guard: NaN < 0 is false under Spark's NaN
+    // ordering and least(1.0, NaN) = 1.0 (NaN sorts largest), so an
+    // unguarded NaN weight would silently keep every row instead of
+    // raising — the opposite of the fail-fast contract.
     docs.filter(
-      when(col(weightCol).isNull || w.isNull || w < 0,
+      when(col(weightCol).isNull || w.isNull || isnan(w) || w < 0,
         raise_error(concat(
           lit(s"Mixture.sampleByWeight: weight '$weightCol' is null, "
-            + "non-numeric or negative: "),
+            + "non-numeric, NaN or negative: "),
           coalesce(col(weightCol).cast("string"), lit("NULL")))))
         .otherwise(idHashUnit(col(idCol)) < least(lit(1.0), w)))
   }
@@ -187,8 +177,15 @@ object Mixture {
     val totals = docs
       .select(col(sourceCol), tokenCount.as("__n"))
       .groupBy(sourceCol).agg(sum("__n").as("__tot"))
+      // __pw is forced to 0 (not pow) for a zero-token source: with
+      // alpha = 0, pow(0, 0) = 1 would hand the empty source full weight
+      // in __psum and dilute every real source's keep fraction — the
+      // sample would undershoot budgetTokens even though the empty
+      // source itself keeps nothing.
       .select(col(sourceCol), col("__tot"),
-        pow(col("__tot").cast("double"), lit(alpha)).as("__pw"))
+        when(col("__tot") === 0, lit(0.0))
+          .otherwise(pow(col("__tot").cast("double"), lit(alpha)))
+          .as("__pw"))
     val fractions = totals
       .crossJoin(broadcast(totals.agg(sum("__pw").as("__psum"))))
       .select(col(sourceCol),
@@ -199,9 +196,19 @@ object Mixture {
             lit(budgetTokens.toDouble) * (col("__pw") / col("__psum"))
               / col("__tot")), 9))
           .as("__keep_frac"))
+    // Left join + raise, mirroring sampleByTokenBudget: an inner join
+    // would silently drop rows whose source is NULL (null keys never
+    // equi-join), and a source whose token counts are all NULL gets a
+    // NULL __keep_frac (sum→NULL, pow(NULL)=NULL) that a bare `<`
+    // filter would silently treat as drop-everything.
     docs
-      .join(broadcast(fractions), Seq(sourceCol))
-      .filter(idHashUnit(col(idCol)) < col("__keep_frac"))
+      .join(broadcast(fractions), Seq(sourceCol), "left")
+      .filter(
+        when(col("__keep_frac").isNull, raise_error(concat(
+          lit("Mixture.sampleByTemperature: no keep fraction for source '"),
+          coalesce(col(sourceCol).cast("string"), lit("NULL")),
+          lit("' (null source or null token counts)"))))
+        .otherwise(idHashUnit(col(idCol)) < col("__keep_frac")))
       .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 

@@ -369,6 +369,111 @@ class CorpusCurationSpec extends SparkSpec {
     assert(!kept.select("source").as[String].collect().contains("b"))
   }
 
+  test("splitByComponent: cluster-mates share a split; dup-free corpus " +
+      "matches hashSplit bit-for-bit") {
+    import graft.operators.Mixture
+    val docs = spark.range(0, 2000).toDF("doc_id")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // components: ids 0..999 clustered in tens (component = floor(id/10)*10)
+    val comps = spark.range(0, 1000)
+      .select($"id", ($"id" - $"id" % 10).as("component"))
+    val out = Mixture.splitByComponent(docs, "doc_id", comps, fr)
+    // every cluster lands whole: one distinct split per component
+    val straddlers = out.filter($"doc_id" < 1000)
+      .groupBy(($"doc_id" - $"doc_id" % 10).as("c"))
+      .agg(countDistinct($"split").as("k")).filter($"k" > 1).count()
+    assert(straddlers === 0L)
+    // docs with no component row split exactly as hashSplit would
+    val noComp = out.filter($"doc_id" >= 1000)
+      .orderBy("doc_id").select("split").as[String].collect().toSeq
+    val plain = Mixture.hashSplit(docs, "doc_id", fr)
+      .filter($"doc_id" >= 1000)
+      .orderBy("doc_id").select("split").as[String].collect().toSeq
+    assert(noComp === plain)
+    // a singleton-component frame (component = own id) is also identical
+    // to hashSplit — the dup-free-corpus equivalence
+    val singletons = spark.range(0, 2000)
+      .select($"id", $"id".as("component"))
+    val viaSingle = Mixture.splitByComponent(docs, "doc_id", singletons, fr)
+      .orderBy("doc_id").select("split").as[String].collect().toSeq
+    val viaHash = Mixture.hashSplit(docs, "doc_id", fr)
+      .orderBy("doc_id").select("split").as[String].collect().toSeq
+    assert(viaSingle === viaHash)
+  }
+
+  test("sampleByWeight: probability-proportional keep, deterministic, " +
+      "fails fast on null/negative/NaN weights") {
+    import graft.operators.Mixture
+    val docs = spark.range(0, 4000)
+      .select($"id".as("doc_id"),
+        when($"id" < 2000, 1.0).otherwise(0.25).as("w"))
+    val kept = Mixture.sampleByWeight(docs, "doc_id", "w")
+    val byW = kept.groupBy("w").count().as[(Double, Long)].collect().toMap
+    assert(byW(1.0) === 2000L)                       // weight 1 keeps all
+    assert(byW(0.25) > 350L && byW(0.25) < 650L)     // ~0.25 of 2000
+    val again = Mixture.sampleByWeight(docs, "doc_id", "w")
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ===
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+    for (bad <- Seq(null.asInstanceOf[java.lang.Double],
+        java.lang.Double.valueOf(-0.5),
+        java.lang.Double.valueOf(Double.NaN))) {
+      val df = Seq((1L, bad)).toDF("doc_id", "w")
+      val e = intercept[Exception] {
+        Mixture.sampleByWeight(df, "doc_id", "w").collect()
+      }
+      assert(e.getMessage.contains("sampleByWeight"), s"weight=$bad")
+    }
+  }
+
+  test("sampleByTemperature: alpha extremes, zero-token source excluded " +
+      "from the weight mass, null source fails fast") {
+    import graft.operators.Mixture
+    // big: 300 docs x 10 tok = 3000; small: 100 x 10 = 1000.
+    val docs = ((0L until 300L).map(i => (i, "big", 10)) ++
+      (1000L until 1100L).map(i => (i, "small", 10)))
+      .toDF("doc_id", "source", "n_tokens")
+    // alpha=1 (proportional): w ∝ tokens, budget 2000 of 4000 total
+    // -> every source keeps fraction 1/2.
+    val p = Mixture.sampleByTemperature(docs, "doc_id", "source",
+      col("n_tokens"), alpha = 1.0, budgetTokens = 2000L)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(p("big") > 100L && p("big") < 200L, p.toString)
+    assert(p("small") > 25L && p("small") < 75L, p.toString)
+    // alpha=0 (equal share): budget 2000 -> 1000 tokens per source
+    // -> big keeps 1/3, small keeps all (cap).
+    val eq = Mixture.sampleByTemperature(docs, "doc_id", "source",
+      col("n_tokens"), alpha = 0.0, budgetTokens = 2000L)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(eq("small") === 100L, eq.toString)
+    assert(eq("big") > 50L && eq("big") < 150L, eq.toString)
+    // a zero-token source must NOT dilute real sources at alpha=0:
+    // with pow(0,0)=1 it would claim a third of the mass; excluded, the
+    // two real sources still split the budget between them.
+    val withEmpty = docs.union(
+      (2000L until 2050L).map(i => (i, "empty", 0)).toDF("doc_id", "source", "n_tokens"))
+    val eq2 = Mixture.sampleByTemperature(withEmpty, "doc_id", "source",
+      col("n_tokens"), alpha = 0.0, budgetTokens = 2000L)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(!eq2.contains("empty"), eq2.toString)
+    assert(eq2("small") === 100L, eq2.toString)
+    assert(eq2("big") > 50L && eq2("big") < 150L, eq2.toString)
+    // a NULL source never matches the fraction join -> must raise, not
+    // silently vanish
+    val withNull = docs.union(
+      Seq((3000L, null.asInstanceOf[String], 10)).toDF("doc_id", "source", "n_tokens"))
+    val eNull = intercept[Exception] {
+      Mixture.sampleByTemperature(withNull, "doc_id", "source",
+        col("n_tokens"), alpha = 0.5, budgetTokens = 2000L).collect()
+    }
+    assert(eNull.getMessage.contains("sampleByTemperature"))
+    // alpha outside [0,1] is a caller bug
+    val eAlpha = intercept[IllegalArgumentException] {
+      Mixture.sampleByTemperature(docs, "doc_id", "source",
+        col("n_tokens"), alpha = 1.5, budgetTokens = 2000L)
+    }
+    assert(eAlpha.getMessage.contains("alpha"))
+  }
+
   private implicit class MapOps[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
