@@ -52,6 +52,78 @@ object QueriesOps2 {
           .select(col("o_orderkey"), col("outcome"))
       }),
 
+    // ------------------------------------------------------- Q7 (archive)
+    // The expiry ARCHIVE arm (KEEP_NA_ROSTER_SECOND_IN_PROGRESS
+    // .Rmd:699-765): records aging out of the 60-day window carry the
+    // reasons they could not roster — condition_1..3 united " / " into
+    // NOTES. Synthetic roster columns + reference sets derived from
+    // orders (both engines replay the same modular rules): SCA/SA/CASE_ID
+    // go missing on %11/%13/%7; WDRS holds %3=0 in one accession column
+    // and %3 IN (0,1) in the other (membership must clear BOTH); GISAID
+    // covers %5<>1, CDC cumulative %5<>2, lab routing by %2.
+    QueryDef("q7_keepna_notes", Some("""
+      WITH matches AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+      pend AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE 'SCA' || CAST(o_orderkey AS VARCHAR) END AS sca,
+               CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE 'USA/WA-' || CAST(o_orderkey AS VARCHAR) END AS sa,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'CDC-Lab' ELSE 'Other-Lab' END AS lab,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE CAST(o_orderkey AS VARCHAR) END AS case_id
+        FROM orders o
+        WHERE datediff('day', CAST(o.o_orderdate AS DATE), DATE '1998-06-01') > 60
+          AND NOT EXISTS (SELECT 1 FROM matches m WHERE m.l_orderkey = o.o_orderkey)),
+      w1 AS (SELECT DISTINCT 'SCA' || CAST(o_orderkey AS VARCHAR) AS k FROM orders WHERE o_orderkey % 3 = 0),
+      w2 AS (SELECT DISTINCT 'SCA' || CAST(o_orderkey AS VARCHAR) AS k FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+      g AS (SELECT DISTINCT 'hCoV-19/USA/WA-' || CAST(o_orderkey AS VARCHAR) AS k FROM orders WHERE o_orderkey % 5 <> 1),
+      c AS (SELECT DISTINCT 'hCoV-19/USA/WA-' || CAST(o_orderkey AS VARCHAR) AS k FROM orders WHERE o_orderkey % 5 <> 2)
+      SELECT o_orderkey,
+             concat_ws(' / ',
+               CASE WHEN sca IS NULL THEN 'SCA missing'
+                    WHEN sca NOT IN (SELECT k FROM w1)
+                      OR sca NOT IN (SELECT k FROM w2) THEN 'SCA not in WDRS' END,
+               CASE WHEN sa IS NULL THEN 'SA missing'
+                    WHEN lab <> 'CDC-Lab' AND ('hCoV-19/' || sa) NOT IN (SELECT k FROM g) THEN 'SA not in GISAID'
+                    WHEN lab = 'CDC-Lab' AND ('hCoV-19/' || sa) NOT IN (SELECT k FROM c) THEN 'SA not in CDC cumulative' END,
+               CASE WHEN case_id IS NULL THEN 'CASE_ID missing' END) AS notes
+      FROM pend"""),
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val k = col("o_orderkey")
+        val pending = orders
+          .select(k, col("o_orderdate").cast("date").as("first_seen"),
+            when(k % 11 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("SCA"), k.cast("string")))
+              .as("SEQUENCE_CLINICAL_ACCESSION"),
+            when(k % 13 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("USA/WA-"), k.cast("string")))
+              .as("SEQUENCE_ACCESSION"),
+            when(k % 2 === 0, lit("CDC-Lab")).otherwise(lit("Other-Lab"))
+              .as("SEQUENCE_LAB"),
+            when(k % 7 === 0, lit(null).cast("string"))
+              .otherwise(k.cast("string")).as("CASE_ID"))
+        val matches = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o_orderkey"))
+        val expired = Streams.keepNaBatch(pending, matches, "o_orderkey",
+            to_date(lit("1998-06-01")), 60)
+          .filter(col("outcome") === "expired")
+        val wdrs = orders.filter(k % 3 === 0)
+          .select(concat(lit("SCA"), k.cast("string"))
+            .as("SEQUENCE_CLINICAL_ACCESSION"))
+          .join(orders.filter(k % 3 <= 1)
+            .select(concat(lit("SCA"), k.cast("string"))
+              .as("SPECIMEN__ID__ACCESSION__NUM__MANUAL")),
+            col("SEQUENCE_CLINICAL_ACCESSION") ===
+              col("SPECIMEN__ID__ACCESSION__NUM__MANUAL"), "full_outer")
+        val gisaid = orders.filter(k % 5 =!= 1)
+          .select(concat(lit("hCoV-19/USA/WA-"), k.cast("string")).as("virus_name"))
+        val cdc = orders.filter(k % 5 =!= 2)
+          .select(concat(lit("hCoV-19/USA/WA-"), k.cast("string")).as("gisaid_name"))
+        graft.pipelines.KeepNaRefresh.annotateExpiry(
+            expired, wdrs, gisaid, cdc, cdcLabs = Seq("CDC-Lab"))
+          .select(col("o_orderkey"), col("NOTES").as("notes"))
+      }),
+
     // ---------------------------------------------------------------- Q8
     // Gap analysis: case-insensitive anti-membership with a lag window
     // (gap_data.Rmd:180-257 — GISAID∖WDRS, 30-day allowance).

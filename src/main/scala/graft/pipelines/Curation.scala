@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
  * after each stage) that a curation review reads before training starts.
  *
  * Scale shape (100 TB lens): each stage is one of the already-audited
- * operators (their shuffle structure is unchanged by composition); stage
- * outputs are materialized once as GC-tracked local checkpoints so the
- * six report aggregations never recompute the upstream chain, and the
- * report itself is six 1-row aggregates unioned — driver-side cost is
- * six rows.
+ * operators (their shuffle structure is unchanged by composition); each
+ * stage output is materialized once (scoped eager checkpoint) and RELEASED as
+ * soon as its successor materializes and its two attrition longs are
+ * collected — peak block storage is ~two live stages, not the whole
+ * chain. Only the final corpus stays materialized (GC-tracked
+ * checkpoint) because it outlives the call. The report is six collected
+ * (docs, tokens) pairs — driver-side cost is six rows.
  */
 object Curation {
 
@@ -115,6 +117,27 @@ object Curation {
       r
     }
 
+    // Attrition stats for the three RELEASED stages are collected
+    // EAGERLY, two longs each, so a predecessor's blocks can be freed
+    // the moment its last consumer materializes. The original shape held
+    // every stage's eager checkpoint simultaneously until the report
+    // action ran — four live corpus-sized block sets at peak, freed only
+    // when the JVM got around to collecting them. At 100 TB four corpus
+    // copies in block storage is the difference between fitting and
+    // spilling; at bench scale it was measurable GC pressure landing on
+    // whatever ran near the sweep's end. Stages that stay alive past
+    // this call (ingest re-scan, deconKeep's kept checkpoint, the lazy
+    // mixture) keep their LAZY report rows — those three aggregates run
+    // concurrently in the report consumer's single job instead of as
+    // serialized driver actions.
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(tokens(col(textCol))).cast("long")), lit(0L))
+          .as("n_tokens")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
     def stageRow(df: DataFrame, name: String, ord: Int): DataFrame =
       df.agg(
         count(lit(1)).as("n_docs"),
@@ -123,41 +146,81 @@ object Curation {
         .select(lit(name).as("stage"), lit(ord).as("stage_order"),
           col("n_docs"), col("n_tokens"))
 
-    val ingest = train.select(col(idCol), col(sourceCol), col(textCol))
+    def litRow(name: String, ord: Int, s: (Long, Long)): DataFrame =
+      train.sparkSession.range(1)
+        .select(lit(name).as("stage"), lit(ord).as("stage_order"),
+          lit(s._1).as("n_docs"), lit(s._2).as("n_tokens"))
 
-    val gated = timed("quality_gate") {
-      // checkpoint BEFORE the filter: filtering the lazy gate output
-      // pushes the when-chain into an interpreted, CSE-less Filter that
-      // re-tokenizes per arm per row (see the withDisposition scaladoc —
-      // this exact reorder took the stage from ~12s to sub-second at
-      // sf0.1). The checkpoint holds ingest-sized rows; the keep-filter
-      // over its materialized attribute is a trivial scan.
-      withDisposition(ingest, textCol)
-        .localCheckpoint(true)
-        .filter(col("disposition") === "keep")
-        .drop("disposition")
+    // Eager checkpoint with a DETERMINISTIC release handle: the
+    // checkpoint's raw row blocks are far cheaper to write and read than
+    // a columnar `persist` cache (measured +45% on the whole chain when
+    // these three stages used persist), but localCheckpoint offers no
+    // public unpersist — its blocks free only when the RDD object is
+    // GC'd. Capture the RDD it registers (getPersistentRDDs diff; no
+    // other registration can interleave between the two reads here) and
+    // hand back an explicit release. After release the frame is gone for
+    // good (truncated lineage, no recompute) — callers release only
+    // after the last consumer materialized.
+    def scopedCheckpoint(df: DataFrame): (DataFrame, () => Unit) = {
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val cp = df.localCheckpoint(true)
+      val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+      (cp, () => mine.values.foreach(_.unpersist(false)))
     }
 
-    val cleaned = timed("line_dedup") {
-      LineDedup
+    val ingest = train.select(col(idCol), col(sourceCol), col(textCol))
+
+    // checkpoint BEFORE the filter: filtering the lazy gate output
+    // pushes the when-chain into an interpreted, CSE-less Filter that
+    // re-tokenizes per arm per row (see the withDisposition scaladoc —
+    // this exact reorder took the stage from ~12s to sub-second at
+    // sf0.1). The checkpoint holds ingest-sized rows; the keep-filter
+    // over its materialized attribute is a trivial scan.
+    // Each released stage's stats job runs CONCURRENTLY with its
+    // successor stage (separate driver thread → separate Spark job; the
+    // small tokenize-agg interleaves with the heavy stage instead of
+    // serializing ahead of it), awaited only at the release point.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+
+    val (gated, releaseGate) = timed("quality_gate") {
+      val (full, rel) = scopedCheckpoint(withDisposition(ingest, textCol))
+      (full.filter(col("disposition") === "keep").drop("disposition"), rel)
+    }
+    val gatedStatsF = Future(stats(gated))
+
+    val (cleaned, releaseCleaned) = timed("line_dedup") {
+      scopedCheckpoint(LineDedup
         .removeRepeatedChunks(gated, textCol, idCol, cfg.chunkTokens, cfg.chunkMaxDf)
         .filter(col("clean") =!= "")
         .select(col(idCol), col("clean").as(textCol))
-        .join(gated.select(col(idCol), col(sourceCol)), Seq(idCol))
-        .localCheckpoint(true)
+        .join(gated.select(col(idCol), col(sourceCol)), Seq(idCol)))
     }
+    // cleaned is materialized and gated's stats are in: nothing reads
+    // the gate frame again — release it before the heavy near-dup stage
+    val gatedStats = Await.result(gatedStatsF, Duration.Inf)
+    releaseGate()
+    val cleanedStatsF = Future(stats(cleaned))
 
-    val survivors = timed("near_dup") {
+    val (survivors, releaseSurvivors) = timed("near_dup") {
       val pairs = Dedup.minhashNearDupPairs(cleaned, textCol, idCol,
         cfg.shingleK, cfg.numHashes, cfg.bands, cfg.minJaccard)
         .select("id_a", "id_b")
-      cleaned
+      scopedCheckpoint(cleaned
         .join(Dedup.connectedComponents(pairs, Some(cleaned.select(col(idCol))))
           .filter(col("id") === col("component"))
-          .select(col("id").as(idCol)), Seq(idCol))
-        .localCheckpoint(true)
+          .select(col("id").as(idCol)), Seq(idCol)))
     }
+    val cleanedStats = Await.result(cleanedStatsF, Duration.Inf)
+    releaseCleaned()
+    val survivorStatsF = Future(stats(survivors))
 
+    // deconKeep stays a GC-tracked eager checkpoint, NOT a scoped
+    // persist: it is the returned corpus's materialization (publishRun
+    // consumes it after run returns), so its lifetime must outlive this
+    // call — the same contract as before.
     val deconKeep = timed("decontaminate") {
       survivors
         .join(Decontaminate
@@ -166,6 +229,8 @@ object Curation {
           .select(col(idCol)), Seq(idCol))
         .localCheckpoint(true)
     }
+    val survivorStats = Await.result(survivorStatsF, Duration.Inf)
+    releaseSurvivors()
 
     // the mixture stage is lazy — its cost lands in the report/consumer
     // actions, so it has no honest checkpoint boundary to time here
@@ -178,9 +243,9 @@ object Curation {
       corpus = sampled,
       report = Seq(
         stageRow(ingest, "ingest", 1),
-        stageRow(gated, "quality_gate", 2),
-        stageRow(cleaned, "line_dedup", 3),
-        stageRow(survivors, "near_dup", 4),
+        litRow("quality_gate", 2, gatedStats),
+        litRow("line_dedup", 3, cleanedStats),
+        litRow("near_dup", 4, survivorStats),
         stageRow(deconKeep, "decontaminate", 5),
         stageRow(sampled, "mixture", 6)
       ).reduce(_.unionByName(_)))

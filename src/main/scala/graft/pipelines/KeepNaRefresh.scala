@@ -133,4 +133,60 @@ object KeepNaRefresh {
   def split(df: DataFrame): (DataFrame, DataFrame) =
     (df.filter(col("CASE_ID").isNotNull),
       df.filter(col("CASE_ID").isNull))
+
+  /**
+   * Expiry NOTES annotation (Rmd:699-765): records aging out of the
+   * 60-day window are archived WITH the reasons they could not roster —
+   * `condition_1..3` united " / "-separated, na.rm:
+   *
+   *  - condition_1: SEQUENCE_CLINICAL_ACCESSION missing, or absent from
+   *    EITHER of WDRS-entire's two accession columns → "SCA missing" /
+   *    "SCA not in WDRS";
+   *  - condition_2: SEQUENCE_ACCESSION missing → "SA missing"; else the
+   *    hCoV-19/-prefixed name is checked against GISAID virus names for
+   *    non-CDC labs ("SA not in GISAID") and against the CDC cumulative
+   *    GISAID names for CDC labs ("SA not in CDC cumulative");
+   *  - condition_3: CASE_ID missing → "CASE_ID missing".
+   *
+   * Scale shape: the expired set is small (thousands of stuck records);
+   * each membership is a left join against the snapshot's DISTINCT key
+   * projection, so the reference-scale snapshots are scanned once for a
+   * one-column distinct and the small side broadcasts. Works on batch
+   * frames and as per-micro-batch stream-static joins (stateless, so
+   * append-mode legal) — [[graft.streaming.Streams.keepNaExpiryNotes]]
+   * is the streaming wrapper.
+   */
+  def annotateExpiry(expired: DataFrame, wdrsEnt: DataFrame,
+      gisaidMeta: DataFrame, cdcCumulative: DataFrame,
+      cdcLabs: Seq[String]): DataFrame = {
+    def keys(df: DataFrame, c: String, as: String): DataFrame =
+      df.select(col(c).as(as)).filter(col(as).isNotNull).distinct()
+    val wSca = keys(wdrsEnt, "SEQUENCE_CLINICAL_ACCESSION", "__w_sca")
+    val wSpec = keys(wdrsEnt, "SPECIMEN__ID__ACCESSION__NUM__MANUAL", "__w_spec")
+    val gName = keys(gisaidMeta, "virus_name", "__g_vn")
+    val cName = keys(cdcCumulative, "gisaid_name", "__c_vn")
+    val hcov = concat(lit("hCoV-19/"), col("SEQUENCE_ACCESSION"))
+    val isCdc = col("SEQUENCE_LAB").isin(cdcLabs: _*)
+    expired
+      .join(wSca, col("SEQUENCE_CLINICAL_ACCESSION") === col("__w_sca"), "left")
+      .join(wSpec, col("SEQUENCE_CLINICAL_ACCESSION") === col("__w_spec"), "left")
+      .join(gName, hcov === col("__g_vn"), "left")
+      .join(cName, hcov === col("__c_vn"), "left")
+      .withColumn("__c1",
+        when(col("SEQUENCE_CLINICAL_ACCESSION").isNull, "SCA missing")
+          // reference: !(SCA %in% wdrs$SCA) | !(SCA %in% wdrs$SPECIMEN...)
+          // — present in BOTH columns clears the note
+          .when(col("__w_sca").isNull || col("__w_spec").isNull,
+            "SCA not in WDRS"))
+      .withColumn("__c2",
+        when(col("SEQUENCE_ACCESSION").isNull, "SA missing")
+          .when(!isCdc && col("__g_vn").isNull, "SA not in GISAID")
+          .when(isCdc && col("__c_vn").isNull, "SA not in CDC cumulative"))
+      .withColumn("__c3", when(col("CASE_ID").isNull, "CASE_ID missing"))
+      // unite(..., sep=" / ", na.rm=TRUE): concat_ws skips nulls
+      .withColumn("NOTES",
+        concat_ws(" / ", col("__c1"), col("__c2"), col("__c3")))
+      .drop("__w_sca", "__w_spec", "__g_vn", "__c_vn",
+        "__c1", "__c2", "__c3")
+  }
 }

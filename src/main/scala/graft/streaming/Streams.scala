@@ -342,6 +342,34 @@ object Streams {
   }
 
   /**
+   * The streaming tail of the keep_na lifecycle
+   * (KEEP_NA_ROSTER_SECOND_IN_PROGRESS.Rmd:699-765): the "expired"
+   * outcomes flowing out of [[keepNaRetry]]'s 60-day event-time timeout
+   * are re-hydrated with their roster columns (stream-static join on the
+   * key against the pending-records state table) and annotated with the
+   * reasons they could not roster —
+   * [[graft.pipelines.KeepNaRefresh.annotateExpiry]]'s condition_1..3
+   * united into NOTES. Everything after the state machine is stateless
+   * (left joins against static distinct-key frames), so the composition
+   * stays append-mode legal; the snapshot key projections are resolved
+   * per micro-batch like [[keepNaRefreshStream]]'s, picking up snapshot
+   * swaps without a restart.
+   */
+  def keepNaExpiryNotes(outcomes: Dataset[PendingOutcome],
+      records: DataFrame, keyCol: String, wdrsEnt: DataFrame,
+      gisaidMeta: DataFrame, cdcCumulative: DataFrame,
+      cdcLabs: Seq[String]): DataFrame = {
+    val expired = outcomes.filter(col("outcome") === "expired")
+      .select(col("key"), col("ageDays"))
+    graft.pipelines.KeepNaRefresh.annotateExpiry(
+      expired.join(records, expired("key") === records(keyCol), "left")
+        // the static side's key column would shadow the stream's `key`
+        // in every downstream reference — drop it at the seam
+        .drop(records(keyCol)),
+      wdrsEnt, gisaidMeta, cdcCumulative, cdcLabs)
+  }
+
+  /**
    * Batch-mode semantic twin of [[keepNaRetry]] used for oracle checks
    * (SURVEY §1.6: batch jobs over state tables are the recommended
    * cadence-parity port): given the pending state table and today's match

@@ -170,6 +170,55 @@ class StreamsSpec extends SparkSpec {
     assert(out === Set(("k1", "late-pending", "matched", 0)))
   }
 
+  test("keepNaExpiryNotes: expired records carry the Rmd condition notes; " +
+      "matched records never reach the archive") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PendingRecord]
+    // static state table: roster columns per key. k-exp1 misses WDRS (one
+    // column only) + GISAID (non-CDC lab) + CASE_ID; k-exp2 is a CDC-lab
+    // record missing its accession entirely; k-match resolves and must
+    // not be archived at all.
+    val records = Seq(
+      ("k-exp1", "SCA1", "ACC1", "Lab-X", null.asInstanceOf[String]),
+      ("k-exp2", "SCA2", null.asInstanceOf[String], "CDC-Lab", "77"),
+      ("k-match", "SCA3", "ACC3", "Lab-X", null.asInstanceOf[String]))
+      .toDF("key", "SEQUENCE_CLINICAL_ACCESSION", "SEQUENCE_ACCESSION",
+        "SEQUENCE_LAB", "CASE_ID")
+    // SCA1 present in the first WDRS column but NOT the specimen column
+    // (the reference's OR: either absence notes "SCA not in WDRS");
+    // SCA2 present in both.
+    val wdrs = Seq(("SCA1", "other"), ("SCA2", "SCA2"))
+      .toDF("SEQUENCE_CLINICAL_ACCESSION", "SPECIMEN__ID__ACCESSION__NUM__MANUAL")
+    val gisaid = Seq("hCoV-19/OTHER").toDF("virus_name")
+    val cdc = Seq("hCoV-19/NOPE").toDF("gisaid_name")
+
+    val out = Streams.keepNaExpiryNotes(
+      Streams.keepNaRetry(mem.toDS(), retentionDays = 60),
+      records, "key", wdrs, gisaid, cdc, cdcLabs = Seq("CDC-Lab"))
+      .select(col("key"), col("NOTES"))
+    val q = out.writeStream.format("memory").queryName("keepna_notes")
+      .outputMode("append").start()
+    mem.addData(
+      PendingRecord("k-exp1", "rec-1", ts("2024-01-01 00:00:00")),
+      PendingRecord("k-exp2", "rec-2", ts("2024-01-01 00:00:00")),
+      PendingRecord("k-match", "rec-3", ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    mem.addData(PendingRecord("k-match", "MATCH:wdrs", ts("2024-01-10 00:00:00")))
+    q.processAllAvailable()
+    // far-future noise advances the watermark past the 60-day timeout;
+    // the timeout fires on the following batch
+    mem.addData(PendingRecord("k9", "MATCH:noise", ts("2024-06-01 00:00:00")))
+    q.processAllAvailable()
+    mem.addData(PendingRecord("k9", "MATCH:noise2", ts("2024-06-02 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("keepna_notes")
+      .as[(String, String)].collect().toMap
+    assert(got("k-exp1") === "SCA not in WDRS / SA not in GISAID / CASE_ID missing")
+    assert(got("k-exp2") === "SA missing")
+    assert(!got.contains("k-match"))
+  }
+
   test("streaming dedup within watermark drops replays, admits later keys") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
