@@ -1216,6 +1216,59 @@ object QueriesText {
           .select(col("doc_id"), col("source"), col("n_tokens"))
       }),
 
+    // --------------------------- text: score-proportional soft sampling
+    // sampleByWeight (the FineWeb-Edu shape): keep a doc with probability
+    // equal to its quality weight — here a deterministic synthetic score
+    // (doc_id % 5) / 4, so both engines replay the same keeps, including
+    // the w=0 (never kept) and w=1 (always kept) extremes. One codegen'd
+    // filter, zero shuffles at any scale.
+    QueryDef("text_weight_sample", Some("""
+      SELECT doc_id, source,
+             (doc_id % 5) / 4.0 AS quality_w
+      FROM documents
+      WHERE ((doc_id % 2147483647 * 2654435761) % 2147483647) / 2147483647.0
+            < least(1.0, (doc_id % 5) / 4.0)"""),
+      (s, dir) => Mixture.sampleByWeight(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            ((col("doc_id") % 5) / 4.0).as("quality_w")),
+        "doc_id", "quality_w")),
+
+    // ----------------------- text: temperature-scaled mixture sampling
+    // sampleByTemperature (mT5/UniMax alpha sampling): per-source weight
+    // ∝ tokens^α with α=0.5 (flattening the natural distribution), keep
+    // fraction min(1, budget·w/tokens) rounded to 9 decimals — the same
+    // rounding the Scala side applies so a last-ulp-different pow in
+    // either engine lands on the same fraction. One agg shuffle keyed by
+    // source; the fraction table broadcasts; the sample is a map-side
+    // filter.
+    QueryDef("text_temperature_sample", Some(s"""
+      WITH d AS (
+        SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n
+        FROM documents),
+      tot AS (SELECT source, SUM(n) AS tot FROM d GROUP BY source),
+      pw AS (SELECT source, tot,
+                    CASE WHEN tot = 0 THEN 0.0
+                         ELSE pow(CAST(tot AS DOUBLE), 0.5) END AS pw
+             FROM tot),
+      f AS (SELECT source,
+                   CASE WHEN tot = 0 THEN 0.0
+                        ELSE round(least(1.0,
+                          20000.0 * (pw / (SELECT SUM(pw) FROM pw)) / tot), 9)
+                   END AS kf
+            FROM pw)
+      SELECT d.doc_id, d.source, d.n AS n_tokens
+      FROM d JOIN f USING (source)
+      WHERE ((d.doc_id % 2147483647 * 2654435761) % 2147483647) / 2147483647.0 < f.kf"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"))
+        Mixture.sampleByTemperature(docs, "doc_id", "source",
+          col("n_tokens"), alpha = 0.5, budgetTokens = 20000L)
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+      }),
+
     // ------------------------------- text: leakage-safe train/val/test split
     // Deterministic hash split (90/5/5): assignment depends ONLY on the
     // id, so docs keep their split across runs, repartitions and
