@@ -41,6 +41,42 @@ class PlanShapeSpec extends SparkSpec {
       s"quality gate must not shuffle:\n${df.queryExecution.executedPlan}")
   }
 
+  test("sampleByWeight shape: zero exchanges (one codegen'd filter)") {
+    import graft.operators.Mixture
+    val df = Mixture.sampleByWeight(
+      docs(200).withColumn("w",
+        (org.apache.spark.sql.functions.col("doc_id") % 5) / 4.0),
+      "doc_id", "w")
+    df.collect()
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case e: Exchange => 1 + e.children.map(exchanges).sum
+      case other => other.children.map(exchanges).sum
+    }
+    assert(exchanges(df.queryExecution.executedPlan) === 0,
+      s"sampleByWeight must not shuffle:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("sampleByTemperature shape: fraction table broadcasts back — the " +
+      "corpus is never shuffled for the sample join") {
+    import graft.operators.Mixture
+    val src = docs(300).withColumn("source",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("s"),
+        (org.apache.spark.sql.functions.col("doc_id") % 4).cast("string")))
+    val df = Mixture.sampleByTemperature(src, "doc_id", "source",
+      org.apache.spark.sql.functions.lit(10L), alpha = 0.5,
+      budgetTokens = 1000L)
+    val plan = finalPlan(df)
+    // the per-source totals agg shuffles (source-count-sized); the sample
+    // join itself must be a broadcast of the fraction table, never a
+    // corpus-side sort-merge
+    assert(plan.contains("BroadcastHashJoin"),
+      s"fraction table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle into a sort-merge join:\n$plan")
+  }
+
   test("text_decontaminate shape: benchmark gram set is broadcast") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ps2").toString
     docs(300).withColumn("lang", org.apache.spark.sql.functions.lit("en"))
