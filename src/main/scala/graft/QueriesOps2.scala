@@ -107,14 +107,14 @@ object QueriesOps2 {
         val expired = Streams.keepNaBatch(pending, matches, "o_orderkey",
             to_date(lit("1998-06-01")), 60)
           .filter(col("outcome") === "expired")
-        val wdrs = orders.filter(k % 3 === 0)
-          .select(concat(lit("SCA"), k.cast("string"))
-            .as("SEQUENCE_CLINICAL_ACCESSION"))
-          .join(orders.filter(k % 3 <= 1)
-            .select(concat(lit("SCA"), k.cast("string"))
-              .as("SPECIMEN__ID__ACCESSION__NUM__MANUAL")),
-            col("SEQUENCE_CLINICAL_ACCESSION") ===
-              col("SPECIMEN__ID__ACCESSION__NUM__MANUAL"), "full_outer")
+        // annotateExpiry reads the two accession columns as independent
+        // distinct key sets, so one projection with per-column nulls
+        // yields the same membership as materialized aligned rows would
+        val wdrs = orders.select(
+          when(k % 3 === 0, concat(lit("SCA"), k.cast("string")))
+            .as("SEQUENCE_CLINICAL_ACCESSION"),
+          when(k % 3 <= 1, concat(lit("SCA"), k.cast("string")))
+            .as("SPECIMEN__ID__ACCESSION__NUM__MANUAL"))
         val gisaid = orders.filter(k % 5 =!= 1)
           .select(concat(lit("hCoV-19/USA/WA-"), k.cast("string")).as("virus_name"))
         val cdc = orders.filter(k % 5 =!= 2)

@@ -130,19 +130,22 @@ object Curation {
     // mixture) keep their LAZY report rows — those three aggregates run
     // concurrently in the report consumer's single job instead of as
     // serialized driver actions.
-    def stats(df: DataFrame): (Long, Long) = {
-      val r = df.agg(
-        count(lit(1)).as("n_docs"),
-        coalesce(sum(size(tokens(col(textCol))).cast("long")), lit(0L))
-          .as("n_tokens")).head()
-      (r.getLong(0), r.getLong(1))
-    }
-
-    def stageRow(df: DataFrame, name: String, ord: Int): DataFrame =
+    // ONE attrition aggregate shared by the eager and the lazy stage
+    // rows — token accounting changed in one place can never diverge
+    // between the two report paths
+    def stageAgg(df: DataFrame): DataFrame =
       df.agg(
         count(lit(1)).as("n_docs"),
         coalesce(sum(size(tokens(col(textCol))).cast("long")), lit(0L))
           .as("n_tokens"))
+
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = stageAgg(df).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def stageRow(df: DataFrame, name: String, ord: Int): DataFrame =
+      stageAgg(df)
         .select(lit(name).as("stage"), lit(ord).as("stage_order"),
           col("n_docs"), col("n_tokens"))
 

@@ -15,6 +15,15 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Count Exchange nodes in the AQE-final plan (one shared definition —
+    * the zero-exchange assertions must all count the same way). */
+  private def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int =
+    p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case e: Exchange => 1 + e.children.map(exchanges).sum
+      case other => other.children.map(exchanges).sum
+    }
+
   private def docs(n: Int): DataFrame =
     (1 to n).map(i => (i.toLong, s"the quick doc number $i of many more words here"))
       .toDF("doc_id", "text")
@@ -29,14 +38,6 @@ class PlanShapeSpec extends SparkSpec {
       .write.parquet(s"$dir/documents.parquet")
     val df = gate(spark, dir)
     df.collect()
-    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-      val self = p match {
-        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
-        case e: Exchange => 1 + e.children.map(exchanges).sum
-        case other => other.children.map(exchanges).sum
-      }
-      self
-    }
     assert(exchanges(df.queryExecution.executedPlan) === 0,
       s"quality gate must not shuffle:\n${df.queryExecution.executedPlan}")
   }
@@ -48,11 +49,6 @@ class PlanShapeSpec extends SparkSpec {
         (org.apache.spark.sql.functions.col("doc_id") % 5) / 4.0),
       "doc_id", "w")
     df.collect()
-    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
-      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
-      case e: Exchange => 1 + e.children.map(exchanges).sum
-      case other => other.children.map(exchanges).sum
-    }
     assert(exchanges(df.queryExecution.executedPlan) === 0,
       s"sampleByWeight must not shuffle:\n${df.queryExecution.executedPlan}")
   }
@@ -123,11 +119,6 @@ class PlanShapeSpec extends SparkSpec {
     // normalization: pure projection, zero exchanges
     val norm = urls.select(col("doc_id"),
       graft.operators.UrlCuration.normalizeUrl(col("url")).as("u"))
-    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
-      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
-      case e: Exchange => 1 + e.children.map(exchanges).sum
-      case other => other.children.map(exchanges).sum
-    }
     norm.collect()
     assert(exchanges(norm.queryExecution.executedPlan) === 0,
       s"normalizeUrl must not shuffle:\n${norm.queryExecution.executedPlan}")

@@ -34,11 +34,18 @@ def main():
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     errs_path = f"{out}/_errors.json"
+    errored = set()
     if os.path.exists(errs_path):
         for name, msg in sorted(json.load(open(errs_path)).items()):
             print(f"ERR  {name}: {msg}")
             n_fail += 1
+            errored.add(name)
     for name in sorted(oracle):
+        if name in errored:
+            # already counted via _errors.json; comparing would either
+            # double-count the failure or PASS against a stale dump from
+            # a prior run into the same outDir
+            continue
         sql = oracle[name]
         try:
             exp = con.execute(sql).df()
