@@ -431,8 +431,16 @@ object Dedup {
    *              ids appearing in edges.
    * @return (id, component) with component = min id of the cluster
    */
+  /** Symmetric-edge threshold below which [[connectedComponents]] solves
+    * on the driver (union-find) instead of iterating distributed rounds.
+    * 500k edge rows ≈ tens of MB collected — driver-scale by contract;
+    * the duplicate-pair graph only exceeds this when duplicate MASS is
+    * huge, exactly when the distributed loop is the right tool. */
+  val SmallGraphMaxEdges: Long = 500000L
+
   def connectedComponents(edges: DataFrame, nodes: Option[DataFrame] = None,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
     val e0 = edges.select(col(edges.columns(0)).as("src"),
       col(edges.columns(1)).as("dst"))
     // when a node universe is given, propagation is CONFINED to it: an
@@ -460,6 +468,75 @@ object Dedup {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
+
+    // SMALL-GRAPH FAST PATH (CBO-style escape, like the ngram blocking
+    // choice): the edge-participating subgraph is the TRUE-DUPLICATE
+    // mass, a sliver of the corpus by construction — in practice it is
+    // often a few thousand pairs while the distributed loop below pays
+    // ~3 fixed-overhead jobs (two shuffle joins + a checkpoint) PER
+    // ROUND regardless of size, O(log diameter) rounds. Under the
+    // threshold (checkpointed count — one cheap scan), solve with
+    // driver union-find instead: exact same min-label answer, one
+    // collect bounded by the threshold, zero iterative jobs. Long/Int/
+    // String ids only (the min-label semantics must match Spark's
+    // `least` ordering, which for those types equals the JVM ordering);
+    // anything else — and every graph past the threshold, e.g. the
+    // 9.5M-edge ScaleSmoke clique graphs — takes the distributed loop.
+    val symCount = sym.count()
+    val idType = sym.schema("src").dataType
+    val smallOk = symCount <= smallGraphMaxEdges && (idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    })
+    if (smallOk) {
+      val parent = new scala.collection.mutable.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        // path compression
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val next = parent.getOrElse(c, c); parent(c) = r; c = next
+        }
+        r
+      }
+      sym.collect().foreach { row =>
+        val (a, b) = (row.get(0), row.get(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val lt: (Any, Any) => Boolean = idType match {
+        case org.apache.spark.sql.types.StringType =>
+          (a, b) => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0
+        case org.apache.spark.sql.types.IntegerType =>
+          (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+        case _ => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      }
+      val ids = (parent.keySet ++ parent.values).toSeq
+      val minOfRoot = new scala.collection.mutable.HashMap[Any, Any]()
+      ids.foreach { id =>
+        val r = find(id)
+        if (!minOfRoot.contains(r) || lt(id, minOfRoot(r))) minOfRoot(r) = id
+      }
+      val spark = edges.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("component", idType)))
+      val rows = ids.map(id =>
+        org.apache.spark.sql.Row(id, minOfRoot(find(id))))
+      val connected = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      return nOpt match {
+        case None => connected
+        case Some(n) =>
+          n.join(connected, Seq("id"), "left")
+            .select(col("id"),
+              coalesce(col("component"), col("id")).as("component"))
+      }
+    }
+
     // The iteration runs over EDGE-PARTICIPATING nodes only: in a dedup
     // graph the duplicate mass is a sliver of the corpus, and a node with
     // no edge can never change its label — iterating the full node

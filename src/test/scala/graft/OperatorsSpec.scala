@@ -160,6 +160,23 @@ class OperatorsSpec extends SparkSpec {
       edges.toDF("id_a", "id_b"), Some(nodes.toDF("id")))
       .as[(Long, Long)].collect().toMap
     assert(got === canon)
+    // the driver fast path (taken above: tiny graph) and the distributed
+    // pointer-jumping loop (forced via a zero threshold) must agree
+    // bit-for-bit — the threshold is a cost choice, never an answer
+    // choice
+    val distributed = Dedup.connectedComponents(
+      edges.toDF("id_a", "id_b"), Some(nodes.toDF("id")),
+      smallGraphMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed === canon)
+  }
+
+  test("connectedComponents fast path handles string ids with least-ordering") {
+    val edges = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges)
+      .as[(String, String)].collect().toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
   }
 
   test("dedupSurvivors keeps min id per cluster with member counts") {
