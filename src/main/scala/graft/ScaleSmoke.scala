@@ -177,7 +177,10 @@ object ScaleSmoke {
     val dt6 = (System.nanoTime() - t6) / 1e9
     val monotone = report.map(_.getLong(2)).sliding(2)
       .forall(w => w.length < 2 || w(1) <= w(0))
-    val drained = report.last.getLong(2) == 0
+    // the drain-to-zero invariant needs actual duplication (every chunk
+    // repeating across a clique); at copies=1 only monotone attrition is
+    // asserted — same copies=1 carve-out as the dist-drift check below
+    val drained = copies == 1 || report.last.getLong(2) == 0
     val cOk2 = if (report.length == 6 && monotone && drained) "ok" else "BAD"
     println(f"[scale-smoke] curation-chain   stages=${report.map(r => s"${r.getString(0)}:${r.getLong(2)}").mkString(",")} ($cOk2) ${dt6}%.1fs")
 
