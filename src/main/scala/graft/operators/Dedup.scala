@@ -441,8 +441,14 @@ object Dedup {
   def connectedComponents(edges: DataFrame, nodes: Option[DataFrame] = None,
       maxIter: Int = 50,
       smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
+    // null endpoints are dropped up front, for BOTH paths: a null id
+    // can't have matched anything in the equi-joins that build pair
+    // graphs upstream, and keeping it here would give the two execution
+    // paths different null semantics (null join keys silently miss in
+    // the distributed loop; a driver comparator would NPE or unbox to 0)
     val e0 = edges.select(col(edges.columns(0)).as("src"),
       col(edges.columns(1)).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     // when a node universe is given, propagation is CONFINED to it: an
     // edge endpoint outside the universe must neither become a component
     // label nor bridge two in-universe nodes (callers pass supersets in
@@ -492,6 +498,11 @@ object Dedup {
     })
     if (smallOk) {
       val parent = new scala.collection.mutable.HashMap[Any, Any]()
+      // every endpoint, tracked independently of the unions: a node whose
+      // only edges are self-loops never creates a parent entry but must
+      // still emit its (id, id) row, exactly as the distributed loop's
+      // labels (built from ALL sym endpoints) do
+      val seen = new scala.collection.mutable.HashSet[Any]()
       def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
@@ -504,17 +515,33 @@ object Dedup {
       }
       sym.collect().foreach { row =>
         val (a, b) = (row.get(0), row.get(1))
+        seen += a; seen += b
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(ra) = rb
       }
+      // min-label ordering must MATCH Spark's least/min on the id type:
+      // for strings that is UTF8String's unsigned UTF-8 BYTE order, which
+      // diverges from Java String.compareTo (UTF-16 code units) beyond
+      // the BMP — a supplementary-plane id would otherwise elect a
+      // different canonical min on the two paths
       val lt: (Any, Any) => Boolean = idType match {
         case org.apache.spark.sql.types.StringType =>
-          (a, b) => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0
+          (a, b) => {
+            val (x, y) = (
+              a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var i = 0
+            var res = 0
+            while (res == 0 && i < x.length && i < y.length) {
+              res = (x(i) & 0xff) - (y(i) & 0xff); i += 1
+            }
+            (if (res == 0) x.length - y.length else res) < 0
+          }
         case org.apache.spark.sql.types.IntegerType =>
           (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
         case _ => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
       }
-      val ids = (parent.keySet ++ parent.values).toSeq
+      val ids = seen.toSeq
       val minOfRoot = new scala.collection.mutable.HashMap[Any, Any]()
       ids.foreach { id =>
         val r = find(id)

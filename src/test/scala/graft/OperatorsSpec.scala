@@ -179,6 +179,30 @@ class OperatorsSpec extends SparkSpec {
       "x" -> "x", "y" -> "x"))
   }
 
+  test("connectedComponents: fast and distributed paths agree on non-BMP " +
+      "string ids, self-loops, and null endpoints") {
+    // U+FFFD (EF BF BD) vs U+1F600 (F0 9F 98 80): UTF-8 byte order puts
+    // U+FFFD first, while Java String.compareTo (UTF-16 code units) puts
+    // the surrogate-pair emoji first — the min label must follow Spark's
+    // byte order on BOTH paths
+    val emoji = new String(Character.toChars(0x1F600))
+    val edges = Seq(
+      ("�", emoji),      // non-BMP ordering case
+      ("z", "z"),             // self-loop-only node must still emit a row
+      (null, "q"),            // null endpoints drop; q has no other edge
+      ("m", "n")).toDF("id_a", "id_b")
+    def run(threshold: Long): Map[String, String] =
+      Dedup.connectedComponents(edges, smallGraphMaxEdges = threshold)
+        .as[(String, String)].collect().toMap
+    val fast = run(500000L)
+    val dist = run(0L)
+    assert(fast === dist, s"paths disagree: fast=$fast dist=$dist")
+    assert(fast(emoji) === "�", "min label must follow UTF-8 byte order")
+    assert(fast("z") === "z", "self-loop-only node must emit a singleton row")
+    assert(!fast.contains("q"),
+      "a node whose only edge had a null peer is not edge-participating")
+  }
+
   test("dedupSurvivors keeps min id per cluster with member counts") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val out = Dedup.dedupSurvivors(edges)
