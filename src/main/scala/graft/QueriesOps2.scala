@@ -183,6 +183,29 @@ object QueriesOps2 {
           t(s, dir, "orders").select("o_orderkey"), Seq("o_orderkey"), 500)
         .withColumnRenamed("_chunk", "chunk")),
 
+    // ---------------------------------------------------------------- S11
+    // Versioned object store END-TO-END under the oracle: publish two
+    // versions of a derived table into a scratch store, then read BOTH
+    // the pinned historical version and the atomic _CURRENT pointer
+    // back from disk. The row hashes what the store actually returns, so
+    // the publish → pointer-flip → historical-read contract (and the
+    // parquet round trip) is all under the compare — the SnapshotStoreSpec
+    // covers crash/vacuum arms this oracle can't express.
+    QueryDef("s11_snapshot_roundtrip", Some("""
+      SELECT 'v1' AS ver, o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'current' AS ver, o_orderkey FROM orders WHERE o_orderkey % 3 = 0"""),
+      (s, dir) => {
+        val store = new graft.sources.SnapshotStore(s, Tables.freshScratch("s11"))
+        val orders = t(s, dir, "orders").select(col("o_orderkey"))
+        val v1 = store.publish("tbl", orders.filter(col("o_orderkey") % 2 === 0))
+        store.publish("tbl", orders.filter(col("o_orderkey") % 3 === 0))
+        store.readVersion("tbl", v1)
+          .select(lit("v1").as("ver"), col("o_orderkey"))
+          .unionByName(store.read("tbl")
+            .select(lit("current").as("ver"), col("o_orderkey")))
+      }),
+
     // ---------------------------------------------------------------- O3
     QueryDef("o3_latest_snapshot", Some("""
       SELECT event_type, event_id AS latest_event FROM (
