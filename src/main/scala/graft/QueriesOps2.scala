@@ -183,6 +183,43 @@ object QueriesOps2 {
           t(s, dir, "orders").select("o_orderkey"), Seq("o_orderkey"), 500)
         .withColumnRenamed("_chunk", "chunk")),
 
+    // ---------------------------------------------------------------- S1
+    // Multi-file all-string CSV ingest END-TO-END under the oracle: two
+    // derived CSV directories round-trip through StringCsv.read — the
+    // declared all-string schema, the per-file _provenance column
+    // (normalized to the directory tag) and the NA-token → null
+    // normalization ('NA' notes planted on %11) are all under the
+    // compare. FileValidation/TemplateSubmittersSpec keep the
+    // ragged-header arms this oracle can't express.
+    QueryDef("s1_multifile_csv", Some("""
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN 'a' ELSE 'b' END AS src,
+             CAST(c_custkey AS VARCHAR) AS rowid,
+             'K' || CAST(c_custkey AS VARCHAR) AS name,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL
+                  ELSE 'n' || CAST(c_custkey AS VARCHAR) END AS note
+      FROM customer"""),
+      (s, dir) => {
+        val root = Tables.freshScratch("s1")
+        val k = col("c_custkey")
+        val rows = t(s, dir, "customer").select(
+          k.cast("string").as("rowid"),
+          concat(lit("K"), k.cast("string")).as("name"),
+          when(k % 11 === 0, lit("NA"))
+            .otherwise(concat(lit("n"), k.cast("string"))).as("note"),
+          (k % 2).as("__part"))
+        rows.filter(col("__part") === 0).drop("__part")
+          .coalesce(1).write.option("header", "true").csv(s"$root/a")
+        rows.filter(col("__part") === 1).drop("__part")
+          .coalesce(1).write.option("header", "true").csv(s"$root/b")
+        val schema = graft.sources.StringCsv.allStringSchema(
+          Seq("rowid", "name", "note"))
+        graft.sources.StringCsv
+          .read(s, schema, Seq(s"$root/a", s"$root/b"))
+          .select(
+            regexp_extract(col("_provenance"), "/(a|b)/[^/]*$", 1).as("src"),
+            col("rowid"), col("name"), col("note"))
+      }),
+
     // ---------------------------------------------------------------- S11
     // Versioned object store END-TO-END under the oracle: publish two
     // versions of a derived table into a scratch store, then read BOTH
