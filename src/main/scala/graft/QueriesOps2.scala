@@ -220,6 +220,37 @@ object QueriesOps2 {
             col("rowid"), col("name"), col("note"))
       }),
 
+    // ---------------------------------------------------------------- S3
+    // Gzipped TSV ingest end-to-end: supplier-derived rows written as
+    // gzip-compressed tab-separated files and read back through the same
+    // all-string reader (sep="\t"; the .gz codec is transparent to the
+    // source) — the tab framing, compression round trip and NA-token
+    // normalization are all under the compare.
+    QueryDef("s3_tsv_gz", Some("""
+      SELECT CAST(s_suppkey AS VARCHAR) AS rowid,
+             'S' || CAST(s_suppkey AS VARCHAR) AS name,
+             CASE WHEN s_suppkey % 7 = 0 THEN NULL
+                  ELSE 'm' || CAST(s_suppkey AS VARCHAR) END AS memo
+      FROM supplier"""),
+      (s, dir) => {
+        val root = Tables.freshScratch("s3")
+        val k = col("s_suppkey")
+        t(s, dir, "supplier").select(
+            k.cast("string").as("rowid"),
+            concat(lit("S"), k.cast("string")).as("name"),
+            when(k % 7 === 0, lit("NA"))
+              .otherwise(concat(lit("m"), k.cast("string"))).as("memo"))
+          .coalesce(1).write
+          .option("header", "true").option("sep", "\t")
+          .option("compression", "gzip")
+          .csv(s"$root/tsv")
+        graft.sources.StringCsv.read(s,
+            graft.sources.StringCsv.allStringSchema(
+              Seq("rowid", "name", "memo")),
+            Seq(s"$root/tsv"), sep = "\t")
+          .select(col("rowid"), col("name"), col("memo"))
+      }),
+
     // ---------------------------------------------------------------- S11
     // Versioned object store END-TO-END under the oracle: publish two
     // versions of a derived table into a scratch store, then read BOTH
