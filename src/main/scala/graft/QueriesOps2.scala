@@ -251,6 +251,54 @@ object QueriesOps2 {
           .select(col("rowid"), col("name"), col("memo"))
       }),
 
+    // ---------------------------------------------------------------- S12
+    // File-move commit protocol END-TO-END: submission files (one per %50
+    // customer key) staged in scratch, committed via the copy → manifest
+    // → delete protocol, and the row hashes what the FILESYSTEM then
+    // says — completed copy present, manifest entry present, original
+    // gone, pending discovery empty. Driver-side by design (dozens of
+    // control-plane files per run, the reference's cadence); the crash /
+    // deferred-delete arms live in FileCommitSpec.
+    QueryDef("s12_commit_manifest", Some("""
+      SELECT 'sub_' || CAST(c_custkey AS VARCHAR) || '.csv' AS fname,
+             1 AS in_completed, 1 AS in_manifest, 0 AS still_present
+      FROM customer WHERE c_custkey % 50 = 0"""),
+      (s, dir) => {
+        import java.nio.file.{Files, Paths}
+        val root = Tables.freshScratch("s12")
+        val subDir = Paths.get(root, "submissions")
+        Files.createDirectories(subDir)
+        val names = t(s, dir, "customer")
+          .filter(col("c_custkey") % 50 === 0)
+          .select(concat(lit("sub_"), col("c_custkey").cast("string"),
+            lit(".csv")).as("f"))
+          .collect().map(_.getString(0)).toSeq
+        val staged = names.map { n =>
+          val p = subDir.resolve(n)
+          Files.writeString(p, "rowid\n1\n")
+          p.toString
+        }
+        val manifest = s"$root/manifest.txt"
+        graft.sources.FileCommit.commitProcessed(
+          staged, s"$root/completed", routes = Seq.empty,
+          default = "Completed_Submissions", manifestPath = manifest)
+        val committed = graft.sources.FileCommit.readManifest(manifest)
+          .map(f => Paths.get(f).getFileName.toString)
+        val pending = graft.sources.FileCommit
+          .pendingFiles(Seq(subDir.toString), manifest)
+        require(pending.isEmpty,
+          s"files still pending after commit: $pending")
+        val rows = names.map { n =>
+          val inCompleted = Files.exists(
+            Paths.get(root, "completed", "Completed_Submissions", n))
+          val stillPresent = Files.exists(subDir.resolve(n))
+          (n, if (inCompleted) 1 else 0, if (committed(n)) 1 else 0,
+            if (stillPresent) 1 else 0)
+        }
+        import s.implicits._
+        rows.toDF("fname", "in_completed", "in_manifest", "still_present")
+      }),
+
     // ---------------------------------------------------------------- S11
     // Versioned object store END-TO-END under the oracle: publish two
     // versions of a derived table into a scratch store, then read BOTH
