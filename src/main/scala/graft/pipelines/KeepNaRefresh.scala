@@ -166,7 +166,10 @@ object KeepNaRefresh {
     val gName = keys(gisaidMeta, "virus_name", "__g_vn")
     val cName = keys(cdcCumulative, "gisaid_name", "__c_vn")
     val hcov = concat(lit("hCoV-19/"), col("SEQUENCE_ACCESSION"))
-    val isCdc = col("SEQUENCE_LAB").isin(cdcLabs: _*)
+    // R's `NA %in% cdc_labs` is FALSE, so a NULL lab takes the non-CDC
+    // arm; Spark's isin on null is NULL and would skip BOTH when-arms,
+    // silently dropping condition_2 — coalesce to false to match R.
+    val isCdc = coalesce(col("SEQUENCE_LAB").isin(cdcLabs: _*), lit(false))
     expired
       .join(wSca, col("SEQUENCE_CLINICAL_ACCESSION") === col("__w_sca"), "left")
       .join(wSpec, col("SEQUENCE_CLINICAL_ACCESSION") === col("__w_spec"), "left")

@@ -90,6 +90,28 @@ class KeepNaRefreshSpec extends SparkSpec {
       ("ID3", None, None, Some("03/09/2021"))))
   }
 
+  test("annotateExpiry: NULL lab takes the non-CDC arm (R's NA %in% is FALSE)") {
+    // A record with a null SEQUENCE_LAB and an accession absent from
+    // GISAID must still note "SA not in GISAID": R evaluates
+    // `NA %in% cdc_labs` to FALSE, so the non-CDC branch applies. A raw
+    // Spark isin would yield NULL and skip both arms, silently dropping
+    // condition_2.
+    val expired = Seq(
+      ("SCA1", "ACC-MISSING", null.asInstanceOf[String], "C1"),
+      // null lab + accession PRESENT in GISAID -> no condition_2 note
+      ("SCA1", "ACC-KNOWN", null.asInstanceOf[String], "C1"))
+      .toDF("SEQUENCE_CLINICAL_ACCESSION", "SEQUENCE_ACCESSION",
+        "SEQUENCE_LAB", "CASE_ID")
+    val wdrs = Seq(("SCA1", "SCA1"))
+      .toDF("SEQUENCE_CLINICAL_ACCESSION", "SPECIMEN__ID__ACCESSION__NUM__MANUAL")
+    val gisaid = Seq("hCoV-19/ACC-KNOWN").toDF("virus_name")
+    val cdc = Seq("hCoV-19/NOPE").toDF("gisaid_name")
+    val out = KeepNaRefresh.annotateExpiry(expired, wdrs, gisaid, cdc, cdcLabs)
+      .select("SEQUENCE_ACCESSION", "NOTES").as[(String, String)].collect().toMap
+    assert(out("ACC-MISSING") === "SA not in GISAID")
+    assert(out("ACC-KNOWN") === "")
+  }
+
   test("split graduates matched records, keeps the rest pending") {
     val df = Seq((Some("C1"), "a"), (None, "b")).toDF("CASE_ID", "v")
     val (roster, pending) = KeepNaRefresh.split(df)
