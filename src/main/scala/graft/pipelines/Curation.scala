@@ -26,6 +26,52 @@ import org.apache.spark.sql.functions._
  */
 object Curation {
 
+  /**
+   * Eager checkpoint with a DETERMINISTIC release handle: the
+   * checkpoint's raw row blocks are far cheaper to write and read than a
+   * columnar `persist` cache (measured +45% on the whole chain when the
+   * released stages used persist), but localCheckpoint offers no public
+   * unpersist — its blocks free only when the RDD object is GC'd. The
+   * checkpointed Dataset's logical plan IS the `LogicalRDD` wrapping the
+   * exact RDD that localCheckpoint registered, so capture that RDD
+   * directly and hand back an explicit release. (An earlier version
+   * diffed `sc.getPersistentRDDs` around the call, which silently
+   * cross-attributes any registration a CONCURRENT job interleaves —
+   * `run` launches stage-stats Futures on the shared context, and bench
+   * harnesses share one session across runs.) After release the frame is
+   * gone for good (truncated lineage, no recompute) — callers release
+   * only after the last consumer materialized.
+   */
+  private[graft] def scopedCheckpoint(df: DataFrame): (DataFrame, () => Unit) = {
+    val cp = df.localCheckpoint(true)
+    val rdd = cp.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      case other => throw new IllegalStateException(
+        s"localCheckpoint produced ${other.getClass.getName}, not LogicalRDD — " +
+          "cannot capture the checkpoint RDD for scoped release")
+    }
+    (cp, () => rdd.unpersist(false))
+  }
+
+  /**
+   * Await a concurrent stage-stats Future with a finite, stage-named
+   * deadline: a wedged stats job must fail loudly with the stage it
+   * belongs to, not hang the whole pipeline silently (the aggregates are
+   * two-long reductions — if one takes the full deadline, something is
+   * broken, not slow).
+   */
+  private[graft] def awaitStage[T](stage: String,
+      f: scala.concurrent.Future[T],
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(10, "min")): T =
+    try scala.concurrent.Await.result(f, timeout)
+    catch {
+      case e: java.util.concurrent.TimeoutException =>
+        throw new IllegalStateException(
+          s"curation stage-stats aggregate for '$stage' did not complete " +
+            s"within $timeout", e)
+    }
+
   /** Stage parameters; defaults match the individually-oracled registry
     * queries (gate rules, 10-token chunks, minhash 5/16/4 at 0.5,
     * 5-gram decontamination). */
@@ -154,24 +200,6 @@ object Curation {
         .select(lit(name).as("stage"), lit(ord).as("stage_order"),
           lit(s._1).as("n_docs"), lit(s._2).as("n_tokens"))
 
-    // Eager checkpoint with a DETERMINISTIC release handle: the
-    // checkpoint's raw row blocks are far cheaper to write and read than
-    // a columnar `persist` cache (measured +45% on the whole chain when
-    // these three stages used persist), but localCheckpoint offers no
-    // public unpersist — its blocks free only when the RDD object is
-    // GC'd. Capture the RDD it registers (getPersistentRDDs diff; no
-    // other registration can interleave between the two reads here) and
-    // hand back an explicit release. After release the frame is gone for
-    // good (truncated lineage, no recompute) — callers release only
-    // after the last consumer materialized.
-    def scopedCheckpoint(df: DataFrame): (DataFrame, () => Unit) = {
-      val sc = df.sparkSession.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      val cp = df.localCheckpoint(true)
-      val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
-      (cp, () => mine.values.foreach(_.unpersist(false)))
-    }
-
     val ingest = train.select(col(idCol), col(sourceCol), col(textCol))
 
     // checkpoint BEFORE the filter: filtering the lazy gate output
@@ -184,9 +212,8 @@ object Curation {
     // successor stage (separate driver thread → separate Spark job; the
     // small tokenize-agg interleaves with the heavy stage instead of
     // serializing ahead of it), awaited only at the release point.
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
 
     val (gated, releaseGate) = timed("quality_gate") {
       val (full, rel) = scopedCheckpoint(withDisposition(ingest, textCol))
@@ -203,7 +230,7 @@ object Curation {
     }
     // cleaned is materialized and gated's stats are in: nothing reads
     // the gate frame again — release it before the heavy near-dup stage
-    val gatedStats = Await.result(gatedStatsF, Duration.Inf)
+    val gatedStats = awaitStage("quality_gate", gatedStatsF)
     releaseGate()
     val cleanedStatsF = Future(stats(cleaned))
 
@@ -216,7 +243,7 @@ object Curation {
           .filter(col("id") === col("component"))
           .select(col("id").as(idCol)), Seq(idCol)))
     }
-    val cleanedStats = Await.result(cleanedStatsF, Duration.Inf)
+    val cleanedStats = awaitStage("line_dedup", cleanedStatsF)
     releaseCleaned()
     val survivorStatsF = Future(stats(survivors))
 
@@ -232,7 +259,7 @@ object Curation {
           .select(col(idCol)), Seq(idCol))
         .localCheckpoint(true)
     }
-    val survivorStats = Await.result(survivorStatsF, Duration.Inf)
+    val survivorStats = awaitStage("near_dup", survivorStatsF)
     releaseSurvivors()
 
     // the mixture stage is lazy — its cost lands in the report/consumer

@@ -180,4 +180,60 @@ class CurationSpec extends SparkSpec {
       .select("disposition").as[String].head()
     assert(out === "keep")
   }
+
+  test("scopedCheckpoint: release frees ONLY its own RDD, never a foreign persist") {
+    val sc = spark.sparkContext
+    // a foreign cached frame registered before/independently of the scope
+    val foreign = Seq((1L, "other")).toDF("id", "v").persist()
+    foreign.count()
+    val foreignIds = sc.getPersistentRDDs.keySet
+    val (cp, release) = Curation.scopedCheckpoint(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val cpIds = sc.getPersistentRDDs.keySet -- foreignIds
+    assert(cpIds.size === 1, "checkpoint registered exactly one RDD")
+    assert(cp.count() === 2L)
+    release()
+    val after = sc.getPersistentRDDs.keySet
+    assert(cpIds.forall(!after(_)), "the checkpoint RDD was released")
+    assert(foreignIds.subsetOf(after), "the foreign persist survived release")
+    foreign.unpersist()
+  }
+
+  test("scopedCheckpoint: concurrent scopes release independently (no cross-attribution)") {
+    // The old getPersistentRDDs-diff implementation could attribute a
+    // concurrently-registered RDD to the wrong scope and unpersist
+    // another stage's checkpoint (unrecoverable: truncated lineage).
+    // Direct RDD capture makes interleaving safe: N concurrent scopes,
+    // each readable before ITS release, all gone after.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val runs = (1 to 4).map { i =>
+      Future {
+        val (cp, release) = Curation.scopedCheckpoint(
+          spark.range(i * 100L).toDF("id"))
+        val n = cp.count()
+        (i, n, release)
+      }
+    }
+    val done = runs.map(Await.result(_, Duration(2, "min")))
+    // every scope sees its OWN data (nothing was released out from under it)
+    done.foreach { case (i, n, _) => assert(n === i * 100L) }
+    done.foreach { case (_, _, release) => release() }
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "all four scopes released their own RDDs")
+  }
+
+  test("awaitStage: a wedged stats future fails with the stage name, not a hang") {
+    import scala.concurrent.Promise
+    val never = Promise[Long]().future
+    val e = intercept[IllegalStateException] {
+      Curation.awaitStage("near_dup", never,
+        scala.concurrent.duration.Duration(200, "ms"))
+    }
+    assert(e.getMessage.contains("near_dup"))
+    assert(e.getCause.isInstanceOf[java.util.concurrent.TimeoutException])
+  }
 }
