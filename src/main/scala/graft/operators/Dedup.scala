@@ -438,9 +438,34 @@ object Dedup {
     * huge, exactly when the distributed loop is the right tool. */
   val SmallGraphMaxEdges: Long = 500000L
 
+  /** Companion BYTE cap on the driver escape: the row count alone says
+    * nothing about collect footprint when ids are strings — 500k
+    * symmetric edges of URL-like ids are hundreds of MB boxed, not the
+    * "tens of MB" the contract assumes. The gate sums raw id bytes over
+    * the symmetric edge list (UTF-8 for strings, fixed 16/row for
+    * numerics) and refuses the escape past 64 MB raw — boxed Rows,
+    * String headers, and the union-find maps expand that ~4x, keeping
+    * worst-case driver cost in the low hundreds of MB. */
+  val SmallGraphMaxIdBytes: Long = 64L * 1024 * 1024
+
+  /** The driver-escape decision, separated so the cost gate is testable
+    * without steering a job through one path by observation: under BOTH
+    * caps, and only for id types whose JVM ordering matches Spark's
+    * `least` (Long/Int, String via explicit UTF-8 byte compare). */
+  private[graft] def smallGraphEligible(symCount: Long, symIdBytes: Long,
+      idType: org.apache.spark.sql.types.DataType,
+      maxEdges: Long, maxIdBytes: Long): Boolean =
+    symCount <= maxEdges && symIdBytes <= maxIdBytes && (idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    })
+
   def connectedComponents(edges: DataFrame, nodes: Option[DataFrame] = None,
       maxIter: Int = 50,
-      smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges,
+      smallGraphMaxIdBytes: Long = SmallGraphMaxIdBytes): DataFrame = {
     // null endpoints are dropped up front, for BOTH paths: a null id
     // can't have matched anything in the equi-joins that build pair
     // graphs upstream, and keeping it here would give the two execution
@@ -481,21 +506,26 @@ object Dedup {
     // often a few thousand pairs while the distributed loop below pays
     // ~3 fixed-overhead jobs (two shuffle joins + a checkpoint) PER
     // ROUND regardless of size, O(log diameter) rounds. Under the
-    // threshold (checkpointed count — one cheap scan), solve with
-    // driver union-find instead: exact same min-label answer, one
-    // collect bounded by the threshold, zero iterative jobs. Long/Int/
-    // String ids only (the min-label semantics must match Spark's
-    // `least` ordering, which for those types equals the JVM ordering);
-    // anything else — and every graph past the threshold, e.g. the
-    // 9.5M-edge ScaleSmoke clique graphs — takes the distributed loop.
-    val symCount = sym.count()
+    // thresholds (checkpointed count + raw id bytes — one cheap scan
+    // computes both), solve with driver union-find instead: exact same
+    // min-label answer, one collect bounded by the caps, zero iterative
+    // jobs. Long/Int/String ids only (the min-label semantics must match
+    // Spark's `least` ordering, which for those types equals the JVM
+    // ordering); anything else — and every graph past a threshold, e.g.
+    // the 9.5M-edge ScaleSmoke clique graphs or a sub-count graph of
+    // wide URL ids — takes the distributed loop.
     val idType = sym.schema("src").dataType
-    val smallOk = symCount <= smallGraphMaxEdges && (idType match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.StringType => true
-      case _ => false
-    })
+    val idWidth = idType match {
+      case org.apache.spark.sql.types.StringType =>
+        octet_length(col("src")).cast("long") +
+          octet_length(col("dst")).cast("long")
+      case _ => lit(16L)
+    }
+    val symStats = sym.agg(count(lit(1)).as("n"),
+      coalesce(sum(idWidth), lit(0L)).as("b")).head()
+    val (symCount, symIdBytes) = (symStats.getLong(0), symStats.getLong(1))
+    val smallOk = smallGraphEligible(symCount, symIdBytes, idType,
+      smallGraphMaxEdges, smallGraphMaxIdBytes)
     if (smallOk) {
       val parent = new scala.collection.mutable.HashMap[Any, Any]()
       // every endpoint, tracked independently of the unions: a node whose

@@ -179,6 +179,30 @@ class OperatorsSpec extends SparkSpec {
       "x" -> "x", "y" -> "x"))
   }
 
+  test("connectedComponents driver escape is byte-aware, not just row-aware") {
+    import org.apache.spark.sql.types._
+    // under both caps, orderable id type -> eligible
+    assert(Dedup.smallGraphEligible(400000L, 6400000L, LongType,
+      Dedup.SmallGraphMaxEdges, Dedup.SmallGraphMaxIdBytes))
+    // row count fine but URL-like string ids blow the byte cap: 400k
+    // edges x ~350B of ids ≈ 140MB raw -> hundreds of MB boxed, refuse
+    assert(!Dedup.smallGraphEligible(400000L, 140L * 1024 * 1024, StringType,
+      Dedup.SmallGraphMaxEdges, Dedup.SmallGraphMaxIdBytes))
+    // tiny but unorderable-on-both-paths id type -> refuse
+    assert(!Dedup.smallGraphEligible(10L, 100L, BinaryType,
+      Dedup.SmallGraphMaxEdges, Dedup.SmallGraphMaxIdBytes))
+    // and the byte gate must not break answers: wide string ids forced
+    // onto the distributed loop by a 1-byte cap agree with the fast path
+    val wide = "https://example.com/very/long/path/segment/" + "x" * 80
+    val edges = Seq((s"$wide/a", s"$wide/b"), (s"$wide/b", s"$wide/c"))
+      .toDF("id_a", "id_b")
+    def run(maxBytes: Long): Map[String, String] =
+      Dedup.connectedComponents(edges, smallGraphMaxIdBytes = maxBytes)
+        .as[(String, String)].collect().toMap
+    assert(run(1L) === run(Dedup.SmallGraphMaxIdBytes))
+    assert(run(1L).values.toSet === Set(s"$wide/a"))
+  }
+
   test("connectedComponents: fast and distributed paths agree on non-BMP " +
       "string ids, self-loops, and null endpoints") {
     // U+FFFD (EF BF BD) vs U+1F600 (F0 9F 98 80): UTF-8 byte order puts
