@@ -34,18 +34,42 @@ object Decontaminate {
       .distinct()
 
   /**
+   * Training-doc ids sharing at least one word n-gram with the eval set —
+   * the minimal decontamination signal, and the cheapest: the exploded
+   * gram table is filtered by a broadcast SEMI join BEFORE any shuffle,
+   * so only hit grams (rare by construction — the eval suite is tiny
+   * next to the corpus) reach the distinct. The whole-corpus gram table
+   * never shuffles. Consumers that only drop contaminated docs
+   * (the curation chain) anti-join against this instead of paying
+   * [[ngramOverlap]]'s per-doc counts.
+   */
+  def contaminatedIds(train: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String, n: Int = 5): DataFrame =
+    docGrams(train, textCol, idCol, n)
+      .join(broadcast(evalGramSet(evalDocs, textCol, n)), Seq("ngram"), "left_semi")
+      .select(col(idCol)).distinct()
+
+  /**
    * @return one row per training doc: (idCol, n_overlap = distinct shared
    *         n-grams, contaminated = 1 when n_overlap > 0)
+   *
+   * Shuffle shape: hit grams are isolated with a broadcast semi join
+   * FIRST, so the per-doc distinct-count aggregates only hit rows; docs
+   * with zero overlap are restored by a join back onto the train ids
+   * (id-width rows). The previous form grouped the ENTIRE exploded gram
+   * table — a corpus-tokens-sized shuffle to count mostly zeros.
    */
   def ngramOverlap(train: DataFrame, evalDocs: DataFrame,
       textCol: String, idCol: String, n: Int = 5): DataFrame = {
-    val evalGrams = evalGramSet(evalDocs, textCol, n)
-      .withColumn("__hit", lit(1))
-    docGrams(train, textCol, idCol, n)
-      .join(broadcast(evalGrams), Seq("ngram"), "left")
+    val hits = docGrams(train, textCol, idCol, n)
+      .join(broadcast(evalGramSet(evalDocs, textCol, n)), Seq("ngram"), "left_semi")
       .groupBy(idCol)
-      .agg(countDistinct(when(col("__hit") === 1, col("ngram"))).as("n_overlap"),
-        when(countDistinct(when(col("__hit") === 1, col("ngram"))) > 0, 1)
+      .agg(countDistinct(col("ngram")).as("n_overlap"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(coalesce(col("n_overlap"), lit(0L)) > 0, 1)
           .otherwise(0).as("contaminated"))
   }
 

@@ -171,11 +171,13 @@ object Curation {
     // when the JVM got around to collecting them. At 100 TB four corpus
     // copies in block storage is the difference between fitting and
     // spilling; at bench scale it was measurable GC pressure landing on
-    // whatever ran near the sweep's end. Stages that stay alive past
-    // this call (ingest re-scan, deconKeep's kept checkpoint, the lazy
-    // mixture) keep their LAZY report rows — those three aggregates run
-    // concurrently in the report consumer's single job instead of as
-    // serialized driver actions.
+    // whatever ran near the sweep's end. The ingest row is ALSO eager,
+    // computed off the gate checkpoint while it is live (the lazy form
+    // re-scanned the source and re-tokenized the whole corpus at
+    // report-consume time). Stages that stay alive past this call
+    // (deconKeep's kept checkpoint, the lazy mixture) keep their LAZY
+    // report rows — those aggregates run concurrently in the report
+    // consumer's single job instead of as serialized driver actions.
     // ONE attrition aggregate shared by the eager and the lazy stage
     // rows — token accounting changed in one place can never diverge
     // between the two report paths
@@ -215,9 +217,14 @@ object Curation {
     import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
 
-    val (gated, releaseGate) = timed("quality_gate") {
+    val (gated, ingestStatsF, releaseGate) = timed("quality_gate") {
       val (full, rel) = scopedCheckpoint(withDisposition(ingest, textCol))
-      (full.filter(col("disposition") === "keep").drop("disposition"), rel)
+      // the gate checkpoint holds EVERY ingest row (disposition is a
+      // column, the keep-filter comes after) — so the report's ingest
+      // stats read those blocks concurrently instead of re-scanning the
+      // source and re-tokenizing the whole corpus at report-consume time
+      (full.filter(col("disposition") === "keep").drop("disposition"),
+        Future(stats(full)), rel)
     }
     val gatedStatsF = Future(stats(gated))
 
@@ -228,15 +235,23 @@ object Curation {
         .select(col(idCol), col("clean").as(textCol))
         .join(gated.select(col(idCol), col(sourceCol)), Seq(idCol)))
     }
-    // cleaned is materialized and gated's stats are in: nothing reads
-    // the gate frame again — release it before the heavy near-dup stage
+    // cleaned is materialized and the gate checkpoint's two stats jobs
+    // are in: nothing reads the gate frame again — release it before the
+    // heavy near-dup stage
+    val ingestStats = awaitStage("ingest", ingestStatsF)
     val gatedStats = awaitStage("quality_gate", gatedStatsF)
     releaseGate()
     val cleanedStatsF = Future(stats(cleaned))
 
     val (survivors, releaseSurvivors) = timed("near_dup") {
+      // cacheShingles: the chain's corpus is post-gate (the standalone
+      // dedup_minhash measurement that favored recompute ran on the full
+      // documents table) — here the cached shingle table is small and
+      // the canon+shingle regex pipeline would otherwise run for all
+      // three consumers; the cache is scoped inside the call
       val pairs = Dedup.minhashNearDupPairs(cleaned, textCol, idCol,
-        cfg.shingleK, cfg.numHashes, cfg.bands, cfg.minJaccard)
+        cfg.shingleK, cfg.numHashes, cfg.bands, cfg.minJaccard,
+        cacheShingles = true)
         .select("id_a", "id_b")
       scopedCheckpoint(cleaned
         .join(Dedup.connectedComponents(pairs, Some(cleaned.select(col(idCol))))
@@ -252,11 +267,13 @@ object Curation {
     // consumes it after run returns), so its lifetime must outlive this
     // call — the same contract as before.
     val deconKeep = timed("decontaminate") {
+      // anti-join against the (rare) contaminated ids: the hit-gram semi
+      // join never shuffles the corpus gram table, and no zero-filled
+      // per-doc count frame is materialized just to filter on == 0
       survivors
         .join(Decontaminate
-          .ngramOverlap(survivors, evalDocs, textCol, idCol, cfg.decontamN)
-          .filter(col("contaminated") === 0)
-          .select(col(idCol)), Seq(idCol))
+          .contaminatedIds(survivors, evalDocs, textCol, idCol, cfg.decontamN),
+          Seq(idCol), "left_anti")
         .localCheckpoint(true)
     }
     val survivorStats = awaitStage("near_dup", survivorStatsF)
@@ -272,7 +289,7 @@ object Curation {
     CurationResult(
       corpus = sampled,
       report = Seq(
-        stageRow(ingest, "ingest", 1),
+        litRow("ingest", 1, ingestStats),
         litRow("quality_gate", 2, gatedStats),
         litRow("line_dedup", 3, cleanedStats),
         litRow("near_dup", 4, survivorStats),
