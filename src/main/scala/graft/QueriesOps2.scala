@@ -1038,6 +1038,253 @@ object QueriesOps2 {
             col("VIRUS_ID_PART1"), col("VIRUS_ID_PART2"),
             lit("CDC-ORIG"), lit("OTHER")))
         GapReport.gapCounts(labeled, "gap_lab", "yr", pop, "yr")
+      }),
+
+    // -------------------------------------- pipeline: template e2e
+    // The reference's flagship run END-TO-END under the oracle
+    // (template_submitters.Rmd:619-917, the notebook's own golden-diff
+    // discipline): customer-derived template CSVs staged to scratch →
+    // StringCsv all-string ingest (NA tokens, provenance) → P2 empty-row
+    // drop → normalize (multi-format dates, GISAID prefix strip) → J1
+    // match vs a constructed ENTIRE (with a planted 1-to-many fan for
+    // the J2 keep-first dedup) → full Q1 battery → P5 routing. DuckDB
+    // replays the whole chain from the same customer table: every
+    // disposition arm, every QA flag, and the J2 winner are under the
+    // hash. Key plan: %17 → shared accession 'ADUP' (dup flag, matched);
+    // %13 → blank accession (never matches); %3 → absent from ENTIRE;
+    // %10 → two ENTIRE rows (keep-first = min CASE_ID); %7/%5 → bad
+    // status/reason; %28 ≥ 24 → collection date outside the 14-day
+    // window; %4 → demographics present (fuzzy vs keep_na).
+    QueryDef("pipeline_template_e2e", Some("""
+      WITH sub AS (
+        SELECT c_custkey AS k,
+          CASE WHEN c_custkey % 17 = 0 THEN 'ADUP'
+               WHEN c_custkey % 13 = 0 THEN NULL
+               ELSE 'A' || CAST(c_custkey AS VARCHAR) END AS accession,
+          'USA/WA-' || CAST(c_custkey AS VARCHAR) || '/2021' AS gisaid_id,
+          DATE '2021-03-01' + CAST(c_custkey % 28 AS INTEGER) AS coll,
+          CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS qa_stat,
+          CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS qa_reason,
+          CASE WHEN c_custkey % 4 <> 0 THEN 1 ELSE 0 END AS has_demo
+        FROM customer),
+      m AS (
+        SELECT *,
+          CASE WHEN accession = 'ADUP' THEN 9999
+               WHEN accession IS NOT NULL AND k % 3 <> 0 THEN 1000 + k
+               ELSE NULL END AS case_id,
+          CASE WHEN accession = 'ADUP' OR (accession IS NOT NULL AND k % 3 <> 0)
+               THEN DATE '2021-03-10' ELSE NULL END AS wdrs_coll
+        FROM sub),
+      f AS (
+        SELECT *,
+          CASE WHEN case_id IS NULL THEN 1 ELSE 0 END
+            + qa_stat + qa_reason
+            + CASE WHEN accession IS NOT NULL
+                   AND COUNT(*) OVER (PARTITION BY accession) > 1
+                   THEN 1 ELSE 0 END
+            + CASE WHEN coll IS NOT NULL AND wdrs_coll IS NOT NULL
+                   AND ABS(DATEDIFF('day', wdrs_coll, coll)) > 14
+                   THEN 1 ELSE 0 END AS qa_sum
+        FROM m)
+      SELECT gisaid_id AS rowid, CAST(case_id AS BIGINT) AS case_id, qa_sum,
+        CASE WHEN case_id IS NULL AND has_demo = 1 THEN 'fuzzy'
+             WHEN case_id IS NULL THEN 'keep_na'
+             WHEN qa_sum > 0 THEN 'for_review'
+             ELSE 'roster' END AS disposition
+      FROM f"""),
+      (s, dir) => {
+        val routed = PipelineE2e.templateRouted(s, dir)
+        routed.select(col("gisaid_id").as("rowid"),
+          col("CASE_ID").cast("long").as("case_id"),
+          col("qa_sum").cast("int").as("qa_sum"),
+          col("disposition"))
+      }),
+
+    // ------------------------------- pipeline: template roster build
+    // The same e2e run carried through to the 17-column positional
+    // roster (template_submitters.Rmd:794-810): only clean matched rows
+    // survive, every literal/derived roster column — canonical dates,
+    // initcap reason, lineage note with the injected run date, the
+    // dotted `Case.Note` header — is under the hash.
+    QueryDef("pipeline_template_roster", Some("""
+      WITH r AS (
+        SELECT c_custkey AS k FROM customer
+        WHERE c_custkey % 3 <> 0 AND c_custkey % 13 <> 0
+          AND c_custkey % 17 <> 0 AND c_custkey % 7 <> 0
+          AND c_custkey % 5 <> 0 AND (c_custkey % 28) < 24)
+      SELECT CAST(1000 + k AS VARCHAR) AS "CASE_ID",
+             CAST(NULL AS VARCHAR) AS "SEQUENCE_SGTF",
+             'YES' AS "SEQUENCE_SPECIMEN",
+             CAST(NULL AS VARCHAR) AS "SEQUENCE_DATE",
+             'Other' AS "SEQUENCE_REASON",
+             'Lab' || CAST(k % 3 AS VARCHAR) AS "SEQUENCE_LAB",
+             'COMPLETE' AS "SEQUENCE_STATUS",
+             'GISAID' AS "SEQUENCE_REPOSITORY",
+             'USA/WA-' || CAST(k AS VARCHAR) || '/2021' AS "SEQUENCE_ACCESSION",
+             CAST(NULL AS VARCHAR) AS "SEQUENCE_EPI_ISL",
+             'B.1' AS "SEQUENCE_VARIANT_OPEN_TEXT",
+             'A' || CAST(k AS VARCHAR) AS "SEQUENCE_CLINICAL_ACCESSION",
+             '03/' || lpad(CAST(1 + k % 28 AS VARCHAR), 2, '0') || '/2021'
+               AS "SEQUENCE_SPECIMEN_COLLECTION_DATE",
+             '04/01/2021' AS "SEQUENCE_ROSTER_PREPARE_DATE",
+             'Lineage identified as B.1 on 4/1/2021. Lineage assignments may change over time.'
+               AS "SEQUENCE_NOTES",
+             CAST(NULL AS VARCHAR) AS "SEQUENCE_REVIEWED",
+             'External data question package updated by COVID19 Sequencing Roster.'
+               AS "Case.Note"
+      FROM r"""),
+      (s, dir) => {
+        val routed = PipelineE2e.templateRouted(s, dir)
+        graft.pipelines.TemplateSubmitters.toRoster(
+          routed.filter(col("disposition") === "roster"),
+          to_date(lit("2021-04-01")))
+      }),
+
+    // ------------------------------------------- pipeline: PHL e2e
+    // The internal-lab run END-TO-END (phl.Rmd:515-796): status
+    // normalization + PT drop, processed-list dedup, REDCap reason
+    // override, Epi name coalesce, the specimen→accession fallback
+    // match (J4, inner: unmatched rows drop), positional reason
+    // translation, and the None→Unassigned→LOW QUALITY cascade with
+    // the FAILED-repository rule — all replayed by DuckDB from part.
+    // Key plan: %5 → status variants (PENDING drops, prefixes/case
+    // normalize); %7 → PT (drops) / SURV (translated) / NULL; %9 →
+    // already processed; %11 → REDCap override; %3 → lineage
+    // None/B.1/NULL; odd k → primary match + own names; k%4==0 →
+    // fallback match + Epi-coalesced names; k≡2 (mod 4) → unmatched.
+    QueryDef("pipeline_phl_e2e", Some("""
+      WITH d AS (
+        SELECT p_partkey AS k,
+          'SP' || CAST(p_partkey AS VARCHAR) AS specimen_id,
+          CASE CAST(p_partkey % 5 AS INTEGER)
+               WHEN 2 THEN 'FAILED' WHEN 3 THEN 'PENDING'
+               ELSE 'COMPLETE' END AS status0,
+          CASE CAST(p_partkey % 7 AS INTEGER)
+               WHEN 0 THEN 'PT' WHEN 1 THEN 'SURV' WHEN 2 THEN NULL
+               ELSE 'OTHER' END AS reason0,
+          CASE CAST(p_partkey % 3 AS INTEGER)
+               WHEN 0 THEN 'None' WHEN 1 THEN 'B.1' ELSE NULL END AS lineage0
+        FROM part),
+      kept AS (
+        SELECT * FROM d
+        WHERE (reason0 IS NULL OR reason0 <> 'PT')
+          AND status0 IN ('COMPLETE', 'FAILED')
+          AND k % 9 <> 0
+          AND (k % 2 = 1 OR k % 4 = 0)),
+      e AS (
+        SELECT k, specimen_id, status0,
+          CASE WHEN k % 11 = 0 THEN 'SENTINEL SURVEILLANCE'
+               WHEN reason0 = 'SURV' THEN 'SENTINEL SURVEILLANCE'
+               ELSE reason0 END AS reason,
+          CASE WHEN lineage0 = 'None' THEN 'Unassigned'
+               ELSE lineage0 END AS lineage,
+          CASE WHEN k % 2 = 1 THEN 5000 + k ELSE 6000 + k END AS case_id,
+          CASE WHEN k % 2 = 1 THEN 'FN' || CAST(k AS VARCHAR)
+               ELSE 'EF' || CAST(k AS VARCHAR) END AS first_name
+        FROM kept)
+      SELECT specimen_id, CAST(case_id AS BIGINT) AS case_id,
+        CASE WHEN lineage = 'Unassigned' AND status0 = 'COMPLETE'
+             THEN 'LOW QUALITY' ELSE status0 END AS status,
+        reason, lineage,
+        CASE WHEN status0 = 'FAILED' THEN NULL ELSE 'GISAID' END AS repository,
+        first_name
+      FROM e"""),
+      (s, dir) => {
+        val k = col("p_partkey")
+        val p = t(s, dir, "part")
+        val dash = p.select(
+          concat(lit("SP"), k.cast("string")).as("specimen_id"),
+          concat(lit("AC"), k.cast("string")).as("accession_id"),
+          element_at(array(lit("Completed"), lit("COMPLETE"), lit("FAILED"),
+            lit("PENDING"), lit("complete")), (k % 5).cast("int") + 1)
+            .as("status"),
+          when(k % 7 === 0, "PT").when(k % 7 === 1, "SURV")
+            .when(k % 7 === 2, lit(null).cast("string"))
+            .otherwise(lit("OTHER")).as("reason"),
+          when(k % 3 === 0, "None").when(k % 3 === 1, "B.1")
+            .otherwise(lit(null).cast("string")).as("lineage"),
+          when(k % 2 === 1, concat(lit("FN"), k.cast("string"))).as("first_name"),
+          when(k % 2 === 1, concat(lit("LN"), k.cast("string"))).as("last_name"),
+          when(k % 2 === 1, lit("1990-01-01")).as("dob"))
+        val redcap = p.filter(k % 11 === 0).select(
+          concat(lit("SP"), k.cast("string")).as("specimen_id"),
+          lit("p").as("project"))
+        val epi = p.filter(k % 4 === 0).select(
+          concat(lit("SP"), k.cast("string")).as("specimen_id"),
+          concat(lit("EF"), k.cast("string")).as("first_name"),
+          concat(lit("EL"), k.cast("string")).as("last_name"),
+          lit("1985-05-05").as("dob"))
+        val wdrs = p.filter(k % 2 === 1)
+          .select((k + 5000).cast("long").as("case_id"),
+            concat(lit("SP"), k.cast("string")).as("wdrs_key"))
+          .unionByName(p.filter(k % 4 === 0)
+            .select((k + 6000).cast("long").as("case_id"),
+              concat(lit("AC"), k.cast("string")).as("wdrs_key")))
+        val reasonMap = s.range(1).select(lit("SURV").as("input"),
+          lit("SENTINEL SURVEILLANCE").as("output"))
+        val processed = p.filter(k % 9 === 0).select(
+          concat(lit("SP"), k.cast("string")).as("specimen_id"))
+        graft.pipelines.Phl.run(dash, redcap, epi, wdrs, reasonMap, processed)
+          .select(col("specimen_id"), col("case_id"), col("status"),
+            col("reason"), col("lineage"), col("repository"),
+            col("first_name"))
       })
   )
+
+  /**
+   * Shared staging for the two template-pipeline oracle rows: write the
+   * customer-derived 12-column submission CSV to scratch, ingest it
+   * through the real all-string reader, construct the ENTIRE snapshot
+   * (one row per matchable accession, a second row per %10 key for the
+   * J2 fan, one shared-accession 'ADUP' row), and run the full
+   * TemplateSubmitters chain.
+   */
+  private[graft] object PipelineE2e {
+    def templateRouted(s: SparkSession, dir: String): DataFrame = {
+      val root = Tables.freshScratch("pipe_tmpl")
+      val k = col("c_custkey")
+      t(s, dir, "customer").select(
+          when(k % 17 === 0, lit("ADUP"))
+            .when(k % 13 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("A"), k.cast("string")))
+            .as("LAB_ACCESSION_ID"),
+          when(k % 2 === 0,
+            concat(lit("hCoV-19/USA/WA-"), k.cast("string"), lit("/2021")))
+            .otherwise(concat(lit("USA/WA-"), k.cast("string"), lit("/2021")))
+            .as("GISAID_ID"),
+          concat(lit("3/"), (k % 28 + 1).cast("string"), lit("/2021"))
+            .as("SPECIMEN_COLLECTION_DATE"),
+          concat(lit("Lab"), (k % 3).cast("string")).as("SUBMITTING_LAB"),
+          when(k % 5 === 0, lit("NOT A REASON")).otherwise(lit("OTHER"))
+            .as("SEQUENCE_REASON"),
+          when(k % 7 === 0, lit("NOT A STATUS")).otherwise(lit("COMPLETE"))
+            .as("SEQUENCE_STATUS"),
+          lit("B.1").as("PANGO_LINEAGE"),
+          when(k % 4 =!= 0, concat(lit("F"), k.cast("string"))).as("FIRST_NAME"),
+          when(k % 4 =!= 0, concat(lit("L"), k.cast("string"))).as("LAST_NAME"),
+          lit(null).cast("string").as("MIDDLE_NAME"),
+          when(k % 4 =!= 0, lit("1/2/1980")).otherwise(lit("NA")).as("DOB"),
+          lit(null).cast("string").as("ALTERNATIVE_ID"))
+        .coalesce(1).write.option("header", "true").csv(s"$root/subs")
+      val subs = graft.sources.StringCsv.dropEmptyRows(
+        graft.sources.StringCsv.read(s,
+          graft.model.Schemas.templateSchema, Seq(s"$root/subs")),
+        graft.model.Schemas.templateColumns)
+      val k2 = col("k2")
+      val base = t(s, dir, "customer").select(k.as("k2"))
+        .filter(k2 % 3 =!= 0 && k2 % 13 =!= 0 && k2 % 17 =!= 0)
+      def entireRows(offset: Int)(d: DataFrame): DataFrame =
+        d.select((k2 + offset).cast("long").as("CASE_ID"),
+          concat(lit("A"), k2.cast("string")).as("FILLER__ORDER__NUM"),
+          lit("2021-03-10 00:00:00").cast("timestamp")
+            .as("SPECIMEN__COLLECTION__DTTM"))
+      val entire = entireRows(1000)(base)
+        .unionByName(entireRows(2000)(base.filter(k2 % 10 === 0)))
+        .unionByName(s.range(1).select(lit(9999L).as("CASE_ID"),
+          lit("ADUP").as("FILLER__ORDER__NUM"),
+          lit("2021-03-10 00:00:00").cast("timestamp")
+            .as("SPECIMEN__COLLECTION__DTTM")))
+      graft.pipelines.TemplateSubmitters.run(subs, entire)
+    }
+  }
 }
