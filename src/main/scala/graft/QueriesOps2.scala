@@ -1040,6 +1040,110 @@ object QueriesOps2 {
         GapReport.gapCounts(labeled, "gap_lab", "yr", pop, "yr")
       }),
 
+    // ---------------------------------------------------------------- S4
+    // JDBC pull END-TO-END under the oracle: customer-derived rows staged
+    // into an embedded Derby database (driver-side inserts — control
+    // plane, the reference's ODBC source scale), read back through
+    // Jdbc.pull with the fuzzy.Rmd:213-228 predicate shape
+    // (CODE = 'SARS' AND STATUS != 6), and REQUIRED to carry
+    // PushedFilters on the scan — a Spark-side filter over a full table
+    // dump would throw, not pass. The rows that exit the database are
+    // under the hash.
+    QueryDef("s4_jdbc_pushdown", Some("""
+      SELECT c_custkey AS id,
+             'lab' || CAST(c_custkey % 5 AS VARCHAR) AS lab
+      FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 7 <> 6"""),
+      (s, dir) => {
+        import java.sql.DriverManager
+        val root = Tables.freshScratch("s4")
+        val url = s"jdbc:derby:$root/db;create=true"
+        val keys = t(s, dir, "customer").select(col("c_custkey").cast("long"))
+          .collect().map(_.getLong(0))
+        val conn = DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          st.execute("""CREATE TABLE submissions (
+            id BIGINT PRIMARY KEY, code VARCHAR(16), status INT,
+            lab VARCHAR(32))""")
+          val ins = conn.prepareStatement(
+            "INSERT INTO submissions VALUES (?, ?, ?, ?)")
+          keys.foreach { i =>
+            ins.setLong(1, i)
+            ins.setString(2, if (i % 3 == 0) "SARS" else "FLU")
+            ins.setInt(3, (i % 7).toInt)
+            ins.setString(4, s"lab${i % 5}")
+            ins.addBatch()
+          }
+          ins.executeBatch()
+        } finally conn.close()
+        val df = graft.sources.Jdbc.pull(s, url, "submissions",
+          Some(col("CODE") === "SARS" && col("STATUS") =!= 6))
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("PushedFilters:") &&
+          plan.contains("EqualTo(CODE,SARS)"),
+          s"WHERE did not reach the JDBC scan:\n$plan")
+        df.select(col("ID").as("id"), col("LAB").as("lab"))
+      }),
+
+    // ---------------------------------------------------------------- S7
+    // CSV sink NA-as-empty + deterministic chunking END-TO-END: an
+    // orders-derived roster (with planted nulls) goes through
+    // RosterSink.writeChunked (null→empty on write, ≤500-row chunk
+    // directories) and is read back from the FILESYSTEM — the null round
+    // trip, the header, and the global-order chunk assignment are all
+    // under the hash (DuckDB recomputes the chunk from the same string
+    // ordering).
+    QueryDef("s7_csv_na_empty", Some("""
+      SELECT CAST(o_orderkey AS VARCHAR) AS rowid,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE 'n' || CAST(o_orderkey AS VARCHAR) END AS note,
+             o_orderstatus AS status,
+             CAST(CEIL(ROW_NUMBER() OVER (ORDER BY CAST(o_orderkey AS VARCHAR))
+                       / 500.0) AS INTEGER) AS chunk
+      FROM orders"""),
+      (s, dir) => {
+        val root = Tables.freshScratch("s7")
+        val roster = t(s, dir, "orders").select(
+          col("o_orderkey").cast("string").as("rowid"),
+          when(col("o_orderkey") % 3 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("n"), col("o_orderkey").cast("string")))
+            .as("note"),
+          col("o_orderstatus").as("status"))
+        graft.sinks.RosterSink.writeChunked(
+          roster, s"$root/out", Seq("rowid"), maxRows = 500)
+        s.read.option("header", "true").csv(s"$root/out")
+          .select(col("rowid"), col("note"), col("status"),
+            col("_chunk").cast("int").as("chunk"))
+      }),
+
+    // ---------------------------------------------------------------- S2
+    // XLSX round trip END-TO-END: a supplier-derived sheet written by the
+    // workbook sink (real zip + sheet XML), read back by the XLSX source
+    // with a declared all-string schema — header row, by-name column
+    // matching, and NA-token normalization ('NA' cells → null) all under
+    // the hash. Styled/multi-sheet arms stay in XlsxSpec/GapReportSpec.
+    QueryDef("s2_xlsx_roundtrip", Some("""
+      SELECT CAST(s_suppkey AS VARCHAR) AS skey,
+             'X' || CAST(s_suppkey AS VARCHAR) AS name,
+             CASE WHEN s_suppkey % 5 = 0 THEN NULL
+                  ELSE 'm' || CAST(s_suppkey AS VARCHAR) END AS memo
+      FROM supplier"""),
+      (s, dir) => {
+        val root = Tables.freshScratch("s2")
+        val k = col("s_suppkey")
+        val sheet = t(s, dir, "supplier").select(
+          k.cast("string").as("skey"),
+          concat(lit("X"), k.cast("string")).as("name"),
+          when(k % 5 === 0, lit("NA"))
+            .otherwise(concat(lit("m"), k.cast("string"))).as("memo"))
+        graft.sinks.XlsxSink.write(s"$root/wb.xlsx", Seq(("data", sheet)))
+        graft.sources.Xlsx.read(s,
+            graft.sources.StringCsv.allStringSchema(
+              Seq("skey", "name", "memo")),
+            Seq(s"$root/wb.xlsx"))
+          .select(col("skey"), col("name"), col("memo"))
+      }),
+
     // -------------------------------------- pipeline: template e2e
     // The reference's flagship run END-TO-END under the oracle
     // (template_submitters.Rmd:619-917, the notebook's own golden-diff
