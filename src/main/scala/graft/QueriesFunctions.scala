@@ -137,6 +137,45 @@ object QueriesFunctions {
     // Round-trip: format o_orderdate into one of three wire shapes by key
     // (US m/d/Y, ISO, Excel serial), then re-parse with the multi-format
     // fallback chain. parsed_date must equal the original date everywhere.
+    // ---------------------------------------------------------------- F3
+    // The date-SHAPE detectors themselves (quality_filters.R:23-24),
+    // classified by both engines with the same regexes — iso / us /
+    // Excel-serial / unknown over wire strings derived from o_orderdate
+    // (f5 covers the downstream multi-format PARSE).
+    QueryDef("f3_date_format_detect", Some("""
+      WITH wire AS (
+        SELECT o_orderkey,
+          CASE CAST(o_orderkey % 4 AS INTEGER)
+               WHEN 0 THEN strftime(CAST(o_orderdate AS DATE), '%Y-%-m-%-d')
+               WHEN 1 THEN strftime(CAST(o_orderdate AS DATE), '%-m/%-d/%Y')
+               WHEN 2 THEN CAST(datediff('day', DATE '1899-12-30',
+                                CAST(o_orderdate AS DATE)) AS VARCHAR)
+               ELSE 'DT-' || CAST(o_orderkey AS VARCHAR) END AS ds
+        FROM orders)
+      SELECT o_orderkey, ds,
+        CASE WHEN regexp_full_match(ds, '\d{4}-\d{1,2}-\d{1,2}') THEN 'iso'
+             WHEN regexp_full_match(ds, '\d{1,2}/\d{1,2}/\d{4}') THEN 'us'
+             WHEN regexp_full_match(ds, '\d{4,5}') THEN 'serial'
+             ELSE 'unknown' END AS shape
+      FROM wire"""),
+      (s, dir) => {
+        val wire = t(s, dir, "orders").select(col("o_orderkey"),
+          when(col("o_orderkey") % 4 === 0,
+            date_format(col("o_orderdate"), "yyyy-M-d"))
+            .when(col("o_orderkey") % 4 === 1,
+              date_format(col("o_orderdate"), "M/d/yyyy"))
+            .when(col("o_orderkey") % 4 === 2,
+              datediff(col("o_orderdate").cast("date"),
+                to_date(lit("1899-12-30"))).cast("string"))
+            .otherwise(concat(lit("DT-"), col("o_orderkey").cast("string")))
+            .as("ds"))
+        wire.select(col("o_orderkey"), col("ds"),
+          when(looksIsoDate(col("ds")), "iso")
+            .when(looksUsDate(col("ds")), "us")
+            .when(looksExcelSerial(col("ds")), "serial")
+            .otherwise("unknown").as("shape"))
+      }),
+
     QueryDef("f5_multiformat_date", Some("""
       WITH wire AS (
         SELECT o_orderkey,
