@@ -28,25 +28,47 @@ object FuzzyJoin {
    * @param leftName      name column on the left (already normalized)
    * @param rightName     name column on the right (already normalized)
    * @param maxDistance   OSA distance threshold (reference: 3)
+   * @param salts         >1 spreads each block over `salts` reducers:
+   *                      left rows get a deterministic salt (hash of the
+   *                      whole row), right rows replicate once per salt,
+   *                      and the equi key becomes (block, salt) — SAME
+   *                      result rows, `salts`× the right side's shuffle
+   *                      volume. The structural fallback for a block so
+   *                      hot (the reference's real birth-year
+   *                      distribution, fuzzy.Rmd:562-579) that even
+   *                      AQE's runtime skew-split bottlenecks; leave at 1
+   *                      and let AQE handle ordinary skew.
    * @return left columns + right columns + "distance"
    */
   def blockedFuzzyJoin(
       left: DataFrame, right: DataFrame, blockKey: String,
-      leftName: Column, rightName: Column, maxDistance: Int): DataFrame = {
+      leftName: Column, rightName: Column, maxDistance: Int,
+      salts: Int = 1): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     // Caller contract: column names disjoint apart from blockKey.
-    val l = left.withColumn("__lname", leftName)
-    val r = right.withColumn("__rname", rightName)
+    val l0 = left.withColumn("__lname", leftName)
+    val r0 = right.withColumn("__rname", rightName)
       .withColumnRenamed(blockKey, "__rblock")
-    // Pure equi-join on the block; a CHEAP length pre-filter prunes pairs
-    // before the DP kernel runs (|len(a)-len(b)| > k implies osa > k),
-    // then ONE osa_distance evaluation per surviving pair (putting the
-    // distance predicate in the join condition would evaluate it twice:
-    // once as join filter, once for the column).
-    l.join(r, col(blockKey) === col("__rblock"))
+    // Deterministic salt (hash of the left row, not rand() — SURVEY
+    // §7.4#5 reproducible runs); each left row meets each right row of
+    // its block exactly once, on the replica carrying its salt value.
+    val (l, r, joinCond) =
+      if (salts == 1) (l0, r0, col(blockKey) === col("__rblock"))
+      else (
+        l0.withColumn("__lsalt",
+          pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salts))),
+        r0.withColumn("__rsalt", explode(sequence(lit(0), lit(salts - 1)))),
+        col(blockKey) === col("__rblock") && col("__lsalt") === col("__rsalt"))
+    // Pure equi-join on the block (+ salt); a CHEAP length pre-filter
+    // prunes pairs before the DP kernel runs (|len(a)-len(b)| > k implies
+    // osa > k), then ONE osa_distance evaluation per surviving pair
+    // (putting the distance predicate in the join condition would
+    // evaluate it twice: once as join filter, once for the column).
+    l.join(r, joinCond)
       .filter(abs(length(col("__lname")) - length(col("__rname"))) <= maxDistance)
       .withColumn("distance", osa_distance(col("__lname"), col("__rname")))
       .filter(col("distance") <= maxDistance)
-      .drop("__lname", "__rname", "__rblock")
+      .drop("__lname", "__rname", "__rblock", "__lsalt", "__rsalt")
   }
 
   /**

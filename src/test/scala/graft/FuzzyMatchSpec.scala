@@ -182,4 +182,75 @@ class FuzzyMatchSpec extends SparkSpec {
       .select("collection_date").as[java.sql.Date].collect().toSeq
     assert(kept === Seq(java.sql.Date.valueOf("2021-06-10"))) // today's copy won
   }
+
+  // --- birth-year skew (the reference's real distribution: one dominant
+  // year, fuzzy.Rmd:562-579) ---
+
+  /** ~90% of rows in the hot 1990 block, the rest spread over 40 years. */
+  private def skewYear(idc: org.apache.spark.sql.Column) =
+    when(idc % 10 < 9, lit(1990))
+      .otherwise(lit(1950) + pmod(idc, lit(40)).cast("int")).cast("int")
+
+  private def skewLeft(n: Long) = spark.range(n).select(
+    col("id").as("lid"), skewYear(col("id")).as("by"),
+    concat(lit("nm"), pmod(col("id"), lit(37)).cast("string")).as("ln"))
+
+  private def skewRight(n: Long) = spark.range(n).select(
+    col("id").as("rid"), skewYear(col("id")).as("by"),
+    concat(lit("nm"), pmod(col("id"), lit(41)).cast("string")).as("rn"))
+
+  test("salted fuzzy join on a hot birth year: same rows as unsalted, " +
+      "salt in the equi keys, no nested loop") {
+    import graft.operators.FuzzyJoin
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("lid", "rid", "distance")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val unsalted = FuzzyJoin.blockedFuzzyJoin(
+      skewLeft(2000), skewRight(400), "by", col("ln"), col("rn"), 2)
+    val salted = FuzzyJoin.blockedFuzzyJoin(
+      skewLeft(2000), skewRight(400), "by", col("ln"), col("rn"), 2, salts = 8)
+    assert(rows(salted) === rows(unsalted),
+      "salting is a cost choice, never an answer choice")
+    assert(rows(unsalted).nonEmpty)
+    val plan = salted.queryExecution.executedPlan.toString
+    // the salt rides in the equi keys (the hot block spreads over 8
+    // reducers) and the plan is still a hash/sort-merge join
+    assert(plan.contains("__lsalt"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("AQE skew-join split activates on the hot birth-year block") {
+    import graft.operators.FuzzyJoin
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // thresholds scaled to fixture bytes (the defaults are 256 MB —
+      // cluster scale); broadcast disabled so the join shuffles both
+      // sides, which is when skew-split applies
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8192")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = FuzzyJoin.blockedFuzzyJoin(
+        skewLeft(20000), skewRight(400), "by", col("ln"), col("rn"), 2)
+      // collect() drives THIS queryExecution (count() would spawn its
+      // own, leaving df's adaptive plan unfinalized)
+      assert(df.collect().nonEmpty)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the hot 1990 partition skewed:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
