@@ -23,8 +23,21 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap: fixed-size (-Xms == -Xmx) and pre-touched, so the page-fault cost
+// of growing a multi-GB heap is paid ONCE at JVM start instead of inside
+// whatever query happens to trigger expansion — GC logs on the bench VM
+// showed 2-3.7 SECOND "young" pauses during early heap growth (lazy page
+// faulting on an overcommitted host), inflating first-pass measurements
+// 3-8x. ParallelGC over G1: pure-batch workload, no latency SLO — sweep
+// total dropped 34.9 -> 28.9 s in the A/B (see README round-10 row).
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:+UseParallelGC",
+) ++
+  // Extra JVM flags for A/B experiments (GC choice, heap shape) without
+  // editing the build: SPARK_DRIVER_XOPTS="-XX:+UseParallelGC ..."
+  sys.env.get("SPARK_DRIVER_XOPTS").map(_.trim.split("\\s+").toSeq).getOrElse(Nil)

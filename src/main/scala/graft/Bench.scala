@@ -39,10 +39,12 @@ object Bench {
     // the composed 6-stage curation run — the heaviest job a user
     // actually schedules. Its stages are timed individually above; this
     // row times the COMPOSITION (stage checkpoints included). It runs
-    // LAST: its checkpoint/scratch writes and cold index builds put
-    // storage and page-cache pressure on whatever runs next (round 6's
-    // record showed untouched carried queries 1.4-2.2x slower with it
-    // mid-list), and nothing runs after it.
+    // LAST in each timed round: its checkpoint/scratch writes and cold
+    // index builds put storage and page-cache pressure on whatever runs
+    // next (round 6's record showed untouched carried queries 1.4-2.2x
+    // slower with it mid-list). Under interleaving the query after it is
+    // the next round's first (q1_agg, preceded by its own warmup +
+    // isolate barrier) — watch that row's spread for residue.
     "curation_report")
 
   def main(args: Array[String]): Unit = {
@@ -129,33 +131,44 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name prewarm failed: $e") }
       isolate()
     }
-    // Then per-query: one MORE warmup run immediately before the timed
-    // passes, then three timed passes, p50 reported. The global pass
-    // alone is not enough either: by the time a query's timed passes
-    // ran, its warmup was ~25 queries (and gigabytes of scratch and
-    // page-cache churn) earlier — round 6's record showed untouched
-    // carried queries 1.4-2.2x over their r5 steady state from exactly
-    // that interference. The immediate warmup re-establishes the query's
-    // own file cache; the global pass handles the JVM. A throwing query
-    // is recorded in "failed" and fails the run: a broken query must
-    // read as a failure, not a near-zero-time speedup.
+    // Then the timed phase, INTERLEAVED (round-10 change): `timedPasses`
+    // full rounds over the whole query set, each query contributing ONE
+    // timed sample per round, immediately preceded by its own warmup run
+    // (the immediate warmup re-establishes the query's file/page cache —
+    // round 6's record showed untouched queries 1.4-2.2x slower when
+    // their only warmup ran ~25 queries earlier). Why interleave:
+    // back-to-back samples are CORRELATED. The shared VM shows
+    // multi-minute host-noise windows (two otherwise-identical round-10
+    // sweeps differed by a CONTIGUOUS block of 7 sweep-adjacent queries
+    // all 2.8-5x slower — everything before and after flat; a plan
+    // regression can't be contiguous in *wall-clock* order). Under the
+    // old back-to-back scheme such a window covers every sample of a few
+    // queries and reads as "steady but slow", silently corrupting their
+    // p50. With the same query's samples ~minutes apart, a noise window
+    // inflates at most one sample and the p50 of three shrugs it off. A
+    // throwing query is recorded in "failed" and fails the run: a broken
+    // query must read as a failure, not a near-zero-time speedup.
     val timedPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     require(timedPasses > 0,
       s"SPARK_GRAFT_BENCH_PASSES must be positive, got $timedPasses")
-    val results = qs.map { name =>
-      val w0 = System.nanoTime()
-      try run(name)
-      catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: $e") }
-      System.err.println(f"[bench] warmup $name ${(System.nanoTime() - w0) / 1e9}%.2fs")
-      isolate()
-      val (times, errs) = (1 to timedPasses).map { _ =>
-        val t0 = System.nanoTime()
-        val err = try { run(name); None }
-        catch { case e: Throwable => Some(e) }
-        val t = (System.nanoTime() - t0) / 1e9
-        isolate()
-        (t, err)
-      }.unzip
+    val rounds: Seq[Seq[(Double, Option[Throwable])]] =
+      (1 to timedPasses).map { r =>
+        System.err.println(s"[bench] timed round $r/$timedPasses")
+        qs.map { name =>
+          try run(name)
+          catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: $e") }
+          isolate()
+          val t0 = System.nanoTime()
+          val err = try { run(name); None }
+          catch { case e: Throwable => Some(e) }
+          val t = (System.nanoTime() - t0) / 1e9
+          isolate()
+          (t, err)
+        }
+      }
+    val results = qs.zipWithIndex.map { case (name, i) =>
+      val times = rounds.map(_(i)._1)
+      val errs = rounds.map(_(i)._2)
       val failed = errs.flatten.headOption
       failed.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
       // Only SUCCESSFUL passes produce numbers: a fast-failing pass is
@@ -168,21 +181,23 @@ object Bench {
       val p50 =
         if (okTimes.nonEmpty) okTimes.sorted.apply(okTimes.size / 2)
         else times.sorted.apply(timedPasses / 2)
-      // Reproducibility guard: a steady-state measurement has samples
-      // within a small factor of each other. A big spread means the
-      // number reported is environment (GC, storage pressure, compilation
-      // storms), not the query — flag it loudly so a regression report
-      // can't be mistaken for a plan problem. Sub-second queries get 3x
-      // (a 0.2s-vs-0.5s wobble is scheduler noise, not signal); queries
-      // over 2s p50 get 2x — round 6's 22.7/10.1/7.7s curation samples
-      // read as "steady" under a flat 3x and hid a cold-start effect.
+      // Reproducibility guard: flag when the reported MEDIAN is not
+      // trustworthy. Under interleaving a single inflated sample is the
+      // EXPECTED signature of a transient noise window — the median of
+      // three absorbs it — so the guard compares p50 to the observed
+      // floor (min), not max to min: p50 ≫ min means at least half the
+      // samples were inflated and the reported number is environment,
+      // not the query. Sub-second queries get 3x (a 0.2s-vs-0.5s wobble
+      // is scheduler noise); queries over 2s p50 get 2x — round 6's
+      // 22.7/10.1/7.7s curation samples read as "steady" under a flat 3x
+      // and hid a cold-start effect.
       val spread =
         if (okTimes.size < 2) 1.0
-        else okTimes.max / math.max(okTimes.min, 1e-9)
+        else p50 / math.max(okTimes.min, 1e-9)
       val spreadLimit = if (p50 > 2.0) 2.0 else 3.0
       val unsteady = spread > spreadLimit
       if (unsteady)
-        System.err.println(f"[bench] WARN spread $name max/min=$spread%.1fx (limit $spreadLimit%.0fx at p50=$p50%.2fs) — samples not steady-state")
+        System.err.println(f"[bench] WARN spread $name p50/min=$spread%.1fx (limit $spreadLimit%.0fx at p50=$p50%.2fs) — median not steady-state")
       System.err.println(f"[bench] timed  $name p50=$p50%.2fs (${times.map(t => f"$t%.2f").mkString("/")})")
       (name, p50, failed.isDefined, unsteady)
     }

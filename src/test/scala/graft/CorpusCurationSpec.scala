@@ -162,6 +162,31 @@ class CorpusCurationSpec extends SparkSpec {
     assert(e.getMessage.contains("eval set is empty"))
   }
 
+  test("contaminatedIds is exactly ngramOverlap's contaminated set " +
+      "(minimal signal == full per-doc counts filtered)") {
+    import graft.operators.Decontaminate
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon suffix words"), // hit mid-doc
+      (2L, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon"), // gram repeats within one doc
+      (3L, "completely unrelated text with no shared five gram at all"),
+      (4L, "short doc"), // whole-text-fallback gram, no hit
+      (5L, "alpha beta gamma delta epsilon")) // exact 5-token doc == the eval gram
+      .toDF("doc_id", "text")
+    val ids = Decontaminate.contaminatedIds(train, eval, "text", "doc_id")
+      .as[Long].collect().toSet
+    val full = Decontaminate.ngramOverlap(train, eval, "text", "doc_id")
+    assert(ids === full.filter($"contaminated" === 1)
+      .select("doc_id").as[Long].collect().toSet)
+    assert(ids === Set(1L, 2L, 5L))
+    // zero-overlap docs are restored with explicit zero counts, not dropped
+    assert(full.filter($"contaminated" === 0).select("doc_id")
+      .as[Long].collect().toSet === Set(3L, 4L))
+    // within-doc gram repetition counts once (distinct grams, not occurrences)
+    assert(full.filter($"doc_id" === 2L).select("n_overlap")
+      .as[Long].head() === 1L)
+  }
+
   test("perplexityBuckets: per-group terciles — fluent head, soup tail, " +
       "short docs excluded") {
     import graft.operators.NgramLm

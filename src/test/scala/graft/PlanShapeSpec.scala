@@ -209,6 +209,41 @@ class PlanShapeSpec extends SparkSpec {
       s"bucket assignment must be a map-side compare, not a per-group window:\n$plan")
   }
 
+  test("ngramOverlap shape: corpus grams semi-join the broadcast eval set " +
+      "BEFORE any exchange (only hits shuffle)") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val train = docs(300)
+    val eval = docs(3).withColumn("doc_id", $"doc_id" + 1000)
+    val df = graft.operators.Decontaminate.ngramOverlap(
+      train, eval, "text", "doc_id")
+    df.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case r: ReusedExchangeExec => flatten(r.child)
+      case other => other.children.flatMap(flatten)
+    })
+    val all = flatten(df.queryExecution.executedPlan)
+    val semis = all.collect {
+      case b: BroadcastHashJoinExec if b.joinType == LeftSemi => b
+    }
+    assert(semis.nonEmpty,
+      "hit isolation must be a broadcast LEFT SEMI join:\n" +
+        df.queryExecution.executedPlan.toString)
+    // the corpus (streamed) side of the semi join is scan+generate only —
+    // the whole-corpus gram table must never shuffle; only hit grams may
+    // reach the per-doc aggregate's exchange above the join
+    semis.foreach { j =>
+      val shuffles = flatten(j.left).count(_.isInstanceOf[ShuffleExchangeLike])
+      assert(shuffles === 0,
+        "corpus gram table shuffled before the eval semi join:\n" + j.toString)
+    }
+  }
+
   test("semDedup shape: no broadcast of the corpus side, no cartesian") {
     val vecs = (1 to 200).map { i =>
       (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))
