@@ -149,6 +149,23 @@ object QueriesText {
       FROM documents GROUP BY 1"""),
       (s, dir) => Dedup.fingerprintGroups(t(s, dir, "documents"), "text", "doc_id")),
 
+    // ------------------------------------------------- dedup: soft (1/n)
+    // Probabilistic exact dedup: every duplicate-cluster member survives
+    // with probability 1/n_cluster (expected ONE copy per distinct
+    // canonical text) — the downweight-don't-delete alternative to
+    // keep-first that preserves the corpus distribution in expectation.
+    // Membership is the deterministic id hash (same constants as the
+    // mixture samplers), so DuckDB replays the exact keep set. Unique
+    // docs are always kept (hash in [0,1) < 1/1).
+    QueryDef("dedup_soft", Some(s"""
+      WITH c AS (SELECT doc_id, md5($canonSql) AS fp FROM documents),
+      n AS (SELECT fp, COUNT(*) AS n_docs FROM c GROUP BY fp)
+      SELECT c.doc_id, c.fp, n.n_docs
+      FROM c JOIN n USING (fp)
+      WHERE ((doc_id % 2147483647 * 2654435761) % 2147483647) / 2147483647.0
+            < 1.0 / n_docs"""),
+      (s, dir) => Dedup.softDedup(t(s, dir, "documents"), "text", "doc_id")),
+
     // ------------------------------------------------- dedup: minhash LSH
     // Hash family mirrored exactly from MinhashSignature.a/b:
     // x = polynomial hash of the shingle chars (mod 2^31-1),

@@ -82,6 +82,37 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
   /**
+   * Soft (probabilistic) exact dedup: every member of a duplicate cluster
+   * survives with probability 1/n, so each distinct canonical text
+   * contributes ONE copy in expectation — the "downweight, don't delete"
+   * alternative to [[exactDedup]] (cf. the repeated-epoch analyses of
+   * Muennighoff et al. 2023: hard dedup changes the corpus distribution;
+   * expected-one-copy sampling preserves it while still removing
+   * duplicate mass). Unique documents (n = 1) are ALWAYS kept — the id
+   * hash lies in [0, 1) — so soft dedup never loses content, and
+   * membership is the deterministic [[Mixture.idHashUnit]] id hash, not
+   * an RNG: the same doc makes the same keep decision across runs,
+   * repartitions and engines.
+   *
+   * Scale shape: cluster sizes come from a map-side-combining count
+   * aggregate (output rows = distinct texts), joined back on the
+   * fingerprint — a shuffle equi-join AQE can skew-split when one
+   * boilerplate page has millions of copies. A window over the
+   * fingerprint could NOT: the hottest cluster would pin a single task.
+   * The keep test `idHashUnit(id) < 1.0/n` is engine-replayable
+   * (integer-exact hash, correctly-rounded IEEE division).
+   *
+   * @return kept rows: (idCol, fp, n_docs)
+   */
+  def softDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withFp = docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+    val sizes = withFp.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+    withFp.join(sizes, "fp")
+      .filter(Mixture.idHashUnit(col(idCol)) < lit(1.0) / col("n_docs"))
+      .select(col(idCol), col("fp"), col("n_docs"))
+  }
+
+  /**
    * MinHash+LSH near-duplicate candidate pairs: shingle -> minhash signature
    * -> band keys -> self-join per band bucket -> verified Jaccard over the
    * shingle sets. The self-join key is (band index, band key), so only

@@ -18,6 +18,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Set((1, "dup"), (9, "solo")))
   }
 
+  test("softDedup: unique docs always survive, keep set matches the " +
+      "independently-computed 1/n hash rule, expectation ~1 per cluster") {
+    // a 40-copy cluster (ids 100..139, identical canonical text), a
+    // 2-copy cluster, and two singletons
+    val docs = ((100L to 139L).map(i => (i, "Shared, boilerplate TEXT!")) ++
+      Seq((1L, "shared boilerplate text"),
+        (2L, "one unique document here"),
+        (3L, "another unique document")))
+      .toDF("doc_id", "text")
+    // canonicalText strips case+punctuation, so doc 1 JOINS the 40-copy
+    // cluster: cluster size 41
+    val out = Dedup.softDedup(docs, "text", "doc_id")
+      .select("doc_id", "n_docs").as[(Long, Long)].collect().toMap
+    // independent reimplementation of the keep rule
+    val m = 2147483647L
+    def hashUnit(id: Long): Double = ((id % m) * 2654435761L % m).toDouble / m
+    val clusterIds = (100L to 139L) :+ 1L
+    val expectedKeeps = clusterIds.filter(hashUnit(_) < 1.0 / 41).toSet ++ Set(2L, 3L)
+    assert(out.keySet === expectedKeeps)
+    // singletons always kept with n_docs = 1
+    assert(out(2L) === 1L && out(3L) === 1L)
+    // surviving cluster members report the true cluster size
+    assert(out.filter(_._2 == 41L).keySet === expectedKeeps -- Set(2L, 3L))
+    // expected survivors per cluster is 1; with 41 members the realized
+    // count is small (not the whole cluster, not forced to exactly 1)
+    val kept41 = (expectedKeeps -- Set(2L, 3L)).size
+    assert(kept41 >= 0 && kept41 <= 5, s"implausible 1/41 keep count $kept41")
+  }
+
   test("minhash near-dup finds near-identical docs, skips distinct ones") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
