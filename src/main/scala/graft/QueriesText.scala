@@ -1286,6 +1286,35 @@ object QueriesText {
           .select(col("doc_id"), col("source"), col("n_tokens"))
       }),
 
+    // --------------------------- text: data-constrained epoch schedule
+    // epochSchedule (the Muennighoff et al. 2023 regime): when the token
+    // budget exceeds the corpus, emit each doc min(budget/corpus, 4)
+    // times — floor(ratio) epochs for everyone, the fractional remainder
+    // assigned by the deterministic id hash, so emitted tokens hit the
+    // budget in expectation. One 1-row global agg broadcast back; the
+    // expansion is a map-side explode bounded by maxEpochs. At sf0.01
+    // (~27k corpus tokens) the 65k budget lands ratio ~2.4: base-2
+    // epochs plus a hash-assigned third — both arms exercised. At sf0.1
+    // the same budget subsamples (ratio < 1, base 0): the degenerate arm.
+    QueryDef("text_epoch_schedule", Some(s"""
+      WITH d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+      tot AS (SELECT SUM(n) AS t FROM d),
+      r AS (SELECT CASE WHEN t IS NULL OR t <= 0 THEN 0.0
+                        ELSE least(65000.0 / t, 4.0) END AS ratio FROM tot),
+      s AS (SELECT doc_id,
+                   CAST(floor(ratio) AS INT) +
+                   CASE WHEN ((doc_id % 2147483647 * 2654435761) % 2147483647)
+                             / 2147483647.0 < round(ratio - floor(ratio), 9)
+                        THEN 1 ELSE 0 END AS n
+            FROM d, r)
+      SELECT doc_id, unnest(generate_series(1, n)) AS epoch
+      FROM s WHERE n >= 1"""),
+      (s, dir) => Mixture.epochSchedule(
+        t(s, dir, "documents")
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", col("n_tokens"), budgetTokens = 65000L, maxEpochs = 4)
+        .select(col("doc_id"), col("epoch"))),
+
     // ------------------------------- text: leakage-safe train/val/test split
     // Deterministic hash split (90/5/5): assignment depends ONLY on the
     // id, so docs keep their split across runs, repartitions and

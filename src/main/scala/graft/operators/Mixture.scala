@@ -247,4 +247,50 @@ object Mixture {
         .otherwise(idHashUnit(col(idCol)) < col("__keep_frac")))
       .select(docs.columns.map(col).toIndexedSeq: _*)
   }
+
+  /**
+   * Data-constrained repetition schedule (the Muennighoff et al. 2023
+   * regime: when the token budget exceeds the corpus, repeating data for
+   * up to ~4 epochs is nearly as good as fresh data; past that, returns
+   * collapse): emit each document `n` times where n realizes
+   * ratio = min(budget / corpus_tokens, maxEpochs) — every doc gets
+   * floor(ratio) epochs and the fractional remainder is assigned by the
+   * deterministic id hash, so emitted tokens hit ratio·corpus exactly in
+   * expectation and the schedule is stable across runs, repartitions and
+   * engines. budget <= corpus degenerates to uniform subsampling
+   * (base 0, fractional keep); an all-zero-token corpus schedules
+   * nothing rather than dividing by zero.
+   *
+   * Scale shape: ONE 1-row global aggregate broadcast back (the same
+   * crossJoin-broadcast idiom as the other samplers); epoch expansion is
+   * a map-side explode bounded by maxEpochs — no per-doc shuffle, and
+   * output rows ≤ maxEpochs·corpus at any size.
+   *
+   * Cross-engine determinism: budget/total and the floor are
+   * correctly-rounded IEEE; the fractional remainder rounds to 9
+   * decimals before the hash compare (same convention as
+   * [[sampleByTemperature]]'s pow rounding).
+   *
+   * @return `docs` columns plus `epoch` (1-based), n rows per doc
+   */
+  def epochSchedule(docs: DataFrame, idCol: String, tokenCount: Column,
+      budgetTokens: Long, maxEpochs: Int = 4): DataFrame = {
+    require(budgetTokens >= 0,
+      s"Mixture.epochSchedule: budgetTokens must be >= 0, got $budgetTokens")
+    require(maxEpochs >= 1,
+      s"Mixture.epochSchedule: maxEpochs must be >= 1, got $maxEpochs")
+    val total = docs.agg(sum(tokenCount).as("__tot"))
+    val ratio = when(coalesce(col("__tot"), lit(0L)) <= 0, lit(0.0))
+      .otherwise(least(
+        lit(budgetTokens.toDouble) / col("__tot").cast("double"),
+        lit(maxEpochs.toDouble)))
+    docs.crossJoin(broadcast(total))
+      .withColumn("__n",
+        floor(ratio).cast("int") +
+          when(idHashUnit(col(idCol)) < round(ratio - floor(ratio), 9), 1)
+            .otherwise(0))
+      .filter(col("__n") >= 1)
+      .select(docs.columns.map(col).toIndexedSeq
+        :+ explode(sequence(lit(1), col("__n"))).as("epoch"): _*)
+  }
 }

@@ -162,6 +162,32 @@ class CorpusCurationSpec extends SparkSpec {
     assert(e.getMessage.contains("eval set is empty"))
   }
 
+  test("epochSchedule: floor epochs for all, fractional epoch by hash, " +
+      "maxEpochs cap, subsample degenerate, zero budget") {
+    val docs = (1L to 8L).map(i => (i, 25L)).toDF("doc_id", "n_tokens") // 200 tokens
+    val m = 2147483647L
+    def hashUnit(id: Long): Double = ((id % m) * 2654435761L % m).toDouble / m
+    // budget 500 -> ratio 2.5: two epochs for everyone, a third iff hash < 0.5
+    val out = Mixture.epochSchedule(docs, "doc_id", col("n_tokens"), 500L)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("epoch").as("mx"))
+      .as[(Long, Long, Int)].collect().toMap2
+    (1L to 8L).foreach { id =>
+      val expect = 2 + (if (hashUnit(id) < 0.5) 1 else 0)
+      assert(out(id) === ((expect.toLong, expect)), s"doc $id")
+    }
+    // budget >> corpus x 4 -> everyone exactly maxEpochs
+    val capped = Mixture.epochSchedule(docs, "doc_id", col("n_tokens"), 100000L)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(capped.size === 8 && capped.values.toSet === Set(4L))
+    // budget < corpus -> uniform subsample (base 0): hash < 0.25 keeps, 1 epoch
+    val sub = Mixture.epochSchedule(docs, "doc_id", col("n_tokens"), 50L)
+      .select("doc_id", "epoch").as[(Long, Int)].collect()
+    assert(sub.forall(_._2 == 1))
+    assert(sub.map(_._1).toSet === (1L to 8L).filter(hashUnit(_) < 0.25).toSet)
+    // zero budget schedules nothing
+    assert(Mixture.epochSchedule(docs, "doc_id", col("n_tokens"), 0L).count() === 0L)
+  }
+
   test("contaminatedIds is exactly ngramOverlap's contaminated set " +
       "(minimal signal == full per-doc counts filtered)") {
     import graft.operators.Decontaminate
