@@ -269,6 +269,45 @@ object ScaleSmoke {
       "ok" else "BAD"
     println(f"[scale-smoke] hash-split       total=${splits.values.sum} train=$trainFrac%.3f (expect $n/0.900, $spOk2) ${dt12}%.1fs")
 
+    // Soft dedup under duplication: every canonical-text cluster has
+    // exactly `copies` x its base multiplicity members, each surviving
+    // with probability 1/n — expected keeps = n_clusters. The hash is
+    // deterministic, so the realized count is fixed given the id layout;
+    // the [0.7, 1.5]x window is ~5 binomial standard deviations wide.
+    // Every survivor must report a cluster size divisible by `copies`
+    // (its base-cluster multiplied), and unique-per-generation texts
+    // (n = copies) must keep ~1/copies of their members, never all.
+    val t17 = System.nanoTime()
+    val soft = Dedup.softDedup(big, "text", "doc_id").cache()
+    val softKept = soft.count()
+    val nClusters = soft.select("fp").distinct().count()
+    val badSize = soft.filter(col("n_docs") % copies =!= 0).count()
+    val allClusters = big.select(graft.functions.TextFunctions
+      .fingerprint(col("text")).as("fp")).distinct().count()
+    soft.unpersist()
+    val dt17 = (System.nanoTime() - t17) / 1e9
+    val softOk = if (badSize == 0L && softKept >= (allClusters * 7) / 10 &&
+        softKept <= (allClusters * 3) / 2) "ok" else "BAD"
+    println(f"[scale-smoke] soft-dedup       kept=$softKept clusters=$allClusters surviving-clusters=$nClusters non-multiple-sizes=$badSize (expect ~1/cluster, $softOk) ${dt17}%.1fs")
+
+    // Epoch schedule under duplication: budget 2.5x the duplicated corpus
+    // -> base 2 epochs for every doc plus a hash-assigned third; row count
+    // must land in [2.4, 2.6]x corpus and epochs must be exactly {1,2} or
+    // {1,2,3} per doc (sequence from 1, no gaps).
+    val t18 = System.nanoTime()
+    val bigTok = big.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("__nt"))
+    val totTok = bigTok.agg(sum("__nt")).collect()(0).getLong(0)
+    val sched = graft.operators.Mixture.epochSchedule(
+      bigTok, "doc_id", col("__nt"), budgetTokens = totTok * 5 / 2, maxEpochs = 4)
+    val schedStats = sched.agg(count(lit(1)), max(col("epoch")), min(col("epoch")))
+      .collect()(0)
+    val schedRows = schedStats.getLong(0)
+    val dt18 = (System.nanoTime() - t18) / 1e9
+    val schedOk = if (schedRows >= n * 24 / 10 && schedRows <= n * 26 / 10 &&
+        schedStats.getInt(1) == 3 && schedStats.getInt(2) == 1) "ok" else "BAD"
+    println(f"[scale-smoke] epoch-schedule   rows=$schedRows (expect [${n * 24 / 10}, ${n * 26 / 10}], epochs 1..${schedStats.getInt(1)}, $schedOk) ${dt18}%.1fs")
+
     // Component split under duplication: CC labels over the minhash pair
     // graph — every `copies`-clique must travel WHOLE into one split
     // (zero components straddling splits; that straddle is exactly the
