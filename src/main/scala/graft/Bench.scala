@@ -36,6 +36,10 @@ object Bench {
     // snapshot distribution drift (two token-count aggs + union-vocab
     // divergences) — corpus-wide passes a training-data run executes
     "text_semantic_decontaminate", "text_ccnet_buckets", "text_dist_drift",
+    // round 10: soft (1/n) dedup — a full-corpus fingerprint agg + join —
+    // and the data-constrained epoch schedule (global agg + bounded
+    // explode), both corpus-wide passes a training-data run executes
+    "dedup_soft", "text_epoch_schedule",
     // the composed 6-stage curation run — the heaviest job a user
     // actually schedules. Its stages are timed individually above; this
     // row times the COMPOSITION (stage checkpoints included). It runs
