@@ -102,6 +102,10 @@ object Dedup {
    * The keep test `idHashUnit(id) < 1.0/n` is engine-replayable
    * (integer-exact hash, correctly-rounded IEEE division).
    *
+   * NULL text fingerprints to NULL and the inner join drops the row —
+   * the same semantics as [[fingerprintGroups]]'s oracle (SQL equi-joins
+   * never match NULL keys), spec-pinned so it can't drift.
+   *
    * @return kept rows: (idCol, fp, n_docs)
    */
   def softDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {

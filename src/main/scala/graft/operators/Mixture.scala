@@ -259,7 +259,10 @@ object Mixture {
    * expectation and the schedule is stable across runs, repartitions and
    * engines. budget <= corpus degenerates to uniform subsampling
    * (base 0, fractional keep); an all-zero-token corpus schedules
-   * nothing rather than dividing by zero.
+   * nothing rather than dividing by zero. A doc with a NULL token count
+   * contributes nothing to the corpus total (SUM skips NULLs in both
+   * engines) but still receives epochs — repetition is per-doc; token
+   * counts only set the global ratio.
    *
    * Scale shape: ONE 1-row global aggregate broadcast back (the same
    * crossJoin-broadcast idiom as the other samplers); epoch expansion is

@@ -186,6 +186,16 @@ class CorpusCurationSpec extends SparkSpec {
     assert(sub.map(_._1).toSet === (1L to 8L).filter(hashUnit(_) < 0.25).toSet)
     // zero budget schedules nothing
     assert(Mixture.epochSchedule(docs, "doc_id", col("n_tokens"), 0L).count() === 0L)
+    // a NULL token count is skipped by the corpus-total SUM (both
+    // engines) but the doc still receives epochs: with doc 9's tokens
+    // null the total stays 200, ratio stays 2.5, and doc 9 schedules
+    // 2 + (hash < 0.5) epochs like everyone else
+    val withNull = docs.unionByName(Seq((9L, null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "n_tokens"))
+    val nullOut = Mixture.epochSchedule(withNull, "doc_id", col("n_tokens"), 500L)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(nullOut(9L) === (2L + (if (hashUnit(9L) < 0.5) 1 else 0)))
+    assert((1L to 8L).forall(id => nullOut(id) === out(id)._1))
   }
 
   test("contaminatedIds is exactly ngramOverlap's contaminated set " +

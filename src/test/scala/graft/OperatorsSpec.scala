@@ -45,6 +45,12 @@ class OperatorsSpec extends SparkSpec {
     // count is small (not the whole cluster, not forced to exactly 1)
     val kept41 = (expectedKeeps -- Set(2L, 3L)).size
     assert(kept41 >= 0 && kept41 <= 5, s"implausible 1/41 keep count $kept41")
+    // NULL text fingerprints to NULL and drops — the oracle's inner-join
+    // semantics (NULL keys never equi-join), pinned here
+    val withNull = docs.unionByName(
+      Seq((999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(!Dedup.softDedup(withNull, "text", "doc_id")
+      .select("doc_id").as[Long].collect().contains(999L))
   }
 
   test("minhash near-dup finds near-identical docs, skips distinct ones") {
