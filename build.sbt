@@ -41,3 +41,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Extra JVM flags for A/B experiments (GC choice, heap shape) without
   // editing the build: SPARK_DRIVER_XOPTS="-XX:+UseParallelGC ..."
   sys.env.get("SPARK_DRIVER_XOPTS").map(_.trim.split("\\s+").toSeq).getOrElse(Nil)
+// The TEST fork keeps a modest, lazily-grown heap: the 41-suite run fits
+// comfortably in 8g on local[4], and a fixed pre-touched 16g would refuse
+// to start on a 16 GB laptop or an 8 GB CI container — measurement
+// stability (the reason for the fixed heap above) matters for Bench, not
+// for assertions. Same GC so tests exercise the production collector.
+Test / javaOptions := jdk17AddOpens ++ Seq(
+  "-Dspark.ui.enabled=false",
+  "-Dspark.sql.session.timeZone=UTC",
+  s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "8g")}",
+  "-XX:+UseParallelGC",
+) ++
+  sys.env.get("SPARK_DRIVER_XOPTS").map(_.trim.split("\\s+").toSeq).getOrElse(Nil)

@@ -188,13 +188,18 @@ object Bench {
       // Reproducibility guard: flag when the reported MEDIAN is not
       // trustworthy. Under interleaving a single inflated sample is the
       // EXPECTED signature of a transient noise window — the median of
-      // three absorbs it — so the guard compares p50 to the observed
-      // floor (min), not max to min: p50 ≫ min means at least half the
-      // samples were inflated and the reported number is environment,
-      // not the query. Sub-second queries get 3x (a 0.2s-vs-0.5s wobble
-      // is scheduler noise); queries over 2s p50 get 2x — round 6's
-      // 22.7/10.1/7.7s curation samples read as "steady" under a flat 3x
-      // and hid a cold-start effect.
+      // three absorbs it — so the `unsteady` flag compares p50 to the
+      // observed floor (min), not max to min: p50 ≫ min means at least
+      // half the samples were inflated and the reported number is
+      // environment, not the query. Sub-second queries get 3x (a
+      // 0.2s-vs-0.5s wobble is scheduler noise); queries over 2s p50 get
+      // 2x. What this flag deliberately does NOT catch: a decaying
+      // sequence whose median sits between a cold max and a warm min
+      // (round 6's 22.7/10.1/7.7 shape) — the per-sample immediate
+      // warmup plus interleaving is the defense against cold-start
+      // medians now, and the max/min note below keeps such shapes
+      // visible in the log without failing the record on every isolated
+      // noise hit.
       val spread =
         if (okTimes.size < 2) 1.0
         else p50 / math.max(okTimes.min, 1e-9)
@@ -202,6 +207,9 @@ object Bench {
       val unsteady = spread > spreadLimit
       if (unsteady)
         System.err.println(f"[bench] WARN spread $name p50/min=$spread%.1fx (limit $spreadLimit%.0fx at p50=$p50%.2fs) — median not steady-state")
+      else if (okTimes.size >= 2 &&
+          okTimes.max / math.max(okTimes.min, 1e-9) > spreadLimit)
+        System.err.println(f"[bench] note spread $name max/min=${okTimes.max / math.max(okTimes.min, 1e-9)}%.1fx (p50=$p50%.2fs trusted — single-sample outlier)")
       System.err.println(f"[bench] timed  $name p50=$p50%.2fs (${times.map(t => f"$t%.2f").mkString("/")})")
       (name, p50, failed.isDefined, unsteady)
     }

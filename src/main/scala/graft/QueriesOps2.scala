@@ -1082,7 +1082,16 @@ object QueriesOps2 {
         require(plan.contains("PushedFilters:") &&
           plan.contains("EqualTo(CODE,SARS)"),
           s"WHERE did not reach the JDBC scan:\n$plan")
-        df.select(col("ID").as("id"), col("LAB").as("lab"))
+        // materialize the pull, then SHUT DOWN the embedded engine: each
+        // execution boots a fresh scratch database, and Derby keeps its
+        // page cache, lock manager and background threads alive until JVM
+        // exit otherwise — repeated verify/bench executions would
+        // accumulate live engines in the driver
+        val out = df.select(col("ID").as("id"), col("LAB").as("lab"))
+          .localCheckpoint(true)
+        try { DriverManager.getConnection(s"jdbc:derby:$root/db;shutdown=true"); () }
+        catch { case _: java.sql.SQLException => () } // shutdown SIGNALS via SQLException
+        out
       }),
 
     // ---------------------------------------------------------------- S7
@@ -1109,8 +1118,15 @@ object QueriesOps2 {
             .otherwise(concat(lit("n"), col("o_orderkey").cast("string")))
             .as("note"),
           col("o_orderstatus").as("status"))
+        // distributedAbove = MaxValue PINS the global-order chunk path:
+        // the DuckDB mirror computes dense ROW_NUMBER chunks, which only
+        // the global variant produces — at >1M input rows writeChunked's
+        // default would switch to withChunkIdDistributed, whose sparse
+        // partition-local ids are correct but not ROW_NUMBER-replayable
+        // (that variant is spec-covered in TemplateSubmittersSpec).
         graft.sinks.RosterSink.writeChunked(
-          roster, s"$root/out", Seq("rowid"), maxRows = 500)
+          roster, s"$root/out", Seq("rowid"), maxRows = 500,
+          distributedAbove = Long.MaxValue)
         s.read.option("header", "true").csv(s"$root/out")
           .select(col("rowid"), col("note"), col("status"),
             col("_chunk").cast("int").as("chunk"))

@@ -154,16 +154,18 @@ object QueriesText {
     // with probability 1/n_cluster (expected ONE copy per distinct
     // canonical text) — the downweight-don't-delete alternative to
     // keep-first that preserves the corpus distribution in expectation.
-    // Membership is the deterministic id hash (same constants as the
-    // mixture samplers), so DuckDB replays the exact keep set. Unique
-    // docs are always kept (hash in [0,1) < 1/1).
+    // Membership is the deterministic id hash with soft dedup's OWN
+    // multiplier 1779033703 (Dedup.SoftDedupMult) so survivors'
+    // default-multiplier hashes stay uniform for downstream samplers;
+    // DuckDB replays the exact keep set. Unique docs are always kept
+    // (hash in [0,1) < 1/1).
     QueryDef("dedup_soft", Some(s"""
       WITH c AS (SELECT doc_id, md5($canonSql) AS fp FROM documents),
       n AS (SELECT fp, COUNT(*) AS n_docs FROM c GROUP BY fp)
       SELECT c.doc_id, c.fp, n.n_docs
       FROM c JOIN n USING (fp)
-      WHERE ((doc_id % 2147483647 * 2654435761) % 2147483647) / 2147483647.0
-            < 1.0 / n_docs"""),
+      WHERE ((doc_id % 2147483647) * 1779033703) % 2147483647
+            / 2147483647.0 < 1.0 / n_docs"""),
       (s, dir) => Dedup.softDedup(t(s, dir, "documents"), "text", "doc_id")),
 
     // ------------------------------------------------- dedup: minhash LSH
@@ -1296,6 +1298,9 @@ object QueriesText {
     // (~27k corpus tokens) the 65k budget lands ratio ~2.4: base-2
     // epochs plus a hash-assigned third — both arms exercised. At sf0.1
     // the same budget subsamples (ratio < 1, base 0): the degenerate arm.
+    // The fractional draw uses its own multiplier 1013904242
+    // (Mixture.EpochMult) so it is independent of upstream keep
+    // decisions.
     QueryDef("text_epoch_schedule", Some(s"""
       WITH d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n FROM documents),
       tot AS (SELECT SUM(n) AS t FROM d),
@@ -1303,8 +1308,9 @@ object QueriesText {
                         ELSE least(65000.0 / t, 4.0) END AS ratio FROM tot),
       s AS (SELECT doc_id,
                    CAST(floor(ratio) AS INT) +
-                   CASE WHEN ((doc_id % 2147483647 * 2654435761) % 2147483647)
-                             / 2147483647.0 < round(ratio - floor(ratio), 9)
+                   CASE WHEN ((doc_id % 2147483647) * 1013904242)
+                              % 2147483647 / 2147483647.0
+                             < round(ratio - floor(ratio), 9)
                         THEN 1 ELSE 0 END AS n
             FROM d, r)
       SELECT doc_id, unnest(generate_series(1, n)) AS epoch

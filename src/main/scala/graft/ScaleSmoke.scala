@@ -271,12 +271,12 @@ object ScaleSmoke {
 
     // Soft dedup under duplication: every canonical-text cluster has
     // exactly `copies` x its base multiplicity members, each surviving
-    // with probability 1/n — expected keeps = n_clusters. The hash is
-    // deterministic, so the realized count is fixed given the id layout;
-    // the [0.7, 1.5]x window is ~5 binomial standard deviations wide.
+    // with probability 1/n — expected keeps = n_clusters with binomial
+    // SD ~ sqrt(n_clusters·(1 - 1/n)), so the accept window is a
+    // computed ±5 SD (≈ ±358 on 5,000 clusters): tight enough that a
+    // systematic keep-probability bug of even ~1.15/n lands outside it.
     // Every survivor must report a cluster size divisible by `copies`
-    // (its base-cluster multiplied), and unique-per-generation texts
-    // (n = copies) must keep ~1/copies of their members, never all.
+    // (its base-cluster multiplied).
     val t17 = System.nanoTime()
     val soft = Dedup.softDedup(big, "text", "doc_id").cache()
     val softKept = soft.count()
@@ -286,8 +286,9 @@ object ScaleSmoke {
       .fingerprint(col("text")).as("fp")).distinct().count()
     soft.unpersist()
     val dt17 = (System.nanoTime() - t17) / 1e9
-    val softOk = if (badSize == 0L && softKept >= (allClusters * 7) / 10 &&
-        softKept <= (allClusters * 3) / 2) "ok" else "BAD"
+    val sd5 = (5 * math.sqrt(allClusters.toDouble)).toLong + 5
+    val softOk = if (badSize == 0L && softKept >= allClusters - sd5 &&
+        softKept <= allClusters + sd5) "ok" else "BAD"
     println(f"[scale-smoke] soft-dedup       kept=$softKept clusters=$allClusters surviving-clusters=$nClusters non-multiple-sizes=$badSize (expect ~1/cluster, $softOk) ${dt17}%.1fs")
 
     // Epoch schedule under duplication: budget 2.5x the duplicated corpus

@@ -45,8 +45,18 @@ object Decontaminate {
    */
   def contaminatedIds(train: DataFrame, evalDocs: DataFrame,
       textCol: String, idCol: String, n: Int = 5): DataFrame =
+    contaminatedIdsAgainstGrams(train, evalGramSet(evalDocs, textCol, n),
+      textCol, idCol, n)
+
+  /** [[contaminatedIds]] against a PRE-COMPUTED eval gram set — the
+    * streaming ingest derives the grams once outside the stream and
+    * reuses them per micro-batch; keeping the train-side derivation here
+    * means batch and streaming can never drift on which docs count as
+    * contaminated (short-doc fallback grams, null handling). */
+  def contaminatedIdsAgainstGrams(train: DataFrame, evalGrams: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame =
     docGrams(train, textCol, idCol, n)
-      .join(broadcast(evalGramSet(evalDocs, textCol, n)), Seq("ngram"), "left_semi")
+      .join(broadcast(evalGrams), Seq("ngram"), "left_semi")
       .select(col(idCol)).distinct()
 
   /**

@@ -99,8 +99,16 @@ object Dedup {
    * fingerprint — a shuffle equi-join AQE can skew-split when one
    * boilerplate page has millions of copies. A window over the
    * fingerprint could NOT: the hottest cluster would pin a single task.
-   * The keep test `idHashUnit(id) < 1.0/n` is engine-replayable
-   * (integer-exact hash, correctly-rounded IEEE division).
+   * The keep test `idHashUnit(id, SoftDedupMult) < 1.0/n` is
+   * engine-replayable (integer-exact hash, correctly-rounded IEEE
+   * division). The draw uses its OWN hash multiplier so survivors'
+   * default-hash values stay uniform: a same-hash draw would leave
+   * every survivor with hash < 1/n, and any downstream default-hash
+   * `hash < f` sampler (split, weight sample) would then select
+   * survivors with probability ~min(1, f·n) instead of f — train/test
+   * splits would never put a dedup survivor in val/test. See
+   * Mixture.idHashUnit for why independence needs a distinct
+   * multiplier, not an additive salt.
    *
    * NULL text fingerprints to NULL and the inner join drops the row —
    * the same semantics as [[fingerprintGroups]]'s oracle (SQL equi-joins
@@ -108,11 +116,13 @@ object Dedup {
    *
    * @return kept rows: (idCol, fp, n_docs)
    */
+  val SoftDedupMult: Long = 1779033703L // sha-256 iv word — public, C-independent
+
   def softDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val withFp = docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
     val sizes = withFp.groupBy("fp").agg(count(lit(1)).as("n_docs"))
     withFp.join(sizes, "fp")
-      .filter(Mixture.idHashUnit(col(idCol)) < lit(1.0) / col("n_docs"))
+      .filter(Mixture.idHashUnit(col(idCol), SoftDedupMult) < lit(1.0) / col("n_docs"))
       .select(col(idCol), col("fp"), col("n_docs"))
   }
 

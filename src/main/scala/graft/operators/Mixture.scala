@@ -39,16 +39,42 @@ object Mixture {
     * product stays below m·C ≈ 5.7e18 and ids up to Long.MaxValue can't
     * overflow (a raw id·C overflows — ANSI would raise — once ids pass
     * ~3.5e9, i.e. exactly the 100 TB corpus id range). */
-  private[operators] def guardedIdHash(id: Column): Column = {
+  private[operators] def guardedIdHash(id: Column,
+      mult: Long = KnuthMult): Column = {
+    val m = mult % HashMod
+    require(m != 0, s"Mixture.guardedIdHash: multiplier $mult ≡ 0 mod $HashMod")
     val asLong = when(id.isNull || id.try_cast("long").isNull,
         raise_error(concat(lit("Mixture.idHashUnit: id is null or not "
           + "castable to long: "), coalesce(id.cast("string"), lit("NULL")))))
       .otherwise(id.try_cast("long"))
-    pmod(pmod(asLong, lit(HashMod)) * lit(2654435761L), lit(HashMod))
+    pmod(pmod(asLong, lit(HashMod)) * lit(m), lit(HashMod))
   }
 
-  def idHashUnit(id: Column): Column =
-    guardedIdHash(id).cast("double") / lit(HashMod.toDouble)
+  /** The default draw multiplier (Knuth). */
+  val KnuthMult: Long = 2654435761L
+
+  /**
+   * Why a `mult` FAMILY: every operator drawing from the SAME id hash
+   * makes perfectly CORRELATED decisions — compose soft dedup (keeps ids
+   * with hash < 1/n) with a same-hash downstream sampler and every
+   * dedup survivor, whose hash is biased low by construction, would win
+   * every subsequent `hash < f` draw with probability ~min(1, f·n)
+   * instead of f (e.g. land in the train split with probability 1, so
+   * val/test could never contain a dedup survivor). Since the modulus is
+   * prime, any nonzero multiplier gives a bijective draw, and two
+   * INDEPENDENT multipliers decorrelate selections (an ADDITIVE salt
+   * does not — x·(C)+s is a constant shift, mapping the survivor set to
+   * one contiguous hash interval; a multiplier DERIVED from C, C+Δ,
+   * fails too: the hashes differ by x·Δ, small for small ids — both
+   * verified empirically before landing the constants). Composable
+   * operators each use a distinct documented multiplier
+   * ([[graft.operators.Dedup.SoftDedupMult]], [[EpochMult]]); the
+   * split/mixture family keeps the Knuth default for oracle-replay
+   * stability, so compose those with the re-multiplied ops, not with
+   * each other.
+   */
+  def idHashUnit(id: Column, mult: Long = KnuthMult): Column =
+    guardedIdHash(id, mult).cast("double") / lit(HashMod.toDouble)
 
   /**
    * Leakage-safe deterministic train/val/test split: assign each document
@@ -274,8 +300,18 @@ object Mixture {
    * decimals before the hash compare (same convention as
    * [[sampleByTemperature]]'s pow rounding).
    *
+   * The fractional-epoch draw uses its own [[EpochMult]] hash multiplier
+   * so it is INDEPENDENT of upstream keep decisions (soft dedup's
+   * survivors have SoftDedupMult hashes biased below 1/n; a same-hash
+   * draw here would hand every survivor the extra epoch whenever frac >=
+   * 1/n — systematically over-epoching exactly the duplicated content).
+   * See [[idHashUnit]] for why independence needs a distinct multiplier,
+   * not a salt.
+   *
    * @return `docs` columns plus `epoch` (1-based), n rows per doc
    */
+  val EpochMult: Long = 1013904242L // sha-256 iv word — public, C-independent
+
   def epochSchedule(docs: DataFrame, idCol: String, tokenCount: Column,
       budgetTokens: Long, maxEpochs: Int = 4): DataFrame = {
     require(budgetTokens >= 0,
@@ -290,7 +326,7 @@ object Mixture {
     docs.crossJoin(broadcast(total))
       .withColumn("__n",
         floor(ratio).cast("int") +
-          when(idHashUnit(col(idCol)) < round(ratio - floor(ratio), 9), 1)
+          when(idHashUnit(col(idCol), EpochMult) < round(ratio - floor(ratio), 9), 1)
             .otherwise(0))
       .filter(col("__n") >= 1)
       .select(docs.columns.map(col).toIndexedSeq

@@ -56,9 +56,11 @@ object Curation {
   /**
    * Await a concurrent stage-stats Future with a finite, stage-named
    * deadline: a wedged stats job must fail loudly with the stage it
-   * belongs to, not hang the whole pipeline silently (the aggregates are
-   * two-long reductions — if one takes the full deadline, something is
-   * broken, not slow).
+   * belongs to, not hang the whole pipeline silently. The aggregate
+   * REDUCES to two longs but SCANS the full stage output (count +
+   * tokenize-sum over the checkpoint blocks), so the deadline must scale
+   * with the corpus — [[run]] threads `cfg.statsTimeout` through; the
+   * 10-minute default here fits bench/test scales only.
    */
   private[graft] def awaitStage[T](stage: String,
       f: scala.concurrent.Future[T],
@@ -74,12 +76,17 @@ object Curation {
 
   /** Stage parameters; defaults match the individually-oracled registry
     * queries (gate rules, 10-token chunks, minhash 5/16/4 at 0.5,
-    * 5-gram decontamination). */
+    * 5-gram decontamination). `statsTimeout` bounds each concurrent
+    * stage-stats aggregate — the stats are full-stage tokenize scans, so
+    * size it to the corpus: the 10-minute default fits the bench/test
+    * scales; a 100 TB run should pass hours, not rely on the default. */
   case class CurationConfig(
       chunkTokens: Int = 10, chunkMaxDf: Int = 1,
       shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.5,
-      decontamN: Int = 5, budgetTokens: Long = 20000L)
+      decontamN: Int = 5, budgetTokens: Long = 20000L,
+      statsTimeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(10, "min"))
 
   private val langs = Seq("en", "es", "de", "fr")
 
@@ -238,8 +245,8 @@ object Curation {
     // cleaned is materialized and the gate checkpoint's two stats jobs
     // are in: nothing reads the gate frame again — release it before the
     // heavy near-dup stage
-    val ingestStats = awaitStage("ingest", ingestStatsF)
-    val gatedStats = awaitStage("quality_gate", gatedStatsF)
+    val ingestStats = awaitStage("ingest", ingestStatsF, cfg.statsTimeout)
+    val gatedStats = awaitStage("quality_gate", gatedStatsF, cfg.statsTimeout)
     releaseGate()
     val cleanedStatsF = Future(stats(cleaned))
 
@@ -258,7 +265,7 @@ object Curation {
           .filter(col("id") === col("component"))
           .select(col("id").as(idCol)), Seq(idCol)))
     }
-    val cleanedStats = awaitStage("line_dedup", cleanedStatsF)
+    val cleanedStats = awaitStage("line_dedup", cleanedStatsF, cfg.statsTimeout)
     releaseCleaned()
     val survivorStatsF = Future(stats(survivors))
 
@@ -276,7 +283,7 @@ object Curation {
           Seq(idCol), "left_anti")
         .localCheckpoint(true)
     }
-    val survivorStats = awaitStage("near_dup", survivorStatsF)
+    val survivorStats = awaitStage("near_dup", survivorStatsF, cfg.statsTimeout)
     releaseSurvivors()
 
     // the mixture stage is lazy — its cost lands in the report/consumer

@@ -313,10 +313,9 @@ object Streams {
         val gated = graft.pipelines.Curation.withDisposition(batch.toDF(), textCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val contaminatedIds = graft.operators.Decontaminate
-          .docGrams(gated.filter(col("disposition") === "keep"),
-            textCol, idCol, decontamN)
-          .join(broadcast(evalGrams), Seq("ngram"), "left_semi")
-          .select(col(idCol)).distinct()
+          .contaminatedIdsAgainstGrams(
+            gated.filter(col("disposition") === "keep"),
+            evalGrams, textCol, idCol, decontamN)
         val judged = gated
           .join(contaminatedIds.withColumn("__cont", lit(1)), Seq(idCol), "left")
           .withColumn("disposition",

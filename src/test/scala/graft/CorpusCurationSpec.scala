@@ -165,8 +165,9 @@ class CorpusCurationSpec extends SparkSpec {
   test("epochSchedule: floor epochs for all, fractional epoch by hash, " +
       "maxEpochs cap, subsample degenerate, zero budget") {
     val docs = (1L to 8L).map(i => (i, 25L)).toDF("doc_id", "n_tokens") // 200 tokens
+    // independent reimplementation of the EpochMult fractional draw
     val m = 2147483647L
-    def hashUnit(id: Long): Double = ((id % m) * 2654435761L % m).toDouble / m
+    def hashUnit(id: Long): Double = (id % m * 1013904242L % m).toDouble / m
     // budget 500 -> ratio 2.5: two epochs for everyone, a third iff hash < 0.5
     val out = Mixture.epochSchedule(docs, "doc_id", col("n_tokens"), 500L)
       .groupBy("doc_id").agg(count(lit(1)).as("n"), max("epoch").as("mx"))

@@ -31,9 +31,9 @@ class OperatorsSpec extends SparkSpec {
     // cluster: cluster size 41
     val out = Dedup.softDedup(docs, "text", "doc_id")
       .select("doc_id", "n_docs").as[(Long, Long)].collect().toMap
-    // independent reimplementation of the keep rule
+    // independent reimplementation of the keep rule (SoftDedupMult draw)
     val m = 2147483647L
-    def hashUnit(id: Long): Double = ((id % m) * 2654435761L % m).toDouble / m
+    def hashUnit(id: Long): Double = (id % m * 1779033703L % m).toDouble / m
     val clusterIds = (100L to 139L) :+ 1L
     val expectedKeeps = clusterIds.filter(hashUnit(_) < 1.0 / 41).toSet ++ Set(2L, 3L)
     assert(out.keySet === expectedKeeps)
@@ -51,6 +51,32 @@ class OperatorsSpec extends SparkSpec {
       Seq((999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
     assert(!Dedup.softDedup(withNull, "text", "doc_id")
       .select("doc_id").as[Long].collect().contains(999L))
+  }
+
+  test("softDedup composes with the unsalted split: survivors land in " +
+      "val/test at ~the split rate (salt decorrelation)") {
+    // 400 clusters of 10: an UNSALTED 1/n keep draw would leave every
+    // survivor with unsalted hash < 0.1, and hashSplit(0.9/0.05/0.05) —
+    // which assigns train to hash < 0.9 — could then NEVER put a
+    // survivor in val or test. The SoftDedupSalt-salted draw leaves the
+    // unsalted split hash uniform over survivors.
+    val docs = (0L until 4000L)
+      .map(i => (i, s"cluster body text number ${i % 400} with shared words"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.softDedup(docs, "text", "doc_id")
+    val nKept = kept.count()
+    assert(nKept > 200, s"implausible survivor count $nKept for 400 clusters")
+    val splits = graft.operators.Mixture.hashSplit(
+      kept.select("doc_id"), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val nonTrain = splits.getOrElse("val", 0L) + splits.getOrElse("test", 0L)
+    // expected ~10% of survivors; zero is the unsalted-correlation bug
+    assert(nonTrain > 0, "no dedup survivor ever reaches val/test — " +
+      "keep draw and split draw are correlated")
+    assert(nonTrain.toDouble / nKept > 0.02 && nonTrain.toDouble / nKept < 0.3,
+      s"val+test share ${nonTrain.toDouble / nKept} far from the 0.1 split rate")
   }
 
   test("minhash near-dup finds near-identical docs, skips distinct ones") {
