@@ -1340,7 +1340,7 @@ object QueriesText {
                   WHEN u < 0.9::DOUBLE + 0.05::DOUBLE THEN 'val'
                   ELSE 'test' END AS split
       FROM (SELECT doc_id, source,
-              ((doc_id % 2147483647 * 2654435761) % 2147483647) / 2147483647.0 AS u
+              ((doc_id % 2147483647 * 2246822519) % 2147483647) / 2147483647.0 AS u
             FROM documents)"""),
       (s, dir) => Mixture.hashSplit(
         t(s, dir, "documents").select(col("doc_id"), col("source")),
@@ -1375,7 +1375,7 @@ object QueriesText {
                   WHEN u < 0.8::DOUBLE + 0.1::DOUBLE THEN 'val'
                   ELSE 'test' END AS split
       FROM (SELECT doc_id, source,
-              ((key % 2147483647 * 2654435761) % 2147483647) / 2147483647.0 AS u
+              ((key % 2147483647 * 2246822519) % 2147483647) / 2147483647.0 AS u
             FROM k)"""),
       (s, dir) => {
         val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))

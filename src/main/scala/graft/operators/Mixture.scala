@@ -68,10 +68,12 @@ object Mixture {
    * fails too: the hashes differ by x·Δ, small for small ids — both
    * verified empirically before landing the constants). Composable
    * operators each use a distinct documented multiplier
-   * ([[graft.operators.Dedup.SoftDedupMult]], [[EpochMult]]); the
-   * split/mixture family keeps the Knuth default for oracle-replay
-   * stability, so compose those with the re-multiplied ops, not with
-   * each other.
+   * ([[graft.operators.Dedup.SoftDedupMult]], [[EpochMult]],
+   * [[SplitMult]] for the split family); the keep-SAMPLERS
+   * (weight/temperature/token-budget) share the Knuth default — two
+   * keep-samplers chained on the same corpus draw correlated, which is
+   * visible in their contract (don't chain them; compose a sampler with
+   * the re-multiplied dedup/epoch/split ops instead).
    */
   def idHashUnit(id: Column, mult: Long = KnuthMult): Column =
     guardedIdHash(id, mult).cast("double") / lit(HashMod.toDouble)
@@ -101,6 +103,14 @@ object Mixture {
    * in the same split. Same zero-shuffle projection, same fail-fast
    * fraction validation, same engine-replayable hash.
    */
+  /** The split family's own draw multiplier: sample-then-split is THE
+    * standard composition (curate with a keep-sampler, then split for
+    * training), and a split drawing from the samplers' Knuth hash would
+    * inherit their selection bias — e.g. after a `hash < f` keep pass no
+    * survivor could ever land past the f boundary, starving val/test.
+    * xxhash's prime-2 constant — public, Knuth-independent. */
+  val SplitMult: Long = 2246822519L
+
   def hashSplitOn(docs: DataFrame, hashOf: Column,
       fractions: Seq[(String, Double)]): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0),
@@ -109,7 +119,7 @@ object Mixture {
     require(math.abs(total - 1.0) < 1e-9,
       s"Mixture.hashSplitOn: fractions must sum to 1, got $total")
     val cum = fractions.scanLeft(0.0)(_ + _._2).tail
-    val u = idHashUnit(hashOf)
+    val u = idHashUnit(hashOf, SplitMult)
     // the last split takes everything below 1.0 unconditionally, so
     // float accumulation at the top boundary can never drop a row
     val assign = fractions.init.zip(cum.init)

@@ -318,6 +318,28 @@ class CorpusCurationSpec extends SparkSpec {
     assert(e.getMessage.contains("sum to 1"))
   }
 
+  test("sampleByWeight then hashSplit: survivors reach val/test at ~the " +
+      "split rate (SplitMult decorrelation)") {
+    import graft.operators.Mixture
+    // keep ~20% by the samplers' Knuth draw: every survivor has
+    // Knuth-hash < 0.2 — a split drawing from the SAME hash could never
+    // assign one past the 0.2 boundary, so val/test (hash >= 0.9) would
+    // be empty. The split's own SplitMult draw stays uniform on them.
+    val docs = spark.range(0, 10000).toDF("doc_id")
+      .withColumn("w", lit(0.2))
+    val kept = Mixture.sampleByWeight(docs, "doc_id", "w")
+    val nKept = kept.count()
+    assert(nKept > 1000, s"implausible keep count $nKept at w=0.2")
+    val splits = Mixture.hashSplit(kept.select("doc_id"), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val nonTrain = splits.getOrElse("val", 0L) + splits.getOrElse("test", 0L)
+    assert(nonTrain > 0, "no sampled survivor ever reaches val/test — " +
+      "sampler and split draws are correlated")
+    assert(nonTrain.toDouble / nKept > 0.02 && nonTrain.toDouble / nKept < 0.3,
+      s"val+test share ${nonTrain.toDouble / nKept} far from the 0.1 split rate")
+  }
+
   test("distributionDrift: zero on identical corpora, positive on a shifted " +
       "source, finite for a B-only source") {
     import graft.operators.CorpusStats

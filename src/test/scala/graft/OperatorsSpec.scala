@@ -72,7 +72,7 @@ class OperatorsSpec extends SparkSpec {
       .groupBy("split").count()
       .as[(String, Long)].collect().toMap
     val nonTrain = splits.getOrElse("val", 0L) + splits.getOrElse("test", 0L)
-    // expected ~10% of survivors; zero is the unsalted-correlation bug
+    // expected ~10% of survivors; zero is the same-hash correlation bug
     assert(nonTrain > 0, "no dedup survivor ever reaches val/test — " +
       "keep draw and split draw are correlated")
     assert(nonTrain.toDouble / nKept > 0.02 && nonTrain.toDouble / nKept < 0.3,
