@@ -1298,7 +1298,7 @@ object QueriesText {
     // (~27k corpus tokens) the 65k budget lands ratio ~2.4: base-2
     // epochs plus a hash-assigned third — both arms exercised. At sf0.1
     // the same budget subsamples (ratio < 1, base 0): the degenerate arm.
-    // The fractional draw uses its own multiplier 1013904242
+    // The fractional draw uses its own multiplier 3266489917
     // (Mixture.EpochMult) so it is independent of upstream keep
     // decisions.
     QueryDef("text_epoch_schedule", Some(s"""
@@ -1308,7 +1308,7 @@ object QueriesText {
                         ELSE least(65000.0 / t, 4.0) END AS ratio FROM tot),
       s AS (SELECT doc_id,
                    CAST(floor(ratio) AS INT) +
-                   CASE WHEN ((doc_id % 2147483647) * 1013904242)
+                   CASE WHEN ((doc_id % 2147483647) * 3266489917)
                               % 2147483647 / 2147483647.0
                              < round(ratio - floor(ratio), 9)
                         THEN 1 ELSE 0 END AS n

@@ -112,11 +112,12 @@ object SkewSmoke {
     // counted 4,992 clusters over 5,000 docs — so a small mid-size
     // remainder is legitimate); hot clusters are size `copies` or a
     // little more when a hot doc has a cold canonical twin
-    // hot bound is two-sided: ~1-1/e of cliques keep at least one member
-    // (expected ~0.63·nHot survivors), so fewer than nHot/4 means the
-    // count-join path is DROPPING hot-cluster members — the exact
-    // regression this smoke exists to catch — while > 2·nHot means the
-    // 1/n draw is keeping too many
+    // hot bound is two-sided: keptHot counts survivor ROWS, whose
+    // expectation is exactly nHot (1 per clique; the ~0.63·nHot figure
+    // is the different quantity "cliques with ≥1 survivor"). Fewer than
+    // nHot/4 rows means the count-join path is DROPPING hot-cluster
+    // members — the exact regression this smoke exists to catch — while
+    // > 2·nHot means the 1/n draw is keeping too many
     val keptMid = kept - keptSingletons - keptHot
     val sOk = if (keptSingletons >= nCold * 9 / 10 &&
         keptHot >= nHot / 4 && keptHot <= 2 * nHot &&

@@ -81,6 +81,11 @@ object Dedup {
     docs.groupBy(fingerprint(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** Soft dedup's own draw multiplier (sha-256 iv word — public,
+    * Knuth-independent, vetted by the Mixture.EpochMult relation-search
+    * + simulation procedure). */
+  val SoftDedupMult: Long = 1779033703L
+
   /**
    * Soft (probabilistic) exact dedup: every member of a duplicate cluster
    * survives with probability 1/n, so each distinct canonical text
@@ -116,8 +121,6 @@ object Dedup {
    *
    * @return kept rows: (idCol, fp, n_docs)
    */
-  val SoftDedupMult: Long = 1779033703L // sha-256 iv word — public, C-independent
-
   def softDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val withFp = docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
     val sizes = withFp.groupBy("fp").agg(count(lit(1)).as("n_docs"))

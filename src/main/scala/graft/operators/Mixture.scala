@@ -96,6 +96,15 @@ object Mixture {
       fractions: Seq[(String, Double)]): DataFrame =
     hashSplitOn(docs, col(idCol), fractions)
 
+  /** The split family's own draw multiplier: sample-then-split is THE
+    * standard composition (curate with a keep-sampler, then split for
+    * training), and a split drawing from the samplers' Knuth hash would
+    * inherit their selection bias — e.g. after a `hash < f` keep pass no
+    * survivor could ever land past the f boundary, starving val/test.
+    * xxhash's prime-2 constant — public, Knuth-independent (vetted by
+    * the [[EpochMult]] relation-search + simulation procedure). */
+  val SplitMult: Long = 2246822519L
+
   /**
    * Leakage-safe split hashed on an ARBITRARY column: the generalization
    * behind [[hashSplit]] (id-hashed) and [[splitByComponent]]
@@ -103,14 +112,6 @@ object Mixture {
    * in the same split. Same zero-shuffle projection, same fail-fast
    * fraction validation, same engine-replayable hash.
    */
-  /** The split family's own draw multiplier: sample-then-split is THE
-    * standard composition (curate with a keep-sampler, then split for
-    * training), and a split drawing from the samplers' Knuth hash would
-    * inherit their selection bias — e.g. after a `hash < f` keep pass no
-    * survivor could ever land past the f boundary, starving val/test.
-    * xxhash's prime-2 constant — public, Knuth-independent. */
-  val SplitMult: Long = 2246822519L
-
   def hashSplitOn(docs: DataFrame, hashOf: Column,
       fractions: Seq[(String, Double)]): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0),
@@ -284,6 +285,16 @@ object Mixture {
       .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** The epoch schedule's draw multiplier (xxhash prime 3). An earlier
+    * candidate (1013904242) LOOKED independent but is ≡ 2·KnuthMult + 14
+    * (mod m) — near-perfect correlation with the keep-samplers for
+    * sequential ids. Every constant in the family is now vetted two
+    * ways before landing: a small-coefficient linear-relation search
+    * (B ≡ aA + b mod m, |a|,|b| ≤ 64) against every sibling, and a
+    * 2M-sequential-id composition simulation (survivor draw rate must
+    * be the nominal fraction for every ordered pair). */
+  val EpochMult: Long = 3266489917L
+
   /**
    * Data-constrained repetition schedule (the Muennighoff et al. 2023
    * regime: when the token budget exceeds the corpus, repeating data for
@@ -320,7 +331,6 @@ object Mixture {
    *
    * @return `docs` columns plus `epoch` (1-based), n rows per doc
    */
-  val EpochMult: Long = 1013904242L // sha-256 iv word — public, C-independent
 
   def epochSchedule(docs: DataFrame, idCol: String, tokenCount: Column,
       budgetTokens: Long, maxEpochs: Int = 4): DataFrame = {

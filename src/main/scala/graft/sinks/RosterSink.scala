@@ -63,8 +63,11 @@ object RosterSink {
     // The strategy probe counts AT MOST distributedAbove+1 rows (limit
     // before count): a full count() would execute the entire upstream
     // pipeline a second time precisely for the large outputs the
-    // distributed path exists for.
-    val probe = math.min(distributedAbove + 1, Int.MaxValue.toLong).toInt
+    // distributed path exists for. Clamp BEFORE the +1: a sentinel like
+    // Long.MaxValue (callers pin the global path with it — the s7 oracle
+    // row does) would overflow to Long.MinValue and probe limit(0),
+    // choosing "small" by accident of the degenerate comparison.
+    val probe = (math.min(distributedAbove, Int.MaxValue - 1L) + 1).toInt
     val small = roster.limit(probe).count() <= distributedAbove
     val chunked =
       if (small) withChunkId(roster, orderCols, maxRows).repartition(col("_chunk"))

@@ -167,7 +167,7 @@ class CorpusCurationSpec extends SparkSpec {
     val docs = (1L to 8L).map(i => (i, 25L)).toDF("doc_id", "n_tokens") // 200 tokens
     // independent reimplementation of the EpochMult fractional draw
     val m = 2147483647L
-    def hashUnit(id: Long): Double = (id % m * 1013904242L % m).toDouble / m
+    def hashUnit(id: Long): Double = (id % m * (3266489917L % m) % m).toDouble / m
     // budget 500 -> ratio 2.5: two epochs for everyone, a third iff hash < 0.5
     val out = Mixture.epochSchedule(docs, "doc_id", col("n_tokens"), 500L)
       .groupBy("doc_id").agg(count(lit(1)).as("n"), max("epoch").as("mx"))
@@ -338,6 +338,30 @@ class CorpusCurationSpec extends SparkSpec {
       "sampler and split draws are correlated")
     assert(nonTrain.toDouble / nKept > 0.02 && nonTrain.toDouble / nKept < 0.3,
       s"val+test share ${nonTrain.toDouble / nKept} far from the 0.1 split rate")
+  }
+
+  test("sampleByWeight then epochSchedule: fractional epoch rate stays " +
+      "~frac over survivors (EpochMult decorrelation)") {
+    // keep ~20% by the samplers' Knuth draw, then schedule at ratio 2.5
+    // over the survivors: a fractional-epoch draw correlated with the
+    // keep draw hands EVERY survivor the third epoch (rows = 3.0x
+    // docs) instead of half of them (rows = 2.5x). The first EpochMult
+    // candidate failed exactly this — it looked random but was
+    // ≡ 2·KnuthMult + 14 (mod m), measured rate 1.0.
+    import graft.operators.Mixture
+    val docs = spark.range(0, 20000).toDF("doc_id")
+      .withColumn("w", lit(0.2)).withColumn("n_tokens", lit(10L))
+    val kept = Mixture.sampleByWeight(docs, "doc_id", "w")
+      .select("doc_id", "n_tokens")
+    val nKept = kept.count()
+    assert(nKept > 2000, s"implausible keep count $nKept at w=0.2")
+    val budget = nKept * 10L * 5 / 2 // ratio exactly 2.5 over survivors
+    val rows = Mixture.epochSchedule(kept, "doc_id", col("n_tokens"), budget)
+      .count()
+    val perDoc = rows.toDouble / nKept
+    assert(perDoc > 2.4 && perDoc < 2.6,
+      s"rows/doc $perDoc — fractional epoch draw correlated with the " +
+        "keep draw (expect ~2.5)")
   }
 
   test("distributionDrift: zero on identical corpora, positive on a shifted " +

@@ -53,13 +53,13 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().contains(999L))
   }
 
-  test("softDedup composes with the unsalted split: survivors land in " +
-      "val/test at ~the split rate (salt decorrelation)") {
-    // 400 clusters of 10: an UNSALTED 1/n keep draw would leave every
-    // survivor with unsalted hash < 0.1, and hashSplit(0.9/0.05/0.05) —
-    // which assigns train to hash < 0.9 — could then NEVER put a
-    // survivor in val or test. The SoftDedupSalt-salted draw leaves the
-    // unsalted split hash uniform over survivors.
+  test("softDedup composes with hashSplit: survivors land in val/test " +
+      "at ~the split rate (multiplier decorrelation)") {
+    // 400 clusters of 10: a keep draw sharing the split's multiplier
+    // would leave every survivor with split-hash < 0.1, and
+    // hashSplit(0.9/0.05/0.05) — which assigns train below 0.9 — could
+    // then NEVER put a survivor in val or test. SoftDedupMult vs
+    // SplitMult keeps the split draw uniform over survivors.
     val docs = (0L until 4000L)
       .map(i => (i, s"cluster body text number ${i % 400} with shared words"))
       .toDF("doc_id", "text")
