@@ -40,6 +40,13 @@ object Bench {
     // and the data-constrained epoch schedule (global agg + bounded
     // explode), both corpus-wide passes a training-data run executes
     "dedup_soft", "text_epoch_schedule",
+    // round 11: bench-guard the COMPOSED paths, not just the operators —
+    // the template e2e pipeline (ingest→normalize→match→QA→route, the
+    // reference's main entry point) and a real streaming run (file-source
+    // micro-batches through the incremental minhash index). A regression
+    // in pipeline plumbing (stage seams, checkpoint placement, per-batch
+    // overheads) is invisible to the per-operator rows.
+    "pipeline_template_e2e", "stream_dedup_ingest",
     // the composed 6-stage curation run — the heaviest job a user
     // actually schedules. Its stages are timed individually above; this
     // row times the COMPOSITION (stage checkpoints included). It runs
@@ -171,10 +178,41 @@ object Bench {
         }
       }
     val results = qs.zipWithIndex.map { case (name, i) =>
-      val times = rounds.map(_(i)._1)
-      val errs = rounds.map(_(i)._2)
+      var times = rounds.map(_(i)._1)
+      var errs = rounds.map(_(i)._2)
       val failed = errs.flatten.headOption
       failed.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
+      // Outlier re-draw (round-11): a single sample past 3x the row
+      // median is the signature of a transient host-noise window — the
+      // median shrugs it off, but leaving it in the record means one
+      // sample carries ~10x noise, under which a real 2x regression on
+      // that sample would be invisible. Draw ONE replacement (bounded:
+      // once per query, only on the single-outlier shape, never on a
+      // failing row) with the full warmup+isolation harness and replace
+      // the outlier; if the replacement is slow too, the slowness was
+      // real and the record keeps it.
+      if (failed.isEmpty && times.size >= 2) {
+        val med = times.sorted.apply(times.size / 2)
+        val worst = times.max
+        if (worst > 3 * med) {
+          System.err.println(
+            f"[bench] redraw $name: sample $worst%.2fs > 3x median $med%.2fs — one replacement draw")
+          try run(name)
+          catch { case e: Throwable => System.err.println(s"[bench] $name redraw warmup failed: $e") }
+          isolate()
+          val t0 = System.nanoTime()
+          val err = try { run(name); None }
+          catch { case e: Throwable => Some(e) }
+          val t = (System.nanoTime() - t0) / 1e9
+          isolate()
+          if (err.isEmpty) {
+            val j = times.indexOf(worst)
+            times = times.updated(j, t)
+            errs = errs.updated(j, None)
+            System.err.println(f"[bench] redraw $name: $worst%.2fs -> $t%.2fs")
+          } else System.err.println(s"[bench] $name redraw failed (kept original sample): ${err.get}")
+        }
+      }
       // Only SUCCESSFUL passes produce numbers: a fast-failing pass is
       // near-zero time — including it would deflate the reported p50 and
       // total into a phantom speedup, and would flag every

@@ -1040,6 +1040,100 @@ object QueriesOps2 {
         GapReport.gapCounts(labeled, "gap_lab", "yr", pop, "yr")
       }),
 
+    // --------------------------------------------------------------- S10
+    // The styled gap workbook's conditional-format DECISIONS
+    // (gap_data.Rmd:694-851) replayed as data: effective color of every
+    // value cell on the two summary sheets (the last-added rule wins a
+    // bgFill conflict, so effective = highest threshold cleared — green
+    // >=0, yellow >3, orange >5, red >10 in percent; the count sheet's
+    // ladder rescaled to 3/5/10% of the total gap count), plus the col-1
+    // Grand_Total grey. Same orders-derived gap staging as
+    // gap_lab_report; the oracle replays the ladder as CASE expressions
+    // in exact integer arithmetic.
+    QueryDef("s10_style_rules", Some("""
+      WITH pop AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               'USA/WA-' ||
+               CASE CAST(o_orderkey % 6 AS INTEGER)
+                 WHEN 0 THEN 'UW' WHEN 1 THEN 'CDC-STM' WHEN 2 THEN 'CDC-LC'
+                 WHEN 3 THEN 'PHL' WHEN 4 THEN 'QDX' ELSE 'CDC' END ||
+               '-' || CAST(o_orderkey AS VARCHAR) || '/2023' AS virus_name
+        FROM orders),
+      wdrs AS (SELECT lower(virus_name) AS acc FROM pop WHERE o_orderstatus = 'F'),
+      gap AS (
+        SELECT * FROM pop
+        WHERE lower(virus_name) NOT IN (SELECT acc FROM wdrs)),
+      attr AS (
+        SELECT yr,
+               coalesce(regexp_replace(string_split(virus_name, '-')[2],
+                                       '[^A-Za-z_]', '', 'g'), '') AS p1,
+               CASE WHEN string_split(virus_name, '-')[3] = '2' THEN '2'
+                    ELSE coalesce(regexp_replace(string_split(virus_name, '-')[3],
+                                                 '[^A-Za-z_]', '', 'g'), '') END AS p2
+        FROM gap),
+      labeled AS (
+        SELECT yr,
+               CASE WHEN p1 = 'UW' THEN 'UW Virology'
+                    WHEN p1 = 'CDC' AND p2 = 'STM' THEN 'Helix'
+                    WHEN p1 = 'CDC' AND p2 = 'LC' THEN 'Labcorp'
+                    WHEN p1 = 'PHL' THEN 'PHL'
+                    WHEN p1 = 'QDX' THEN 'Quest'
+                    WHEN p1 = 'CDC' AND p2 = '' THEN 'CDC-ORIG'
+                    ELSE 'OTHER' END AS gap_lab
+        FROM attr),
+      popyr AS (SELECT yr, count(*) AS pop_n FROM pop GROUP BY yr),
+      counts AS (
+        SELECT l.gap_lab, l.yr, count(*) AS n,
+               CAST(floor(count(*) * 10000.0 / max(p.pop_n)) AS BIGINT) AS pct_bp
+        FROM labeled l JOIN popyr p ON l.yr = p.yr
+        GROUP BY l.gap_lab, l.yr),
+      wt AS (
+        SELECT gap_lab, yr, n, pct_bp FROM counts
+        UNION ALL
+        SELECT 'Grand_Total', yr, CAST(SUM(n) AS BIGINT),
+               CAST(SUM(pct_bp) AS BIGINT) FROM counts GROUP BY yr),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n FROM counts)
+      SELECT 'Summary Proportion' AS sheet, gap_lab, yr, pct_bp AS val,
+             CASE WHEN pct_bp > 1000 THEN 'red'
+                  WHEN pct_bp > 500 THEN 'orange'
+                  WHEN pct_bp > 300 THEN 'yellow'
+                  WHEN pct_bp >= 0 THEN 'green' ELSE 'none' END AS color,
+             CASE WHEN gap_lab = 'Grand_Total' THEN 'grey' ELSE 'none' END
+               AS label_color
+      FROM wt
+      UNION ALL
+      SELECT 'Summary Count', gap_lab, yr, n AS val,
+             CASE WHEN n * 100 > 10 * t.total_n THEN 'red'
+                  WHEN n * 100 > 5 * t.total_n THEN 'orange'
+                  WHEN n * 100 > 3 * t.total_n THEN 'yellow'
+                  WHEN n >= 0 THEN 'green' ELSE 'none' END AS color,
+             CASE WHEN gap_lab = 'Grand_Total' THEN 'grey' ELSE 'none' END
+               AS label_color
+      FROM wt, tot t"""),
+      (s, dir) => {
+        import graft.pipelines.GapReport
+        val o = t(s, dir, "orders")
+        val token = element_at(
+          array(lit("UW"), lit("CDC-STM"), lit("CDC-LC"),
+            lit("PHL"), lit("QDX"), lit("CDC")),
+          (col("o_orderkey") % 6).cast("int") + 1)
+        val pop = o.select(
+          col("o_orderstatus"),
+          year(col("o_orderdate")).as("yr"),
+          concat(lit("USA/WA-"), token, lit("-"),
+            col("o_orderkey").cast("string"), lit("/2023")).as("virus_name"))
+        val wdrs = pop.filter(col("o_orderstatus") === "F")
+          .select(col("virus_name"))
+        val gap = GapReport.gapAgainstWdrs(pop, "virus_name", wdrs, "virus_name")
+        val labeled = GapReport.withVirusIdParts(gap, "virus_name")
+          .withColumn("gap_lab", GapReport.gapLab(
+            col("VIRUS_ID_PART1"), col("VIRUS_ID_PART2"),
+            lit("CDC-ORIG"), lit("OTHER")))
+        GapReport.summaryStyleMatrix(
+          GapReport.gapCounts(labeled, "gap_lab", "yr", pop, "yr"))
+      }),
+
     // ---------------------------------------------------------------- S4
     // JDBC pull END-TO-END under the oracle: customer-derived rows staged
     // into an embedded Derby database (driver-side inserts — control

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions._
 import graft.operators.{Bm25, Dedup, LineDedup, Mixture, NgramLm, RepeatedSpans, Sharding, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -1941,8 +1941,117 @@ object QueriesText {
         try q.processAllAvailable() finally q.stop()
         s.read.parquet(s"$root/rejects")
           .select(col("doc_id"), col("disposition"))
+      }),
+
+    // ----------------------------- streaming: keep_na retry state machine
+    // The REAL streaming twin (Streams.keepNaRetry —
+    // flatMapGroupsWithState, EventTimeTimeout) replayed through a file
+    // stream and hash-checked: pending roster records wait in state for a
+    // matching arrival; matched within the 60-day retention emit with
+    // their age, the rest expire when the watermark passes firstSeen+60d
+    // (KEEP_NA_ROSTER_SECOND_IN_PROGRESS.Rmd:699-765 — the per-run retry
+    // loop with the Delete-folder archive). Synthesis off documents:
+    // pending at day p = id%50; ids %3==0 get a MATCH at day p+m
+    // (m = id%40+3 — age m is always < 60, and the match's slice lower
+    // bound is < p+60 so no matched key can time out first); ids %9==0
+    // carry a SECOND pending copy at p+2 (resolved by the same held
+    // match, age m-2 — the all-copies contract). Slices are staged in
+    // EVENT-TIME order with pinned mtimes so the FileStreamSource replays
+    // them as ordered micro-batches and the watermark (1-day delay)
+    // advances deterministically; two far-future flush sentinels push the
+    // final watermark past every unmatched record's timeout (the second
+    // one guarantees a data batch AFTER the first's watermark update, so
+    // expiry does not depend on the no-data-batch config).
+    QueryDef("stream_keepna",
+      Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(doc_id % 40 + 3 AS INTEGER) AS m
+        FROM documents)
+      SELECT 'k' || CAST(doc_id AS VARCHAR) AS key,
+             'rec-' || CAST(doc_id AS VARCHAR) AS payload,
+             'matched' AS outcome, m AS "ageDays"
+      FROM d WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 'k' || CAST(doc_id AS VARCHAR), 'rec2-' || CAST(doc_id AS VARCHAR),
+             'matched', m - 2
+      FROM d WHERE doc_id % 9 = 0
+      UNION ALL
+      SELECT 'k' || CAST(doc_id AS VARCHAR), 'rec-' || CAST(doc_id AS VARCHAR),
+             'expired', CAST(60 AS INTEGER)
+      FROM d WHERE doc_id % 3 <> 0"""),
+      (s, dir) => {
+        import s.implicits._
+        val root = Tables.freshScratch("stream_kn")
+        val ids = t(s, dir, "documents").select(
+          col("doc_id"),
+          (col("doc_id") % 50).cast("int").as("p"),
+          (col("doc_id") % 40 + 3).cast("int").as("m"))
+        val ts0 = expr("timestamp'2024-01-01 00:00:00'")
+        def ev(key: Column, payload: Column, day: Column) =
+          Seq(key.as("key"), payload.as("payload"),
+            (ts0 + make_dt_interval(day, lit(0), lit(0), lit(0)))
+              .as("firstSeen"),
+            day.as("__day"))
+        val kcol = concat(lit("k"), col("doc_id").cast("string"))
+        val pend1 = ids.select(ev(kcol,
+          concat(lit("rec-"), col("doc_id").cast("string")), col("p")): _*)
+        val pend2 = ids.filter(col("doc_id") % 9 === 0).select(ev(kcol,
+          concat(lit("rec2-"), col("doc_id").cast("string")),
+          col("p") + 2): _*)
+        val matches = ids.filter(col("doc_id") % 3 === 0).select(ev(kcol,
+          concat(lit("MATCH:m"), col("doc_id").cast("string")),
+          col("p") + col("m")): _*)
+        val flush = Seq(("flushA", "MATCH:flush", 400), ("flushB", "MATCH:flush", 401))
+          .toDF("key", "payload", "day")
+          .select(ev(col("key"), col("payload"), col("day")): _*)
+        val events = pend1.unionByName(pend2).unionByName(matches)
+          .unionByName(flush)
+        val stage = stageTimedSlices(s, events,
+          Seq(0 -> 20, 20 -> 40, 40 -> 60, 60 -> 100, 100 -> 401, 401 -> 500),
+          root)
+        val src = s.readStream
+          .schema("key STRING, payload STRING, firstSeen TIMESTAMP")
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .as[graft.streaming.PendingRecord]
+        val sink = "keepna_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.Streams.keepNaRetry(src, retentionDays = 60)
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink).select(
+          col("key"), col("payload"), col("outcome"), col("ageDays"))
       })
   )
+
+  /** Stage `events` (must carry a numeric `__day` column) as one
+    * single-file parquet write per `[lo, hi)` day slice, with each
+    * slice's file mtime pinned to a strictly increasing clock — the
+    * FileStreamSource orders its backlog by modification time, so the
+    * slices replay as micro-batches in EVENT-TIME order and watermark
+    * advancement across batches is deterministic (load-bearing for the
+    * keep_na expiry semantics; the unordered sibling is
+    * [[stageMicroBatches]]). */
+  private def stageTimedSlices(s: SparkSession, events: DataFrame,
+      slices: Seq[(Int, Int)], root: String): String = {
+    val stage = s"$root/stage"
+    var seen = Set.empty[java.nio.file.Path]
+    slices.zipWithIndex.foreach { case ((lo, hi), i) =>
+      events.filter(col("__day") >= lo && col("__day") < hi).drop("__day")
+        .coalesce(1).write.mode("append").parquet(stage)
+      import scala.jdk.CollectionConverters._
+      val files = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(stage)))(
+        _.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSet)
+      (files -- seen).foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L)))
+      seen = files
+    }
+    stage
+  }
 
   /** Stage `df` as `nBatches` single-file parquet writes under
     * `root/stage` and open a FileStreamSource over them with

@@ -72,6 +72,91 @@ object FuzzyJoin {
   }
 
   /**
+   * CBO-style salt plan derived from a block-size statistics pass — the
+   * same measure-then-choose discipline as the ngram-blocking strategy
+   * pick in [[Dedup]]. The real birth-year distribution is heavy-headed
+   * (docs/notebooks/fuzzy.Rmd:562-579: cohort years carry orders of
+   * magnitude more rows than the tail), and a block's *join work* is the
+   * PRODUCT of its two side counts — invisible to AQE until the skewed
+   * shuffle partition already exists, and beyond AQE's split granularity
+   * once a single block's pair count dwarfs a task's budget. One tiny
+   * aggregation per side (block → count, block-cardinality-bounded)
+   * computes every block's pair mass up front; blocks past
+   * `targetPairsPerBlock` get salted, the rest join un-replicated, so
+   * the right-side replication cost is paid ONLY where the work is.
+   *
+   * @param global when the hot set outgrows `maxHotBlocks`, skew is
+   *   head-heavy everywhere — per-block routing would collect an
+   *   unbounded key list, so the plan degrades to salting EVERY block
+   *   (the manual `salts` knob's behavior), still bounded and exact.
+   */
+  final case class SaltPlan(salts: Int, hotBlocks: Seq[Any], global: Boolean) {
+    def isSalted: Boolean = salts > 1
+  }
+
+  def planSalts(left: DataFrame, right: DataFrame, blockKey: String,
+      targetPairsPerBlock: Long = 4000000L, maxSalts: Int = 32,
+      maxHotBlocks: Int = 1000): SaltPlan = {
+    require(targetPairsPerBlock > 0 && maxSalts >= 1 && maxHotBlocks >= 1,
+      "FuzzyJoin.planSalts: bounds must be positive")
+    // block-cardinality-sized aggregates (birth years: dozens); the
+    // collect is capped at maxHotBlocks + 1 rows by the limit below
+    val lc = left.groupBy(col(blockKey).as("__b")).agg(count(lit(1)).as("__ln"))
+    val rc = right.groupBy(col(blockKey).as("__b")).agg(count(lit(1)).as("__rn"))
+    val hot = lc.join(rc, Seq("__b"))
+      .select(col("__b"), (col("__ln") * col("__rn")).as("__pairs"))
+      .filter(col("__pairs") > targetPairsPerBlock)
+      .orderBy(col("__pairs").desc)
+      .limit(maxHotBlocks + 1)
+      .collect()
+    if (hot.isEmpty) SaltPlan(1, Seq.empty, global = false)
+    else {
+      val maxPairs = hot.map(_.getLong(1)).max
+      val salts = math.min(maxSalts.toLong,
+        (maxPairs + targetPairsPerBlock - 1) / targetPairsPerBlock).toInt
+      if (hot.length > maxHotBlocks) SaltPlan(salts, Seq.empty, global = true)
+      else SaltPlan(salts, hot.map(_.get(0)).toSeq, global = false)
+    }
+  }
+
+  /**
+   * [[blockedFuzzyJoin]] under a [[SaltPlan]]: hot blocks take the
+   * salted path, the rest join un-replicated, results unioned — the
+   * SAME result set as any uniform `salts` setting (each left row still
+   * meets each right row of its block exactly once; the plan only moves
+   * replication). Null block keys never survive the inner equi-join on
+   * either path, so the hot/cold row routing (`isin` vs its negation,
+   * both null-dropping) loses no result rows.
+   */
+  def blockedFuzzyJoinPlanned(left: DataFrame, right: DataFrame,
+      blockKey: String, leftName: Column, rightName: Column,
+      maxDistance: Int, plan: SaltPlan): DataFrame =
+    if (!plan.isSalted)
+      blockedFuzzyJoin(left, right, blockKey, leftName, rightName, maxDistance)
+    else if (plan.global || plan.hotBlocks.isEmpty)
+      blockedFuzzyJoin(left, right, blockKey, leftName, rightName, maxDistance,
+        salts = plan.salts)
+    else {
+      val hotCond = col(blockKey).isin(plan.hotBlocks: _*)
+      val hotPart = blockedFuzzyJoin(
+        left.filter(hotCond), right.filter(hotCond), blockKey,
+        leftName, rightName, maxDistance, salts = plan.salts)
+      val coldPart = blockedFuzzyJoin(
+        left.filter(!hotCond), right.filter(!hotCond), blockKey,
+        leftName, rightName, maxDistance)
+      coldPart.unionByName(hotPart)
+    }
+
+  /** Measure-then-join: [[planSalts]] + [[blockedFuzzyJoinPlanned]]. */
+  def blockedFuzzyJoinAuto(left: DataFrame, right: DataFrame,
+      blockKey: String, leftName: Column, rightName: Column,
+      maxDistance: Int, targetPairsPerBlock: Long = 4000000L,
+      maxSalts: Int = 32): DataFrame =
+    blockedFuzzyJoinPlanned(left, right, blockKey, leftName, rightName,
+      maxDistance,
+      planSalts(left, right, blockKey, targetPairsPerBlock, maxSalts))
+
+  /**
    * The reference's full fuzzy-match semantics: straight first_last match at
    * distance <= 3 UNION name-flipped (last_first) match at distance <= 2,
    * deduped (fuzzy_matching_functions.R:9,41). Both passes share the
@@ -81,13 +166,22 @@ object FuzzyJoin {
   def fuzzyNameMatch(
       left: DataFrame, leftFirst: Column, leftLast: Column,
       right: DataFrame, rightFirst: Column, rightLast: Column,
-      blockKey: String, maxDist: Int = 3, flippedMaxDist: Int = 2): DataFrame = {
+      blockKey: String, maxDist: Int = 3, flippedMaxDist: Int = 2,
+      autoSalt: Boolean = false,
+      targetPairsPerBlock: Long = 4000000L): DataFrame = {
     val lName = concat_ws("_", annihilate(leftFirst), annihilate(leftLast))
     val rName = concat_ws("_", annihilate(rightFirst), annihilate(rightLast))
     val rFlip = concat_ws("_", annihilate(rightLast), annihilate(rightFirst))
 
-    val straight = blockedFuzzyJoin(left, right, blockKey, lName, rName, maxDist)
-    val flipped = blockedFuzzyJoin(left, right, blockKey, lName, rFlip, flippedMaxDist)
+    // one stats pass serves both passes: straight and flipped share the
+    // frames and the block, so their pair-mass geometry is identical
+    val plan =
+      if (autoSalt) planSalts(left, right, blockKey, targetPairsPerBlock)
+      else SaltPlan(1, Seq.empty, global = false)
+    val straight = blockedFuzzyJoinPlanned(
+      left, right, blockKey, lName, rName, maxDist, plan)
+    val flipped = blockedFuzzyJoinPlanned(
+      left, right, blockKey, lName, rFlip, flippedMaxDist, plan)
     val unioned = straight.unionByName(flipped)
     // Dedup on PAIR IDENTITY (all columns except distance), keeping the
     // best distance: a pair matched by both passes carries two different

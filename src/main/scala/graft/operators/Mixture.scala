@@ -90,6 +90,16 @@ object Mixture {
    * to ~1 (fail-fast otherwise); the hash is [[idHashUnit]], so splits
    * are exact in expectation and engine-replayable.
    *
+   * VERSION BOUNDARY: the stability guarantee is per-version of the
+   * split hash. Round 10 moved the draw from the shared sampler
+   * multiplier ([[KnuthMult]]) to the split family's own [[SplitMult]]
+   * (sampler→split decorrelation — see [[idHashUnit]]'s family note),
+   * which reassigned every document's split relative to builds before
+   * that change. Splits computed under the old multiplier do NOT carry
+   * over; regenerate them rather than incrementally appending across
+   * the boundary. Within a version the guarantee is exact: same doc,
+   * same split, across runs, repartitions, engines and appends.
+   *
    * @return `docs` plus a `split` column
    */
   def hashSplit(docs: DataFrame, idCol: String,

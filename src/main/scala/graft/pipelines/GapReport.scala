@@ -152,6 +152,62 @@ object GapReport {
   }
 
   /**
+   * S10 conditional-format decision replay (gap_data.Rmd:694-851): the
+   * gap workbook layers openxlsx conditionalFormatting rules over the two
+   * summary sheets — green `>=0`, yellow `>3`, orange `>5`, red `>10` on
+   * the proportion sheet; the same ladder on the count sheet with the
+   * thresholds rescaled to counts (3/5/10% of the total gap row count,
+   * `total_count_x` in the Rmd); grey on the header row and on the
+   * Grand_Total label cell. Rules added later sit higher in the rule
+   * stack (most-recently-added wins on a bgFill conflict), so the
+   * EFFECTIVE color of a value cell is the highest threshold it clears —
+   * green would otherwise shadow the whole escalation ladder.
+   *
+   * This emits those effective decisions as a data frame — one row per
+   * value cell of each sheet (labs x years plus the Grand_Total row,
+   * whose value cells sit inside the rules' cell range too) — so the
+   * style choices are oracle-replayable, not just unit-asserted:
+   * `val` is pct in basis points on the proportion sheet (rule `>3`% ⟺
+   * `pct_bp > 300`, exact integer arithmetic) and the raw count on the
+   * count sheet (`n > 3% · N` ⟺ `100·n > 3·N`); `label_color` is the
+   * col-1 grey rule's verdict for the row's label cell (the header-row
+   * grey is structural — every header cell, no data dependence).
+   *
+   * @param counts [[gapCounts]] output: (gap_lab, yr, n, pct_bp)
+   */
+  def summaryStyleMatrix(counts: DataFrame): DataFrame = {
+    val totalRow = counts.groupBy("yr")
+      .agg(sum(col("n")).as("n"), sum(col("pct_bp")).as("pct_bp"))
+      .withColumn("gap_lab", lit("Grand_Total"))
+      .select("gap_lab", "yr", "n", "pct_bp")
+    val wt = counts.select("gap_lab", "yr", "n", "pct_bp")
+      .unionByName(totalRow)
+      // 1-row total (the Rmd's total_count_x), broadcast into every cell
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("__N"))))
+    val labelColor =
+      when(col("gap_lab") === "Grand_Total", "grey").otherwise("none")
+    val prop = wt.select(
+      lit("Summary Proportion").as("sheet"), col("gap_lab"), col("yr"),
+      col("pct_bp").as("val"),
+      when(col("pct_bp") > 1000, "red")
+        .when(col("pct_bp") > 500, "orange")
+        .when(col("pct_bp") > 300, "yellow")
+        .when(col("pct_bp") >= 0, "green")
+        .otherwise("none").as("color"),
+      labelColor.as("label_color"))
+    val cnt = wt.select(
+      lit("Summary Count").as("sheet"), col("gap_lab"), col("yr"),
+      col("n").as("val"),
+      when(col("n") * 100 > col("__N") * 10, "red")
+        .when(col("n") * 100 > col("__N") * 5, "orange")
+        .when(col("n") * 100 > col("__N") * 3, "yellow")
+        .when(col("n") >= 0, "green")
+        .otherwise("none").as("color"),
+      labelColor.as("label_color"))
+    prop.unionByName(cnt)
+  }
+
+  /**
    * The email-ready wide table (gap_data.Rmd:430-460): one row per lab,
    * one column per collection year holding "N (P%)" (P rounded to 2
    * decimals, '<0.01' under a basis point), a per-year Total row, zero

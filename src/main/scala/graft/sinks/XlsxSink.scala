@@ -20,6 +20,44 @@ import org.apache.spark.sql.DataFrame
  */
 object XlsxSink {
 
+  /**
+   * One conditional-formatting rule (the openxlsx conditionalFormatting
+   * shape the reference layers over the gap workbook's summary sheets,
+   * gap_data.Rmd:694-851). Rules are emitted in the ORDER GIVEN with the
+   * last rule taking the highest priority (lowest priority number) — the
+   * stacking under which `>= 0` green, `> 3` yellow, `> 5` orange,
+   * `> 10` red escalates instead of green shadowing the ladder.
+   *
+   * @param sqref    cell range, e.g. "B2:E10"
+   * @param operator "greaterThan" | "greaterThanOrEqual" | "notEqual" —
+   *                 or "containsText" (then `formula` is the TEXT to
+   *                 search, e.g. the Grand_Total label rule)
+   * @param formula  threshold literal or search text
+   * @param rgb      fill color as AARRGGBB, e.g. "FFFFFF00"
+   */
+  final case class CondRule(sqref: String, operator: String,
+      formula: String, rgb: String)
+
+  /** The reference gap workbook's rule ladder for one summary sheet
+    * (gap_data.Rmd:694-851): green >= lo on every value cell, then
+    * yellow/orange/red above the three thresholds, grey on the header
+    * row and on label cells containing Grand_Total. Thresholds are
+    * doubles so the count sheet's 3/5/10%-of-total cutoffs (fractional
+    * counts, the Rmd's `(3/100)*total_count_x`) pass through exactly. */
+  def gapSummaryRules(nCols: Int, nRows: Int,
+      yellow: Double, orange: Double, red: Double): Seq[CondRule] = {
+    def num(d: Double): String =
+      if (d == math.rint(d)) d.toLong.toString else d.toString
+    val values = s"B2:${colRef(nCols - 1)}${nRows + 1}"
+    Seq(
+      CondRule(values, "greaterThanOrEqual", "0", "FFC6EFCE"),
+      CondRule(values, "greaterThan", num(yellow), "FFFFFF00"),
+      CondRule(values, "greaterThan", num(orange), "FFFFA500"),
+      CondRule(values, "greaterThan", num(red), "FFFF0000"),
+      CondRule(s"A1:${colRef(nCols - 1)}1", "notEqual", "0", "FFD3D3D3"),
+      CondRule(s"A2:A${nRows + 1}", "containsText", "Grand_Total", "FFD3D3D3"))
+  }
+
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
@@ -38,17 +76,27 @@ object XlsxSink {
 
   /** Write `sheets` (name -> DataFrame) as one styled workbook. Every cell
     * is written as its string form; null -> blank cell (NA-as-empty, S7
-    * semantics). Header row uses style 1 (bold on gray fill). */
+    * semantics). Header row uses style 1 (bold on gray fill).
+    * `condFormats` (sheet name -> rules) layers [[CondRule]] conditional
+    * formatting over a sheet — the openxlsx pattern of the reference's
+    * gap workbook. */
   def write(path: String, sheets: Seq[(String, DataFrame)],
-      maxRows: Int = 100000): Unit = {
+      maxRows: Int = 100000,
+      condFormats: Map[String, Seq[CondRule]] = Map.empty): Unit = {
     val out = new BufferedOutputStream(new FileOutputStream(path))
-    try writeTo(out, sheets, maxRows) finally out.close()
+    try writeTo(out, sheets, maxRows, condFormats) finally out.close()
   }
 
   def writeTo(out: OutputStream, sheets: Seq[(String, DataFrame)],
-      maxRows: Int): Unit = {
+      maxRows: Int,
+      condFormats: Map[String, Seq[CondRule]] = Map.empty): Unit = {
     val z = new ZipOutputStream(out)
     val n = sheets.size
+    // one dxf (differential format) per distinct rule fill, in first-use
+    // order; rules reference them by index
+    val dxfColors = sheets.flatMap { case (name, _) =>
+      condFormats.getOrElse(name, Seq.empty).map(_.rgb) }.distinct
+    val dxfId = dxfColors.zipWithIndex.toMap
     entry(z, "[Content_Types].xml",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
       """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
@@ -92,8 +140,13 @@ object XlsxSink {
       """<cellStyleXfs count="1"><xf/></cellStyleXfs>""" +
       """<cellXfs count="2"><xf xfId="0"/>""" +
       """<xf xfId="0" fontId="1" fillId="2" applyFont="1" applyFill="1"/></cellXfs>""" +
+      (if (dxfColors.isEmpty) ""
+       else s"""<dxfs count="${dxfColors.size}">""" +
+         dxfColors.map(c =>
+           s"""<dxf><fill><patternFill><bgColor rgb="$c"/></patternFill></fill></dxf>""")
+           .mkString + "</dxfs>") +
       "</styleSheet>")
-    sheets.zipWithIndex.foreach { case ((_, df), si) =>
+    sheets.zipWithIndex.foreach { case ((sheetName, df), si) =>
       z.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${si + 1}.xml"))
       val w = new java.io.OutputStreamWriter(z, "UTF-8")
       w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
@@ -117,7 +170,25 @@ object XlsxSink {
           }.mkString + "</row>")
         r += 1
       }
-      w.write("</sheetData></worksheet>")
+      w.write("</sheetData>")
+      // conditional formats: one <conditionalFormatting> per rule, in
+      // given order; priority DESCENDS so the LAST rule holds priority 1
+      // (Excel: lowest number wins a conflicting bgFill) — openxlsx's
+      // effective escalation stacking (see CondRule)
+      val rules = condFormats.getOrElse(sheetName, Seq.empty)
+      val k = rules.size
+      rules.zipWithIndex.foreach { case (rule, i) =>
+        val prio = k - i
+        val d = dxfId(rule.rgb)
+        val body =
+          if (rule.operator == "containsText") {
+            val anchor = rule.sqref.split(":")(0)
+            s"""<cfRule type="containsText" dxfId="$d" priority="$prio" operator="containsText" text="${esc(rule.formula)}"><formula>NOT(ISERROR(SEARCH("${esc(rule.formula)}",$anchor)))</formula></cfRule>"""
+          } else
+            s"""<cfRule type="cellIs" dxfId="$d" priority="$prio" operator="${rule.operator}"><formula>${esc(rule.formula)}</formula></cfRule>"""
+        w.write(s"""<conditionalFormatting sqref="${rule.sqref}">$body</conditionalFormatting>""")
+      }
+      w.write("</worksheet>")
       w.flush()
       z.closeEntry()
     }

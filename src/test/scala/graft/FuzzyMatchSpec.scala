@@ -219,6 +219,48 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("auto-salt heuristic: the hot 1990 mega-block picks salts > 1, " +
+      "cold blocks stay unsalted, identical result rows") {
+    import graft.operators.FuzzyJoin
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("lid", "rid", "distance")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val (l, r) = (skewLeft(2000), skewRight(400))
+    // pair masses: hot 1990 block ~1800 x 360 = 648k pairs; every cold
+    // year ~5 x 1 = 5 — a 100k target salts ONLY the hot block
+    val plan = FuzzyJoin.planSalts(l, r, "by",
+      targetPairsPerBlock = 100000L, maxSalts = 32)
+    assert(plan.salts > 1, s"mega-block must self-salt, got $plan")
+    assert(plan.salts === 7, // ceil(648000 / 100000)
+      s"salt count derives from the measured max pair mass, got $plan")
+    assert(plan.hotBlocks === Seq(1990) && !plan.global,
+      s"only the 1990 block is past target, got $plan")
+    val auto = FuzzyJoin.blockedFuzzyJoinAuto(l, r, "by",
+      col("ln"), col("rn"), 2, targetPairsPerBlock = 100000L)
+    val unsalted = FuzzyJoin.blockedFuzzyJoin(l, r, "by", col("ln"), col("rn"), 2)
+    assert(rows(auto) === rows(unsalted),
+      "auto-salting is a cost choice, never an answer choice")
+    assert(rows(unsalted).nonEmpty)
+    // uniform small blocks: no salting at all
+    val uni = FuzzyJoin.planSalts(
+      spark.range(1000).select(col("id").as("lid"),
+        pmod(col("id"), lit(40)).cast("int").as("by"), lit("a").as("ln")),
+      spark.range(1000).select(col("id").as("rid"),
+        pmod(col("id"), lit(40)).cast("int").as("by"), lit("a").as("rn")),
+      "by", targetPairsPerBlock = 100000L)
+    assert(!uni.isSalted && uni.hotBlocks.isEmpty)
+    // fuzzyNameMatch(autoSalt = true) flows the ONE shared plan through
+    // both passes and keeps the result set
+    val lNames = skewLeft(500).withColumn("fn", lit("jo"))
+    val rNames = skewRight(200).withColumn("rf", lit("jo"))
+    val base = FuzzyMatchSpecHelper.nameRows(FuzzyJoin.fuzzyNameMatch(
+      lNames, col("fn"), col("ln"), rNames, col("rf"), col("rn"), "by", 2, 2))
+    val autoNm = FuzzyMatchSpecHelper.nameRows(FuzzyJoin.fuzzyNameMatch(
+      lNames, col("fn"), col("ln"), rNames, col("rf"), col("rn"), "by", 2, 2,
+      autoSalt = true, targetPairsPerBlock = 1000L))
+    assert(autoNm === base && base.nonEmpty)
+  }
+
   test("AQE skew-join split activates on the hot birth-year block") {
     import graft.operators.FuzzyJoin
     val keys = Seq(
@@ -253,4 +295,11 @@ class FuzzyMatchSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+}
+
+private object FuzzyMatchSpecHelper {
+  /** Pair-identity rows of a fuzzyNameMatch result. */
+  def nameRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+    df.select("lid", "rid", "distance")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 }

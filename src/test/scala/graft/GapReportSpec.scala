@@ -111,6 +111,37 @@ class GapReportSpec extends SparkSpec {
         Seq("Total", "3 (37.50%)")))
   }
 
+  test("summaryStyleMatrix: the escalation ladder fires the HIGHEST " +
+      "cleared threshold; count thresholds rescale to the gap total; " +
+      "Grand_Total label greys") {
+    // pct_bp values straddle every boundary: 250bp green (<=3%), 301bp
+    // yellow, 750bp orange, 1200bp red; counts total N=40 so the count
+    // ladder cuts at 1.2 / 2 / 4
+    val counts = Seq(
+      ("LabA", 2023, 1L, 250L),   // prop green; 1*100=100 <= 3*40 -> green
+      ("LabB", 2023, 2L, 301L),   // prop yellow; 200 > 120, <= 200 -> yellow
+      ("LabC", 2023, 3L, 750L),   // prop orange; 300 > 200, <= 400 -> orange
+      ("LabD", 2023, 34L, 1200L)) // prop red; 3400 > 400 -> red
+      .toDF("gap_lab", "yr", "n", "pct_bp")
+    val m = GapReport.summaryStyleMatrix(counts)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(m(("Summary Proportion", "LabA")) === ((250L, "green", "none")))
+    assert(m(("Summary Proportion", "LabB")) === ((301L, "yellow", "none")))
+    assert(m(("Summary Proportion", "LabC")) === ((750L, "orange", "none")))
+    assert(m(("Summary Proportion", "LabD")) === ((1200L, "red", "none")))
+    assert(m(("Summary Count", "LabA")) === ((1L, "green", "none")))
+    assert(m(("Summary Count", "LabB")) === ((2L, "yellow", "none")))
+    assert(m(("Summary Count", "LabC")) === ((3L, "orange", "none")))
+    assert(m(("Summary Count", "LabD")) === ((34L, "red", "none")))
+    // Grand_Total row: value cells sit inside the rules' range (they get
+    // ladder colors) and the label cell greys
+    assert(m(("Summary Proportion", "Grand_Total")) ===
+      ((250L + 301L + 750L + 1200L, "red", "grey")))
+    assert(m(("Summary Count", "Grand_Total")) === ((40L, "red", "grey")))
+  }
+
   implicit private class Collectable(rows: Array[(String, String, String)]) {
     def toMap2: Map[String, (String, String)] =
       rows.map { case (k, a, b) => k -> ((a, b)) }.toMap

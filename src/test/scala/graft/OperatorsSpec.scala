@@ -79,6 +79,53 @@ class OperatorsSpec extends SparkSpec {
       s"val+test share ${nonTrain.toDouble / nKept} far from the 0.1 split rate")
   }
 
+  test("triple composition softDedup -> epochSchedule -> hashSplit: all " +
+      "three draws independent end-to-end") {
+    // The pairwise decorrelations (sampler->split, sampler->epoch) are
+    // vetted per multiplier; this pins the THREE-WAY chain a real
+    // training-data run executes: soft-dedup a corpus, schedule epochs
+    // under a 2.5x token budget, split for training. 2000 clusters of
+    // 10; survivors' ids are biased LOW under the SoftDedupMult draw by
+    // construction, so any multiplier reuse downstream shows up as a
+    // rate collapse (extra-epoch rate pinned to 0/1, or val/test
+    // starved).
+    val docs = (0L until 20000L)
+      .map(i => (i, s"cluster body text number ${i % 2000} with shared words"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.softDedup(docs, "text", "doc_id").select("doc_id").cache()
+    val nKept = kept.count()
+    // E[survivors] = 2000 (1 per cluster); 5 binomial SDs ~ +-210
+    assert(nKept > 1700 && nKept < 2300, s"implausible survivor count $nKept")
+    // equal per-doc token counts + a 2.5x budget => base 2 epochs each,
+    // the third epoch a fair EpochMult coin per doc
+    val sched = graft.operators.Mixture.epochSchedule(
+      kept.withColumn("n_tok", lit(10L)), "doc_id", col("n_tok"),
+      budgetTokens = nKept * 10L * 5 / 2, maxEpochs = 4)
+    val perDoc = sched.groupBy("doc_id")
+      .agg(max("epoch").as("e"), count(lit(1)).as("rows"))
+    assert(perDoc.filter(col("rows") =!= col("e")).count() === 0,
+      "epochs must be contiguous 1..e per doc")
+    val nExtra = perDoc.filter(col("e") === 3).count()
+    val extraRate = nExtra.toDouble / nKept
+    // fair coin over ~2000 survivors: 5 SDs ~ +-0.056
+    assert(extraRate > 0.42 && extraRate < 0.58,
+      s"extra-epoch rate $extraRate off the 0.5 budget fraction — " +
+        "softDedup and epochSchedule draws correlated")
+    // split the extra-epoch survivors — two biased selections deep, the
+    // split rate must still hold
+    val splits = graft.operators.Mixture.hashSplit(
+      perDoc.filter(col("e") === 3).select("doc_id"), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val nonTrain = splits.getOrElse("val", 0L) + splits.getOrElse("test", 0L)
+    val ntRate = nonTrain.toDouble / nExtra
+    assert(ntRate > 0.04 && ntRate < 0.2,
+      s"val+test share $ntRate far from the 0.1 split rate — " +
+        "epochSchedule and hashSplit draws correlated")
+    kept.unpersist()
+  }
+
   test("minhash near-dup finds near-identical docs, skips distinct ones") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

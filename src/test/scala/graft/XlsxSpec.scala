@@ -101,6 +101,45 @@ class XlsxSpec extends SparkSpec {
     assert(sheetXml.contains("s=\"1\""))
   }
 
+  test("conditional formatting: gap ladder emitted with escalating " +
+      "priority, dxf fills, Grand_Total containsText; reader unaffected") {
+    val out = new File(dir, "cond.xlsx")
+    val df = Seq(("labA", "2", "12"), ("Grand_Total", "6", "15"))
+      .toDF("gap_lab", "y2021", "y2022")
+    val rules = XlsxSink.gapSummaryRules(
+      nCols = 3, nRows = 2, yellow = 3, orange = 5, red = 10)
+    XlsxSink.write(out.getPath, Seq("Summary Proportion" -> df), 100,
+      Map("Summary Proportion" -> rules))
+    def part(name: String): String = {
+      val zin = new java.util.zip.ZipInputStream(new FileInputStream(out))
+      Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+        .find(_.getName == name)
+        .map(_ => new String(zin.readAllBytes(), "UTF-8")).get
+    }
+    val styles = part("xl/styles.xml")
+    // four ladder fills + grey, deduped across the two grey rules
+    assert(styles.contains("""<dxfs count="5">"""), styles)
+    Seq("FFC6EFCE", "FFFFFF00", "FFFFA500", "FFFF0000", "FFD3D3D3")
+      .foreach(c => assert(styles.contains(c), s"missing dxf fill $c"))
+    val sheet = part("xl/worksheets/sheet1.xml")
+    // value-cell ladder over B2:C3, in order, priorities DESCENDING so
+    // the red rule (added later) beats green on a conflict
+    val prios = """priority="(\d+)"""".r
+      .findAllMatchIn(sheet).map(_.group(1).toInt).toSeq
+    assert(prios === Seq(6, 5, 4, 3, 2, 1), sheet.take(2000))
+    assert(sheet.contains("""sqref="B2:C3""""))
+    assert(sheet.contains("""operator="greaterThanOrEqual"><formula>0</formula>"""))
+    assert(sheet.contains("""operator="greaterThan"><formula>10</formula>"""))
+    // header grey + Grand_Total label grey (containsText anchored at A2)
+    assert(sheet.contains("""sqref="A1:C1""""))
+    assert(sheet.contains(
+      """text="Grand_Total"><formula>NOT(ISERROR(SEARCH("Grand_Total",A2)))</formula>"""))
+    // the reader still parses values (conditionalFormatting is ignored)
+    val rows = Xlsx.parseSheet(new FileInputStream(out))
+    assert(rows.head.flatten === Seq("gap_lab", "y2021", "y2022"))
+    assert(rows(2).map(_.orNull) === Seq("Grand_Total", "6", "15"))
+  }
+
   test("PHL pipeline ingests its dashboard from xlsx end-to-end") {
     val f = new File(dir, "dashboard.xlsx")
     writeFixture(f,
