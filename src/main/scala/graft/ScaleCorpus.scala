@@ -16,12 +16,24 @@ import org.apache.spark.sql.functions._
  * [[ScaleSmoke]]'s job — exact replicas make every doc an N-clique and
  * pair mass grows ~N² per base pair):
  *
- *  - documents: copy c > 0 token-renames the text (every token gets a
- *    copy-tagged suffix) — a BIJECTIVE rename of the shingle space, so
- *    each copy's internal near-dup structure is exactly the base
- *    corpus's, while cross-copy Jaccard is 0 (no shared tokens). True
- *    near-dup pair mass therefore scales LINEARLY (N x base), the
- *    realistic shape for a corpus N times the size.
+ *  - documents: copy c > 0 applies a per-copy affine substitution
+ *    cipher to letters and digits (distinct (a·x + b) mod 26 / mod 10
+ *    maps per copy; whitespace and punctuation untouched; a short
+ *    function-word whitelist kept verbatim so tokenization shape and
+ *    stopword-based quality gates stay plausible). A per-char bijection
+ *    maps every char shingle and every token BIJECTIVELY, so each
+ *    copy's internal near-dup structure is EXACTLY the base corpus's —
+ *    same Jaccards, same clique sizes — while cross-copy overlap is
+ *    only the whitelist material (well under every near-dup threshold
+ *    in use). True near-dup pair mass therefore scales LINEARLY
+ *    (N x base), the realistic shape for a corpus N times the size,
+ *    and text LENGTH is preserved so char volume is exactly N x base.
+ *    (The first cut of this generator suffixed every token with a copy
+ *    tag instead: the shared suffix chars leaked identical shingles
+ *    into every same-copy doc pair, inflating within-copy Jaccard until
+ *    nearly ALL pairs crossed 0.5 — 57M pairs at 30x instead of the
+ *    linear ~30 x base. A derived corpus must preserve the base's
+ *    similarity geometry, not manufacture a denser one.)
  *  - embeddings: copy c > 0 applies a per-copy deterministic diagonal
  *    ±1 sign flip — an orthogonal transform, so every within-copy
  *    cosine is bit-preserved while cross-copy vectors decorrelate
@@ -37,6 +49,47 @@ import org.apache.spark.sql.functions._
  * Usage: runMain graft.ScaleCorpus <baseSfDir> <outDir> <mult>
  */
 object ScaleCorpus {
+
+  /** Function words kept verbatim by the cipher: tokenization shape and
+    * stopword-driven quality rules stay plausible on every copy. Short
+    * words, so k=5 char shingles rarely sit fully inside one — the
+    * cross-copy shingle overlap they contribute stays far below the
+    * near-dup thresholds. */
+  private val KeepWords = Set(
+    "the", "be", "to", "of", "and", "a", "in", "that", "have", "it",
+    "is", "was", "for", "on", "are", "with")
+
+  /** Distinct affine char maps per copy: letters x -> (a·x + b) mod 26
+    * (a coprime to 26), digits x -> (ad·x + bd) mod 10 (ad coprime to
+    * 10); case preserved; everything else untouched. c = 0 is never
+    * passed (the base copy ships unmodified), and no c >= 1 yields the
+    * identity pair. */
+  private def affineAlphabets(c: Int): (String, String) = {
+    val A = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val D = Seq(1, 3, 7, 9)
+    val (a, b) = (A((c / 26) % 12), c % 26)
+    val (ad, bd) = (D((c / 10) % 4), c % 10)
+    val lower = ('a' to 'z').mkString
+    val upper = ('A' to 'Z').mkString
+    val digit = ('0' to '9').mkString
+    val from = lower + upper + digit
+    val to = lower.map(ch => ('a' + (a * (ch - 'a') + b) % 26).toChar) ++
+      upper.map(ch => ('A' + (a * (ch - 'A') + b) % 26).toChar) ++
+      digit.map(ch => ('0' + (ad * (ch - '0') + bd) % 10).toChar)
+    (from, to.mkString)
+  }
+
+  /** The per-copy text transform: whitelist tokens verbatim, everything
+    * else through the copy's substitution cipher (one codegen'd
+    * projection — translate + a small isin, no UDFs). */
+  private[graft] def cipherText(text: org.apache.spark.sql.Column, c: Int)
+      : org.apache.spark.sql.Column = {
+    val (from, to) = affineAlphabets(c)
+    concat_ws(" ", transform(split(text, " "),
+      t => when(lower(t).isin(KeepWords.toSeq: _*), t)
+        .otherwise(translate(t, from, to))))
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 3,
       "usage: ScaleCorpus <baseSfDir> <outDir> <mult>")
@@ -54,10 +107,7 @@ object ScaleCorpus {
 
     val docs = Tables.load(spark, base, "documents")
     val bigDocs = (0 until mult).map { c =>
-      val txt =
-        if (c == 0) col("text")
-        else concat_ws(" ", transform(split(col("text"), " "),
-          t => concat(t, lit("·" + c.toString))))
+      val txt = if (c == 0) col("text") else cipherText(col("text"), c)
       docs.select(
         (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
         txt.as("text"), col("lang"), col("source"),

@@ -299,13 +299,21 @@ object Dedup {
     // canonical content key of the sorted set; to_json is unambiguous for
     // arbitrary token bytes (a joined-string key would confuse
     // ["ab"] with ["a","b"])
+    // BINARY 16-byte key (unhex of the md5 hex), not the 32-char hex
+    // string: the key rides every candidate shuffle, both sides of the
+    // verify join, and the eager set-pair checkpoint — at the round-11
+    // 30x slope corpus the verified pair set is ~89M rows and hex-string
+    // keys alone put the checkpoint past the storage pool (measured 3x
+    // per-pair slowdown from the spill cliff); binary halves the key
+    // bytes everywhere and compares with the same unsigned-lexicographic
+    // order, so the skey_a < skey_b pair canonicalization is unchanged.
     // Persisted: the member-expansion joins and the group table each
     // traverse this corpus-wide projection (5 consumers) — without the
     // cache every consumer re-runs the scan+tokenize pipeline, and the
     // statistics action below is a separate job, so shuffle reuse can't
     // help across the boundary. MEMORY_AND_DISK: spills, never recomputes.
     val keyed = prepared
-      .withColumn("skey", md5(to_json(col("toks")).cast("binary")))
+      .withColumn("skey", unhex(md5(to_json(col("toks")).cast("binary"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = keyed.select(col("skey"), col("id"))
     // one row per distinct token set; persisted because the statistics
@@ -326,67 +334,112 @@ object Dedup {
       .filter(col("__rn") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
       .select(col("tok"), col("skey"), col("n"))
 
+    // Candidate-count estimates; only a handful of rows reach the
+    // driver. ONE rollup job over the keyed table yields both the
+    // size histogram (distinct sets per set size) and the vocabulary
+    // size: grouping keys are tiny (dozens of sizes + the grand-total
+    // row), so map-side partial aggregation collapses each task's
+    // output to a few HLL sketches and the shuffle is a few KB. The
+    // previous design needed the full skey shuffle (groups) plus a
+    // second df-join + per-set-window pass for the exact prefix
+    // estimate — ~1.5s of wall-clock spent serially ahead of the main
+    // job at sf0.1. approx_count_distinct (~2% error) is fine: the
+    // stats only PICK a plan and SIZE its shuffles, and both plans are
+    // recall-complete, so estimation error affects cost, never the
+    // answer. The rollup now runs for FORCED arms too — the candidate
+    // estimate also drives the shuffle width below.
+    val statRows = keyed
+      .select(col("skey"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+      .rollup("n")
+      .agg(approx_count_distinct(col("skey")).as("g"),
+        approx_count_distinct(col("tok")).as("v"))
+      .collect()
+    val hist = statRows.filter(!_.isNullAt(0))
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val vocab = statRows.find(_.isNullAt(0)).map(_.getLong(2)).getOrElse(1L).max(1L)
+    // BigInt accumulation: a corpus with a few dominant set sizes puts
+    // counts ~1e9+ in the histogram, and a Long product would wrap
+    // negative — passing the threshold test and selecting the dense
+    // path exactly where it is quadratically catastrophic.
+    val denseEst = (for {
+      (na, ca) <- hist; (nb, cb) <- hist
+      if nb <= na && math.min(na, nb) >= minJaccard * math.max(na, nb)
+    } yield BigInt(ca) * BigInt(cb)).sum
+    // closed-form prefix-cost model instead of a second stats job:
+    // P = total prefix entries (from the histogram), and under a
+    // uniform token-frequency assumption the prefix join produces
+    // ~ sum_tok (P/V)^2 * V = P^2 / V rows. Rarest-first prefix
+    // selection makes real collisions strictly SMALLER than the
+    // uniform model, so this over-estimates prefix cost — it can
+    // only mis-choose toward the size path, never pick a
+    // degenerate prefix plan (cost-only decision either way).
+    val prefixEntries = hist.map { case (n, c) =>
+      BigInt(c) * (n - math.ceil(minJaccard * n).toLong + 1).max(1L)
+    }.sum
+    val prefixEst = prefixEntries * prefixEntries / BigInt(vocab)
     val usePrefix = blocking match {
       case "prefix" => true
       case "size"   => false
       case _ =>
-        // Candidate-count estimates; only a handful of rows reach the
-        // driver. ONE rollup job over the keyed table yields both the
-        // size histogram (distinct sets per set size) and the vocabulary
-        // size: grouping keys are tiny (dozens of sizes + the grand-total
-        // row), so map-side partial aggregation collapses each task's
-        // output to a few HLL sketches and the shuffle is a few KB. The
-        // previous design needed the full skey shuffle (groups) plus a
-        // second df-join + per-set-window pass for the exact prefix
-        // estimate — ~1.5s of wall-clock spent serially ahead of the main
-        // job at sf0.1. approx_count_distinct (~2% error) is fine: the
-        // stats only PICK a plan and both plans are recall-complete, so
-        // estimation error affects cost, never the answer.
-        val statRows = keyed
-          .select(col("skey"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
-          .rollup("n")
-          .agg(approx_count_distinct(col("skey")).as("g"),
-            approx_count_distinct(col("tok")).as("v"))
-          .collect()
-        val hist = statRows.filter(!_.isNullAt(0))
-          .map(r => (r.getInt(0), r.getLong(1)))
-        val vocab = statRows.find(_.isNullAt(0)).map(_.getLong(2)).getOrElse(1L).max(1L)
-        // BigInt accumulation: a corpus with a few dominant set sizes puts
-        // counts ~1e9+ in the histogram, and a Long product would wrap
-        // negative — passing the threshold test and selecting the dense
-        // path exactly where it is quadratically catastrophic.
-        val denseEst = (for {
-          (na, ca) <- hist; (nb, cb) <- hist
-          if nb <= na && math.min(na, nb) >= minJaccard * math.max(na, nb)
-        } yield BigInt(ca) * BigInt(cb)).sum
         if (denseEst <= BigInt(250000L) * par) false
-        else {
-          // closed-form prefix-cost model instead of a second stats job:
-          // P = total prefix entries (from the histogram), and under a
-          // uniform token-frequency assumption the prefix join produces
-          // ~ sum_tok (P/V)^2 * V = P^2 / V rows. Rarest-first prefix
-          // selection makes real collisions strictly SMALLER than the
-          // uniform model, so this over-estimates prefix cost — it can
-          // only mis-choose toward the size path, never pick a
-          // degenerate prefix plan (cost-only decision either way).
-          val prefixEntries = hist.map { case (n, c) =>
-            BigInt(c) * (n - math.ceil(minJaccard * n).toLong + 1).max(1L)
-          }.sum
-          val prefixEst = prefixEntries * prefixEntries / BigInt(vocab)
-          prefixEst <= denseEst
-        }
+        else prefixEst <= denseEst
     }
 
+    // Shuffle width scales with the ESTIMATED candidate volume — the
+    // round-11 slope lesson (the connectedComponents fix's sibling): at
+    // a fixed session width, per-task candidate state (the dedup
+    // aggregate, the verify sort) grows linearly with the corpus. The
+    // 30x slope decomposition measured the candidate dedup DOMINANT
+    // (443M raw -> 115M distinct pairs, ~105 s of a 181 s arm), which
+    // also motivated fusing the dedup onto the verify's partitioning
+    // below (one wide shuffle instead of two). ~2M estimated candidates
+    // per task keeps the per-task working set flat at any scale; the
+    // estimate is a deliberate over-estimate (see the prefix-cost model
+    // above) and overshooting costs only task overhead. Scoped
+    // set/restore; everything that must run wide (candidates, verify,
+    // the eager checkpoints) materializes inside the scope, and only
+    // the output-sized LAZY expansion joins — which shuffle nothing
+    // corpus-sized — execute under the caller's width.
+    val confKey = "spark.sql.shuffle.partitions"
+    val prevParts = docs.sparkSession.conf.get(confKey)
+    val chosenEst = if (usePrefix) prefixEst else denseEst
+    val wideParts = math.max(prevParts.toInt,
+      (chosenEst / 2000000L + 1).min(BigInt(2048)).toInt)
+    if (wideParts > prevParts.toInt)
+      docs.sparkSession.conf.set(confKey, wideParts.toString)
+    val (setPairsCk, membersCk) = try {
     val sizeOk = least(col("n_a"), col("n_b")) >=
       lit(minJaccard) * greatest(col("n_a"), col("n_b"))
+    // Fuse the candidate dedup onto the verify's partitioning ONLY when
+    // the stats say the candidate volume is big (the same signal that
+    // widens the shuffles): a pair sharing k prefix tokens is generated
+    // k times (~3.9x at the 30x slope corpus — 443M raw rows for 115M
+    // distinct pairs). At scale, duplicates of a pair come from
+    // DIFFERENT tokens living in different map partitions, so distinct's
+    // map-side partial aggregation collapses almost nothing and its
+    // reduce shuffle carries the raw volume ANYWAY — then the verify
+    // re-shuffles the survivors: two big shuffles. Fused: one wide
+    // repartition of the raw stream by skey_a, then dropDuplicates —
+    // HashPartitioning(skey_a) satisfies the aggregate's clustering
+    // requirement ([skey_a] ⊆ [skey_a, skey_b]), so the dedup runs
+    // exchange-free on top and the verify join reuses the partitioning
+    // (measured 181 -> ~145 s on the 30x arm). On a SMALL corpus the
+    // trade inverts — few tokens means same-pair duplicates DO meet in
+    // one map partition, partial agg collapses them pre-shuffle, and the
+    // fused shape ships the raw stream instead (measured 1.7 -> 3.7 s at
+    // sf0.1) — so the bare .distinct() stays the small-corpus plan.
+    val fuseDedup = wideParts > prevParts.toInt
     val candidates =
       if (usePrefix) {
         val pa = prefix.select(col("tok"), col("skey").as("skey_a"), col("n").as("n_a"))
         val pb = prefix.select(col("tok"), col("skey").as("skey_b"), col("n").as("n_b"))
-        pa.join(pb, Seq("tok"))
+        val raw = pa.join(pb, Seq("tok"))
           .filter(col("skey_a") < col("skey_b") && sizeOk)
           .select(col("skey_a"), col("skey_b"))
-          .distinct()
+        if (fuseDedup)
+          raw.repartition(wideParts, col("skey_a"))
+            .dropDuplicates("skey_a", "skey_b")
+        else raw.distinct()
       } else {
         // each set seeks partners of size s in [floor(t*n), n]; the size
         // key space is tiny (distinct set sizes), so salt the seeker side
@@ -414,11 +467,24 @@ object Dedup {
       }
 
     // verify ONCE per set pair, work hash-distributed by pair (explicit
-    // partition count: byte-light, CPU-heavy — AQE would coalesce)
+    // partition count: byte-light, CPU-heavy — AQE would coalesce).
+    // WIDTH = the stats-derived wideParts, not defaultParallelism: a
+    // fixed core-count pin makes per-task sort state grow linearly with
+    // candidate volume. Overshooting the pin costs only empty-task
+    // overhead (AQE leaves explicit repartitions alone), and wideParts
+    // floors at the session default, so small corpora keep today's plan
+    // exactly.
     val ta = groups.select(col("skey").as("skey_a"), col("toks").as("t_a"))
     val tb = groups.select(col("skey").as("skey_b"), col("toks").as("t_b"))
-    val setPairs = candidates
-      .repartition(par, col("skey_a"))
+    // fused-dedup candidates arrive already hash-partitioned by skey_a
+    // and EnsureRequirements reuses that partitioning for this join —
+    // re-repartitioning would shuffle the deduped pairs a second time
+    // (user repartitions are never elided); every other arm takes the
+    // explicit wide pin
+    val verifyIn =
+      if (usePrefix && fuseDedup) candidates
+      else candidates.repartition(wideParts, col("skey_a"))
+    val setPairs = verifyIn
       .join(ta, Seq("skey_a"))
       .join(tb, Seq("skey_b"))
       .select(col("skey_a"), col("skey_b"),
@@ -432,10 +498,12 @@ object Dedup {
     // equi-joins whose output can be enormous (every member cross of
     // every duplicate group), so round-tripping it through block storage
     // would double the operator's heaviest write for nothing.
-    val setPairsCk = setPairs.localCheckpoint(true)
-    val membersCk = members.localCheckpoint(true)
+    val spCk = setPairs.localCheckpoint(true)
+    val mCk = members.localCheckpoint(true)
     keyed.unpersist(false)
     groups.unpersist(false)
+    (spCk, mCk)
+    } finally docs.sparkSession.conf.set(confKey, prevParts)
 
     // expand verdicts to doc pairs: cross-group members in canonical id
     // order, plus within-group pairs (identical sets, Jaccard exactly 1)
@@ -543,9 +611,21 @@ object Dedup {
           // reversal becomes a values-level no-op.
           .select(col("src"), col("dst"))
     }
-    // symmetric edge list once; reused every round
+    // Symmetric edge list once; reused every round. NO distinct: min-label
+    // propagation is insensitive to duplicate edges (min over a repeated
+    // neighbor is the same min), every pair supplier in this file already
+    // emits distinct pairs (bucketPairs ends in distinct), and a
+    // corpus-scale pair distinct is exactly the shuffle that broke at the
+    // round-11 57M-edge slope run: a distinct over E edge KEYS builds
+    // E/numPartitions-entry hash maps in every map task — at the session's
+    // fixed partition count that's per-task state growing linearly with
+    // the graph, and it OOMed before the loop's scaled-shuffle scope below
+    // could take effect. The union is a narrow projection: the checkpoint
+    // materializes it with NO shuffle at any graph size. (Duplicate edges,
+    // if a caller passes them, cost loop-join volume, not correctness;
+    // symCount below then over-counts them — acceptable for a threshold
+    // heuristic, erring toward the distributed path and wider shuffles.)
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .localCheckpoint(true)
 
     // SMALL-GRAPH FAST PATH (CBO-style escape, like the ngram blocking
@@ -648,6 +728,26 @@ object Dedup {
     // universe would shuffle corpus-sized label tables O(log d) times for
     // nothing. Isolated nodes join back as singletons at the end, one
     // corpus-sized left join total.
+    //
+    // Shuffle width scales with the MEASURED edge count (symCount is
+    // already on hand from the CBO escape): the session default
+    // (local[32] → 32) pins per-task state to edges/32, which grows
+    // linearly with the graph — the round-11 slope run OOMed the loop's
+    // join/agg tasks at 57M pairs (UNABLE_TO_ACQUIRE_MEMORY: 32 peer
+    // tasks' sorters + the loop's live label checkpoints exhausted the
+    // unified pool) while the pair GENERATION survived fine. ~1M
+    // symmetric edges per task keeps per-task sort/agg state ~tens of MB
+    // at any graph size; AQE's byte-based coalescing shrinks the extra
+    // partitions right back when the graph is small, so overshooting
+    // costs nothing. Scoped set/restore (the Tables.loadEvents conf
+    // pattern) — queries in a session run sequentially here.
+    val confKey = "spark.sql.shuffle.partitions"
+    val prevParts = edges.sparkSession.conf.get(confKey)
+    val loopParts = math.max(prevParts.toInt,
+      math.min(2048L, symCount / 1000000L + 1).toInt)
+    if (loopParts > prevParts.toInt)
+      edges.sparkSession.conf.set(confKey, loopParts.toString)
+    try {
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
@@ -683,6 +783,9 @@ object Dedup {
       labels = jumped.select(col("id"), col("lbl"))
       iter += 1
     }
+    // every loop shuffle already materialized eagerly in-scope (the
+    // per-round localCheckpoint(true)); what remains on `labels` is a
+    // shuffle-free projection, safe to hand out past the conf restore
     val connected = labels.select(col("id"), col("lbl").as("component"))
     nOpt match {
       case None => connected
@@ -691,6 +794,7 @@ object Dedup {
         n.join(connected, Seq("id"), "left")
           .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     }
+    } finally edges.sparkSession.conf.set(confKey, prevParts)
   }
 
   /** Survivor table from a pair graph: one row per component —
