@@ -40,6 +40,13 @@ object Bench {
     // and the data-constrained epoch schedule (global agg + bounded
     // explode), both corpus-wide passes a training-data run executes
     "dedup_soft", "text_epoch_schedule",
+    // round 12: the two heaviest operators of the measured scaling table
+    // (28.6 s / 8.3 s at the 30x corpus) — the connected-components label
+    // loop was round 11's biggest fix (edge-union dedup drop + scaled
+    // loop width) and was previously unguarded at sf0.1: a regression in
+    // the loop (an extra shuffle per round, a lost checkpoint) would
+    // have been invisible to the driver record
+    "dedup_components", "dedup_best_survivors",
     // round 11: bench-guard the COMPOSED paths, not just the operators —
     // the template e2e pipeline (ingest→normalize→match→QA→route, the
     // reference's main entry point) and a real streaming run (file-source
@@ -162,10 +169,27 @@ object Bench {
     val timedPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     require(timedPasses > 0,
       s"SPARK_GRAFT_BENCH_PASSES must be positive, got $timedPasses")
+    // Host-speed canary (round 12): one tiny deterministic CPU-bound job
+    // — a fixed-count single-threaded multiply/xor chain, no I/O, no
+    // Spark — timed once per timed round so the record carries the
+    // host's same-code speed alongside the query totals. The README
+    // documents 1.8-6x same-code drift on this shared VM; cross-round
+    // comparisons divide by the canary ratio to separate host drift from
+    // plan regressions. Median of the per-round samples is reported.
+    def canarySample(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 400000000) { x = (x ^ (x >>> 33)) * 0xFF51AFD7ED558CCDL; i += 1 }
+      val t = (System.nanoTime() - t0) / 1e9
+      if (x == 0) System.err.println("[bench] canary sink") // defeat DCE
+      t
+    }
+    val canaries = scala.collection.mutable.ArrayBuffer[Double]()
     val rounds: Seq[Seq[(Double, Option[Throwable])]] =
       (1 to timedPasses).map { r =>
         System.err.println(s"[bench] timed round $r/$timedPasses")
-        qs.map { name =>
+        val rr = qs.map { name =>
           try run(name)
           catch { case e: Throwable => System.err.println(s"[bench] $name warmup failed: $e") }
           isolate()
@@ -176,7 +200,18 @@ object Bench {
           isolate()
           (t, err)
         }
+        val c = canarySample()
+        System.err.println(f"[bench] canary round $r: $c%.3fs")
+        canaries += c
+        rr
       }
+    // Redraw audit trail (round 12, advisor ask): every discarded
+    // sample lands in the emitted JSON as
+    // redrawn:{query:{original,replacement}} — the record must SHOW a
+    // raw draw was replaced, not silently present a cleaned series, or
+    // an intermittent real regression (a 1-in-3 spill cliff) could be
+    // redrawn away with no trace for the next round's reviewer to catch.
+    val redrawn = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = qs.zipWithIndex.map { case (name, i) =>
       var times = rounds.map(_(i)._1)
       var errs = rounds.map(_(i)._2)
@@ -190,7 +225,13 @@ object Bench {
       // once per query, only on the single-outlier shape, never on a
       // failing row) with the full warmup+isolation harness and replace
       // the outlier; if the replacement is slow too, the slowness was
-      // real and the record keeps it.
+      // real and the record keeps it. Either way the event is recorded
+      // in the JSON (see `redrawn` above). Note the redraw is one-sided
+      // BY DESIGN: a suspiciously FAST sample cannot make the reported
+      // number optimistic (p50 of 3 ignores the min), while a slow
+      // outlier does bias the total — and the JSON trail now keeps the
+      // discarded value visible for exactly the case where the redraw
+      // judgment was wrong.
       if (failed.isEmpty && times.size >= 2) {
         val med = times.sorted.apply(times.size / 2)
         val worst = times.max
@@ -209,6 +250,7 @@ object Bench {
             val j = times.indexOf(worst)
             times = times.updated(j, t)
             errs = errs.updated(j, None)
+            redrawn(name) = (worst, t)
             System.err.println(f"[bench] redraw $name: $worst%.2fs -> $t%.2fs")
           } else System.err.println(s"[bench] $name redraw failed (kept original sample): ${err.get}")
         }
@@ -258,7 +300,12 @@ object Bench {
     val spreadJson = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"unsteady":$spreadJson,"sf":"$sfDir"}""")
+    val redrawnJson = redrawn.map { case (k, (o, r)) =>
+      "\"" + k + "\":{\"original\":" + o + ",\"replacement\":" + r + "}"
+    }.mkString("{", ",", "}")
+    val canarySec =
+      if (canaries.isEmpty) -1.0 else canaries.sorted.apply(canaries.size / 2)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"unsteady":$spreadJson,"redrawn":$redrawnJson,"canary_sec":$canarySec,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3)) sys.exit(1)
   }

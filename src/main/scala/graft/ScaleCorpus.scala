@@ -63,12 +63,18 @@ object ScaleCorpus {
     * (a coprime to 26), digits x -> (ad·x + bd) mod 10 (ad coprime to
     * 10); case preserved; everything else untouched. c = 0 is never
     * passed (the base copy ships unmodified), and no c >= 1 yields the
-    * identity pair. */
-  private def affineAlphabets(c: Int): (String, String) = {
+    * identity LETTER map: b = c % 25 + 1 is never 0, so even a = 1
+    * shifts every letter (the first cut used b = c % 26, where c = 312
+    * hit a = 1, b = 0 — a silent identity copy that would near-dup the
+    * base and corrupt the linear pair-mass geometry). The digit map is
+    * likewise kept off-identity (bd never 0); a digit-only identity
+    * would be harmless (letters still cipher) but costs nothing to
+    * exclude. */
+  private[graft] def affineAlphabets(c: Int): (String, String) = {
     val A = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     val D = Seq(1, 3, 7, 9)
-    val (a, b) = (A((c / 26) % 12), c % 26)
-    val (ad, bd) = (D((c / 10) % 4), c % 10)
+    val (a, b) = (A((c / 26) % 12), c % 25 + 1)
+    val (ad, bd) = (D((c / 10) % 4), c % 9 + 1)
     val lower = ('a' to 'z').mkString
     val upper = ('A' to 'Z').mkString
     val digit = ('0' to '9').mkString

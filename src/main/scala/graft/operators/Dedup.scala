@@ -285,6 +285,12 @@ object Dedup {
    * the CacheManager, and the (potentially huge) doc-pair expansion is
    * never round-tripped through block storage.
    *
+   * Concurrency contract: at large estimated candidate volume the wide
+   * stages run under a scoped set/restore of the session's
+   * `spark.sql.shuffle.partitions` — see the identical note on
+   * [[connectedComponents]]; sequential query execution per session is
+   * assumed (use `spark.newSession()` to isolate concurrent callers).
+   *
    * @param blocking "auto" (statistics-based), "prefix", or "size".
    */
   def ngramJaccardPairs(
@@ -541,11 +547,31 @@ object Dedup {
    * limit-1 scan of the round's own checkpoint blocks (the changed flag
    * is computed inside the jump join, not by a second join).
    *
-   * @param edges (id_a, id_b) undirected pairs
+   * @param edges (id_a, id_b) undirected pairs. Duplicate edge rows are
+   *              TOLERATED — min-label propagation is insensitive to a
+   *              repeated neighbor, so the answer is identical — but they
+   *              are NOT deduplicated here (a corpus-scale pair distinct
+   *              is exactly the shuffle that OOMed the round-11 57M-edge
+   *              run): each duplicate costs loop-join volume and inflates
+   *              the small-graph/width statistics toward the conservative
+   *              side. Suppliers in this repo all emit distinct pairs;
+   *              an external caller with heavy duplication should dedup
+   *              upstream where its own partitioning makes that cheap.
    * @param nodes optional node universe; nodes without any edge become
    *              singleton components (id = component). Defaults to the
    *              ids appearing in edges.
    * @return (id, component) with component = min id of the cluster
+   *
+   * Concurrency contract (shared with [[ngramJaccardPairs]]): large
+   * graphs scale the label loop's shuffle width via a scoped set/restore
+   * of the SESSION conf `spark.sql.shuffle.partitions` — correct under
+   * this repo's sequential query execution, but a concurrent query on
+   * the same SparkSession planned inside the scope would pick up the
+   * widened value (harmless for correctness, surprising for cost), and
+   * conversely the restore fires before the returned frame's residual
+   * lazy projections execute (those shuffle nothing corpus-sized by
+   * construction). Callers running queries concurrently on one session
+   * should isolate with `spark.newSession()`.
    */
   /** Symmetric-edge threshold below which [[connectedComponents]] solves
     * on the driver (union-find) instead of iterating distributed rounds.

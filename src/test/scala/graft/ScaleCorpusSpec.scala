@@ -72,4 +72,17 @@ class ScaleCorpusSpec extends SparkSpec {
     assert(images.distinct.size === images.size, "two copies share a cipher")
     assert(!images.contains("abcdefghij zyx 0123456789"), "identity cipher leaked")
   }
+
+  test("no copy index up to 1000 yields an identity letter or digit map " +
+      "(the b = c % 26 bug put the identity at c = 312)") {
+    (1 to 1000).foreach { c =>
+      val (from, to) = ScaleCorpus.affineAlphabets(c)
+      val letters = from.take(26).zip(to.take(26))
+      val digits = from.takeRight(10).zip(to.takeRight(10))
+      assert(letters.exists { case (f, t) => f != t },
+        s"copy $c: identity letter map")
+      assert(digits.exists { case (f, t) => f != t },
+        s"copy $c: identity digit map")
+    }
+  }
 }
