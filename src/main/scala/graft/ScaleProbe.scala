@@ -102,15 +102,21 @@ object ScaleProbe {
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("skey")).orderBy(col("df"), col("tok"))))
         .filter(col("__rn") <= col("n") - ceil(lit(minJ) * col("n")) + 1)
-        .select(col("tok"), col("skey"), col("n"))
+        .select(col("tok"), col("skey"), col("n"), col("__rn").as("p"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       timed("d-prefix-table")(println("[probe]   rows=" + prefix.count()))
       val sizeOk = least(col("n_a"), col("n_b")) >=
         lit(minJ) * greatest(col("n_a"), col("n_b"))
-      val pa = prefix.select(col("tok"), col("skey").as("skey_a"), col("n").as("n_a"))
-      val pb = prefix.select(col("tok"), col("skey").as("skey_b"), col("n").as("n_b"))
+      val pa = prefix.select(col("tok"), col("skey").as("skey_a"),
+        col("n").as("n_a"), col("p").as("p_a"))
+      val pb = prefix.select(col("tok"), col("skey").as("skey_b"),
+        col("n").as("n_b"), col("p").as("p_b"))
+      val alpha = ceil(
+        lit(minJ) * (col("n_a") + col("n_b")) / lit(1 + minJ) - lit(1e-9))
       val rawCand = pa.join(pb, Seq("tok"))
         .filter(col("skey_a") < col("skey_b") && sizeOk)
+        .filter(least(col("n_a") - col("p_a"), col("n_b") - col("p_b")) + 1
+          >= alpha)
         .select(col("skey_a"), col("skey_b"))
       timed("d-cand-raw")(println("[probe]   rows=" + rawCand.count()))
       val cand = rawCand.distinct()

@@ -101,6 +101,20 @@ object Decontaminate {
    * (cross-engine-stable cut). An EMPTY eval set fails fast instead of
    * silently flagging nothing (the typo'd-filter trap).
    *
+   * LARGE eval suites (round 12): the literal fold is bounded — past
+   * `maxLiteralElements` total doubles (default 262,144 ≈ 4k vectors x
+   * 64 dims, a few MB of plan tree) the eval array would ride inside
+   * the LOGICAL PLAN, and plan serialization + codegen blow up long
+   * before any executor does. Past the threshold the operator switches
+   * to a broadcast-join form: distinct eval vectors become a broadcast
+   * relation, the cosine threshold is the join condition (hits — rare
+   * by construction — are the only rows that materialize out of the
+   * broadcast nested-loop join), a per-doc count aggregates them, and
+   * a left join restores the zero-hit docs. Same |train| x |eval|
+   * cosine evaluations either way; the broadcast ships the eval set
+   * with the task binary instead of inside the plan tree. Both paths
+   * are spec-asserted equal ([[graft.CorpusCurationSpec]]).
+   *
    * @return one row per training row (idCol is the document's unique
    *         id): (idCol, n_semantic_hits = DISTINCT eval embeddings
    *         within the threshold — duplicate eval vectors count once,
@@ -108,18 +122,39 @@ object Decontaminate {
    *         = 1 when any hit)
    */
   def semanticOverlap(train: DataFrame, evalDocs: DataFrame,
-      vecCol: String, idCol: String, minCosine: Double = 0.95): DataFrame = {
-    val evalVecs: Seq[Seq[Double]] = evalDocs
+      vecCol: String, idCol: String, minCosine: Double = 0.95,
+      maxLiteralElements: Long = 262144L): DataFrame = {
+    val evalDistinct = evalDocs
       .select(col(vecCol).cast("array<double>").as("__ev")).distinct()
-      .collect().map(_.getSeq[Double](0)).toSeq
-    require(evalVecs.nonEmpty,
+    val evalStats = evalDistinct
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(size(col("__ev"))), lit(0L)).as("elems")).head()
+    val (evalCount, evalElems) = (evalStats.getLong(0), evalStats.getLong(1))
+    require(evalCount > 0,
       "Decontaminate.semanticOverlap: eval set is empty — every training " +
         "doc would silently pass")
-    val hits = size(filter(typedLit(evalVecs), ev =>
-      round(Similarity.cosine(col(vecCol).cast("array<double>"), ev), 6)
-        >= minCosine))
-    train.select(col(idCol), hits.cast("long").as("n_semantic_hits"),
-      when(hits > 0, 1).otherwise(0).as("contaminated"))
+    if (evalElems <= maxLiteralElements) {
+      val evalVecs: Seq[Seq[Double]] =
+        evalDistinct.collect().map(_.getSeq[Double](0)).toSeq
+      val hits = size(filter(typedLit(evalVecs), ev =>
+        round(Similarity.cosine(col(vecCol).cast("array<double>"), ev), 6)
+          >= minCosine))
+      train.select(col(idCol), hits.cast("long").as("n_semantic_hits"),
+        when(hits > 0, 1).otherwise(0).as("contaminated"))
+    } else {
+      val hitRows = train
+        .select(col(idCol), col(vecCol).cast("array<double>").as("__tv"))
+        .join(broadcast(evalDistinct),
+          round(Similarity.cosine(col("__tv"), col("__ev")), 6) >= minCosine)
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("__hits")) // eval side pre-distinct'd
+      train.select(col(idCol))
+        .join(hitRows, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("__hits"), lit(0L)).as("n_semantic_hits"),
+          when(coalesce(col("__hits"), lit(0L)) > 0, 1)
+            .otherwise(0).as("contaminated"))
+    }
   }
 
   /**

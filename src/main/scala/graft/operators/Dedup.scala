@@ -334,11 +334,15 @@ object Dedup {
     // DISTINCT SETS, rarest-first order, keep the prefix per set
     val tokSets = groups.select(col("skey"), col("n"), explode(col("toks")).as("tok"))
     val dfreq = tokSets.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Position of each prefix token within the set's FULL (df, tok)-
+    // ordered token list rides along (`p`): the candidate join's
+    // positional filter below needs it. (df, tok) is a strict total
+    // order (tokens are distinct within a set), identical across sets.
     val prefix = tokSets.join(dfreq, Seq("tok"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("skey")).orderBy(col("df"), col("tok"))))
       .filter(col("__rn") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
-      .select(col("tok"), col("skey"), col("n"))
+      .select(col("tok"), col("skey"), col("n"), col("__rn").as("p"))
 
     // Candidate-count estimates; only a handful of rows reach the
     // driver. ONE rollup job over the keyed table yields both the
@@ -437,10 +441,32 @@ object Dedup {
     val fuseDedup = wideParts > prevParts.toInt
     val candidates =
       if (usePrefix) {
-        val pa = prefix.select(col("tok"), col("skey").as("skey_a"), col("n").as("n_a"))
-        val pb = prefix.select(col("tok"), col("skey").as("skey_b"), col("n").as("n_b"))
+        val pa = prefix.select(col("tok"), col("skey").as("skey_a"),
+          col("n").as("n_a"), col("p").as("p_a"))
+        val pb = prefix.select(col("tok"), col("skey").as("skey_b"),
+          col("n").as("n_b"), col("p").as("p_b"))
+        // POSITIONAL filter (PPJoin, Xiao et al. WWW'08): a pair needs
+        // set overlap o >= alpha = ceil(t/(1+t) * (n_a+n_b)) to reach
+        // Jaccard t, and every common token sits at global order >= the
+        // pair's FIRST common token, so on that token's row the overlap
+        // is bounded by the smaller remaining suffix:
+        // o <= min(n_a - p_a + 1, n_b - p_b + 1). Rows failing the bound
+        // are pruned BEFORE the candidate dedup/verify; the first-common-
+        // token row of any true pair always passes (for it the bound >=
+        // o >= alpha, and under sizeOk that token provably lies in both
+        // stored prefixes), so the pair still reaches verification via
+        // that row — exact, recall-complete, cost-only. The 30x slope
+        // corpus generated ~3.9 raw rows per distinct pair; later-token
+        // rows are exactly the redundant ones this bound removes. The
+        // 1e-9 slack keeps double round-up of an integer-valued alpha
+        // from strengthening the bound (only ever weakens it by <<1).
+        val alpha = ceil(
+          lit(minJaccard) * (col("n_a") + col("n_b")) / lit(1 + minJaccard)
+            - lit(1e-9))
         val raw = pa.join(pb, Seq("tok"))
           .filter(col("skey_a") < col("skey_b") && sizeOk)
+          .filter(least(col("n_a") - col("p_a"), col("n_b") - col("p_b")) + 1
+            >= alpha)
           .select(col("skey_a"), col("skey_b"))
         if (fuseDedup)
           raw.repartition(wideParts, col("skey_a"))

@@ -79,8 +79,25 @@ object FuzzyMatch {
    * The blocked match: submissions (clean rows) vs multiplied target on
    * birth-year block, straight ≤3 / flipped ≤2, exact-DOB equality after
    * (fuzzy.Rmd:651-658).
+   *
+   * Auto-salting is ON by default (round 12): the reference's real
+   * birth-year distribution is heavy-headed (cohort years,
+   * fuzzy.Rmd:562-579) and a block's join work is the PRODUCT of its two
+   * side counts — beyond AQE's split granularity once one block's pair
+   * mass dwarfs a task budget. [[FuzzyJoin.planSalts]] measures per-block
+   * pair mass with one block-cardinality-bounded aggregate per side (the
+   * gate is itself the cheap pre-check: on an unskewed corpus it returns
+   * the un-replicated plan and the only cost is two tiny count aggs), so
+   * the production path self-salts exactly when the measured mass demands
+   * it, with an identical result set either way.
+   *
+   * @param targetPairsPerBlock pair-mass threshold above which a block is
+   *   salted (default 4M — ~a task budget of OSA evaluations); exposed so
+   *   tests and scale probes can trigger the salted plan on small corpora.
    */
-  def matchCandidates(clean: DataFrame, target: DataFrame): DataFrame = {
+  def matchCandidates(clean: DataFrame, target: DataFrame,
+      autoSalt: Boolean = true,
+      targetPairsPerBlock: Long = 4000000L): DataFrame = {
     val l = clean
       .withColumn("block", year(col("dob")))
       .select(col("rowid"), col("block"),
@@ -94,7 +111,8 @@ object FuzzyMatch {
     FuzzyJoin.fuzzyNameMatch(
         l, col("l_first"), col("l_last"),
         r, col("r_first"), col("r_last"),
-        "block", maxDist = 3, flippedMaxDist = 2)
+        "block", maxDist = 3, flippedMaxDist = 2,
+        autoSalt = autoSalt, targetPairsPerBlock = targetPairsPerBlock)
       .filter(col("l_dob") === col("r_dob")) // exact DOB equality post-filter
   }
 

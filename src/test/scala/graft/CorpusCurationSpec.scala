@@ -162,6 +162,41 @@ class CorpusCurationSpec extends SparkSpec {
     assert(e.getMessage.contains("eval set is empty"))
   }
 
+  test("semanticOverlap large-eval path: broadcast-join form equals the " +
+      "literal fold, and actually joins instead of inlining the plan tree") {
+    import graft.operators.Decontaminate
+    // 40 train x 25 eval vectors with planted hits: train doc i is a
+    // perturbation of eval vec i%25 for i < 10, orthogonal-ish otherwise;
+    // duplicate eval vectors planted to check the distinct-once contract
+    val eval = ((1 to 25).map(i =>
+        (100L + i, Seq(math.cos(i * 0.25), math.sin(i * 0.25), 0.0, 0.0)
+          .map(_.toFloat))) ++
+      Seq((200L, Seq(math.cos(0.25), math.sin(0.25), 0.0, 0.0).map(_.toFloat))))
+      .toDF("vec_id", "embedding")
+    val train = (0 until 40).map { i =>
+      val v =
+        if (i < 10) Seq(math.cos((i % 25 + 1) * 0.25) + 0.001,
+          math.sin((i % 25 + 1) * 0.25), 0.0, 0.0)
+        else Seq(0.0, 0.0, math.cos(i * 0.7), math.sin(i * 0.7))
+      (i.toLong, v.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "n_semantic_hits", "contaminated")
+        .as[(Long, Long, Int)].collect().toSet
+    val literal = Decontaminate.semanticOverlap(
+      train, eval, "embedding", "vec_id", minCosine = 0.999)
+    // force the broadcast arm: 26 vectors x 4 dims = 104 elements > 8
+    val joined = Decontaminate.semanticOverlap(
+      train, eval, "embedding", "vec_id", minCosine = 0.999,
+      maxLiteralElements = 8L)
+    assert(joined.queryExecution.executedPlan.toString.contains("Join"),
+      "past the element threshold the eval set must ride a broadcast " +
+        "join, not the plan tree")
+    assert(rows(joined) === rows(literal))
+    assert(rows(literal).exists(_._3 == 1) && rows(literal).exists(_._3 == 0),
+      "fixture must exercise both hit and miss rows")
+  }
+
   test("epochSchedule: floor epochs for all, fractional epoch by hash, " +
       "maxEpochs cap, subsample degenerate, zero budget") {
     val docs = (1L to 8L).map(i => (i, 25L)).toDF("doc_id", "n_tokens") // 200 tokens

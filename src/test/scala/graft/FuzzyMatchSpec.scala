@@ -261,6 +261,56 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(autoNm === base && base.nonEmpty)
   }
 
+  test("production path self-salts: matchCandidates on a mega-block corpus " +
+      "plans the salted join and keeps the unsalted answer") {
+    // one hot 1990 birth-year block (300 x 120 = 36k pairs) over a cold
+    // tail — the fuzzy.Rmd:562-579 cohort shape in miniature. The salt
+    // threshold is the exposed knob, so the salted plan fires at spec
+    // scale exactly as it would at a 4M-pair cohort block in production.
+    val cleanBig = spark.range(300).select(
+      col("id").as("rowid"),
+      concat(lit("jo"), (col("id") % 60).cast("string")).as("first_name"),
+      concat(lit("smi"), (col("id") % 40).cast("string")).as("last_name"),
+      to_date(lit("1990-04-01")).as("dob"),
+      to_date(lit("2021-06-01")).as("collection_date"))
+      .unionByName(spark.range(5).select(
+        (col("id") + 1000L).as("rowid"), lit("ann").as("first_name"),
+        lit("cold").as("last_name"),
+        to_date(lit("1961-01-01")).as("dob"),
+        to_date(lit("2021-06-01")).as("collection_date")))
+    val targetBig = spark.range(120).select(
+      (col("id") + 5000L).as("case_id"),
+      concat(lit("jo"), (col("id") % 60).cast("string")).as("first_name"),
+      concat(lit("smi"), (col("id") % 40).cast("string")).as("last_name"),
+      lit(null).cast("string").as("alt_first_name"),
+      lit(null).cast("string").as("alt_last_name"),
+      to_date(lit("1990-04-01")).as("dob"),
+      to_date(lit("2021-06-03")).as("wdrs_collection"))
+      .unionByName(spark.range(3).select(
+        (col("id") + 9000L).as("case_id"), lit("ann").as("first_name"),
+        lit("cold").as("last_name"),
+        lit(null).cast("string").as("alt_first_name"),
+        lit(null).cast("string").as("alt_last_name"),
+        to_date(lit("1961-01-01")).as("dob"),
+        to_date(lit("2021-06-03")).as("wdrs_collection")))
+    def pairRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("rowid", "case_id", "distance")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val salted = FuzzyMatch.matchCandidates(cleanBig, targetBig,
+      targetPairsPerBlock = 10000L)
+    val unsalted = FuzzyMatch.matchCandidates(cleanBig, targetBig,
+      autoSalt = false)
+    val saltedPlan = salted.queryExecution.optimizedPlan.toString
+    val unsaltedPlan = unsalted.queryExecution.optimizedPlan.toString
+    assert(saltedPlan.contains("__rsalt"),
+      "the default production path must plan the salted join on a " +
+        "measured mega-block")
+    assert(!unsaltedPlan.contains("__rsalt"),
+      "autoSalt=false must keep the un-replicated plan")
+    assert(pairRows(salted) === pairRows(unsalted) && pairRows(salted).nonEmpty,
+      "salting moves replication, never the answer")
+  }
+
   test("AQE skew-join split activates on the hot birth-year block") {
     import graft.operators.FuzzyJoin
     val keys = Seq(

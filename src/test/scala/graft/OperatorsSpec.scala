@@ -198,11 +198,19 @@ class OperatorsSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
       "eta", "theta", "iota", "kappa")
-    val docs = (1L to 120L).map { i =>
+    // short docs (2-8 tokens) AND long docs near the full vocab: the
+    // long-doc stratum exercises the prefix arm's positional (PPJoin)
+    // filter at suffix bounds close to alpha, where an off-by-one or
+    // float round-up would silently drop a true pair — the size arm has
+    // no positional filter, so any recall loss breaks the equality below
+    val docs = ((1L to 120L).map { i =>
       val n = 2 + rnd.nextInt(7)
       (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
-    }.toDF("doc_id", "text")
-    for (t <- Seq(0.5, 0.8, 1.0)) {
+    } ++ (201L to 260L).map { i =>
+      val n = 7 + rnd.nextInt(4)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.6, 0.8, 0.9, 1.0)) {
       val p = Dedup.ngramJaccardPairs(docs, "text", "doc_id", t, "prefix")
         .as[(Long, Long, Double)].collect().toSet
       val s = Dedup.ngramJaccardPairs(docs, "text", "doc_id", t, "size")
