@@ -24,9 +24,11 @@ case class MediaFeatures(
  * Multimodal column handling for a training-data pipeline: image/audio/
  * video as opaque `binary` columns with typed metadata. The Spark-side
  * plumbing — schema, batch shape, partition-parallel decode, frame
- * sampling — is real and tested; the actual codec call is STUBBED with a
- * deterministic fake (this container has no image/audio libraries), at the
- * single clearly-marked point in [[decodeStub]].
+ * sampling — is real and tested. Image DECODE is real for the formats
+ * the JDK ships codecs for (PNG/BMP/GIF/JPEG via javax.imageio, see
+ * [[decodeReal]]); audio/video and exotic image codecs remain STUBBED
+ * with a deterministic fake (this container has no such libraries), at
+ * the clearly-marked points in [[decodeStub]] / [[resizeStub]].
  */
 object Multimodal {
 
@@ -51,16 +53,77 @@ object Multimodal {
       mean_intensity = if (len > 0) sum.toDouble / len else 0.0)
   }
 
+  /** Deterministic magic-byte gate for the real decoder: only payloads
+    * that START like one of the JDK-decodable formats reach ImageIO —
+    * anything else (this repo's synthetic text fixtures, audio, video)
+    * takes [[decodeStub]] without ever touching a codec. BMP's "BM" can
+    * occur in text, so BMP additionally requires the header's
+    * little-endian file-size field to equal the payload length (every
+    * real encoder writes it). */
+  private[graft] def looksLikeImage(p: Array[Byte]): Boolean = {
+    def u(i: Int) = p(i) & 0xff
+    if (p.length >= 8 && u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' &&
+      u(3) == 'G' && u(4) == 0x0d && u(5) == 0x0a && u(6) == 0x1a &&
+      u(7) == 0x0a) true // PNG
+    else if (p.length >= 3 && u(0) == 0xff && u(1) == 0xd8 && u(2) == 0xff)
+      true // JPEG SOI
+    else if (p.length >= 4 && u(0) == 'G' && u(1) == 'I' && u(2) == 'F' &&
+      u(3) == '8') true // GIF87a/89a
+    else if (p.length >= 6 && u(0) == 'B' && u(1) == 'M' &&
+      (u(2) | (u(3) << 8) | (u(4) << 16) | (u(5).toLong << 24)) == p.length)
+      true // BMP with consistent size field
+    else false
+  }
+
+  /**
+   * REAL image decode (round 12): `javax.imageio` ships with the JDK, so
+   * PNG/BMP/GIF/JPEG payloads decode for real — width/height/bands from
+   * the decoded raster, mean_intensity = mean sample value over all
+   * bands. Non-image payloads (and the exotic-codec kinds this container
+   * has no libraries for) keep the clearly-marked [[decodeStub]]
+   * fallback; a payload that passes the magic gate but fails to parse
+   * falls back too (same bytes, same path — deterministic either way).
+   */
+  def decodeReal(a: MediaAsset): MediaFeatures =
+    if (a.kind != "image" || a.payload == null || !looksLikeImage(a.payload))
+      decodeStub(a)
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) decodeStub(a)
+      else {
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        var s = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(a.media_id, a.kind, a.payload.length.toLong, w, h,
+          bands, s / (w.toDouble * h * bands))
+      }
+    }
+
   /**
    * Partition-parallel decode: one codec init per partition, streaming
    * iterator (no materialization of the partition in memory) — the Scala
-   * analogue of a batched mapInPandas decode UDF.
+   * analogue of a batched mapInPandas decode UDF. Real ImageIO decode
+   * for JDK-supported image payloads, [[decodeStub]] for the rest.
    */
   def decodeAll(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     assets.mapPartitions { it =>
-      // (real impl: initialize the codec HERE, once per partition)
-      it.map(decodeStub)
+      // codec init once per partition: no ImageIO disk cache (temp-file
+      // churn per decode otherwise)
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(decodeReal)
     }
   }
 

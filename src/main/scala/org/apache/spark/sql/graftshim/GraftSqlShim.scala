@@ -11,4 +11,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The session's effective autoBroadcastJoinThreshold in bytes (−1 =
+    * broadcast disabled) — `sessionState` is private[sql], hence here. */
+  def autoBroadcastThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.autoBroadcastJoinThreshold
 }

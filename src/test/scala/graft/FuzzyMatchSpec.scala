@@ -222,6 +222,12 @@ class FuzzyMatchSpec extends SparkSpec {
   test("auto-salt heuristic: the hot 1990 mega-block picks salts > 1, " +
       "cold blocks stay unsalted, identical result rows") {
     import graft.operators.FuzzyJoin
+    // the non-broadcastable regime (production WDRS-sized targets):
+    // under the threshold planSalts correctly declines to salt — the
+    // broadcast-aware gate has its own test below
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select("lid", "rid", "distance")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
@@ -259,6 +265,24 @@ class FuzzyMatchSpec extends SparkSpec {
       lNames, col("fn"), col("ln"), rNames, col("rf"), col("rn"), "by", 2, 2,
       autoSalt = true, targetPairsPerBlock = 1000L))
     assert(autoNm === base && base.nonEmpty)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+  }
+
+  test("broadcast-aware salt gate: a broadcastable side declines to salt " +
+      "even over a mega-block (the BHJ plan has no key skew to fix)") {
+    import graft.operators.FuzzyJoin
+    val (l, r) = (skewLeft(2000), skewRight(400))
+    // same corpus and target as the salting test above — the ONLY
+    // difference is that broadcast is available (spec-default 10MB
+    // threshold, both sides tiny), so the planner will build a BHJ whose
+    // probe side distributes uniformly; salting would only replace it
+    // with a slower salted shuffle join (FuzzySaltProbe measured 4x)
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
+    val plan = FuzzyJoin.planSalts(l, r, "by",
+      targetPairsPerBlock = 100000L, maxSalts = 32)
+    assert(!plan.isSalted && plan.hotBlocks.isEmpty,
+      s"broadcastable side must suppress salting, got $plan")
   }
 
   test("production path self-salts: matchCandidates on a mega-block corpus " +
@@ -267,6 +291,12 @@ class FuzzyMatchSpec extends SparkSpec {
     // tail — the fuzzy.Rmd:562-579 cohort shape in miniature. The salt
     // threshold is the exposed knob, so the salted plan fires at spec
     // scale exactly as it would at a 4M-pair cohort block in production.
+    // Broadcast off: the production regime where salting matters is a
+    // match target past the broadcast threshold (under it, the
+    // broadcast-aware gate correctly declines — separate test above).
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
     val cleanBig = spark.range(300).select(
       col("id").as("rowid"),
       concat(lit("jo"), (col("id") % 60).cast("string")).as("first_name"),
@@ -309,6 +339,8 @@ class FuzzyMatchSpec extends SparkSpec {
       "autoSalt=false must keep the un-replicated plan")
     assert(pairRows(salted) === pairRows(unsalted) && pairRows(salted).nonEmpty,
       "salting moves replication, never the answer")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
   }
 
   test("AQE skew-join split activates on the hot birth-year block") {

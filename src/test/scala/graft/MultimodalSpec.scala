@@ -28,6 +28,46 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).width === 11 && out(2L).height === 11)
   }
 
+  test("decodeAll: a REAL PNG/BMP payload decodes through ImageIO — " +
+      "true dimensions, bands and mean sample value; garbage falls back") {
+    import java.awt.image.BufferedImage
+    def encode(fmt: String, img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    // 4x2 RGB, left half pure red, right half pure blue:
+    // mean over bands = (255 + 0 + 0 + 0 + 0 + 255) / 6 ... per pixel
+    // pair -> overall mean = 255/3 = 85.0 exactly
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xff0000 else 0x0000ff)
+    val png = MediaAsset(10L, "image", encode("png", img), "s")
+    val bmp = MediaAsset(11L, "image", encode("bmp", img), "s")
+    // valid PNG bytes under a non-image kind must NOT decode (honest
+    // stub for kinds whose codecs this container lacks)
+    val wrongKind = MediaAsset(12L, "video", png.payload, "s")
+    val garbage = MediaAsset(13L, "image", "BMnot really a bitmap".getBytes, "s")
+    implicit val enc = Encoders.product[MediaAsset]
+    val out = Multimodal.decodeAll(
+      spark.createDataset(Seq(png, bmp, wrongKind, garbage))(enc))
+      .collect().map(f => f.media_id -> f).toMap
+    for (id <- Seq(10L, 11L)) {
+      assert(out(id).width === 4 && out(id).height === 2, s"asset $id dims")
+      assert(out(id).n_channels === 3)
+      assert(math.abs(out(id).mean_intensity - 85.0) < 1e-9,
+        s"asset $id mean ${out(id).mean_intensity}")
+    }
+    assert(png.payload.length !== bmp.payload.length) // two real codecs
+    assert(out(12L) === Multimodal.decodeStub(wrongKind))
+    assert(out(13L) === Multimodal.decodeStub(garbage))
+    // the magic gate itself: text starting with "BM" is not a BMP
+    // (size field mismatch), a real BMP is
+    assert(!Multimodal.looksLikeImage(garbage.payload))
+    assert(Multimodal.looksLikeImage(bmp.payload))
+    assert(Multimodal.looksLikeImage(png.payload))
+  }
+
   test("resizeAll shrinks payloads by area ratio; expression twin agrees") {
     implicit val enc = Encoders.product[MediaAsset]
     val ds = spark.createDataset(assets)(enc)
