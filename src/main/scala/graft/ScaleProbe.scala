@@ -113,12 +113,42 @@ object ScaleProbe {
         col("n").as("n_b"), col("p").as("p_b"))
       val alpha = ceil(
         lit(minJ) * (col("n_a") + col("n_b")) / lit(1 + minJ) - lit(1e-9))
+      // positional-filter A/B (round 12): the PPJoin bound prunes raw
+      // candidate rows BEFORE the dedup — the no-pos row is what the
+      // operator generated through round 11
+      val rawCandNoPos = pa.join(pb, Seq("tok"))
+        .filter(col("skey_a") < col("skey_b") && sizeOk)
+        .select(col("skey_a"), col("skey_b"))
+      timed("d-cand-raw-nopos")(println("[probe]   rows=" + rawCandNoPos.count()))
       val rawCand = pa.join(pb, Seq("tok"))
         .filter(col("skey_a") < col("skey_b") && sizeOk)
         .filter(least(col("n_a") - col("p_a"), col("n_b") - col("p_b")) + 1
           >= alpha)
         .select(col("skey_a"), col("skey_b"))
       timed("d-cand-raw")(println("[probe]   rows=" + rawCand.count()))
+      // fused end-to-end chain per arm (distinct -> verify -> fingerprint),
+      // identical code either side of the positional filter: the wall and
+      // order-insensitive pair-set hash of the round-11 operator (nopos)
+      // vs the round-12 one (pos), in ONE session on ONE corpus
+      val ta0 = groups.select(col("skey").as("skey_a"), col("toks").as("t_a"))
+      val tb0 = groups.select(col("skey").as("skey_b"), col("toks").as("t_b"))
+      def chain(raw: org.apache.spark.sql.DataFrame, tag: String): Unit =
+        timed(s"d-chain-$tag") {
+          val row = raw.distinct()
+            .repartition(256, col("skey_a"))
+            .join(ta0, Seq("skey_a")).join(tb0, Seq("skey_b"))
+            .select(col("skey_a"), col("skey_b"),
+              sortedJaccard(col("t_a"), col("t_b")).as("jaccard"))
+            .filter(col("jaccard") >= minJ)
+            // bit_xor, not sum: pairs are distinct post-dedup, so xor is an
+            // order-insensitive set fingerprint that cannot overflow ANSI longs
+            .agg(count(lit(1)),
+              expr("bit_xor(xxhash64(skey_a, skey_b))"))
+            .head()
+          println(s"[probe]   pairs=${row.getLong(0)} fp=${row.getLong(1)}")
+        }
+      chain(rawCandNoPos, "nopos")
+      chain(rawCand, "pos")
       val cand = rawCand.distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       timed("d-cand-distinct")(println("[probe]   rows=" + cand.count()))
