@@ -96,13 +96,32 @@ object ScaleCorpus {
         .otherwise(translate(t, from, to))))
   }
 
+  /** The per-copy embedding transform: a deterministic diagonal ±1 sign
+    * flip (f_j = ±1 from hash(j + 37c)). f_j² = 1, so within-copy dot
+    * products — hence cosines — are preserved EXACTLY, while cross-copy
+    * dot products scramble to ~0 (each term's sign flips independently).
+    * The flip pattern is the copy's identity: patterns must be pairwise
+    * distinct and non-identity over the full copy range or two copies
+    * would near-dup each other (spec-pinned to c = 300 for the emb-only
+    * similarity slope corpus). */
+  private[graft] def flipEmbedding(vec: org.apache.spark.sql.Column, c: Int)
+      : org.apache.spark.sql.Column =
+    transform(vec, (x, j) =>
+      x * when(pmod(hash(j + lit(c * 37)), lit(2)) === 0, lit(1.0f))
+        .otherwise(lit(-1.0f)))
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 3,
-      "usage: ScaleCorpus <baseSfDir> <outDir> <mult>")
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleCorpus <baseSfDir> <outDir> <mult> [all|emb]")
     val base = args(0)
     val out = args(1)
     val mult = args(2).toInt
     require(mult >= 1, s"mult must be >= 1, got $mult")
+    // emb mode: scale ONLY the embeddings table (the ANN/semantic rows'
+    // sole input) and copy everything else verbatim — a 64-dim vector is
+    // ~150x lighter than its document, so the similarity family can be
+    // stressed at 100-300x corpus without paying the 300x text cipher
+    val embOnly = args.length == 4 && args(3) == "emb"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -112,23 +131,22 @@ object ScaleCorpus {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = Tables.load(spark, base, "documents")
-    val bigDocs = (0 until mult).map { c =>
-      val txt = if (c == 0) col("text") else cipherText(col("text"), c)
-      docs.select(
-        (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
-        txt.as("text"), col("lang"), col("source"),
-        length(txt).cast("long").as("n_chars"))
-    }.reduce(_.unionByName(_))
+    val bigDocs =
+      if (embOnly) docs
+      else (0 until mult).map { c =>
+        val txt = if (c == 0) col("text") else cipherText(col("text"), c)
+        docs.select(
+          (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          txt.as("text"), col("lang"), col("source"),
+          length(txt).cast("long").as("n_chars"))
+      }.reduce(_.unionByName(_))
     bigDocs.repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = Tables.load(spark, base, "embeddings")
     val bigEmb = (0 until mult).map { c =>
       val vec =
-        if (c == 0) col("embedding")
-        else transform(col("embedding"), (x, j) =>
-          x * when(pmod(hash(j + lit(c * 37)), lit(2)) === 0, lit(1.0f))
-            .otherwise(lit(-1.0f)))
+        if (c == 0) col("embedding") else flipEmbedding(col("embedding"), c)
       emb.select(
         (col("vec_id") + lit(c * 10000000L)).as("vec_id"),
         vec.as("embedding"), col("label"))
@@ -146,7 +164,8 @@ object ScaleCorpus {
 
     val nd = spark.read.parquet(s"$out/documents.parquet").count()
     val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
-    println(s"[scale-corpus] $out: documents=$nd embeddings=$ne (mult=$mult from $base)")
+    println(s"[scale-corpus] $out: documents=$nd embeddings=$ne (mult=$mult" +
+      (if (embOnly) ", emb-only" else "") + s" from $base)")
     spark.stop()
   }
 }

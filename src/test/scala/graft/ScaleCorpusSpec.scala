@@ -73,6 +73,34 @@ class ScaleCorpusSpec extends SparkSpec {
     assert(!images.contains("abcdefghij zyx 0123456789"), "identity cipher leaked")
   }
 
+  test("embedding sign-flip family: within-copy cosines preserved exactly, " +
+      "flip patterns pairwise distinct and non-identity through c = 300 " +
+      "(the emb-only similarity slope corpus)") {
+    val x = Array(0.3f, -1.2f, 0.8f, 2.0f, -0.5f, 0.9f, -2.2f, 1.1f)
+    val y = Array(1.0f, 0.4f, -0.7f, 0.2f, 1.5f, -0.3f, 0.6f, -1.8f)
+    val base = Seq((x.toSeq, y.toSeq)).toDF("x", "y")
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0f), (s, v) => s + v)
+    val d0 = base.select(dot(col("x"), col("y"))).as[Float].head()
+    // exact preservation under a handful of copies (f_j^2 = 1 per term)
+    Seq(1, 37, 150, 300).foreach { c =>
+      val dc = base.select(dot(
+        ScaleCorpus.flipEmbedding(col("x"), c),
+        ScaleCorpus.flipEmbedding(col("y"), c))).as[Float].head()
+      assert(dc === d0, s"copy $c distorted a within-copy dot product")
+    }
+    // the 64-dim flip patterns themselves: distinct across copies, none
+    // the identity (all +1) — the decorrelation the e300 corpus stands on
+    val ones = Seq(Seq.fill(64)(1.0f)).toDF("v")
+    val patterns = (1 to 300).map { c =>
+      ones.select(ScaleCorpus.flipEmbedding(col("v"), c))
+        .as[Seq[Float]].head()
+    }
+    assert(patterns.distinct.size === patterns.size,
+      "two copies share a sign-flip pattern")
+    assert(!patterns.contains(Seq.fill(64)(1.0f)), "identity flip leaked")
+  }
+
   test("no copy index up to 1000 yields an identity letter or digit map " +
       "(the b = c % 26 bug put the identity at c = 312)") {
     (1 to 1000).foreach { c =>
