@@ -400,6 +400,48 @@ object QueriesText {
       (s, dir) => Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"),
         "embedding", "vec_id", minCosine = 0.9, bands = 4, bitsPerBand = 16)),
 
+    // The auto-planned twin: occupancy-targeted banding (bits from
+    // log2(n), bands recall-compensated — Similarity.planEmbeddingBands).
+    // Below the occupancy threshold the plan IS (4, 16), so at oracle
+    // scale this row must be bit-identical to dedup_embedding — the same
+    // oracle SQL guards the gating end-to-end (the >threshold arm is
+    // spec-covered on planted dups and measured in the scaling record).
+    QueryDef("dedup_embedding_auto", Some {
+      val whens = (0 until 4).map { k =>
+        val key = (0 until 16).map { j =>
+          s"CASE WHEN embedding[${k * 16 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"WHEN $k THEN ($key)"
+      }.mkString("\n               ")
+      s"""
+      WITH cells AS (
+        SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings),
+      banded AS (
+        SELECT vec_id,
+               r.band,
+               CASE r.band
+               $whens
+               END AS key
+        FROM cells, range(0, 4) r(band)),
+      pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        WHERE a.vec_id < b.vec_id),
+      scored AS (
+        SELECT p.id_a, p.id_b,
+               list_dot_product(ca.v, cb.v) /
+                 (sqrt(list_dot_product(ca.v, ca.v)) *
+                  sqrt(list_dot_product(cb.v, cb.v))) AS cos
+        FROM pairs p
+        JOIN cells ca ON ca.vec_id = p.id_a
+        JOIN cells cb ON cb.vec_id = p.id_b)
+      SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored
+      WHERE round(cos, 6) >= 0.9"""
+    },
+      (s, dir) => Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"),
+        "embedding", "vec_id", minCosine = 0.9, bands = 4, bitsPerBand = 16,
+        autoPlan = true)),
+
     // ------------------------------------------- embeddings: SemDeDup
     // Semantic dedup (SemDeDup, arXiv:2303.09540) end-to-end: sign-pattern
     // clusters -> per-cluster centroids -> within-cluster cosine pairs ->

@@ -102,8 +102,9 @@ object ScaleCorpus {
     * dot products scramble to ~0 (each term's sign flips independently).
     * The flip pattern is the copy's identity: patterns must be pairwise
     * distinct and non-identity over the full copy range or two copies
-    * would near-dup each other (spec-pinned to c = 300 for the emb-only
-    * similarity slope corpus). */
+    * would near-dup each other (spec-pinned pairwise-distinct through
+    * c = 300; the larger emb-only corpora are verified empirically —
+    * zero cross-copy pairs found at the dedup threshold). */
   private[graft] def flipEmbedding(vec: org.apache.spark.sql.Column, c: Int)
       : org.apache.spark.sql.Column =
     transform(vec, (x, j) =>

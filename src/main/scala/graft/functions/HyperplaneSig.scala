@@ -8,18 +8,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
 
 /**
  * Random-hyperplane LSH signature as a native Catalyst expression: bit i
- * is the sign of dot(vec, h_i), with h_i the deterministic +-1 hyperplane
- * from the splitmix64 family (see [[HyperplaneSig.sign]]). The
- * Column-combinator formulation expands to bits x dims literal terms —
+ * is the sign of dot(vec, h_{planeOffset+i}), with h_p the deterministic
+ * +-1 hyperplane from the splitmix64 family (see [[HyperplaneSig.sign]]).
+ * The Column-combinator formulation expands to bits x dims literal terms —
  * at 12 bits x 64 dims the generated method crosses the JVM's 64 KB
  * limit and Spark silently falls back to interpreted evaluation for the
  * whole corpus scan; this kernel is one tight loop and one static call.
+ *
+ * `planeOffset` (default 0 — existing signatures unchanged) selects a
+ * disjoint plane range per LSH band, so a multi-band consumer
+ * ([[graft.operators.Similarity.embeddingNearDupPairs]]'s auto-planned
+ * banding) gets independent bands from the same family.
  *
  * Summation order matches the combinator form exactly (j ascending,
  * left-accumulated doubles), so signatures — and the DuckDB oracle SQL
  * generated from the same sign function — are bit-identical.
  */
-case class HyperplaneSig(child: Expression, bits: Int) extends UnaryExpression {
+case class HyperplaneSig(child: Expression, bits: Int, planeOffset: Int = 0)
+    extends UnaryExpression {
 
   private lazy val isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -28,21 +34,21 @@ case class HyperplaneSig(child: Expression, bits: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
-        if bits > 0 && bits <= 62 =>
+        if bits > 0 && bits <= 62 && planeOffset >= 0 =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"hyperplane_sig requires array<float|double> and 0 < bits <= 62, got " +
-        s"${child.dataType.catalogString} / $bits")
+      s"hyperplane_sig requires array<float|double>, 0 < bits <= 62 and " +
+        s"planeOffset >= 0, got ${child.dataType.catalogString} / $bits / $planeOffset")
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
 
   override protected def nullSafeEval(input: Any): Any =
-    HyperplaneSig.compute(input.asInstanceOf[ArrayData], bits, isFloat)
+    HyperplaneSig.compute(input.asInstanceOf[ArrayData], bits, planeOffset, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HyperplaneSig.compute($c, $bits, $isFloat)")
+      s"graft.functions.HyperplaneSig.compute($c, $bits, $planeOffset, $isFloat)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -67,7 +73,7 @@ object HyperplaneSig {
 
   /** The kernel; static so generated code can call it. Null elements
     * contribute 0. */
-  def compute(vec: ArrayData, bits: Int, isFloat: Boolean): Long = {
+  def compute(vec: ArrayData, bits: Int, planeOffset: Int, isFloat: Boolean): Long = {
     val n = vec.numElements()
     var r = 0L
     var i = 0
@@ -77,7 +83,7 @@ object HyperplaneSig {
       while (j < n) {
         if (!vec.isNullAt(j)) {
           val v = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
-          contrib += v * sign(i, j)
+          contrib += v * sign(planeOffset + i, j)
         }
         j += 1
       }

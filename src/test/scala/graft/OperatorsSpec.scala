@@ -560,6 +560,76 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("planEmbeddingBands: reference plan below the occupancy threshold, " +
+      "occupancy-pinned bits + recall-compensated bands above, caps hold") {
+    // small n: the exact reference plan (the oracle-replayed banding)
+    assert(Similarity.planEmbeddingBands(2000L, 0.9) === (4, 16))
+    assert(Similarity.planEmbeddingBands(2L * (1L << 16), 0.9) === (4, 16))
+    // past the threshold: bits = ceil(log2(n/occ)), bands compensates
+    val (b600k, w600k) = Similarity.planEmbeddingBands(600000L, 0.9)
+    assert(w600k === 19, s"600k vectors should plan 19-bit bands, got $w600k")
+    assert(b600k > 4 && b600k <= 8, s"bands should compensate three bits: $b600k")
+    // bits monotone in n, bands monotone in bits
+    val plans = Seq(1L << 20, 1L << 23, 1L << 26, 1L << 30)
+      .map(Similarity.planEmbeddingBands(_, 0.9))
+    assert(plans.map(_._2) === plans.map(_._2).sorted)
+    assert(plans.map(_._1) === plans.map(_._1).sorted)
+    // caps: a planet-scale corpus stays within maxBits/maxBands
+    val (bCap, wCap) = Similarity.planEmbeddingBands(1L << 50, 0.9)
+    assert(wCap === 30 && bCap === 32)
+    // a tighter threshold needs fewer compensating bands (p is larger)
+    val loose = Similarity.planEmbeddingBands(1L << 24, 0.90)._1
+    val tight = Similarity.planEmbeddingBands(1L << 24, 0.99)._1
+    assert(tight <= loose,
+      s"cos 0.99 pairs agree on more planes, needs fewer bands: $tight vs $loose")
+  }
+
+  test("embeddingNearDupPairs autoPlan: identical result below the " +
+      "threshold; above it (forced), exact dups always found, candidate " +
+      "mass smaller, verified pair set comparable on planted near-dups") {
+    val rnd = new scala.util.Random(7)
+    def v64(): Seq[Float] = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    // 2000 random vectors + planted structure: every 40th vector gets an
+    // exact x2 duplicate (cos = 1 exactly) and a noisy near-dup
+    // (~cos 0.97) under shifted ids
+    val base = (0L until 2000L).map(i => (i, v64()))
+    val exactDups = base.filter(_._1 % 40 == 0)
+      .map { case (i, v) => (10000L + i, v.map(_ * 2f)) }
+    val noisyDups = base.filter(_._1 % 40 == 20)
+      .map { case (i, v) => (20000L + i, v.map(x => x + rnd.nextGaussian().toFloat * 0.15f)) }
+    val vecs = (base ++ exactDups ++ noisyDups).toDF("vec_id", "embedding")
+    def run(auto: Boolean, occ: Double) =
+      Similarity.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+        minCosine = 0.9, bands = 4, bitsPerBand = 16,
+        autoPlan = auto, targetOccupancy = occ)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // below threshold (2120 rows, occupancy 8): autoPlan must be a no-op
+    val ref = run(auto = false, occ = 8.0)
+    assert(run(auto = true, occ = 8.0) === ref)
+    // force the scale arm: occupancy 0.005 plans ~19-bit hyperplane bands
+    val auto = run(auto = true, occ = 0.005)
+    // exact dups (identical sign patterns under ANY banding) never drop
+    val exactPairs = exactDups.map { case (id, _) => (id - 10000L, id) }.toSet
+    assert(exactPairs.subsetOf(ref), "reference arm lost an exact dup")
+    assert(exactPairs.subsetOf(auto), "auto arm lost an exact dup")
+    // recall on the noisy planted pairs: comparable across arms (the
+    // bands compensation holds it to the reference point; both corpora
+    // and both plane families are deterministic, so these counts are
+    // stable run to run)
+    val noisyPlanted = noisyDups.map { case (id, _) => (id - 20000L, id) }.toSet
+    val refHit = noisyPlanted.count(ref.contains)
+    val autoHit = noisyPlanted.count(auto.contains)
+    assert(refHit > noisyPlanted.size / 2, s"reference recall too low: $refHit")
+    assert(autoHit >= refHit / 2,
+      s"auto recall collapsed: $autoHit vs reference $refHit")
+    // the point of the plan: candidate mass shrinks
+    val cells = vecs.select(col("vec_id").as("id"), col("embedding").as("v"))
+    def cand(auto: Boolean, occ: Double): Long =
+      Similarity.embeddingCandidates(cells, 0.9, 4, 16, auto, occ).count()
+    assert(cand(auto = true, occ = 0.005) < cand(auto = false, occ = 8.0),
+      "forced auto plan should cut candidate mass on a random corpus")
+  }
+
   test("token shards: distributed prefix sum matches the global window") {
     val docs = (1L to 1000L).map(i => (i, (i % 37 + 1).toInt)).toDF("id", "ntok")
     val out = Sharding.tokenBudgetShards(docs, col("ntok"), "id", 100L)
