@@ -70,6 +70,20 @@ object EmbPlanProbe {
           f"/$nPlanted (recall=${found.toDouble / nPlanted}%.3f)")
       }
     }
+    // the same A/B through semDedup (cluster-folded banding): planted
+    // noisy dups land in the same sign-cluster as their original often
+    // enough to measure recall shift; report drop counts + wall
+    Seq(("ref", false), ("auto", true)).foreach { case (tag, auto) =>
+      timed(s"semdedup-$tag") {
+        val acts = Similarity.semDedup(corpus, "embedding", "vec_id",
+            minCosine = 0.9, signBits = 6,
+            autoPlan = auto, targetOccupancy = occ)
+          .groupBy("action").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        println(s"[embplan]   keep=${acts.getOrElse("keep", 0L)} " +
+          s"drop=${acts.getOrElse("drop", 0L)}")
+      }
+    }
     spark.stop()
   }
 }

@@ -454,82 +454,7 @@ object QueriesText {
     // x2-scaled copy under a shifted id. Cosine is scale-invariant and x2
     // is exact in IEEE754, so copy and original tie exactly on
     // cos-to-centroid and the id tie-break must keep the ORIGINAL.
-    QueryDef("emb_semdedup", Some {
-      val clusterKey = (0 until 6).map(j =>
-        s"(CASE WHEN v[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      val bandWhens = (0 until 4).map { k =>
-        val key = (0 until 16).map { j =>
-          s"CASE WHEN v[${k * 16 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END"
-        }.mkString(" + ")
-        s"WHEN $k THEN ($key)"
-      }.mkString("\n               ")
-      s"""
-      WITH RECURSIVE cells0 AS (
-        SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-      cells1 AS (
-        SELECT id, v FROM cells0
-        UNION ALL
-        SELECT id + 1000000000000, list_transform(v, x -> x * 2)
-        FROM cells0 WHERE id % 97 = 0),
-      cells AS (
-        SELECT id, v, $clusterKey AS cluster FROM cells1),
-      banded AS (
-        SELECT id, cluster, r.band,
-               CASE r.band
-               $bandWhens
-               END AS key
-        FROM cells, range(0, 4) r(band)),
-      cent AS (
-        SELECT cluster, i, avg(x) AS m FROM (
-          SELECT cluster, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x
-          FROM cells)
-        GROUP BY cluster, i),
-      centroid AS (
-        SELECT cluster, list(m ORDER BY i) AS c FROM cent GROUP BY cluster),
-      cosc AS (
-        SELECT k.id, k.cluster,
-               round(CASE WHEN list_dot_product(k.v, k.v) > 0
-                           AND list_dot_product(c.c, c.c) > 0
-                     THEN list_dot_product(k.v, c.c) /
-                          (sqrt(list_dot_product(k.v, k.v)) *
-                           sqrt(list_dot_product(c.c, c.c)))
-                     ELSE 0.0 END, 6) AS cos_centroid
-        FROM cells k JOIN centroid c ON k.cluster = c.cluster),
-      cand AS (
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM banded a JOIN banded b
-          ON a.cluster = b.cluster AND a.band = b.band AND a.key = b.key
-        WHERE a.id < b.id),
-      mp AS (
-        SELECT p.id_a, p.id_b
-        FROM cand p
-        JOIN cells a ON a.id = p.id_a
-        JOIN cells b ON b.id = p.id_b
-        WHERE round(CASE WHEN list_dot_product(a.v, a.v) > 0
-                          AND list_dot_product(b.v, b.v) > 0
-                    THEN list_dot_product(a.v, b.v) /
-                         (sqrt(list_dot_product(a.v, a.v)) *
-                          sqrt(list_dot_product(b.v, b.v)))
-                    ELSE 0.0 END, 6) >= 0.9),
-      edges AS (
-        SELECT id_a AS a, id_b AS b FROM mp
-        UNION SELECT id_b, id_a FROM mp),
-      reach AS (
-        SELECT a AS src, b AS dst FROM edges
-        UNION
-        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-      rm AS (SELECT src, min(dst) AS m FROM reach GROUP BY src),
-      comp AS (
-        SELECT k.id, k.cluster,
-               least(k.id, coalesce(rm.m, k.id)) AS component
-        FROM cells k LEFT JOIN rm ON k.id = rm.src)
-      SELECT c.id AS vec_id, c.cluster, c.component, s.cos_centroid,
-             CASE WHEN COUNT(*) OVER (PARTITION BY c.component) > 1
-                    AND ROW_NUMBER() OVER (PARTITION BY c.component
-                          ORDER BY s.cos_centroid, c.id) > 1
-                  THEN 'drop' ELSE 'keep' END AS action
-      FROM comp c JOIN cosc s ON c.id = s.id"""
-    },
+    QueryDef("emb_semdedup", Some(semdedupOracleSql),
       (s, dir) => {
         val e = t(s, dir, "embeddings").select("vec_id", "embedding")
         val planted = e.filter(col("vec_id") % 97 === 0)
@@ -539,6 +464,25 @@ object QueriesText {
             "embedding", "vec_id", minCosine = 0.9, signBits = 6)
           .withColumnRenamed("id", "vec_id")
       }),
+
+    // The auto-planned twin (occupancy-targeted within-cluster banding —
+    // same rationale and gating as dedup_embedding_auto): below the
+    // occupancy threshold the plan is (4, 16) exactly, so at oracle
+    // scale this row is bit-identical to emb_semdedup and the shared
+    // oracle guards the gate; the >threshold arm is spec-covered and
+    // measured in the scaling record.
+    QueryDef("emb_semdedup_auto", Some(semdedupOracleSql),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val planted = e.filter(col("vec_id") % 97 === 0)
+          .select((col("vec_id") + 1000000000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        Similarity.semDedup(e.unionByName(planted),
+            "embedding", "vec_id", minCosine = 0.9, signBits = 6,
+            autoPlan = true)
+          .withColumnRenamed("id", "vec_id")
+      }),
+
 
     // ------------------------------------------------- similarity: brute
     QueryDef("ann_cosine_topk", Some("""
@@ -2076,6 +2020,86 @@ object QueriesText {
     * advancement across batches is deterministic (load-bearing for the
     * keep_na expiry semantics; the unordered sibling is
     * [[stageMicroBatches]]). */
+  /** SemDeDup oracle — shared by `emb_semdedup` and `emb_semdedup_auto`:
+    * at oracle scale the auto row's occupancy gate keeps the plan at the
+    * reference (4, 16) banding, so both rows replay the identical SQL. */
+  private lazy val semdedupOracleSql: String = {
+    val clusterKey = (0 until 6).map(j =>
+      s"(CASE WHEN v[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val bandWhens = (0 until 4).map { k =>
+      val key = (0 until 16).map { j =>
+        s"CASE WHEN v[${k * 16 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"WHEN $k THEN ($key)"
+    }.mkString("\n               ")
+    s"""
+      WITH RECURSIVE cells0 AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      cells1 AS (
+        SELECT id, v FROM cells0
+        UNION ALL
+        SELECT id + 1000000000000, list_transform(v, x -> x * 2)
+        FROM cells0 WHERE id % 97 = 0),
+      cells AS (
+        SELECT id, v, $clusterKey AS cluster FROM cells1),
+      banded AS (
+        SELECT id, cluster, r.band,
+               CASE r.band
+               $bandWhens
+               END AS key
+        FROM cells, range(0, 4) r(band)),
+      cent AS (
+        SELECT cluster, i, avg(x) AS m FROM (
+          SELECT cluster, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x
+          FROM cells)
+        GROUP BY cluster, i),
+      centroid AS (
+        SELECT cluster, list(m ORDER BY i) AS c FROM cent GROUP BY cluster),
+      cosc AS (
+        SELECT k.id, k.cluster,
+               round(CASE WHEN list_dot_product(k.v, k.v) > 0
+                           AND list_dot_product(c.c, c.c) > 0
+                     THEN list_dot_product(k.v, c.c) /
+                          (sqrt(list_dot_product(k.v, k.v)) *
+                           sqrt(list_dot_product(c.c, c.c)))
+                     ELSE 0.0 END, 6) AS cos_centroid
+        FROM cells k JOIN centroid c ON k.cluster = c.cluster),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b
+          ON a.cluster = b.cluster AND a.band = b.band AND a.key = b.key
+        WHERE a.id < b.id),
+      mp AS (
+        SELECT p.id_a, p.id_b
+        FROM cand p
+        JOIN cells a ON a.id = p.id_a
+        JOIN cells b ON b.id = p.id_b
+        WHERE round(CASE WHEN list_dot_product(a.v, a.v) > 0
+                          AND list_dot_product(b.v, b.v) > 0
+                    THEN list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(b.v, b.v)))
+                    ELSE 0.0 END, 6) >= 0.9),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM mp
+        UNION SELECT id_b, id_a FROM mp),
+      reach AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      rm AS (SELECT src, min(dst) AS m FROM reach GROUP BY src),
+      comp AS (
+        SELECT k.id, k.cluster,
+               least(k.id, coalesce(rm.m, k.id)) AS component
+        FROM cells k LEFT JOIN rm ON k.id = rm.src)
+      SELECT c.id AS vec_id, c.cluster, c.component, s.cos_centroid,
+             CASE WHEN COUNT(*) OVER (PARTITION BY c.component) > 1
+                    AND ROW_NUMBER() OVER (PARTITION BY c.component
+                          ORDER BY s.cos_centroid, c.id) > 1
+                  THEN 'drop' ELSE 'keep' END AS action
+      FROM comp c JOIN cosc s ON c.id = s.id"""
+  }
+
   private def stageTimedSlices(s: SparkSession, events: DataFrame,
       slices: Seq[(Int, Int)], root: String): String = {
     val stage = s"$root/stage"

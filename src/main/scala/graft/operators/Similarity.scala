@@ -109,11 +109,31 @@ object Similarity {
    * Recall matches [[lshTopK]] at the same bits/probeHamming: the probe
    * ball IS the hamming-distance filter, expressed as an equi-join.
    *
+   * Fixed bits share the banding operators' quadratic exposure: per-query
+   * candidates are ball(bits, h) * n / 2^bits, linear in the corpus at
+   * fixed bits — a corpus-sized query side makes total candidate mass
+   * quadratic. `autoPlan` (default off; the plan is a no-op below the
+   * occupancy threshold, so small corpora keep the exact reference probe)
+   * widens the signature with log2(n) and re-picks the probe radius to
+   * hold recall at `targetCosine` — see [[planLshProbe]].
+   *
    * @return (query_id, vec_id, cosine) — up to k rows per query
    */
   def lshKnnJoin(queries: DataFrame, corpus: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      bits: Int = 12, probeHamming: Int = 1): DataFrame = {
+      bits: Int = 12, probeHamming: Int = 1,
+      autoPlan: Boolean = false, targetCosine: Double = 0.9,
+      targetOccupancy: Double = 2.0): DataFrame = {
+    val (pBits, pHamming) =
+      if (!autoPlan) (bits, probeHamming)
+      else planLshProbe(
+        corpus.count(), targetCosine, bits, probeHamming, targetOccupancy)
+    lshKnnJoinAt(queries, corpus, vecCol, idCol, k, pBits, pHamming)
+  }
+
+  private def lshKnnJoinAt(queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      bits: Int, probeHamming: Int): DataFrame = {
     val masks = AnnIndex.probeSigs(0L, bits, probeHamming)
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
@@ -266,7 +286,8 @@ object Similarity {
    * @return (id, cluster, component, cos_centroid, action keep|drop)
    */
   def semDedup(embeddings: DataFrame, vecCol: String, idCol: String,
-      minCosine: Double = 0.9, signBits: Int = 6): DataFrame = {
+      minCosine: Double = 0.9, signBits: Int = 6,
+      autoPlan: Boolean = false, targetOccupancy: Double = 2.0): DataFrame = {
     val cells = embeddings
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cluster", (0 until signBits).map(j =>
@@ -296,14 +317,33 @@ object Similarity {
     // band key (ANSI element_at throws; DuckDB's v[i] OOB yields NULL and
     // the oracle's CASE treats it as 0 — this matches that exactly), so
     // shorter embeddings than bands*bitsPerBand dims are fine.
-    val bands = 4; val bitsPerBand = 16
-    val banded = cells.select(col("cluster"), col("id"), posexplode_outer(
-      array((0 until bands).map { k =>
-        (0 until bitsPerBand).map { j =>
-          when(try_element_at(col("v"), lit(k * bitsPerBand + j + 1)) >= 0,
-            lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _)
-      }: _*)).as(Seq("band", "key")))
+    // Fixed-width banding shares dedup_embedding's quadratic-in-n
+    // exposure (candidate mass ~ bands*n^2/2^(bits+1)); the same
+    // occupancy-targeted plan applies — opt-in, and below the threshold
+    // the plan IS (4, 16), keeping the oracle-replayed banding
+    // bit-identical (emb_semdedup_auto shares emb_semdedup's oracle).
+    val refBands = 4; val refBits = 16
+    val planned =
+      if (!autoPlan) (refBands, refBits)
+      else planEmbeddingBands(cells.count(), minCosine,
+        refBands, refBits, targetOccupancy)
+    val banded =
+      if (planned == (refBands, refBits))
+        cells.select(col("cluster"), col("id"), posexplode_outer(
+          array((0 until refBands).map { k =>
+            (0 until refBits).map { j =>
+              when(try_element_at(col("v"), lit(k * refBits + j + 1)) >= 0,
+                lit(1L << j)).otherwise(lit(0L))
+            }.reduce(_ + _)
+          }: _*)).as(Seq("band", "key")))
+      else {
+        val (nBands, nBits) = planned
+        cells.select(col("cluster"), col("id"), posexplode_outer(
+          array((0 until nBands).map { k =>
+            graft.functions.exprToColumn(graft.functions.HyperplaneSig(
+              graft.functions.columnToExpr(col("v")), nBits, k * nBits))
+          }: _*)).as(Seq("band", "key")))
+      }
     val idPairs = Dedup.bucketPairs(banded, Seq("cluster", "band", "key"))
     val a = cells.select(col("id").as("id_a"), col("v").as("v_a"))
     val b = cells.select(col("id").as("id_b"), col("v").as("v_b"))
@@ -413,6 +453,64 @@ object Similarity {
    * hyperplane bands also happen to degrade more gracefully than
    * sign-of-dims under per-dim additive noise).
    */
+  /**
+   * Occupancy-targeted probe plan for [[lshKnnJoin]]'s scale path,
+   * returning (bits, probeHamming). bits grows with log2(n/occupancy) to
+   * pin bucket occupancy; the probe radius is then the SMALLEST h whose
+   * hamming-ball recall at `targetCosine` matches the reference point:
+   * a cos >= t pair flips each signature bit with q = acos(t)/pi
+   * (Charikar '02), so recall at (bits, h) is the binomial CDF
+   * P[Binom(bits, q) <= h] and the plan holds it at
+   * P[Binom(refBits, refHamming)] exactly (CDFs are computed, not
+   * first-order-approximated). The ball budget caps the query-side
+   * explode factor: if no radius reaches the target recall within
+   * `maxBall` probe keys, bits steps back down until one does — the
+   * reference plan is always feasible, so the search terminates.
+   *
+   * Below the occupancy threshold the plan IS (refBits, refHamming).
+   */
+  def planLshProbe(
+      nCorpus: Long, targetCosine: Double = 0.9,
+      refBits: Int = 12, refHamming: Int = 1,
+      targetOccupancy: Double = 2.0,
+      maxBits: Int = 30, maxBall: Int = 4096): (Int, Int) = {
+    require(nCorpus >= 0 && refBits > 0 && refHamming >= 0 && targetOccupancy > 0)
+    require(targetCosine > -1.0 && targetCosine <= 1.0)
+    val q = math.acos(math.min(1.0, targetCosine)) / math.Pi
+    def cdf(nb: Int, h: Int): Double = {
+      var sum = 0.0
+      var term = math.pow(1.0 - q, nb) // P[X = 0]
+      var kk = 0
+      while (kk <= h) {
+        sum += term
+        term *= (nb - kk).toDouble / (kk + 1).toDouble * q / (1.0 - q)
+        kk += 1
+      }
+      sum
+    }
+    def ball(nb: Int, h: Int): Long = {
+      var tot = 0L; var c = 1L
+      (0 to h).foreach { d =>
+        tot += c; c = c * (nb - d) / (d + 1)
+      }
+      tot
+    }
+    val target = cdf(refBits, refHamming)
+    val wanted = math.ceil(math.log(
+      math.max(1.0, nCorpus.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    var bits = math.max(refBits, math.min(maxBits, wanted))
+    while (bits > refBits) {
+      // smallest radius hitting the target recall within the ball budget
+      var h = refHamming
+      while (h < bits && cdf(bits, h) < target && ball(bits, h + 1) <= maxBall)
+        h += 1
+      if (cdf(bits, h) >= target && ball(bits, h) <= maxBall)
+        return (bits, h)
+      bits -= 1 // ball budget exhausted before recall: narrow and retry
+    }
+    (refBits, refHamming)
+  }
+
   def planEmbeddingBands(
       n: Long, minCosine: Double,
       refBands: Int = 4, refBits: Int = 16,

@@ -630,6 +630,74 @@ class OperatorsSpec extends SparkSpec {
       "forced auto plan should cut candidate mass on a random corpus")
   }
 
+  test("planLshProbe: reference plan below threshold, recall-holding " +
+      "radius above it, ball budget respected") {
+    // small corpora: exact reference probe
+    assert(Similarity.planLshProbe(2000L, 0.9) === (12, 1))
+    assert(Similarity.planLshProbe(2L * (1L << 12), 0.9) === (12, 1))
+    // 2M corpus: wider signature, radius re-picked to hold the binomial
+    // recall at the (12, 1) reference point
+    val (bits2m, h2m) = Similarity.planLshProbe(2000000L, 0.9)
+    assert(bits2m === 20, s"2M corpus should plan 20-bit sigs, got $bits2m")
+    assert(h2m >= 2, s"radius must widen with the signature: $h2m")
+    // recall at the planned point >= recall at the reference point
+    def cdfRecall(nb: Int, h: Int, t: Double): Double = {
+      val q = math.acos(t) / math.Pi
+      (0 to h).map(kk =>
+        (BigInt(1) to BigInt(kk)).foldLeft(1.0)((a, i) =>
+          a * (nb - i.toInt + 1) / i.toDouble) *
+          math.pow(q, kk) * math.pow(1 - q, nb - kk)).sum
+    }
+    assert(cdfRecall(bits2m, h2m, 0.9) >= cdfRecall(12, 1, 0.9) - 1e-12)
+    // ball budget: the explode factor stays within maxBall
+    def ball(nb: Int, h: Int): Long =
+      (0 to h).map(d => (BigInt(1) to BigInt(d)).foldLeft(BigInt(1))((a, i) =>
+        a * (nb - i.toInt + 1) / i)).map(_.toLong).sum
+    assert(ball(bits2m, h2m) <= 4096L)
+    // per-query candidate fraction shrinks vs the reference
+    val refFrac = ball(12, 1).toDouble / (1L << 12)
+    val autoFrac = ball(bits2m, h2m).toDouble / (1L << bits2m)
+    assert(autoFrac < refFrac / 2,
+      s"planned probe should cut the scan fraction: $autoFrac vs $refFrac")
+    // lshKnnJoin autoPlan below threshold: bit-identical to the default
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 500L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") < 5)
+    def knn(auto: Boolean) =
+      Similarity.lshKnnJoin(qs, vecs, "embedding", "vec_id", k = 3,
+          autoPlan = auto)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(knn(auto = true) === knn(auto = false))
+  }
+
+  test("semDedup autoPlan: identical below the threshold; forced arm still " +
+      "drops every exact planted dup and keeps the original") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 1500L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    // exact x2 copies: cos = 1, identical sign patterns AND identical
+    // hyperplane signs (positive scaling), so they band together under
+    // both the reference and any planned banding
+    val copies = base.filter(_._1 % 50 == 0)
+      .map { case (i, v) => (100000L + i, v.map(_ * 2f)) }
+    val vecs = (base ++ copies).toDF("vec_id", "embedding")
+    def run(auto: Boolean, occ: Double) =
+      Similarity.semDedup(vecs, "embedding", "vec_id", minCosine = 0.9,
+        signBits = 6, autoPlan = auto, targetOccupancy = occ)
+        .select("id", "action").as[(Long, String)].collect().toMap
+    val ref = run(auto = false, occ = 2.0)
+    // below threshold: the auto arm is the same plan, same rows
+    assert(run(auto = true, occ = 2.0) === ref)
+    // forced scale arm (occupancy 0.005 -> hyperplane bands): every
+    // planted copy drops, every planted original survives
+    val forced = run(auto = true, occ = 0.005)
+    copies.foreach { case (id, _) =>
+      assert(forced(id) === "drop", s"planted copy $id not dropped")
+      assert(forced(id - 100000L) === "keep", s"original ${id - 100000L} dropped")
+    }
+  }
+
   test("token shards: distributed prefix sum matches the global window") {
     val docs = (1L to 1000L).map(i => (i, (i % 37 + 1).toInt)).toDF("id", "ntok")
     val out = Sharding.tokenBudgetShards(docs, col("ntok"), "id", 100L)
