@@ -258,13 +258,51 @@ object AnnIndex {
   // ------------------------------------------------------------------ LSH
 
   /** Build a hyperplane-LSH index at `path`: signature computed once per
-    * vector, table partitioned by it. */
+    * vector, table partitioned by it.
+    *
+    * `autoPlan` applies [[Similarity.planLshProbe]] (occupancy-widened
+    * signature, recall-held probe radius; a no-op below the threshold,
+    * so small indexes keep exactly `bits`/`refHamming`). The chosen plan
+    * is persisted INSIDE the index as an `_plan` sidecar (underscore
+    * paths are invisible to the parquet reader): signature width is part
+    * of the index's identity — a probe at the wrong bits silently
+    * misses, since partition keys are bits-wide — so readers must
+    * recover it from the index itself ([[lshIndexPlan]]), never from a
+    * convention that can drift from the build.
+    *
+    * @return the (bits, probeHamming) the index was built at
+    */
   def buildLsh(embeddings: DataFrame, vecCol: String, idCol: String,
-      path: String, dims: Int, bits: Int = 12): Unit =
+      path: String, dims: Int, bits: Int = 12,
+      autoPlan: Boolean = false, targetCosine: Double = 0.9,
+      refHamming: Int = 1, targetOccupancy: Double = 2.0): (Int, Int) = {
+    val plan =
+      if (!autoPlan) (bits, refHamming)
+      else Similarity.planLshProbe(embeddings.count(), targetCosine,
+        bits, refHamming, targetOccupancy)
     embeddings
       .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
-      .withColumn("sig", hyperplaneSig(col("vec"), dims, bits))
+      .withColumn("sig", hyperplaneSig(col("vec"), dims, plan._1))
       .write.mode("overwrite").partitionBy("sig").parquet(path)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    Seq((plan._1, plan._2)).toDF("bits", "probe_hamming")
+      .coalesce(1).write.mode("overwrite").json(s"$path/_plan")
+    plan
+  }
+
+  /** The (bits, probeHamming) an LSH index was built at — read from its
+    * `_plan` sidecar. Pre-sidecar indexes (no `_plan` dir) report the
+    * historical default (12, 1). */
+  def lshIndexPlan(spark: SparkSession, path: String): (Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(s"$path/_plan")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_plan"))) (12, 1)
+    else {
+      val r = spark.read.json(s"$path/_plan").head()
+      (r.getAs[Long]("bits").toInt, r.getAs[Long]("probe_hamming").toInt)
+    }
+  }
 
   /** All signatures within hamming distance `h` of `sig` — the multiprobe
     * expansion, enumerated on the driver (sum of C(bits, <=h) values). */

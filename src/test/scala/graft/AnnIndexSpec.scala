@@ -46,6 +46,34 @@ class AnnIndexSpec extends SparkSpec {
     assert(hits.select("vec_id").as[Long].collect().toSeq === inMem)
   }
 
+  test("LSH index plan sidecar: round-trips the build plan; autoPlan is a " +
+      "no-op below threshold and the planned probe still self-hits") {
+    // below threshold (sf0.001 is tiny): the plan is exactly (bits, 1)
+    val p1 = java.nio.file.Files.createTempDirectory("graft_lshp").toString + "/idx"
+    val plan1 = AnnIndex.buildLsh(emb, "embedding", "vec_id", p1,
+      dims = query.length, bits = 8, autoPlan = true)
+    assert(plan1 === (8, 1))
+    assert(AnnIndex.lshIndexPlan(spark, p1) === (8, 1))
+    // forced wide plan: tiny occupancy target widens the signature; the
+    // sidecar must round-trip it and a probe AT THE SIDECAR PLAN must
+    // still find the query vector itself (sig match at hamming 0)
+    val p2 = java.nio.file.Files.createTempDirectory("graft_lshp").toString + "/idx"
+    val plan2 = AnnIndex.buildLsh(emb, "embedding", "vec_id", p2,
+      dims = query.length, bits = 8, autoPlan = true, targetOccupancy = 0.01)
+    assert(plan2._1 > 8, s"forced plan should widen the signature: $plan2")
+    assert(AnnIndex.lshIndexPlan(spark, p2) === plan2)
+    val hits = AnnIndex.searchLsh(spark, p2, query, k = 5,
+      bits = plan2._1, probeHamming = plan2._2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(hits.contains(0L), s"self-hit lost at the planned probe: $hits")
+    // a pre-sidecar index (no _plan dir) reports the historical default
+    val p3 = java.nio.file.Files.createTempDirectory("graft_lshp").toString + "/idx"
+    emb.select(col("vec_id"), col("embedding").as("vec"))
+      .withColumn("sig", Similarity.hyperplaneSig(col("vec"), 0, 12))
+      .write.partitionBy("sig").parquet(p3)
+    assert(AnnIndex.lshIndexPlan(spark, p3) === (12, 1))
+  }
+
   test("PQ index: codes-only scoring finds the neighborhood, re-rank recovers " +
       "the exact top-k head") {
     val path = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/idx"
