@@ -400,13 +400,16 @@ object QueriesText {
       (s, dir) => Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"),
         "embedding", "vec_id", minCosine = 0.9, bands = 4, bitsPerBand = 16)),
 
-    // The auto-planned twin: occupancy-targeted banding (bits from
-    // log2(n), bands recall-compensated — Similarity.planEmbeddingBands).
-    // Below the occupancy threshold the plan IS (4, 16), so at oracle
-    // scale this row must be bit-identical to dedup_embedding — the same
-    // oracle SQL guards the gating end-to-end (the >threshold arm is
-    // spec-covered on planted dups and measured in the scaling record).
-    QueryDef("dedup_embedding_auto", Some {
+    // The EXPLICIT-PLAN twin (round 13: the occupancy auto-plan became
+    // the production default, mirroring round 12's autoSalt flip — the
+    // base row above now exercises the default-auto path): this row pins
+    // autoPlan = false, covering the fixed (4, 16) API arm a caller uses
+    // to reproduce the oracle-replayed banding at ANY corpus size. Below
+    // the occupancy threshold the auto plan IS (4, 16), so at oracle
+    // scale both rows are bit-identical and the shared oracle SQL guards
+    // the gate end-to-end (the >threshold arm is spec-covered on planted
+    // dups and measured in the scaling record).
+    QueryDef("dedup_embedding_fixed", Some {
       val whens = (0 until 4).map { k =>
         val key = (0 until 16).map { j =>
           s"CASE WHEN embedding[${k * 16 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END"
@@ -440,7 +443,7 @@ object QueriesText {
     },
       (s, dir) => Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"),
         "embedding", "vec_id", minCosine = 0.9, bands = 4, bitsPerBand = 16,
-        autoPlan = true)),
+        autoPlan = false)),
 
     // ------------------------------------------- embeddings: SemDeDup
     // Semantic dedup (SemDeDup, arXiv:2303.09540) end-to-end: sign-pattern
@@ -465,13 +468,14 @@ object QueriesText {
           .withColumnRenamed("id", "vec_id")
       }),
 
-    // The auto-planned twin (occupancy-targeted within-cluster banding —
-    // same rationale and gating as dedup_embedding_auto): below the
-    // occupancy threshold the plan is (4, 16) exactly, so at oracle
-    // scale this row is bit-identical to emb_semdedup and the shared
-    // oracle guards the gate; the >threshold arm is spec-covered and
-    // measured in the scaling record.
-    QueryDef("emb_semdedup_auto", Some(semdedupOracleSql),
+    // The EXPLICIT-PLAN twin (same rationale and gating as
+    // dedup_embedding_fixed — the auto plan is the production default
+    // since round 13, so the base row above covers the default-auto
+    // path and this one pins autoPlan = false): below the occupancy
+    // threshold the plan is (4, 16) exactly, so at oracle scale both
+    // rows are bit-identical and the shared oracle guards the gate; the
+    // >threshold arm is spec-covered and measured in the scaling record.
+    QueryDef("emb_semdedup_fixed", Some(semdedupOracleSql),
       (s, dir) => {
         val e = t(s, dir, "embeddings").select("vec_id", "embedding")
         val planted = e.filter(col("vec_id") % 97 === 0)
@@ -479,7 +483,7 @@ object QueriesText {
             transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
         Similarity.semDedup(e.unionByName(planted),
             "embedding", "vec_id", minCosine = 0.9, signBits = 6,
-            autoPlan = true)
+            autoPlan = false)
           .withColumnRenamed("id", "vec_id")
       }),
 
@@ -2020,7 +2024,7 @@ object QueriesText {
     * advancement across batches is deterministic (load-bearing for the
     * keep_na expiry semantics; the unordered sibling is
     * [[stageMicroBatches]]). */
-  /** SemDeDup oracle — shared by `emb_semdedup` and `emb_semdedup_auto`:
+  /** SemDeDup oracle — shared by `emb_semdedup` and `emb_semdedup_fixed`:
     * at oracle scale the auto row's occupancy gate keeps the plan at the
     * reference (4, 16) banding, so both rows replay the identical SQL. */
   private lazy val semdedupOracleSql: String = {

@@ -118,6 +118,15 @@ object ScaleCorpus {
     val out = args(1)
     val mult = args(2).toInt
     require(mult >= 1, s"mult must be >= 1, got $mult")
+    // Structural ceiling matching the spec'd guarantee range: the affine
+    // letter-map non-identity and the embedding flip-family pairwise
+    // distinctness are PROVEN (ScaleCorpusSpec) only through c = 300 —
+    // past it a colliding copy pair would silently corrupt the linear
+    // pair-mass geometry the derived corpus exists to preserve, so the
+    // bound is enforced here rather than documented.
+    require(mult <= 300,
+      s"mult must be <= 300 (the spec-pinned distinctness range for the " +
+        s"cipher and flip families), got $mult")
     // emb mode: scale ONLY the embeddings table (the ANN/semantic rows'
     // sole input) and copy everything else verbatim — a 64-dim vector is
     // ~150x lighter than its document, so the similarity family can be

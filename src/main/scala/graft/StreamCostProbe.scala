@@ -58,6 +58,12 @@ object StreamCostProbe {
       .coalesce(1).write.mode("append").parquet(stage)
     val batchRows = docs.count() / nBatches
 
+    // Progress events arrive ASYNCHRONOUSLY on the listener-bus thread —
+    // processAllAvailable() returns when the DATA is processed, not when
+    // the bus has drained, so the map is (a) guarded by its own lock
+    // against a mid-update read and (b) polled below until the expected
+    // nBatches + 1 entries land (bounded), instead of asserting on
+    // whatever had been delivered by the time the main thread looked.
     val walls = scala.collection.mutable.SortedMap[Long, (Double, Long)]()
     val listener = new StreamingQueryListener {
       override def onQueryStarted(
@@ -65,10 +71,11 @@ object StreamCostProbe {
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
-        if (p.numInputRows > 0)
+        if (p.numInputRows > 0) walls.synchronized {
           walls(p.batchId) =
             (p.durationMs.get("triggerExecution").toDouble / 1000,
               p.numInputRows)
+        }
       }
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -79,9 +86,13 @@ object StreamCostProbe {
     val q = graft.streaming.Streams.dedupIngest(src, "text", "doc_id",
       s"$root/idx", s"$root/pairs", s"$root/ckpt", minJaccard = 0.5)
     try q.processAllAvailable() finally q.stop()
+    val drainDeadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (walls.synchronized(walls.size) < nBatches + 1 &&
+        System.nanoTime() < drainDeadline)
+      Thread.sleep(100)
     spark.streams.removeListener(listener)
 
-    val series = walls.toSeq
+    val series = walls.synchronized(walls.toSeq)
     series.foreach { case (b, (t, n)) =>
       println(f"[stream-cost] batch $b%2d: $t%6.2fs  rows=$n%,d") }
     val full = series.filter(_._2._2 > 1)

@@ -262,24 +262,44 @@ object AnnIndex {
     *
     * `autoPlan` applies [[Similarity.planLshProbe]] (occupancy-widened
     * signature, recall-held probe radius; a no-op below the threshold,
-    * so small indexes keep exactly `bits`/`refHamming`). The chosen plan
-    * is persisted INSIDE the index as an `_plan` sidecar (underscore
-    * paths are invisible to the parquet reader): signature width is part
-    * of the index's identity — a probe at the wrong bits silently
-    * misses, since partition keys are bits-wide — so readers must
-    * recover it from the index itself ([[lshIndexPlan]]), never from a
-    * convention that can drift from the build.
+    * so small indexes keep exactly `bits`/`refHamming`). It is the
+    * PRODUCTION DEFAULT since round 13 — the default build at 100M
+    * vectors must not be the 12-bit signature whose buckets hold ~25k
+    * vectors each; pass `autoPlan = false` to pin `bits` explicitly.
+    * The chosen plan is persisted INSIDE the index as an `_plan` sidecar
+    * (underscore paths are invisible to the parquet reader): signature
+    * width is part of the index's identity — a probe at the wrong bits
+    * silently misses, since partition keys are bits-wide — so readers
+    * must recover it from the index itself ([[lshIndexPlan]]), never
+    * from a convention that can drift from the build. The data write and
+    * the sidecar write are not atomic; the build DELETES any prior
+    * sidecar first, so an interrupted rebuild can never leave a stale
+    * plan describing new data, and [[lshIndexPlan]] FAILS CLOSED on the
+    * remaining sidecar-less state (it cross-checks the reported bits
+    * against the on-disk partition values) instead of defaulting into
+    * silent-empty probes.
     *
     * @return the (bits, probeHamming) the index was built at
     */
   def buildLsh(embeddings: DataFrame, vecCol: String, idCol: String,
       path: String, dims: Int, bits: Int = 12,
-      autoPlan: Boolean = false, targetCosine: Double = 0.9,
+      autoPlan: Boolean = true, targetCosine: Double = 0.9,
       refHamming: Int = 1, targetOccupancy: Double = 2.0): (Int, Int) = {
     val plan =
       if (!autoPlan) (bits, refHamming)
       else Similarity.planLshProbe(embeddings.count(), targetCosine,
         bits, refHamming, targetOccupancy)
+    // Drop any PRIOR build's sidecar before touching the data: the data
+    // overwrite + sidecar overwrite are not atomic, and a crash between
+    // them over an existing index would otherwise leave the OLD plan
+    // describing the NEW data. With the delete-first order every
+    // interrupted state is either sidecar-less (readers fall to the
+    // (12, 1) default, and lshIndexPlan's partition cross-check rejects
+    // any wider data) or fully consistent.
+    val planPath = new org.apache.hadoop.fs.Path(s"$path/_plan")
+    val fs = planPath.getFileSystem(
+      embeddings.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(planPath)) fs.delete(planPath, true)
     embeddings
       .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
       .withColumn("sig", hyperplaneSig(col("vec"), dims, plan._1))
@@ -293,15 +313,45 @@ object AnnIndex {
 
   /** The (bits, probeHamming) an LSH index was built at — read from its
     * `_plan` sidecar. Pre-sidecar indexes (no `_plan` dir) report the
-    * historical default (12, 1). */
+    * historical default (12, 1).
+    *
+    * FAIL-CLOSED cross-check (round 13, advisor ask): [[buildLsh]]'s data
+    * and sidecar are two non-atomic writes, so a failure between them
+    * over an existing index can leave wide-bits data under a
+    * missing/stale sidecar — and a probe at under-reported bits computes
+    * signatures in a DIFFERENT key space than the partitions, so every
+    * search silently returns empty (the exact miss the sidecar exists to
+    * prevent). The reported bits are therefore validated against the
+    * on-disk `sig=` partition values (one directory listing — the same
+    * listing any reader's partition discovery does): a partition value
+    * outside [0, 2^bits) means the sidecar does not describe this data,
+    * and the reader ERRORS instead of probing into silence. (A listing
+    * cannot catch the mirror state — a stale WIDE sidecar over narrower
+    * data looks like a sparsely-populated wide index — which is why
+    * [[buildLsh]] deletes the old sidecar before writing data: with
+    * delete-first ordering that state is unreachable, and every
+    * interrupted build lands on the sidecar-less default this check
+    * covers.) */
   def lshIndexPlan(spark: SparkSession, path: String): (Int, Int) = {
-    val fs = new org.apache.hadoop.fs.Path(s"$path/_plan")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_plan"))) (12, 1)
-    else {
-      val r = spark.read.json(s"$path/_plan").head()
-      (r.getAs[Long]("bits").toInt, r.getAs[Long]("probe_hamming").toInt)
-    }
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val plan =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_plan"))) (12, 1)
+      else {
+        val r = spark.read.json(s"$path/_plan").head()
+        (r.getAs[Long]("bits").toInt, r.getAs[Long]("probe_hamming").toInt)
+      }
+    val sigs = fs.listStatus(hPath).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("sig="))
+      .map(n => java.lang.Long.parseLong(n.stripPrefix("sig=")))
+    val bad = sigs.filter(s => s < 0L || s >= (1L << plan._1))
+    if (bad.hasNext) throw new IllegalStateException(
+      s"lshIndexPlan($path): partition value sig=${bad.next()} is outside " +
+        s"[0, 2^${plan._1}) — the _plan sidecar (or the pre-sidecar " +
+        s"default) does not describe this data (interrupted rebuild?); " +
+        s"probing at ${plan._1} bits would silently return empty. Rebuild " +
+        s"the index with AnnIndex.buildLsh.")
+    plan
   }
 
   /** All signatures within hamming distance `h` of `sig` — the multiprobe

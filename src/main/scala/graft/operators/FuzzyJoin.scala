@@ -114,11 +114,25 @@ object FuzzyJoin {
     // where BOTH sides outgrow the threshold and the shuffle join's
     // key-granularity skew is real (same probe, broadcast off: salted
     // 26.0s vs unsalted 55.7s at 10x, 2.1x; wider at 30x).
+    //
+    // MARGIN (round 13, advisor ask): the gate trusts CATALYST SIZE
+    // ESTIMATES of frames the planner will see only after projection /
+    // name derivation — estimate drift past the threshold at join-planning
+    // time would decline salting here and then serialize the hot block
+    // through one unsalted shuffle task anyway (the 55.7s-vs-26s case the
+    // probe measured). So the decline requires a side under HALF the
+    // broadcast threshold: within the drift-prone (bcast/2, bcast] band
+    // the stats pass runs and may salt, whose worst case — replacing a
+    // BHJ that would have materialized after all — measured a bounded 4x,
+    // while the worst case of wrongly declining grows with corpus scale
+    // (9.1x at 30x, unbounded beyond). Below bcast/2 a drift large enough
+    // to flip the plan would need a 2x estimation error on a parquet-
+    // backed size, which the statistics this gate reads don't exhibit.
     val bcast = org.apache.spark.sql.graftshim.GraftSqlShim
       .autoBroadcastThreshold(left.sparkSession)
     if (bcast > 0 &&
-        (left.queryExecution.optimizedPlan.stats.sizeInBytes <= bcast ||
-         right.queryExecution.optimizedPlan.stats.sizeInBytes <= bcast))
+        (left.queryExecution.optimizedPlan.stats.sizeInBytes <= bcast / 2 ||
+         right.queryExecution.optimizedPlan.stats.sizeInBytes <= bcast / 2))
       return SaltPlan(1, Seq.empty, global = false)
     // block-cardinality-sized aggregates (birth years: dozens); the
     // collect is capped at maxHotBlocks + 1 rows by the limit below

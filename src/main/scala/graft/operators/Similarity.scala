@@ -112,17 +112,20 @@ object Similarity {
    * Fixed bits share the banding operators' quadratic exposure: per-query
    * candidates are ball(bits, h) * n / 2^bits, linear in the corpus at
    * fixed bits — a corpus-sized query side makes total candidate mass
-   * quadratic. `autoPlan` (default off; the plan is a no-op below the
-   * occupancy threshold, so small corpora keep the exact reference probe)
-   * widens the signature with log2(n) and re-picks the probe radius to
-   * hold recall at `targetCosine` — see [[planLshProbe]].
+   * quadratic. `autoPlan` (the PRODUCTION DEFAULT since round 13 — the
+   * plan is a no-op below the occupancy threshold, so small corpora keep
+   * the exact reference probe bit-for-bit, and the default API at 100M
+   * vectors is no longer the linear-per-query fixed probe) widens the
+   * signature with log2(n) and re-picks the probe radius to hold recall
+   * at `targetCosine` — see [[planLshProbe]]. Pass `autoPlan = false` to
+   * pin the explicit (bits, probeHamming) at any corpus size.
    *
    * @return (query_id, vec_id, cosine) — up to k rows per query
    */
   def lshKnnJoin(queries: DataFrame, corpus: DataFrame,
       vecCol: String, idCol: String, k: Int,
       bits: Int = 12, probeHamming: Int = 1,
-      autoPlan: Boolean = false, targetCosine: Double = 0.9,
+      autoPlan: Boolean = true, targetCosine: Double = 0.9,
       targetOccupancy: Double = 2.0): DataFrame = {
     val (pBits, pHamming) =
       if (!autoPlan) (bits, probeHamming)
@@ -287,7 +290,7 @@ object Similarity {
    */
   def semDedup(embeddings: DataFrame, vecCol: String, idCol: String,
       minCosine: Double = 0.9, signBits: Int = 6,
-      autoPlan: Boolean = false, targetOccupancy: Double = 2.0): DataFrame = {
+      autoPlan: Boolean = true, targetOccupancy: Double = 2.0): DataFrame = {
     val cells = embeddings
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cluster", (0 until signBits).map(j =>
@@ -319,9 +322,10 @@ object Similarity {
     // shorter embeddings than bands*bitsPerBand dims are fine.
     // Fixed-width banding shares dedup_embedding's quadratic-in-n
     // exposure (candidate mass ~ bands*n^2/2^(bits+1)); the same
-    // occupancy-targeted plan applies — opt-in, and below the threshold
-    // the plan IS (4, 16), keeping the oracle-replayed banding
-    // bit-identical (emb_semdedup_auto shares emb_semdedup's oracle).
+    // occupancy-targeted plan applies — the production DEFAULT since
+    // round 13, and below the threshold the plan IS (4, 16), keeping the
+    // oracle-replayed banding bit-identical (emb_semdedup and its
+    // explicit-plan twin emb_semdedup_fixed share one oracle).
     val refBands = 4; val refBits = 16
     val planned =
       if (!autoPlan) (refBands, refBits)
@@ -367,7 +371,7 @@ object Similarity {
   def embeddingNearDupPairs(
       embeddings: DataFrame, vecCol: String, idCol: String,
       minCosine: Double = 0.95, bands: Int = 4, bitsPerBand: Int = 16,
-      autoPlan: Boolean = false, targetOccupancy: Double = 2.0): DataFrame = {
+      autoPlan: Boolean = true, targetOccupancy: Double = 2.0): DataFrame = {
     // Norms are computed ONCE per vector before the pair join; per-pair
     // work is then a single dot-product scan instead of five.
     val cells = embeddings
@@ -427,33 +431,6 @@ object Similarity {
   }
 
   /**
-   * Occupancy-targeted banding plan for [[embeddingNearDupPairs]]'s scale
-   * path. Fixed-width banding is quadratic in corpus size: expected
-   * candidate mass is bands * n^2 / 2^(bits+1), so 16-bit bands that cost
-   * 11M candidate pairs at 600k vectors cost 3x10^12 at 100M — the probe
-   * dies long before the verify join does. The plan:
-   *
-   *  - bits grows with log2(n / targetOccupancy), pinning expected bucket
-   *    occupancy (hence candidate mass ~ bands * n * occupancy / 2) to a
-   *    constant per row — the same stats-conditioned shape as the ngram
-   *    blocker's width scaling and FuzzyJoin.planSalts;
-   *  - bands grows to hold recall at the threshold: a cos >= t pair agrees
-   *    on one random hyperplane with p = 1 - acos(t)/pi (Charikar '02,
-   *    STOC), so one band matches with p^bits and the reference recall
-   *    1-(1-p^refBits)^refBands is held by bands ~ refBands * p^-(bits-refBits)
-   *    (first-order in the small per-band match probability).
-   *
-   * Below the occupancy threshold the plan IS (refBands, refBits) — small
-   * corpora keep their exact old plan and the oracle-replayed banding.
-   *
-   * Measured at 2.02M vectors (EmbPlanProbe, one JVM, planted cos≈0.95
-   * near-dups): the default occupancy-2 plan (8 bands × 20 bits) vs the
-   * fixed reference banding — candidates 124.6M → 46.7M (2.7×), e2e wall
-   * 292.9 s → 71.2 s (4.1×), planted recall 0.398 → 0.669 (the wide
-   * hyperplane bands also happen to degrade more gracefully than
-   * sign-of-dims under per-dim additive noise).
-   */
-  /**
    * Occupancy-targeted probe plan for [[lshKnnJoin]]'s scale path,
    * returning (bits, probeHamming). bits grows with log2(n/occupancy) to
    * pin bucket occupancy; the probe radius is then the SMALLEST h whose
@@ -511,6 +488,43 @@ object Similarity {
     (refBits, refHamming)
   }
 
+  /**
+   * Occupancy-targeted banding plan for [[embeddingNearDupPairs]]'s scale
+   * path. Fixed-width banding is quadratic in corpus size: expected
+   * candidate mass is bands * n^2 / 2^(bits+1), so 16-bit bands that cost
+   * 11M candidate pairs at 600k vectors cost 3x10^12 at 100M — the probe
+   * dies long before the verify join does. The plan:
+   *
+   *  - bits grows with log2(n / targetOccupancy), pinning expected bucket
+   *    occupancy (hence candidate mass ~ bands * n * occupancy / 2) to a
+   *    constant per row — the same stats-conditioned shape as the ngram
+   *    blocker's width scaling and FuzzyJoin.planSalts;
+   *  - bands grows to hold recall at the threshold: a cos >= t pair agrees
+   *    on one random hyperplane with p = 1 - acos(t)/pi (Charikar '02,
+   *    STOC), so one band matches with p^bits and the reference recall
+   *    1-(1-p^refBits)^refBands is held by bands ~ refBands * p^-(bits-refBits)
+   *    (first-order in the small per-band match probability).
+   *
+   * Below the occupancy threshold the plan IS (refBands, refBits) — small
+   * corpora keep their exact old plan and the oracle-replayed banding.
+   *
+   * CAP CAVEAT: `maxBands` bounds the explode factor (bands multiply
+   * every downstream shuffle), so when the recall compensation wants more
+   * than `maxBands` bands — loose thresholds at wide bits, e.g. minCosine
+   * 0.8 at 30 bits wants ~99 — the cap BINDS and recall at the threshold
+   * falls below the reference point (candidate cost wins over recall by
+   * design; the repo convention is no SILENT caps, so a binding cap warns
+   * on stderr). Callers that need the reference recall at a loose
+   * threshold should raise `maxBands` — candidate mass stays
+   * occupancy-pinned per band — or lower `targetOccupancy` only.
+   *
+   * Measured at 2.02M vectors (EmbPlanProbe, one JVM, planted cos≈0.95
+   * near-dups): the default occupancy-2 plan (8 bands × 20 bits) vs the
+   * fixed reference banding — candidates 124.6M → 46.7M (2.7×), e2e wall
+   * 292.9 s → 71.2 s (4.1×), planted recall 0.398 → 0.669 (the wide
+   * hyperplane bands also happen to degrade more gracefully than
+   * sign-of-dims under per-dim additive noise).
+   */
   def planEmbeddingBands(
       n: Long, minCosine: Double,
       refBands: Int = 4, refBits: Int = 16,
@@ -524,9 +538,14 @@ object Similarity {
     if (bits == refBits) (refBands, refBits)
     else {
       val p = 1.0 - math.acos(math.min(1.0, minCosine)) / math.Pi
-      val bands = math.min(maxBands,
-        math.ceil(refBands * math.pow(p, -(bits - refBits).toDouble)).toInt)
-      (bands, bits)
+      val wantedBands =
+        math.ceil(refBands * math.pow(p, -(bits - refBits).toDouble)).toInt
+      if (wantedBands > maxBands)
+        System.err.println(s"[similarity] WARN planEmbeddingBands: maxBands " +
+          s"cap binds ($wantedBands wanted, $maxBands used at $bits bits, " +
+          s"minCosine $minCosine) — recall at the threshold falls below the " +
+          s"($refBands, $refBits) reference point; raise maxBands to hold it")
+      (math.min(maxBands, wantedBands), bits)
     }
   }
 }

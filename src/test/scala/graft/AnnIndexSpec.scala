@@ -66,12 +66,33 @@ class AnnIndexSpec extends SparkSpec {
       bits = plan2._1, probeHamming = plan2._2)
       .select("vec_id").as[Long].collect().toSeq
     assert(hits.contains(0L), s"self-hit lost at the planned probe: $hits")
+    // round 13: autoPlan is the PRODUCTION DEFAULT — the same forced
+    // occupancy through the default entry point (no autoPlan argument)
+    // must plan the widened signature, not the fixed bits
+    val p4 = java.nio.file.Files.createTempDirectory("graft_lshp").toString + "/idx"
+    val plan4 = AnnIndex.buildLsh(emb, "embedding", "vec_id", p4,
+      dims = query.length, bits = 8, targetOccupancy = 0.01)
+    assert(plan4 === plan2,
+      s"default build must route to the planned arm: $plan4 vs $plan2")
+    assert(AnnIndex.lshIndexPlan(spark, p4) === plan2)
     // a pre-sidecar index (no _plan dir) reports the historical default
     val p3 = java.nio.file.Files.createTempDirectory("graft_lshp").toString + "/idx"
     emb.select(col("vec_id"), col("embedding").as("vec"))
       .withColumn("sig", Similarity.hyperplaneSig(col("vec"), 0, 12))
       .write.partitionBy("sig").parquet(p3)
     assert(AnnIndex.lshIndexPlan(spark, p3) === (12, 1))
+    // FAIL-CLOSED (round 13, advisor ask): wide-bits data with NO sidecar
+    // — the interrupted-rebuild state — must error, not report the
+    // (12, 1) default under which every probe would silently return
+    // empty (20-bit signatures put partition values past 2^12)
+    val p5 = java.nio.file.Files.createTempDirectory("graft_lshp").toString + "/idx"
+    emb.select(col("vec_id"), col("embedding").as("vec"))
+      .withColumn("sig", Similarity.hyperplaneSig(col("vec"), 0, 20))
+      .write.partitionBy("sig").parquet(p5)
+    val err = intercept[IllegalStateException] {
+      AnnIndex.lshIndexPlan(spark, p5)
+    }
+    assert(err.getMessage.contains("outside"), err.getMessage)
   }
 
   test("PQ index: codes-only scoring finds the neighborhood, re-rank recovers " +

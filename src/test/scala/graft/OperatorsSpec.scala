@@ -698,6 +698,69 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("auto-plan PRODUCTION DEFAULTS (round 13): the occupancy-planned " +
+      "arm fires through each default entry point at above-threshold n — " +
+      "threshold exposed via targetOccupancy, like FuzzyMatchSpec's salt " +
+      "knob — and the default call is bit-identical to explicit " +
+      "autoPlan = true") {
+    // deterministic corpus with noisy planted near-dups: the fixed
+    // (4, 16) sign-of-dims banding and the planned hyperplane banding
+    // catch DIFFERENT subsets of the ~cos 0.95 pairs, so the two arms'
+    // outputs differ observably and "which arm ran" is decidable from
+    // results alone — no plan-string inspection
+    val rnd = new scala.util.Random(17)
+    val base = (0L until 1200L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    val noisy = base.filter(_._1 % 8 == 0).map { case (i, v) =>
+      (50000L + i, v.map(x => x + rnd.nextGaussian().toFloat * 0.18f)) }
+    val vecs = (base ++ noisy).toDF("vec_id", "embedding")
+    val occ = 0.005 // 1350 rows >> occ * 2^16: far above the threshold
+    // --- embeddingNearDupPairs
+    def pairs(auto: Option[Boolean]) = {
+      val df = auto match {
+        case None => Similarity.embeddingNearDupPairs(vecs, "embedding",
+          "vec_id", minCosine = 0.9, targetOccupancy = occ)
+        case Some(a) => Similarity.embeddingNearDupPairs(vecs, "embedding",
+          "vec_id", minCosine = 0.9, autoPlan = a, targetOccupancy = occ)
+      }
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    val (pDefault, pAuto, pFixed) = (pairs(None), pairs(Some(true)), pairs(Some(false)))
+    assert(pDefault === pAuto, "default call must route to the planned arm")
+    assert(pDefault !== pFixed,
+      "arms must differ on this corpus or the routing assert is vacuous")
+    // --- semDedup
+    def sem(auto: Option[Boolean]) = {
+      val df = auto match {
+        case None => Similarity.semDedup(vecs, "embedding", "vec_id",
+          minCosine = 0.9, targetOccupancy = occ)
+        case Some(a) => Similarity.semDedup(vecs, "embedding", "vec_id",
+          minCosine = 0.9, autoPlan = a, targetOccupancy = occ)
+      }
+      df.select("id", "action").as[(Long, String)].collect().toSet
+    }
+    val (sDefault, sAuto, sFixed) = (sem(None), sem(Some(true)), sem(Some(false)))
+    assert(sDefault === sAuto, "semDedup default must route to the planned arm")
+    assert(sDefault !== sFixed,
+      "semDedup arms must differ on this corpus or the routing assert is vacuous")
+    // --- lshKnnJoin (occupancy knob likewise exposed; the planned probe
+    // widens the signature, so neighbor sets differ on a noisy corpus)
+    val qs = vecs.filter(col("vec_id") >= 50000L && col("vec_id") < 50200L)
+    def knn(auto: Option[Boolean]) = {
+      val df = auto match {
+        case None => Similarity.lshKnnJoin(qs, vecs, "embedding", "vec_id",
+          k = 3, targetOccupancy = occ)
+        case Some(a) => Similarity.lshKnnJoin(qs, vecs, "embedding", "vec_id",
+          k = 3, autoPlan = a, targetOccupancy = occ)
+      }
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    }
+    val (kDefault, kAuto, kFixed) = (knn(None), knn(Some(true)), knn(Some(false)))
+    assert(kDefault === kAuto, "lshKnnJoin default must route to the planned arm")
+    assert(kDefault !== kFixed,
+      "lshKnnJoin arms must differ on this corpus or the routing assert is vacuous")
+  }
+
   test("token shards: distributed prefix sum matches the global window") {
     val docs = (1L to 1000L).map(i => (i, (i % 37 + 1).toInt)).toDF("id", "ntok")
     val out = Sharding.tokenBudgetShards(docs, col("ntok"), "id", 100L)
