@@ -1,0 +1,198 @@
+package graft
+
+import graft.operators.{FuzzyJoin, Similarity}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Standing, bounded probe suite (round 13, judge ask #2): the round-12
+ * scale probes — salt planner, streaming cost split, occupancy banding
+ * plan — ran as one-shot mains whose verdicts lived in README tables
+ * from manual runs, so a regression in the salt planner's decision, the
+ * occupancy plan's candidate cut, or the streaming marginal cost would
+ * not trip any artifact the driver records. This main runs a bounded
+ * version of each family in ONE JVM, prints one JSON line AND writes it
+ * to `outPath` (Bench/ScaleSmoke convention), and exits nonzero on any
+ * bound violation, so the file lands in the round record and a planner
+ * regression trips an artifact instead of a README re-run.
+ *
+ * The bounds are structural invariants sized to run in minutes, each a
+ * within-session A/B (cross-time comparisons are not evidence on this
+ * host — README "Measurement caveat"):
+ *
+ *  - `fuzzy_salt`: synthetic one-mega-block corpus (20k x 2k hot rows of
+ *    equal-length digit names — the fuzzy.Rmd:562-579 cohort shape),
+ *    broadcast disabled on a child session. planSalts must pick
+ *    salts > 1 routing exactly the hot block; the full two-pass
+ *    fuzzyNameMatch must be order-insensitive-hash-identical salted vs
+ *    unsalted; and the salted wall must beat the unsalted wall (the
+ *    designed gap is the hot block's single-task serialization, >5x —
+ *    host noise cannot flip the sign).
+ *  - `stream_cost`: [[StreamCostProbe.run]]'s existing last/min
+ *    full-batch bound (3x at 8 batches), plus the fixed/marginal split
+ *    in the record.
+ *  - `emb_plan`: deterministic 300k-vector corpus of hash-gaussian
+ *    directions (Box-Muller over splitmix-style hashes — uniformly
+ *    distributed directions, so NO flip-family bucket inflation; this is
+ *    also the round-12 "measure the plan on non-flip geometry" ask) with
+ *    a planted noisy near-dup (cos ~ 0.95) every 97th vector. The
+ *    occupancy plan must cut candidate mass >= `CutFloor` while planted
+ *    recall stays >= reference recall - `RecallAllowance`. The corpus is
+ *    hash-deterministic, so the measured counts are exactly reproducible
+ *    run to run.
+ *
+ * Usage: runMain graft.ProbeSuite [outPath] [sfDir]
+ */
+object ProbeSuite {
+
+  final val EmbCutFloor = 1.5
+  final val EmbRecallAllowance = 0.05
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("PROBES.json")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ----------------------------------------------------- emb_plan
+    val embJson = {
+      val dims = 64
+      val n = 300000L
+      // Box-Muller gaussian from two hash-uniforms — deterministic,
+      // direction-uniform (the flip-derived probe corpora inflate sign
+      // buckets 2-5x; this geometry has no such artifact)
+      def unif(seed: Column, salt: Int): Column =
+        (pmod(xxhash64(seed, lit(salt)), lit(1000000L)).cast("double") + 0.5) /
+          1000000.0
+      val base = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dims - 1)), j => {
+          val cell = col("id") * dims + j
+          (sqrt(lit(-2.0) * log(unif(cell, 1))) *
+            cos(lit(2.0 * math.Pi) * unif(cell, 2))).cast("float")
+        }).as("embedding"))
+      val planted = base.filter(col("vec_id") % 97 === 0)
+        .withColumn("__nrm", Similarity.norm(col("embedding")).cast("float"))
+        .select((col("vec_id") + lit(5000000L)).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            x + lit(0.04f) * col("__nrm") *
+              (pmod(hash(col("vec_id") * 64 + j), lit(2))
+                .cast("float") * 2f - 1f)).as("embedding"))
+      val corpus = base.unionByName(planted).localCheckpoint(true)
+      val nAll = corpus.count()
+      val nPlanted = nAll - n
+      val (bands, bits) = Similarity.planEmbeddingBands(nAll, 0.9)
+      println(s"[probes] emb_plan corpus=$nAll planted=$nPlanted " +
+        s"plan=($bands bands, $bits bits)")
+      val cells = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
+      def cand(auto: Boolean): Long =
+        Similarity.embeddingCandidates(cells, 0.9, 4, 16, auto, 2.0).count()
+      def recall(auto: Boolean): Double = {
+        val found = Similarity.embeddingNearDupPairs(corpus, "embedding",
+            "vec_id", minCosine = 0.9, autoPlan = auto, targetOccupancy = 2.0)
+          .filter(col("id_b") === col("id_a") + 5000000L &&
+            pmod(col("id_a"), lit(97)) === 0)
+          .count()
+        found.toDouble / nPlanted
+      }
+      val (candRef, tCandRef) = timed(cand(auto = false))
+      val (candAuto, tCandAuto) = timed(cand(auto = true))
+      val (recRef, tRef) = timed(recall(auto = false))
+      val (recAuto, tAuto) = timed(recall(auto = true))
+      val cut = candRef.toDouble / math.max(1L, candAuto)
+      val pass = cut >= EmbCutFloor && recAuto >= recRef - EmbRecallAllowance
+      println(f"[probes] emb_plan cand ref=$candRef auto=$candAuto " +
+        f"(cut $cut%.2fx, floor $EmbCutFloor) recall ref=$recRef%.3f " +
+        f"auto=$recAuto%.3f (allowance $EmbRecallAllowance) " +
+        f"wall ref=${tCandRef + tRef}%.1fs auto=${tCandAuto + tAuto}%.1fs " +
+        (if (pass) "ok" else "BAD"))
+      (pass, s""""emb_plan":{"pass":$pass,"corpus":$nAll,""" +
+        s""""plan_bands":$bands,"plan_bits":$bits,""" +
+        s""""cand_ref":$candRef,"cand_auto":$candAuto,""" +
+        s""""candidate_cut":$cut,"cut_floor":$EmbCutFloor,""" +
+        s""""recall_ref":$recRef,"recall_auto":$recAuto,""" +
+        s""""recall_allowance":$EmbRecallAllowance,""" +
+        s""""wall_ref_sec":${tCandRef + tRef},"wall_auto_sec":${tCandAuto + tAuto}}""")
+    }
+
+    // --------------------------------------------------- fuzzy_salt
+    val fuzzyJson = {
+      // one hot 1990 cohort block (20k x 2k = 40M pairs) over a cold
+      // tail; equal-length digit ids so the OSA kernel does real DP work
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def names(r: org.apache.spark.sql.DataFrame, idc: String) = r
+        .withColumn("__cid", lpad(pmod(col(idc) * 2654435761L, lit(1000000000L))
+          .cast("string"), 9, "0"))
+        .withColumn("f", substring(col("__cid"), 1, 4))
+        .withColumn("l", substring(col("__cid"), 5, 100))
+        .drop("__cid")
+      val l = names(s2.range(24000).select(col("id").as("lid"),
+        when(col("id") < 20000, 1990).otherwise(lit(1900) + pmod(col("id"), lit(80)))
+          .cast("int").as("by")), "lid")
+        .localCheckpoint(true)
+      val r = names(s2.range(2400).select(col("id").as("rid"),
+        when(col("id") < 2000, 1990).otherwise(lit(1900) + pmod(col("id"), lit(80)))
+          .cast("int").as("by")), "rid")
+        .withColumnRenamed("f", "rf").withColumnRenamed("l", "rl")
+        .localCheckpoint(true)
+      val plan = FuzzyJoin.planSalts(l, r, "by", targetPairsPerBlock = 1000000L)
+      val decisionOk = plan.salts > 1 && plan.hotBlocks == Seq(1990) && !plan.global
+      println(s"[probes] fuzzy_salt planSalts: salts=${plan.salts} " +
+        s"hot=${plan.hotBlocks} global=${plan.global} " +
+        (if (decisionOk) "ok" else "BAD"))
+      def arm(autoSalt: Boolean): org.apache.spark.sql.Row =
+        FuzzyJoin.fuzzyNameMatch(l, col("f"), col("l"), r, col("rf"), col("rl"),
+            "by", maxDist = 1, flippedMaxDist = 1, autoSalt = autoSalt,
+            targetPairsPerBlock = 1000000L)
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(xxhash64(col("lid"), col("rid"), col("distance"))
+              .cast("decimal(38,0)")), lit(0)).as("h"))
+          .head()
+      arm(autoSalt = true) // JIT/codegen warmup (kernel shared across arms)
+      val (salted, tSalted) = timed(arm(autoSalt = true))
+      val (unsalted, tUnsalted) = timed(arm(autoSalt = false))
+      val hashOk = salted.getLong(0) == unsalted.getLong(0) &&
+        salted.get(1) == unsalted.get(1)
+      val wallOk = tSalted <= tUnsalted
+      val pass = decisionOk && hashOk && wallOk
+      println(f"[probes] fuzzy_salt salted=${tSalted}%.1fs " +
+        f"unsalted=${tUnsalted}%.1fs rows=${salted.getLong(0)} " +
+        f"hashOk=$hashOk " + (if (pass) "ok" else "BAD"))
+      (pass, s""""fuzzy_salt":{"pass":$pass,"salts":${plan.salts},""" +
+        s""""decision_ok":$decisionOk,"hash_equal":$hashOk,""" +
+        s""""rows":${salted.getLong(0)},""" +
+        s""""salted_sec":$tSalted,"unsalted_sec":$tUnsalted}""")
+    }
+
+    // -------------------------------------------------- stream_cost
+    val streamJson = {
+      val r = StreamCostProbe.run(spark, sfDir, nBatches = 8)
+      (r.pass, s""""stream_cost":{"pass":${r.pass},"ratio":${r.ratio},""" +
+        s""""bound":${r.bound},"fixed_sec":${r.fixedSec},""" +
+        s""""marginal_first_ms":${r.marginalFirstMs},""" +
+        s""""marginal_last_ms":${r.marginalLastMs}}""")
+    }
+
+    val all = Seq(embJson, fuzzyJson, streamJson)
+    val pass = all.forall(_._1)
+    val json = s"""{"metric":"probes","pass":$pass,"probes":{""" +
+      all.map(_._2).mkString(",") + "}}"
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes("UTF-8"))
+    spark.stop()
+    if (!pass) sys.exit(1)
+  }
+}

@@ -31,10 +31,18 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
  * Usage: runMain graft.StreamCostProbe [sfDir] [nBatches]
  */
 object StreamCostProbe {
+
+  /** The probe's bound and measurements — consumed by [[ProbeSuite]]'s
+    * per-round record as well as this main. */
+  final case class StreamCostResult(
+      ratio: Double, bound: Double, fixedSec: Double,
+      marginalFirstMs: Double, marginalLastMs: Double) {
+    def pass: Boolean = ratio <= bound
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = if (args.length > 1) args(1).toInt else 8
-    require(nBatches >= 3, s"need >= 3 full batches, got $nBatches")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -43,7 +51,13 @@ object StreamCostProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, dir, nBatches)
+    spark.stop()
+    if (!r.pass) sys.exit(1)
+  }
 
+  def run(spark: SparkSession, dir: String, nBatches: Int = 8): StreamCostResult = {
+    require(nBatches >= 3, s"need >= 3 full batches, got $nBatches")
     val root = Tables.freshScratch("stream_cost")
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
@@ -102,9 +116,11 @@ object StreamCostProbe {
     val first = full.head._2._1
     val last = full.last._2._1
     val fixed = tiny.get._2._1
+    val mFirst = math.max(0, first - fixed) / batchRows * 1e3
+    val mLast = math.max(0, last - fixed) / batchRows * 1e3
     println(f"[stream-cost] fixed per-batch overhead (1-doc, full index): $fixed%.2fs")
-    println(f"[stream-cost] marginal per-doc: first batch ${math.max(0, first - fixed) / batchRows * 1e3}%.3f ms, " +
-      f"last full batch ${math.max(0, last - fixed) / batchRows * 1e3}%.3f ms")
+    println(f"[stream-cost] marginal per-doc: first batch $mFirst%.3f ms, " +
+      f"last full batch $mLast%.3f ms")
     // Baseline = the MINIMUM full-batch wall, not batch 0: the first
     // batch carries the young JVM's JIT (measured 3x its steady state),
     // which would flatter the ratio. A superlinear probe regression
@@ -113,7 +129,6 @@ object StreamCostProbe {
     val ratio = last / math.max(base, 1e-9)
     val verdict = if (ratio <= 3.0) "ok " else "BAD"
     println(f"[stream-cost] $verdict last/min full-batch wall = $ratio%.2fx (bound 3.0x at $nBatches batches)")
-    spark.stop()
-    if (ratio > 3.0) sys.exit(1)
+    StreamCostResult(ratio, 3.0, fixed, mFirst, mLast)
   }
 }

@@ -285,11 +285,11 @@ object Dedup {
    * the CacheManager, and the (potentially huge) doc-pair expansion is
    * never round-tripped through block storage.
    *
-   * Concurrency contract: at large estimated candidate volume the wide
-   * stages run under a scoped set/restore of the session's
-   * `spark.sql.shuffle.partitions` — see the identical note on
-   * [[connectedComponents]]; sequential query execution per session is
-   * assumed (use `spark.newSession()` to isolate concurrent callers).
+   * Width contract: at large estimated candidate volume the wide stages
+   * (prefix join, positional-filtered candidate stream, verify join) are
+   * EXPLICITLY repartitioned to the stats-derived width — see the
+   * identical note on [[connectedComponents]]; no session conf is
+   * touched (round 13), so concurrent callers on one session are safe.
    *
    * @param blocking "auto" (statistics-based), "prefix", or "size".
    */
@@ -322,27 +322,12 @@ object Dedup {
       .withColumn("skey", unhex(md5(to_json(col("toks")).cast("binary"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = keyed.select(col("skey"), col("id"))
-    // one row per distinct token set; persisted because the statistics
-    // jobs below and the final plan each traverse it (the CBO-stats
-    // amortization — without it every consumer re-reads the corpus)
-    val groups = keyed.groupBy("skey")
-      .agg(first(col("toks")).as("toks"), count(lit(1)).as("cnt"))
-      .withColumn("n", size(col("toks")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // prefix table (linear work): global token document frequency over
-    // DISTINCT SETS, rarest-first order, keep the prefix per set
-    val tokSets = groups.select(col("skey"), col("n"), explode(col("toks")).as("tok"))
-    val dfreq = tokSets.groupBy("tok").agg(count(lit(1)).as("df"))
-    // Position of each prefix token within the set's FULL (df, tok)-
-    // ordered token list rides along (`p`): the candidate join's
-    // positional filter below needs it. (df, tok) is a strict total
-    // order (tokens are distinct within a set), identical across sets.
-    val prefix = tokSets.join(dfreq, Seq("tok"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("skey")).orderBy(col("df"), col("tok"))))
-      .filter(col("__rn") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
-      .select(col("tok"), col("skey"), col("n"), col("__rn").as("p"))
+    // groups / prefix construction moved BELOW the statistics pass
+    // (round 13): the wide stages carry their stats-derived shuffle
+    // width as explicit repartitions now, so their plans can only be
+    // assembled once the estimates exist. Everything is lazy — only
+    // `keyed` is consumed by the stats job, so the reorder changes no
+    // execution order.
 
     // Candidate-count estimates; only a handful of rows reach the
     // driver. ONE rollup job over the keyed table yields both the
@@ -405,19 +390,55 @@ object Dedup {
     // below (one wide shuffle instead of two). ~2M estimated candidates
     // per task keeps the per-task working set flat at any scale; the
     // estimate is a deliberate over-estimate (see the prefix-cost model
-    // above) and overshooting costs only task overhead. Scoped
-    // set/restore; everything that must run wide (candidates, verify,
-    // the eager checkpoints) materializes inside the scope, and only
-    // the output-sized LAZY expansion joins — which shuffle nothing
-    // corpus-sized — execute under the caller's width.
-    val confKey = "spark.sql.shuffle.partitions"
-    val prevParts = docs.sparkSession.conf.get(confKey)
+    // above) and overshooting costs only task overhead.
+    //
+    // The width rides EXPLICIT repartitions on the wide stages (round
+    // 13; previously a scoped session-conf set/restore a concurrent or
+    // deferred caller could observe — see the identical note on
+    // connectedComponents): each token-mass or pair-mass exchange below
+    // is either pinned directly (`w`) or aligned by EnsureRequirements
+    // to a pinned sibling, which shuffles an unpartitioned join side to
+    // the satisfied side's partition count. The set-cardinality
+    // aggregations (groups, dfreq) stay at session width on purpose:
+    // their reduce state is set-count-sized — small at any corpus that
+    // fits the estimates — and pre-repartitioning them would forfeit
+    // the map-side partial aggregation that collapses exact-duplicate
+    // mass before the shuffle.
+    val sessionParts =
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val chosenEst = if (usePrefix) prefixEst else denseEst
-    val wideParts = math.max(prevParts.toInt,
+    val wideParts = math.max(sessionParts,
       (chosenEst / 2000000L + 1).min(BigInt(2048)).toInt)
-    if (wideParts > prevParts.toInt)
-      docs.sparkSession.conf.set(confKey, wideParts.toString)
-    val (setPairsCk, membersCk) = try {
+    val wide = wideParts > sessionParts
+    def w(df: DataFrame, keys: Column*): DataFrame =
+      if (wide) df.repartition(wideParts, keys: _*) else df
+
+    // one row per distinct token set; persisted because the statistics
+    // jobs below and the final plan each traverse it (the CBO-stats
+    // amortization — without it every consumer re-reads the corpus)
+    val groups = keyed.groupBy("skey")
+      .agg(first(col("toks")).as("toks"), count(lit(1)).as("cnt"))
+      .withColumn("n", size(col("toks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // prefix table (linear work): global token document frequency over
+    // DISTINCT SETS, rarest-first order, keep the prefix per set
+    val tokSets = groups.select(col("skey"), col("n"), explode(col("toks")).as("tok"))
+    val dfreq = tokSets.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Position of each prefix token within the set's FULL (df, tok)-
+    // ordered token list rides along (`p`): the candidate join's
+    // positional filter below needs it. (df, tok) is a strict total
+    // order (tokens are distinct within a set), identical across sets.
+    // Both token-mass stages are width-pinned when wide: the df join by
+    // tok, then the per-set window by skey (the window reuses the
+    // explicit skey partitioning, so no second exchange).
+    val prefix = w(w(tokSets, col("tok")).join(dfreq, Seq("tok")), col("skey"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("skey")).orderBy(col("df"), col("tok"))))
+      .filter(col("__rn") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
+      .select(col("tok"), col("skey"), col("n"), col("__rn").as("p"))
+
+    val (setPairsCk, membersCk) = {
     val sizeOk = least(col("n_a"), col("n_b")) >=
       lit(minJaccard) * greatest(col("n_a"), col("n_b"))
     // Fuse the candidate dedup onto the verify's partitioning ONLY when
@@ -438,12 +459,17 @@ object Dedup {
     // one map partition, partial agg collapses them pre-shuffle, and the
     // fused shape ships the raw stream instead (measured 1.7 -> 3.7 s at
     // sf0.1) — so the bare .distinct() stays the small-corpus plan.
-    val fuseDedup = wideParts > prevParts.toInt
+    val fuseDedup = wide
     val candidates =
       if (usePrefix) {
-        val pa = prefix.select(col("tok"), col("skey").as("skey_a"),
+        // ONE width-pinned tok-exchange feeds both join sides: pa and pb
+        // project from the same repartitioned subplan, so Spark's
+        // exchange reuse materializes it once (the conf-scoped plan had
+        // the same reuse; pinning the shared parent keeps it)
+        val prefixJ = w(prefix, col("tok"))
+        val pa = prefixJ.select(col("tok"), col("skey").as("skey_a"),
           col("n").as("n_a"), col("p").as("p_a"))
-        val pb = prefix.select(col("tok"), col("skey").as("skey_b"),
+        val pb = prefixJ.select(col("tok"), col("skey").as("skey_b"),
           col("n").as("n_b"), col("p").as("p_b"))
         // POSITIONAL filter (PPJoin, Xiao et al. WWW'08): a pair needs
         // set overlap o >= alpha = ceil(t/(1+t) * (n_a+n_b)) to reach
@@ -482,11 +508,15 @@ object Dedup {
         // partner duplication to balance work it could finish anyway;
         // 64 salts splits any hot size-band finely enough.
         val salts = math.min(par, 64)
-        val ga = groups
+        // width-pinned on the full equi-key (size band, salt): the
+        // seeker side carries the explicit partitioning, the replicated
+        // partner side aligns to it
+        val ga = w(groups
           .select(col("skey").as("skey_a"), col("n").as("n_a"))
           .withColumn("s", explode(sequence(
             greatest(lit(1), (lit(minJaccard) * col("n_a")).cast("int")), col("n_a"))))
-          .withColumn("salt", pmod(xxhash64(col("skey_a")), lit(salts)).cast("int"))
+          .withColumn("salt", pmod(xxhash64(col("skey_a")), lit(salts)).cast("int")),
+          col("s"), col("salt"))
         val gb = groups
           .select(col("skey").as("skey_b"), col("n").as("n_b"))
           .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
@@ -516,8 +546,9 @@ object Dedup {
     val verifyIn =
       if (usePrefix && fuseDedup) candidates
       else candidates.repartition(wideParts, col("skey_a"))
-    val setPairs = verifyIn
-      .join(ta, Seq("skey_a"))
+    // the second token-table join re-keys by skey_b; the exchange ships
+    // candidate rows CARRYING t_a arrays, so it is width-pinned too
+    val setPairs = w(verifyIn.join(ta, Seq("skey_a")), col("skey_b"))
       .join(tb, Seq("skey_b"))
       .select(col("skey_a"), col("skey_b"),
         sortedJaccard(col("t_a"), col("t_b")).as("jaccard"))
@@ -535,7 +566,7 @@ object Dedup {
     keyed.unpersist(false)
     groups.unpersist(false)
     (spCk, mCk)
-    } finally docs.sparkSession.conf.set(confKey, prevParts)
+    }
 
     // expand verdicts to doc pairs: cross-group members in canonical id
     // order, plus within-group pairs (identical sets, Jaccard exactly 1)
@@ -588,16 +619,14 @@ object Dedup {
    *              ids appearing in edges.
    * @return (id, component) with component = min id of the cluster
    *
-   * Concurrency contract (shared with [[ngramJaccardPairs]]): large
-   * graphs scale the label loop's shuffle width via a scoped set/restore
-   * of the SESSION conf `spark.sql.shuffle.partitions` — correct under
-   * this repo's sequential query execution, but a concurrent query on
-   * the same SparkSession planned inside the scope would pick up the
-   * widened value (harmless for correctness, surprising for cost), and
-   * conversely the restore fires before the returned frame's residual
-   * lazy projections execute (those shuffle nothing corpus-sized by
-   * construction). Callers running queries concurrently on one session
-   * should isolate with `spark.newSession()`.
+   * Width contract (shared with [[ngramJaccardPairs]]): large graphs
+   * scale the label loop's shuffle width through EXPLICIT repartitions
+   * pinned to the measured edge count (round 13 — previously a scoped
+   * set/restore of the session's `spark.sql.shuffle.partitions`, which
+   * a concurrent or deferred caller on the same session could observe;
+   * no session state is touched anymore, so concurrent callers are
+   * safe). The label table carries the width and every per-round join
+   * aligns to it via EnsureRequirements.
    */
   /** Symmetric-edge threshold below which [[connectedComponents]] solves
     * on the driver (union-find) instead of iterating distributed rounds.
@@ -791,17 +820,33 @@ object Dedup {
     // symmetric edges per task keeps per-task sort/agg state ~tens of MB
     // at any graph size; AQE's byte-based coalescing shrinks the extra
     // partitions right back when the graph is small, so overshooting
-    // costs nothing. Scoped set/restore (the Tables.loadEvents conf
-    // pattern) — queries in a session run sequentially here.
-    val confKey = "spark.sql.shuffle.partitions"
-    val prevParts = edges.sparkSession.conf.get(confKey)
-    val loopParts = math.max(prevParts.toInt,
+    // costs nothing.
+    //
+    // The width rides EXPLICIT repartitions, not a session-conf scope
+    // (rounds 11-12 set/restored `spark.sql.shuffle.partitions` — a
+    // concurrent or deferred caller on the same session could observe
+    // the widened value; round 13 removes the hazard, advisor ask): the
+    // node-sized LABEL table is hash-repartitioned by id at loopParts
+    // before every round's checkpoint (the checkpoint's LogicalRDD
+    // preserves that partitioning), so the round's edge-sized sym-join
+    // exchange ALIGNS to it — EnsureRequirements shuffles the
+    // unpartitioned side to the satisfied side's partition count, which
+    // is exactly where the session conf used to apply. The self-join's
+    // probe side is likewise pinned through an explicit lbl-repartition.
+    // The one exchange left at session width is the neighbor-min
+    // aggregation: its reduce state is (node, min-label) pairs — bytes
+    // per entry, nodes/32 per task even at huge graphs — and a
+    // pre-repartition there would forfeit the map-side partial min that
+    // collapses the edge-sized join output to node-sized partials.
+    val sessionParts =
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(sessionParts,
       math.min(2048L, symCount / 1000000L + 1).toInt)
-    if (loopParts > prevParts.toInt)
-      edges.sparkSession.conf.set(confKey, loopParts.toString)
-    try {
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
+    val widen = loopParts > sessionParts
+    def wById(df: DataFrame): DataFrame =
+      if (widen) df.repartition(loopParts, col("id")) else df
+    var labels = wById(sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
@@ -822,22 +867,25 @@ object Dedup {
       // the already-materialized checkpoint blocks with an early-exit
       // limit(1), instead of re-joining two label tables (a second
       // shuffle join per round, which dominated fixed overhead at small
-      // duplicate mass).
-      val jumped = afterMin.alias("c")
+      // duplicate mass). At widened width the probe (c) side is pinned
+      // by an explicit lbl-repartition and the parent (p) side aligns
+      // to it; the final wById re-pins the checkpoint by id so the NEXT
+      // round's sym join inherits loopParts — replacing, not adding to,
+      // the label-side exchange that join would otherwise plan.
+      val amC =
+        if (widen) afterMin.repartition(loopParts, col("lbl")) else afterMin
+      val jumped = wById(amC.alias("c")
         .join(afterMin.select(col("id").as("__lid"), col("lbl").as("__plbl"))
           .alias("p"), col("c.lbl") === col("__lid"), "left")
         .select(col("c.id").as("id"),
           least(col("c.lbl"), coalesce(col("__plbl"), col("c.lbl"))).as("lbl"),
           col("c.__old").as("__old"))
-        .select(col("id"), col("lbl"), (col("lbl") =!= col("__old")).as("__chg"))
+        .select(col("id"), col("lbl"), (col("lbl") =!= col("__old")).as("__chg")))
         .localCheckpoint(true)
       converged = jumped.filter(col("__chg")).limit(1).count() == 0
       labels = jumped.select(col("id"), col("lbl"))
       iter += 1
     }
-    // every loop shuffle already materialized eagerly in-scope (the
-    // per-round localCheckpoint(true)); what remains on `labels` is a
-    // shuffle-free projection, safe to hand out past the conf restore
     val connected = labels.select(col("id"), col("lbl").as("component"))
     nOpt match {
       case None => connected
@@ -846,7 +894,6 @@ object Dedup {
         n.join(connected, Seq("id"), "left")
           .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     }
-    } finally edges.sparkSession.conf.set(confKey, prevParts)
   }
 
   /** Survivor table from a pair graph: one row per component —
