@@ -300,15 +300,42 @@ object AnnIndex {
     val fs = planPath.getFileSystem(
       embeddings.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(planPath)) fs.delete(planPath, true)
+    // a plan-widened signature rides the orthonormal family (correlated
+    // +-1 bits inflate bucket occupancy past the planner's model —
+    // [[graft.functions.OrthoPlaneSig]]); at the explicit/reference width
+    // the +-1 family stays the contract, so pre-existing indexes and the
+    // pinned-bits path are unchanged. The family is part of the index's
+    // identity exactly like bits (a probe in the wrong family silently
+    // misses), so it persists in the same sidecar.
+    val family = if (plan._1 != bits) FamilyOrtho else FamilyPm1
     embeddings
       .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
-      .withColumn("sig", hyperplaneSig(col("vec"), dims, plan._1))
+      .withColumn("sig",
+        Similarity.sigCol(col("vec"), plan._1, family == FamilyOrtho))
       .write.mode("overwrite").partitionBy("sig").parquet(path)
     val spark = embeddings.sparkSession
     import spark.implicits._
-    Seq((plan._1, plan._2)).toDF("bits", "probe_hamming")
+    Seq((plan._1, plan._2, family)).toDF("bits", "probe_hamming", "family")
       .coalesce(1).write.mode("overwrite").json(s"$path/_plan")
     plan
+  }
+
+  /** Sidecar values for the signature plane family. */
+  final val FamilyPm1 = "pm1"     // +-1 splitmix planes (HyperplaneSig)
+  final val FamilyOrtho = "ortho" // orthonormalized gaussian (OrthoPlaneSig)
+
+  /** The plane family an LSH index was built with — from the `_plan`
+    * sidecar; pre-family sidecars and pre-sidecar indexes (both built
+    * before the ortho family existed) report [[FamilyPm1]]. */
+  def lshIndexFamily(spark: SparkSession, path: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_plan"))) FamilyPm1
+    else {
+      val df = spark.read.json(s"$path/_plan")
+      if (!df.columns.contains("family")) FamilyPm1
+      else df.head().getAs[String]("family")
+    }
   }
 
   /** The (bits, probeHamming) an LSH index was built at — read from its
@@ -369,11 +396,13 @@ object AnnIndex {
    * directories, then exact cosine top-k inside.
    */
   def searchLsh(spark: SparkSession, path: String, query: Seq[Float],
-      k: Int, bits: Int = 12, probeHamming: Int = 2): DataFrame = {
+      k: Int, bits: Int = 12, probeHamming: Int = 2,
+      family: String = FamilyPm1): DataFrame = {
     val qCol = array(query.map(v => lit(v)): _*)
-    // query signature via a 1-row plan — same expression tree as the build
+    // query signature via a 1-row plan — same expression tree (and plane
+    // family) as the build; recover `family` with [[lshIndexFamily]]
     val qSig = spark.range(1)
-      .select(hyperplaneSig(qCol, query.length, bits).as("s"))
+      .select(Similarity.sigCol(qCol, bits, family == FamilyOrtho).as("s"))
       .head().getLong(0)
     val probes = probeSigs(qSig, bits, probeHamming)
     spark.read.parquet(path)

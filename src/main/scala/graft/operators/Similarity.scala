@@ -131,21 +131,32 @@ object Similarity {
       if (!autoPlan) (bits, probeHamming)
       else planLshProbe(
         corpus.count(), targetCosine, bits, probeHamming, targetOccupancy)
-    lshKnnJoinAt(queries, corpus, vecCol, idCol, k, pBits, pHamming)
+    // widened signatures ride the orthonormal family: at the reference
+    // width the +-1 family IS the contract (oracle-replayed), but past it
+    // correlated +-1 bits inflate bucket mass over the planner's
+    // independent-bit model — see [[graft.functions.OrthoPlaneSig]]
+    lshKnnJoinAt(queries, corpus, vecCol, idCol, k, pBits, pHamming,
+      ortho = pBits != bits)
   }
+
+  /** The signature column at either plane family. */
+  private[graft] def sigCol(vec: Column, bits: Int, ortho: Boolean): Column =
+    if (ortho) graft.functions.exprToColumn(graft.functions.OrthoPlaneSig(
+      graft.functions.columnToExpr(vec), bits))
+    else hyperplaneSig(vec, 0, bits)
 
   private def lshKnnJoinAt(queries: DataFrame, corpus: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      bits: Int, probeHamming: Int): DataFrame = {
+      bits: Int, probeHamming: Int, ortho: Boolean = false): DataFrame = {
     val masks = AnnIndex.probeSigs(0L, bits, probeHamming)
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__qsig", hyperplaneSig(col("__qv"), 0, bits))
+      .withColumn("__qsig", sigCol(col("__qv"), bits, ortho))
       .withColumn("sig", explode(array(
         masks.map(m => col("__qsig").bitwiseXOR(lit(m))): _*)))
     val c = corpus
       .select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
-      .withColumn("sig", hyperplaneSig(col("__cv"), 0, bits))
+      .withColumn("sig", sigCol(col("__cv"), bits, ortho))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     q.join(c, Seq("sig")) // each corpus row has ONE sig: no duplicate pairs
@@ -341,10 +352,13 @@ object Similarity {
             }.reduce(_ + _)
           }: _*)).as(Seq("band", "key")))
       else {
+        // orthonormal wide-band family — same reasoning as
+        // embeddingCandidates' scale arm (correlated +-1 bits inflate
+        // collision mass past the occupancy model; OrthoPlaneSig holds it)
         val (nBands, nBits) = planned
         cells.select(col("cluster"), col("id"), posexplode_outer(
           array((0 until nBands).map { k =>
-            graft.functions.exprToColumn(graft.functions.HyperplaneSig(
+            graft.functions.exprToColumn(graft.functions.OrthoPlaneSig(
               graft.functions.columnToExpr(col("v")), nBits, k * nBits))
           }: _*)).as(Seq("band", "key")))
       }
@@ -418,12 +432,15 @@ object Similarity {
           }: _*)).as(Seq("band", "key")))
       else {
         // scale plan: sign-of-dims banding caps at dims bits total, so
-        // wider bands come from the deterministic random-hyperplane
-        // family instead, a disjoint plane range per band (planeOffset)
+        // wider bands come from the deterministic ORTHONORMAL-hyperplane
+        // family, a disjoint plane range per band (planeOffset). The +-1
+        // splitmix family's correlated bits inflate collision mass 2-2.5x
+        // over the planner's independent-bit model at 18+ bits (measured,
+        // ProbeSuite emb_plan) — see [[graft.functions.OrthoPlaneSig]].
         val (nBands, nBits) = planned
         cells.select(col("id"), posexplode_outer(
           array((0 until nBands).map { k =>
-            graft.functions.exprToColumn(graft.functions.HyperplaneSig(
+            graft.functions.exprToColumn(graft.functions.OrthoPlaneSig(
               graft.functions.columnToExpr(col("v")), nBits, k * nBits))
           }: _*)).as(Seq("band", "key")))
       }
@@ -524,6 +541,15 @@ object Similarity {
    * 292.9 s → 71.2 s (4.1×), planted recall 0.398 → 0.669 (the wide
    * hyperplane bands also happen to degrade more gracefully than
    * sign-of-dims under per-dim additive noise).
+   *
+   * The model this plan budgets against (uniform 2^bits buckets) holds
+   * only when a band's sign bits are INDEPENDENT — which the round-13
+   * gaussian-corpus probe showed the ±1 splitmix planes violate at wide
+   * bits (2.45× collision-mass overshoot at 18 bits). The wide arms
+   * therefore hash with [[graft.functions.OrthoPlaneSig]] (per-band
+   * orthonormalized planes — measured mass within 0.1% of the model,
+   * ProbeSuite emb_plan); the recall compensation here is unchanged, as
+   * each orthonormalized plane is still a uniform random direction.
    */
   def planEmbeddingBands(
       n: Long, minCosine: Double,

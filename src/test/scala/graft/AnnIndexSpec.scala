@@ -54,6 +54,9 @@ class AnnIndexSpec extends SparkSpec {
       dims = query.length, bits = 8, autoPlan = true)
     assert(plan1 === (8, 1))
     assert(AnnIndex.lshIndexPlan(spark, p1) === (8, 1))
+    // below threshold the +-1 family stays the contract (old indexes and
+    // pinned-bits probes unchanged)
+    assert(AnnIndex.lshIndexFamily(spark, p1) === AnnIndex.FamilyPm1)
     // forced wide plan: tiny occupancy target widens the signature; the
     // sidecar must round-trip it and a probe AT THE SIDECAR PLAN must
     // still find the query vector itself (sig match at hamming 0)
@@ -62,8 +65,13 @@ class AnnIndexSpec extends SparkSpec {
       dims = query.length, bits = 8, autoPlan = true, targetOccupancy = 0.01)
     assert(plan2._1 > 8, s"forced plan should widen the signature: $plan2")
     assert(AnnIndex.lshIndexPlan(spark, p2) === plan2)
+    // a widened build rides the orthonormal family, the sidecar says so,
+    // and a probe in the recovered family self-hits (a probe in the
+    // WRONG family is the silent miss the sidecar exists to prevent)
+    assert(AnnIndex.lshIndexFamily(spark, p2) === AnnIndex.FamilyOrtho)
     val hits = AnnIndex.searchLsh(spark, p2, query, k = 5,
-      bits = plan2._1, probeHamming = plan2._2)
+      bits = plan2._1, probeHamming = plan2._2,
+      family = AnnIndex.lshIndexFamily(spark, p2))
       .select("vec_id").as[Long].collect().toSeq
     assert(hits.contains(0L), s"self-hit lost at the planned probe: $hits")
     // round 13: autoPlan is the PRODUCTION DEFAULT — the same forced
@@ -81,6 +89,8 @@ class AnnIndexSpec extends SparkSpec {
       .withColumn("sig", Similarity.hyperplaneSig(col("vec"), 0, 12))
       .write.partitionBy("sig").parquet(p3)
     assert(AnnIndex.lshIndexPlan(spark, p3) === (12, 1))
+    assert(AnnIndex.lshIndexFamily(spark, p3) === AnnIndex.FamilyPm1,
+      "pre-sidecar (pre-family) indexes were built with +-1 planes")
     // FAIL-CLOSED (round 13, advisor ask): wide-bits data with NO sidecar
     // — the interrupted-rebuild state — must error, not report the
     // (12, 1) default under which every probe would silently return
