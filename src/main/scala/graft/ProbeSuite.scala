@@ -36,17 +36,28 @@ import org.apache.spark.sql.functions._
  *    distributed directions, so NO flip-family bucket inflation; this is
  *    also the round-12 "measure the plan on non-flip geometry" ask) with
  *    a planted noisy near-dup (cos ~ 0.95) every 97th vector. The
- *    occupancy plan must cut candidate mass >= `CutFloor` while planted
- *    recall stays >= reference recall - `RecallAllowance`. The corpus is
- *    hash-deterministic, so the measured counts are exactly reproducible
- *    run to run.
+ *    occupancy plan must cut candidate mass >= `EmbCutFloor`, the planned
+ *    arm's mass must sit within `EmbModelCeiling` of the independent-bit
+ *    model bands*n^2/2^(bits+1) (the invariant the orthonormal plane
+ *    family holds — the +-1 family measured 2.45x over model here), and
+ *    planted recall must stay >= reference recall - `RecallAllowance`.
+ *    The corpus is hash-deterministic, so the measured counts are
+ *    exactly reproducible run to run.
  *
  * Usage: runMain graft.ProbeSuite [outPath] [sfDir]
  */
 object ProbeSuite {
 
-  final val EmbCutFloor = 1.5
+  final val EmbCutFloor = 2.0
   final val EmbRecallAllowance = 0.05
+  /** The planned arm's candidate mass may exceed the independent-bit
+    * model (bands * n^2 / 2^(bits+1)) by at most this factor. This is
+    * the SHARP invariant the orthonormal plane family exists to hold:
+    * the first run of this probe measured the +-1 splitmix family at
+    * 2.45x over model (correlated sign bits), and OrthoPlaneSig brought
+    * it to 1.001x; the 1.3 margin leaves room for planted-dup
+    * clustering and occupancy fluctuation, not for a family regression. */
+  final val EmbModelCeiling = 1.3
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PROBES.json")
@@ -111,9 +122,16 @@ object ProbeSuite {
       val (recRef, tRef) = timed(recall(auto = false))
       val (recAuto, tAuto) = timed(recall(auto = true))
       val cut = candRef.toDouble / math.max(1L, candAuto)
-      val pass = cut >= EmbCutFloor && recAuto >= recRef - EmbRecallAllowance
+      // model adherence: expected pair mass under independent bits is
+      // bands * n^2 / 2^(bits+1); the ortho family must sit ON it
+      val model = bands.toDouble * nAll.toDouble * nAll.toDouble /
+        math.pow(2.0, bits + 1)
+      val vsModel = candAuto.toDouble / model
+      val pass = cut >= EmbCutFloor && vsModel <= EmbModelCeiling &&
+        recAuto >= recRef - EmbRecallAllowance
       println(f"[probes] emb_plan cand ref=$candRef auto=$candAuto " +
-        f"(cut $cut%.2fx, floor $EmbCutFloor) recall ref=$recRef%.3f " +
+        f"(cut $cut%.2fx, floor $EmbCutFloor; vs model $vsModel%.3fx, " +
+        f"ceiling $EmbModelCeiling) recall ref=$recRef%.3f " +
         f"auto=$recAuto%.3f (allowance $EmbRecallAllowance) " +
         f"wall ref=${tCandRef + tRef}%.1fs auto=${tCandAuto + tAuto}%.1fs " +
         (if (pass) "ok" else "BAD"))
@@ -121,6 +139,7 @@ object ProbeSuite {
         s""""plan_bands":$bands,"plan_bits":$bits,""" +
         s""""cand_ref":$candRef,"cand_auto":$candAuto,""" +
         s""""candidate_cut":$cut,"cut_floor":$EmbCutFloor,""" +
+        s""""cand_vs_model":$vsModel,"model_ceiling":$EmbModelCeiling,""" +
         s""""recall_ref":$recRef,"recall_auto":$recAuto,""" +
         s""""recall_allowance":$EmbRecallAllowance,""" +
         s""""wall_ref_sec":${tCandRef + tRef},"wall_auto_sec":${tCandAuto + tAuto}}""")

@@ -553,31 +553,27 @@ object QueriesText {
     // Similarity.hyperplaneSign, term order matching the Spark plan's
     // left-fold exactly (x * +-1.0 == +-x bit-for-bit, so the signatures
     // agree across engines without rounding).
-    QueryDef("ann_lsh_topk", Some(
-      s"""
-      WITH q AS (
-        SELECT qv, (${lshSigSql("qv")}) AS qsig
-        FROM (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)),
-      sigs AS (
-        SELECT e.vec_id, e.embedding, q.qv, q.qsig,
-               (${lshSigSql("e.embedding")}) AS sig
-        FROM embeddings e, q)
-      SELECT vec_id,
-             round(CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
-                             sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) > 0
-               THEN list_dot_product(embedding::DOUBLE[], qv::DOUBLE[]) /
-                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
-                  sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])))
-               ELSE 0.0 END, 6) AS cosine
-      FROM sigs
-      WHERE bit_count(xor(sig, qsig)) <= 2
-      ORDER BY cosine DESC, vec_id LIMIT 10"""
-    ),
+    QueryDef("ann_lsh_topk", Some(annLshTopkOracleSql),
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val qRow = e.filter(col("vec_id") === 0).select("embedding")
           .head().getSeq[Float](0)
         Similarity.lshTopK(e, "embedding", "vec_id", qRow, 10)
+      }),
+
+    // The EXPLICIT-PLAN twin (same rationale and gating as
+    // dedup_embedding_fixed — lshTopK's autoPlan became the production
+    // default late in round 13, so the base row above covers the
+    // default-auto path and this one pins autoPlan = false): below the
+    // occupancy threshold the plan IS (12, 2), so at oracle scale both
+    // rows are bit-identical and the shared oracle guards the gate.
+    QueryDef("ann_lsh_topk_fixed", Some(annLshTopkOracleSql),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qRow = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0)
+        Similarity.lshTopK(e, "embedding", "vec_id", qRow, 10,
+          autoPlan = false)
       }),
 
     // ------------------------------------------------- similarity: kNN join
@@ -623,35 +619,27 @@ object QueriesText {
     // (AnnIndexSpec covers it, incl. recall vs brute force); rankings
     // round to 6dp with cell/vec_id tiebreaks so both engines cut
     // identically.
-    QueryDef("ann_ivf_topk", Some("""
-      WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      cells AS (
-        SELECT vec_id, v,
-          (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END) +
-          (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS cell
-        FROM raw),
-      expl AS (SELECT cell, unnest(range(len(v))) AS i, unnest(v) AS x FROM cells),
-      cm AS (SELECT cell, i, avg(x) AS m FROM expl GROUP BY cell, i),
-      cent AS (SELECT cell, list(m ORDER BY i) AS c FROM cm GROUP BY cell),
-      q AS (SELECT v AS qv FROM raw WHERE vec_id = 0),
-      probes AS (
-        SELECT cell FROM cent, q
-        ORDER BY round(CASE WHEN sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv)) > 0
-          THEN list_dot_product(c, qv) / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv)))
-          ELSE 0.0 END, 6) DESC, cell
-        LIMIT 8)
-      SELECT e.vec_id,
-        round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv)) > 0
-          THEN list_dot_product(e.v, qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv)))
-          ELSE 0.0 END, 6) AS cosine
-      FROM cells e JOIN probes USING (cell), q
-      ORDER BY cosine DESC, vec_id LIMIT 10"""),
+    QueryDef("ann_ivf_topk", Some(annIvfTopkOracleSql),
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val qRow = e.filter(col("vec_id") === 0).select("embedding")
           .head().getSeq[Float](0)
         Similarity.ivfTopK(e, "embedding", "vec_id", qRow, 10,
           nCells = 16, nProbe = 8, quantizer = "sign")
+      }),
+
+    // The EXPLICIT-PLAN twin (same gate as ann_lsh_topk_fixed): the IVF
+    // cell plan (planIvfCells, rows-per-cell pinned) became the
+    // production default late in round 13; below nCells * targetCellRows
+    // rows the plan IS the explicit 16 cells, so both rows share the
+    // value-matched oracle and the no-op gate is guarded end-to-end.
+    QueryDef("ann_ivf_topk_fixed", Some(annIvfTopkOracleSql),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qRow = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0)
+        Similarity.ivfTopK(e, "embedding", "vec_id", qRow, 10,
+          nCells = 16, nProbe = 8, quantizer = "sign", autoPlan = false)
       }),
 
     // --------------------------------------------- ANN: product quantization
@@ -2027,6 +2015,57 @@ object QueriesText {
   /** SemDeDup oracle — shared by `emb_semdedup` and `emb_semdedup_fixed`:
     * at oracle scale the auto row's occupancy gate keeps the plan at the
     * reference (4, 16) banding, so both rows replay the identical SQL. */
+  /** ann_lsh_topk oracle — shared by the default-auto row and its
+    * explicit-plan `_fixed` twin (lshTopK's occupancy plan is a no-op at
+    * oracle scale, so both rows replay the 12-bit ±1 reference
+    * signature bit-for-bit). */
+  private lazy val annLshTopkOracleSql: String =
+    s"""
+      WITH q AS (
+        SELECT qv, (${lshSigSql("qv")}) AS qsig
+        FROM (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)),
+      sigs AS (
+        SELECT e.vec_id, e.embedding, q.qv, q.qsig,
+               (${lshSigSql("e.embedding")}) AS sig
+        FROM embeddings e, q)
+      SELECT vec_id,
+             round(CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                             sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) > 0
+               THEN list_dot_product(embedding::DOUBLE[], qv::DOUBLE[]) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])))
+               ELSE 0.0 END, 6) AS cosine
+      FROM sigs
+      WHERE bit_count(xor(sig, qsig)) <= 2
+      ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+  /** ann_ivf_topk oracle — shared by the default-auto row and its
+    * explicit-plan `_fixed` twin (the planIvfCells no-op at oracle scale
+    * keeps both at the replayed 16 sign-pattern cells). */
+  private lazy val annIvfTopkOracleSql: String = """
+      WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cells AS (
+        SELECT vec_id, v,
+          (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END) +
+          (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS cell
+        FROM raw),
+      expl AS (SELECT cell, unnest(range(len(v))) AS i, unnest(v) AS x FROM cells),
+      cm AS (SELECT cell, i, avg(x) AS m FROM expl GROUP BY cell, i),
+      cent AS (SELECT cell, list(m ORDER BY i) AS c FROM cm GROUP BY cell),
+      q AS (SELECT v AS qv FROM raw WHERE vec_id = 0),
+      probes AS (
+        SELECT cell FROM cent, q
+        ORDER BY round(CASE WHEN sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv)) > 0
+          THEN list_dot_product(c, qv) / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv)))
+          ELSE 0.0 END, 6) DESC, cell
+        LIMIT 8)
+      SELECT e.vec_id,
+        round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv)) > 0
+          THEN list_dot_product(e.v, qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv)))
+          ELSE 0.0 END, 6) AS cosine
+      FROM cells e JOIN probes USING (cell), q
+      ORDER BY cosine DESC, vec_id LIMIT 10"""
+
   private lazy val semdedupOracleSql: String = {
     val clusterKey = (0 until 6).map(j =>
       s"(CASE WHEN v[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")

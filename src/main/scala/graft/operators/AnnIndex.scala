@@ -29,16 +29,29 @@ object AnnIndex {
    * Build an IVF index at `path`: k-means quantizer (seeded,
    * deterministic), vectors parquet-partitioned by their nearest-centroid
    * cell, centroids persisted alongside.
+   *
+   * `autoPlan` (the production default) applies
+   * [[Similarity.planIvfCells]] — rows-per-cell pinned at
+   * `targetCellRows`, a no-op below nCells * targetCellRows rows, so
+   * small indexes keep exactly `nCells`. A fixed 16 cells at 100M
+   * vectors would make every probe scan nProbe * 6M rows; the planned
+   * index reads ~nProbe * 4096. [[searchIvf]] needs no plan sidecar:
+   * the persisted `_centroids` table IS the cell plan (the probe ranks
+   * whatever centroids exist).
    */
   def buildIvf(embeddings: DataFrame, vecCol: String, idCol: String,
-      path: String, nCells: Int = 16, seed: Long = 42L): Unit = {
+      path: String, nCells: Int = 16, seed: Long = 42L,
+      autoPlan: Boolean = true, targetCellRows: Long = 4096L): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = embeddings.sparkSession
+    val cells =
+      if (!autoPlan) nCells
+      else Similarity.planIvfCells(embeddings.count(), nCells, targetCellRows)
     val prepared = embeddings
       .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
       .withColumn("__features", array_to_vector(col("vec").cast("array<double>")))
-    val model = new KMeans().setK(nCells).setSeed(seed)
+    val model = new KMeans().setK(cells).setSeed(seed)
       .setFeaturesCol("__features").setPredictionCol("cell")
       .fit(prepared)
     model.transform(prepared)

@@ -75,16 +75,32 @@ object Similarity {
    * ANN via hyperplane LSH: compute bucket sig for all vectors, keep only
    * vectors whose bucket is within `probeHamming` of the query's bucket,
    * then exact cosine top-k inside the probed set.
+   *
+   * `autoPlan` (production default, round 13 — the last fixed-parameter
+   * ANN entry point to join the family): a fixed 12-bit ball verifies
+   * ball(12,2)/4096 ~ 2% of the corpus per query (2M cosines at 100M
+   * vectors); [[planLshProbe]] widens the signature with log2(n) and
+   * re-picks the radius to hold the binomial recall at `targetCosine`,
+   * and the widened signature rides the orthonormal plane family
+   * ([[graft.functions.OrthoPlaneSig]]). No-op below the occupancy
+   * threshold, so the ann_lsh_topk oracle replays the +-1 reference
+   * signature bit-for-bit.
    */
   def lshTopK(
       embeddings: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Float], k: Int, bits: Int = 12, probeHamming: Int = 2): DataFrame = {
-    val dims = query.length
+      query: Seq[Float], k: Int, bits: Int = 12, probeHamming: Int = 2,
+      autoPlan: Boolean = true, targetCosine: Double = 0.9,
+      targetOccupancy: Double = 2.0): DataFrame = {
+    val (pBits, pHamming) =
+      if (!autoPlan) (bits, probeHamming)
+      else planLshProbe(
+        embeddings.count(), targetCosine, bits, probeHamming, targetOccupancy)
+    val ortho = pBits != bits
     val q = array(query.map(v => lit(v)): _*)
-    val qSig = hyperplaneSig(q, dims, bits)
+    val qSig = sigCol(q, pBits, ortho)
     embeddings
-      .withColumn("__sig", hyperplaneSig(col(vecCol), dims, bits))
-      .filter(bit_count(col("__sig").bitwiseXOR(qSig)) <= probeHamming)
+      .withColumn("__sig", sigCol(col(vecCol), pBits, ortho))
+      .filter(bit_count(col("__sig").bitwiseXOR(qSig)) <= pHamming)
       // 6dp rounding BEFORE the order: cross-engine fp summation orders
       // agree to ~1e-13, so the oracle's top-k tie-breaks identically
       .select(col(idCol).as("vec_id"), round(cosine(col(vecCol), q), 6).as("cosine"))
@@ -189,7 +205,25 @@ object Similarity {
   def ivfTopK(
       embeddings: DataFrame, vecCol: String, idCol: String,
       query: Seq[Float], k: Int, nCells: Int = 16, nProbe: Int = 4,
-      seed: Long = 42L, quantizer: String = "kmeans"): DataFrame = quantizer match {
+      seed: Long = 42L, quantizer: String = "kmeans",
+      autoPlan: Boolean = true, targetCellRows: Long = 4096L): DataFrame = {
+    // Fixed nCells shares the banding operators' scale exposure one level
+    // down: a probe scans nProbe * n / nCells rows, LINEAR in the corpus
+    // at fixed cells (16 cells at 100M vectors = 25M rows per probed
+    // cell). The occupancy plan pins rows-per-cell instead — the
+    // PRODUCTION DEFAULT, a no-op below refCells * targetCellRows rows so
+    // small corpora (and the ann_ivf_topk oracle) keep the explicit cell
+    // count bit-for-bit. See [[planIvfCells]].
+    val cells =
+      if (!autoPlan) nCells
+      else planIvfCells(embeddings.count(), nCells, targetCellRows)
+    ivfTopKAt(embeddings, vecCol, idCol, query, k, cells, nProbe, seed, quantizer)
+  }
+
+  private def ivfTopKAt(
+      embeddings: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, nCells: Int, nProbe: Int,
+      seed: Long, quantizer: String): DataFrame = quantizer match {
     case "sign" => ivfSignTopK(embeddings, vecCol, idCol, query, k, nCells, nProbe)
     case "kmeans" =>
       import org.apache.spark.ml.clustering.KMeans
@@ -506,6 +540,35 @@ object Similarity {
   }
 
   /**
+   * Occupancy-targeted cell plan for the IVF family ([[ivfTopK]],
+   * [[AnnIndex.buildIvf]]), returning nCells. A fixed cell count makes
+   * the probe scan nProbe * n / nCells rows — linear in the corpus — so
+   * the plan pins ROWS PER CELL instead: nCells = 2^ceil(log2(n /
+   * targetCellRows)), making a probe read ~nProbe * targetCellRows rows
+   * at any corpus size, while the centroid-ranking table (nCells rows,
+   * driver-side) stays tiny relative to n (n/4096). Power-of-two cells
+   * keep the deterministic sign quantizer valid at any planned size
+   * (its cell key is a signBits = log2(nCells) sign pattern), and
+   * `maxCells` (default 2^20) keeps signBits within typical embedding
+   * dims and the k-means fit tractable.
+   *
+   * Below the threshold (n <= refCells * targetCellRows) the plan IS
+   * refCells — small corpora keep the exact explicit cell count, which
+   * is what lets the default-auto `ann_ivf_topk` row keep its
+   * value-matched DuckDB oracle.
+   */
+  def planIvfCells(
+      n: Long, refCells: Int = 16,
+      targetCellRows: Long = 4096L, maxCells: Int = 1 << 20): Int = {
+    require(n >= 0 && refCells > 0 && targetCellRows > 0 && maxCells >= refCells,
+      s"bad planIvfCells args: n=$n refCells=$refCells " +
+        s"targetCellRows=$targetCellRows maxCells=$maxCells")
+    val wanted = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetCellRows)) / math.log(2.0)).toInt
+    math.max(refCells, math.min(maxCells, 1 << math.min(30, wanted)))
+  }
+
+  /**
    * Occupancy-targeted banding plan for [[embeddingNearDupPairs]]'s scale
    * path. Fixed-width banding is quadratic in corpus size: expected
    * candidate mass is bands * n^2 / 2^(bits+1), so 16-bit bands that cost
@@ -536,11 +599,13 @@ object Similarity {
    * occupancy-pinned per band — or lower `targetOccupancy` only.
    *
    * Measured at 2.02M vectors (EmbPlanProbe, one JVM, planted cos≈0.95
-   * near-dups): the default occupancy-2 plan (8 bands × 20 bits) vs the
-   * fixed reference banding — candidates 124.6M → 46.7M (2.7×), e2e wall
-   * 292.9 s → 71.2 s (4.1×), planted recall 0.398 → 0.669 (the wide
-   * hyperplane bands also happen to degrade more gracefully than
-   * sign-of-dims under per-dim additive noise).
+   * near-dups; round-13 orthonormal-family numbers): the default
+   * occupancy-2 plan (8 bands × 20 bits) vs the fixed reference banding
+   * — candidates 124.6M → 15.6M (8.0×, within 0.5% of the
+   * independent-bit model), e2e wall 186.8 s → 14.3 s (13.1×), planted
+   * recall 0.398 → 0.651 (the wide hyperplane bands also happen to
+   * degrade more gracefully than sign-of-dims under per-dim additive
+   * noise).
    *
    * The model this plan budgets against (uniform 2^bits buckets) holds
    * only when a band's sign bits are INDEPENDENT — which the round-13

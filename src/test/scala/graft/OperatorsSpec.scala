@@ -698,6 +698,72 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("planIvfCells: reference cells below the occupancy threshold, " +
+      "rows-per-cell pinned above, power-of-two, caps hold") {
+    // small corpora: the exact explicit cell count (the oracle's plan)
+    assert(Similarity.planIvfCells(5000L) === 16)
+    assert(Similarity.planIvfCells(16L * 4096L) === 16)
+    // past the threshold: nCells = 2^ceil(log2(n / targetCellRows)) —
+    // rows per cell pinned at ~targetCellRows
+    val c100m = Similarity.planIvfCells(100000000L)
+    assert(c100m === 32768, s"100M vectors should plan 32768 cells: $c100m")
+    assert((c100m & (c100m - 1)) === 0, "cells must stay a power of two")
+    // monotone in n
+    val plans = Seq(1L << 20, 1L << 24, 1L << 28).map(Similarity.planIvfCells(_))
+    assert(plans === plans.sorted)
+    // cap: planet scale stays within maxCells
+    assert(Similarity.planIvfCells(1L << 50) === (1 << 20))
+  }
+
+  test("ivfTopK + lshTopK autoPlan (the last fixed-parameter ANN entry " +
+      "points): bit-identical below the threshold; forced plans still " +
+      "self-hit and observably fire through the DEFAULT call") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 500L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+      .select("embedding").as[Seq[Float]].head()
+    // ---- IVF: below threshold (500 rows << 16*4096) the default call is
+    // the explicit plan, bit-for-bit (the ann_ivf_topk oracle's gate)
+    def ivf(auto: Option[Boolean], cellRows: Long) = {
+      val df = auto match {
+        case None => Similarity.ivfTopK(vecs, "embedding", "vec_id", q,
+          k = 5, nCells = 16, nProbe = 4, quantizer = "sign",
+          targetCellRows = cellRows)
+        case Some(a) => Similarity.ivfTopK(vecs, "embedding", "vec_id", q,
+          k = 5, nCells = 16, nProbe = 4, quantizer = "sign",
+          autoPlan = a, targetCellRows = cellRows)
+      }
+      df.select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+    }
+    assert(ivf(None, 4096L) === ivf(Some(false), 4096L))
+    // forced plan (1 row/cell -> 512 sign-bit cells): the default call
+    // routes to the planned arm (differs from the pinned 16-cell result
+    // on this corpus) and the query still finds itself at cosine 1
+    val forced = ivf(None, 1L)
+    assert(forced === ivf(Some(true), 1L))
+    assert(forced !== ivf(Some(false), 1L),
+      "forced IVF plan must be observable through the default call")
+    assert(forced.headOption.map(_._1) === Some(0L), s"IVF self-hit lost: $forced")
+    // ---- lshTopK: same gate
+    def lsh(auto: Option[Boolean], occ: Double) = {
+      val df = auto match {
+        case None => Similarity.lshTopK(vecs, "embedding", "vec_id", q,
+          k = 5, targetOccupancy = occ)
+        case Some(a) => Similarity.lshTopK(vecs, "embedding", "vec_id", q,
+          k = 5, autoPlan = a, targetOccupancy = occ)
+      }
+      df.select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+    }
+    assert(lsh(None, 2.0) === lsh(Some(false), 2.0))
+    val lshForced = lsh(None, 0.005) // plans a >12-bit ortho signature
+    assert(lshForced === lsh(Some(true), 0.005))
+    assert(lshForced !== lsh(Some(false), 0.005),
+      "forced LSH plan must be observable through the default call")
+    assert(lshForced.headOption.map(_._1) === Some(0L),
+      s"lshTopK self-hit lost: $lshForced")
+  }
+
   test("auto-plan PRODUCTION DEFAULTS (round 13): the occupancy-planned " +
       "arm fires through each default entry point at above-threshold n — " +
       "threshold exposed via targetOccupancy, like FuzzyMatchSpec's salt " +
