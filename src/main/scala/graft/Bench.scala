@@ -329,8 +329,26 @@ object Bench {
       files.iterator.flatMap { case (_, f) =>
         try {
           import org.json4s._
-          val j = org.json4s.jackson.JsonMethods.parse(
+          val j0 = org.json4s.jackson.JsonMethods.parse(
             new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+          // The round driver records bench stdout WRAPPED ({n, rc, cpus,
+          // sf, tail, parsed}) with the metric line embedded in `tail`
+          // under an sbt log prefix (its own `parsed` field is null for
+          // exactly that prefix reason) — so accept either shape: the
+          // bare record, or the wrapper with the metric line extracted
+          // from tail at the first '{'.
+          val j = (j0 \ "queries") match {
+            case JObject(_) => j0
+            case _ => (j0 \ "tail") match {
+              case JString(tail) =>
+                tail.split('\n').filter(_.contains("\"metric\""))
+                  .lastOption.filter(_.contains("{"))
+                  .map(l => org.json4s.jackson.JsonMethods.parse(
+                    l.substring(l.indexOf('{'))))
+                  .getOrElse(JNothing)
+              case _ => JNothing
+            }
+          }
           def num(v: JValue): Option[Double] = v match {
             case JDouble(d) => Some(d); case JInt(i) => Some(i.toDouble)
             case JDecimal(d) => Some(d.toDouble); case JLong(l) => Some(l.toDouble)
@@ -351,8 +369,21 @@ object Bench {
                 (thisSum / canarySec) / (prevSum / pc), common.size))
             else None
           } else None
-        } catch { case _: Throwable => None }
+        } catch { case e: Throwable =>
+          // non-silent (repo convention): a prior record that cannot be
+          // normalized against should say why, not just drop the field
+          System.err.println(s"[bench] prev-record ${f.getName} not " +
+            s"usable for normalization: $e")
+          None
+        }
       }.nextOption()
+    }
+    if (prevNorm.isEmpty) {
+      val nCand = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .count(_.getName.matches("BENCH_r\\d+\\.json"))
+      System.err.println(s"[bench] no prior BENCH_r*.json usable for " +
+        s"normalization ($nCand candidate files in " +
+        s"${new java.io.File(".").getAbsolutePath}) — normalized_vs_prev omitted")
     }
     val normJson = prevNorm.fold("") { case (name, pc, ratio, n) =>
       s""","prev_record":"$name","prev_canary_sec":$pc,"comparable_queries":$n,"normalized_vs_prev":$ratio"""

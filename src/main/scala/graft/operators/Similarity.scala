@@ -298,19 +298,6 @@ object Similarity {
   }
 
   /**
-   * All-pairs near-duplicate detection in embedding space via banded
-   * component-sign LSH: band k's key is the sign pattern of components
-   * [k*bitsPerBand+1 .. (k+1)*bitsPerBand] (default 4 bands x 16 bits =
-   * 65536 cells per band); candidates collide on ANY band, then verify
-   * exact cosine >= threshold. Requires dim >= bands*bitsPerBand.
-   *
-   * Scale shape: cell count grows with bitsPerBand (configurable — raise
-   * it as the corpus grows, vs the fixed 256 cells of a single 8-bit sign
-   * key), banding recovers the recall a wider key costs, buckets collect
-   * IDs ONLY, and the cosine verify is redistributed hash-by-pair so a
-   * dense cell never serializes into one task.
-   */
-  /**
    * SemDeDup-style semantic deduplication (Abbas et al. 2023,
    * arXiv:2303.09540): cluster the corpus in embedding space, find
    * within-cluster pairs above a cosine threshold, connect them into dup
@@ -416,6 +403,23 @@ object Similarity {
           .as("action"))
   }
 
+  /**
+   * All-pairs near-duplicate detection in embedding space via banded
+   * component-sign LSH: band k's key is the sign pattern of components
+   * [k*bitsPerBand+1 .. (k+1)*bitsPerBand] (default 4 bands x 16 bits =
+   * 65536 cells per band); candidates collide on ANY band, then verify
+   * exact cosine >= threshold. Requires dim >= bands*bitsPerBand.
+   *
+   * Scale shape: cell count grows with bitsPerBand (configurable — raise
+   * it as the corpus grows, vs the fixed 256 cells of a single 8-bit sign
+   * key), banding recovers the recall a wider key costs, buckets collect
+   * IDs ONLY, and the cosine verify is redistributed hash-by-pair so a
+   * dense cell never serializes into one task. `autoPlan` (production
+   * default) applies [[planEmbeddingBands]] — occupancy-pinned bits,
+   * recall-compensated band count, orthonormal wide-band planes; a no-op
+   * below the threshold, so small corpora keep the oracle-replayed
+   * explicit banding.
+   */
   def embeddingNearDupPairs(
       embeddings: DataFrame, vecCol: String, idCol: String,
       minCosine: Double = 0.95, bands: Int = 4, bitsPerBand: Int = 16,
