@@ -642,6 +642,70 @@ object QueriesText {
           nCells = 16, nProbe = 8, quantizer = "sign", autoPlan = false)
       }),
 
+    // ----------------------------------------------------- ANN: IVF-PQ
+    // The composite index for corpora whose raw vectors no longer fit
+    // cluster memory: coarse sign cells prune the probe to nProbe
+    // PARTITIONS, PQ codes keep each scanned row at m bytes, and an
+    // exact re-rank of the overfetched candidates touches raw vectors
+    // only for the candidate list. VALUE-MATCHED oracle (sign coarse
+    // quantizer + sign sub-quantizer, both deterministic): DuckDB
+    // replays cells, cell centroids, probe ranking, shared codebooks,
+    // asymmetric distance, the probed candidate cut AND the re-rank.
+    QueryDef("ann_ivfpq_topk", Some {
+      val codeList = (0 until 8).map { j =>
+        (0 until 8).map { b =>
+          s"(CASE WHEN nv[${j * 8 + b + 1}] >= 0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+      }.mkString("[", ",\n        ", "]")
+      val cellBits = (0 until 4).map(j =>
+        s"(CASE WHEN nv[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      nrm AS (SELECT vec_id, v,
+        CASE WHEN sqrt(list_dot_product(v, v)) > 0
+             THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             ELSE v END AS nv FROM raw),
+      coded AS (SELECT vec_id, nv, $cellBits AS cell, $codeList AS code FROM nrm),
+      cexpl AS (SELECT cell, unnest(range(len(nv))) AS i, unnest(nv) AS x FROM coded),
+      ccm AS (SELECT cell, i, avg(x) AS m FROM cexpl GROUP BY cell, i),
+      cent AS (SELECT cell, list(m ORDER BY i) AS c FROM ccm GROUP BY cell),
+      qn AS (SELECT nv AS qv FROM nrm WHERE vec_id = 0),
+      probes AS (
+        SELECT cell FROM cent, qn
+        ORDER BY round(CASE WHEN sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv)) > 0
+          THEN list_dot_product(c, qv) / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv)))
+          ELSE 0.0 END, 6) DESC, cell
+        LIMIT 8),
+      expl AS (SELECT code, unnest(range(len(nv))) AS i, unnest(nv) AS x FROM coded),
+      assign AS (SELECT CAST(i // 8 AS INT) AS j, CAST(i % 8 AS INT) AS p, x,
+                        code[CAST(i // 8 AS INT) + 1] AS c FROM expl),
+      cb AS (SELECT j, c, p, avg(x) AS m FROM assign GROUP BY j, c, p),
+      qd AS (SELECT j, c, sum((m - qv[j * 8 + p + 1]) * (m - qv[j * 8 + p + 1])) AS d
+             FROM cb, qn GROUP BY j, c),
+      dcode AS (SELECT vec_id, cell, unnest(range(8)) AS j, unnest(code) AS c FROM coded),
+      cand AS (SELECT vec_id, round(sum(d), 6) AS ad
+               FROM dcode JOIN qd USING (j, c)
+               WHERE cell IN (SELECT cell FROM probes)
+               GROUP BY vec_id ORDER BY ad, vec_id LIMIT 160),
+      qr AS (SELECT v AS qrv FROM raw WHERE vec_id = 0)
+      SELECT r.vec_id,
+        round(CASE WHEN sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(qrv, qrv)) > 0
+          THEN list_dot_product(r.v, qrv) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(qrv, qrv)))
+          ELSE 0.0 END, 6) AS cosine
+      FROM raw r JOIN cand USING (vec_id), qr
+      ORDER BY cosine DESC, vec_id LIMIT 10"""
+    },
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qRow = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0)
+        val idx = Tables.scratchDir("ivfpq_sign_idx")
+        graft.operators.AnnIndex.buildIvfPq(e, "embedding", "vec_id", idx,
+          nCells = 16, m = 8, quantizer = "sign")
+        graft.operators.AnnIndex.searchIvfPqRerank(s, idx, e,
+          "embedding", "vec_id", qRow, 10, nProbe = 8, overFetch = 16)
+      }),
+
     // --------------------------------------------- ANN: product quantization
     // PQ compresses 64 floats to 8 code bytes; search scores CODES against
     // a driver-side distance table (raw vectors untouched), then an exact

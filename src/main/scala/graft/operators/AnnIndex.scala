@@ -210,35 +210,11 @@ object AnnIndex {
    */
   def searchPq(spark: SparkSession, path: String, query: Seq[Float],
       k: Int): DataFrame = {
-    val cb = spark.read.parquet(s"$path/_codebooks").collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
-      .toMap
-    val m = cb.keys.map(_._1).max + 1
-    val kk = cb.keys.map(_._2).max + 1
-    // the indexed dimensionality is encoded in the codebooks themselves
-    // (m subspaces x sub-centroid width); a query of any other length
-    // would silently score misaligned slices, so it is an error
-    val sub = cb.values.head.length
-    require(query.length == sub * m, s"searchPq: query has " +
-      s"${query.length} dims but the index encodes ${sub * m} (m=$m)")
     // the index lives on the unit sphere (see buildPq) — the query must too
     val q0 = query.map(_.toDouble).toArray
     val qn = math.sqrt(q0.map(x => x * x).sum)
     val q = if (qn > 0) q0.map(_ / qn) else q0
-    // k-means can return FEWER than k centers for a low-cardinality
-    // subspace (constant/padded dims), leaving the codebooks ragged —
-    // absent (subspace, id) slots get +inf so no stored code can ever
-    // rank by a hole in the table
-    val table = Array.tabulate(m, kk) { (j, i) =>
-      cb.get((j, i)).fold(Double.MaxValue) {
-        _.zip(q.slice(j * sub, (j + 1) * sub))
-          .map { case (a, b) => val d = a - b; d * d }.sum
-      }
-    }
-    val perSub = (0 until m).map { j =>
-      element_at(array(table(j).toIndexedSeq.map(lit): _*),
-        col("code").getItem(j) + 1)
-    }
+    val perSub = pqDistanceColumns(spark, path, q)
     // 6dp rounding BEFORE the cut (with a vec_id tiebreak): the distance
     // table sums small fp terms whose order differs engine-to-engine, so
     // an unrounded candidate cut could differ at the k boundary
@@ -266,6 +242,229 @@ object AnnIndex {
       .select(col("vec_id"), round(cosine(col("vec"), qCol), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  // --------------------------------------------------------------- IVF-PQ
+
+  /**
+   * Build a composite IVF-PQ index at `path` — the variant for corpora
+   * whose RAW vectors no longer fit cluster memory: the table stores
+   * (vec_id, code[m]) PARTITIONED BY the coarse cell, so a query reads
+   * nProbe partitions (static partition pruning, like [[buildIvf]]) and
+   * each scanned row is ~m bytes (like [[buildPq]]). Cell centroids land
+   * in `_centroids`, sub-quantizer codebooks in `_codebooks` (the same
+   * underscore-sidecar convention as both parents).
+   *
+   * Vectors are unit-normalized before both quantizers (buildPq's
+   * invariant: on the unit sphere squared-L2 is monotone in cosine).
+   * Codes quantize the normalized vector itself, not the cell residual
+   * (FAISS's by_residual=false flavor) — the codebooks are shared across
+   * cells, so the query's distance table is computed ONCE driver-side
+   * instead of once per probed cell, and the whole index stays
+   * engine-replayable with the deterministic `"sign"` quantizers (the
+   * `ann_ivfpq_topk` oracle replays cells, centroids, codebooks,
+   * asymmetric distance, candidate cut and re-rank value-for-value).
+   *
+   * `autoPlan` (production default) applies [[Similarity.planIvfCells]]
+   * to the cell count — same no-op gate as [[buildIvf]].
+   *
+   * 100 TB shape: one normalize pass, one cell+code encode pass, one
+   * partitioned write; probe cost is nProbe * targetCellRows rows of m
+   * bytes each. k-means quantizers stay the production option behind
+   * the same interface (`quantizer = "kmeans"`), with one coarse fit
+   * plus m sub-fits.
+   */
+  def buildIvfPq(embeddings: DataFrame, vecCol: String, idCol: String,
+      path: String, nCells: Int = 16, m: Int = 8, seed: Long = 42L,
+      quantizer: String = "sign",
+      autoPlan: Boolean = true, targetCellRows: Long = 4096L): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cellsPlanned =
+      if (!autoPlan) nCells
+      else Similarity.planIvfCells(embeddings.count(), nCells, targetCellRows)
+    val base = embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("raw"))
+      .withColumn("__n",
+        sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
+      .select(col("vec_id"),
+        transform(col("raw"),
+          x => when(col("__n") > 0, x / col("__n")).otherwise(x)).as("nv"))
+      .localCheckpoint(true) // read by fits + encode + centroid agg
+    val dim = base.select(size(col("nv"))).head().getInt(0)
+    require(dim % m == 0, s"buildIvfPq: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    quantizer match {
+      case "sign" =>
+        require(sub <= 16, s"buildIvfPq(sign): subvector width $sub would " +
+          s"mean 2^$sub codes per subspace — raise m or use kmeans")
+        val signBits = java.lang.Long.numberOfTrailingZeros(cellsPlanned.toLong).toInt
+        require(cellsPlanned > 0 && (1 << signBits) == cellsPlanned,
+          s"buildIvfPq(sign): nCells must be a power of two, got $cellsPlanned")
+        // cell = sign pattern of the first signBits dims (normalization
+        // preserves signs, so this matches the raw vector's pattern);
+        // code = per-subspace sign pattern of the normalized vector
+        val cellExpr =
+          if (signBits == 0) lit(0L)
+          else (0 until signBits).map(j =>
+            when(try_element_at(col("nv"), lit(j + 1)) >= 0, lit(1L << j))
+              .otherwise(lit(0L))).reduce(_ + _)
+        val coded = base
+          .withColumn("cell", cellExpr)
+          .withColumn("code",
+            array((0 until m).map { j =>
+              (0 until sub).map { b =>
+                when(try_element_at(col("nv"), lit(j * sub + b + 1)) >= 0,
+                  lit(1 << b)).otherwise(lit(0))
+              }.reduce(_ + _)
+            }: _*))
+          .localCheckpoint(true) // read by the write + two sidecar aggs
+        coded.select(col("vec_id"), col("code"), col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+        // cell centroids: per-dim member means of the NORMALIZED vectors
+        // (what the probe ranking cosines against) — partial-aggregated
+        coded
+          .select(col("cell"), posexplode_outer(col("nv")).as(Seq("i", "x")))
+          .groupBy("cell", "i").agg(avg(col("x")).as("m"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("cm"))
+          .select(col("cell"),
+            transform(col("cm"), s => s.getField("m")).as("centroid"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+        // codebooks: member means per (subspace, code, pos) — the exact
+        // shape buildPq(sign) writes, shared across cells
+        coded
+          .select(col("code"), posexplode_outer(col("nv")).as(Seq("i", "x")))
+          .withColumn("subspace", (col("i") / lit(sub)).cast("int"))
+          .withColumn("centroid_id", element_at(col("code"), col("subspace") + 1))
+          .withColumn("p", (col("i") % lit(sub)).cast("int"))
+          .groupBy("subspace", "centroid_id", "p").agg(avg(col("x")).as("m"))
+          .groupBy("subspace", "centroid_id")
+          .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("cm"))
+          .select(col("subspace"), col("centroid_id"),
+            transform(col("cm"), s => s.getField("m")).as("centroid"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+      case "kmeans" =>
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val prepared = base.withColumn("__f", array_to_vector(col("nv")))
+        val coarse = new KMeans().setK(cellsPlanned).setSeed(seed)
+          .setFeaturesCol("__f").setPredictionCol("cell").fit(prepared)
+        var coded = coarse.transform(prepared).drop("__f")
+        val codebooks = (0 until m).map { j =>
+          val fc = s"__f$j"
+          val withFeat = coded.withColumn(fc,
+            array_to_vector(slice(col("nv"), j * sub + 1, sub)))
+          val model = new KMeans().setK(16).setSeed(seed + j)
+            .setFeaturesCol(fc).setPredictionCol(s"__c$j").fit(withFeat)
+          coded = model.transform(withFeat).drop(fc)
+          (j, model.clusterCenters.map(_.toArray))
+        }
+        coded
+          .select(col("vec_id"),
+            array((0 until m).map(j => col(s"__c$j")): _*).as("code"),
+            col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+        coarse.clusterCenters.toSeq.zipWithIndex
+          .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
+          .toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+        codebooks.flatMap { case (j, cents) =>
+          cents.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+        }.toDF("subspace", "centroid_id", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+      case other => throw new IllegalArgumentException(
+        s"buildIvfPq: unknown quantizer '$other' (sign|kmeans)")
+    }
+  }
+
+  /**
+   * IVF-PQ search: rank the persisted cell centroids against the
+   * normalized query on the driver (6dp-rounded with a cell tiebreak —
+   * cross-engine-stable cut), scan ONLY the nProbe best cell partitions
+   * (the `isin` literal list prunes at the partition level), and score
+   * each row's CODE against the query's per-subspace distance table —
+   * raw vectors are never read. Returns (vec_id, approx_dist) ascending
+   * (6dp, vec_id tiebreak).
+   */
+  def searchIvfPq(spark: SparkSession, path: String, query: Seq[Float],
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val q0 = query.map(_.toDouble).toArray
+    val qn0 = math.sqrt(q0.map(x => x * x).sum)
+    val q = if (qn0 > 0) q0.map(_ / qn0) else q0
+    // centroid ranking — #cells rows, driver-side like searchIvf, but
+    // 6dp-rounded with a cell tiebreak so the sign-quantizer oracle can
+    // replay the probe list exactly
+    val cents = spark.read.parquet(s"$path/_centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    cents.headOption.foreach { case (_, c) =>
+      require(c.length == query.length, s"searchIvfPq: query has " +
+        s"${query.length} dims but the index was built over ${c.length}")
+    }
+    val probeCells = cents
+      .map { case (i, c) =>
+        val d = c.zip(q).map { case (a, b) => a * b }.sum
+        val nc = math.sqrt(c.map(x => x * x).sum)
+        val qn = math.sqrt(q.map(x => x * x).sum)
+        val cos = if (nc > 0 && qn > 0) d / (nc * qn) else 0.0
+        // HALF_UP like Spark's round() and DuckDB's round(), so the
+        // probe cut replays identically in the oracle
+        (i, BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (i, cos) => (-cos, i) }.take(nProbe).map(_._1).toSeq
+    val perSub = pqDistanceColumns(spark, path, q)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), round(perSub.reduce(_ + _), 6).as("approx_dist"))
+      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /**
+   * IVF-PQ search with exact re-rank: `k * overFetch` candidates by
+   * partition-pruned code scan, then exact cosine over JUST those from
+   * the raw table (the only touch of raw vectors — a broadcast
+   * candidate-list semi-join, like [[searchPqRerank]]).
+   */
+  def searchIvfPqRerank(spark: SparkSession, path: String,
+      embeddings: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, nProbe: Int = 4, overFetch: Int = 4): DataFrame = {
+    val qCol = array(query.map(v => lit(v)): _*)
+    val candidates = searchIvfPq(spark, path, query, k * overFetch, nProbe)
+      .select(col("vec_id"))
+    embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .join(broadcast(candidates), Seq("vec_id"))
+      .select(col("vec_id"), round(cosine(col("vec"), qCol), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** The query's per-subspace asymmetric-distance lookup columns from a
+    * `_codebooks` sidecar — shared by [[searchPq]] and [[searchIvfPq]].
+    * `q` must already be unit-normalized. Absent (subspace, id) slots
+    * (ragged k-means codebooks) get +inf so no stored code ranks by a
+    * hole in the table. */
+  private def pqDistanceColumns(
+      spark: SparkSession, path: String, q: Array[Double]): Seq[org.apache.spark.sql.Column] = {
+    val cb = spark.read.parquet(s"$path/_codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val m = cb.keys.map(_._1).max + 1
+    val kk = cb.keys.map(_._2).max + 1
+    val sub = cb.values.head.length
+    require(q.length == sub * m, s"pq distance table: query has " +
+      s"${q.length} dims but the index encodes ${sub * m} (m=$m)")
+    val table = Array.tabulate(m, kk) { (j, i) =>
+      cb.get((j, i)).fold(Double.MaxValue) {
+        _.zip(q.slice(j * sub, (j + 1) * sub))
+          .map { case (a, b) => val d = a - b; d * d }.sum
+      }
+    }
+    (0 until m).map { j =>
+      element_at(array(table(j).toIndexedSeq.map(lit): _*),
+        col("code").getItem(j) + 1)
+    }
   }
 
   // ------------------------------------------------------------------ LSH

@@ -105,6 +105,55 @@ class AnnIndexSpec extends SparkSpec {
     assert(err.getMessage.contains("outside"), err.getMessage)
   }
 
+  test("IVF-PQ composite index: partition-pruned probe over code rows, " +
+      "re-rank recovers the head; forced cell plan still self-hits") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/idx"
+    AnnIndex.buildIvfPq(emb, "embedding", "vec_id", path, nCells = 16, m = 8)
+    // the table is (vec_id, code) partitioned by cell — raw vectors are
+    // NOT stored; sidecars carry centroids + codebooks
+    val codes = spark.read.parquet(path)
+    assert(codes.columns.toSet === Set("vec_id", "code", "cell"))
+    assert(spark.read.parquet(s"$path/_centroids").count() <= 16L)
+    assert(spark.read.parquet(s"$path/_codebooks")
+      .select("subspace").distinct().count() === 8L)
+    // the probe prunes at the partition level and never joins raw vectors
+    val approx = AnnIndex.searchIvfPq(spark, path, query, k = 40, nProbe = 8)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected a cell partition filter:\n$plan")
+    assert(!plan.contains("Join"),
+      "code scoring must be a pure scan of the probed code partitions")
+    // exact re-rank recovers the true head within the probed cells
+    val rr = AnnIndex.searchIvfPqRerank(spark, path, emb, "embedding",
+      "vec_id", query, k = 10, nProbe = 8, overFetch = 16)
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = rr.select("vec_id").as[Long].collect()
+    assert(got.head === 0L, s"self-hit lost: ${got.toSeq}")
+    assert(got.toSet.intersect(brute).size >= 5,
+      s"recall too low: ${got.toSet} vs $brute")
+    // kmeans quantizers behind the same interface (production arm)
+    val pk = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/idx"
+    AnnIndex.buildIvfPq(emb, "embedding", "vec_id", pk, nCells = 8, m = 8,
+      quantizer = "kmeans")
+    val gotK = AnnIndex.searchIvfPqRerank(spark, pk, emb, "embedding",
+      "vec_id", query, k = 5, nProbe = 4, overFetch = 8)
+      .select("vec_id").as[Long].collect()
+    assert(gotK.head === 0L, s"kmeans arm self-hit lost: ${gotK.toSeq}")
+    // forced cell plan through the DEFAULT entry point (1 row/cell →
+    // 512 sign cells): more centroids than the explicit 16, still
+    // self-hits at the planned layout
+    val pf = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/idx"
+    AnnIndex.buildIvfPq(emb, "embedding", "vec_id", pf, nCells = 16, m = 8,
+      targetCellRows = 1L)
+    assert(spark.read.parquet(s"$pf/_centroids").count() > 16L,
+      "forced plan must widen the cell layout through the default call")
+    val gotF = AnnIndex.searchIvfPqRerank(spark, pf, emb, "embedding",
+      "vec_id", query, k = 5, nProbe = 8, overFetch = 8)
+      .select("vec_id").as[Long].collect()
+    assert(gotF.head === 0L, s"planned-layout self-hit lost: ${gotF.toSeq}")
+  }
+
   test("PQ index: codes-only scoring finds the neighborhood, re-rank recovers " +
       "the exact top-k head") {
     val path = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/idx"
@@ -253,6 +302,9 @@ class AnnIndexSpec extends SparkSpec {
 
     val pqPath = Tables.freshScratch("pqsweep") + "/idx"
     AnnIndex.buildPq(clustered, "embedding", "vec_id", pqPath, m = 8, k = 32)
+    val ivfpqPath = Tables.freshScratch("ivfpqsweep") + "/idx"
+    AnnIndex.buildIvfPq(clustered, "embedding", "vec_id", ivfpqPath,
+      nCells = 16, m = 8)
     val perQuery: Seq[(String, Seq[Float] => Set[Long])] = Seq(
       "lsh_topk (bits=12, probeHamming=2)" -> ((qv: Seq[Float]) =>
         Similarity.lshTopK(clustered, "embedding", "vec_id", qv, 10)
@@ -266,6 +318,10 @@ class AnnIndexSpec extends SparkSpec {
           .select("vec_id").as[Long].collect().toSet),
       "pq_rerank (m=8, k=32, overFetch=4)" -> ((qv: Seq[Float]) =>
         AnnIndex.searchPqRerank(spark, pqPath, clustered, "embedding",
+            "vec_id", qv, 10)
+          .select("vec_id").as[Long].collect().toSet),
+      "ivfpq_rerank (nCells=16, m=8, nProbe=4, overFetch=4)" -> ((qv: Seq[Float]) =>
+        AnnIndex.searchIvfPqRerank(spark, ivfpqPath, clustered, "embedding",
             "vec_id", qv, 10)
           .select("vec_id").as[Long].collect().toSet))
     val knn = Similarity.lshKnnJoin(
@@ -287,6 +343,7 @@ class AnnIndexSpec extends SparkSpec {
       "ivf_kmeans (nCells=16, nProbe=4)" -> 0.9,
       "ivf_sign (nCells=16, nProbe=4)" -> 0.9,
       "pq_rerank (m=8, k=32, overFetch=4)" -> 0.9,
+      "ivfpq_rerank (nCells=16, m=8, nProbe=4, overFetch=4)" -> 0.85,
       "lsh_knn_join (bits=12, probeHamming=1)" -> 0.9)
     rows.foreach { case (name, r) =>
       assert(r >= floors(name), f"$name recall@10 $r%.3f below ${floors(name)}")
