@@ -56,6 +56,7 @@ object AnnIndex {
       .fit(prepared)
     model.transform(prepared)
       .select(col("vec_id"), col("vec"), col("cell"))
+      .repartition(col("cell")) // avoid W x nCells dynamic-partition files
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     import spark.implicits._
     model.clusterCenters.toSeq.zipWithIndex
@@ -283,6 +284,9 @@ object AnnIndex {
     val cellsPlanned =
       if (!autoPlan) nCells
       else Similarity.planIvfCells(embeddings.count(), nCells, targetCellRows)
+    // NOT checkpointed: the per-row normalize is cheaper to recompute in
+    // the one pass that derives `coded` (which IS checkpointed) than to
+    // materialize a second corpus-sized buffer
     val base = embeddings
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("raw"))
       .withColumn("__n",
@@ -290,7 +294,6 @@ object AnnIndex {
       .select(col("vec_id"),
         transform(col("raw"),
           x => when(col("__n") > 0, x / col("__n")).otherwise(x)).as("nv"))
-      .localCheckpoint(true) // read by fits + encode + centroid agg
     val dim = base.select(size(col("nv"))).head().getInt(0)
     require(dim % m == 0, s"buildIvfPq: dim $dim not divisible by m=$m")
     val sub = dim / m
@@ -319,7 +322,13 @@ object AnnIndex {
               }.reduce(_ + _)
             }: _*))
           .localCheckpoint(true) // read by the write + two sidecar aggs
+        // repartition ON THE CELL before the dynamic-partition write:
+        // without it every one of the W write tasks emits a file into
+        // every cell directory (W x nCells small files — measured as the
+        // whale of a 17 s 600k-row build at 256 planned cells); with it
+        // each cell's rows are colocated and the write emits ~nCells files
         coded.select(col("vec_id"), col("code"), col("cell"))
+          .repartition(col("cell"))
           .write.mode("overwrite").partitionBy("cell").parquet(path)
         // cell centroids: per-dim member means of the NORMALIZED vectors
         // (what the probe ranking cosines against) — partial-aggregated
@@ -364,6 +373,7 @@ object AnnIndex {
           .select(col("vec_id"),
             array((0 until m).map(j => col(s"__c$j")): _*).as("code"),
             col("cell"))
+          .repartition(col("cell")) // see the sign arm: avoids W x nCells files
           .write.mode("overwrite").partitionBy("cell").parquet(path)
         coarse.clusterCenters.toSeq.zipWithIndex
           .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
@@ -470,7 +480,11 @@ object AnnIndex {
   // ------------------------------------------------------------------ LSH
 
   /** Build a hyperplane-LSH index at `path`: signature computed once per
-    * vector, table partitioned by it.
+    * vector, table partitioned by the signature's top min(bits, 12)
+    * PREFIX BITS (directory count capped at 4096 — a raw-sig layout at
+    * planned widths would be 2^20+ directories) with the full sig kept
+    * as a sorted data column for row-group pruning; see the layout
+    * comment in the body.
     *
     * `autoPlan` applies [[Similarity.planLshProbe]] (occupancy-widened
     * signature, recall-held probe radius; a no-op below the threshold,
@@ -497,9 +511,10 @@ object AnnIndex {
       path: String, dims: Int, bits: Int = 12,
       autoPlan: Boolean = true, targetCosine: Double = 0.9,
       refHamming: Int = 1, targetOccupancy: Double = 2.0): (Int, Int) = {
+    val n = embeddings.count() // parquet: row-group metadata, one cheap job
     val plan =
       if (!autoPlan) (bits, refHamming)
-      else Similarity.planLshProbe(embeddings.count(), targetCosine,
+      else Similarity.planLshProbe(n, targetCosine,
         bits, refHamming, targetOccupancy)
     // Drop any PRIOR build's sidecar before touching the data: the data
     // overwrite + sidecar overwrite are not atomic, and a crash between
@@ -520,17 +535,50 @@ object AnnIndex {
     // identity exactly like bits (a probe in the wrong family silently
     // misses), so it persists in the same sidecar.
     val family = if (plan._1 != bits) FamilyOrtho else FamilyPm1
+    // GROUPED partition layout (round 13): partitioning by the raw sig
+    // means 2^bits DIRECTORIES — fine at the 12-bit reference (4096),
+    // absurd at planned widths (2^20 at 2M vectors, 2^26 at 100M: file
+    // listings and committers die long before the data does). The
+    // partition key is therefore the TOP min(bits, 12) signature bits
+    // (sig_grp, <= 4096 dirs); the full sig stays a DATA column, sorted
+    // within each partition so parquet row-group min/max stats prune the
+    // scan to the exact probed signatures. A probe ball's directory
+    // fan-out is its prefix sub-ball (<= sum C(12, d<=h) groups), and
+    // within each group the sort collapses the read to ~ball x occupancy
+    // rows. The group width is bounded on BOTH sides: at most
+    // MaxLshPartBits (4096 dirs), and at most log2(n / TargetLshGroupRows)
+    // so each group carries >= ~4096 rows — without the second bound a
+    // 600k-row index fragments into 4096 ~146-row files and the probe
+    // pays per-file overhead instead of reading data (measured 6-7 s
+    // probes; rows-bounded grouping took it to sub-second). At 100M+
+    // rows both bounds meet at the 4096-dir cap.
+    val grpBits = Seq(plan._1, MaxLshPartBits, math.max(0, math.ceil(
+      math.log(math.max(1.0, n.toDouble / TargetLshGroupRows)) /
+        math.log(2.0)).toInt)).min
     embeddings
       .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
       .withColumn("sig",
         Similarity.sigCol(col("vec"), plan._1, family == FamilyOrtho))
-      .write.mode("overwrite").partitionBy("sig").parquet(path)
+      .withColumn("sig_grp", shiftright(col("sig"), plan._1 - grpBits))
+      .repartition(col("sig_grp")) // avoid W x nGroups dynamic-partition files
+      .sortWithinPartitions("sig") // row-group stats prune to exact sigs
+      .write.mode("overwrite").partitionBy("sig_grp").parquet(path)
     val spark = embeddings.sparkSession
     import spark.implicits._
-    Seq((plan._1, plan._2, family)).toDF("bits", "probe_hamming", "family")
+    Seq((plan._1, plan._2, family, grpBits))
+      .toDF("bits", "probe_hamming", "family", "grp_bits")
       .coalesce(1).write.mode("overwrite").json(s"$path/_plan")
     plan
   }
+
+  /** Cap on LSH partition-directory bits: at most 2^12 = 4096 sig-group
+    * directories regardless of the signature width. */
+  final val MaxLshPartBits = 12
+
+  /** Minimum target rows per sig-group directory — the other side of the
+    * layout bound (a directory below ~4096 vectors is file-overhead, not
+    * data). */
+  final val TargetLshGroupRows = 4096L
 
   /** Sidecar values for the signature plane family. */
   final val FamilyPm1 = "pm1"     // +-1 splitmix planes (HyperplaneSig)
@@ -574,23 +622,54 @@ object AnnIndex {
   def lshIndexPlan(spark: SparkSession, path: String): (Int, Int) = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecar = fs.exists(new org.apache.hadoop.fs.Path(s"$path/_plan"))
     val plan =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_plan"))) (12, 1)
+      if (!sidecar) (12, 1)
       else {
         val r = spark.read.json(s"$path/_plan").head()
         (r.getAs[Long]("bits").toInt, r.getAs[Long]("probe_hamming").toInt)
       }
-    val sigs = fs.listStatus(hPath).iterator.map(_.getPath.getName)
-      .filter(_.startsWith("sig="))
+    val dirs = fs.listStatus(hPath).iterator.map(_.getPath.getName).toSeq
+    // legacy layout: raw-sig directories — validate against 2^bits
+    val sigs = dirs.filter(_.startsWith("sig="))
       .map(n => java.lang.Long.parseLong(n.stripPrefix("sig=")))
-    val bad = sigs.filter(s => s < 0L || s >= (1L << plan._1))
-    if (bad.hasNext) throw new IllegalStateException(
-      s"lshIndexPlan($path): partition value sig=${bad.next()} is outside " +
-        s"[0, 2^${plan._1}) — the _plan sidecar (or the pre-sidecar " +
-        s"default) does not describe this data (interrupted rebuild?); " +
-        s"probing at ${plan._1} bits would silently return empty. Rebuild " +
-        s"the index with AnnIndex.buildLsh.")
+    sigs.find(s => s < 0L || s >= (1L << plan._1)).foreach(s =>
+      throw new IllegalStateException(
+        s"lshIndexPlan($path): partition value sig=$s is outside " +
+          s"[0, 2^${plan._1}) — the _plan sidecar (or the pre-sidecar " +
+          s"default) does not describe this data (interrupted rebuild?); " +
+          s"probing at ${plan._1} bits would silently return empty. Rebuild " +
+          s"the index with AnnIndex.buildLsh."))
+    // grouped layout (round 13): sig_grp directories exist ONLY for
+    // sidecar-written builds (the build deletes the old sidecar FIRST),
+    // so a grouped tree without a grp_bits sidecar IS the interrupted
+    // state — and its dir values are prefix-capped, so a range check
+    // could not catch a wrong-width default. Fail closed outright.
+    if (dirs.exists(_.startsWith("sig_grp="))) {
+      val grpOk = sidecar && spark.read.json(s"$path/_plan")
+        .columns.contains("grp_bits")
+      if (!grpOk) throw new IllegalStateException(
+        s"lshIndexPlan($path): grouped (sig_grp=) partition layout with " +
+          s"no grp_bits sidecar — interrupted rebuild; a default-width " +
+          s"probe would silently return empty. Rebuild the index with " +
+          s"AnnIndex.buildLsh.")
+    }
     plan
+  }
+
+  /** The partition-group width (grp_bits) of an LSH index — from the
+    * `_plan` sidecar; legacy raw-sig layouts report their full bits
+    * (group == sig). */
+  def lshIndexGrpBits(spark: SparkSession, path: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val plan = lshIndexPlan(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_plan"))) plan._1
+    else {
+      val df = spark.read.json(s"$path/_plan")
+      if (!df.columns.contains("grp_bits")) plan._1
+      else df.head().getAs[Long]("grp_bits").toInt
+    }
   }
 
   /** All signatures within hamming distance `h` of `sig` — the multiprobe
@@ -604,8 +683,12 @@ object AnnIndex {
 
   /**
    * LSH search: the query's signature neighborhood (hamming <=
-   * probeHamming) is a literal partition list — scan prunes to those
-   * directories, then exact cosine top-k inside.
+   * probeHamming) drives a two-level prune — the probes' PREFIX GROUPS
+   * are a literal partition list (directory pruning; on grouped-layout
+   * indexes, see [[buildLsh]]), and the exact sig list then prunes
+   * parquet row groups via the within-partition sort — then exact
+   * cosine top-k inside. Legacy raw-sig layouts (the partition IS the
+   * sig) prune identically through the sig filter alone.
    */
   def searchLsh(spark: SparkSession, path: String, query: Seq[Float],
       k: Int, bits: Int = 12, probeHamming: Int = 2,
@@ -617,7 +700,15 @@ object AnnIndex {
       .select(Similarity.sigCol(qCol, bits, family == FamilyOrtho).as("s"))
       .head().getLong(0)
     val probes = probeSigs(qSig, bits, probeHamming)
-    spark.read.parquet(path)
+    val df = spark.read.parquet(path)
+    val sigPruned =
+      if (!df.columns.contains("sig_grp")) df
+      else {
+        val grpBits = lshIndexGrpBits(spark, path)
+        val groups = probes.map(_ >>> (bits - grpBits)).distinct
+        df.filter(col("sig_grp").isin(groups: _*))
+      }
+    sigPruned
       .filter(col("sig").isin(probes: _*))
       .select(col("vec_id"), round(cosine(col("vec"), qCol), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)

@@ -103,6 +103,25 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.lshIndexPlan(spark, p5)
     }
     assert(err.getMessage.contains("outside"), err.getMessage)
+    // grouped layout (round 13: partition dirs are capped sig PREFIXES,
+    // so a range check cannot catch wrong-width defaults): a grouped
+    // tree with NO sidecar is the interrupted-rebuild state and must
+    // fail closed outright
+    val p6 = java.nio.file.Files.createTempDirectory("graft_lshp").toString + "/idx"
+    emb.select(col("vec_id"), col("embedding").as("vec"))
+      .withColumn("sig", Similarity.hyperplaneSig(col("vec"), 0, 20))
+      .withColumn("sig_grp", shiftright(col("sig"), 8))
+      .write.partitionBy("sig_grp").parquet(p6)
+    val err6 = intercept[IllegalStateException] {
+      AnnIndex.lshIndexPlan(spark, p6)
+    }
+    assert(err6.getMessage.contains("sig_grp"), err6.getMessage)
+    // the widened build's grouped layout round-trips its group width;
+    // at this tiny corpus the ROWS bound binds (n << TargetLshGroupRows
+    // => one group — directories below ~4k rows are file overhead, not
+    // data), while the 4096-dir cap binds at 16M+ rows
+    assert(AnnIndex.lshIndexGrpBits(spark, p2) === 0)
+    assert(spark.read.parquet(p2).columns.contains("sig_grp"))
   }
 
   test("IVF-PQ composite index: partition-pruned probe over code rows, " +
