@@ -60,6 +60,12 @@ object Bench {
     // probe-only before; now a salt-planner regression (wrong decision,
     // lost hot-block routing) moves a driver-recorded row.
     "j8_fuzzy_salted",
+    // round 14: the batched IVF-PQ k-NN join — the corpus-sized-query
+    // ANN shape (index build + per-query probe ranking + cell equi-join
+    // + code scoring + re-rank) that completes the family; a regression
+    // in the composite plan (lost DPP on the code scan, a cross join
+    // sneaking in) moves a driver-recorded row
+    "ann_ivfpq_knn_join",
     // the composed 6-stage curation run — the heaviest job a user
     // actually schedules. Its stages are timed individually above; this
     // row times the COMPOSITION (stage checkpoints included). It runs
@@ -70,6 +76,17 @@ object Bench {
     // the next round's first (q1_agg, preceded by its own warmup +
     // isolate barrier) — watch that row's spread for residue.
     "curation_report")
+
+  /** Queries whose IMPLEMENTATION changed semantics this round under an
+    * unchanged name (round 14, advisor ask): `normalized_vs_prev`
+    * intersects query sets by name, so a row whose code path changed
+    * between rounds would silently compare different algorithms as
+    * "comparable". Names listed here are EXCLUDED from the cross-round
+    * ratio and recorded in the JSON (`excluded_changed`) so the
+    * exclusion itself is auditable. Maintained per round: empty when a
+    * round changes no under-the-name semantics (renames and NEW rows
+    * never need listing — they fall out of the intersection by name). */
+  val semanticsChanged: Set[String] = Set()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -360,6 +377,7 @@ object Bench {
             case _ => Map.empty[String, Double]
           }
           val common = pq.keySet.intersect(results.map(_._1).toSet)
+            .diff(semanticsChanged)
           if (pc > 0 && common.nonEmpty && canarySec > 0) {
             val thisSum = results.collect {
               case (k, v, _, _) if common(k) => v }.sum
@@ -385,8 +403,14 @@ object Bench {
         s"normalization ($nCand candidate files in " +
         s"${new java.io.File(".").getAbsolutePath}) — normalized_vs_prev omitted")
     }
+    // the record lists the excluded semantics-changed rows so the
+    // comparable set is auditable: comparable = name-intersection minus
+    // this list (advisor ask — an implementation change under an
+    // unchanged name must not read as a like-for-like ratio)
+    val excludedJson = semanticsChanged.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val normJson = prevNorm.fold("") { case (name, pc, ratio, n) =>
-      s""","prev_record":"$name","prev_canary_sec":$pc,"comparable_queries":$n,"normalized_vs_prev":$ratio"""
+      s""","prev_record":"$name","prev_canary_sec":$pc,"comparable_queries":$n,"excluded_changed":$excludedJson,"normalized_vs_prev":$ratio"""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"unsteady":$spreadJson,"redrawn":$redrawnJson,"canary_sec":$canarySec$normJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -85,16 +85,26 @@ object Similarity {
    * ([[graft.functions.OrthoPlaneSig]]). No-op below the occupancy
    * threshold, so the ann_lsh_topk oracle replays the +-1 reference
    * signature bit-for-bit.
+   *
+   * COUNT-COST CAVEAT (round 14, advisor ask): the auto-plan needs the
+   * corpus size, so each call runs one `count()` job — cheap row-group
+   * metadata on a parquet-backed frame, but a full scan on a derived
+   * frame (joins, transforms). Callers issuing MANY per-query calls over
+   * the same corpus should pass `knownCount` (>= 0) to plan without the
+   * job — or better, use the batched [[lshKnnJoin]], which plans once
+   * for the whole query set. (Per-query probes over a PERSISTED corpus
+   * should use [[AnnIndex]], where the plan is baked into the index.)
    */
   def lshTopK(
       embeddings: DataFrame, vecCol: String, idCol: String,
       query: Seq[Float], k: Int, bits: Int = 12, probeHamming: Int = 2,
       autoPlan: Boolean = true, targetCosine: Double = 0.9,
-      targetOccupancy: Double = 2.0): DataFrame = {
+      targetOccupancy: Double = 2.0, knownCount: Long = -1L): DataFrame = {
     val (pBits, pHamming) =
       if (!autoPlan) (bits, probeHamming)
       else planLshProbe(
-        embeddings.count(), targetCosine, bits, probeHamming, targetOccupancy)
+        if (knownCount >= 0) knownCount else embeddings.count(),
+        targetCosine, bits, probeHamming, targetOccupancy)
     val ortho = pBits != bits
     val q = array(query.map(v => lit(v)): _*)
     val qSig = sigCol(q, pBits, ortho)
@@ -204,20 +214,29 @@ object Similarity {
    */
   def ivfTopK(
       embeddings: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Float], k: Int, nCells: Int = 16, nProbe: Int = 4,
+      query: Seq[Float], k: Int, nCells: Int = 16, nProbe: Int = -1,
       seed: Long = 42L, quantizer: String = "kmeans",
-      autoPlan: Boolean = true, targetCellRows: Long = 4096L): DataFrame = {
+      autoPlan: Boolean = true, targetCellRows: Long = 4096L,
+      knownCount: Long = -1L): DataFrame = {
     // Fixed nCells shares the banding operators' scale exposure one level
     // down: a probe scans nProbe * n / nCells rows, LINEAR in the corpus
     // at fixed cells (16 cells at 100M vectors = 25M rows per probed
     // cell). The occupancy plan pins rows-per-cell instead — the
     // PRODUCTION DEFAULT, a no-op below refCells * targetCellRows rows so
     // small corpora (and the ann_ivf_topk oracle) keep the explicit cell
-    // count bit-for-bit. See [[planIvfCells]].
+    // count bit-for-bit. See [[planIvfCells]]. The plan's count() job is
+    // per-call — many-query callers pass `knownCount` or probe a
+    // persisted [[AnnIndex]] (see the count-cost caveat on [[lshTopK]]).
     val cells =
       if (!autoPlan) nCells
-      else planIvfCells(embeddings.count(), nCells, targetCellRows)
-    ivfTopKAt(embeddings, vecCol, idCol, query, k, cells, nProbe, seed, quantizer)
+      else planIvfCells(
+        if (knownCount >= 0) knownCount else embeddings.count(),
+        nCells, targetCellRows)
+    // nProbe < 0 => recall-holding plan at the planned cell count
+    // ([[planIvfProbe]]; == the explicit default at/below refCells, so
+    // nothing below the occupancy threshold moves)
+    val probe = if (nProbe >= 0) nProbe else planIvfProbe(cells)
+    ivfTopKAt(embeddings, vecCol, idCol, query, k, cells, probe, seed, quantizer)
   }
 
   private def ivfTopKAt(
@@ -570,6 +589,77 @@ object Similarity {
     val wanted = math.ceil(
       math.log(math.max(1.0, n.toDouble / targetCellRows)) / math.log(2.0)).toInt
     math.max(refCells, math.min(maxCells, 1 << math.min(30, wanted)))
+  }
+
+  /**
+   * Recall-holding probe-width plan for the IVF family (round 14 — the
+   * last fixed ANN probe knob), returning nProbe. [[planIvfCells]] pins
+   * rows-per-cell, which GROWS the cell count with the corpus — and a
+   * fixed nProbe over more, finer cells covers a shrinking fraction of a
+   * true neighbor's displacement, silently trading the planned scan
+   * bound for recall. This plan re-picks nProbe to hold recall at the
+   * reference operating point, the same shape as [[planLshProbe]]:
+   *
+   * For the SIGN coarse quantizer a cell is a signBits = log2(nCells)
+   * sign pattern, and a cos >= t neighbor flips each sign bit with
+   * q = acos(t)/pi (Charikar '02) — so a neighbor lands within hamming h
+   * of the query's cell with P[Binom(signBits, q) <= h]. Probing the
+   * nProbe nearest centroids covers the hamming ball from the inside
+   * out (nearest cells differ in the smallest-|component| dims — the
+   * dims most likely to have flipped, so ball coverage is the
+   * conservative model): recall(bits, nProbe) is the binomial CDF at
+   * the largest fully-covered radius plus the covered fraction of the
+   * next shell. The plan returns the SMALLEST nProbe whose modeled
+   * recall matches the (refCells, refProbe) reference point. For the
+   * k-means quantizer cells are Voronoi regions, not sign patterns —
+   * the model is a heuristic there (documented, like planLshProbe's
+   * model being exact only for independent bits); the probe-scan cost
+   * bound nProbe * targetCellRows holds for both.
+   *
+   * At nCells == refCells the plan IS refProbe by construction (the
+   * target recall is DEFINED at that point) — the no-op gate that keeps
+   * every below-threshold oracle row bit-identical. `maxProbe` caps the
+   * scan bound (nProbe * targetCellRows rows); a binding cap warns on
+   * stderr (no silent caps — repo convention).
+   */
+  def planIvfProbe(nCells: Int, targetCosine: Double = 0.9,
+      refCells: Int = 16, refProbe: Int = 4, maxProbe: Int = 256): Int = {
+    require(nCells > 0 && refCells > 0 && refProbe > 0 && maxProbe >= refProbe,
+      s"bad planIvfProbe args: nCells=$nCells refCells=$refCells " +
+        s"refProbe=$refProbe maxProbe=$maxProbe")
+    require(targetCosine > -1.0 && targetCosine <= 1.0)
+    if (nCells <= refCells) return math.min(refProbe, nCells)
+    val q = math.acos(math.min(1.0, targetCosine)) / math.Pi
+    // fractional ball-coverage recall model at (bits, nProbe)
+    def recallAt(bits: Int, nProbe: Int): Double = {
+      var covered = 0L
+      var h = 0
+      var recall = 0.0
+      var pmf = math.pow(1.0 - q, bits) // P[X = 0]
+      var shell = 1L                    // C(bits, 0)
+      while (h <= bits && covered < nProbe) {
+        val take = math.min(shell, nProbe - covered)
+        recall += pmf * take.toDouble / shell.toDouble
+        covered += take
+        // next shell
+        pmf = pmf * (bits - h).toDouble / (h + 1).toDouble * q / (1.0 - q)
+        shell = shell * (bits - h) / (h + 1)
+        h += 1
+      }
+      recall
+    }
+    def bitsOf(c: Int): Int = 63 - java.lang.Long.numberOfLeadingZeros(c.toLong).toInt
+    val target = recallAt(bitsOf(refCells), refProbe)
+    val bits = bitsOf(nCells)
+    var nProbe = refProbe
+    while (nProbe < math.min(nCells, maxProbe) && recallAt(bits, nProbe) < target)
+      nProbe += 1
+    if (recallAt(bits, nProbe) < target)
+      System.err.println(s"[similarity] WARN planIvfProbe: maxProbe cap " +
+        s"binds ($maxProbe used at $nCells cells, targetCosine " +
+        s"$targetCosine) — modeled recall falls below the ($refCells, " +
+        s"$refProbe) reference point; raise maxProbe to hold it")
+    nProbe
   }
 
   /**

@@ -715,6 +715,33 @@ class OperatorsSpec extends SparkSpec {
     assert(Similarity.planIvfCells(1L << 50) === (1 << 20))
   }
 
+  test("planIvfProbe: reference probe at/below refCells, recall-holding " +
+      "growth with the cell count, probed fraction shrinks") {
+    // at or below the reference cell count the plan IS the reference
+    // probe — the no-op gate that keeps every oracle row bit-identical
+    assert(Similarity.planIvfProbe(16) === 4)
+    assert(Similarity.planIvfProbe(8) === 4)
+    assert(Similarity.planIvfProbe(2) === 2) // never more probes than cells
+    // finer planned cells need more probes to hold the modeled recall
+    // (a fixed 4 over 128 cells covers a shrinking share of a true
+    // neighbor's sign-flip displacement)
+    val p128 = Similarity.planIvfProbe(128)
+    val p1024 = Similarity.planIvfProbe(1024)
+    assert(p128 > 4, s"128 cells should plan past the reference 4: $p128")
+    assert(p1024 >= p128)
+    // ...but the probed FRACTION of the corpus still shrinks as cells
+    // grow — the plan trades a slowly-growing probe count for the
+    // occupancy-pinned scan bound, it does not creep back to a full scan
+    assert(p1024.toDouble / 1024 < p128.toDouble / 128)
+    // tighter similarity targets flip fewer sign bits => fewer probes
+    assert(Similarity.planIvfProbe(1024, targetCosine = 0.99) <=
+      Similarity.planIvfProbe(1024, targetCosine = 0.9))
+    // composed with planIvfCells: below the occupancy threshold the
+    // planned (cells, probe) pair is exactly the reference operating
+    // point — the end-to-end no-op gate
+    assert(Similarity.planIvfProbe(Similarity.planIvfCells(5000L)) === 4)
+  }
+
   test("ivfTopK + lshTopK autoPlan (the last fixed-parameter ANN entry " +
       "points): bit-identical below the threshold; forced plans still " +
       "self-hit and observably fire through the DEFAULT call") {
