@@ -199,8 +199,9 @@ object ProbeSuite {
       val nProbe = Similarity.planIvfProbe(cents.length)
       // pruning bound: the rows the probe list admits (exactly what the
       // partition-pruned scan reads), max over 8 deterministic queries
+      // cell comes back as the partition-discovery-inferred Int type
       val cellSizes = spark.read.parquet(idx).groupBy("cell").count()
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toMap
       val queries = corpus.filter(col("vec_id") % perCluster === 0 &&
           col("vec_id") < 100L * perCluster)
         .localCheckpoint(true) // read by the knn join + the brute pass

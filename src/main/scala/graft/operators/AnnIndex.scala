@@ -611,10 +611,19 @@ object AnnIndex {
    *     `cell` — both sides shuffle on the cell key only, NEVER a query
    *     × corpus cross join, and each scanned row is a code, not a raw
    *     vector;
-   *  3. codes score against per-query distance tables (queries ×
-   *     broadcast `_codebooks`, m×k rows per query) through an equi-join
-   *     on (query_id, subspace, code) — the exploded-candidate shape the
-   *     `ann_ivfpq_knn_join` oracle replays term-for-term;
+   *  3. codes score against the query IN PLACE: the shared codebooks
+   *     are bounded (m×k rows — the same driver-side collect the
+   *     single-query path inlines) and become ONE nested-array literal,
+   *     and each candidate row's asymmetric distance is a pure
+   *     projection over its code and the query's normalized vector
+   *     (carried through the cell join, d doubles per probed pair) —
+   *     no per-candidate explode, no (query, j, c) shuffle: scoring a
+   *     corpus-sized candidate set costs m array lookups per row
+   *     exactly like the single-query path, and the only
+   *     candidate-mass shuffle in the plan is the per-query cut's
+   *     window exchange. The `ann_ivfpq_knn_join` oracle replays the
+   *     same math as an explicit distance-table join — value-identical
+   *     under the 6dp rounding, term for term;
    *  4. the per-query k*overFetch cut by asymmetric distance, then an
    *     exact cosine re-rank of ONLY the candidate ids against the raw
    *     vectors (a candidate-mass-sized equi-join — the single touch of
@@ -658,7 +667,9 @@ object AnnIndex {
       .select(col("query_id"),
         transform(col("qraw"),
           x => when(col("__n") > 0, x / col("__n")).otherwise(x)).as("qv"))
-    // 1. per-query coarse ranking over the broadcast centroid table
+    // 1. per-query coarse ranking over the broadcast centroid table; the
+    // query's normalized vector rides along into the cell join (d
+    // doubles per probed pair — the price of projection-only scoring)
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("__cc").desc, col("cell").asc)
     val probed = qn.crossJoin(broadcast(centsDf))
@@ -666,28 +677,37 @@ object AnnIndex {
         round(cosine(col("centroid"), col("qv")), 6).as("__cc"))
       .withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= probe)
-      .select("query_id", "cell")
-    // 3a. per-query distance tables: d(q, j, c) = ||cb[j][c] - q_j||^2
-    val cb = spark.read.parquet(s"$path/_codebooks")
-    val qd = qn.crossJoin(broadcast(cb))
-      .select(col("query_id"), col("subspace").as("j"),
-        col("centroid_id").as("c"),
-        aggregate(zip_with(col("centroid"),
-          slice(col("qv"), col("subspace") * size(col("centroid")) + 1,
-            size(col("centroid"))),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("d"))
-    // 2 + 3b. cell equi-join, then code scoring via the (query, j, c)
-    // equi-join — candidate-mass-sized throughout
+      .select("query_id", "qv", "cell")
+    // 3a. the shared codebooks as one nested-array literal: cbLit[j][c]
+    // is subspace j's centroid for code c — a single bounded Literal
+    // (m * k * sub doubles), NOT a per-element expression tree, so
+    // codegen never sees it unrolled. Holes (ragged k-means codebooks,
+    // or a code with no codebook entry) are null slots; the per-term
+    // coalesce below scores them +inf — the [[pqDistanceColumns]]
+    // contract, so no stored code ranks by a hole in the table.
+    val cbMap = spark.read.parquet(s"$path/_codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
+      .toMap
+    val m = cbMap.keys.map(_._1).max + 1
+    val kk = cbMap.keys.map(_._2).max + 1
+    val sub = cbMap.values.head.length
+    val cbLit = typedLit((0 until m).map(j => (0 until kk).map(c =>
+      cbMap.get((j, c)).map(_.toList).orNull)))
+    // 2 + 3b. cell equi-join, then projection-only code scoring:
+    // approx_dist = sum_j ||cb[j][code_j] - q_j||^2, m lookups per row
     val codes = spark.read.parquet(path)
+    val approxDist = round((0 until m).map { j =>
+      coalesce(
+        aggregate(zip_with(
+          element_at(element_at(cbLit, j + 1), col("code").getItem(j) + 1),
+          slice(col("qv"), j * sub + 1, sub),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x),
+        lit(Double.MaxValue))
+    }.reduce(_ + _), 6)
     val wCut = Window.partitionBy("query_id")
       .orderBy(col("approx_dist").asc, col("vec_id").asc)
     val cut = probed.join(codes, Seq("cell"))
-      .select(col("query_id"), col("vec_id"),
-        posexplode(col("code")).as(Seq("j", "c")))
-      .join(qd, Seq("query_id", "j", "c"), "left")
-      .groupBy("query_id", "vec_id")
-      .agg(round(sum(coalesce(col("d"), lit(Double.MaxValue))), 6)
-        .as("approx_dist"))
+      .select(col("query_id"), col("vec_id"), approxDist.as("approx_dist"))
       .withColumn("__rn", row_number().over(wCut))
       .filter(col("__rn") <= k * overFetch)
       .select("query_id", "vec_id")
