@@ -642,6 +642,53 @@ object QueriesText {
           nCells = 16, nProbe = 8, quantizer = "sign", autoPlan = false)
       }),
 
+    // --------------------------------------- ANN: batched IVF kNN join
+    // The plain-IVF sibling of ann_ivfpq_knn_join (round 14): the
+    // persisted raw-vector index serves a corpus-sized query set —
+    // broadcast centroid ranking, per-query nProbe cells, cell
+    // equi-join (DPP on the data scan), exact cosine in place. The
+    // sign-quantizer build (buildIvf(quantizer = "sign")) is fully
+    // deterministic, so DuckDB replays cells, member-mean centroids,
+    // the per-query probe ranking AND the final per-query top-k
+    // value-for-value.
+    QueryDef("ann_ivf_knn_join", Some("""
+      WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cells AS (
+        SELECT vec_id, v,
+          (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END) +
+          (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS cell
+        FROM raw),
+      expl AS (SELECT cell, unnest(range(len(v))) AS i, unnest(v) AS x FROM cells),
+      cm AS (SELECT cell, i, avg(x) AS m FROM expl GROUP BY cell, i),
+      cent AS (SELECT cell, list(m ORDER BY i) AS c FROM cm GROUP BY cell),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM raw WHERE vec_id < 5),
+      pranked AS (
+        SELECT query_id, cell,
+               row_number() OVER (PARTITION BY query_id ORDER BY
+                 round(CASE WHEN sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv)) > 0
+                   THEN list_dot_product(c, qv) / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv)))
+                   ELSE 0.0 END, 6) DESC, cell) AS rn
+        FROM cent, q),
+      probes AS (SELECT query_id, cell FROM pranked WHERE rn <= 8),
+      scored AS (
+        SELECT query_id, e.vec_id,
+               round(CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv)) > 0
+                 THEN list_dot_product(e.v, qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv)))
+                 ELSE 0.0 END, 6) AS cosine
+        FROM cells e JOIN probes USING (cell) JOIN q USING (query_id)),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+      SELECT query_id, vec_id, cosine FROM r WHERE rn <= 3"""),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val idx = Tables.scratchDir("ivf_knn_idx")
+        graft.operators.AnnIndex.buildIvf(e, "embedding", "vec_id", idx,
+          nCells = 16, quantizer = "sign")
+        graft.operators.AnnIndex.ivfKnnJoin(s, idx,
+          e.filter(col("vec_id") < 5), "embedding", "vec_id",
+          k = 3, nProbe = 8)
+      }),
+
     // ----------------------------------------------------- ANN: IVF-PQ
     // The composite index for corpora whose raw vectors no longer fit
     // cluster memory: coarse sign cells prune the probe to nProbe

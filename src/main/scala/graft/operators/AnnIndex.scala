@@ -156,14 +156,22 @@ object AnnIndex {
    * index reads ~nProbe * 4096. [[searchIvf]] needs no plan sidecar:
    * the persisted `_centroids` table IS the cell plan (the probe ranks
    * whatever centroids exist).
+   *
+   * Quantizers (round 14 — the same two-arm interface as [[buildIvfPq]]
+   * and [[Similarity.ivfTopK]]): `"kmeans"` (production default, seeded,
+   * fit on the bounded hash-sample) or `"sign"` — cell = sign pattern of
+   * the first log2(nCells) dims, centroid = per-dim member mean — fully
+   * deterministic and SQL-replayable, which is what lets the
+   * `ann_ivf_knn_join` oracle replay the whole persisted-index probe
+   * value-for-value.
    */
   def buildIvf(embeddings: DataFrame, vecCol: String, idCol: String,
       path: String, nCells: Int = 16, seed: Long = 42L,
       autoPlan: Boolean = true, targetCellRows: Long = 4096L,
-      fitSampleCap: Long = KmeansFitSampleCap): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      fitSampleCap: Long = KmeansFitSampleCap,
+      quantizer: String = "kmeans"): Unit = {
     val spark = embeddings.sparkSession
+    import spark.implicits._
     val n = embeddings.count()
     val cells =
       if (!autoPlan) nCells
@@ -172,23 +180,57 @@ object AnnIndex {
     // interrupted rebuild must land on the sidecar-less state the reader
     // fails closed on, never on new data under stale centroids
     deleteSidecars(embeddings, path, "_centroids")
-    val prepared = embeddings
-      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
-      .withColumn("__features", array_to_vector(col("vec").cast("array<double>")))
-    // fit on the bounded sample, encode the full corpus — see
-    // [[KmeansFitSampleCap]]
-    val model = new KMeans().setK(cells).setSeed(seed)
-      .setFeaturesCol("__features").setPredictionCol("cell")
-      .fit(kmeansFitSample(prepared, n, fitSampleCap))
-    model.transform(prepared)
-      .select(col("vec_id"), col("vec"), col("cell"))
-      .repartition(col("cell")) // avoid W x nCells dynamic-partition files
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
-    import spark.implicits._
-    model.clusterCenters.toSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    quantizer match {
+      case "kmeans" =>
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val prepared = embeddings
+          .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+          .withColumn("__features", array_to_vector(col("vec").cast("array<double>")))
+        // fit on the bounded sample, encode the full corpus — see
+        // [[KmeansFitSampleCap]]
+        val model = new KMeans().setK(cells).setSeed(seed)
+          .setFeaturesCol("__features").setPredictionCol("cell")
+          .fit(kmeansFitSample(prepared, n, fitSampleCap))
+        model.transform(prepared)
+          .select(col("vec_id"), col("vec"), col("cell"))
+          .repartition(col("cell")) // avoid W x nCells dynamic-partition files
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+        model.clusterCenters.toSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toArray.toSeq) }
+          .toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+      case "sign" =>
+        val signBits = java.lang.Long.numberOfTrailingZeros(cells.toLong).toInt
+        require(cells > 0 && (1 << signBits) == cells,
+          s"buildIvf(sign): nCells must be a power of two, got $cells")
+        val cellExpr =
+          if (signBits == 0) lit(0L)
+          else (0 until signBits).map(j =>
+            when(try_element_at(col("vec"), lit(j + 1)) >= 0, lit(1L << j))
+              .otherwise(lit(0L))).reduce(_ + _)
+        val assigned = embeddings
+          .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+          .withColumn("cell", cellExpr)
+          .localCheckpoint(true) // read by the write + the centroid agg
+        assigned
+          .repartition(col("cell")) // avoid W x nCells dynamic-partition files
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+        // centroids: per-dim member means of the RAW vectors (the
+        // in-memory ivfTopK(sign) contract — partial-aggregated like
+        // buildIvfPq's)
+        assigned
+          .select(col("cell"),
+            posexplode_outer(col("vec").cast("array<double>")).as(Seq("i", "x")))
+          .groupBy("cell", "i").agg(avg(col("x")).as("m"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("cm"))
+          .select(col("cell"),
+            transform(col("cm"), s => s.getField("m")).as("centroid"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+      case other => throw new IllegalArgumentException(
+        s"buildIvf: unknown quantizer '$other' (kmeans|sign)")
+    }
   }
 
   /**
@@ -229,6 +271,47 @@ object AnnIndex {
       .select(col("vec_id"), cosine(col("vec"), qCol).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /**
+   * Batched k-NN JOIN against a persisted IVF index (round 14): the
+   * plain-IVF sibling of [[ivfPqKnnJoin]] for indexes that store RAW
+   * vectors — same probed-pairs shape (broadcast centroid ranking →
+   * per-query nProbe cells → cell equi-join with dynamic partition
+   * pruning on the data scan — never a query × corpus cross join), but
+   * scoring is the exact cosine directly, so there is no code pass and
+   * no re-rank stage. Cosines and the probe ranking round to 6dp with
+   * cell/vec_id tiebreaks (the `ann_ivf_knn_join` oracle replays the
+   * sign-quantizer index end-to-end). `nProbe < 0` applies
+   * [[Similarity.planIvfProbe]] at the index's cell count.
+   *
+   * @return (query_id, vec_id, cosine) — up to k rows per query
+   */
+  def ivfKnnJoin(spark: SparkSession, path: String, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nProbe: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivfCentroids(spark, path) // fail-closed sidecar read
+    val probe = if (nProbe >= 0) nProbe else Similarity.planIvfProbe(cents.length)
+    import spark.implicits._
+    val centsDf = cents.toSeq.map { case (c, a) => (c, a.toSeq) }
+      .toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("__cc").desc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(centsDf))
+      .select(col("query_id"), col("__qv"), col("cell"),
+        round(cosine(col("centroid"), col("__qv")), 6).as("__cc"))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= probe)
+      .select("query_id", "__qv", "cell")
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    probed.join(spark.read.parquet(path), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("vec"), col("__qv")), 6).as("cosine"))
+      .withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
   }
 
   // ------------------------------------------------------------------- PQ

@@ -560,6 +560,48 @@ class AnnIndexSpec extends SparkSpec {
       assert(got(qid).map(t => (t._2, t._3)).toSeq === single,
         s"batched vs single mismatch for query $qid")
     }
+    // the kmeans-index arm (production quantizers, possibly-ragged
+    // codebooks → the +inf hole contract) self-hits through the same
+    // batched plan
+    val pk = Tables.freshScratch("ivfpq_knn_km") + "/idx"
+    AnnIndex.buildIvfPq(emb, "embedding", "vec_id", pk, nCells = 8, m = 8,
+      quantizer = "kmeans")
+    val gotK = AnnIndex.ivfPqKnnJoin(spark, pk, queries, emb,
+        "embedding", "vec_id", k = 3, nProbe = 4, overFetch = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    (0L until 3L).foreach { qid =>
+      assert(gotK(qid).head._2 === qid, s"kmeans batched self-hit lost: $qid")
+    }
+  }
+
+  test("buildIvf(sign) + ivfKnnJoin: batched probe over the raw-vector " +
+      "index == in-memory sign ivfTopK; broadcast-only crosses, DPP") {
+    val path = Tables.freshScratch("ivf_knn") + "/idx"
+    AnnIndex.buildIvf(emb, "embedding", "vec_id", path, nCells = 16,
+      quantizer = "sign")
+    val queries = emb.filter(col("vec_id") < 3)
+    val joined = AnnIndex.ivfKnnJoin(spark, path, queries,
+      "embedding", "vec_id", k = 5, nProbe = 8)
+    val logical = joined.queryExecution.optimizedPlan.toString
+    logical.linesIterator.filter(_.contains("Join Cross")).foreach(l =>
+      assert(l.contains("strategy=broadcast"),
+        s"non-broadcast cross join in the ivf knn plan:\n$logical"))
+    assert(logical.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the data scan:\n$logical")
+    val got = joined.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    (0L until 3L).foreach { qid =>
+      assert(got(qid).head._2 === qid && got(qid).head._3 === 1.0)
+    }
+    // value parity with the in-memory sign ivfTopK at the same knobs
+    // (both sides share the 6dp + cell/vec_id tiebreak contract)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select("embedding").as[Seq[Float]].head()
+    val inMem = Similarity.ivfTopK(emb, "embedding", "vec_id", qv, 5,
+      nCells = 16, nProbe = 8, quantizer = "sign")
+      .as[(Long, Double)].collect().toSeq
+    assert(got(0L).map(t => (t._2, t._3)).toSeq === inMem)
   }
 
   test("bounded-sample quantizer training: fits on the hash-sample, " +
