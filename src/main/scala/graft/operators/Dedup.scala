@@ -792,8 +792,13 @@ object Dedup {
         org.apache.spark.sql.types.StructField("component", idType)))
       val rows = ids.map(id =>
         org.apache.spark.sql.Row(id, minOfRoot(find(id))))
-      val connected = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema)
+      // LocalRelation, NOT parallelize: parallelize ships the whole
+      // result set inside one task closure (a 5 MB task at the sf0.1
+      // dedup graph — TaskSetManager warns at 1 MB), while a local
+      // table stays on the driver, carries real size stats, and the
+      // singleton join below broadcasts it as a proper broadcast
+      import scala.jdk.CollectionConverters._
+      val connected = spark.createDataFrame(rows.asJava, schema)
       return nOpt match {
         case None => connected
         case Some(n) =>

@@ -348,10 +348,25 @@ class AnnIndexSpec extends SparkSpec {
         "embedding", "vec_id", k = 10)
       .select("query_id", "vec_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the two batched persisted-index joins (round 14) at their default
+    // parameters, same fixture, same queries
+    val ivfKnnPath = Tables.freshScratch("ivfknnsweep") + "/idx"
+    AnnIndex.buildIvf(clustered, "embedding", "vec_id", ivfKnnPath,
+      nCells = 16, quantizer = "sign")
+    def batched(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivfKnn = batched(AnnIndex.ivfKnnJoin(spark, ivfKnnPath,
+      clustered.filter(col("vec_id") % 25 === 0), "embedding", "vec_id", k = 10))
+    val ivfpqKnn = batched(AnnIndex.ivfPqKnnJoin(spark, ivfpqPath,
+      clustered.filter(col("vec_id") % 25 === 0), clustered,
+      "embedding", "vec_id", k = 10))
     val rows =
       perQuery.map { case (name, f) =>
         name -> avgRecall(queryVecs.map { case (id, qv) => id -> f(qv) })
-      } :+ ("lsh_knn_join (bits=12, probeHamming=1)" -> avgRecall(knn))
+      } :+ ("lsh_knn_join (bits=12, probeHamming=1)" -> avgRecall(knn)) :+
+        ("ivf_knn_join (sign, planned nProbe)" -> avgRecall(ivfKnn)) :+
+        ("ivfpq_knn_join (planned nProbe, overFetch=4)" -> avgRecall(ivfpqKnn))
     rows.foreach { case (name, r) =>
       println(f"[ann-recall] | $name%-40s | $r%.3f |")
     }
@@ -363,7 +378,9 @@ class AnnIndexSpec extends SparkSpec {
       "ivf_sign (nCells=16, nProbe=4)" -> 0.9,
       "pq_rerank (m=8, k=32, overFetch=4)" -> 0.9,
       "ivfpq_rerank (nCells=16, m=8, nProbe=4, overFetch=4)" -> 0.85,
-      "lsh_knn_join (bits=12, probeHamming=1)" -> 0.9)
+      "lsh_knn_join (bits=12, probeHamming=1)" -> 0.9,
+      "ivf_knn_join (sign, planned nProbe)" -> 0.9,
+      "ivfpq_knn_join (planned nProbe, overFetch=4)" -> 0.85)
     rows.foreach { case (name, r) =>
       assert(r >= floors(name), f"$name recall@10 $r%.3f below ${floors(name)}")
     }
