@@ -584,29 +584,31 @@ object QueriesText {
     // corpus on the bucket key, per-query windows — while the oracle
     // states the equivalent hamming-distance filter over the small query
     // set. Same probe ball, same candidates, value-matched.
-    QueryDef("ann_knn_join", Some(s"""
-      WITH sigs AS (
-        SELECT vec_id, embedding, (${lshSigSql("embedding")}) AS sig
-        FROM embeddings),
-      q AS (SELECT vec_id AS query_id, embedding AS qv, sig AS qsig
-            FROM sigs WHERE vec_id < 5),
-      cand AS (
-        SELECT q.query_id, s.vec_id,
-               round(CASE WHEN sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[])) *
-                               sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) > 0
-                 THEN list_dot_product(s.embedding::DOUBLE[], q.qv::DOUBLE[]) /
-                   (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[])) *
-                    sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))
-                 ELSE 0.0 END, 6) AS cosine
-        FROM sigs s, q
-        WHERE bit_count(xor(s.sig, q.qsig)) <= 1),
-      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY cosine DESC, vec_id) AS rn FROM cand)
-      SELECT query_id, vec_id, cosine FROM r WHERE rn <= 3"""),
+    QueryDef("ann_knn_join", Some(annKnnJoinOracleSql),
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         Similarity.lshKnnJoin(e.filter(col("vec_id") < 5), e,
           "embedding", "vec_id", k = 3, bits = 12, probeHamming = 1)
+      }),
+
+    // ------------------------------- similarity: kNN join, persisted index
+    // The same probe ball against the PERSISTED LSH table (round 14 —
+    // the last cell of the batched × persisted matrix): corpus
+    // signatures come from the index instead of being recomputed per
+    // call, the (sig_grp, sig) equi-join prunes at the partition level,
+    // and bits/family are recovered from the _plan sidecar only. At
+    // oracle scale the autoPlan build is a no-op at the reference
+    // (12, 1) +-1 plan, so the row SHARES ann_knn_join's oracle — the
+    // equality of the two rows' results IS the persisted-vs-in-memory
+    // equivalence, driver-checked every round.
+    QueryDef("ann_lsh_knn_indexed", Some(annKnnJoinOracleSql),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val idx = Tables.scratchDir("lsh_knn_idx")
+        graft.operators.AnnIndex.buildLsh(e, "embedding", "vec_id", idx,
+          dims = 64, bits = 12, refHamming = 1)
+        graft.operators.AnnIndex.lshKnnJoin(s, idx,
+          e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
       }),
 
     // ------------------------------------------------- similarity: IVF
@@ -2227,6 +2229,31 @@ object QueriesText {
       FROM sigs
       WHERE bit_count(xor(sig, qsig)) <= 2
       ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+  /** ann_knn_join oracle — the hamming-1 multiprobe ball over the
+    * 12-bit +-1 signature family, stated as a hamming-distance filter
+    * over the 5-query set. Shared by the in-memory row AND the
+    * persisted-index row `ann_lsh_knn_indexed` (the autoPlan build is a
+    * no-op at oracle scale, so both compute the identical probe). */
+  private lazy val annKnnJoinOracleSql: String = s"""
+      WITH sigs AS (
+        SELECT vec_id, embedding, (${lshSigSql("embedding")}) AS sig
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qv, sig AS qsig
+            FROM sigs WHERE vec_id < 5),
+      cand AS (
+        SELECT q.query_id, s.vec_id,
+               round(CASE WHEN sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[])) *
+                               sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) > 0
+                 THEN list_dot_product(s.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+                   (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))
+                 ELSE 0.0 END, 6) AS cosine
+        FROM sigs s, q
+        WHERE bit_count(xor(s.sig, q.qsig)) <= 1),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS rn FROM cand)
+      SELECT query_id, vec_id, cosine FROM r WHERE rn <= 3"""
 
   /** ann_ivf_topk oracle — shared by the default-auto row and its
     * explicit-plan `_fixed` twin (the planIvfCells no-op at oracle scale

@@ -947,6 +947,64 @@ object AnnIndex {
     }
     .sortBy { case (i, cos) => (-cos, i) }.take(nProbe).map(_._1).toSeq
 
+  /**
+   * Batched k-NN JOIN against a persisted LSH index (round 14 — the last
+   * cell of the {LSH, IVF, IVF-PQ} × {single-query, batched} matrix):
+   * [[Similarity.lshKnnJoin]] recomputes CORPUS signatures on every
+   * call, which is the right shape for ad-hoc frames but wasted work
+   * against a corpus that already has a persisted index — here the
+   * corpus side is the index's precomputed (sig_grp, sig, vec_id, vec)
+   * table. The query side explodes its multiprobe hamming ball (sum of
+   * C(bits, <=h) keys per query, compile-time mask list) and equi-joins
+   * on (sig_grp, sig): the group key prunes the scan at the partition
+   * level (dynamic partition pruning from the query side's literal-mask
+   * derivation), the within-partition sig sort prunes row groups, and
+   * per-query windows rank — never a query × corpus cross join.
+   *
+   * bits and the plane family come FROM the `_plan` sidecar ONLY (the
+   * searchLsh fail-closed lesson: a caller-supplied width computes keys
+   * in the wrong space and silently returns empty, so the batched API
+   * doesn't even offer the knob); `probeHamming < 0` takes the sidecar
+   * radius, an explicit value overrides (recall/cost knob, not
+   * key-space identity).
+   *
+   * @return (query_id, vec_id, cosine) — up to k rows per query, 6dp
+   *         with a vec_id tiebreak (the `ann_lsh_knn_indexed` oracle
+   *         replays the reference-width +-1 family end-to-end)
+   */
+  def lshKnnJoin(spark: SparkSession, path: String, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      probeHamming: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val plan = lshIndexPlan(spark, path) // fail-closed partition cross-check
+    val family = lshIndexFamily(spark, path)
+    val bits = plan._1
+    val h = if (probeHamming >= 0) probeHamming else plan._2
+    val masks = probeSigs(0L, bits, h)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qsig",
+        Similarity.sigCol(col("__qv"), bits, family == FamilyOrtho))
+      .withColumn("sig", explode(array(
+        masks.map(m => col("__qsig").bitwiseXOR(lit(m))): _*)))
+    val idx = spark.read.parquet(path)
+    val grouped = idx.columns.contains("sig_grp")
+    val qKeyed =
+      if (!grouped) q
+      else {
+        val grpBits = lshIndexGrpBits(spark, path)
+        q.withColumn("sig_grp", shiftright(col("sig"), bits - grpBits))
+      }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    qKeyed.join(idx, if (grouped) Seq("sig_grp", "sig") else Seq("sig"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("vec"), col("__qv")), 6).as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Cap on LSH partition-directory bits: at most 2^12 = 4096 sig-group
     * directories regardless of the signature width. */
   final val MaxLshPartBits = 12

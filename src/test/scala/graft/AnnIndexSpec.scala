@@ -621,6 +621,39 @@ class AnnIndexSpec extends SparkSpec {
     assert(got(0L).map(t => (t._2, t._3)).toSeq === inMem)
   }
 
+  test("persisted lshKnnJoin == in-memory lshKnnJoin at the same plan; " +
+      "widened grouped index self-hits at the sidecar plan") {
+    val path = Tables.freshScratch("lsh_knn") + "/idx"
+    AnnIndex.buildLsh(emb, "embedding", "vec_id", path,
+      dims = query.length, bits = 12, refHamming = 1)
+    val queries = emb.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val fromIdx = rows(AnnIndex.lshKnnJoin(spark, path, queries,
+      "embedding", "vec_id", k = 5))
+    val inMem = rows(Similarity.lshKnnJoin(queries, emb, "embedding",
+      "vec_id", k = 5, bits = 12, probeHamming = 1, autoPlan = false))
+    assert(fromIdx === inMem,
+      "persisted-index batched join must equal the in-memory formulation")
+    // a forced-wide build (ortho family, grouped layout): the batched
+    // probe recovers bits/family/radius from the sidecar — the
+    // wrong-key-space miss is structurally impossible because the API
+    // offers no width knob — and every query still finds itself
+    val p2 = Tables.freshScratch("lsh_knn_w") + "/idx"
+    val plan2 = AnnIndex.buildLsh(emb, "embedding", "vec_id", p2,
+      dims = query.length, bits = 8, targetOccupancy = 0.01)
+    assert(plan2._1 > 8)
+    assert(spark.read.parquet(p2).columns.contains("sig_grp"))
+    val hits = AnnIndex.lshKnnJoin(spark, p2, queries,
+        "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    (0L until 3L).foreach { qid =>
+      assert(hits(qid).map(_._2).contains(qid),
+        s"self-hit lost on the widened index for query $qid")
+    }
+  }
+
   test("bounded-sample quantizer training: fits on the hash-sample, " +
       "still ENCODES the full corpus, recall holds") {
     // Round 14 (judge ask #5): k-means quantizers fit on a deterministic
