@@ -215,21 +215,22 @@ object ProbeSuite {
       val scanBound = (nProbe * 4096L * AnnScanSlack).toLong
       val scanOk = scanned <= scanBound
       // recall floor: batched IVF-PQ kNN (100 one-per-cluster queries,
-      // planned nProbe, overFetch 4) vs per-query brute force
+      // planned nProbe, overFetch 4) vs per-query brute force — the
+      // brute reference is computed ONCE, shared by both arms
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("__cos").desc, col("vec_id").asc)
+      val brute = corpus.crossJoin(broadcast(queries
+          .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))))
+        .select(col("query_id"), col("vec_id"),
+          Similarity.cosine(col("embedding"), col("__qv")).as("__cos"))
+        .withColumn("__rn", row_number().over(wB))
+        .filter(col("__rn") <= 10)
+        .select("query_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       def recallOf(probeArg: Int): Double = {
         val got = AnnIndex.ivfPqKnnJoin(spark, idx, queries, corpus,
             "embedding", "vec_id", k = 10, nProbe = probeArg, overFetch = 4)
-          .select("query_id", "vec_id")
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
-          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(col("__cos").desc, col("vec_id").asc)
-        val brute = corpus.crossJoin(broadcast(queries
-            .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))))
-          .select(col("query_id"), col("vec_id"),
-            Similarity.cosine(col("embedding"), col("__qv")).as("__cos"))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= 10)
           .select("query_id", "vec_id")
           .collect().map(r => (r.getLong(0), r.getLong(1)))
           .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
