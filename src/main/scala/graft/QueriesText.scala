@@ -611,6 +611,28 @@ object QueriesText {
           e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
       }),
 
+    // ---------------------------- similarity: incremental append (r14)
+    // The index LIFECYCLE row: build the LSH index from HALF the corpus,
+    // appendLsh the other half under the frozen _plan geometry (the
+    // FAISS train-then-add shape — at 100 TB the alternative to append
+    // is a full-corpus rebuild for a <1% daily batch), then run the
+    // batched kNN join. Signatures are geometry-only, so the
+    // half-build + append index must serve answers IDENTICAL to the
+    // one-shot full build — the row shares ann_knn_join's full-corpus
+    // oracle, making that equivalence driver-checked every round.
+    QueryDef("ann_append_knn", Some(annKnnJoinOracleSql),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val idx = Tables.scratchDir("lsh_append_idx")
+        graft.operators.AnnIndex.buildLsh(
+          e.filter(col("vec_id") % 2 === 0), "embedding", "vec_id", idx,
+          dims = 64, bits = 12, refHamming = 1)
+        graft.operators.AnnIndex.appendLsh(
+          e.filter(col("vec_id") % 2 =!= 0), "embedding", "vec_id", idx)
+        graft.operators.AnnIndex.lshKnnJoin(s, idx,
+          e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
+      }),
+
     // ------------------------------------------------- similarity: IVF
     // VALUE-MATCHED oracle: the sign-pattern coarse quantizer (cell =
     // sign bits of the first 4 dims, centroid = per-dim member mean —

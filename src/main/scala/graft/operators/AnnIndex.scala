@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -22,6 +22,43 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   import Similarity.{cosine, hyperplaneSig}
+
+  /** cell = sign pattern of the first `signBits` dims — the deterministic
+    * coarse quantizer. ONE expression tree shared by buildIvf/buildIvfPq's
+    * "sign" arms and the frozen-geometry appends ([[appendIvf]] /
+    * [[appendIvfPq]]), so build- and append-time assignment can never
+    * drift into different key spaces. */
+  private def signCellExpr(v: Column, signBits: Int): Column =
+    if (signBits == 0) lit(0L)
+    else (0 until signBits).map(j =>
+      when(try_element_at(v, lit(j + 1)) >= 0, lit(1L << j))
+        .otherwise(lit(0L))).reduce(_ + _)
+
+  /** code[j] = sign pattern of subvector j of the (unit-normalized)
+    * vector — the deterministic sub-quantizer, shared by buildPq /
+    * buildIvfPq's "sign" arms and the appends for the same reason as
+    * [[signCellExpr]]. */
+  private def signCodeExpr(v: Column, m: Int, sub: Int): Column =
+    array((0 until m).map { j =>
+      (0 until sub).map { b =>
+        when(try_element_at(v, lit(j * sub + b + 1)) >= 0,
+          lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Partition width for the repartition-before-partitionBy writes. The
+    * EXPLICIT count matters, not just the keys: a column-only
+    * `repartition(col)` is AQE-coalescible (ShuffleOrigin
+    * REPARTITION_BY_COL), and a small input — an append batch, an
+    * oracle-scale build — coalesces to ONE task that then opens/closes
+    * every partition directory's parquet writer SEQUENTIALLY (measured:
+    * a 24k-row append into 1024 cell dirs took 16 s single-task vs
+    * 5.8 s at explicit width 32). `repartition(n, col)` is
+    * REPARTITION_BY_NUM, which AQE leaves alone, so writer open/close —
+    * the fixed cost that dominates many-dirs-few-rows writes — stays
+    * spread across the session's width. */
+  private def writeParts(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
 
   // --------------------------------------------- sidecar build protocol
 
@@ -194,27 +231,25 @@ object AnnIndex {
           .fit(kmeansFitSample(prepared, n, fitSampleCap))
         model.transform(prepared)
           .select(col("vec_id"), col("vec"), col("cell"))
-          .repartition(col("cell")) // avoid W x nCells dynamic-partition files
+          // explicit width: see [[writeParts]] (avoids W x nCells files
+          // AND the AQE one-task sequential-writer collapse)
+          .repartition(writeParts(prepared), col("cell"))
           .write.mode("overwrite").partitionBy("cell").parquet(path)
         model.clusterCenters.toSeq.zipWithIndex
           .map { case (c, i) => (i, c.toArray.toSeq) }
           .toDF("cell", "centroid")
+          .withColumn("quantizer", lit("kmeans")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
       case "sign" =>
         val signBits = java.lang.Long.numberOfTrailingZeros(cells.toLong).toInt
         require(cells > 0 && (1 << signBits) == cells,
           s"buildIvf(sign): nCells must be a power of two, got $cells")
-        val cellExpr =
-          if (signBits == 0) lit(0L)
-          else (0 until signBits).map(j =>
-            when(try_element_at(col("vec"), lit(j + 1)) >= 0, lit(1L << j))
-              .otherwise(lit(0L))).reduce(_ + _)
         val assigned = embeddings
           .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
-          .withColumn("cell", cellExpr)
+          .withColumn("cell", signCellExpr(col("vec"), signBits))
           .localCheckpoint(true) // read by the write + the centroid agg
         assigned
-          .repartition(col("cell")) // avoid W x nCells dynamic-partition files
+          .repartition(writeParts(assigned), col("cell")) // see [[writeParts]]
           .write.mode("overwrite").partitionBy("cell").parquet(path)
         // centroids: per-dim member means of the RAW vectors (the
         // in-memory ivfTopK(sign) contract — partial-aggregated like
@@ -227,6 +262,7 @@ object AnnIndex {
           .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("cm"))
           .select(col("cell"),
             transform(col("cm"), s => s.getField("m")).as("centroid"))
+          .withColumn("quantizer", lit("sign")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
       case other => throw new IllegalArgumentException(
         s"buildIvf: unknown quantizer '$other' (kmeans|sign)")
@@ -391,17 +427,12 @@ object AnnIndex {
         codebooks.flatMap { case (j, cents) =>
           cents.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
         }.toDF("subspace", "centroid_id", "centroid")
+          .withColumn("quantizer", lit("kmeans")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
       case "sign" =>
         require(sub <= 16, s"buildPq(sign): subvector width $sub would " +
           s"mean 2^$sub codes per subspace — raise m or use kmeans")
-        val coded = base.withColumn("code",
-          array((0 until m).map { j =>
-            (0 until sub).map { b =>
-              when(try_element_at(col("vec"), lit(j * sub + b + 1)) >= 0,
-                lit(1 << b)).otherwise(lit(0))
-            }.reduce(_ + _)
-          }: _*))
+        val coded = base.withColumn("code", signCodeExpr(col("vec"), m, sub))
           .localCheckpoint(true) // read by the write + the codebook agg
         coded.select(col("vec_id"), col("code"))
           .write.mode("overwrite").parquet(path)
@@ -418,6 +449,7 @@ object AnnIndex {
           .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("cm"))
           .select(col("subspace"), col("centroid_id"),
             transform(col("cm"), s => s.getField("m")).as("centroid"))
+          .withColumn("quantizer", lit("sign")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
       case other => throw new IllegalArgumentException(
         s"buildPq: unknown quantizer '$other' (kmeans|sign)")
@@ -536,20 +568,9 @@ object AnnIndex {
         // cell = sign pattern of the first signBits dims (normalization
         // preserves signs, so this matches the raw vector's pattern);
         // code = per-subspace sign pattern of the normalized vector
-        val cellExpr =
-          if (signBits == 0) lit(0L)
-          else (0 until signBits).map(j =>
-            when(try_element_at(col("nv"), lit(j + 1)) >= 0, lit(1L << j))
-              .otherwise(lit(0L))).reduce(_ + _)
         val coded = base
-          .withColumn("cell", cellExpr)
-          .withColumn("code",
-            array((0 until m).map { j =>
-              (0 until sub).map { b =>
-                when(try_element_at(col("nv"), lit(j * sub + b + 1)) >= 0,
-                  lit(1 << b)).otherwise(lit(0))
-              }.reduce(_ + _)
-            }: _*))
+          .withColumn("cell", signCellExpr(col("nv"), signBits))
+          .withColumn("code", signCodeExpr(col("nv"), m, sub))
           .localCheckpoint(true) // read by the write + two sidecar aggs
         // repartition ON THE CELL before the dynamic-partition write:
         // without it every one of the W write tasks emits a file into
@@ -557,7 +578,7 @@ object AnnIndex {
         // whale of a 17 s 600k-row build at 256 planned cells); with it
         // each cell's rows are colocated and the write emits ~nCells files
         coded.select(col("vec_id"), col("code"), col("cell"))
-          .repartition(col("cell"))
+          .repartition(writeParts(coded), col("cell")) // see [[writeParts]]
           .write.mode("overwrite").partitionBy("cell").parquet(path)
         // cell centroids: per-dim member means of the NORMALIZED vectors
         // (what the probe ranking cosines against) — partial-aggregated
@@ -568,6 +589,7 @@ object AnnIndex {
           .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("cm"))
           .select(col("cell"),
             transform(col("cm"), s => s.getField("m")).as("centroid"))
+          .withColumn("quantizer", lit("sign")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
         // codebooks: member means per (subspace, code, pos) — the exact
         // shape buildPq(sign) writes, shared across cells
@@ -581,6 +603,7 @@ object AnnIndex {
           .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("cm"))
           .select(col("subspace"), col("centroid_id"),
             transform(col("cm"), s => s.getField("m")).as("centroid"))
+          .withColumn("quantizer", lit("sign")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
       case "kmeans" =>
         import org.apache.spark.ml.clustering.KMeans
@@ -607,15 +630,17 @@ object AnnIndex {
           .select(col("vec_id"),
             array((0 until m).map(j => col(s"__c$j")): _*).as("code"),
             col("cell"))
-          .repartition(col("cell")) // see the sign arm: avoids W x nCells files
+          .repartition(writeParts(coded), col("cell")) // see [[writeParts]]
           .write.mode("overwrite").partitionBy("cell").parquet(path)
         coarse.clusterCenters.toSeq.zipWithIndex
           .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
           .toDF("cell", "centroid")
+          .withColumn("quantizer", lit("kmeans")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
         codebooks.flatMap { case (j, cents) =>
           cents.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
         }.toDF("subspace", "centroid_id", "centroid")
+          .withColumn("quantizer", lit("kmeans")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
       case other => throw new IllegalArgumentException(
         s"buildIvfPq: unknown quantizer '$other' (sign|kmeans)")
@@ -919,7 +944,7 @@ object AnnIndex {
       .withColumn("sig",
         Similarity.sigCol(col("vec"), plan._1, family == FamilyOrtho))
       .withColumn("sig_grp", shiftright(col("sig"), plan._1 - grpBits))
-      .repartition(col("sig_grp")) // avoid W x nGroups dynamic-partition files
+      .repartition(writeParts(embeddings), col("sig_grp")) // see [[writeParts]]
       .sortWithinPartitions("sig") // row-group stats prune to exact sigs
       .write.mode("overwrite").partitionBy("sig_grp").parquet(path)
     val spark = embeddings.sparkSession
@@ -1204,5 +1229,355 @@ object AnnIndex {
       .select(col("vec_id"), round(cosine(col("vec"), qCol), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  // --------------------------------------------------- incremental append
+  //
+  // The missing lifecycle shape at 100 TB: a daily crawl lands and the
+  // alternative to `appendX` is a full rebuild — one pass over the WHOLE
+  // corpus plus a corpus-wide shuffle, for a batch that is typically <1%
+  // of it. Appends follow the FAISS train-then-add contract: the sidecar
+  // GEOMETRY IS FROZEN (centroids / codebooks / plane family+bits are the
+  // index's identity), new rows are encoded with the index's own geometry
+  // and written `mode("append")` into the partitioned layout. Costs and
+  // guarantees:
+  //  - correctness of results is unchanged where searches exact-score or
+  //    re-rank (the candidate sets come from the frozen geometry; scoring
+  //    touches true vectors/codes);
+  //  - RANKING QUALITY drifts as the corpus outgrows the geometry:
+  //    member-mean centroids no longer reflect the cells' contents and
+  //    planned widths fall behind the row count — every append therefore
+  //    measures post-append occupancy against the same planner the build
+  //    used and WARNs (stderr, same convention as planEmbeddingBands'
+  //    cap note) when a fresh build would choose a wider plan: that is
+  //    the rebuild signal.
+  //  - appends are fail-closed like the readers: a missing sidecar (the
+  //    interrupted-rebuild state) errors before anything is written, and
+  //    a sign-quantizer batch that would create a cell the `_centroids`
+  //    sidecar doesn't describe errors too (writing it would brick the
+  //    index's own partition cross-check — and silently change the
+  //    geometry the probes rank).
+  //  - the append write itself is the normal non-atomic parquet append:
+  //    a crash mid-append can leave a PARTIAL BATCH on disk (sidecars
+  //    intact, so reads stay correct over whatever landed). Idempotent
+  //    re-ingestion belongs to the orchestration layer — pair appends
+  //    with [[graft.sources.FileCommit]]'s manifest protocol when
+  //    exactly-once batches matter.
+
+  /** The quantizer marker a round-14+ build writes into its sidecar
+    * (trailing column — positional readers of (0..2) are unaffected).
+    * FAIL-CLOSED for appends: encoding an append batch with the WRONG
+    * quantizer family silently places rows in a different key space than
+    * the index (the searchLsh lesson), so an index without the marker
+    * (pre-marker build) refuses appends instead of guessing. */
+  private[graft] def indexQuantizer(
+      spark: SparkSession, path: String, sidecar: String): String = {
+    val df = spark.read.parquet(s"$path/$sidecar")
+    if (!df.columns.contains("quantizer"))
+      throw new IllegalStateException(
+        s"index at $path: $sidecar has no quantizer marker (pre-round-14 " +
+          s"build) — appends cannot verify the encode family; rebuild the " +
+          s"index once to stamp it.")
+    df.select("quantizer").head().getString(0)
+  }
+
+  /** Nearest-centroid assignment for append batches against a FROZEN
+    * centroid table (kmeans-built indexes): batch × broadcast(centroids)
+    * with PARTIAL-AGGREGATED min_by, so the map-side combine collapses
+    * the n×nCells product before the exchange and the shuffle carries ~n
+    * rows — never a window over the exploded product and never a
+    * driver-side loop. Ties break to the LOWEST cell id (struct
+    * lexicographic order), matching KMeansModel.transform's
+    * first-centroid-wins. */
+  private def nearestCellAssign(batch: DataFrame,
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val centsDf = cents.toSeq.map { case (c, a) => (c, a.toSeq) }
+      .toDF("cell", "centroid")
+    batch.crossJoin(broadcast(centsDf))
+      .withColumn("__d",
+        aggregate(zip_with(col("vec").cast("array<double>"), col("centroid"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("vec"), col("cell")),
+        struct(col("__d"), col("cell"))).as("__a"))
+      .select(col("vec_id"), col("__a.vec").as("vec"),
+        col("__a.cell").as("cell"))
+  }
+
+  /** Sign-quantizer appends may not invent cells: a batch cell absent
+    * from the `_centroids` sidecar would fail the index's own partition
+    * cross-check on the next read ([[ivfCentroids]]) — and silently
+    * extend the geometry probes rank. Bounded check: the distinct agg is
+    * ≤ 2^signBits rows, partial-aggregated. Errors BEFORE any write. */
+  private def requireKnownCells(assigned: DataFrame,
+      cents: Array[(Long, Array[Double])], path: String, op: String): Unit = {
+    val known = cents.map(_._1).toSet
+    val unknown = assigned.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).filterNot(known)
+    if (unknown.nonEmpty) throw new IllegalStateException(
+      s"$op($path): append batch contains cell(s) ${unknown.sorted.take(8)
+        .mkString(", ")} not described by the _centroids sidecar " +
+        s"(${known.size} cells) — the frozen geometry cannot place them. " +
+        s"Rebuild the index over the union instead.")
+  }
+
+  /**
+   * Append a batch to a persisted LSH index WITHOUT rebuilding: bits,
+   * plane family and group width come FROM the `_plan` sidecar (frozen
+   * key space — fail-closed on the sidecar-less interrupted state; a
+   * legacy raw-sig index refuses appends rather than mixing layouts),
+   * signatures ride the exact build expression, and the batch lands
+   * `mode("append")` in the grouped layout — repartitioned by group and
+   * sig-sorted within, so appended files carry the same row-group
+   * pruning stats as built ones. New sig_grp directories are fine
+   * (partition discovery lists them; their values stay inside the
+   * sidecar's grp_bits space by construction).
+   *
+   * WARNs on occupancy drift: when [[Similarity.planLshProbe]] at the
+   * post-append count would pick wider bits than the index was built at,
+   * buckets now hold more rows than the plan's occupancy target — probe
+   * cost grows linearly with the overshoot until a rebuild re-widens.
+   *
+   * @return number of rows appended
+   */
+  def appendLsh(newRows: DataFrame, vecCol: String, idCol: String,
+      path: String, targetCosine: Double = 0.9,
+      targetOccupancy: Double = 2.0): Long = {
+    val spark = newRows.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_plan")))
+      throw new IllegalStateException(
+        s"appendLsh($path): no _plan sidecar — either an interrupted " +
+          s"rebuild (rebuild the index) or a legacy raw-sig layout " +
+          s"(appends would mix partition layouts; rebuild with the " +
+          s"current buildLsh).")
+    val (bits, probeHamming) = lshIndexPlan(spark, path) // fail-closed checks
+    val family = lshIndexFamily(spark, path)
+    val grpBits = lshIndexGrpBits(spark, path)
+    val oldN = spark.read.parquet(path).count() // parquet metadata count
+    val batch = newRows
+      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .withColumn("sig",
+        Similarity.sigCol(col("vec"), bits, family == FamilyOrtho))
+      .withColumn("sig_grp", shiftright(col("sig"), bits - grpBits))
+    batch
+      // explicit width matters MOST for appends: the batch is small, so
+      // a column-only repartition AQE-coalesces to one task writing every
+      // group directory sequentially — see [[writeParts]]
+      .repartition(writeParts(batch), col("sig_grp"))
+      .sortWithinPartitions("sig") // same row-group pruning as built files
+      .write.mode("append").partitionBy("sig_grp").parquet(path)
+    // the append's cost must stay O(batch): count the BATCH (column-pruned
+    // id scan), not the whole index a second time — the one full-index
+    // count above (oldN, metadata-only) is the drift WARN's input
+    val appended = newRows.select(col(idCol)).count()
+    val planned = Similarity.planLshProbe(oldN + appended, targetCosine,
+      bits, probeHamming, targetOccupancy)
+    if (planned._1 > bits)
+      System.err.println(s"[annindex] WARN appendLsh($path): post-append " +
+        s"count ${oldN + appended} plans ${planned._1} bits vs the " +
+        s"index's $bits — bucket occupancy is past the plan's target; " +
+        s"rebuild to restore the probe cost model.")
+    appended
+  }
+
+  /**
+   * Append a batch to a persisted IVF index (raw-vector variant) under
+   * its FROZEN geometry: the quantizer family comes from the sidecar's
+   * marker ([[indexQuantizer]] — encoding with the wrong family is the
+   * silent-mis-placement failure, so no caller knob exists), cells are
+   * assigned by the exact build rule (sign pattern, or nearest frozen
+   * centroid for kmeans), and the batch appends into the partitioned
+   * layout. Centroids are NOT refreshed (the frozen contract): member
+   * means drift as appends accumulate, degrading probe RANKING (not
+   * scoring) — the occupancy WARN below is the rebuild signal.
+   *
+   * @return number of rows appended
+   */
+  def appendIvf(newRows: DataFrame, vecCol: String, idCol: String,
+      path: String, targetCellRows: Long = 4096L): Long = {
+    val spark = newRows.sparkSession
+    val cents = ivfCentroids(spark, path) // fail-closed sidecar read
+    val quant = indexQuantizer(spark, path, "_centroids")
+    val dim = cents.head._2.length
+    val oldN = spark.read.parquet(path).count()
+    val batch = newRows.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val assigned = quant match {
+      case "sign" =>
+        val signBits = java.lang.Long.numberOfTrailingZeros(cents.length.toLong)
+        require((1 << signBits) == cents.length,
+          s"appendIvf($path): sign index with non-power-of-two " +
+            s"${cents.length} cells — not a layout buildIvf writes")
+        val a = batch.withColumn("cell", signCellExpr(col("vec"), signBits))
+        requireKnownCells(a, cents, path, "appendIvf")
+        a
+      case "kmeans" =>
+        // kmeans cells were fit over `dim`-dim vectors; a mismatched batch
+        // would zip_with into nulls and mis-place rows (take(1): an EMPTY
+        // batch — a quiet streaming micro-batch — appends nothing and
+        // needs no check)
+        batch.select(size(col("vec"))).take(1).foreach(r =>
+          require(r.getInt(0) == dim, s"appendIvf($path): batch has " +
+            s"${r.getInt(0)} dims but the index geometry has $dim"))
+        nearestCellAssign(batch, cents)
+    }
+    assigned.select(col("vec_id"), col("vec"), col("cell"))
+      .repartition(writeParts(assigned), col("cell")) // see [[writeParts]]
+      .write.mode("append").partitionBy("cell").parquet(path)
+    val appended = newRows.select(col(idCol)).count() // O(batch), see appendLsh
+    warnIvfDrift(path, "appendIvf", oldN + appended, cents.length,
+      targetCellRows)
+    appended
+  }
+
+  /**
+   * Append a batch to a persisted PQ (codes-only) index: codes are
+   * computed against the FROZEN `_codebooks` (sign pattern, or
+   * nearest-codeword per subspace for kmeans — ties to the lowest id,
+   * matching the build's KMeansModel). A batch code with no codebook
+   * entry is fine — [[pqDistanceColumns]] scores absent slots +inf, so
+   * such rows never out-rank by a hole — but it also means the frozen
+   * codebooks don't represent the new data well; heavy distribution
+   * shift is a rebuild signal (no occupancy WARN here: PQ has no cells
+   * to overfill, quality drift is the only cost).
+   *
+   * @return number of rows appended
+   */
+  def appendPq(newRows: DataFrame, vecCol: String, idCol: String,
+      path: String): Long = {
+    val spark = newRows.sparkSession
+    requireCodebooks(spark, path) // fail-closed
+    val quant = indexQuantizer(spark, path, "_codebooks")
+    val cb = readCodebooks(spark, path)
+    val m = cb.keys.map(_._1).max + 1
+    val sub = cb.values.head.length
+    // mirror buildPq's normalize exactly (the index lives on the unit
+    // sphere; appended rows must too)
+    val base = newRows
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("raw"))
+      .withColumn("__n",
+        sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
+      .select(col("vec_id"),
+        transform(col("raw"),
+          x => when(col("__n") > 0, x / col("__n")).otherwise(x)).as("vec"))
+    base.select(size(col("vec"))).take(1).foreach(r =>
+      require(r.getInt(0) == m * sub, s"appendPq($path): batch has " +
+        s"${r.getInt(0)} dims but the index encodes ${m * sub} (m=$m)"))
+    val codeCol = quant match {
+      case "sign"   => signCodeExpr(col("vec"), m, sub)
+      case "kmeans" => kmeansCodeExpr(col("vec"), cb, m, sub)
+    }
+    base.withColumn("code", codeCol).select(col("vec_id"), col("code"))
+      .write.mode("append").parquet(path)
+    newRows.select(col(idCol)).count() // O(batch), see appendLsh
+  }
+
+  /**
+   * Append a batch to a persisted IVF-PQ composite index under its
+   * frozen geometry: cell from the sidecar centroids' rule, code from
+   * the frozen shared codebooks, one projection + one partitioned append
+   * — the 100 TB daily-crawl shape (the alternative is a full-corpus
+   * rebuild for a <1% batch). Same drift story as [[appendIvf]] (probe
+   * ranking degrades, occupancy WARN advises rebuild) plus
+   * [[appendPq]]'s codebook-hole note.
+   *
+   * @return number of rows appended
+   */
+  def appendIvfPq(newRows: DataFrame, vecCol: String, idCol: String,
+      path: String, targetCellRows: Long = 4096L): Long = {
+    val spark = newRows.sparkSession
+    val cents = ivfCentroids(spark, path)   // fail-closed
+    requireCodebooks(spark, path)           // fail-closed
+    val quant = indexQuantizer(spark, path, "_centroids")
+    val cb = readCodebooks(spark, path)
+    val m = cb.keys.map(_._1).max + 1
+    val sub = cb.values.head.length
+    val oldN = spark.read.parquet(path).count()
+    // mirror buildIvfPq's normalize exactly
+    val base = newRows
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("raw"))
+      .withColumn("__n",
+        sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
+      .select(col("vec_id"),
+        transform(col("raw"),
+          x => when(col("__n") > 0, x / col("__n")).otherwise(x)).as("nv"))
+    base.select(size(col("nv"))).take(1).foreach(r =>
+      require(r.getInt(0) == m * sub, s"appendIvfPq($path): batch has " +
+        s"${r.getInt(0)} dims but the index encodes ${m * sub} (m=$m)"))
+    val assigned = quant match {
+      case "sign" =>
+        val signBits = java.lang.Long.numberOfTrailingZeros(cents.length.toLong)
+        require((1 << signBits) == cents.length,
+          s"appendIvfPq($path): sign index with non-power-of-two " +
+            s"${cents.length} cells — not a layout buildIvfPq writes")
+        val a = base.withColumn("cell", signCellExpr(col("nv"), signBits))
+        requireKnownCells(a, cents, path, "appendIvfPq")
+        a
+      case "kmeans" =>
+        nearestCellAssign(base.withColumnRenamed("nv", "vec"), cents)
+          .withColumnRenamed("vec", "nv")
+    }
+    val codeCol = quant match {
+      case "sign"   => signCodeExpr(col("nv"), m, sub)
+      case "kmeans" => kmeansCodeExpr(col("nv"), cb, m, sub)
+    }
+    assigned.withColumn("code", codeCol)
+      .select(col("vec_id"), col("code"), col("cell"))
+      .repartition(writeParts(assigned), col("cell")) // see [[writeParts]]
+      .write.mode("append").partitionBy("cell").parquet(path)
+    val appended = newRows.select(col(idCol)).count() // O(batch), see appendLsh
+    warnIvfDrift(path, "appendIvfPq", oldN + appended, cents.length,
+      targetCellRows)
+    appended
+  }
+
+  /** The `_codebooks` sidecar as a driver map — (subspace, code) →
+    * centroid. Bounded (m × codes rows), the same collect every scoring
+    * path already does. */
+  private def readCodebooks(spark: SparkSession,
+      path: String): Map[(Int, Int), Array[Double]] =
+    spark.read.parquet(s"$path/_codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+
+  /** code[j] = nearest frozen codeword for subvector j (squared-L2,
+    * ties to the lowest id — KMeansModel.transform's first-wins). The
+    * codebook is a bounded literal (m × k × sub doubles), so encoding is
+    * a pure projection — no join, no shuffle. Ragged codebooks (absent
+    * (j, c) slots) simply don't compete. */
+  private def kmeansCodeExpr(v: Column,
+      cb: Map[(Int, Int), Array[Double]], m: Int, sub: Int): Column = {
+    val kk = cb.keys.map(_._2).max + 1
+    array((0 until m).map { j =>
+      val sv = slice(v, j * sub + 1, sub)
+      val cands = array((0 until kk).flatMap { c =>
+        cb.get((j, c)).map { cent =>
+          struct(
+            aggregate(zip_with(sv, array(cent.toIndexedSeq.map(lit): _*),
+              (a, b) => (a - b) * (a - b)), lit(0.0), _ + _).as("d"),
+            lit(c).as("c"))
+        }
+      }: _*)
+      array_min(cands).getField("c")
+    }: _*)
+  }
+
+  /** Shared occupancy-drift WARN for the IVF-family appends: when a
+    * fresh build at the post-append count would plan MORE cells
+    * ([[Similarity.planIvfCells]]), each probe now scans
+    * total/nCells > targetCellRows rows per cell — linear probe-cost
+    * growth until a rebuild re-plans. */
+  private def warnIvfDrift(path: String, op: String, total: Long,
+      nCells: Int, targetCellRows: Long): Unit = {
+    val planned = Similarity.planIvfCells(total, nCells, targetCellRows)
+    if (planned > nCells)
+      System.err.println(s"[annindex] WARN $op($path): post-append count " +
+        s"$total plans $planned cells vs the index's $nCells (~" +
+        s"${total / math.max(1, nCells)} rows/cell vs target " +
+        s"$targetCellRows) — probe cost has outgrown the frozen " +
+        s"geometry; rebuild to re-plan.")
   }
 }

@@ -1,0 +1,241 @@
+package graft
+
+import graft.operators.AnnIndex
+import org.apache.spark.sql.functions._
+
+/** Incremental append to persisted ANN indexes (round 14): frozen sidecar
+  * geometry (the FAISS train-then-add contract), fail-closed on the
+  * interrupted/pre-marker states, and — for the deterministic sign
+  * quantizers — bit-identical index CONTENT to a full rebuild, so a
+  * half-build + append serves the same answers as a one-shot build. */
+class AnnAppendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+  private lazy val evens = emb.filter(col("vec_id") % 2 === 0)
+  private lazy val odds = emb.filter(col("vec_id") % 2 =!= 0)
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString + "/idx"
+
+  // ------------------------------------------------------------------ LSH
+
+  test("appendLsh: half-build + append is bit-identical to a full build " +
+      "(sigs are geometry-only), and the batched join answers match") {
+    val full = tmp("lsh_full"); val inc = tmp("lsh_inc")
+    AnnIndex.buildLsh(emb, "embedding", "vec_id", full, dims = 64, bits = 8)
+    AnnIndex.buildLsh(evens, "embedding", "vec_id", inc, dims = 64, bits = 8)
+    val n = AnnIndex.appendLsh(odds, "embedding", "vec_id", inc)
+    assert(n === odds.count())
+    val read = (p: String) => spark.read.parquet(p)
+      .select("vec_id", "sig", "sig_grp").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(read(inc) === read(full))
+    // same answers from the appended index as from the one-shot build
+    val q = emb.filter(col("vec_id") < 3)
+    val res = (p: String) => AnnIndex.lshKnnJoin(spark, p, q,
+      "embedding", "vec_id", k = 3).as[(Long, Long, Double)].collect().toSet
+    assert(res(inc) === res(full))
+  }
+
+  test("appendLsh: fail-closed on the sidecar-less (interrupted/legacy) " +
+      "state — nothing is written") {
+    val p = tmp("lsh_noplan")
+    AnnIndex.buildLsh(evens, "embedding", "vec_id", p, dims = 64, bits = 8)
+    val before = spark.read.parquet(p).count()
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/_plan"), true)
+    val e = intercept[IllegalStateException](
+      AnnIndex.appendLsh(odds, "embedding", "vec_id", p))
+    assert(e.getMessage.contains("_plan"))
+    // the guard fired BEFORE any write landed
+    assert(spark.read.parquet(p).count() === before)
+  }
+
+  test("appendLsh: occupancy-drift WARN fires when the post-append count " +
+      "would plan wider bits") {
+    val p = tmp("lsh_drift")
+    AnnIndex.buildLsh(evens, "embedding", "vec_id", p, dims = 64, bits = 4,
+      autoPlan = false)
+    val err = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    try {
+      System.setErr(new java.io.PrintStream(err, true))
+      // a microscopic occupancy target makes 500 rows overflow 4 bits
+      AnnIndex.appendLsh(odds, "embedding", "vec_id", p,
+        targetOccupancy = 0.001)
+    } finally System.setErr(old)
+    assert(err.toString.contains("WARN appendLsh"), err.toString)
+  }
+
+  // ------------------------------------------------------------------ IVF
+
+  test("appendIvf(sign): half-build + append is content-identical to a " +
+      "full build; probing every cell recovers the appended head") {
+    val full = tmp("ivf_full"); val inc = tmp("ivf_inc")
+    AnnIndex.buildIvf(emb, "embedding", "vec_id", full,
+      nCells = 8, quantizer = "sign")
+    AnnIndex.buildIvf(evens, "embedding", "vec_id", inc,
+      nCells = 8, quantizer = "sign")
+    val n = AnnIndex.appendIvf(odds, "embedding", "vec_id", inc)
+    assert(n === odds.count())
+    val read = (p: String) => spark.read.parquet(p)
+      .select(col("vec_id"), col("cell").cast("long")).as[(Long, Long)]
+      .collect().toSet
+    assert(read(inc) === read(full))
+    // an appended vector is its own nearest neighbor when every cell is
+    // probed (exact scoring path — centroid staleness can't hide it)
+    val q1 = emb.filter(col("vec_id") === 1).select("embedding")
+      .as[Seq[Float]].head()
+    val hits = AnnIndex.searchIvf(spark, inc, q1, k = 1, nProbe = 8)
+    assert(hits.select("vec_id").as[Long].head() === 1L)
+  }
+
+  test("appendIvf(kmeans): every appended row lands in its nearest FROZEN " +
+      "cell (ties to the lowest id), and the appended head is searchable") {
+    val p = tmp("ivf_km")
+    AnnIndex.buildIvf(evens, "embedding", "vec_id", p,
+      nCells = 4, quantizer = "kmeans")
+    AnnIndex.appendIvf(odds, "embedding", "vec_id", p)
+    val cents = AnnIndex.ivfCentroids(spark, p).sortBy(_._1)
+    val placed = spark.read.parquet(p)
+      .select(col("vec_id"), col("vec").cast("array<double>"),
+        col("cell").cast("long"))
+      .as[(Long, Seq[Double], Long)].collect()
+    val oddIds = odds.select("vec_id").as[Long].collect().toSet
+    placed.filter(r => oddIds(r._1)).foreach { case (id, v, cell) =>
+      val best = cents.map { case (c, ctr) =>
+        (c, ctr.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.minBy { case (c, d) => (d, c) }._1
+      assert(cell === best, s"vec $id placed in $cell, nearest is $best")
+    }
+    val q1 = emb.filter(col("vec_id") === 1).select("embedding")
+      .as[Seq[Float]].head()
+    val hits = AnnIndex.searchIvf(spark, p, q1, k = 1, nProbe = 4)
+    assert(hits.select("vec_id").as[Long].head() === 1L)
+  }
+
+  test("appendIvf(sign): a batch cell the frozen geometry doesn't " +
+      "describe errors BEFORE writing") {
+    val p = tmp("ivf_newcell")
+    // build only from vectors whose first two dims are >= 0: with 4
+    // cells (2 sign bits) the sidecar describes cell 3 only
+    val base = emb.filter(
+      element_at(col("embedding"), 1) >= 0 &&
+        element_at(col("embedding"), 2) >= 0)
+    assume(base.count() > 0)
+    AnnIndex.buildIvf(base, "embedding", "vec_id", p,
+      nCells = 4, quantizer = "sign")
+    val before = spark.read.parquet(p).count()
+    val stray = emb.filter(element_at(col("embedding"), 1) < 0).limit(5)
+    assume(stray.count() > 0)
+    val e = intercept[IllegalStateException](
+      AnnIndex.appendIvf(stray, "embedding", "vec_id", p))
+    assert(e.getMessage.contains("not described by the _centroids"))
+    assert(spark.read.parquet(p).count() === before)
+  }
+
+  test("append refuses a pre-marker index (no quantizer column) instead " +
+      "of guessing the encode family") {
+    val p = tmp("ivf_nomark")
+    AnnIndex.buildIvf(evens, "embedding", "vec_id", p,
+      nCells = 4, quantizer = "sign")
+    // simulate a pre-round-14 sidecar: rewrite _centroids without the
+    // marker column
+    val stripped = spark.read.parquet(s"$p/_centroids")
+      .select("cell", "centroid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val tmpSide = tmp("side_nomark")
+    stripped.toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(tmpSide)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/_centroids"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpSide),
+      new org.apache.hadoop.fs.Path(s"$p/_centroids"))
+    val e = intercept[IllegalStateException](
+      AnnIndex.appendIvf(odds, "embedding", "vec_id", p))
+    assert(e.getMessage.contains("quantizer marker"))
+  }
+
+  // --------------------------------------------------------------- IVF-PQ
+
+  test("appendIvfPq(sign): half-build + append is content-identical to a " +
+      "full build (cells AND codes are geometry-only)") {
+    val full = tmp("ivfpq_full"); val inc = tmp("ivfpq_inc")
+    AnnIndex.buildIvfPq(emb, "embedding", "vec_id", full,
+      nCells = 8, m = 16, quantizer = "sign")
+    AnnIndex.buildIvfPq(evens, "embedding", "vec_id", inc,
+      nCells = 8, m = 16, quantizer = "sign")
+    val n = AnnIndex.appendIvfPq(odds, "embedding", "vec_id", inc)
+    assert(n === odds.count())
+    val read = (p: String) => spark.read.parquet(p)
+      .select(col("vec_id"), col("code").cast("array<int>"),
+        col("cell").cast("long"))
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    assert(read(inc) === read(full))
+    // the appended head survives the candidate cut and re-ranks to top-1
+    val q1 = emb.filter(col("vec_id") === 1).select("embedding")
+      .as[Seq[Float]].head()
+    val hits = AnnIndex.searchIvfPqRerank(spark, inc, emb,
+      "embedding", "vec_id", q1, k = 1, nProbe = 8, overFetch = 8)
+    assert(hits.select("vec_id").as[Long].head() === 1L)
+  }
+
+  test("appendIvfPq(kmeans): appended rows are searchable through the " +
+      "frozen coarse + sub-quantizer geometry") {
+    val p = tmp("ivfpq_km")
+    AnnIndex.buildIvfPq(evens, "embedding", "vec_id", p,
+      nCells = 4, m = 8, quantizer = "kmeans")
+    val n = AnnIndex.appendIvfPq(odds, "embedding", "vec_id", p)
+    assert(n === odds.count())
+    val q1 = emb.filter(col("vec_id") === 1).select("embedding")
+      .as[Seq[Float]].head()
+    val hits = AnnIndex.searchIvfPqRerank(spark, p, emb,
+      "embedding", "vec_id", q1, k = 1, nProbe = 4, overFetch = 16)
+    assert(hits.select("vec_id").as[Long].head() === 1L)
+  }
+
+  // ------------------------------------------------------------------- PQ
+
+  test("appendPq: codes ride the frozen codebooks; a code the build never " +
+      "saw scores +inf and cannot out-rank by a hole") {
+    // synthetic corpus where the build half is all-positive (one code per
+    // subspace) and the append introduces unseen sign patterns
+    val dim = 8
+    val pos = (0L until 20L).map(i =>
+      (i, Seq.fill(dim)(0.5f + (i % 5) * 0.1f)))
+    val neg = Seq((100L, Seq.fill(dim)(-1.0f)))
+    val posDf = pos.toDF("vec_id", "embedding")
+    val negDf = neg.toDF("vec_id", "embedding")
+    val p = tmp("pq_holes")
+    AnnIndex.buildPq(posDf, "embedding", "vec_id", p, m = 2,
+      quantizer = "sign")
+    val n = AnnIndex.appendPq(negDf, "embedding", "vec_id", p)
+    assert(n === 1L)
+    // probe with a positive query: the appended all-negative row's code
+    // has no codebook entry -> +inf asymmetric distance -> ranked last,
+    // present but never in the head
+    val all = AnnIndex.searchPq(spark, p, Seq.fill(dim)(1.0f), k = 21)
+      .select("vec_id", "approx_dist").as[(Long, Double)].collect()
+    assert(all.map(_._1).contains(100L))
+    assert(all.sortBy(_._2).last._1 === 100L)
+    assert(all.find(_._1 == 100L).get._2 > 1e100)
+  }
+
+  test("appendPq(kmeans): appended codes match the frozen per-subspace " +
+      "nearest codeword") {
+    val p = tmp("pq_km")
+    AnnIndex.buildPq(evens, "embedding", "vec_id", p, m = 8,
+      quantizer = "kmeans")
+    val n = AnnIndex.appendPq(odds, "embedding", "vec_id", p)
+    assert(n === odds.count())
+    // the appended head re-ranks to top-1 through the frozen codebooks
+    val q1 = emb.filter(col("vec_id") === 1).select("embedding")
+      .as[Seq[Float]].head()
+    val hits = AnnIndex.searchPqRerank(spark, p, emb,
+      "embedding", "vec_id", q1, k = 1, overFetch = 16)
+    assert(hits.select("vec_id").as[Long].head() === 1L)
+  }
+}
