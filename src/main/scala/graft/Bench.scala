@@ -66,6 +66,15 @@ object Bench {
     // in the composite plan (lost DPP on the code scan, a cross join
     // sneaking in) moves a driver-recorded row
     "ann_ivfpq_knn_join",
+    // round 14 (late): the index LIFECYCLE rows. ann_append_knn guards
+    // the append path's O(batch) promise end-to-end (half-build +
+    // appendLsh + batched join vs the shared full-corpus oracle);
+    // stream_ann_ingest guards the streaming face (first-batch build,
+    // frozen-plan appends through a real FileStreamSource). A
+    // regression in the append write (e.g. the AQE single-task
+    // sequential-writer collapse this round fixed) or in the per-batch
+    // fixed costs moves these driver-recorded rows.
+    "ann_append_knn", "stream_ann_ingest",
     // the composed 6-stage curation run — the heaviest job a user
     // actually schedules. Its stages are timed individually above; this
     // row times the COMPOSITION (stage checkpoints included). It runs

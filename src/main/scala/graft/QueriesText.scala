@@ -633,6 +633,26 @@ object QueriesText {
           e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
       }),
 
+    // ----------------------- similarity: streaming ANN ingest (r14)
+    // Streams.annIngest end-to-end through a real FileStreamSource: the
+    // first micro-batch BUILDS the LSH index (the train step — its plan
+    // freezes in the _plan sidecar), later batches appendLsh under the
+    // frozen geometry, and the batched kNN join probes the accumulated
+    // index. Signatures are geometry-only, so the streamed index must
+    // serve the same answers as the one-shot full build — the row
+    // shares ann_knn_join's full-corpus oracle like ann_append_knn.
+    QueryDef("stream_ann_ingest", Some(annKnnJoinOracleSql),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val root = Tables.freshScratch("stream_ann")
+        val src = stageMicroBatches(s, e, root, idCol = "vec_id")
+        val q = graft.streaming.Streams.annIngest(src, "embedding",
+          "vec_id", s"$root/idx", s"$root/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.AnnIndex.lshKnnJoin(s, s"$root/idx",
+          e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
+      }),
+
     // ------------------------------------------------- similarity: IVF
     // VALUE-MATCHED oracle: the sign-pattern coarse quantizer (cell =
     // sign bits of the first 4 dims, centroid = per-dim member mean —
@@ -2406,10 +2426,10 @@ object QueriesText {
     * as `nBatches` micro-batches, rows split by a doc_id mod (fully
     * distributed; no driver-held data). */
   private def stageMicroBatches(s: SparkSession, df: DataFrame,
-      root: String, nBatches: Int = 3): DataFrame = {
+      root: String, nBatches: Int = 3, idCol: String = "doc_id"): DataFrame = {
     val stage = s"$root/stage"
     (0 until nBatches).foreach(i =>
-      df.filter(pmod(col("doc_id"), lit(nBatches)) === i)
+      df.filter(pmod(col(idCol), lit(nBatches)) === i)
         .coalesce(1).write.mode("append").parquet(stage))
     s.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)

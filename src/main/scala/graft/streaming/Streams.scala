@@ -341,6 +341,51 @@ object Streams {
   }
 
   /**
+   * Continuous ANN-index ingest — the streaming face of the round-14
+   * append family: each micro-batch of (id, vector) rows lands in a
+   * persisted LSH index. The FIRST non-empty batch BUILDS the index
+   * ([[graft.operators.AnnIndex.buildLsh]] — the FAISS "train" step:
+   * its auto-plan freezes bits/family/groups in the `_plan` sidecar);
+   * every later batch rides [[graft.operators.AnnIndex.appendLsh]]
+   * under that frozen geometry, so the stream never re-shuffles the
+   * accumulated corpus. Probes ([[graft.operators.AnnIndex.searchLsh]] /
+   * `lshKnnJoin`) read the same directory between batches — the index
+   * is live mid-stream.
+   *
+   * Delivery semantics: the checkpoint makes each batch process once in
+   * normal operation; on CRASH REPLAY the build batch is idempotent
+   * (mode overwrite, delete-first sidecars) but a replayed APPEND batch
+   * lands twice — at-least-once, the standard non-transactional-sink
+   * caveat. Pair with [[graft.sources.FileCommit]]'s manifest protocol
+   * upstream (exactly-once staging) or dedup on the id at read when
+   * replays matter; a duplicate row only duplicates one kNN candidate,
+   * it never corrupts the index geometry.
+   *
+   * appendLsh's occupancy-drift WARN fires across batches as the corpus
+   * outgrows the first batch's plan — for a stream that is the REBUILD
+   * signal (stop, rebuild at the grown count, restart): train-then-add
+   * wants a representative first batch, same as FAISS.
+   */
+  def annIngest(vecs: DataFrame, vecCol: String, idCol: String,
+      indexDir: String, checkpointDir: String, dims: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val df = batch.toDF()
+        val spark = df.sparkSession
+        if (!df.isEmpty) {
+          if (!indexHasData(spark, indexDir))
+            graft.operators.AnnIndex.buildLsh(df, vecCol, idCol, indexDir,
+              dims = dims)
+          else
+            graft.operators.AnnIndex.appendLsh(df, vecCol, idCol, indexDir)
+        }
+        () // pin the lambda to Unit for the foreachBatch overload
+      }
+      .start()
+
+  /**
    * The streaming tail of the keep_na lifecycle
    * (KEEP_NA_ROSTER_SECOND_IN_PROGRESS.Rmd:699-765): the "expired"
    * outcomes flowing out of [[keepNaRetry]]'s 60-day event-time timeout

@@ -224,6 +224,44 @@ class AnnAppendSpec extends SparkSpec {
     assert(all.find(_._1 == 100L).get._2 > 1e100)
   }
 
+  // ------------------------------------------------- streaming ingest
+
+  test("annIngest: first micro-batch builds (train), later batches append " +
+      "under the frozen plan, and the index is live + rebuild-identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_astream").toString
+    val (idx, ckpt) = (s"$dir/idx", s"$dir/ckpt")
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.annIngest(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      idx, ckpt)
+    try {
+      mem.addData(b0: _*)
+      q.processAllAvailable()
+      // the build batch froze the plan; the index is probe-able mid-stream
+      assert(AnnIndex.lshIndexPlan(spark, idx) === (12, 1))
+      assert(spark.read.parquet(idx).count() === b0.size)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(idx).count() === rows.size)
+    } finally q.stop()
+    // streamed index content + answers == a one-shot build over everything
+    val full12 = tmp("astream_full12")
+    AnnIndex.buildLsh(emb, "embedding", "vec_id", full12, dims = 64)
+    val read = (p: String) => spark.read.parquet(p)
+      .select("vec_id", "sig", "sig_grp").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(read(idx) === read(full12))
+    val qdf = emb.filter(col("vec_id") < 3)
+    val res = (p: String) => AnnIndex.lshKnnJoin(spark, p, qdf,
+      "embedding", "vec_id", k = 3).as[(Long, Long, Double)].collect().toSet
+    assert(res(idx) === res(full12))
+  }
+
   test("appendPq(kmeans): appended codes match the frozen per-subspace " +
       "nearest codeword") {
     val p = tmp("pq_km")
