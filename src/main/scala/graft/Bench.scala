@@ -217,7 +217,35 @@ object Bench {
       if (x == 0) System.err.println("[bench] canary sink") // defeat DCE
       t
     }
+    // Parallel-capacity canary (round 14): the single-thread canary is
+    // BLIND to host core overcommit — a co-tenant eating cores slows
+    // every 32-thread query ~uniformly while the 1-thread chain stays
+    // flat (observed in-round: two sweeps at 1.17x uniform row inflation
+    // under canary 0.65-0.69 s, i.e. "faster host, slower sweep"). This
+    // runs the SAME chain on every core at once; wall time scales with
+    // 1/available-parallelism. Recorded as canary_mt_sec next to
+    // canary_sec — mt/st >> nominal means the sweep ran under core
+    // pressure and the raw totals are not comparable even
+    // canary-normalized. Not yet folded into normalized_vs_prev (its
+    // semantics stay fixed for cross-round continuity); it is the
+    // triage datum for exactly the windows the st canary can't see.
+    def canaryMtSample(): Double = {
+      val nThreads = Runtime.getRuntime.availableProcessors()
+      val t0 = System.nanoTime()
+      val threads = (0 until nThreads).map { s =>
+        val th = new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L + s
+          var i = 0
+          while (i < 100000000) { x = (x ^ (x >>> 33)) * 0xFF51AFD7ED558CCDL; i += 1 }
+          if (x == 0) System.err.println("[bench] canary-mt sink")
+        })
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
+    val canariesMt = scala.collection.mutable.ArrayBuffer[Double]()
     val rounds: Seq[Seq[(Double, Option[Throwable])]] =
       (1 to timedPasses).map { r =>
         System.err.println(s"[bench] timed round $r/$timedPasses")
@@ -233,8 +261,10 @@ object Bench {
           (t, err)
         }
         val c = canarySample()
-        System.err.println(f"[bench] canary round $r: $c%.3fs")
+        val cMt = canaryMtSample()
+        System.err.println(f"[bench] canary round $r: $c%.3fs mt=$cMt%.3fs")
         canaries += c
+        canariesMt += cMt
         rr
       }
     // Redraw audit trail (round 12, advisor ask): every discarded
@@ -337,6 +367,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val canarySec =
       if (canaries.isEmpty) -1.0 else canaries.sorted.apply(canaries.size / 2)
+    val canaryMtSec = if (canariesMt.isEmpty) -1.0
+      else canariesMt.sorted.apply(canariesMt.size / 2)
     // Canary-normalized cross-round ratio (round 13, judge ask #7): the
     // record itself carries (total/canary) / (prev_total/prev_canary)
     // against the NEWEST prior BENCH_r*.json that has a positive canary,
@@ -421,7 +453,7 @@ object Bench {
     val normJson = prevNorm.fold("") { case (name, pc, ratio, n) =>
       s""","prev_record":"$name","prev_canary_sec":$pc,"comparable_queries":$n,"excluded_changed":$excludedJson,"normalized_vs_prev":$ratio"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"unsteady":$spreadJson,"redrawn":$redrawnJson,"canary_sec":$canarySec$normJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"unsteady":$spreadJson,"redrawn":$redrawnJson,"canary_sec":$canarySec,"canary_mt_sec":$canaryMtSec$normJson,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3)) sys.exit(1)
   }

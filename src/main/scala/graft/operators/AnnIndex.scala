@@ -1534,6 +1534,98 @@ object AnnIndex {
     appended
   }
 
+  /**
+   * Compact a persisted index after a run of appends. Every append adds
+   * up to one file PER TOUCHED PARTITION DIRECTORY (the layout forces
+   * it: a 1% daily batch still spreads across most cells/groups), so K
+   * daily appends multiply the file count — and with it footer reads,
+   * listing cost and probe task counts — by up to K. Compaction rewrites
+   * the data under the build's own write discipline (explicit-width
+   * repartition on the partition key, sig-sorted within for LSH row-group
+   * pruning) with the GEOMETRY UNTOUCHED: sidecars are carried over
+   * byte-identical, so the compacted index answers exactly like the
+   * fragmented one — only file counts change.
+   *
+   * Crash-safety is a staged-directory swap, not an in-place overwrite
+   * (an interrupted in-place rewrite would leave PARTIAL DATA under
+   * VALID sidecars — silent row loss, strictly worse than the stale-
+   * geometry states the sidecar protocol fails closed on):
+   *   1. write compacted data to `<path>.__compacting`;
+   *   2. copy the sidecars in;
+   *   3. rename `<path>` → `<path>.__precompact` (atomic dir rename);
+   *   4. rename `<path>.__compacting` → `<path>`;
+   *   5. delete `<path>.__precompact`.
+   * A crash before (3) leaves the live index untouched; between (3) and
+   * (4) readers fail closed on the missing path and the original is
+   * recoverable by renaming `__precompact` back; after (4) the compacted
+   * index is live and only garbage remains. A leftover `__compacting` /
+   * `__precompact` from a previous crash is deleted on entry.
+   *
+   * Works on every persisted layout this module writes: grouped LSH
+   * (`sig_grp=` dirs, sig-sorted), IVF / IVF-PQ (`cell=` dirs), flat PQ.
+   * Fail-closed like the readers: a sidecar-less index (interrupted
+   * rebuild) refuses compaction.
+   *
+   * @return (files before, files after), data files only
+   */
+  def compactIndex(spark: SparkSession, path: String): (Long, Long) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) throw new IllegalStateException(
+      s"compactIndex($path): no index at this path")
+    val sidecars = Seq("_plan", "_centroids", "_codebooks")
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s"$path/$s")))
+    val isLsh = sidecars.contains("_plan")
+    if (sidecars.isEmpty) throw new IllegalStateException(
+      s"compactIndex($path): no sidecars — an interrupted rebuild " +
+        s"(rebuild the index) or not an AnnIndex layout; refusing to " +
+        s"rewrite data whose geometry is unknown.")
+    if (isLsh) lshIndexPlan(spark, path) // fail-closed cross-checks
+    else ivfCentroids(spark, path)
+    def dataFiles(p: String): Long = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next().getPath
+        // sidecar dirs hold parquet/json too — count data files only
+        if (f.getName.endsWith(".parquet") &&
+          !sidecars.exists(s => f.toString.contains(s"/$s/"))) n += 1
+      }
+      n
+    }
+    val before = dataFiles(path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path.__precompact")
+    fs.delete(tmp, true); fs.delete(old, true) // prior-crash leftovers
+    val df = spark.read.parquet(path)
+    val pCol = Seq("sig_grp", "cell").find(df.columns.contains)
+    val writer = pCol match {
+      case Some(c) =>
+        val re = df.repartition(writeParts(df), col(c))
+        (if (isLsh) re.sortWithinPartitions("sig") else re)
+          .write.partitionBy(c)
+      case None => df.coalesce(
+        math.max(1, writeParts(df) / 4)).write // flat PQ: few big files
+    }
+    writer.mode("overwrite").parquet(tmp.toString)
+    sidecars.foreach { s =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$path/$s"),
+        fs, new org.apache.hadoop.fs.Path(s"$tmp/$s"),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    if (!fs.rename(hPath, old)) throw new IllegalStateException(
+      s"compactIndex($path): could not stage the live index aside")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(old, hPath) // restore — the compacted copy stays staged
+      throw new IllegalStateException(
+        s"compactIndex($path): swap failed; original restored, compacted " +
+          s"copy left at $tmp for inspection")
+    }
+    fs.delete(old, true)
+    (before, dataFiles(path))
+  }
+
   /** The `_codebooks` sidecar as a driver map — (subspace, code) →
     * centroid. Bounded (m × codes rows), the same collect every scoring
     * path already does. */

@@ -224,6 +224,74 @@ class AnnAppendSpec extends SparkSpec {
     assert(all.find(_._1 == 100L).get._2 > 1e100)
   }
 
+  // ------------------------------------------------------- compaction
+
+  test("compactIndex(LSH): appends fragment the layout, compaction " +
+      "rewrites it one-file-per-group with geometry and answers intact") {
+    val p = tmp("lsh_compact")
+    AnnIndex.buildLsh(evens, "embedding", "vec_id", p, dims = 64, bits = 8)
+    // three daily batches — each adds files to the touched group dirs
+    (0 until 3).foreach(i =>
+      AnnIndex.appendLsh(odds.filter(col("vec_id") % 3 === i),
+        "embedding", "vec_id", p))
+    val planBefore = AnnIndex.lshIndexPlan(spark, p)
+    val read = () => spark.read.parquet(p)
+      .select("vec_id", "sig", "sig_grp").as[(Long, Long, Long)]
+      .collect().toSet
+    val q = emb.filter(col("vec_id") < 3)
+    val knn = () => AnnIndex.lshKnnJoin(spark, p, q,
+      "embedding", "vec_id", k = 3).as[(Long, Long, Double)].collect().toSet
+    val (contentBefore, knnBefore) = (read(), knn())
+    val (before, after) = AnnIndex.compactIndex(spark, p)
+    assert(after < before, s"$before -> $after")
+    // one file per non-empty group directory after compaction
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val grpDirs = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).count(_.startsWith("sig_grp="))
+    assert(after === grpDirs.toLong)
+    assert(read() === contentBefore)
+    assert(knn() === knnBefore)
+    assert(AnnIndex.lshIndexPlan(spark, p) === planBefore)
+    // the staging dirs are gone
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p.__compacting")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p.__precompact")))
+  }
+
+  test("compactIndex(IVF-PQ): cells compact, codes and search unchanged") {
+    val p = tmp("ivfpq_compact")
+    AnnIndex.buildIvfPq(evens, "embedding", "vec_id", p,
+      nCells = 8, m = 16, quantizer = "sign")
+    (0 until 3).foreach(i =>
+      AnnIndex.appendIvfPq(odds.filter(col("vec_id") % 3 === i),
+        "embedding", "vec_id", p))
+    val read = () => spark.read.parquet(p)
+      .select(col("vec_id"), col("code").cast("array<int>"),
+        col("cell").cast("long"))
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    val contentBefore = read()
+    val (before, after) = AnnIndex.compactIndex(spark, p)
+    assert(after < before)
+    assert(read() === contentBefore)
+    val q1 = emb.filter(col("vec_id") === 1).select("embedding")
+      .as[Seq[Float]].head()
+    val hits = AnnIndex.searchIvfPqRerank(spark, p, emb,
+      "embedding", "vec_id", q1, k = 1, nProbe = 8, overFetch = 8)
+    assert(hits.select("vec_id").as[Long].head() === 1L)
+  }
+
+  test("compactIndex: refuses the sidecar-less interrupted state") {
+    val p = tmp("compact_nosc")
+    AnnIndex.buildIvf(evens, "embedding", "vec_id", p,
+      nCells = 4, quantizer = "sign")
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/_centroids"), true)
+    val e = intercept[IllegalStateException](
+      AnnIndex.compactIndex(spark, p))
+    assert(e.getMessage.contains("no sidecars"))
+  }
+
   // ------------------------------------------------- streaming ingest
 
   test("annIngest: first micro-batch builds (train), later batches append " +
