@@ -90,6 +90,24 @@ object AppendProbe {
       f"rebuild=${tLshRebuild}%.1fs append=${tLshAppend}%.1fs " +
       f"speedup=${tLshRebuild / tLshAppend}%.1fx same=$lshSame")
 
+    // ------------------------------------------------------ compaction
+    // fragment further (simulate a week of daily batches against the
+    // same index — each append adds files to every touched group dir),
+    // then measure the batched probe on the fragmented vs compacted
+    // layout; answers must be identical (geometry untouched).
+    (0 until 6).foreach { d =>
+      AnnIndex.appendLsh(
+        corpus.filter(pmod(xxhash64(col("vec_id"), lit(31)), lit(600)) === d),
+        "embedding", "vec_id", lshInc)
+    }
+    val (fragK, tFrag) = timed(knnSets(lshInc))
+    val ((filesBefore, filesAfter), tCompact) =
+      timed(AnnIndex.compactIndex(spark, lshInc))
+    val (compK, tComp) = timed(knnSets(lshInc))
+    println(f"[append] compact files=$filesBefore->$filesAfter " +
+      f"wall=${tCompact}%.1fs knn frag=${tFrag}%.1fs " +
+      f"compacted=${tComp}%.1fs same=${fragK == compK}")
+
     // ---------------------------------------------------------- IVF-PQ
     // Equivalence here is CONTENT identity (one checksum job): the sign
     // cells and codes are geometry-deterministic, so half-build + append

@@ -1001,25 +1001,21 @@ object AnnIndex {
       vecCol: String, idCol: String, k: Int,
       probeHamming: Int = -1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val plan = lshIndexPlan(spark, path) // fail-closed partition cross-check
-    val family = lshIndexFamily(spark, path)
-    val bits = plan._1
-    val h = if (probeHamming >= 0) probeHamming else plan._2
+    val meta = lshIndexMeta(spark, path) // fail-closed partition cross-check
+    val bits = meta.bits
+    val h = if (probeHamming >= 0) probeHamming else meta.probeHamming
     val masks = probeSigs(0L, bits, h)
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qsig",
-        Similarity.sigCol(col("__qv"), bits, family == FamilyOrtho))
+        Similarity.sigCol(col("__qv"), bits, meta.family == FamilyOrtho))
       .withColumn("sig", explode(array(
         masks.map(m => col("__qsig").bitwiseXOR(lit(m))): _*)))
     val idx = spark.read.parquet(path)
     val grouped = idx.columns.contains("sig_grp")
     val qKeyed =
       if (!grouped) q
-      else {
-        val grpBits = lshIndexGrpBits(spark, path)
-        q.withColumn("sig_grp", shiftright(col("sig"), bits - grpBits))
-      }
+      else q.withColumn("sig_grp", shiftright(col("sig"), bits - meta.grpBits))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     qKeyed.join(idx, if (grouped) Seq("sig_grp", "sig") else Seq("sig"))
@@ -1043,19 +1039,21 @@ object AnnIndex {
   final val FamilyPm1 = "pm1"     // +-1 splitmix planes (HyperplaneSig)
   final val FamilyOrtho = "ortho" // orthonormalized gaussian (OrthoPlaneSig)
 
+  /** Everything a probe/append needs to enter an LSH index's key space,
+    * from ONE sidecar read + ONE directory listing. The per-field
+    * readers below ([[lshIndexPlan]] / [[lshIndexFamily]] /
+    * [[lshIndexGrpBits]]) delegate here; multi-field callers
+    * (searchLsh, lshKnnJoin, appendLsh) read the meta ONCE — before
+    * round 14 they chained the three readers and paid 3-4 sidecar-read
+    * jobs + listings of fixed cost per call. */
+  final case class LshIndexMeta(bits: Int, probeHamming: Int,
+      family: String, grpBits: Int)
+
   /** The plane family an LSH index was built with — from the `_plan`
     * sidecar; pre-family sidecars and pre-sidecar indexes (both built
     * before the ortho family existed) report [[FamilyPm1]]. */
-  def lshIndexFamily(spark: SparkSession, path: String): String = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_plan"))) FamilyPm1
-    else {
-      val df = spark.read.json(s"$path/_plan")
-      if (!df.columns.contains("family")) FamilyPm1
-      else df.head().getAs[String]("family")
-    }
-  }
+  def lshIndexFamily(spark: SparkSession, path: String): String =
+    lshIndexMeta(spark, path).family
 
   /** The (bits, probeHamming) an LSH index was built at — read from its
     * `_plan` sidecar. Pre-sidecar indexes (no `_plan` dir) report the
@@ -1079,6 +1077,13 @@ object AnnIndex {
     * interrupted build lands on the sidecar-less default this check
     * covers.) */
   def lshIndexPlan(spark: SparkSession, path: String): (Int, Int) = {
+    val m = lshIndexMeta(spark, path)
+    (m.bits, m.probeHamming)
+  }
+
+  /** The single sidecar-read + cross-check implementation behind the
+    * per-field readers — see [[LshIndexMeta]]. */
+  def lshIndexMeta(spark: SparkSession, path: String): LshIndexMeta = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a missing index is a clear error, not a FileNotFoundException from
@@ -1087,11 +1092,16 @@ object AnnIndex {
       s"lshIndexPlan($path): no index at this path — build one with " +
         s"AnnIndex.buildLsh")
     val sidecar = fs.exists(new org.apache.hadoop.fs.Path(s"$path/_plan"))
-    val plan =
-      if (!sidecar) (12, 1)
+    val (plan, family, grpBits) =
+      if (!sidecar) ((12, 1), FamilyPm1, None)
       else {
-        val r = spark.read.json(s"$path/_plan").head()
-        (r.getAs[Long]("bits").toInt, r.getAs[Long]("probe_hamming").toInt)
+        val df = spark.read.json(s"$path/_plan")
+        val cols = df.columns.toSet
+        val r = df.head()
+        ((r.getAs[Long]("bits").toInt, r.getAs[Long]("probe_hamming").toInt),
+          if (cols("family")) r.getAs[String]("family") else FamilyPm1,
+          if (cols("grp_bits")) Some(r.getAs[Long]("grp_bits").toInt)
+          else None)
       }
     val dirs = fs.listStatus(hPath).iterator.map(_.getPath.getName).toSeq
     // legacy layout: raw-sig directories — validate against 2^bits; an
@@ -1120,32 +1130,20 @@ object AnnIndex {
     // so a grouped tree without a grp_bits sidecar IS the interrupted
     // state — and its dir values are prefix-capped, so a range check
     // could not catch a wrong-width default. Fail closed outright.
-    if (dirs.exists(_.startsWith("sig_grp="))) {
-      val grpOk = sidecar && spark.read.json(s"$path/_plan")
-        .columns.contains("grp_bits")
-      if (!grpOk) throw new IllegalStateException(
+    if (dirs.exists(_.startsWith("sig_grp=")) && grpBits.isEmpty)
+      throw new IllegalStateException(
         s"lshIndexPlan($path): grouped (sig_grp=) partition layout with " +
           s"no grp_bits sidecar — interrupted rebuild; a default-width " +
           s"probe would silently return empty. Rebuild the index with " +
           s"AnnIndex.buildLsh.")
-    }
-    plan
+    LshIndexMeta(plan._1, plan._2, family, grpBits.getOrElse(plan._1))
   }
 
   /** The partition-group width (grp_bits) of an LSH index — from the
     * `_plan` sidecar; legacy raw-sig layouts report their full bits
     * (group == sig). */
-  def lshIndexGrpBits(spark: SparkSession, path: String): Int = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val plan = lshIndexPlan(spark, path)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_plan"))) plan._1
-    else {
-      val df = spark.read.json(s"$path/_plan")
-      if (!df.columns.contains("grp_bits")) plan._1
-      else df.head().getAs[Long]("grp_bits").toInt
-    }
-  }
+  def lshIndexGrpBits(spark: SparkSession, path: String): Int =
+    lshIndexMeta(spark, path).grpBits
 
   /** All signatures within hamming distance `h` of `sig` — the multiprobe
     * expansion, enumerated on the driver (sum of C(bits, <=h) values). */
@@ -1185,13 +1183,13 @@ object AnnIndex {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sidecar = fs.exists(new org.apache.hadoop.fs.Path(s"$path/_plan"))
-    val plan = lshIndexPlan(spark, path) // fail-closed partition cross-check
-    val idxFamily = lshIndexFamily(spark, path)
+    val meta = lshIndexMeta(spark, path) // fail-closed partition cross-check
+    val idxFamily = meta.family
     val useBits =
-      if (bits < 0) plan._1
-      else if (sidecar && bits != plan._1) throw new IllegalStateException(
+      if (bits < 0) meta.bits
+      else if (sidecar && bits != meta.bits) throw new IllegalStateException(
         s"searchLsh($path): caller bits=$bits but the index _plan sidecar " +
-          s"says ${plan._1} — a probe at the wrong signature width computes " +
+          s"says ${meta.bits} — a probe at the wrong signature width computes " +
           s"keys in a different space than the partitions and silently " +
           s"returns empty. Omit bits to probe at the sidecar plan.")
       else bits
@@ -1202,7 +1200,7 @@ object AnnIndex {
           s"with $idxFamily planes — a probe in the wrong family silently " +
           s"misses. Omit family to probe in the index's own family.")
       else family
-    val useHamming = if (probeHamming < 0) plan._2 else probeHamming
+    val useHamming = if (probeHamming < 0) meta.probeHamming else probeHamming
     val qCol = array(query.map(v => lit(v)): _*)
     // query signature via a 1-row plan — same expression tree (and plane
     // family) as the build
@@ -1214,7 +1212,7 @@ object AnnIndex {
     val sigPruned =
       if (!df.columns.contains("sig_grp")) df
       else {
-        val grpBits = lshIndexGrpBits(spark, path)
+        val grpBits = meta.grpBits
         // grouped layouts only exist sidecar-written, and the sidecar's
         // grp_bits <= bits by construction — the require guards the
         // mod-64 garbage shift a mismatched width would produce
@@ -1354,9 +1352,9 @@ object AnnIndex {
           s"rebuild (rebuild the index) or a legacy raw-sig layout " +
           s"(appends would mix partition layouts; rebuild with the " +
           s"current buildLsh).")
-    val (bits, probeHamming) = lshIndexPlan(spark, path) // fail-closed checks
-    val family = lshIndexFamily(spark, path)
-    val grpBits = lshIndexGrpBits(spark, path)
+    val meta = lshIndexMeta(spark, path) // fail-closed checks, one read
+    val (bits, probeHamming) = (meta.bits, meta.probeHamming)
+    val (family, grpBits) = (meta.family, meta.grpBits)
     val oldN = spark.read.parquet(path).count() // parquet metadata count
     val batch = newRows
       .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
