@@ -633,6 +633,27 @@ object QueriesText {
           e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
       }),
 
+    // --------------------------- similarity: compacted lifecycle (r14)
+    // The full lifecycle under one oracle: build half, append the rest,
+    // COMPACT (staged-rename rewrite, geometry byte-identical), probe.
+    // Compaction must not move a single answer — the row shares the
+    // same full-corpus oracle as ann_knn_join/ann_append_knn, so a
+    // compaction bug (dropped rows, wrong sort, lost sidecar) fails the
+    // driver gate, not just the spec.
+    QueryDef("ann_compact_knn", Some(annKnnJoinOracleSql),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val idx = Tables.scratchDir("lsh_compact_idx")
+        graft.operators.AnnIndex.buildLsh(
+          e.filter(col("vec_id") % 2 === 0), "embedding", "vec_id", idx,
+          dims = 64, bits = 12, refHamming = 1)
+        graft.operators.AnnIndex.appendLsh(
+          e.filter(col("vec_id") % 2 =!= 0), "embedding", "vec_id", idx)
+        graft.operators.AnnIndex.compactIndex(s, idx)
+        graft.operators.AnnIndex.lshKnnJoin(s, idx,
+          e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
+      }),
+
     // ----------------------- similarity: streaming ANN ingest (r14)
     // Streams.annIngest end-to-end through a real FileStreamSource: the
     // first micro-batch BUILDS the LSH index (the train step — its plan
