@@ -417,6 +417,9 @@ object AnnIndex {
             .fit(fitBase.withColumn(featCol, subvec))
           coded = model.transform(coded.withColumn(featCol, subvec))
             .drop(featCol)
+          // same plan-depth bound as buildIvfPq's kmeans arm: cut the
+          // m-transform lineage every 8 subspaces past the first 8
+          if (j >= 8 && j % 8 == 0) coded = coded.localCheckpoint(true)
           (j, model.clusterCenters.map(_.toArray))
         }
         coded
@@ -624,6 +627,13 @@ object AnnIndex {
             .setFeaturesCol(fc).setPredictionCol(s"__c$j")
             .fit(fitPrepared.withColumn(fc, subvec))
           coded = model.transform(coded.withColumn(fc, subvec)).drop(fc)
+          // bound the encode chain's plan depth at large m: m+1 chained
+          // transforms analyze as ONE lineage before the write, and past
+          // a few dozen the optimizer pass cost grows superlinearly —
+          // cut the lineage every 8 subspaces (never triggers at the
+          // production m=8; the checkpoint is eager and deterministic,
+          // so codes are unchanged when it does)
+          if (j >= 8 && j % 8 == 0) coded = coded.localCheckpoint(true)
           (j, model.clusterCenters.map(_.toArray))
         }
         coded
