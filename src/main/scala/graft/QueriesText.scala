@@ -633,6 +633,27 @@ object QueriesText {
           e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
       }),
 
+    // --------------------------- similarity: reindexed lifecycle (r14)
+    // The drift WARN's prescribed action, driver-gated: build the index
+    // at a deliberately narrow 4-bit plan (the outgrown state), append
+    // the rest, reindexLsh — the index rebuilds FROM ITS OWN ROWS at the
+    // re-picked plan (the (12, 1) +-1 reference at oracle scale), and
+    // the probe must match the same full-corpus oracle as every other
+    // lifecycle row.
+    QueryDef("ann_reindex_knn", Some(annKnnJoinOracleSql),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val idx = Tables.scratchDir("lsh_reindex_idx")
+        graft.operators.AnnIndex.buildLsh(
+          e.filter(col("vec_id") % 2 === 0), "embedding", "vec_id", idx,
+          dims = 64, bits = 4, autoPlan = false)
+        graft.operators.AnnIndex.appendLsh(
+          e.filter(col("vec_id") % 2 =!= 0), "embedding", "vec_id", idx)
+        graft.operators.AnnIndex.reindexLsh(s, idx)
+        graft.operators.AnnIndex.lshKnnJoin(s, idx,
+          e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
+      }),
+
     // --------------------------- similarity: compacted lifecycle (r14)
     // The full lifecycle under one oracle: build half, append the rest,
     // COMPACT (staged-rename rewrite, geometry byte-identical), probe.

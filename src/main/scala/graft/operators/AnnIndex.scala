@@ -1622,16 +1622,62 @@ object AnnIndex {
         fs, new org.apache.hadoop.fs.Path(s"$tmp/$s"),
         false, spark.sparkContext.hadoopConfiguration)
     }
-    if (!fs.rename(hPath, old)) throw new IllegalStateException(
-      s"compactIndex($path): could not stage the live index aside")
-    if (!fs.rename(tmp, hPath)) {
-      fs.rename(old, hPath) // restore — the compacted copy stays staged
+    swapStaged(fs, hPath, tmp, old, "compactIndex")
+    (before, dataFiles(path))
+  }
+
+  /** The atomic-rename tail of the staged-rewrite protocol shared by
+    * [[compactIndex]] and [[reindexLsh]]: live → old, staged → live,
+    * delete old. A failed second rename restores the original and keeps
+    * the staged copy for inspection — no window exposes a readable
+    * half-index. */
+  private def swapStaged(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path, staged: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path, op: String): Unit = {
+    if (!fs.rename(live, old)) throw new IllegalStateException(
+      s"$op($live): could not stage the live index aside")
+    if (!fs.rename(staged, live)) {
+      fs.rename(old, live) // restore — the staged copy stays for inspection
       throw new IllegalStateException(
-        s"compactIndex($path): swap failed; original restored, compacted " +
-          s"copy left at $tmp for inspection")
+        s"$op($live): swap failed; original restored, staged copy left " +
+          s"at $staged for inspection")
     }
     fs.delete(old, true)
-    (before, dataFiles(path))
+  }
+
+  /**
+   * Re-plan and rebuild a persisted LSH index FROM ITS OWN ROWS — the
+   * action the append-drift WARN prescribes, without re-reading the
+   * upstream corpus (the index stores raw vectors, so it is its own
+   * source of truth; IVF-PQ/PQ indexes store lossy codes and genuinely
+   * need the corpus for a re-plan — that asymmetry is the price of the
+   * codes-only footprint). The plan is re-picked by [[buildLsh]]'s own
+   * occupancy planner at the CURRENT row count (bits widen with log2(n),
+   * radius re-picked to hold recall, wide plans ride the ortho family),
+   * the rebuild writes to a staged directory, and the same rename swap
+   * as [[compactIndex]] makes the cut-over crash-safe — every window
+   * leaves the original intact or recoverable, never a half-index.
+   * Fail-closed on sidecar-less (interrupted) states like every reader.
+   *
+   * @return the new (bits, probeHamming) plan
+   */
+  def reindexLsh(spark: SparkSession, path: String, bits: Int = 12,
+      refHamming: Int = 1, targetCosine: Double = 0.9,
+      targetOccupancy: Double = 2.0): (Int, Int) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lshIndexMeta(spark, path) // fail-closed: trust the rows only if the
+                              // geometry describing them is consistent
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__reindexing")
+    val old = new org.apache.hadoop.fs.Path(s"$path.__prereindex")
+    fs.delete(tmp, true); fs.delete(old, true) // prior-crash leftovers
+    val rows = spark.read.parquet(path).select("vec_id", "vec")
+    // dims is vestigial in buildLsh (signatures derive width from bits)
+    val plan = buildLsh(rows, "vec", "vec_id", tmp.toString, dims = 0,
+      bits = bits, autoPlan = true, targetCosine = targetCosine,
+      refHamming = refHamming, targetOccupancy = targetOccupancy)
+    swapStaged(fs, hPath, tmp, old, "reindexLsh")
+    plan
   }
 
   /** The `_codebooks` sidecar as a driver map — (subspace, code) →

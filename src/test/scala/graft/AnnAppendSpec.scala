@@ -280,6 +280,47 @@ class AnnAppendSpec extends SparkSpec {
     assert(hits.select("vec_id").as[Long].head() === 1L)
   }
 
+  test("reindexLsh: rebuilds from the index's own rows at the re-picked " +
+      "plan — the drift WARN's prescribed action, no upstream corpus") {
+    val p = tmp("lsh_reindex")
+    // a deliberately narrow explicit plan (the outgrown state)
+    AnnIndex.buildLsh(evens, "embedding", "vec_id", p, dims = 64,
+      bits = 4, autoPlan = false)
+    AnnIndex.appendLsh(odds, "embedding", "vec_id", p)
+    assert(AnnIndex.lshIndexPlan(spark, p) === (4, 1))
+    val idsBefore = spark.read.parquet(p)
+      .select("vec_id").as[Long].collect().toSet
+    val plan = AnnIndex.reindexLsh(spark, p)
+    // at oracle scale the re-pick is the reference plan
+    assert(plan === (12, 1))
+    assert(AnnIndex.lshIndexPlan(spark, p) === (12, 1))
+    // same rows, signatures identical to a fresh one-shot 12-bit build
+    val fresh = tmp("lsh_reindex_fresh")
+    AnnIndex.buildLsh(emb, "embedding", "vec_id", fresh, dims = 64)
+    val read = (x: String) => spark.read.parquet(x)
+      .select("vec_id", "sig", "sig_grp").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(read(p) === read(fresh))
+    assert(read(p).map(_._1) === idsBefore)
+    val q = emb.filter(col("vec_id") < 3)
+    val res = (x: String) => AnnIndex.lshKnnJoin(spark, x, q,
+      "embedding", "vec_id", k = 3).as[(Long, Long, Double)].collect().toSet
+    assert(res(p) === res(fresh))
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p.__reindexing")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p.__prereindex")))
+  }
+
+  test("reindexLsh: refuses the sidecar-less interrupted state") {
+    val p = tmp("reindex_nosc")
+    AnnIndex.buildLsh(evens, "embedding", "vec_id", p, dims = 64)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/_plan"), true)
+    intercept[IllegalStateException](AnnIndex.reindexLsh(spark, p))
+  }
+
   test("compactIndex: refuses the sidecar-less interrupted state") {
     val p = tmp("compact_nosc")
     AnnIndex.buildIvf(evens, "embedding", "vec_id", p,
