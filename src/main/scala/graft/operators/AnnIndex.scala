@@ -1661,6 +1661,36 @@ object AnnIndex {
    *
    * @return the new (bits, probeHamming) plan
    */
+  /**
+   * [[reindexLsh]]'s sibling for the raw-vector IVF layout: re-plan the
+   * cell count at the CURRENT row count and rebuild from the index's own
+   * rows (old cell assignments discarded and re-derived; the quantizer
+   * family comes from the sidecar's marker, never a caller guess —
+   * kmeans refits on the bounded hash-sample of the index's rows, sign
+   * re-derives the pattern at the re-planned width). Same staged-swap
+   * cut-over. IVF-PQ/PQ stay corpus-bound for re-plans: their codes are
+   * lossy. Fail-closed on sidecar-less and pre-marker states.
+   *
+   * @return the new cell count
+   */
+  def reindexIvf(spark: SparkSession, path: String, nCells: Int = 16,
+      seed: Long = 42L, targetCellRows: Long = 4096L,
+      fitSampleCap: Long = KmeansFitSampleCap): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ivfCentroids(spark, path) // fail-closed geometry cross-check
+    val quant = indexQuantizer(spark, path, "_centroids")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__reindexing")
+    val old = new org.apache.hadoop.fs.Path(s"$path.__prereindex")
+    fs.delete(tmp, true); fs.delete(old, true) // prior-crash leftovers
+    val rows = spark.read.parquet(path).select("vec_id", "vec")
+    buildIvf(rows, "vec", "vec_id", tmp.toString, nCells = nCells,
+      seed = seed, autoPlan = true, targetCellRows = targetCellRows,
+      fitSampleCap = fitSampleCap, quantizer = quant)
+    swapStaged(fs, hPath, tmp, old, "reindexIvf")
+    ivfCentroids(spark, path).length
+  }
+
   def reindexLsh(spark: SparkSession, path: String, bits: Int = 12,
       refHamming: Int = 1, targetCosine: Double = 0.9,
       targetOccupancy: Double = 2.0): (Int, Int) = {

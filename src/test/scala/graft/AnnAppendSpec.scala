@@ -312,6 +312,30 @@ class AnnAppendSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p.__prereindex")))
   }
 
+  test("reindexIvf(sign): re-plans the cells from the index's own rows; " +
+      "content matches a fresh build at the same plan") {
+    val p = tmp("ivf_reindex")
+    AnnIndex.buildIvf(evens, "embedding", "vec_id", p,
+      nCells = 4, quantizer = "sign")
+    AnnIndex.appendIvf(odds, "embedding", "vec_id", p)
+    assert(AnnIndex.ivfCentroids(spark, p).length === 4)
+    // a tiny rows-per-cell target forces the re-plan to widen
+    val cells = AnnIndex.reindexIvf(spark, p, nCells = 4,
+      targetCellRows = 64L)
+    assert(cells > 4)
+    val fresh = tmp("ivf_reindex_fresh")
+    AnnIndex.buildIvf(emb, "embedding", "vec_id", fresh,
+      nCells = 4, quantizer = "sign", targetCellRows = 64L)
+    val read = (x: String) => spark.read.parquet(x)
+      .select(col("vec_id"), col("cell").cast("long")).as[(Long, Long)]
+      .collect().toSet
+    assert(read(p) === read(fresh))
+    val q1 = emb.filter(col("vec_id") === 1).select("embedding")
+      .as[Seq[Float]].head()
+    val hits = AnnIndex.searchIvf(spark, p, q1, k = 1, nProbe = cells)
+    assert(hits.select("vec_id").as[Long].head() === 1L)
+  }
+
   test("reindexLsh: refuses the sidecar-less interrupted state") {
     val p = tmp("reindex_nosc")
     AnnIndex.buildLsh(evens, "embedding", "vec_id", p, dims = 64)
