@@ -224,6 +224,19 @@ class AnnAppendSpec extends SparkSpec {
     assert(all.find(_._1 == 100L).get._2 > 1e100)
   }
 
+  test("appends accept an empty batch (a quiet streaming micro-batch): " +
+      "0 appended, index byte-identical") {
+    val p = tmp("lsh_emptyb"); val pq = tmp("ivfpq_emptyb")
+    AnnIndex.buildLsh(evens, "embedding", "vec_id", p, dims = 64)
+    AnnIndex.buildIvfPq(evens, "embedding", "vec_id", pq,
+      nCells = 8, m = 16, quantizer = "sign")
+    val none = emb.filter(col("vec_id") < 0)
+    assert(AnnIndex.appendLsh(none, "embedding", "vec_id", p) === 0L)
+    assert(AnnIndex.appendIvfPq(none, "embedding", "vec_id", pq) === 0L)
+    assert(spark.read.parquet(p).count() === evens.count())
+    assert(spark.read.parquet(pq).count() === evens.count())
+  }
+
   // ------------------------------------------------------- compaction
 
   test("compactIndex(LSH): appends fragment the layout, compaction " +
