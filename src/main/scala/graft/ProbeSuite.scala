@@ -47,9 +47,11 @@ import org.apache.spark.sql.functions._
  *    the IVF-PQ recall floor on a 300k clustered corpus — the on-disk
  *    cell count must match planIvfCells, the probe's admitted rows must
  *    stay within nProbe(planned) * targetCellRows * `AnnScanSlack`
- *    (a fixed-cells or lost-prune regression trips it), and the batched
+ *    (a fixed-cells or lost-prune regression trips it), the batched
  *    kNN recall@10 at the planned operating point must hold
- *    `AnnRecallFloor`.
+ *    `AnnRecallFloor`, and (round 14 late) a 99%-build + 1%-append must
+ *    be content-checksum-IDENTICAL to the one-shot index — the frozen-
+ *    geometry append contract as a standing, noise-free bound.
  *
  * Usage: runMain graft.ProbeSuite [outPath] [sfDir]
  */
@@ -241,19 +243,41 @@ object ProbeSuite {
       val (recPlanned, tRec) = timed(recallOf(-1))
       val (recFixed4, tRecF) = timed(recallOf(4))
       val recallOk = recPlanned >= AnnRecallFloor
-      val pass = cellsOk && scanOk && recallOk
+      // append lifecycle identity (round 14 late): a 99%-build + 1%
+      // append must be CONTENT-IDENTICAL to the one-shot index — the
+      // sign cells and codes are geometry-deterministic, and the 1%
+      // hash-split keeps planIvfCells on the same cell count for both
+      // arms (n vs 0.99n round to the same power of two). Checksum
+      // equality is noise-free, so this bound cannot flake on a loaded
+      // host the way a wall-clock bound would.
+      val isBatch = pmod(xxhash64(col("vec_id"), lit(7)), lit(100L)) === 0
+      val inc = Tables.freshScratch("probe_ivfpq_inc") + "/idx"
+      AnnIndex.buildIvfPq(corpus.filter(!isBatch), "embedding", "vec_id",
+        inc, nCells = 16, m = 8, quantizer = "sign")
+      val (nApp, tApp) = timed(AnnIndex.appendIvfPq(
+        corpus.filter(isBatch), "embedding", "vec_id", inc))
+      def chk(p: String): Long = spark.read.parquet(p)
+        .select(xxhash64(col("vec_id"), col("code"),
+          col("cell").cast("long")).as("h"))
+        .agg(expr("bit_xor(h)").as("s")).head().getLong(0)
+      val appendOk = chk(inc) == chk(idx) &&
+        spark.read.parquet(inc).count() == n
+      val pass = cellsOk && scanOk && recallOk && appendOk
       println(f"[probes] ann_plan cells=${cents.length} (planned " +
         f"$plannedCells) nProbe=$nProbe scanned=$scanned (bound " +
         f"$scanBound) recall planned=$recPlanned%.3f fixed4=$recFixed4%.3f " +
         f"(floor $AnnRecallFloor) build=${tBuild}%.1fs " +
         f"recall_wall=${tRec}%.1f/${tRecF}%.1fs " +
+        f"append rows=$nApp wall=${tApp}%.1fs identical=$appendOk " +
         (if (pass) "ok" else "BAD"))
       (pass, s""""ann_plan":{"pass":$pass,"corpus":$n,""" +
         s""""cells":${cents.length},"planned_cells":$plannedCells,""" +
         s""""n_probe":$nProbe,"scanned_rows":$scanned,""" +
         s""""scan_bound":$scanBound,"scan_slack":$AnnScanSlack,""" +
         s""""recall_planned":$recPlanned,"recall_fixed4":$recFixed4,""" +
-        s""""recall_floor":$AnnRecallFloor,"build_sec":$tBuild}""")
+        s""""recall_floor":$AnnRecallFloor,"build_sec":$tBuild,""" +
+        s""""append_rows":$nApp,"append_sec":$tApp,""" +
+        s""""append_identical":$appendOk}""")
     }
 
     // --------------------------------------------------- fuzzy_salt
