@@ -675,6 +675,28 @@ object QueriesText {
           e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
       }),
 
+    // --------------------------- similarity: tombstone delete (r15)
+    // The lifecycle's last verb, driver-gated: build the full corpus,
+    // deleteIds a planted id set (vec_id % 10 = 3 — tombstones appended
+    // to the `_tombstones` sidecar, O(ids), no data rewrite), probe with
+    // the batched join. Deleted rows must neither appear nor consume
+    // top-k slots — the oracle ranks over SURVIVORS, so a tombstone
+    // filter applied after the cut (or not at all) hash-fails. The
+    // physical half (compaction drops tombstoned rows, clears the
+    // sidecar, survivors byte-identical) is AnnAppendSpec's
+    // delete-then-compact == build-from-survivors arm.
+    QueryDef("ann_delete_knn", Some(annDeleteKnnOracleSql),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val idx = Tables.scratchDir("lsh_delete_idx")
+        graft.operators.AnnIndex.buildLsh(e, "embedding", "vec_id", idx,
+          dims = 64, bits = 12, refHamming = 1)
+        graft.operators.AnnIndex.deleteIds(s, idx,
+          e.filter(col("vec_id") % 10 === 3).select("vec_id"))
+        graft.operators.AnnIndex.lshKnnJoin(s, idx,
+          e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
+      }),
+
     // ----------------------- similarity: streaming ANN ingest (r14)
     // Streams.annIngest end-to-end through a real FileStreamSource: the
     // first micro-batch BUILDS the LSH index (the train step — its plan
@@ -2335,6 +2357,33 @@ object QueriesText {
                  ELSE 0.0 END, 6) AS cosine
         FROM sigs s, q
         WHERE bit_count(xor(s.sig, q.qsig)) <= 1),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS rn FROM cand)
+      SELECT query_id, vec_id, cosine FROM r WHERE rn <= 3"""
+
+  /** ann_delete_knn oracle — [[annKnnJoinOracleSql]] with the CORPUS side
+    * restricted to surviving rows (vec_id % 10 <> 3 is tombstoned by the
+    * Spark side): deleted rows must neither appear nor consume top-k
+    * slots, so the per-query windows rank over survivors only. The query
+    * side stays the full-set head — queries are external probes, not
+    * index rows. */
+  private lazy val annDeleteKnnOracleSql: String = s"""
+      WITH sigs AS (
+        SELECT vec_id, embedding, (${lshSigSql("embedding")}) AS sig
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qv, sig AS qsig
+            FROM sigs WHERE vec_id < 5),
+      cand AS (
+        SELECT q.query_id, s.vec_id,
+               round(CASE WHEN sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[])) *
+                               sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) > 0
+                 THEN list_dot_product(s.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+                   (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))
+                 ELSE 0.0 END, 6) AS cosine
+        FROM sigs s, q
+        WHERE s.vec_id % 10 <> 3
+          AND bit_count(xor(s.sig, q.qsig)) <= 1),
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, vec_id) AS rn FROM cand)
       SELECT query_id, vec_id, cosine FROM r WHERE rn <= 3"""

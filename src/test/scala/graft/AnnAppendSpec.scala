@@ -408,6 +408,273 @@ class AnnAppendSpec extends SparkSpec {
     assert(res(idx) === res(full12))
   }
 
+  // ------------------------------------------- round 15: advisor fixes
+
+  test("appendIvf(sign): SKEWED data (occupied cells a smaller power of " +
+      "two than planned) appends at the PLANNED width from the sidecar, " +
+      "content-identical to a full build") {
+    // first dim >= 0 everywhere: with 4 planned cells (2 sign bits) only
+    // cells {1, 3} are occupied — 2 cells, itself a power of two, so the
+    // old occupied-count inference would have encoded appends at 1 bit
+    // and silently misfiled every second row
+    val base = emb.filter(element_at(col("embedding"), 1) >= 0)
+    val bEvens = base.filter(col("vec_id") % 2 === 0)
+    val bOdds = base.filter(col("vec_id") % 2 =!= 0)
+    assume(bEvens.count() > 0 && bOdds.count() > 0)
+    val full = tmp("ivf_skew_full"); val inc = tmp("ivf_skew_inc")
+    AnnIndex.buildIvf(base, "embedding", "vec_id", full,
+      nCells = 4, quantizer = "sign")
+    AnnIndex.buildIvf(bEvens, "embedding", "vec_id", inc,
+      nCells = 4, quantizer = "sign")
+    assert(AnnIndex.ivfCentroids(spark, inc).length === 2) // genuinely skewed
+    assert(AnnIndex.indexSignBits(spark, inc) === 2)       // planned, not occupied
+    val n = AnnIndex.appendIvf(bOdds, "embedding", "vec_id", inc)
+    assert(n === bOdds.count())
+    val read = (p: String) => spark.read.parquet(p)
+      .select(col("vec_id"), col("cell").cast("long")).as[(Long, Long)]
+      .collect().toSet
+    assert(read(inc) === read(full))
+  }
+
+  test("append refuses a pre-sign_bits sidecar (planned width not " +
+      "recoverable) instead of inferring from the occupied count") {
+    val p = tmp("ivf_nosignbits")
+    AnnIndex.buildIvf(evens, "embedding", "vec_id", p,
+      nCells = 4, quantizer = "sign")
+    // simulate a round-14 sidecar: quantizer marker present, no sign_bits
+    val stripped = spark.read.parquet(s"$p/_centroids")
+      .select("cell", "centroid", "quantizer").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getString(2)))
+    val tmpSide = tmp("side_nosignbits")
+    stripped.toSeq.toDF("cell", "centroid", "quantizer")
+      .coalesce(1).write.mode("overwrite").parquet(tmpSide)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/_centroids"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpSide),
+      new org.apache.hadoop.fs.Path(s"$p/_centroids"))
+    val e = intercept[IllegalStateException](
+      AnnIndex.appendIvf(odds, "embedding", "vec_id", p))
+    assert(e.getMessage.contains("sign_bits"))
+  }
+
+  test("appendLsh refuses a legacy raw-sig (sig=) layout — appending " +
+      "sig_grp= dirs into it would brick every read") {
+    // construct the legacy state directly: sig= partitions plus a _plan
+    // WITHOUT grp_bits (the builds between the plan-sidecar round and the
+    // grouped-layout round wrote exactly this)
+    val p = tmp("lsh_legacy")
+    evens.select(col("vec_id"), col("embedding").as("vec"))
+      .withColumn("sig", pmod(col("vec_id"), lit(16)))
+      .write.partitionBy("sig").parquet(p)
+    Seq((4, 1)).toDF("bits", "probe_hamming")
+      .coalesce(1).write.mode("overwrite").json(s"$p/_plan")
+    // probes still accept this layout (legacy support)...
+    assert(AnnIndex.lshIndexPlan(spark, p) === (4, 1))
+    // ...but appends refuse it, before any write
+    val e = intercept[IllegalStateException](
+      AnnIndex.appendLsh(odds, "embedding", "vec_id", p))
+    assert(e.getMessage.contains("legacy raw-sig"))
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).exists(_.startsWith("sig_grp=")))
+  }
+
+  test("appendIvf(kmeans): duplicate-id rows survive assignment (parity " +
+      "with the sign arm) and the returned count is what landed") {
+    val p = tmp("ivf_dupids")
+    AnnIndex.buildIvf(evens, "embedding", "vec_id", p,
+      nCells = 4, quantizer = "kmeans")
+    val one = odds.limit(1)
+    val dup = one.unionByName(one) // same vec_id twice
+    val before = spark.read.parquet(p).count()
+    val n = AnnIndex.appendIvf(dup, "embedding", "vec_id", p)
+    assert(n === 2L)
+    assert(spark.read.parquet(p).count() === before + 2)
+  }
+
+  test("appends fail closed on a mixed-dimension batch in BOTH quantizer " +
+      "arms — nothing written, geometry never degraded") {
+    val pSign = tmp("ivf_mixdim_sign"); val pKm = tmp("ivf_mixdim_km")
+    AnnIndex.buildIvf(evens, "embedding", "vec_id", pSign,
+      nCells = 4, quantizer = "sign")
+    AnnIndex.buildIvf(evens, "embedding", "vec_id", pKm,
+      nCells = 4, quantizer = "kmeans")
+    val short = Seq((9001L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val mixed = odds.limit(3).select("vec_id", "embedding").unionByName(short)
+    Seq(pSign, pKm).foreach { p =>
+      val before = spark.read.parquet(p).count()
+      val e = intercept[IllegalStateException](
+        AnnIndex.appendIvf(mixed, "embedding", "vec_id", p))
+      assert(e.getMessage.contains("dims"), p)
+      assert(spark.read.parquet(p).count() === before, p)
+    }
+    // the composite append guards the same way
+    val pPq = tmp("ivfpq_mixdim")
+    AnnIndex.buildIvfPq(evens, "embedding", "vec_id", pPq,
+      nCells = 8, m = 16, quantizer = "sign")
+    val e = intercept[IllegalStateException](
+      AnnIndex.appendIvfPq(mixed, "embedding", "vec_id", pPq))
+    assert(e.getMessage.contains("dims"))
+  }
+
+  test("appends issue NO job over the index data path: with every data " +
+      "file corrupted, the append still lands and the drift math still " +
+      "prices from the _rows sidecar") {
+    val p = tmp("lsh_norread")
+    AnnIndex.buildLsh(evens, "embedding", "vec_id", p, dims = 64, bits = 8)
+    // corrupt ALL data files — any job that scanned them would throw
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+    var corrupted = 0
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet") && !f.toString.contains("/_")) {
+        val out = fs.create(f, true)
+        try out.write("not parquet".getBytes("UTF-8")) finally out.close()
+        corrupted += 1
+      }
+    }
+    assert(corrupted > 0)
+    // the corruption is real: a data-path scan throws
+    intercept[Exception](spark.read.parquet(p).count())
+    // ...but the append never scans the data path
+    val n = AnnIndex.appendLsh(odds, "embedding", "vec_id", p)
+    assert(n === odds.count())
+  }
+
+  // -------------------------------------------- round 15: tombstone delete
+
+  test("deleteIds: tombstoned rows vanish from every probe WITHOUT " +
+      "consuming k slots — results equal a fresh build over survivors") {
+    val p = tmp("lsh_del"); val surv = tmp("lsh_survivors")
+    AnnIndex.buildLsh(emb, "embedding", "vec_id", p, dims = 64, bits = 8)
+    val doomed = emb.filter(col("vec_id") % 10 === 3)
+    val nDel = AnnIndex.deleteIds(spark, p, doomed.select("vec_id"))
+    assert(nDel === doomed.count())
+    AnnIndex.buildLsh(emb.filter(col("vec_id") % 10 =!= 3),
+      "embedding", "vec_id", surv, dims = 64, bits = 8)
+    val q = emb.filter(col("vec_id") < 3)
+    val res = (x: String) => AnnIndex.lshKnnJoin(spark, x, q,
+      "embedding", "vec_id", k = 5).as[(Long, Long, Double)].collect().toSet
+    assert(res(p) === res(surv))
+    assert(!res(p).exists(_._2 % 10 == 3))
+    // single-query path honors the tombstones too
+    val q1 = emb.filter(col("vec_id") === 1).select("embedding")
+      .as[Seq[Float]].head()
+    val s = AnnIndex.searchLsh(spark, p, q1, k = 5)
+      .select("vec_id").as[Long].collect()
+    assert(!s.exists(_ % 10 == 3))
+  }
+
+  test("deleteIds is idempotent (append-only sidecar, read-time dedup) " +
+      "and compaction makes it physical: delete → compact == " +
+      "build-from-survivors content, sidecar cleared") {
+    val p = tmp("ivfpq_del"); val surv = tmp("ivfpq_survivors")
+    AnnIndex.buildIvfPq(emb, "embedding", "vec_id", p,
+      nCells = 8, m = 16, quantizer = "sign")
+    val doomed = emb.filter(col("vec_id") % 7 === 2).select("vec_id")
+    AnnIndex.deleteIds(spark, p, doomed)
+    AnnIndex.deleteIds(spark, p, doomed) // idempotent re-run
+    val (_, _) = AnnIndex.compactIndex(spark, p)
+    AnnIndex.buildIvfPq(emb.filter(col("vec_id") % 7 =!= 2),
+      "embedding", "vec_id", surv, nCells = 8, m = 16, quantizer = "sign")
+    val read = (x: String) => spark.read.parquet(x)
+      .select(col("vec_id"), col("code").cast("array<int>"),
+        col("cell").cast("long"))
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    assert(read(p) === read(surv))
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/_tombstones")))
+    // the _rows sidecar re-stamped to the survivor count
+    assert(AnnIndex.indexRowCount(spark, p) ===
+      emb.filter(col("vec_id") % 7 =!= 2).count())
+  }
+
+  test("deleteIds refuses the sidecar-less interrupted state") {
+    val p = tmp("del_nosc")
+    AnnIndex.buildIvf(evens, "embedding", "vec_id", p,
+      nCells = 4, quantizer = "sign")
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/_centroids"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/_rows"), true)
+    val e = intercept[IllegalStateException](
+      AnnIndex.deleteIds(spark, p, evens.select("vec_id").limit(1)))
+    assert(e.getMessage.contains("no sidecars"))
+  }
+
+  // -------------------------------- round 15: corpus-bound reindexes
+
+  test("reindexIvfPq: an interrupted (throwing) reindex leaves the " +
+      "original index answering identically; a good one re-plans under " +
+      "the staged swap") {
+    val p = tmp("ivfpq_reindex")
+    AnnIndex.buildIvfPq(evens, "embedding", "vec_id", p,
+      nCells = 8, m = 16, quantizer = "sign")
+    val q1 = emb.filter(col("vec_id") === 1).select("embedding")
+      .as[Seq[Float]].head()
+    val probe = () => AnnIndex.searchIvfPq(spark, p, q1, k = 5, nProbe = 8)
+      .as[(Long, Double)].collect().toSeq
+    val before = probe()
+    // m = 7 does not divide dim 64: buildIvfPq throws INSIDE the staged
+    // build, before any swap — the live index must be untouched
+    intercept[IllegalArgumentException](
+      AnnIndex.reindexIvfPq(emb, "embedding", "vec_id", p, m = 7))
+    assert(probe() === before)
+    // the good path: rebuild over the FULL corpus (appends' drift cure),
+    // forced wider by a tiny rows-per-cell target (500 rows / 32 > 8)
+    val cells = AnnIndex.reindexIvfPq(emb, "embedding", "vec_id", p,
+      nCells = 8, targetCellRows = 32L)
+    assert(cells > 8)
+    val fresh = tmp("ivfpq_reindex_fresh")
+    AnnIndex.buildIvfPq(emb, "embedding", "vec_id", fresh,
+      nCells = 8, m = 16, quantizer = "sign", targetCellRows = 32L)
+    val read = (x: String) => spark.read.parquet(x)
+      .select(col("vec_id"), col("code").cast("array<int>"),
+        col("cell").cast("long"))
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    assert(read(p) === read(fresh))
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p.__reindexing")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p.__prereindex")))
+  }
+
+  test("reindexIvfPq honors tombstones: a deleted id does not resurrect " +
+      "through the corpus-bound rebuild") {
+    val p = tmp("ivfpq_reindex_del")
+    AnnIndex.buildIvfPq(emb, "embedding", "vec_id", p,
+      nCells = 8, m = 16, quantizer = "sign")
+    AnnIndex.deleteIds(spark, p,
+      emb.filter(col("vec_id") % 11 === 5).select("vec_id"))
+    AnnIndex.reindexIvfPq(emb, "embedding", "vec_id", p)
+    val ids = spark.read.parquet(p).select("vec_id").as[Long].collect()
+    assert(!ids.exists(_ % 11 == 5))
+  }
+
+  test("reindexPq: corpus-bound codebook refit under the staged swap, " +
+      "keeping the index's own m") {
+    val p = tmp("pq_reindex")
+    AnnIndex.buildPq(evens, "embedding", "vec_id", p, m = 8,
+      quantizer = "sign")
+    AnnIndex.reindexPq(emb, "embedding", "vec_id", p)
+    assert(spark.read.parquet(p).count() === emb.count())
+    // m preserved: codes still 8 wide
+    assert(spark.read.parquet(p).select(size(col("code")))
+      .head().getInt(0) === 8)
+    val fresh = tmp("pq_reindex_fresh")
+    AnnIndex.buildPq(emb, "embedding", "vec_id", fresh, m = 8,
+      quantizer = "sign")
+    val read = (x: String) => spark.read.parquet(x)
+      .select(col("vec_id"), col("code").cast("array<int>"))
+      .as[(Long, Seq[Int])].collect().toSet
+    assert(read(p) === read(fresh))
+  }
+
   test("appendPq(kmeans): appended codes match the frozen per-subspace " +
       "nearest codeword") {
     val p = tmp("pq_km")
