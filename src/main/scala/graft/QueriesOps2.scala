@@ -1442,6 +1442,374 @@ object QueriesOps2 {
           .select(col("specimen_id"), col("case_id"), col("status"),
             col("reason"), col("lineage"), col("repository"),
             col("first_name"))
+      }),
+
+    // ------------------------------------------- pipeline: ELR e2e (r15)
+    // The ELR run END-TO-END (elr.Rmd:296-637) — the fourth of the five
+    // core workflow scripts to get a driver-gated composed-output row:
+    // new-record detection by DOUBLE anti-join (rostered set on
+    // accession+collection_date, processed list on accession,
+    // elr.Rmd:296-310,531-546) → per-submitter accession synthesis (the
+    // Aegis pre/post-2022-05-01 prefix switch, the Helix CDC-STM prefix,
+    // the GISAID-prefix strip, elr.Rmd:189-283) → lineage extraction
+    // with WITHDRAWN-ALIAS vocabulary resolution (elr.Rmd:407-443) →
+    // the Helix preferred-observation collation dedup
+    // (elr.Rmd:493-520) → sentinel scan split (elr.Rmd:558-584), every
+    // stage's effect under one disposition-labeled hash. Key plan:
+    // %2=0 → already rostered (anti-joined away); %9=0 → processed;
+    // %3 → submitter (aegis/helix/quest); %13 → null Aegis raw id (null
+    // accession); coll = 2022-03-01 + k%120 straddles the Aegis cutoff;
+    // %8 → lineage arms on the ODD residues (only odd keys survive the
+    // rostered anti-join): 1 → extractable, 3 → withdrawn alias
+    // 'BA.5.9'→'BA.5', 5 → Unassigned, 7 → none, with %16=1 →
+    // extractable-but-not-in-vocab; helix
+    // rows carry TWO observation rows with the preferred row rotating
+    // on %5 (SSI-first / NULL-beats-other / SSI-second); %19 → planted
+    // 'QA CHECK FAIL' sentinel → disposition 'invalid'.
+    QueryDef("pipeline_elr_e2e", Some("""
+      WITH b AS (
+        SELECT o_orderkey AS k,
+          'ACC' || CAST(o_orderkey AS VARCHAR) AS accession,
+          DATE '2022-03-01' + CAST(o_orderkey % 120 AS INTEGER) AS coll,
+          CASE CAST(o_orderkey % 3 AS INTEGER)
+            WHEN 0 THEN 'aegis' WHEN 1 THEN 'helix' ELSE 'quest' END AS submitter
+        FROM orders
+        WHERE o_orderkey % 2 = 1 AND o_orderkey % 9 <> 0),
+      e AS (
+        SELECT *,
+          CASE WHEN submitter = 'aegis' THEN
+                 CASE WHEN k % 13 = 0 THEN NULL
+                      ELSE 'LAB-ASC' || CAST(k AS VARCHAR) END
+               WHEN submitter = 'helix' THEN 'H' || CAST(k AS VARCHAR)
+               ELSE 'hCoV-19/USA/WA-Q' || CAST(k AS VARCHAR) || '/2022' END AS raw_id
+        FROM b),
+      w AS (
+        SELECT *,
+          CASE WHEN submitter <> 'helix' THEN NULL
+               WHEN k % 5 = 1 THEN NULL
+               ELSE 'Sequencing study identifier' END AS obs,
+          CASE WHEN submitter <> 'helix' THEN 'N0'
+               WHEN k % 5 = 0 THEN 'N1' ELSE 'N2' END AS note
+        FROM e),
+      g AS (
+        SELECT *,
+          CASE WHEN submitter = 'aegis' AND raw_id IS NOT NULL
+                    AND coll < DATE '2022-05-01'
+                 THEN 'USA/WA-CDC-ASC' || CAST(k AS VARCHAR) || '/' ||
+                      CAST(year(coll) AS VARCHAR)
+               WHEN submitter = 'aegis' AND raw_id IS NOT NULL
+                 THEN 'USA/WA-ASC-' || CAST(k AS VARCHAR) || '/' ||
+                      CAST(year(coll) AS VARCHAR)
+               WHEN submitter = 'helix'
+                 THEN 'USA/WA-CDC-STM-' || raw_id || '/' ||
+                      CAST(year(coll) AS VARCHAR)
+               WHEN submitter = 'aegis' THEN NULL
+               ELSE regexp_replace(raw_id, '^hCoV-19/', '') END AS gisaid_id,
+          CASE WHEN k % 8 = 1 AND k % 16 <> 1 THEN 'B.1.1.7'
+               WHEN k % 8 = 3 THEN 'BA.5'
+               WHEN k % 8 = 5 THEN 'Unassigned' END AS lineage
+        FROM w)
+      SELECT accession, gisaid_id, lineage, obs, note,
+             CASE WHEN k % 19 = 0 THEN 'invalid' ELSE 'roster' END AS disposition
+      FROM g"""),
+      (s, dir) => {
+        import s.implicits._
+        val k = col("o_orderkey")
+        val o = t(s, dir, "orders")
+        val submitter = element_at(
+          array(lit("aegis"), lit("helix"), lit("quest")),
+          (k % 3).cast("int") + 1)
+        val coll = date_add(to_date(lit("2022-03-01")), (k % 120).cast("int"))
+        val rawId = when(submitter === "aegis",
+            when(k % 13 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("LAB-ASC"), k.cast("string"))))
+          .when(submitter === "helix", concat(lit("H"), k.cast("string")))
+          .otherwise(concat(lit("hCoV-19/USA/WA-Q"), k.cast("string"),
+            lit("/2022")))
+        val testResult = when(k % 8 === 1,
+            when(k % 16 === 1, lit("SARS-CoV-2 XYZ.99 lineage detected"))
+              .otherwise(lit("SARS-CoV-2 B.1.1.7 lineage detected")))
+          .when(k % 8 === 3, lit("Other; BA.5.9"))
+          .when(k % 8 === 5, lit("result Unassigned"))
+          .otherwise(lit("inconclusive"))
+        val base = o.select(
+          concat(lit("ACC"), k.cast("string")).as("accession"),
+          coll.as("collection_date"), submitter.as("submitter"),
+          rawId.as("raw_id"), testResult.as("test_result"),
+          when(k % 19 === 0, lit("QA CHECK FAIL")).otherwise(lit("ok"))
+            .as("result_note"),
+          k.as("k"))
+        // the ELR feed carries one row per Helix PATIENT__CENTRIC__
+        // OBSERVATION — two observation rows per Helix record, with the
+        // preferred row rotating so ALL THREE collation ranks decide
+        val helix = base.filter(col("submitter") === "helix")
+        val obsA = helix.withColumn("obs",
+            when(col("k") % 5 === 0, lit("Sequencing study identifier"))
+              .when(col("k") % 5 === 1, lit("Zother"))
+              .otherwise(lit(null).cast("string")))
+          .withColumn("obs_note", lit("N1"))
+        val obsB = helix.withColumn("obs",
+            when(col("k") % 5 === 0 || col("k") % 5 === 1,
+              lit(null).cast("string"))
+              .otherwise(lit("Sequencing study identifier")))
+          .withColumn("obs_note", lit("N2"))
+        val elr = obsA.unionByName(obsB).unionByName(
+          base.filter(col("submitter") =!= "helix")
+            .withColumn("obs", lit(null).cast("string"))
+            .withColumn("obs_note", lit("N0")))
+        val rostered = o.filter(k % 2 === 0).select(
+          concat(lit("ACC"), k.cast("string")).as("accession"),
+          coll.as("collection_date"))
+        val processed = o.filter(k % 9 === 0).select(
+          concat(lit("ACC"), k.cast("string")).as("accession"))
+        // vocabulary with a WITHDRAWN alias: BA.5.9 resolves to BA.5
+        val vocab = Seq(("B.1.1.7", "B.1.1.7"), ("BA.5", "BA.5"),
+          ("BA.5.9", "BA.5")).toDF("lineage", "canonical")
+        val fresh = graft.pipelines.Elr.newRecords(elr, rostered, processed)
+        val lin = graft.pipelines.Elr.extractLineageResolved(
+          graft.pipelines.Elr.synthesizeAccession(fresh), vocab)
+        val deduped = graft.pipelines.Elr.preferredRowDedup(
+          lin, Seq("accession"), col("obs"), col("obs_note"))
+        val (ok, invalid) = graft.pipelines.Elr.sentinelSplit(
+          deduped, Seq(col("result_note"), col("test_result")))
+        ok.withColumn("disposition", lit("roster"))
+          .unionByName(invalid.withColumn("disposition", lit("invalid")))
+          .select(col("accession"), col("gisaid_id"), col("lineage"),
+            col("obs"), col("obs_note").as("note"), col("disposition"))
+      }),
+
+    // ----------------------------------------- pipeline: fuzzy e2e (r15)
+    // The fuzzy-match run END-TO-END (fuzzy.Rmd:79-1086) — the LAST core
+    // workflow script to get a driver-gated composed-output row:
+    // saved_rows ∪ today's CSV batch (a real CSV round trip through the
+    // all-string reader + a pre-seeded SnapshotStore state table) →
+    // pre-match QA battery → alternate-name/DOB row MULTIPLICATION
+    // (fuzzy.Rmd:252-341: alt-name variants, DOB null-fill, disagreeing
+    // alt-DOB variants) → birth-year-blocked OSA join with the flipped-
+    // name union (≤3 straight / ≤2 flipped, exact-DOB post-filter) →
+    // ±14-day collection-date filter WITH the flagged add-back → multi-
+    // candidate resolution (QA_MULTIPLE_MATCH) → distance tiering. Every
+    // rowid ever submitted lands in exactly one of bad/matched/saved —
+    // the rows_printed conservation FuzzyMatchSpec proves is now under
+    // the oracle hash. Key plan: %37 → null name (bad); %23 → submission
+    // names FLIPPED (only the flipped-name arm can match); %3=2 → no
+    // case (saved); %7 → last-name prefix distance tiers 0/1/2/3/4+;
+    // %11 → garbage primary names, REAL names only in the alternates;
+    // %31 → null case DOB null-filled from alt_dob; %29 → disagreeing
+    // alt_dob (only the multiplied DOB variant matches); %17 → twin case
+    // (QA_MULTIPLE_MATCH); %40 → ±14d window in/out (out → flagged
+    // add-back); %43 → null WDRS date (candidates drop → saved); %53 →
+    // pre-seeded saved_rows re-entering. DuckDB replays the whole chain
+    // with damerau_levenshtein — verified OSA-equal at every threshold
+    // over this construction's full pair space (tools, round 15).
+    QueryDef("pipeline_fuzzy_e2e", Some {
+      val L = (x: String) =>
+        s"translate(CAST($x AS VARCHAR), '0123456789', 'ABCDEFGHIJ')"
+      s"""
+      WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+      subs AS (
+        SELECT k AS rowid,
+          CASE WHEN k % 37 = 0 THEN NULL
+               WHEN k % 23 = 0 THEN 'LB' || ${L("k")}
+               ELSE 'FA' || ${L("k % 50")} END AS first_name,
+          CASE WHEN k % 23 = 0 THEN 'FA' || ${L("k % 50")}
+               ELSE 'LB' || ${L("k")} END AS last_name,
+          DATE '1970-01-01' + CAST(k AS INTEGER) AS dob,
+          DATE '2021-01-01' + CAST(k % 200 AS INTEGER) AS coll
+        FROM base),
+      eff AS (
+        SELECT * FROM subs
+        UNION ALL
+        SELECT k + 5000000, 'FA' || ${L("k % 50")}, 'LB' || ${L("k")},
+               DATE '1970-01-01' + CAST(k AS INTEGER),
+               DATE '2021-01-01' + CAST(k % 200 AS INTEGER)
+        FROM base WHERE k % 53 = 0),
+      c0 AS (
+        SELECT k,
+          CASE WHEN k % 11 = 0 THEN 'QQQQQQ'
+               ELSE 'FA' || ${L("k % 50")} END AS f,
+          CASE WHEN k % 11 = 0 THEN 'WWWWWW'
+               ELSE lp || ${L("k")} END AS l,
+          CASE WHEN k % 11 = 0 THEN 'FA' || ${L("k % 50")} END AS af,
+          CASE WHEN k % 11 = 0 THEN lp || ${L("k")} END AS al,
+          CASE WHEN k % 31 = 0 THEN NULL
+               WHEN k % 29 = 0 THEN DATE '1900-01-01'
+               ELSE DATE '1970-01-01' + CAST(k AS INTEGER) END AS dob0,
+          CASE WHEN k % 31 = 0 OR k % 29 = 0
+               THEN DATE '1970-01-01' + CAST(k AS INTEGER) END AS alt_dob,
+          CASE WHEN k % 43 = 0 THEN NULL
+               ELSE DATE '2021-01-01' + CAST(k % 200 AS INTEGER)
+                    + CAST(k % 40 - 20 AS INTEGER) END AS wdrs
+        FROM (SELECT k, CASE CAST(k % 7 AS INTEGER)
+                WHEN 1 THEN 'LQ' WHEN 2 THEN 'MQ' WHEN 3 THEN 'MQX'
+                WHEN 4 THEN 'ZZZZ' WHEN 5 THEN 'ZZZZ'
+                ELSE 'LB' END AS lp FROM base)
+        WHERE k % 3 <> 2),
+      cases AS (
+        SELECT k AS case_id, f, l, af, al, dob0, alt_dob, wdrs FROM c0
+        UNION ALL
+        SELECT k + 9000000, f, l, af, al, dob0, alt_dob, wdrs
+        FROM c0 WHERE k % 17 = 0),
+      filled AS (
+        SELECT case_id, f, l, af, al, coalesce(dob0, alt_dob) AS dob,
+               alt_dob, wdrs
+        FROM cases),
+      named AS (
+        SELECT case_id, f, l, dob, alt_dob, wdrs FROM filled
+        UNION ALL
+        SELECT case_id, af AS f, al AS l, dob, alt_dob, wdrs FROM filled
+        WHERE af IS NOT NULL AND al IS NOT NULL),
+      variants AS (
+        SELECT case_id, f, l, dob, wdrs FROM named
+        UNION ALL
+        SELECT case_id, f, l, alt_dob AS dob, wdrs FROM named
+        WHERE alt_dob IS NOT NULL AND alt_dob <> dob),
+      cand AS (
+        SELECT e.rowid, v.case_id, v.wdrs, e.coll,
+          damerau_levenshtein(e.first_name || '_' || e.last_name,
+                              v.f || '_' || v.l) AS ds,
+          damerau_levenshtein(e.first_name || '_' || e.last_name,
+                              v.l || '_' || v.f) AS dfp
+        FROM eff e JOIN variants v ON e.dob = v.dob
+        WHERE e.first_name IS NOT NULL),
+      qual AS (
+        SELECT rowid, case_id, wdrs, coll,
+          CAST(CASE WHEN ds <= 3 AND dfp <= 2 THEN least(ds, dfp)
+                    WHEN ds <= 3 THEN ds ELSE dfp END AS INTEGER) AS d
+        FROM cand WHERE ds <= 3 OR dfp <= 2),
+      best AS (
+        SELECT rowid, case_id, min(d) AS distance,
+               max(wdrs) AS wdrs, max(coll) AS coll
+        FROM qual GROUP BY rowid, case_id),
+      dated AS (
+        SELECT *,
+          CASE WHEN abs(date_diff('day', wdrs, coll)) <= 14
+               THEN 1 ELSE 0 END AS in_w,
+          abs(date_diff('day', wdrs, coll)) AS dd
+        FROM best WHERE wdrs IS NOT NULL),
+      flagged AS (
+        SELECT *, max(in_w) OVER (PARTITION BY rowid) AS any_w,
+               min(dd) OVER (PARTITION BY rowid) AS min_dd
+        FROM dated),
+      kept AS (
+        SELECT rowid, case_id, distance, coll,
+               CASE WHEN any_w = 0 THEN 1 ELSE 0 END AS qa_collect
+        FROM flagged
+        WHERE (any_w = 1 AND in_w = 1) OR (any_w = 0 AND dd = min_dd)),
+      fm AS (
+        SELECT rowid, case_id, distance, coll, qa_collect,
+               CASE WHEN count(*) OVER (PARTITION BY rowid) > 1
+                    THEN 1 ELSE 0 END AS qa_multi,
+               CASE WHEN distance <= 1 THEN 'roster'
+                    ELSE 'manual_review' END AS tier
+        FROM kept)
+      SELECT rowid, 'matched' AS disposition, CAST(case_id AS BIGINT) AS case_id,
+             distance, tier, qa_collect, qa_multi,
+             strftime(coll, '%Y-%m-%d') AS coll_date
+      FROM fm
+      UNION ALL
+      SELECT rowid, 'bad', CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+             CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+             CAST(NULL AS INTEGER), strftime(coll, '%Y-%m-%d')
+      FROM eff WHERE first_name IS NULL
+      UNION ALL
+      SELECT rowid, 'saved', CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+             CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+             CAST(NULL AS INTEGER), strftime(coll, '%Y-%m-%d')
+      FROM eff WHERE first_name IS NOT NULL
+        AND rowid NOT IN (SELECT rowid FROM fm)"""
+    },
+      (s, dir) => {
+        val digits = "0123456789"; val letters = "ABCDEFGHIJ"
+        def L(c: org.apache.spark.sql.Column) =
+          translate(c.cast("string"), digits, letters)
+        val base = t(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("k"))
+        val k = col("k")
+        val subs0 = base.select(
+          k.as("rowid"),
+          when(k % 37 === 0, lit(null).cast("string"))
+            .when(k % 23 === 0, concat(lit("LB"), L(k)))
+            .otherwise(concat(lit("FA"), L(k % 50))).as("first_name"),
+          when(k % 23 === 0, concat(lit("FA"), L(k % 50)))
+            .otherwise(concat(lit("LB"), L(k))).as("last_name"),
+          date_add(to_date(lit("1970-01-01")), k.cast("int")).as("dob"),
+          date_add(to_date(lit("2021-01-01")), (k % 200).cast("int"))
+            .as("collection_date"))
+        // today's batch arrives as CSV files, like the reference's
+        // Submissions/Fuzzy_Match inbox — all-string ingest, then typed
+        val root = Tables.freshScratch("pipe_fuzzy")
+        subs0.select(col("rowid").cast("string").as("rowid"),
+            col("first_name"), col("last_name"),
+            col("dob").cast("string").as("dob"),
+            col("collection_date").cast("string").as("collection_date"))
+          .coalesce(1).write.option("header", "true").csv(s"$root/subs")
+        val subs = graft.sources.StringCsv.read(s,
+            graft.sources.StringCsv.allStringSchema(Seq("rowid",
+              "first_name", "last_name", "dob", "collection_date")),
+            Seq(s"$root/subs"))
+          .select(col("rowid").cast("long").as("rowid"),
+            col("first_name"), col("last_name"),
+            col("dob").cast("date").as("dob"),
+            col("collection_date").cast("date").as("collection_date"))
+        val lastPfx = when(k % 7 === 1, "LQ").when(k % 7 === 2, "MQ")
+          .when(k % 7 === 3, "MQX")
+          .when(k % 7 === 4 || k % 7 === 5, "ZZZZ").otherwise("LB")
+        def caseRows(idOffset: Long): DataFrame = base
+          .filter(k % 3 =!= 2)
+          .filter(if (idOffset == 0L) lit(true) else k % 17 === 0)
+          .select(
+            (k + idOffset).as("case_id"),
+            when(k % 11 === 0, lit("QQQQQQ"))
+              .otherwise(concat(lit("FA"), L(k % 50))).as("first_name"),
+            when(k % 11 === 0, lit("WWWWWW"))
+              .otherwise(concat(lastPfx, L(k))).as("last_name"),
+            when(k % 11 === 0, concat(lit("FA"), L(k % 50)))
+              .otherwise(lit(null).cast("string")).as("alt_first_name"),
+            when(k % 11 === 0, concat(lastPfx, L(k)))
+              .otherwise(lit(null).cast("string")).as("alt_last_name"),
+            when(k % 31 === 0, lit(null).cast("date"))
+              .when(k % 29 === 0, to_date(lit("1900-01-01")))
+              .otherwise(date_add(to_date(lit("1970-01-01")), k.cast("int")))
+              .as("dob"),
+            when(k % 31 === 0 || k % 29 === 0,
+                date_add(to_date(lit("1970-01-01")), k.cast("int")))
+              .otherwise(lit(null).cast("date")).as("alt_dob"),
+            when(k % 43 === 0, lit(null).cast("date"))
+              .otherwise(date_add(
+                date_add(to_date(lit("2021-01-01")), (k % 200).cast("int")),
+                (k % 40 - 20).cast("int"))).as("wdrs_collection"))
+        val target = caseRows(0L).unionByName(caseRows(9000000L))
+        // the saved_rows state table, pre-seeded: rowids from a PRIOR run
+        // that matched nothing then — they re-enter today's run
+        val seeds = base.filter(k % 53 === 0).select(
+          (k + 5000000L).as("rowid"),
+          concat(lit("FA"), L(k % 50)).as("first_name"),
+          concat(lit("LB"), L(k)).as("last_name"),
+          date_add(to_date(lit("1970-01-01")), k.cast("int")).as("dob"),
+          date_add(to_date(lit("2021-01-01")), (k % 200).cast("int"))
+            .as("collection_date"))
+        val store = new graft.sources.SnapshotStore(s,
+          Tables.freshScratch("pipe_fuzzy_store"))
+        store.publish("fuzzy_saved_rows", seeds)
+        val (bad, matched, unmatched) =
+          graft.pipelines.FuzzyMatch.runWithSavedRows(subs, target, store)
+        def noMatch(d: DataFrame, disp: String): DataFrame = d.select(
+          col("rowid"), lit(disp).as("disposition"),
+          lit(null).cast("long").as("case_id"),
+          lit(null).cast("int").as("distance"),
+          lit(null).cast("string").as("tier"),
+          lit(null).cast("int").as("qa_collect"),
+          lit(null).cast("int").as("qa_multi"),
+          date_format(col("collection_date"), "yyyy-MM-dd").as("coll_date"))
+        matched.select(col("rowid"), lit("matched").as("disposition"),
+            col("case_id").cast("long").as("case_id"),
+            col("distance").cast("int").as("distance"), col("tier"),
+            col("QA_COLLECT_DATE").cast("int").as("qa_collect"),
+            col("QA_MULTIPLE_MATCH").cast("int").as("qa_multi"),
+            date_format(col("collection_date"), "yyyy-MM-dd").as("coll_date"))
+          .unionByName(noMatch(bad, "bad"))
+          .unionByName(noMatch(unmatched, "saved"))
       })
   )
 
