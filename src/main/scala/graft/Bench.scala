@@ -75,6 +75,20 @@ object Bench {
     // sequential-writer collapse this round fixed) or in the per-batch
     // fixed costs moves these driver-recorded rows.
     "ann_append_knn", "stream_ann_ingest",
+    // round 15: the lifecycle's last verb — build + tombstone-delete +
+    // batched join over survivors. Guards the liveRows anti-join seam
+    // (a tombstone filter applied AFTER the top-k cut would still be
+    // hash-wrong, but a regression that re-plans the no-tombstone case
+    // into a real join, or makes deleteIds O(index), moves this row.
+    "ann_delete_knn",
+    // round 15: the fuzzy run END-TO-END (CSV ingest -> QA battery ->
+    // alternates multiplication -> blocked OSA join + flip union ->
+    // date filter -> multi-match resolve -> tiering + saved-rows state
+    // publish). pipeline_template_e2e guards the template composition;
+    // this guards the OTHER composed path a real deployment schedules,
+    // whose cost profile (window chains over candidate mass + the
+    // snapshot-store publish) is different in kind.
+    "pipeline_fuzzy_e2e",
     // the composed 6-stage curation run — the heaviest job a user
     // actually schedules. Its stages are timed individually above; this
     // row times the COMPOSITION (stage checkpoints included). It runs
@@ -95,7 +109,15 @@ object Bench {
     * exclusion itself is auditable. Maintained per round: empty when a
     * round changes no under-the-name semantics (renames and NEW rows
     * never need listing — they fall out of the intersection by name). */
-  val semanticsChanged: Set[String] = Set()
+  val semanticsChanged: Set[String] = Set(
+    // round 15: the ANN append path no longer runs a full-index count()
+    // per append (the drift WARN now prices from the _rows sidecar), so
+    // these two rows' TIMED code path is materially faster under an
+    // unchanged name — a raw cross-round ratio would read the fix as
+    // host drift. The other ann_* rows only gained a no-op fs.exists
+    // (liveRows with no tombstones returns the frame unchanged) and a
+    // one-file sidecar stamp at build — immaterial, left comparable.
+    "ann_append_knn", "stream_ann_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1873,10 +1873,25 @@ object AnnIndex {
   }
 
   /** The atomic-rename tail of the staged-rewrite protocol shared by
-    * [[compactIndex]] and [[reindexLsh]]: live → old, staged → live,
+    * [[compactIndex]] and the reindexes: live → old, staged → live,
     * delete old. A failed second rename restores the original and keeps
     * the staged copy for inspection — no window exposes a readable
-    * half-index. */
+    * half-index.
+    *
+    * DESIGN DECISION (round 15, documented per the round-14 review): a
+    * reader racing the swap sees a MISSING path between the two renames
+    * and errors — it can never see a half-index, but it doesn't retry.
+    * The alternative — a `_current` pointer file over versioned
+    * directories ([[graft.sources.SnapshotStore]]'s protocol) — would
+    * make cut-over atomic for concurrent readers and give index
+    * time-travel. We deliberately stay with in-place renames: these
+    * indexes serve BATCH pipelines (maintenance and probes are steps of
+    * the same orchestrated run, never concurrent), a pointer layer would
+    * double every reader's metadata round-trips at 100 TB for a window
+    * no batch reader can hit, and an index that ever serves online
+    * traffic should be PUBLISHED into a SnapshotStore (which already
+    * exists and is oracle-gated) rather than re-implementing its
+    * version-flip here. */
   private def swapStaged(fs: org.apache.hadoop.fs.FileSystem,
       live: org.apache.hadoop.fs.Path, staged: org.apache.hadoop.fs.Path,
       old: org.apache.hadoop.fs.Path, op: String): Unit = {

