@@ -262,13 +262,39 @@ object ProbeSuite {
         .agg(expr("bit_xor(h)").as("s")).head().getLong(0)
       val appendOk = chk(inc) == chk(idx) &&
         spark.read.parquet(inc).count() == n
-      val pass = cellsOk && scanOk && recallOk && appendOk
+      // delete lifecycle bound (round 15): tombstone the 1% batch back
+      // out of the appended index — a probe must then admit NO batch id
+      // (the anti-join runs BEFORE the top-k cut), and compaction must
+      // drop exactly the batch: the compacted content checksum equals
+      // the SURVIVOR checksum computed on the pre-delete index (one
+      // filtered job — no extra build), with the sidecar cleared.
+      // Checksum equality is noise-free like the append bound.
+      val survivorChk = spark.read.parquet(inc).filter(!isBatch)
+        .select(xxhash64(col("vec_id"), col("code"),
+          col("cell").cast("long")).as("h"))
+        .agg(expr("bit_xor(h)").as("s")).head().getLong(0)
+      val batchIds = corpus.filter(isBatch).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val (nDel, tDel) = timed(AnnIndex.deleteIds(spark, inc,
+        corpus.filter(isBatch).select("vec_id")))
+      val probeExcludes = !AnnIndex.ivfPqKnnJoin(spark, inc, queries,
+          corpus, "embedding", "vec_id", k = 10, overFetch = 4)
+        .select("vec_id").collect().exists(r => batchIds(r.getLong(0)))
+      val (_, tDelCompact) = timed(AnnIndex.compactIndex(spark, inc))
+      val fsInc = new org.apache.hadoop.fs.Path(inc).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val deleteOk = probeExcludes && chk(inc) == survivorChk &&
+        spark.read.parquet(inc).count() == n - nApp &&
+        !fsInc.exists(new org.apache.hadoop.fs.Path(s"$inc/_tombstones"))
+      val pass = cellsOk && scanOk && recallOk && appendOk && deleteOk
       println(f"[probes] ann_plan cells=${cents.length} (planned " +
         f"$plannedCells) nProbe=$nProbe scanned=$scanned (bound " +
         f"$scanBound) recall planned=$recPlanned%.3f fixed4=$recFixed4%.3f " +
         f"(floor $AnnRecallFloor) build=${tBuild}%.1fs " +
         f"recall_wall=${tRec}%.1f/${tRecF}%.1fs " +
         f"append rows=$nApp wall=${tApp}%.1fs identical=$appendOk " +
+        f"delete rows=$nDel wall=${tDel}%.1fs+compact ${tDelCompact}%.1fs " +
+        f"drop_identical=$deleteOk " +
         (if (pass) "ok" else "BAD"))
       (pass, s""""ann_plan":{"pass":$pass,"corpus":$n,""" +
         s""""cells":${cents.length},"planned_cells":$plannedCells,""" +
@@ -277,7 +303,10 @@ object ProbeSuite {
         s""""recall_planned":$recPlanned,"recall_fixed4":$recFixed4,""" +
         s""""recall_floor":$AnnRecallFloor,"build_sec":$tBuild,""" +
         s""""append_rows":$nApp,"append_sec":$tApp,""" +
-        s""""append_identical":$appendOk}""")
+        s""""append_identical":$appendOk,""" +
+        s""""delete_rows":$nDel,"delete_sec":$tDel,""" +
+        s""""delete_compact_sec":$tDelCompact,""" +
+        s""""delete_drop_identical":$deleteOk}""")
     }
 
     // --------------------------------------------------- fuzzy_salt
