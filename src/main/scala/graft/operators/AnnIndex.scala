@@ -1429,6 +1429,30 @@ object AnnIndex {
         s"Nothing was written.")
   }
 
+  /** Appending an id that is TOMBSTONED ([[deleteIds]]) is legal but
+    * almost always a mistake: [[liveRows]] anti-joins by id, so the
+    * fresh row is invisible until a [[compactIndex]] clears the
+    * tombstones — the documented replace-a-row sequence is delete →
+    * compact → append. This WARN gives the caller the signal instead of
+    * silent invisibility: one O(batch) semi-join count, and only when a
+    * `_tombstones` sidecar exists at all (fs.exists gate — the common
+    * no-deletes append pays nothing). */
+  private def warnTombstonedAppend(spark: SparkSession, path: String,
+      batch: DataFrame, op: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_tombstones"))) {
+      val hidden = batch.select("vec_id").join(
+        spark.read.parquet(s"$path/_tombstones").select("vec_id").distinct(),
+        Seq("vec_id"), "left_semi").count()
+      if (hidden > 0)
+        System.err.println(s"[annindex] WARN $op($path): $hidden appended " +
+          s"row(s) carry TOMBSTONED ids — they are written but invisible " +
+          s"to probes until compactIndex clears the tombstones. Replacing " +
+          s"a row is delete -> compactIndex -> append.")
+    }
+  }
+
   /** Nearest-centroid assignment for append batches against a FROZEN
     * centroid table (kmeans-built indexes): batch × broadcast(centroids)
     * with PARTIAL-AGGREGATED min_by, so the map-side combine collapses
@@ -1536,6 +1560,7 @@ object AnnIndex {
       .withColumn("sig",
         Similarity.sigCol(col("vec"), bits, family == FamilyOrtho))
       .withColumn("sig_grp", shiftright(col("sig"), bits - grpBits))
+    warnTombstonedAppend(spark, path, batch, "appendLsh")
     batch
       // explicit width matters MOST for appends: the batch is small, so
       // a column-only repartition AQE-coalesces to one task writing every
@@ -1582,6 +1607,7 @@ object AnnIndex {
     val batch = newRows.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
     // whole-batch width guard, BOTH arms — see [[requireBatchDims]]
     requireBatchDims(batch, "vec", dim, "appendIvf", path)
+    warnTombstonedAppend(spark, path, batch, "appendIvf")
     val assigned = quant match {
       case "sign" =>
         // the PLANNED width from the sidecar, never the occupied-cell
@@ -1640,6 +1666,7 @@ object AnnIndex {
     // whole-batch width guard (the raw width equals the normalized width)
     // — see [[requireBatchDims]]
     requireBatchDims(base, "vec", m * sub, "appendPq", path)
+    warnTombstonedAppend(spark, path, base, "appendPq")
     // read BEFORE the write: a legacy `_rows`-less index self-heals by
     // counting, and counting after the append would double-count the batch
     val oldN = indexRowCount(spark, path)
@@ -1686,6 +1713,7 @@ object AnnIndex {
           x => when(col("__n") > 0, x / col("__n")).otherwise(x)).as("nv"))
     // whole-batch width guard, BOTH arms — see [[requireBatchDims]]
     requireBatchDims(base, "nv", m * sub, "appendIvfPq", path)
+    warnTombstonedAppend(spark, path, base, "appendIvfPq")
     val assigned = quant match {
       case "sign" =>
         // planned width from the sidecar, never the occupied-cell count

@@ -594,6 +594,26 @@ class AnnAppendSpec extends SparkSpec {
       emb.filter(col("vec_id") % 7 =!= 2).count())
   }
 
+  test("appending a TOMBSTONED id WARNs (written but invisible until " +
+      "compaction) — the replace-a-row footgun gets a signal") {
+    val p = tmp("lsh_tomb_warn")
+    AnnIndex.buildLsh(emb, "embedding", "vec_id", p, dims = 64, bits = 8)
+    val doomed = emb.filter(col("vec_id") === 2)
+    AnnIndex.deleteIds(spark, p, doomed.select("vec_id"))
+    val err = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    try {
+      System.setErr(new java.io.PrintStream(err, true))
+      AnnIndex.appendLsh(doomed, "embedding", "vec_id", p)
+    } finally System.setErr(old)
+    assert(err.toString.contains("TOMBSTONED ids"), err.toString)
+    // and indeed: the re-appended row stays invisible to probes
+    val q2 = emb.filter(col("vec_id") === 2).select("embedding")
+      .as[Seq[Float]].head()
+    assert(!AnnIndex.searchLsh(spark, p, q2, k = 5)
+      .select("vec_id").as[Long].collect().contains(2L))
+  }
+
   test("deleteIds refuses the sidecar-less interrupted state") {
     val p = tmp("del_nosc")
     AnnIndex.buildIvf(evens, "embedding", "vec_id", p,
