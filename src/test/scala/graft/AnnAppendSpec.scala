@@ -614,6 +614,32 @@ class AnnAppendSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().contains(2L))
   }
 
+  test("with tombstones PRESENT the batched joins keep dynamic partition " +
+      "pruning — the liveRows anti-join must not demote the probed scan " +
+      "to a full read") {
+    val p = tmp("ivfpq_dpp_tomb")
+    AnnIndex.buildIvfPq(emb, "embedding", "vec_id", p,
+      nCells = 8, m = 16, quantizer = "sign")
+    AnnIndex.deleteIds(spark, p,
+      emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
+    val joined = AnnIndex.ivfPqKnnJoin(spark, p,
+      emb.filter(col("vec_id") < 3), emb, "embedding", "vec_id",
+      k = 3, nProbe = 4)
+    val logical = joined.queryExecution.optimizedPlan.toString
+    assert(logical.contains("dynamicpruning"),
+      s"tombstone anti-join lost DPP on the code scan:\n$logical")
+    // and the LSH sibling keeps its pruning too
+    val lp = tmp("lsh_dpp_tomb")
+    AnnIndex.buildLsh(emb, "embedding", "vec_id", lp, dims = 64, bits = 12)
+    AnnIndex.deleteIds(spark, lp,
+      emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
+    val lshPlan = AnnIndex.lshKnnJoin(spark, lp,
+        emb.filter(col("vec_id") < 3), "embedding", "vec_id", k = 3)
+      .queryExecution.optimizedPlan.toString
+    assert(lshPlan.contains("dynamicpruning"),
+      s"tombstone anti-join lost DPP on the LSH scan:\n$lshPlan")
+  }
+
   test("deleteIds refuses the sidecar-less interrupted state") {
     val p = tmp("del_nosc")
     AnnIndex.buildIvf(evens, "embedding", "vec_id", p,
