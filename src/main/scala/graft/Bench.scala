@@ -81,6 +81,13 @@ object Bench {
     // hash-wrong, but a regression that re-plans the no-tombstone case
     // into a real join, or makes deleteIds O(index), moves this row.
     "ann_delete_knn",
+    // round 15 (late): the targeted vacuum — same build + planted
+    // tombstones, then vacuumTombstones (locate scan + affected-file
+    // rewrite + manifest roll-forward) and a sidecar-free probe. The
+    // row prices the ENTIRE physical-delete path; a regression that
+    // turns the locate scan into a full-width read or the targeted
+    // rewrite into a whole-index one moves it far outside its band.
+    "ann_vacuum_knn",
     // round 15: the fuzzy run END-TO-END (CSV ingest -> QA battery ->
     // alternates multiplication -> blocked OSA join + flip union ->
     // date filter -> multi-match resolve -> tiering + saved-rows state

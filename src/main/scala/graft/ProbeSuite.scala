@@ -254,6 +254,24 @@ object ProbeSuite {
       val inc = Tables.freshScratch("probe_ivfpq_inc") + "/idx"
       AnnIndex.buildIvfPq(corpus.filter(!isBatch), "embedding", "vec_id",
         inc, nCells = 16, m = 8, quantizer = "sign")
+      // data-file snapshot of the 99% BASE build — the vacuum bound
+      // below asserts these exact files survive the targeted delete
+      // untouched (same name, same length)
+      def dataFileSnap(p: String): Map[String, Long] = {
+        val fsP = new org.apache.hadoop.fs.Path(p).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val it = fsP.listFiles(new org.apache.hadoop.fs.Path(p), true)
+        val out = scala.collection.mutable.Map.empty[String, Long]
+        while (it.hasNext) {
+          val f = it.next()
+          val s0 = f.getPath.toString
+          if (s0.endsWith(".parquet") && !Seq("_centroids", "_codebooks",
+            "_tombstones", "_vacuum_staged").exists(d =>
+              s0.contains(s"/$d/"))) out(s0) = f.getLen
+        }
+        out.toMap
+      }
+      val baseFiles = dataFileSnap(inc)
       val (nApp, tApp) = timed(AnnIndex.appendIvfPq(
         corpus.filter(isBatch), "embedding", "vec_id", inc))
       def chk(p: String): Long = spark.read.parquet(p)
@@ -280,13 +298,32 @@ object ProbeSuite {
       val probeExcludes = !AnnIndex.ivfPqKnnJoin(spark, inc, queries,
           corpus, "embedding", "vec_id", k = 10, overFetch = 4)
         .select("vec_id").collect().exists(r => batchIds(r.getLong(0)))
-      val (_, tDelCompact) = timed(AnnIndex.compactIndex(spark, inc))
+      // targeted-vacuum bound (round 15, late): the tombstoned rows
+      // live ONLY in the appended files (the re-crawl shape — recent
+      // data gets replaced), so vacuumTombstones must (a) drop exactly
+      // the batch, (b) match the survivor checksum physically, and
+      // (c) leave EVERY 99%-base data file untouched on disk — the
+      // "takedown rewrites the touched files, not the corpus" claim,
+      // held as a standing bound at 300k rows. Checksum + file-identity
+      // equality are noise-free like the append bound.
+      val ((nVacFiles, nVacRows), tVac) = timed(
+        AnnIndex.vacuumTombstones(spark, inc))
       val fsInc = new org.apache.hadoop.fs.Path(inc).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
+      val postVacFiles = dataFileSnap(inc)
+      val baseUntouched = baseFiles.forall { case (f, len) =>
+        postVacFiles.get(f).contains(len) }
+      val vacuumOk = nVacRows == nApp && chk(inc) == survivorChk &&
+        baseUntouched &&
+        !fsInc.exists(new org.apache.hadoop.fs.Path(s"$inc/_tombstones"))
+      // compaction still defrags the vacuumed index to one file per
+      // cell; content must stay the survivor set
+      val (_, tDelCompact) = timed(AnnIndex.compactIndex(spark, inc))
       val deleteOk = probeExcludes && chk(inc) == survivorChk &&
         spark.read.parquet(inc).count() == n - nApp &&
         !fsInc.exists(new org.apache.hadoop.fs.Path(s"$inc/_tombstones"))
-      val pass = cellsOk && scanOk && recallOk && appendOk && deleteOk
+      val pass = cellsOk && scanOk && recallOk && appendOk && vacuumOk &&
+        deleteOk
       println(f"[probes] ann_plan cells=${cents.length} (planned " +
         f"$plannedCells) nProbe=$nProbe scanned=$scanned (bound " +
         f"$scanBound) recall planned=$recPlanned%.3f fixed4=$recFixed4%.3f " +
@@ -294,7 +331,9 @@ object ProbeSuite {
         f"recall_wall=${tRec}%.1f/${tRecF}%.1fs " +
         f"append rows=$nApp wall=${tApp}%.1fs identical=$appendOk " +
         f"delete rows=$nDel wall=${tDel}%.1fs+compact ${tDelCompact}%.1fs " +
-        f"drop_identical=$deleteOk " +
+        f"drop_identical=$deleteOk vacuum files=$nVacFiles " +
+        f"rows=$nVacRows wall=${tVac}%.1fs base_untouched=$baseUntouched " +
+        f"vacuum_ok=$vacuumOk " +
         (if (pass) "ok" else "BAD"))
       (pass, s""""ann_plan":{"pass":$pass,"corpus":$n,""" +
         s""""cells":${cents.length},"planned_cells":$plannedCells,""" +
@@ -306,7 +345,10 @@ object ProbeSuite {
         s""""append_identical":$appendOk,""" +
         s""""delete_rows":$nDel,"delete_sec":$tDel,""" +
         s""""delete_compact_sec":$tDelCompact,""" +
-        s""""delete_drop_identical":$deleteOk}""")
+        s""""delete_drop_identical":$deleteOk,""" +
+        s""""vacuum_files":$nVacFiles,"vacuum_rows":$nVacRows,""" +
+        s""""vacuum_sec":$tVac,"vacuum_base_untouched":$baseUntouched,""" +
+        s""""vacuum_identical":$vacuumOk}""")
     }
 
     // --------------------------------------------------- fuzzy_salt

@@ -697,6 +697,36 @@ object QueriesText {
           e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
       }),
 
+    // ------------------------ similarity: targeted vacuum (r15)
+    // ann_delete_knn's PHYSICAL half, driver-gated: the same build +
+    // planted tombstones, then vacuumTombstones rewrites ONLY the files
+    // holding tombstoned rows (manifest roll-forward commit) and clears
+    // the sidecar — so the probe runs with NO tombstone anti-join in the
+    // plan, over physically-dropped rows. Shares ann_delete_knn's
+    // survivor-ranked oracle: a vacuum that drops the wrong rows, leaks
+    // a tombstoned row, or loses a survivor file hash-fails here. The
+    // require pins that the probe really took the sidecar-free path.
+    QueryDef("ann_vacuum_knn", Some(annDeleteKnnOracleSql),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val idx = Tables.scratchDir("lsh_vacuum_idx")
+        graft.operators.AnnIndex.buildLsh(e, "embedding", "vec_id", idx,
+          dims = 64, bits = 12, refHamming = 1)
+        graft.operators.AnnIndex.deleteIds(s, idx,
+          e.filter(col("vec_id") % 10 === 3).select("vec_id"))
+        val (rewritten, dropped) =
+          graft.operators.AnnIndex.vacuumTombstones(s, idx)
+        require(rewritten > 0 && dropped > 0,
+          s"vacuum was a no-op (files=$rewritten rows=$dropped)")
+        val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        require(!fs.exists(
+          new org.apache.hadoop.fs.Path(s"$idx/_tombstones")),
+          "vacuum left the _tombstones sidecar — probe would anti-join")
+        graft.operators.AnnIndex.lshKnnJoin(s, idx,
+          e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
+      }),
+
     // ----------------------- similarity: streaming ANN ingest (r14)
     // Streams.annIngest end-to-end through a real FileStreamSource: the
     // first micro-batch BUILDS the LSH index (the train step — its plan

@@ -172,6 +172,7 @@ object AnnIndex {
     if (!fs.exists(hPath)) throw new IllegalStateException(
       s"ivf index at $path does not exist — build one with " +
         s"AnnIndex.buildIvf / buildIvfPq")
+    requireNoInterruptedVacuum(fs, path, "ivfCentroids")
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_centroids")))
       throw new IllegalStateException(
         s"ivf index at $path has no _centroids sidecar — the build " +
@@ -230,6 +231,7 @@ object AnnIndex {
       throw new IllegalStateException(
         s"pq index at $path does not exist — build one with " +
           s"AnnIndex.buildPq / buildIvfPq")
+    requireNoInterruptedVacuum(fs, path, "requireCodebooks")
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_codebooks")))
       throw new IllegalStateException(
         s"pq index at $path has no _codebooks sidecar — the build deletes " +
@@ -1197,6 +1199,7 @@ object AnnIndex {
     if (!fs.exists(hPath)) throw new IllegalStateException(
       s"lshIndexPlan($path): no index at this path — build one with " +
         s"AnnIndex.buildLsh")
+    requireNoInterruptedVacuum(fs, path, "lshIndexPlan")
     val sidecar = fs.exists(new org.apache.hadoop.fs.Path(s"$path/_plan"))
     val (plan, family, grpBits) =
       if (!sidecar) ((12, 1), FamilyPm1, None)
@@ -1766,12 +1769,16 @@ object AnnIndex {
    * mutation: refuses indexes whose geometry sidecars are missing or
    * inconsistent.
    *
-   * A tombstoned id stays invisible until [[compactIndex]] (or a
-   * reindex) physically drops it — including against a LATER append of
-   * the same id. Replacing a row (re-crawl) is therefore delete →
-   * compact → append, or append under a NEW id; the orchestration-layer
-   * manifest protocol ([[graft.sources.FileCommit]]) is the place to
-   * sequence that, exactly as for append batches.
+   * A tombstoned id stays invisible until [[vacuumTombstones]] (the
+   * targeted path — rewrites only the files holding tombstoned rows),
+   * [[compactIndex]] or a reindex physically drops it — including
+   * against a LATER append of the same id. Replacing a row (re-crawl)
+   * is therefore delete → vacuum → append, or append under a NEW id;
+   * the orchestration-layer manifest protocol
+   * ([[graft.sources.FileCommit]]) is the place to sequence that,
+   * exactly as for append batches. When the accumulated tombstones pass
+   * 1% of the index (every probe pays the anti-join on that mass), the
+   * call WARNs with the vacuum prescription.
    *
    * @param ids one column of ids to delete (same type as the index's
    *            vec_id); extra columns are ignored
@@ -1797,7 +1804,19 @@ object AnnIndex {
     val batch = ids.select(col(idCol).as("vec_id")).distinct()
     batch.coalesce(1).write.mode("append")
       .parquet(s"$path/_tombstones")
-    batch.count()
+    val n = batch.count()
+    // accumulation WARN: the sidecar is small (ids only) but every probe
+    // anti-joins it — past ~1% of the index the takedown mass deserves a
+    // vacuum. `_rows` sidecar read only, no job over the data path.
+    val total = math.max(1L, indexRowCount(spark, path))
+    val tombs = spark.read.parquet(s"$path/_tombstones")
+      .select("vec_id").distinct().count()
+    if (tombs >= 1024L && tombs * 100L >= total)
+      System.err.println(s"[annindex] WARN deleteIds($path): $tombs " +
+        s"accumulated tombstones vs $total rows — every probe now " +
+        s"anti-joins that mass; call AnnIndex.vacuumTombstones to make " +
+        s"the deletes physical and clear the sidecar.")
+    n
   }
 
   /**
@@ -1855,8 +1874,9 @@ object AnnIndex {
     if (isLsh) lshIndexPlan(spark, path) // fail-closed cross-checks
     else if (sidecars.contains("_centroids")) ivfCentroids(spark, path)
     else requireCodebooks(spark, path)   // flat PQ
-    // `_tombstones` holds parquet too — never count it as data
-    val nonData = sidecars ++ Seq("_tombstones")
+    // `_tombstones` holds parquet too — never count it as data; a
+    // crashed pre-publish vacuum staging dir is garbage, not data
+    val nonData = sidecars ++ Seq("_tombstones", "_vacuum_staged")
     def dataFiles(p: String): Long = {
       val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
       var n = 0L
@@ -1932,6 +1952,260 @@ object AnnIndex {
           s"at $staged for inspection")
     }
     fs.delete(old, true)
+  }
+
+  // ------------------------------------------------ targeted vacuum (r15)
+  //
+  // [[compactIndex]] makes tombstones physical, but it rewrites the WHOLE
+  // index — at 100 TB a takedown of 100 ids must not cost a full-corpus
+  // rewrite. [[vacuumTombstones]] rewrites ONLY the data files that
+  // contain tombstoned rows: one column-pruned (vec_id, file) scan
+  // locates them, survivors of just those files are rewritten under the
+  // build's own write discipline, and a manifest-driven ROLL-FORWARD
+  // commit makes the file swap crash-safe (the
+  // [[graft.sources.FileCommit]] manifest idea applied inside the index
+  // directory — every step idempotent, re-run to completion). Geometry
+  // sidecars are untouched: survivors keep byte-identical
+  // cells/signatures/codes, and files without a tombstoned row are not
+  // read, not rewritten, not even listed beyond the locate scan.
+
+  private val VacuumMarker = "_vacuum"
+
+  private def vacuumMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/$VacuumMarker")
+
+  /** Readers and mutations fail closed while a `_vacuum` manifest exists:
+    * between the manifest's atomic publish and [[completeVacuum]]'s final
+    * marker delete, rewritten and original files can coexist (duplicate
+    * survivors) or originals may be gone with staged files not yet moved
+    * in (missing rows) — both silently wrong to read. The manifest is
+    * roll-forward-complete, so the prescription is always "re-run
+    * vacuumTombstones", never manual repair. */
+  private def requireNoInterruptedVacuum(
+      fs: org.apache.hadoop.fs.FileSystem, path: String, op: String): Unit =
+    if (fs.exists(vacuumMarkerPath(path)))
+      throw new IllegalStateException(
+        s"$op($path): an interrupted vacuum left its _vacuum manifest — " +
+          s"data files are mid-swap (rewritten and original files may " +
+          s"coexist), so reading would silently duplicate or drop rows; " +
+          s"re-run AnnIndex.vacuumTombstones($path) to roll it forward.")
+
+  /**
+   * Make tombstones ([[deleteIds]]) PHYSICAL by rewriting only the data
+   * files that contain tombstoned rows — the targeted sibling of
+   * [[compactIndex]]'s full rewrite, sized to the takedown instead of
+   * the corpus. The common case (a bounded id set spread over a few
+   * files) costs one narrow locate scan (vec_id + file name, column-
+   * pruned) plus a rewrite of just those files; every other file is
+   * untouched on disk. After a vacuum the `_tombstones` sidecar is
+   * cleared — probes stop paying the anti-join, and a previously
+   * tombstoned id becomes appendable again (the replace-a-row sequence
+   * is delete → vacuum → append).
+   *
+   * Crash-safety is a ROLL-FORWARD manifest, not a staged-dir swap (the
+   * rewrite is per-file, not whole-index): survivors are staged under
+   * `_vacuum_staged` (underscore-invisible to readers), then a `_vacuum`
+   * manifest listing every move and delete is published by an atomic
+   * tmp-write + rename. From that instant every reader fails closed
+   * (the marker gate in [[lshIndexMeta]]/[[ivfCentroids]]/
+   * [[requireCodebooks]]) until [[completeVacuum]] finishes the moves,
+   * the deletes, the `_rows` re-stamp and the sidecar clear, and removes
+   * the marker — each step idempotent, so a crash anywhere re-runs to
+   * the same end state. A crash BEFORE the manifest publish leaves only
+   * unreferenced staged garbage, swept on the next call; the live index
+   * is untouched and keeps answering (tombstones still filter).
+   *
+   * The locate scan's result (affected file list + per-file drop counts)
+   * is driver-side state bounded by the number of AFFECTED files — the
+   * right shape for takedowns. A mass delete that touches most files
+   * should use [[compactIndex]] instead (same physical outcome, no
+   * per-file manifest); the call WARNs when the takedown stops being
+   * targeted. Works on every persisted layout this module writes,
+   * including the legacy raw-sig LSH tree. Fail-closed like every
+   * mutation on sidecar-less (interrupted-rebuild) states.
+   *
+   * @return (files rewritten, rows dropped); (0, 0) when there is
+   *         nothing to vacuum
+   */
+  def vacuumTombstones(spark: SparkSession, path: String): (Long, Long) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) throw new IllegalStateException(
+      s"vacuumTombstones($path): no index at this path")
+    // an interrupted vacuum rolls FORWARD first — its manifest carries
+    // everything needed to finish, and the marker gates all other reads
+    if (fs.exists(vacuumMarkerPath(path))) completeVacuum(spark, path)
+    else if (stageVacuum(spark, path)) completeVacuum(spark, path)
+    else (0L, 0L)
+  }
+
+  /** The staging half of [[vacuumTombstones]]: locate affected files,
+    * rewrite their survivors into `_vacuum_staged`, publish the `_vacuum`
+    * manifest (the commit point — readers fail closed from here until
+    * [[completeVacuum]]). Returns false when there is nothing to do (no
+    * tombstones, or every tombstoned id is row-less — the sidecar is
+    * cleared outright in that case). Package-private so the spec can
+    * construct the interrupted state a crash would leave. */
+  private[graft] def stageVacuum(
+      spark: SparkSession, path: String): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pre-publish leftovers from a crashed staging pass: referenced by
+    // no manifest, plain garbage
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$VacuumMarker.tmp"),
+      false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_vacuum_staged"), true)
+    val sidecars = Seq("_plan", "_centroids", "_codebooks")
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s"$path/$s")))
+    if (sidecars.isEmpty) throw new IllegalStateException(
+      s"vacuumTombstones($path): no sidecars — an interrupted rebuild " +
+        s"(rebuild the index) or not an AnnIndex layout; refusing to " +
+        s"rewrite data whose geometry is unknown.")
+    val isLsh = sidecars.contains("_plan")
+    if (isLsh) lshIndexPlan(spark, path) // fail-closed cross-checks
+    else if (sidecars.contains("_centroids")) ivfCentroids(spark, path)
+    else requireCodebooks(spark, path)   // flat PQ
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_tombstones")))
+      return false // steady state: nothing tombstoned
+    val tomb = spark.read.parquet(s"$path/_tombstones")
+      .select("vec_id").distinct()
+    val qualified = fs.makeQualified(hPath).toString
+    // locate: ONE job over (vec_id, file name) — column-pruned to the
+    // narrowest possible scan; returns the affected files AND the
+    // per-file drop counts together
+    val perFile = spark.read.option("basePath", qualified)
+      .parquet(qualified)
+      .select(col("vec_id"), input_file_name().as("_file"))
+      .join(tomb, Seq("vec_id"), "left_semi")
+      .groupBy("_file").count().collect()
+    val affected = perFile.map(_.getString(0))
+    val dropped = perFile.map(_.getLong(1)).sum
+    if (affected.isEmpty) {
+      // every tombstoned id is row-less (already vacuumed / never
+      // present): clearing the sidecar IS the whole job
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
+      return false
+    }
+    val rowsAfter = indexRowCount(spark, path) - dropped
+    // rewrite survivors of ONLY the affected files, under the build's
+    // write discipline (explicit-width repartition on the partition key;
+    // sig-sorted within groups for LSH row-group pruning). basePath
+    // keeps the partition column on the per-file read.
+    val staged = s"$path/_vacuum_staged"
+    val aff = spark.read.option("basePath", qualified)
+      .parquet(affected.toIndexedSeq: _*)
+      .join(tomb, Seq("vec_id"), "left_anti")
+    val pCol = Seq("sig_grp", "cell", "sig").find(aff.columns.contains)
+    (pCol match {
+      case Some(c) =>
+        val re = aff.repartition(writeParts(aff), col(c))
+        (if (isLsh && c == "sig_grp") re.sortWithinPartitions("sig")
+         else re).write.partitionBy(c)
+      case None => aff.coalesce(1).write // flat PQ: affected files only
+    }).mode("overwrite").parquet(staged)
+    if (affected.length.toLong * 10 >= 3L * dataFileCount(fs, path,
+        sidecars)) System.err.println(
+      s"[annindex] WARN vacuumTombstones($path): the takedown touches " +
+        s"${affected.length} files — no longer a targeted delete; " +
+        s"compactIndex reaches the same physical state without the " +
+        s"per-file manifest.")
+    // manifest: every staged->dest move + every original delete,
+    // published ATOMICALLY (tmp-write + rename). The commit point.
+    val stagedQ = fs.makeQualified(new org.apache.hadoop.fs.Path(staged))
+    val sb = new StringBuilder("graft-vacuum-v1\n")
+    sb.append(s"rows_after=$rowsAfter\n")
+    sb.append(s"rows_dropped=$dropped\n")
+    val it = fs.listFiles(stagedQ, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val rel = f.toString.stripPrefix(stagedQ.toString)
+          .stripPrefix("/")
+        sb.append(s"move\t$f\t$qualified/$rel\n")
+      }
+    }
+    affected.foreach(f => sb.append(s"del\t$f\n"))
+    sb.append("end\n")
+    val tmpMarker =
+      new org.apache.hadoop.fs.Path(s"$path/$VacuumMarker.tmp")
+    val out = fs.create(tmpMarker, true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmpMarker, vacuumMarkerPath(path)))
+      throw new IllegalStateException(
+        s"vacuumTombstones($path): could not publish the _vacuum manifest")
+    true
+  }
+
+  /** Data-file count for the vacuum's "still targeted?" WARN — one
+    * recursive listing, sidecar/tombstone/staged trees excluded. */
+  private def dataFileCount(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, sidecars: Seq[String]): Long = {
+    val nonData = sidecars ++ Seq("_tombstones", "_vacuum_staged")
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet") &&
+        !nonData.exists(s => f.toString.contains(s"/$s/"))) n += 1
+    }
+    n
+  }
+
+  /** Roll an in-flight vacuum FORWARD from its `_vacuum` manifest: moves
+    * are skipped when already done (staged gone, destination present),
+    * deletes when already gone — every step idempotent, so a crash at
+    * any point re-runs to the same end state. The tail order is the
+    * contract: `_rows` re-stamp and `_tombstones` clear happen BEFORE
+    * the marker delete, which is the single point that lets readers
+    * back in. */
+  private[graft] def completeVacuum(
+      spark: SparkSession, path: String): (Long, Long) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = vacuumMarkerPath(path)
+    val in = fs.open(marker)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n", -1).toIndexedSeq
+    // the manifest is published by an atomic rename, so a malformed one
+    // is external damage, not a crash state — fail with that distinction
+    if (!lines.headOption.contains("graft-vacuum-v1") ||
+        !lines.contains("end"))
+      throw new IllegalStateException(
+        s"vacuumTombstones($path): unreadable _vacuum manifest — " +
+          s"manifests are published whole (tmp-write + rename), so this " +
+          s"is external damage; rebuild the index.")
+    val body = lines.takeWhile(_ != "end")
+    def field(k: String): Long = body.collectFirst {
+      case l if l.startsWith(s"$k=") => l.stripPrefix(s"$k=").toLong
+    }.getOrElse(throw new IllegalStateException(
+      s"vacuumTombstones($path): _vacuum manifest lacks $k"))
+    val rowsAfter = field("rows_after")
+    val droppedRows = field("rows_dropped")
+    val moves = body.filter(_.startsWith("move\t"))
+      .map { l => val a = l.split("\t"); (a(1), a(2)) }
+    val dels = body.filter(_.startsWith("del\t")).map(_.split("\t")(1))
+    moves.foreach { case (s0, d) =>
+      val sp = new org.apache.hadoop.fs.Path(s0)
+      val dp = new org.apache.hadoop.fs.Path(d)
+      if (fs.exists(sp)) {
+        if (fs.exists(dp)) fs.delete(dp, false) // re-run of a done move
+        if (!fs.rename(sp, dp)) throw new IllegalStateException(
+          s"vacuumTombstones($path): could not move $s0 into place")
+      } else if (!fs.exists(dp)) throw new IllegalStateException(
+        s"vacuumTombstones($path): staged file $s0 and destination $d " +
+          s"are BOTH missing — the manifest does not match the " +
+          s"directory (external damage); rebuild the index.")
+    }
+    dels.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    writeRowsSidecar(fs, path, rowsAfter)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_vacuum_staged"), true)
+    fs.delete(marker, false)
+    (dels.size.toLong, droppedRows)
   }
 
   /**
