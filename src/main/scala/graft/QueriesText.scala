@@ -727,6 +727,33 @@ object QueriesText {
           e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
       }),
 
+    // ------------------------ similarity: index health (r15, late)
+    // indexHealth as an oracle row: the snapshot's DETERMINISTIC fields
+    // (layout, row/tombstone counts from sidecars, occupied sign cells,
+    // the planIvfCells re-plan and the drift/tombstone-mass flags) are
+    // all DuckDB-replayable — count(*), the 2-bit sign-pattern distinct
+    // count, and the max(cur, 2^ceil(log2(n/target))) plan formula — so
+    // a health API that misreads a sidecar, re-plans with the wrong
+    // formula, or flips a threshold hash-fails at the driver. File/
+    // fragmentation fields are physical-layout facts (not SQL-stable)
+    // and stay spec-covered in AnnMaintainSpec.
+    QueryDef("ann_health", Some(annHealthOracleSql),
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val idx = Tables.scratchDir("ivf_health_idx")
+        graft.operators.AnnIndex.buildIvf(e, "embedding", "vec_id", idx,
+          nCells = 4, autoPlan = false, quantizer = "sign")
+        graft.operators.AnnIndex.deleteIds(s, idx,
+          e.filter(col("vec_id") % 10 === 3).select("vec_id"))
+        val h = graft.operators.AnnIndex.indexHealth(s, idx,
+          targetCellRows = 64L)
+        Seq((h.layout, h.rows, h.tombstones, h.currentUnits.toLong,
+          h.plannedUnits.toLong, h.drifted, h.tombstoneHeavy))
+          .toDF("layout", "n_rows", "tombstones", "cells",
+            "planned_cells", "drifted", "tombstone_heavy")
+      }),
+
     // ----------------------- similarity: streaming ANN ingest (r14)
     // Streams.annIngest end-to-end through a real FileStreamSource: the
     // first micro-batch BUILDS the LSH index (the train step — its plan
@@ -2417,6 +2444,35 @@ object QueriesText {
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, vec_id) AS rn FROM cand)
       SELECT query_id, vec_id, cosine FROM r WHERE rn <= 3"""
+
+  /** ann_health oracle — replays indexHealth's deterministic fields:
+    * `n_rows`/`tombstones` are plain counts (the `_rows` sidecar is
+    * stamped at build — a stale stamp diverges from count(*) and
+    * hash-fails), `cells` is the occupied 2-bit sign-pattern count
+    * (nCells=4 → sign of dims 1..2, the quantizer annIvfTopkOracleSql
+    * already replays), `planned_cells` is planIvfCells at
+    * targetCellRows=64 — max(cur, 2^ceil(log2(max(1, n/64)))) — and the
+    * flags are the drift and tombstone-mass thresholds verbatim. */
+  private lazy val annHealthOracleSql: String = """
+      WITH base AS (
+        SELECT count(*) AS n,
+               count(*) FILTER (WHERE vec_id % 10 = 3) AS tomb
+        FROM embeddings),
+      c AS (
+        SELECT count(DISTINCT
+          (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+          (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)) AS cur
+        FROM embeddings),
+      p AS (
+        SELECT GREATEST(cur, LEAST(1048576,
+          CAST(pow(2.0, CEIL(log2(GREATEST(1.0, n / 64.0)))) AS BIGINT)))
+          AS planned
+        FROM base, c)
+      SELECT 'ivf' AS layout, n AS n_rows, tomb AS tombstones,
+             cur AS cells, planned AS planned_cells,
+             planned > cur AS drifted,
+             (tomb >= 1024 AND tomb * 100 >= n) AS tombstone_heavy
+      FROM base, c, p"""
 
   /** ann_ivf_topk oracle — shared by the default-auto row and its
     * explicit-plan `_fixed` twin (the planIvfCells no-op at oracle scale

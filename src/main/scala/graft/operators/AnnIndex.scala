@@ -2208,6 +2208,162 @@ object AnnIndex {
     (dels.size.toLong, droppedRows)
   }
 
+  // --------------------------------------------- index health (r15 late)
+  //
+  // The lifecycle's maintenance signals were spread across per-call
+  // stderr WARNs (append drift, delete accumulation, vacuum targeting) —
+  // the right alarms at mutation time, but an OPERATOR schedules
+  // maintenance from a snapshot, not from grepping logs. indexHealth is
+  // that snapshot (sidecar reads + one directory listing, NO job over
+  // the index data path), and maintainIndex executes its prescription.
+
+  /** Operational snapshot of a persisted index. All fields derive from
+    * sidecars and one recursive listing — no Spark job touches the data
+    * path (the `_rows` self-heal on a legacy index is the one exception,
+    * once). `plannedUnits`/`currentUnits` are bits for LSH, coarse cells
+    * for the IVF family, 0/0 for flat PQ (codebook refit drift is not
+    * modeled — the codes' key space does not grow with the corpus).
+    *
+    * @param prescription "healthy", or comma-joined calls in execution
+    *                     order (reindex subsumes vacuum+compact: a
+    *                     rebuild drops tombstones and defragments) */
+  case class IndexHealth(layout: String, rows: Long, tombstones: Long,
+      partitions: Int, dataFiles: Long, currentUnits: Int,
+      plannedUnits: Int, drifted: Boolean, fragmented: Boolean,
+      tombstoneHeavy: Boolean, prescription: String)
+
+  /**
+   * Compute [[IndexHealth]] for any persisted AnnIndex layout.
+   * Fail-closed like every reader (geometry cross-checks, interrupted-
+   * vacuum marker). Thresholds:
+   *
+   *  - `drifted`: a fresh plan at the CURRENT row count picks more
+   *    bits/cells than the index has — the same planners the append
+   *    WARNs consult ([[Similarity.planLshProbe]] /
+   *    [[Similarity.planIvfCells]]), so health and the WARNs can never
+   *    disagree;
+   *  - `fragmented`: data files exceed `fragmentFactor` × partition
+   *    dirs (builds and compactions write one file per partition — K
+   *    appends multiply that by up to K);
+   *  - `tombstoneHeavy`: ≥ `tombstoneFloor` ids AND ≥ 1% of rows (the
+   *    [[deleteIds]] WARN's threshold, parameterized for tests).
+   */
+  def indexHealth(spark: SparkSession, path: String,
+      targetCellRows: Long = 4096L, targetCosine: Double = 0.9,
+      targetOccupancy: Double = 2.0, fragmentFactor: Double = 2.0,
+      tombstoneFloor: Long = 1024L): IndexHealth = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) throw new IllegalStateException(
+      s"indexHealth($path): no index at this path")
+    requireNoInterruptedVacuum(fs, path, "indexHealth")
+    val sidecars = Seq("_plan", "_centroids", "_codebooks")
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s"$path/$s")))
+    if (sidecars.isEmpty) throw new IllegalStateException(
+      s"indexHealth($path): no sidecars — an interrupted rebuild " +
+        s"(rebuild the index) or not an AnnIndex layout.")
+    val layout =
+      if (sidecars.contains("_plan")) "lsh"
+      else if (sidecars.contains("_centroids") &&
+        sidecars.contains("_codebooks")) "ivfpq"
+      else if (sidecars.contains("_centroids")) "ivf"
+      else "pq"
+    val rows = indexRowCount(spark, path)
+    val tombstones =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_tombstones")))
+        0L
+      else spark.read.parquet(s"$path/_tombstones")
+        .select("vec_id").distinct().count()
+    val partitions = fs.listStatus(hPath).iterator.map(_.getPath.getName)
+      .count(n => n.startsWith("sig_grp=") || n.startsWith("cell=") ||
+        n.startsWith("sig="))
+    val files = dataFileCount(fs, path, sidecars)
+    val (current, planned) = layout match {
+      case "lsh" =>
+        val m = lshIndexMeta(spark, path)
+        (m.bits, Similarity.planLshProbe(rows, targetCosine, m.bits,
+          m.probeHamming, targetOccupancy)._1)
+      case "pq" => (0, 0)
+      case _ =>
+        val nCells = ivfCentroids(spark, path).length
+        (nCells, Similarity.planIvfCells(rows, nCells, targetCellRows))
+    }
+    val drifted = planned > current
+    val fragmented = files > fragmentFactor * math.max(1, partitions)
+    val heavy = tombstones >= tombstoneFloor && tombstones * 100L >= rows
+    val rx = (
+      (if (drifted) Seq(layout match {
+        case "lsh" => "reindexLsh"
+        case "ivf" => "reindexIvf"
+        case _ => "reindexIvfPq (corpus-bound — pass the upstream corpus)"
+      }) else Seq.empty) ++
+      // a reindex rebuilds from survivors and writes one file per
+      // partition — vacuum/compact would be redundant work after it
+      (if (!drifted && heavy) Seq("vacuumTombstones") else Seq.empty) ++
+      (if (!drifted && fragmented) Seq("compactIndex") else Seq.empty))
+    IndexHealth(layout, rows, tombstones, partitions, files, current,
+      planned, drifted, fragmented, heavy,
+      if (rx.isEmpty) "healthy" else rx.mkString(", "))
+  }
+
+  /**
+   * Execute [[indexHealth]]'s prescription: reindex on drift (which
+   * also drops tombstones and defragments — nothing else runs after
+   * it), else vacuum on tombstone mass, then compact on fragmentation.
+   * The composite/flat PQ reindexes are corpus-bound (lossy codes) —
+   * when `corpus` is None the drift action is REPORTED but not taken,
+   * and the cheap repairs still run, so a takedown never waits on a
+   * corpus handle. Every action rides its own crash protocol
+   * (staged-swap / roll-forward manifest); a crash mid-maintenance
+   * leaves the index answering or fail-closed, never silently wrong.
+   *
+   * @return the actions taken, in order, by the names indexHealth
+   *         prescribes ("skipped: ..." for a corpus-bound reindex
+   *         without a corpus)
+   */
+  def maintainIndex(spark: SparkSession, path: String,
+      corpus: Option[DataFrame] = None, vecCol: String = "vec",
+      idCol: String = "vec_id", targetCellRows: Long = 4096L,
+      targetCosine: Double = 0.9, targetOccupancy: Double = 2.0,
+      fragmentFactor: Double = 2.0,
+      tombstoneFloor: Long = 1024L): Seq[String] = {
+    val h = indexHealth(spark, path, targetCellRows, targetCosine,
+      targetOccupancy, fragmentFactor, tombstoneFloor)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (h.drifted) h.layout match {
+      case "lsh" =>
+        reindexLsh(spark, path, bits = h.currentUnits,
+          targetCosine = targetCosine, targetOccupancy = targetOccupancy)
+        actions += "reindexLsh"
+      case "ivf" =>
+        reindexIvf(spark, path, nCells = h.currentUnits,
+          targetCellRows = targetCellRows)
+        actions += "reindexIvf"
+      case "ivfpq" => corpus match {
+        case Some(c) =>
+          reindexIvfPq(c, vecCol, idCol, path,
+            nCells = h.currentUnits, targetCellRows = targetCellRows)
+          actions += "reindexIvfPq"
+        case None =>
+          actions += "skipped: reindexIvfPq requires the upstream corpus"
+      }
+      case _ => // flat pq never drifts (currentUnits == plannedUnits == 0)
+    }
+    // the cheap repairs run whenever a reindex did NOT rebuild the data
+    val rebuilt = actions.headOption.exists(_.startsWith("reindex"))
+    if (!rebuilt) {
+      if (h.tombstoneHeavy) {
+        vacuumTombstones(spark, path)
+        actions += "vacuumTombstones"
+      }
+      if (h.fragmented) {
+        compactIndex(spark, path)
+        actions += "compactIndex"
+      }
+    }
+    actions.toSeq
+  }
+
   /**
    * [[reindexLsh]]'s sibling for the raw-vector IVF layout: re-plan the
    * cell count at the CURRENT row count and rebuild from the index's own

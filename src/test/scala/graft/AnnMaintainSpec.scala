@@ -1,0 +1,155 @@
+package graft
+
+import graft.operators.AnnIndex
+import org.apache.spark.sql.functions._
+
+/** indexHealth / maintainIndex (round 15, late): the lifecycle's
+  * maintenance signals — append drift, tombstone accumulation,
+  * fragmentation — as one inspectable snapshot plus a one-call executor.
+  * The arms pin that each unhealthy state prescribes exactly the right
+  * verb, that executing it restores health, and that a healthy index is
+  * left completely untouched. */
+class AnnMaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString + "/idx"
+  private def fsOf(p: String) = new org.apache.hadoop.fs.Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataFiles(p: String): Map[String, Long] = {
+    val fs = fsOf(p)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    while (it.hasNext) {
+      val f = it.next()
+      val s = f.getPath.toString
+      if (s.endsWith(".parquet") &&
+          !Seq("_plan", "_centroids", "_codebooks", "_tombstones",
+            "_vacuum_staged").exists(d => s.contains(s"/$d/")))
+        out(s) = f.getLen
+    }
+    out.toMap
+  }
+
+  test("healthy index: no flags, prescription 'healthy', maintainIndex " +
+      "takes no action and touches no file") {
+    val p = tmp("mnt_ok")
+    AnnIndex.buildLsh(emb, "embedding", "vec_id", p, dims = 64, bits = 8)
+    val h = AnnIndex.indexHealth(spark, p)
+    assert(h.layout === "lsh")
+    assert(!h.drifted && !h.fragmented && !h.tombstoneHeavy)
+    assert(h.tombstones === 0L)
+    assert(h.prescription === "healthy")
+    assert(h.rows === emb.count())
+    val before = dataFiles(p)
+    assert(AnnIndex.maintainIndex(spark, p) === Seq.empty)
+    assert(dataFiles(p) === before)
+  }
+
+  test("drifted LSH: a fresh plan at the current count wants more bits " +
+      "-> prescription reindexLsh; maintain reindexes and health clears " +
+      "(tombstones dropped by the rebuild, not left behind)") {
+    val p = tmp("mnt_drift")
+    AnnIndex.buildLsh(emb, "embedding", "vec_id", p, dims = 64, bits = 4,
+      autoPlan = false)
+    AnnIndex.deleteIds(spark, p,
+      emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
+    // a microscopic occupancy target makes 500 rows overflow 4 bits —
+    // same forcing as AnnAppendSpec's drift-WARN arm; the tombstone
+    // floor is lowered so BOTH flags fire and reindex subsumes vacuum
+    val h = AnnIndex.indexHealth(spark, p, targetOccupancy = 0.001,
+      tombstoneFloor = 10L)
+    assert(h.drifted && h.plannedUnits > h.currentUnits)
+    assert(h.tombstoneHeavy)
+    assert(h.prescription === "reindexLsh")
+    val acts = AnnIndex.maintainIndex(spark, p,
+      targetOccupancy = 0.001, tombstoneFloor = 10L)
+    assert(acts === Seq("reindexLsh"))
+    val h2 = AnnIndex.indexHealth(spark, p, targetOccupancy = 0.001,
+      tombstoneFloor = 10L)
+    assert(!h2.drifted && !h2.tombstoneHeavy && h2.tombstones === 0L)
+    assert(h2.prescription === "healthy")
+    // the rebuild really dropped the tombstoned rows
+    assert(spark.read.parquet(p)
+      .filter(col("vec_id") % 10 === 3).count() === 0L)
+  }
+
+  test("tombstone-heavy + fragmented (no drift): vacuum then compact, " +
+      "in that order; both flags clear and survivors keep answering") {
+    val p = tmp("mnt_vac")
+    val thirds = (i: Int) => emb.filter(col("vec_id") % 3 === i)
+    AnnIndex.buildIvf(thirds(0), "embedding", "vec_id", p, nCells = 4,
+      quantizer = "sign")
+    AnnIndex.appendIvf(thirds(1), "embedding", "vec_id", p)
+    AnnIndex.appendIvf(thirds(2), "embedding", "vec_id", p)
+    AnnIndex.deleteIds(spark, p,
+      emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
+    val h = AnnIndex.indexHealth(spark, p, tombstoneFloor = 10L)
+    assert(!h.drifted)
+    assert(h.fragmented, s"3 writes over ${h.partitions} cells should " +
+      s"exceed 2x: ${h.dataFiles} files")
+    assert(h.tombstoneHeavy)
+    assert(h.prescription === "vacuumTombstones, compactIndex")
+    val acts = AnnIndex.maintainIndex(spark, p, tombstoneFloor = 10L)
+    assert(acts === Seq("vacuumTombstones", "compactIndex"))
+    val h2 = AnnIndex.indexHealth(spark, p, tombstoneFloor = 10L)
+    assert(!h2.fragmented && !h2.tombstoneHeavy && h2.tombstones === 0L)
+    assert(h2.prescription === "healthy")
+    assert(spark.read.parquet(p)
+      .filter(col("vec_id") % 10 === 3).count() === 0L)
+    val q1 = emb.filter(col("vec_id") === 1).select("embedding")
+      .as[Seq[Float]].head()
+    val hits = AnnIndex.searchIvf(spark, p, q1, k = 1, nProbe = 4)
+    assert(hits.select("vec_id").as[Long].head() === 1L)
+  }
+
+  test("drifted IVF-PQ without a corpus: the reindex is reported as " +
+      "skipped (lossy codes are corpus-bound), the cheap repairs still " +
+      "run, and the index is untouched by the skip; with a corpus the " +
+      "reindex executes") {
+    val p = tmp("mnt_pq")
+    AnnIndex.buildIvfPq(emb, "embedding", "vec_id", p, nCells = 4, m = 4,
+      quantizer = "sign")
+    AnnIndex.deleteIds(spark, p,
+      emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
+    val h = AnnIndex.indexHealth(spark, p, targetCellRows = 16L,
+      tombstoneFloor = 10L)
+    assert(h.layout === "ivfpq" && h.drifted && h.tombstoneHeavy)
+    assert(h.prescription.startsWith("reindexIvfPq"))
+    val acts = AnnIndex.maintainIndex(spark, p, corpus = None,
+      targetCellRows = 16L, tombstoneFloor = 10L)
+    assert(acts.head.startsWith("skipped: reindexIvfPq"))
+    // the takedown did not wait on the corpus handle
+    assert(acts.contains("vacuumTombstones"))
+    assert(spark.read.parquet(p)
+      .filter(col("vec_id") % 10 === 3).count() === 0L)
+    // with the corpus, drift resolves through the corpus-bound rebuild
+    val acts2 = AnnIndex.maintainIndex(spark, p,
+      corpus = Some(emb.select(col("vec_id"), col("embedding"))),
+      vecCol = "embedding", idCol = "vec_id",
+      targetCellRows = 16L, tombstoneFloor = 10L)
+    assert(acts2 === Seq("reindexIvfPq"))
+    val h2 = AnnIndex.indexHealth(spark, p, targetCellRows = 16L,
+      tombstoneFloor = 10L)
+    assert(!h2.drifted && h2.prescription === "healthy")
+  }
+
+  test("health issues no job over the index data path once _rows " +
+      "exists (sidecar + listing only)") {
+    val p = tmp("mnt_nojob")
+    AnnIndex.buildIvf(emb, "embedding", "vec_id", p, nCells = 4,
+      quantizer = "sign")
+    // corrupt every data file: a health that scanned data would throw
+    val fs = fsOf(p)
+    dataFiles(p).keys.foreach { f =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(f), true)
+      try out.write("not parquet".getBytes("UTF-8")) finally out.close()
+    }
+    val h = AnnIndex.indexHealth(spark, p)
+    assert(h.rows === emb.count()) // from the _rows sidecar
+    assert(h.layout === "ivf")
+  }
+}
