@@ -2073,11 +2073,7 @@ object AnnIndex {
     // locate: ONE job over (vec_id, file name) — column-pruned to the
     // narrowest possible scan; returns the affected files AND the
     // per-file drop counts together
-    val perFile = spark.read.option("basePath", qualified)
-      .parquet(qualified)
-      .select(col("vec_id"), input_file_name().as("_file"))
-      .join(tomb, Seq("vec_id"), "left_semi")
-      .groupBy("_file").count().collect()
+    val perFile = locateScan(spark, qualified, tomb).collect()
     val affected = perFile.map(_.getString(0))
     val dropped = perFile.map(_.getLong(1)).sum
     if (affected.isEmpty) {
@@ -2135,6 +2131,20 @@ object AnnIndex {
         s"vacuumTombstones($path): could not publish the _vacuum manifest")
     true
   }
+
+  /** The vacuum's locate scan as a frame: (file, rows-to-drop) for every
+    * data file holding a tombstoned row. The whole point is its SHAPE —
+    * the parquet read must prune to the id column alone (ReadSchema:
+    * vec_id; `input_file_name` is scan metadata, not a data column), so
+    * at 100 TB the locate costs one narrow column, not the corpus.
+    * Package-private so AnnVacuumSpec can pin that plan per-round. */
+  private[graft] def locateScan(spark: SparkSession, qualified: String,
+      tomb: DataFrame): DataFrame =
+    spark.read.option("basePath", qualified)
+      .parquet(qualified)
+      .select(col("vec_id"), input_file_name().as("_file"))
+      .join(tomb, Seq("vec_id"), "left_semi")
+      .groupBy("_file").count()
 
   /** Data-file count for the vacuum's "still targeted?" WARN — one
     * recursive listing, sidecar/tombstone/staged trees excluded. */

@@ -203,6 +203,32 @@ class AnnVacuumSpec extends SparkSpec {
       spark.read.parquet(p).count())
   }
 
+  test("the locate scan is column-pruned to the id column — finding " +
+      "affected files costs one narrow column at 100 TB, not the corpus") {
+    val p = tmp("vac_plan")
+    AnnIndex.buildLsh(emb, "embedding", "vec_id", p, dims = 64, bits = 8)
+    val fs = fsOf(p)
+    val qualified = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(p)).toString
+    val locate = AnnIndex.locateScan(spark, qualified,
+      Seq(7L).toDF("vec_id"))
+    // formatted mode prints each scan's full ReadSchema (the plain
+    // toString truncates scan metadata)
+    val plan = locate.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val reads = plan.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty, plan)
+    reads.foreach { l =>
+      assert(l.contains("vec_id"), l)
+      assert(!l.contains("vec:") && !l.contains("sig:"),
+        s"locate scan reads more than the id column: $l")
+    }
+    // and it finds the right file: the one holding vec_id 7
+    val rows = locate.collect()
+    assert(rows.length === 1 && rows.head.getLong(1) === 1L)
+  }
+
   test("no-op and vacuous cases: zero tombstones returns (0,0) without " +
       "a marker; tombstones for absent ids clear the sidecar outright") {
     val p = tmp("vac_noop")
