@@ -88,6 +88,18 @@ object Bench {
     // turns the locate scan into a full-width read or the targeted
     // rewrite into a whole-index one moves it far outside its band.
     "ann_vacuum_knn",
+    // round 15 (late): scoped search — full build + %3-scope batched
+    // join. The row prices the semi-join's pre-cut placement; a
+    // regression that breaks the scope broadcast or demotes the
+    // partition pruning under it moves this row.
+    "ann_scoped_knn",
+    // round 15 (late): streaming ingest WITH in-stream maintenance —
+    // annIngest(maintainEvery=1) pays a health snapshot per batch plus
+    // the compact the 3-batch accumulation triggers. Read against
+    // stream_ann_ingest: the delta IS the maintenance cost; a
+    // regression that turns the health snapshot into a data-path job
+    // or the compact into more than one rewrite moves this row.
+    "stream_ann_maintain",
     // round 15: the fuzzy run END-TO-END (CSV ingest -> QA battery ->
     // alternates multiplication -> blocked OSA join + flip union ->
     // date filter -> multi-match resolve -> tiering + saved-rows state

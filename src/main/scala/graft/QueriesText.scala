@@ -727,6 +727,26 @@ object QueriesText {
           e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
       }),
 
+    // ------------------------ similarity: scoped search (r15, late)
+    // Scoped (filtered) ANN over a SHARED index: a tenant / license /
+    // language filter resolved upstream to an id table searches a
+    // subset without rebuilding one index per filter — the real
+    // retrieval shape at 100 TB ("top-k similar WHERE lang='en'"). The
+    // scope is a semi-join applied BEFORE the top-k cut (the tombstone
+    // discipline, positive polarity): the oracle ranks over the allowed
+    // subset, so a post-filter implementation — where out-of-scope rows
+    // eat k slots and the tail goes missing — hash-fails here.
+    QueryDef("ann_scoped_knn", Some(annScopedKnnOracleSql),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val idx = Tables.scratchDir("lsh_scope_idx")
+        graft.operators.AnnIndex.buildLsh(e, "embedding", "vec_id", idx,
+          dims = 64, bits = 12, refHamming = 1)
+        graft.operators.AnnIndex.lshKnnJoin(s, idx,
+          e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3,
+          scope = Some(e.filter(col("vec_id") % 3 === 0).select("vec_id")))
+      }),
+
     // ------------------------ similarity: index health (r15, late)
     // indexHealth as an oracle row: the snapshot's DETERMINISTIC fields
     // (layout, row/tombstone counts from sidecars, occupied sign cells,
@@ -770,6 +790,31 @@ object QueriesText {
         val q = graft.streaming.Streams.annIngest(src, "embedding",
           "vec_id", s"$root/idx", s"$root/ckpt")
         try q.processAllAvailable() finally q.stop()
+        graft.operators.AnnIndex.lshKnnJoin(s, s"$root/idx",
+          e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
+      }),
+
+    // ------------- similarity: streaming ingest + maintenance (r15, late)
+    // annIngest with maintainEvery: the stream ANSWERS its own drift /
+    // fragmentation signals by running maintainIndex between micro-
+    // batches (reindex on drift, compact on the small-file accumulation
+    // appends inherently create — both crash-safe staged swaps, both
+    // answer-preserving). At oracle scale the build+2 appends leave 3
+    // files per group dir, so the in-stream COMPACT must fire — the
+    // require pins it physically (a maintainEvery that never runs, or a
+    // maintenance that breaks answers, fails the gate) — and the probe
+    // still matches the same full-corpus oracle as every lifecycle row.
+    QueryDef("stream_ann_maintain", Some(annKnnJoinOracleSql),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val root = Tables.freshScratch("stream_ann_mnt")
+        val src = stageMicroBatches(s, e, root, idCol = "vec_id")
+        val q = graft.streaming.Streams.annIngest(src, "embedding",
+          "vec_id", s"$root/idx", s"$root/ckpt", maintainEvery = 1)
+        try q.processAllAvailable() finally q.stop()
+        val h = graft.operators.AnnIndex.indexHealth(s, s"$root/idx")
+        require(!h.fragmented && h.prescription == "healthy",
+          s"in-stream maintenance did not run: $h")
         graft.operators.AnnIndex.lshKnnJoin(s, s"$root/idx",
           e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
       }),
@@ -2393,12 +2438,15 @@ object QueriesText {
       WHERE bit_count(xor(sig, qsig)) <= 2
       ORDER BY cosine DESC, vec_id LIMIT 10"""
 
-  /** ann_knn_join oracle — the hamming-1 multiprobe ball over the
-    * 12-bit +-1 signature family, stated as a hamming-distance filter
-    * over the 5-query set. Shared by the in-memory row AND the
-    * persisted-index row `ann_lsh_knn_indexed` (the autoPlan build is a
-    * no-op at oracle scale, so both compute the identical probe). */
-  private lazy val annKnnJoinOracleSql: String = s"""
+  /** ann_knn_join oracle family — the hamming-1 multiprobe ball over
+    * the 12-bit +-1 signature family, stated as a hamming-distance
+    * filter over the 5-query set, with the CORPUS side optionally
+    * restricted by `corpusPred` (ends in " AND " when non-empty). The
+    * restriction sits INSIDE the candidate CTE — before the per-query
+    * window — so excluded rows neither appear nor consume top-k slots;
+    * the query side stays the full-set head (queries are external
+    * probes, not index rows). */
+  private def annKnnJoinOracle(corpusPred: String): String = s"""
       WITH sigs AS (
         SELECT vec_id, embedding, (${lshSigSql("embedding")}) AS sig
         FROM embeddings),
@@ -2413,37 +2461,28 @@ object QueriesText {
                     sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))
                  ELSE 0.0 END, 6) AS cosine
         FROM sigs s, q
-        WHERE bit_count(xor(s.sig, q.qsig)) <= 1),
+        WHERE ${corpusPred}bit_count(xor(s.sig, q.qsig)) <= 1),
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, vec_id) AS rn FROM cand)
       SELECT query_id, vec_id, cosine FROM r WHERE rn <= 3"""
 
-  /** ann_delete_knn oracle — [[annKnnJoinOracleSql]] with the CORPUS side
-    * restricted to surviving rows (vec_id % 10 <> 3 is tombstoned by the
-    * Spark side): deleted rows must neither appear nor consume top-k
-    * slots, so the per-query windows rank over survivors only. The query
-    * side stays the full-set head — queries are external probes, not
-    * index rows. */
-  private lazy val annDeleteKnnOracleSql: String = s"""
-      WITH sigs AS (
-        SELECT vec_id, embedding, (${lshSigSql("embedding")}) AS sig
-        FROM embeddings),
-      q AS (SELECT vec_id AS query_id, embedding AS qv, sig AS qsig
-            FROM sigs WHERE vec_id < 5),
-      cand AS (
-        SELECT q.query_id, s.vec_id,
-               round(CASE WHEN sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[])) *
-                               sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) > 0
-                 THEN list_dot_product(s.embedding::DOUBLE[], q.qv::DOUBLE[]) /
-                   (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[])) *
-                    sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))
-                 ELSE 0.0 END, 6) AS cosine
-        FROM sigs s, q
-        WHERE s.vec_id % 10 <> 3
-          AND bit_count(xor(s.sig, q.qsig)) <= 1),
-      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY cosine DESC, vec_id) AS rn FROM cand)
-      SELECT query_id, vec_id, cosine FROM r WHERE rn <= 3"""
+  /** Shared by the in-memory row AND every persisted-index lifecycle
+    * row (`ann_lsh_knn_indexed`, append / compact / reindex / stream —
+    * the autoPlan build is a no-op at oracle scale, so all compute the
+    * identical probe). */
+  private lazy val annKnnJoinOracleSql: String = annKnnJoinOracle("")
+
+  /** ann_delete_knn / ann_vacuum_knn oracle — corpus restricted to
+    * SURVIVORS (vec_id % 10 <> 3 is tombstoned by the Spark side):
+    * deleted rows must neither appear nor consume top-k slots. */
+  private lazy val annDeleteKnnOracleSql: String =
+    annKnnJoinOracle("s.vec_id % 10 <> 3 AND ")
+
+  /** ann_scoped_knn oracle — corpus restricted to the ALLOWED id set
+    * (vec_id % 3 = 0 is the scope frame the Spark side passes): scoped
+    * search ranks over the subset, never post-filters the full top-k. */
+  private lazy val annScopedKnnOracleSql: String =
+    annKnnJoinOracle("s.vec_id % 3 = 0 AND ")
 
   /** ann_health oracle — replays indexHealth's deterministic fields:
     * `n_rows`/`tombstones` are plain counts (the `_rows` sidecar is

@@ -144,6 +144,26 @@ object AnnIndex {
       Seq("vec_id"), "left_anti")
   }
 
+  /** Restrict an index scan to an ALLOWED id set (scoped search, round
+    * 15): the batched joins take `scope` so a tenant/license/language
+    * filter — resolved upstream to an id table, e.g. `documents WHERE
+    * lang = 'en'` — searches a SUBSET of a shared index without
+    * rebuilding one index per filter. Semi-join on the scope's FIRST
+    * column, applied wherever [[liveRows]] applies: BEFORE every top-k
+    * (and k·overFetch) cut, so out-of-scope rows neither appear nor
+    * consume candidate slots — the post-filter alternative silently
+    * starves k for narrow scopes. `None` (the common case) leaves the
+    * plan untouched; like the tombstone anti-join, the scope side is a
+    * bounded id table the planner broadcasts when small. Single-query
+    * scoped search is a 1-row queries frame through the batched join —
+    * the single-query `searchX` variants deliberately don't carry the
+    * knob. */
+  private def scopedRows(df: DataFrame, scope: Option[DataFrame]): DataFrame =
+    scope.fold(df) { s =>
+      val ids = s.select(col(s.columns.head).as("vec_id")).distinct()
+      df.join(ids, Seq("vec_id"), "left_semi")
+    }
+
   /** Read + validate an IVF-family index's `_centroids` sidecar,
     * FAIL-CLOSED (round 14, judge ask #1 — the LSH treatment extended to
     * the IVF/PQ family):
@@ -400,7 +420,8 @@ object AnnIndex {
    * @return (query_id, vec_id, cosine) — up to k rows per query
    */
   def ivfKnnJoin(spark: SparkSession, path: String, queries: DataFrame,
-      vecCol: String, idCol: String, k: Int, nProbe: Int = -1): DataFrame = {
+      vecCol: String, idCol: String, k: Int, nProbe: Int = -1,
+      scope: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = ivfCentroids(spark, path) // fail-closed sidecar read
     val probe = if (nProbe >= 0) nProbe else Similarity.planIvfProbe(cents.length)
@@ -418,7 +439,8 @@ object AnnIndex {
       .select("query_id", "__qv", "cell")
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    probed.join(liveRows(spark, path, spark.read.parquet(path)), Seq("cell"))
+    probed.join(scopedRows(
+        liveRows(spark, path, spark.read.parquet(path)), scope), Seq("cell"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("vec"), col("__qv")), 6).as("cosine"))
       .withColumn("__rn", row_number().over(wRank))
@@ -855,7 +877,8 @@ object AnnIndex {
   def ivfPqKnnJoin(spark: SparkSession, path: String,
       queries: DataFrame, embeddings: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      nProbe: Int = -1, overFetch: Int = 4): DataFrame = {
+      nProbe: Int = -1, overFetch: Int = 4,
+      scope: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // fail-closed sidecar reads (interrupted rebuilds error, and the
     // centroid listing cross-checks the on-disk cell layout)
@@ -903,8 +926,11 @@ object AnnIndex {
       cbMap.get((j, c)).map(_.toList).orNull)))
     // 2 + 3b. cell equi-join, then projection-only code scoring:
     // approx_dist = sum_j ||cb[j][code_j] - q_j||^2, m lookups per row
-    // (tombstoned rows drop here, before any cut — see [[liveRows]])
-    val codes = liveRows(spark, path, spark.read.parquet(path))
+    // (tombstoned and out-of-scope rows drop here, BEFORE the
+    // k·overFetch cut — see [[liveRows]]/[[scopedRows]]: a post-filter
+    // would let them eat the candidate budget)
+    val codes = scopedRows(
+      liveRows(spark, path, spark.read.parquet(path)), scope)
     val approxDist = round((0 until m).map { j =>
       coalesce(
         aggregate(zip_with(
@@ -1107,7 +1133,7 @@ object AnnIndex {
    */
   def lshKnnJoin(spark: SparkSession, path: String, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      probeHamming: Int = -1): DataFrame = {
+      probeHamming: Int = -1, scope: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val meta = lshIndexMeta(spark, path) // fail-closed partition cross-check
     val bits = meta.bits
@@ -1119,7 +1145,8 @@ object AnnIndex {
         Similarity.sigCol(col("__qv"), bits, meta.family == FamilyOrtho))
       .withColumn("sig", explode(array(
         masks.map(m => col("__qsig").bitwiseXOR(lit(m))): _*)))
-    val idx = liveRows(spark, path, spark.read.parquet(path))
+    val idx = scopedRows(
+      liveRows(spark, path, spark.read.parquet(path)), scope)
     val grouped = idx.columns.contains("sig_grp")
     val qKeyed =
       if (!grouped) q
@@ -1434,12 +1461,12 @@ object AnnIndex {
 
   /** Appending an id that is TOMBSTONED ([[deleteIds]]) is legal but
     * almost always a mistake: [[liveRows]] anti-joins by id, so the
-    * fresh row is invisible until a [[compactIndex]] clears the
-    * tombstones — the documented replace-a-row sequence is delete →
-    * compact → append. This WARN gives the caller the signal instead of
-    * silent invisibility: one O(batch) semi-join count, and only when a
-    * `_tombstones` sidecar exists at all (fs.exists gate — the common
-    * no-deletes append pays nothing). */
+    * fresh row is invisible until a [[vacuumTombstones]] (or the full
+    * [[compactIndex]]) clears the tombstones — the documented
+    * replace-a-row sequence is delete → vacuum → append. This WARN gives
+    * the caller the signal instead of silent invisibility: one O(batch)
+    * semi-join count, and only when a `_tombstones` sidecar exists at
+    * all (fs.exists gate — the common no-deletes append pays nothing). */
   private def warnTombstonedAppend(spark: SparkSession, path: String,
       batch: DataFrame, op: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
@@ -1451,8 +1478,9 @@ object AnnIndex {
       if (hidden > 0)
         System.err.println(s"[annindex] WARN $op($path): $hidden appended " +
           s"row(s) carry TOMBSTONED ids — they are written but invisible " +
-          s"to probes until compactIndex clears the tombstones. Replacing " +
-          s"a row is delete -> compactIndex -> append.")
+          s"to probes until vacuumTombstones (or compactIndex) clears the " +
+          s"tombstones. Replacing a row is delete -> vacuumTombstones -> " +
+          s"append.")
     }
   }
 
@@ -1847,7 +1875,8 @@ object AnnIndex {
    * `__precompact` from a previous crash is deleted on entry.
    *
    * Works on every persisted layout this module writes: grouped LSH
-   * (`sig_grp=` dirs, sig-sorted), IVF / IVF-PQ (`cell=` dirs), flat PQ.
+   * (`sig_grp=` dirs, sig-sorted), IVF / IVF-PQ (`cell=` dirs), flat PQ,
+   * and the legacy raw-sig LSH tree (`sig=` dirs, partitioning kept).
    * Fail-closed like the readers: a sidecar-less index (interrupted
    * rebuild) refuses compaction.
    *
@@ -1896,12 +1925,18 @@ object AnnIndex {
     // is the one pass that touches every row anyway — and the sidecar is
     // NOT carried over: the compacted index starts tombstone-free
     val df = liveRows(spark, path, spark.read.parquet(path))
-    val pCol = Seq("sig_grp", "cell").find(df.columns.contains)
+    // "sig" last: the legacy raw-sig LSH tree partitions on the raw
+    // signature itself — omitting it here would rewrite a legacy index
+    // UNPARTITIONED (sig demoted to a data column, every probe a full
+    // scan) behind a clean swap; vacuumTombstones already carries it
+    val pCol = Seq("sig_grp", "cell", "sig").find(df.columns.contains)
     val writer = pCol match {
       case Some(c) =>
         val re = df.repartition(writeParts(df), col(c))
-        (if (isLsh) re.sortWithinPartitions("sig") else re)
-          .write.partitionBy(c)
+        // within-dir sig sort only applies to the GROUPED layout (in
+        // the legacy tree sig is constant within each directory)
+        (if (isLsh && c == "sig_grp") re.sortWithinPartitions("sig")
+         else re).write.partitionBy(c)
       case None => df.coalesce(
         math.max(1, writeParts(df) / 4)).write // flat PQ: few big files
     }
@@ -2236,7 +2271,9 @@ object AnnIndex {
     *
     * @param prescription "healthy", or comma-joined calls in execution
     *                     order (reindex subsumes vacuum+compact: a
-    *                     rebuild drops tombstones and defragments) */
+    *                     rebuild drops tombstones and defragments;
+    *                     compact subsumes vacuum: the full rewrite
+    *                     drops tombstoned rows and clears the sidecar) */
   case class IndexHealth(layout: String, rows: Long, tombstones: Long,
       partitions: Int, dataFiles: Long, currentUnits: Int,
       plannedUnits: Int, drifted: Boolean, fragmented: Boolean,
@@ -2254,7 +2291,11 @@ object AnnIndex {
    *    disagree;
    *  - `fragmented`: data files exceed `fragmentFactor` × partition
    *    dirs (builds and compactions write one file per partition — K
-   *    appends multiply that by up to K);
+   *    appends multiply that by up to K). Flat PQ has no partition
+   *    dirs, so its unit is the session's shuffle width instead (builds
+   *    write at most one file per task; comparing its corpus-width file
+   *    count to ONE would flag every healthy flat-PQ index forever and
+   *    turn each maintainIndex call into a full rewrite);
    *  - `tombstoneHeavy`: ≥ `tombstoneFloor` ids AND ≥ 1% of rows (the
    *    [[deleteIds]] WARN's threshold, parameterized for tests).
    */
@@ -2299,7 +2340,10 @@ object AnnIndex {
         (nCells, Similarity.planIvfCells(rows, nCells, targetCellRows))
     }
     val drifted = planned > current
-    val fragmented = files > fragmentFactor * math.max(1, partitions)
+    val fragUnit =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions // flat PQ
+    val fragmented = files > fragmentFactor * math.max(1, fragUnit)
     val heavy = tombstones >= tombstoneFloor && tombstones * 100L >= rows
     val rx = (
       (if (drifted) Seq(layout match {
@@ -2308,8 +2352,13 @@ object AnnIndex {
         case _ => "reindexIvfPq (corpus-bound — pass the upstream corpus)"
       }) else Seq.empty) ++
       // a reindex rebuilds from survivors and writes one file per
-      // partition — vacuum/compact would be redundant work after it
-      (if (!drifted && heavy) Seq("vacuumTombstones") else Seq.empty) ++
+      // partition — vacuum/compact would be redundant work after it;
+      // likewise compactIndex's full rewrite already drops tombstoned
+      // rows and clears the sidecar, so a fragmented index never needs
+      // the targeted vacuum first (it would rewrite the affected files
+      // TWICE)
+      (if (!drifted && heavy && !fragmented) Seq("vacuumTombstones")
+       else Seq.empty) ++
       (if (!drifted && fragmented) Seq("compactIndex") else Seq.empty))
     IndexHealth(layout, rows, tombstones, partitions, files, current,
       planned, drifted, fragmented, heavy,
@@ -2319,7 +2368,8 @@ object AnnIndex {
   /**
    * Execute [[indexHealth]]'s prescription: reindex on drift (which
    * also drops tombstones and defragments — nothing else runs after
-   * it), else vacuum on tombstone mass, then compact on fragmentation.
+   * it), else compact on fragmentation (whose full rewrite also makes
+   * tombstones physical), else vacuum on tombstone mass alone.
    * The composite/flat PQ reindexes are corpus-bound (lossy codes) —
    * when `corpus` is None the drift action is REPORTED but not taken,
    * and the cheap repairs still run, so a takedown never waits on a
@@ -2359,10 +2409,13 @@ object AnnIndex {
       }
       case _ => // flat pq never drifts (currentUnits == plannedUnits == 0)
     }
-    // the cheap repairs run whenever a reindex did NOT rebuild the data
+    // the cheap repairs run whenever a reindex did NOT rebuild the data;
+    // compact subsumes vacuum (its full rewrite drops tombstoned rows
+    // and clears the sidecar), so the targeted vacuum runs only when
+    // the index is NOT also being compacted
     val rebuilt = actions.headOption.exists(_.startsWith("reindex"))
     if (!rebuilt) {
-      if (h.tombstoneHeavy) {
+      if (h.tombstoneHeavy && !h.fragmented) {
         vacuumTombstones(spark, path)
         actions += "vacuumTombstones"
       }

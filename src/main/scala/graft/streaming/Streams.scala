@@ -363,11 +363,22 @@ object Streams {
    *
    * appendLsh's occupancy-drift WARN fires across batches as the corpus
    * outgrows the first batch's plan — for a stream that is the REBUILD
-   * signal (stop, rebuild at the grown count, restart): train-then-add
-   * wants a representative first batch, same as FAISS.
+   * signal. With `maintainEvery > 0` (round 15) the stream ANSWERS its
+   * own signal: after every Nth batch it runs
+   * [[graft.operators.AnnIndex.maintainIndex]] — reindexLsh on drift
+   * (re-plans at the grown count from the index's own rows, so the next
+   * append rides the WIDER frozen plan), else compact on the small-file
+   * accumulation appends inherently create. Both actions are
+   * answer-preserving and crash-safe (staged swaps), so maintenance
+   * between micro-batches never changes what probes see — only plan
+   * quality and file counts. At 0 (the default) the stream only WARNs,
+   * the round-14 behavior: train-then-add wants a representative first
+   * batch, same as FAISS.
    */
   def annIngest(vecs: DataFrame, vecCol: String, idCol: String,
-      indexDir: String, checkpointDir: String, dims: Int = 64)
+      indexDir: String, checkpointDir: String, dims: Int = 64,
+      maintainEvery: Int = 0, targetCosine: Double = 0.9,
+      targetOccupancy: Double = 2.0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -380,6 +391,16 @@ object Streams {
               dims = dims)
           else
             graft.operators.AnnIndex.appendLsh(df, vecCol, idCol, indexDir)
+          // in-stream maintenance: foreachBatch is sequential, so the
+          // staged-swap rewrite can never race an append of this stream
+          if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
+            val acts = graft.operators.AnnIndex.maintainIndex(spark,
+              indexDir, targetCosine = targetCosine,
+              targetOccupancy = targetOccupancy)
+            if (acts.nonEmpty) System.err.println(
+              s"[streams] annIngest($indexDir) batch $batchId " +
+                s"maintenance: ${acts.mkString(", ")}")
+          }
         }
         () // pin the lambda to Unit for the foreachBatch overload
       }

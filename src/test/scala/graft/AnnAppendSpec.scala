@@ -271,6 +271,37 @@ class AnnAppendSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p.__precompact")))
   }
 
+  test("compactIndex(legacy raw-sig LSH): the sig= partitioning is KEPT " +
+      "through the rewrite — content, plan and probes unchanged") {
+    // construct the legacy state directly, as the appendLsh-refusal arm
+    // does: sig= partitions plus a _plan without grp_bits. Appends refuse
+    // this layout, but probes accept it — so compaction must preserve
+    // the partition scheme, not demote sig to a data column (which would
+    // turn every probe's partition pruning into a full scan behind a
+    // clean swap).
+    val p = tmp("lsh_legacy_compact")
+    evens.select(col("vec_id"), col("embedding").as("vec"))
+      .withColumn("sig", pmod(col("vec_id"), lit(16)))
+      .repartition(4) // several files per sig dir: something to compact
+      .write.partitionBy("sig").parquet(p)
+    Seq((4, 1)).toDF("bits", "probe_hamming")
+      .coalesce(1).write.mode("overwrite").json(s"$p/_plan")
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sigDirs = () => fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).filter(_.startsWith("sig=")).toSet
+    val read = () => spark.read.parquet(p)
+      .select("vec_id", "sig").as[(Long, Long)].collect().toSet
+    val (dirsBefore, contentBefore) = (sigDirs(), read())
+    assert(dirsBefore.nonEmpty)
+    val (before, after) = AnnIndex.compactIndex(spark, p)
+    assert(after < before, s"$before -> $after")
+    assert(sigDirs() === dirsBefore, s"legacy sig= partitioning must " +
+      s"survive compaction: ${dirsBefore.size} dirs -> ${sigDirs().size}")
+    assert(read() === contentBefore)
+    assert(AnnIndex.lshIndexPlan(spark, p) === (4, 1))
+  }
+
   test("compactIndex(IVF-PQ): cells compact, codes and search unchanged") {
     val p = tmp("ivfpq_compact")
     AnnIndex.buildIvfPq(evens, "embedding", "vec_id", p,
@@ -406,6 +437,50 @@ class AnnAppendSpec extends SparkSpec {
     val res = (p: String) => AnnIndex.lshKnnJoin(spark, p, qdf,
       "embedding", "vec_id", k = 3).as[(Long, Long, Double)].collect().toSet
     assert(res(idx) === res(full12))
+  }
+
+  test("annIngest(maintainEvery): in-stream maintenance answers the " +
+      "drift WARN — reindexLsh at the grown count between micro-batches, " +
+      "and the result is bit-identical to a one-shot auto-planned build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_amnt").toString
+    val (idx, ckpt) = (s"$dir/idx", s"$dir/ckpt")
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    // a microscopic occupancy target makes the grown count plan wider
+    // than the first batch's 12 bits — the AnnMaintainSpec forcing
+    val q = graft.streaming.Streams.annIngest(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      idx, ckpt, maintainEvery = 1, targetOccupancy = 0.001)
+    try {
+      mem.addData(b0: _*)
+      q.processAllAvailable() // build at (12, 1), then maintain: reindex
+      mem.addData(b1: _*)
+      q.processAllAvailable() // append rides the WIDER frozen plan
+    } finally q.stop()
+    val bits = AnnIndex.lshIndexPlan(spark, idx)._1
+    assert(bits > 12, s"in-stream reindex did not widen the plan: $bits")
+    assert(spark.read.parquet(idx).count() === rows.size)
+    // reindexLsh re-plans through buildLsh's own planner at the same
+    // knobs, and signatures are row-local — so the maintained stream
+    // must equal a one-shot build over everything... after ITS final
+    // maintenance (the last batch appends AFTER the last reindex, so
+    // one more maintain brings the plan to the full-count fixpoint)
+    AnnIndex.maintainIndex(spark, idx, targetOccupancy = 0.001)
+    val full = tmp("amnt_full")
+    AnnIndex.buildLsh(emb, "embedding", "vec_id", full, dims = 64,
+      targetOccupancy = 0.001)
+    val read = (p: String) => spark.read.parquet(p)
+      .select("vec_id", "sig", "sig_grp").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(read(idx) === read(full))
+    val qdf = emb.filter(col("vec_id") < 3)
+    val res = (p: String) => AnnIndex.lshKnnJoin(spark, p, qdf,
+      "embedding", "vec_id", k = 3).as[(Long, Long, Double)].collect().toSet
+    assert(res(idx) === res(full))
   }
 
   // ------------------------------------------- round 15: advisor fixes

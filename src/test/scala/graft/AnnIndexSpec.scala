@@ -693,4 +693,81 @@ class AnnIndexSpec extends SparkSpec {
     assert(ball.toSet === Set(5L, 4L, 7L, 1L, 13L))
     assert(AnnIndex.probeSigs(0L, bits = 6, h = 2).size === 1 + 6 + 15)
   }
+
+  // exact cosine top-k over an allowed subset — the scoped joins' brute
+  // reference (oracle-scale cross join, test-only)
+  private def bruteScopedTopK(queries: org.apache.spark.sql.DataFrame,
+      allowed: org.apache.spark.sql.DataFrame, k: Int): Set[(Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(allowed.select(col("vec_id"), col("embedding").as("cv")))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.cosine(col("cv"), col("qv")), 6).as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+  }
+
+  test("scoped kNN: the scope semi-join applies BEFORE the top-k cut in " +
+      "all three batched joins — results rank over the allowed subset " +
+      "(a post-filter would starve k), and compose with tombstones") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val scopeIds = emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val allowed = emb.filter(col("vec_id") % 3 === 0)
+
+    // LSH: signatures are row-local, so a scoped search of the FULL
+    // index must equal an unscoped search of an index built over ONLY
+    // the scope rows (same explicit plan => same per-row sigs, so the
+    // candidate set is scope ∩ hamming-ball on both sides)
+    val pFull = Tables.freshScratch("lsh_scope_full") + "/idx"
+    val pSub = Tables.freshScratch("lsh_scope_sub") + "/idx"
+    AnnIndex.buildLsh(emb, "embedding", "vec_id", pFull,
+      dims = 64, bits = 8, autoPlan = false)
+    AnnIndex.buildLsh(allowed, "embedding", "vec_id", pSub,
+      dims = 64, bits = 8, autoPlan = false)
+    val asSet = (df: org.apache.spark.sql.DataFrame) => df
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val scoped = AnnIndex.lshKnnJoin(spark, pFull, queries,
+      "embedding", "vec_id", k = 3, scope = Some(scopeIds))
+    assert(asSet(scoped) === asSet(AnnIndex.lshKnnJoin(spark, pSub,
+      queries, "embedding", "vec_id", k = 3)))
+    // the scope semi-join must not demote the sig_grp partition pruning
+    val plan = scoped.queryExecution.optimizedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"scope semi-join lost DPP on the LSH scan:\n$plan")
+
+    // IVF (sign cells are row-local): probing EVERY cell makes the
+    // candidate set the whole allowed subset, so scoped == brute
+    val pIvf = Tables.freshScratch("ivf_scope") + "/idx"
+    AnnIndex.buildIvf(emb, "embedding", "vec_id", pIvf, nCells = 8,
+      quantizer = "sign")
+    val nCells = spark.read.parquet(s"$pIvf/_centroids").count().toInt
+    assert(asSet(AnnIndex.ivfKnnJoin(spark, pIvf, queries, "embedding",
+        "vec_id", k = 3, nProbe = nCells, scope = Some(scopeIds)))
+      === bruteScopedTopK(queries, allowed, 3))
+
+    // IVF-PQ: all cells probed + an overFetch wider than the scope means
+    // the exact re-rank sees every allowed row — scoped == brute
+    val pPq = Tables.freshScratch("ivfpq_scope") + "/idx"
+    AnnIndex.buildIvfPq(emb, "embedding", "vec_id", pPq, nCells = 8,
+      m = 16, quantizer = "sign")
+    assert(asSet(AnnIndex.ivfPqKnnJoin(spark, pPq, queries, emb,
+        "embedding", "vec_id", k = 3, nProbe = 8, overFetch = 256,
+        scope = Some(scopeIds)))
+      === bruteScopedTopK(queries, allowed, 3))
+
+    // scope ∘ tombstones: a deleted id inside the scope must vanish and
+    // free its slot — the ranking matches brute over (scope minus dead)
+    val dead = allowed.orderBy(col("vec_id").desc).limit(20).select("vec_id")
+    AnnIndex.deleteIds(spark, pFull, dead)
+    val survivors = allowed.join(dead, Seq("vec_id"), "left_anti")
+    val pSurv = Tables.freshScratch("lsh_scope_surv") + "/idx"
+    AnnIndex.buildLsh(survivors, "embedding", "vec_id", pSurv,
+      dims = 64, bits = 8, autoPlan = false)
+    assert(asSet(AnnIndex.lshKnnJoin(spark, pFull, queries,
+        "embedding", "vec_id", k = 3, scope = Some(scopeIds)))
+      === asSet(AnnIndex.lshKnnJoin(spark, pSurv, queries,
+        "embedding", "vec_id", k = 3)))
+  }
 }

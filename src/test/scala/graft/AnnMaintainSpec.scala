@@ -77,8 +77,10 @@ class AnnMaintainSpec extends SparkSpec {
       .filter(col("vec_id") % 10 === 3).count() === 0L)
   }
 
-  test("tombstone-heavy + fragmented (no drift): vacuum then compact, " +
-      "in that order; both flags clear and survivors keep answering") {
+  test("tombstone-heavy + fragmented (no drift): compact ALONE — its " +
+      "full rewrite already makes tombstones physical, so a vacuum " +
+      "first would rewrite the affected files twice; both flags clear " +
+      "and survivors keep answering") {
     val p = tmp("mnt_vac")
     val thirds = (i: Int) => emb.filter(col("vec_id") % 3 === i)
     AnnIndex.buildIvf(thirds(0), "embedding", "vec_id", p, nCells = 4,
@@ -92,9 +94,9 @@ class AnnMaintainSpec extends SparkSpec {
     assert(h.fragmented, s"3 writes over ${h.partitions} cells should " +
       s"exceed 2x: ${h.dataFiles} files")
     assert(h.tombstoneHeavy)
-    assert(h.prescription === "vacuumTombstones, compactIndex")
+    assert(h.prescription === "compactIndex")
     val acts = AnnIndex.maintainIndex(spark, p, tombstoneFloor = 10L)
-    assert(acts === Seq("vacuumTombstones", "compactIndex"))
+    assert(acts === Seq("compactIndex"))
     val h2 = AnnIndex.indexHealth(spark, p, tombstoneFloor = 10L)
     assert(!h2.fragmented && !h2.tombstoneHeavy && h2.tombstones === 0L)
     assert(h2.prescription === "healthy")
@@ -104,6 +106,43 @@ class AnnMaintainSpec extends SparkSpec {
       .as[Seq[Float]].head()
     val hits = AnnIndex.searchIvf(spark, p, q1, k = 1, nProbe = 4)
     assert(hits.select("vec_id").as[Long].head() === 1L)
+  }
+
+  test("tombstone-heavy ALONE (no fragmentation): the targeted vacuum " +
+      "is the prescription — no full rewrite for a takedown") {
+    val p = tmp("mnt_vaconly")
+    AnnIndex.buildIvf(emb, "embedding", "vec_id", p, nCells = 4,
+      quantizer = "sign")
+    AnnIndex.deleteIds(spark, p,
+      emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
+    val h = AnnIndex.indexHealth(spark, p, tombstoneFloor = 10L)
+    assert(!h.drifted && !h.fragmented && h.tombstoneHeavy)
+    assert(h.prescription === "vacuumTombstones")
+    val acts = AnnIndex.maintainIndex(spark, p, tombstoneFloor = 10L)
+    assert(acts === Seq("vacuumTombstones"))
+    val h2 = AnnIndex.indexHealth(spark, p, tombstoneFloor = 10L)
+    assert(h2.prescription === "healthy" && h2.tombstones === 0L)
+    assert(spark.read.parquet(p)
+      .filter(col("vec_id") % 10 === 3).count() === 0L)
+  }
+
+  test("flat PQ: the fragmentation unit is the session shuffle width, " +
+      "not the (zero) partition-dir count — a healthy multi-file " +
+      "codes-only index is NOT rewritten on every maintain call") {
+    val p = tmp("mnt_pqfrag")
+    AnnIndex.buildPq(emb, "embedding", "vec_id", p, m = 4,
+      quantizer = "sign")
+    // a few appends: more data files, zero partition dirs — under the
+    // old files > factor x max(1, partitions=0) rule this index read
+    // permanently fragmented and maintainIndex full-rewrote it forever
+    AnnIndex.appendPq(emb.limit(5), "embedding", "vec_id", p)
+    AnnIndex.appendPq(emb.limit(5), "embedding", "vec_id", p)
+    val h = AnnIndex.indexHealth(spark, p)
+    assert(h.layout === "pq" && h.partitions === 0)
+    assert(h.dataFiles > 2, s"arm needs >2 files, got ${h.dataFiles}")
+    assert(!h.fragmented)
+    assert(h.prescription === "healthy")
+    assert(AnnIndex.maintainIndex(spark, p) === Seq.empty)
   }
 
   test("drifted IVF-PQ without a corpus: the reindex is reported as " +
