@@ -160,7 +160,16 @@ object AnnIndex {
     * knob. */
   private def scopedRows(df: DataFrame, scope: Option[DataFrame]): DataFrame =
     scope.fold(df) { s =>
-      val ids = s.select(col(s.columns.head).as("vec_id")).distinct()
+      // a vec_id column wins; otherwise the frame must be single-column —
+      // picking "the first of several" would silently scope on whatever
+      // column the caller happened to select first
+      val idCol =
+        if (s.columns.contains("vec_id")) "vec_id"
+        else if (s.columns.length == 1) s.columns.head
+        else throw new IllegalArgumentException(
+          s"scope frame must carry a vec_id column or be a single id " +
+            s"column, got [${s.columns.mkString(", ")}]")
+      val ids = s.select(col(idCol).as("vec_id")).distinct()
       df.join(ids, Seq("vec_id"), "left_semi")
     }
 

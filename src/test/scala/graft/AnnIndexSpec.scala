@@ -757,6 +757,21 @@ class AnnIndexSpec extends SparkSpec {
         scope = Some(scopeIds)))
       === bruteScopedTopK(queries, allowed, 3))
 
+    // an ambiguous multi-column scope frame without vec_id is refused —
+    // scoping on "whichever column came first" would be silently wrong
+    val multi = emb.select(col("embedding").as("junk"),
+      col("vec_id").as("other"))
+    val e1 = intercept[IllegalArgumentException](
+      AnnIndex.lshKnnJoin(spark, pFull, queries, "embedding", "vec_id",
+        k = 3, scope = Some(multi)).collect())
+    assert(e1.getMessage.contains("vec_id"))
+    // ...but a multi-column frame CARRYING vec_id scopes on it
+    assert(asSet(AnnIndex.lshKnnJoin(spark, pFull, queries, "embedding",
+        "vec_id", k = 3,
+        scope = Some(emb.filter(col("vec_id") % 3 === 0)
+          .select(col("embedding"), col("vec_id")))))
+      === asSet(scoped))
+
     // scope ∘ tombstones: a deleted id inside the scope must vanish and
     // free its slot — the ranking matches brute over (scope minus dead)
     val dead = allowed.orderBy(col("vec_id").desc).limit(20).select("vec_id")
