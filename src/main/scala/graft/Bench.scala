@@ -100,6 +100,13 @@ object Bench {
     // regression that turns the health snapshot into a data-path job
     // or the compact into more than one rewrite moves this row.
     "stream_ann_maintain",
+    // round 15 (late): the minhash index's takedown lifecycle — two
+    // streaming-layout ingests, a tombstone delete, compaction (batch
+    // dirs collapse, deletes go physical), incremental pairs over
+    // survivors. Prices the whole second-index lifecycle; a regression
+    // that makes the delete O(index) or the compaction a multi-pass
+    // moves this row.
+    "dedup_index_delete",
     // round 15: the fuzzy run END-TO-END (CSV ingest -> QA battery ->
     // alternates multiplication -> blocked OSA join + flip union ->
     // date filter -> multi-match resolve -> tiering + saved-rows state

@@ -233,6 +233,83 @@ object QueriesText {
           shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5)
       }),
 
+    // --------------------- dedup: index takedown + compaction (r15, late)
+    // The ANN lifecycle discipline on the OTHER persisted incremental
+    // structure: a taken-down document's signature rows keep suppressing
+    // fresh content as "duplicates of a removed doc" until they are
+    // deleted. The index is built the STREAMING way (two ingestBatch
+    // calls -> batch= dirs), corpus docs with doc_id % 7 = 1 are
+    // tombstoned, compaction makes the delete physical (and collapses
+    // the batch dirs into one generation), and the day's batch dedups
+    // against the survivors. The oracle states exactly that: one-shot
+    // pairs touching the batch, minus any pair whose corpus side was
+    // deleted — a delete that leaks (or drops the wrong side) hash-fails.
+    QueryDef("dedup_index_delete",
+      Some(s"WITH $minhashPairsCtes" + """
+        SELECT id_a, id_b, jaccard FROM pairs
+        WHERE jaccard >= 0.5 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+          AND NOT (id_a % 5 <> 0 AND id_a % 7 = 1)
+          AND NOT (id_b % 5 <> 0 AND id_b % 7 = 1)"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val idx = Tables.scratchDir("mh_del_idx")
+        Dedup.ingestBatch(corpus.filter(col("doc_id") % 2 === 0), "text",
+          "doc_id", None, s"$idx/batch=0", shingleK = 5, numHashes = 16,
+          bands = 4, minJaccard = 0.5)
+        Dedup.ingestBatch(corpus.filter(col("doc_id") % 2 =!= 0), "text",
+          "doc_id", Some(idx), s"$idx/batch=1", shingleK = 5,
+          numHashes = 16, bands = 4, minJaccard = 0.5)
+        Dedup.deleteFromMinhashIndex(s, idx,
+          corpus.filter(col("doc_id") % 7 === 1).select("doc_id"),
+          idCol = "doc_id")
+        val (before, after) = Dedup.compactMinhashIndex(s, idx)
+        require(after < before, s"compaction was a no-op: $before -> $after")
+        val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        require(!fs.exists(
+          new org.apache.hadoop.fs.Path(s"$idx/_tombstones")),
+          "compaction left the _tombstones sidecar — probes would anti-join")
+        Dedup.incrementalNearDupPairs(docs.filter(col("doc_id") % 5 === 0),
+          "text", "doc_id", idx, shingleK = 5, numHashes = 16, bands = 4,
+          minJaccard = 0.5)
+      }),
+
+    // --------------------- dedup: index health snapshot (r15, late)
+    // minhashIndexHealth as an oracle row — the ann_health treatment for
+    // the second index: the snapshot's DETERMINISTIC fields (layout,
+    // generation/band counts from the directory listing, the tombstone
+    // count from the sidecar, the tombstone-mass flag and the
+    // prescription it forces) replay in DuckDB value-for-value. The
+    // fragmentation flag is a physical-layout fact (file counts) and
+    // stays spec-covered in DedupIndexSpec, like ann_health's.
+    QueryDef("dedup_index_health", Some("""
+      SELECT 'batch' AS layout, 2 AS batches, 4 AS bands,
+        (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents
+          WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1) AS tombstones,
+        true AS tombstone_heavy,
+        'compactMinhashIndex' AS prescription"""),
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val idx = Tables.scratchDir("mh_health_idx")
+        Dedup.ingestBatch(corpus.filter(col("doc_id") % 2 === 0), "text",
+          "doc_id", None, s"$idx/batch=0", shingleK = 5, numHashes = 16,
+          bands = 4, minJaccard = 0.5)
+        Dedup.ingestBatch(corpus.filter(col("doc_id") % 2 =!= 0), "text",
+          "doc_id", Some(idx), s"$idx/batch=1", shingleK = 5,
+          numHashes = 16, bands = 4, minJaccard = 0.5)
+        Dedup.deleteFromMinhashIndex(s, idx,
+          corpus.filter(col("doc_id") % 7 === 1).select("doc_id"),
+          idCol = "doc_id")
+        val h = Dedup.minhashIndexHealth(s, idx, tombstoneFloor = 10L)
+        Seq((h.layout, h.batches, h.bands, h.tombstones, h.tombstoneHeavy,
+          h.prescription))
+          .toDF("layout", "batches", "bands", "tombstones",
+            "tombstone_heavy", "prescription")
+      }),
+
     // --------------------------------- dedup: minhash -> survivor clusters
     // The composed production chain: LSH pairs feed connected components,
     // every doc maps to its duplicate-cluster representative. Oracle:

@@ -1984,7 +1984,7 @@ object AnnIndex {
     * traffic should be PUBLISHED into a SnapshotStore (which already
     * exists and is oracle-gated) rather than re-implementing its
     * version-flip here. */
-  private def swapStaged(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def swapStaged(fs: org.apache.hadoop.fs.FileSystem,
       live: org.apache.hadoop.fs.Path, staged: org.apache.hadoop.fs.Path,
       old: org.apache.hadoop.fs.Path, op: String): Unit = {
     if (!fs.rename(live, old)) throw new IllegalStateException(

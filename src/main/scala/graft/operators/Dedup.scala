@@ -974,16 +974,57 @@ object Dedup {
   def buildMinhashIndex(docs: DataFrame, textCol: String, idCol: String,
       path: String, shingleK: Int = 5, numHashes: Int = 16,
       bands: Int = 4): Unit =
-    minhashBanded(docs, textCol, idCol, shingleK, numHashes, bands)
-      .write.mode("overwrite").partitionBy("band").parquet(path)
+    indexWrite(minhashBanded(docs, textCol, idCol, shingleK, numHashes,
+      bands)).mode("overwrite").partitionBy("band").parquet(path)
+
+  /** The index write discipline (round 15): explicit-width repartition
+    * on (band, id) before partitionBy. Without it, files per band
+    * directory equal the INPUT width — a 100 TB corpus read at ~100k
+    * input splits would write ~100k tiny files into each of a handful
+    * of band dirs. Keying on band ALONE would fix that at one file per
+    * dir but serialize the write into `bands` tasks (bands is small —
+    * the opposite problem ANN's many-partition layouts have); (band, id)
+    * keeps the session's full write parallelism while BOUNDING files
+    * per dir at the session width regardless of input shape. */
+  private def indexWrite(sigs: DataFrame) = {
+    val width = sigs.sparkSession.sessionState.conf.numShufflePartitions
+    sigs.repartition(width, col("band"), col("id")).write
+  }
+
+  /** The minhash index exists in two partition layouts: FLAT (`band=`
+    * dirs at the root — [[buildMinhashIndex]]/[[appendToMinhashIndex]])
+    * and BATCH (`batch=N/band=` — the streaming [[ingestBatch]] path).
+    * Mixing them in one directory makes every subsequent read of the
+    * whole index throw (inconsistent partition depth — the same
+    * brick-the-index failure appendLsh's legacy-layout guard exists
+    * for), so each writer refuses the OTHER layout's tree before
+    * writing anything. */
+  private def requireLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+      forbidden: String, op: String, fix: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath) &&
+      fs.listStatus(hPath).iterator.map(_.getPath.getName)
+        .exists(_.startsWith(s"$forbidden="))) {
+      throw new IllegalStateException(
+        s"$op($path): the index root already holds $forbidden= " +
+          s"partition directories — writing this layout next to them " +
+          s"would give the table inconsistent partition depths and make " +
+          s"every read of the index throw. $fix")
+    }
+  }
 
   /** Append a batch's rows to an existing index (same parameters as the
-    * build — the caller owns that contract). */
+    * build — the caller owns that contract). Refuses a BATCH-layout
+    * tree: `band=` dirs next to `batch=` dirs brick the read. */
   def appendToMinhashIndex(docs: DataFrame, textCol: String, idCol: String,
       path: String, shingleK: Int = 5, numHashes: Int = 16,
-      bands: Int = 4): Unit =
-    minhashBanded(docs, textCol, idCol, shingleK, numHashes, bands)
-      .write.mode("append").partitionBy("band").parquet(path)
+      bands: Int = 4): Unit = {
+    requireLayout(docs.sparkSession, path, "batch", "appendToMinhashIndex",
+      "Use ingestBatch (a batch= subdirectory) on this index.")
+    indexWrite(minhashBanded(docs, textCol, idCol, shingleK, numHashes,
+      bands)).mode("append").partitionBy("band").parquet(path)
+  }
 
   /**
    * Near-dup pairs of a NEW batch against an indexed corpus (plus within
@@ -1037,7 +1078,7 @@ object Dedup {
     val par = spark.sparkContext.defaultParallelism
     val batch = minhashBanded(newDocs, textCol, idCol, shingleK, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val index = spark.read.parquet(indexPath)
+    val index = liveIndexRows(spark, indexPath)
     val cand = indexCandPairs(batch, index, par, minJaccard)
     val inBatch = inBatchPairs(batch, minJaccard)
     // scope the persisted batch signatures to this call: a daily driver
@@ -1069,15 +1110,249 @@ object Dedup {
     val pairs = indexPath match {
       case None => inBatch
       case Some(p) =>
-        indexCandPairs(batch, spark.read.parquet(p), par, minJaccard)
+        warnTombstonedIngest(spark, p, batch)
+        indexCandPairs(batch, liveIndexRows(spark, p), par, minJaccard)
           .union(inBatch)
     }
+    // a flat-layout root (band= dirs) must not gain batch= dirs — the
+    // mixed tree bricks every read; see [[requireLayout]]
+    Option(new org.apache.hadoop.fs.Path(indexBatchDir).getParent)
+      .foreach(parent => requireLayout(spark, parent.toString, "band",
+        "ingestBatch", "Rebuild the index under batch= directories (or " +
+          "append with appendToMinhashIndex instead)."))
     // materialize the pairs FIRST (reads the index before this batch's
     // own rows join it), then write the index partition from the cached
     // signatures — both actions reuse the one persisted signature table
     val out = pairs.distinct().localCheckpoint(true)
-    batch.write.mode("overwrite").partitionBy("band").parquet(indexBatchDir)
+    indexWrite(batch).mode("overwrite").partitionBy("band")
+      .parquet(indexBatchDir)
     batch.unpersist(false)
     out
+  }
+
+  // ----------------------------------- persisted-index lifecycle (r15)
+  //
+  // The ANN index's lifecycle discipline (tombstone delete -> physical
+  // drop at compaction), applied to the OTHER persisted incremental
+  // structure: a takedown must also stop suppressing fresh content as
+  // "duplicates of a removed document" — the signature rows are how a
+  // deleted doc keeps influencing dedup decisions — and the batch=
+  // directories a long-lived stream accumulates (one per micro-batch,
+  // forever) need the same bounded-files reclaim.
+
+  /** An index scan restricted to LIVE rows: anti-join the `_tombstones`
+    * sidecar ([[deleteFromMinhashIndex]]) when one exists — the common
+    * no-deletes case costs one fs.exists and leaves the plan untouched.
+    * Pairs against deleted docs neither surface nor suppress. */
+  private def liveIndexRows(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_tombstones"))) df
+    else df.join(
+      spark.read.parquet(s"$path/_tombstones").select("id").distinct(),
+      Seq("id"), "left_anti")
+  }
+
+  /** Re-ingesting a TOMBSTONED id (a re-crawl of a taken-down doc) is
+    * legal but invisible: [[liveIndexRows]] hides the id until a
+    * [[compactMinhashIndex]] clears the tombstones — and a compaction
+    * run BEFORE the re-ingest drops the old rows so the fresh ones
+    * surface (the replace flow is delete → compact → re-ingest). One
+    * O(batch) semi-join, only when a sidecar exists at all. */
+  private def warnTombstonedIngest(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_tombstones"))) {
+      val hidden = batch.select("id").distinct().join(
+        spark.read.parquet(s"$path/_tombstones").select("id").distinct(),
+        Seq("id"), "left_semi").count()
+      if (hidden > 0)
+        System.err.println(s"[dedup] WARN ingestBatch($path): $hidden " +
+          s"batch doc(s) carry TOMBSTONED ids — their signatures are " +
+          s"written but invisible to index probes until " +
+          s"compactMinhashIndex clears the tombstones. Replacing a doc " +
+          s"is delete -> compactMinhashIndex -> re-ingest.")
+    }
+  }
+
+  /**
+   * Tombstone-delete documents from a persisted minhash index (takedown,
+   * re-crawl replacement): ids append to an append-only `_tombstones`
+   * sidecar — O(ids), idempotent re-runs, no data rewrite — and every
+   * index read ([[incrementalNearDupPairs]], [[ingestBatch]]'s
+   * index arm) anti-joins it, so a deleted doc stops matching new
+   * content immediately. [[compactMinhashIndex]] makes the delete
+   * physical. Fail-closed on a directory that is not a minhash index
+   * (neither layout's partition dirs present — tombstoning rows whose
+   * schema is unknown helps nobody).
+   *
+   * The accumulation WARN prices tombstones against the index's
+   * signature rows with a parquet metadata count — unlike the ANN
+   * appends this is NOT a per-ingest cost (deletes run at takedown
+   * cadence), and the count is gated behind the id floor so small
+   * takedowns never pay it.
+   *
+   * @return distinct ids tombstoned in this call
+   */
+  def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, idCol: String = "id"): Long = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) throw new IllegalStateException(
+      s"deleteFromMinhashIndex($path): no index at this path")
+    val roots = fs.listStatus(hPath).iterator.map(_.getPath.getName).toSeq
+    if (!roots.exists(n => n.startsWith("band=") || n.startsWith("batch=")))
+      throw new IllegalStateException(
+        s"deleteFromMinhashIndex($path): no band=/batch= partition " +
+          s"directories — not a minhash index layout; refusing to " +
+          s"tombstone rows whose layout is unknown.")
+    val batch = ids.select(col(idCol).as("id")).distinct()
+    batch.coalesce(1).write.mode("append").parquet(s"$path/_tombstones")
+    val n = batch.count()
+    val tombs = spark.read.parquet(s"$path/_tombstones")
+      .select("id").distinct().count()
+    if (tombs >= 1024L) {
+      val sigRows = spark.read.parquet(path).count() // metadata-only
+      if (tombs * 100L >= math.max(1L, sigRows))
+        System.err.println(s"[dedup] WARN deleteFromMinhashIndex($path): " +
+          s"$tombs accumulated tombstoned ids vs ~$sigRows signature " +
+          s"rows — every index probe now anti-joins that mass; call " +
+          s"Dedup.compactMinhashIndex to make the deletes physical.")
+    }
+    n
+  }
+
+  /** Operational snapshot of a persisted minhash index — the
+    * [[graft.operators.AnnIndex.indexHealth]] discipline on the second
+    * index. All fields derive from directory listings and the
+    * `_tombstones` sidecar; no job runs over the index data path.
+    *
+    * @param layout        "flat" (`band=` at root) or "batch"
+    *                      (`batch=N/band=`)
+    * @param batches       `batch=` generations (0 for flat)
+    * @param bands         band partitions per generation
+    * @param dataFiles     parquet data files (sidecar excluded)
+    * @param tombstones    distinct tombstoned ids
+    * @param fragmented    batch layout: more than `fragmentFactor`
+    *                      generations accumulated (compaction collapses
+    *                      them to one); flat layout: files exceed
+    *                      `fragmentFactor` × one write's bounded worth
+    *                      (bands × session width — see [[indexWrite]])
+    * @param tombstoneHeavy ≥ `tombstoneFloor` ids accumulated (absolute —
+    *                      the delete-time WARN prices the proportional
+    *                      mass, which needs a row count this snapshot
+    *                      deliberately never pays)
+    * @param prescription  "healthy" or "compactMinhashIndex" (the one
+    *                      maintenance verb this index needs: it drops
+    *                      tombstones AND defragments) */
+  case class MinhashIndexHealth(layout: String, batches: Int, bands: Int,
+      dataFiles: Long, tombstones: Long, fragmented: Boolean,
+      tombstoneHeavy: Boolean, prescription: String)
+
+  /** Compute [[MinhashIndexHealth]] for either index layout. Fail-closed
+    * on a directory that is not a minhash index. */
+  def minhashIndexHealth(spark: org.apache.spark.sql.SparkSession,
+      path: String, fragmentFactor: Double = 2.0,
+      tombstoneFloor: Long = 1024L): MinhashIndexHealth = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) throw new IllegalStateException(
+      s"minhashIndexHealth($path): no index at this path")
+    val roots = fs.listStatus(hPath).map(_.getPath)
+    val batchDirs = roots.filter(_.getName.startsWith("batch="))
+    val rootBands = roots.count(_.getName.startsWith("band="))
+    if (batchDirs.isEmpty && rootBands == 0)
+      throw new IllegalStateException(
+        s"minhashIndexHealth($path): no band=/batch= partition " +
+          s"directories — not a minhash index layout.")
+    val layout = if (batchDirs.nonEmpty) "batch" else "flat"
+    val bands =
+      if (layout == "flat") rootBands
+      else batchDirs.map(d => fs.listStatus(d)
+        .count(_.getPath.getName.startsWith("band="))).max
+    var files = 0L
+    val it = fs.listFiles(hPath, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet") &&
+        !f.toString.contains("/_tombstones/")) files += 1
+    }
+    val tombstones =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_tombstones")))
+        0L
+      else spark.read.parquet(s"$path/_tombstones")
+        .select("id").distinct().count()
+    val width = spark.sessionState.conf.numShufflePartitions
+    val fragmented =
+      if (layout == "batch") batchDirs.length > fragmentFactor
+      else files > fragmentFactor * math.max(1, bands * width)
+    val heavy = tombstones >= tombstoneFloor
+    MinhashIndexHealth(layout, batchDirs.length, bands, files, tombstones,
+      fragmented, heavy,
+      if (fragmented || heavy) "compactMinhashIndex" else "healthy")
+  }
+
+  /**
+   * Compact a persisted minhash index: drop tombstoned rows PHYSICALLY,
+   * clear the `_tombstones` sidecar, and rewrite the data under the
+   * index write discipline ([[indexWrite]] — a bounded session-width of
+   * files per band partition) — reclaiming both the per-probe anti-join
+   * and the file accumulation of appends/micro-batches. Handles BOTH
+   * layouts: a flat tree rewrites in place (`band=` dirs preserved); a
+   * batch tree collapses every `batch=N` directory into ONE `batch=-1`
+   * generation — a value no streaming batchId takes, so a replayed
+   * micro-batch (which overwrites its own `batch=<id>` dir) can never
+   * collide with compacted history. Run it between streaming runs (the
+   * stream stopped), the same maintenance-window contract as the ANN
+   * staged swaps. Crash-safe via the shared staged-directory rename
+   * protocol ([[AnnIndex.swapStaged]]): a reader mid-swap fails closed
+   * on the missing path; a crash leaves the original intact or the
+   * compacted tree live, never a half-index.
+   *
+   * @return (data files before, data files after)
+   */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): (Long, Long) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) throw new IllegalStateException(
+      s"compactMinhashIndex($path): no index at this path")
+    val roots = fs.listStatus(hPath).iterator.map(_.getPath.getName).toSeq
+    if (!roots.exists(n => n.startsWith("band=") || n.startsWith("batch=")))
+      throw new IllegalStateException(
+        s"compactMinhashIndex($path): no band=/batch= partition " +
+          s"directories — not a minhash index layout; refusing to " +
+          s"rewrite a tree whose layout is unknown.")
+    def dataFiles(p: String): Long = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet") &&
+          !f.toString.contains("/_tombstones/")) n += 1
+      }
+      n
+    }
+    val before = dataFiles(path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path.__precompact")
+    fs.delete(tmp, true); fs.delete(old, true) // prior-crash leftovers
+    val live = liveIndexRows(spark, path)
+    if (live.isEmpty) throw new IllegalStateException(
+      s"compactMinhashIndex($path): every row is tombstoned — compacting " +
+        s"would leave an empty, unreadable tree. Delete the index " +
+        s"directory instead (or re-ingest before compacting).")
+    val writer =
+      if (live.columns.contains("batch"))
+        indexWrite(live.withColumn("batch", lit(-1L)))
+          .partitionBy("batch", "band")
+      else
+        indexWrite(live).partitionBy("band")
+    writer.mode("overwrite").parquet(tmp.toString)
+    // the sidecar is NOT carried over: the compacted index starts
+    // tombstone-free (deletes are physical now)
+    AnnIndex.swapStaged(fs, hPath, tmp, old, "compactMinhashIndex")
+    (before, dataFiles(path))
   }
 }
