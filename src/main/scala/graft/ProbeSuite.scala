@@ -322,8 +322,31 @@ object ProbeSuite {
       val deleteOk = probeExcludes && chk(inc) == survivorChk &&
         spark.read.parquet(inc).count() == n - nApp &&
         !fsInc.exists(new org.apache.hadoop.fs.Path(s"$inc/_tombstones"))
+      // scoped-search identity (round 15, late): LSH signatures are
+      // row-local, so a SCOPED search of the full index must equal an
+      // unscoped search of an index built over ONLY the scope rows at
+      // the same explicit plan — exact set equality, noise-free like
+      // the checksums. Held standing so a regression that moves the
+      // scope semi-join AFTER the top-k cut (out-of-scope rows starving
+      // k) fails the round, at 300k rows rather than oracle scale.
+      val isScope = pmod(xxhash64(col("vec_id"), lit(13)), lit(8L)) === 0
+      val scFull = Tables.freshScratch("probe_lsh_scfull") + "/idx"
+      val scSub = Tables.freshScratch("probe_lsh_scsub") + "/idx"
+      AnnIndex.buildLsh(corpus, "embedding", "vec_id", scFull,
+        dims = 0, bits = 12, autoPlan = false)
+      AnnIndex.buildLsh(corpus.filter(isScope), "embedding", "vec_id",
+        scSub, dims = 0, bits = 12, autoPlan = false)
+      def scRes(p: String,
+          scope: Option[org.apache.spark.sql.DataFrame]): Set[(Long, Long)] =
+        AnnIndex.lshKnnJoin(spark, p, queries, "embedding", "vec_id",
+          k = 10, scope = scope)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (scopedSet, tScope) = timed(
+        scRes(scFull, Some(corpus.filter(isScope).select("vec_id"))))
+      val scopeOk = scopedSet == scRes(scSub, None)
       val pass = cellsOk && scanOk && recallOk && appendOk && vacuumOk &&
-        deleteOk
+        deleteOk && scopeOk
       println(f"[probes] ann_plan cells=${cents.length} (planned " +
         f"$plannedCells) nProbe=$nProbe scanned=$scanned (bound " +
         f"$scanBound) recall planned=$recPlanned%.3f fixed4=$recFixed4%.3f " +
@@ -333,7 +356,8 @@ object ProbeSuite {
         f"delete rows=$nDel wall=${tDel}%.1fs+compact ${tDelCompact}%.1fs " +
         f"drop_identical=$deleteOk vacuum files=$nVacFiles " +
         f"rows=$nVacRows wall=${tVac}%.1fs base_untouched=$baseUntouched " +
-        f"vacuum_ok=$vacuumOk " +
+        f"vacuum_ok=$vacuumOk scoped_identical=$scopeOk " +
+        f"scoped_wall=${tScope}%.1fs " +
         (if (pass) "ok" else "BAD"))
       (pass, s""""ann_plan":{"pass":$pass,"corpus":$n,""" +
         s""""cells":${cents.length},"planned_cells":$plannedCells,""" +
@@ -348,7 +372,8 @@ object ProbeSuite {
         s""""delete_drop_identical":$deleteOk,""" +
         s""""vacuum_files":$nVacFiles,"vacuum_rows":$nVacRows,""" +
         s""""vacuum_sec":$tVac,"vacuum_base_untouched":$baseUntouched,""" +
-        s""""vacuum_identical":$vacuumOk}""")
+        s""""vacuum_identical":$vacuumOk,""" +
+        s""""scoped_identical":$scopeOk,"scoped_sec":$tScope}""")
     }
 
     // --------------------------------------------------- fuzzy_salt

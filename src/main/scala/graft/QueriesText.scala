@@ -2315,6 +2315,32 @@ object QueriesText {
           .select(col("id_a"), col("id_b"), col("jaccard"))
       }),
 
+    // ----------------- streaming: dedup ingest + maintenance (r15, late)
+    // dedupIngest with maintainEvery: the stream compacts its OWN index
+    // when minhashIndexHealth prescribes it (here the 3-generation
+    // accumulation at the default fragmentFactor), mid-stream, under the
+    // staged-swap protocol. Maintenance must not change a single pair —
+    // the row shares stream_dedup_ingest's one-shot oracle — and the
+    // require pins that the compaction really ran (generations collapsed
+    // to the batch=-1 one) and left the index healthy.
+    QueryDef("stream_dedup_maintain",
+      Some(s"WITH $minhashPairsCtes" +
+        " SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"),
+      (s, dir) => {
+        val root = Tables.freshScratch("stream_mh_mnt")
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val src = stageMicroBatches(s, docs, root)
+        val q = graft.streaming.Streams.dedupIngest(src, "text", "doc_id",
+          s"$root/idx", s"$root/pairs", s"$root/ckpt", minJaccard = 0.5,
+          maintainEvery = 1)
+        try q.processAllAvailable() finally q.stop()
+        val h = graft.operators.Dedup.minhashIndexHealth(s, s"$root/idx")
+        require(h.batches == 1 && h.prescription == "healthy",
+          s"in-stream maintenance did not run: $h")
+        s.read.parquet(s"$root/pairs")
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+      }),
+
     // ------------------------- streaming: quality-gated dedup ingest (pairs)
     // Streams.qualityGatedDedupIngest with the canonical composed gate:
     // only gate-keepers enter the index, so the unioned per-batch pairs

@@ -221,7 +221,7 @@ object Streams {
   def dedupIngest(docs: DataFrame, textCol: String, idCol: String,
       indexDir: String, pairsDir: String, checkpointDir: String,
       shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
-      minJaccard: Double = 0.8)
+      minJaccard: Double = 0.8, maintainEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -235,6 +235,26 @@ object Streams {
           s"$indexDir/batch=$batchId",
           shingleK, numHashes, bands, minJaccard)
         pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        // in-stream maintenance (round 15, the annIngest treatment): a
+        // long-lived stream accumulates one batch= generation per
+        // micro-batch forever — with maintainEvery > 0, every Nth batch
+        // consults minhashIndexHealth and compacts when prescribed
+        // (generations collapse to one, tombstoned takedowns go
+        // physical). foreachBatch is sequential, so the staged swap
+        // never races this stream's own writes; a checkpoint REPLAY of
+        // an already-compacted batch rewrites its batch= dir next to
+        // the compacted generation — duplicate signature rows, which
+        // pair results dedupe and the next compaction reclaims.
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0 &&
+          indexHasData(spark, indexDir)) {
+          val h = graft.operators.Dedup.minhashIndexHealth(spark, indexDir)
+          if (h.prescription != "healthy") {
+            graft.operators.Dedup.compactMinhashIndex(spark, indexDir)
+            System.err.println(s"[streams] dedupIngest($indexDir) batch " +
+              s"$batchId maintenance: compactMinhashIndex " +
+              s"(${h.batches} generations, ${h.tombstones} tombstones)")
+          }
+        }
       }
       .start()
 

@@ -142,6 +142,36 @@ class DedupIndexSpec extends SparkSpec {
     assert(h2.prescription === "healthy")
   }
 
+  test("dedupIngest(maintainEvery): the stream compacts its own index " +
+      "when health prescribes — and a mid-stream takedown goes physical " +
+      "at that compaction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dmnt").toString
+    val idx = s"$dir/idx"
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.dedupIngest(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      idx, s"$dir/pairs", s"$dir/ckpt", minJaccard = 0.5,
+      maintainEvery = 1)
+    try {
+      mem.addData(corpus.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable() // generation 1 — healthy, no compact
+      Dedup.deleteFromMinhashIndex(spark, idx, Seq(1L).toDF("doc_id"),
+        idCol = "doc_id")
+      mem.addData((20L, "some fresh unrelated content streaming in now"))
+      q.processAllAvailable() // generation 2 — still under the factor
+      mem.addData((21L, "and one more batch to cross the generation bar"))
+      q.processAllAvailable() // generation 3 -> in-stream compact
+    } finally q.stop()
+    val h = Dedup.minhashIndexHealth(spark, idx)
+    assert(h.batches === 1, s"in-stream compaction did not run: $h")
+    assert(h.tombstones === 0L)
+    assert(spark.read.parquet(idx).filter(col("id") === 1L).count() === 0L,
+      "the takedown did not go physical at the in-stream compaction")
+    assert(!pairsOf(idx).contains((1L, 10L)))
+  }
+
   test("delete refuses a directory that is not a minhash index layout") {
     val p = tmp("mhnotidx")
     corpus.write.parquet(p) // plain unpartitioned parquet
