@@ -1237,9 +1237,11 @@ object Dedup {
     * @param tombstones    distinct tombstoned ids
     * @param fragmented    batch layout: more than `fragmentFactor`
     *                      generations accumulated (compaction collapses
-    *                      them to one); flat layout: files exceed
-    *                      `fragmentFactor` × one write's bounded worth
-    *                      (bands × session width — see [[indexWrite]])
+    *                      them to one), OR files exceed the generations'
+    *                      bounded worth (a pre-write-discipline tree);
+    *                      flat layout: files exceed `fragmentFactor` ×
+    *                      one write's bounded worth (bands × session
+    *                      width — see [[indexWrite]])
     * @param tombstoneHeavy ≥ `tombstoneFloor` ids accumulated (absolute —
     *                      the delete-time WARN prices the proportional
     *                      mass, which needs a row count this snapshot
@@ -1285,8 +1287,14 @@ object Dedup {
       else spark.read.parquet(s"$path/_tombstones")
         .select("id").distinct().count()
     val width = spark.sessionState.conf.numShufflePartitions
+    // batch layout: EITHER accumulated generations OR within-generation
+    // small files (a pre-write-discipline tree: one generation, input-
+    // width files per band dir) flag; flat layout: files vs one write's
+    // bounded worth
+    val fileBloat = files > fragmentFactor *
+      math.max(1, bands * width * math.max(1, batchDirs.length))
     val fragmented =
-      if (layout == "batch") batchDirs.length > fragmentFactor
+      if (layout == "batch") batchDirs.length > fragmentFactor || fileBloat
       else files > fragmentFactor * math.max(1, bands * width)
     val heavy = tombstones >= tombstoneFloor
     MinhashIndexHealth(layout, batchDirs.length, bands, files, tombstones,
