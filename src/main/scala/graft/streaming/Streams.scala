@@ -235,28 +235,37 @@ object Streams {
           s"$indexDir/batch=$batchId",
           shingleK, numHashes, bands, minJaccard)
         pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-        // in-stream maintenance (round 15, the annIngest treatment): a
-        // long-lived stream accumulates one batch= generation per
-        // micro-batch forever — with maintainEvery > 0, every Nth batch
-        // consults minhashIndexHealth and compacts when prescribed
-        // (generations collapse to one, tombstoned takedowns go
-        // physical). foreachBatch is sequential, so the staged swap
-        // never races this stream's own writes; a checkpoint REPLAY of
-        // an already-compacted batch rewrites its batch= dir next to
-        // the compacted generation — duplicate signature rows, which
-        // pair results dedupe and the next compaction reclaims.
-        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0 &&
-          indexHasData(spark, indexDir)) {
-          val h = graft.operators.Dedup.minhashIndexHealth(spark, indexDir)
-          if (h.prescription != "healthy") {
-            graft.operators.Dedup.compactMinhashIndex(spark, indexDir)
-            System.err.println(s"[streams] dedupIngest($indexDir) batch " +
-              s"$batchId maintenance: compactMinhashIndex " +
-              s"(${h.batches} generations, ${h.tombstones} tombstones)")
-          }
-        }
+        maybeMaintainMinhash(spark, indexDir, batchId, maintainEvery)
       }
       .start()
+
+  /** In-stream maintenance for the minhash-index ingest family (round
+    * 15, the annIngest treatment): a long-lived stream accumulates one
+    * batch= generation per micro-batch forever — with `maintainEvery >
+    * 0`, every Nth batch consults
+    * [[graft.operators.Dedup.minhashIndexHealth]] and compacts when
+    * prescribed (generations collapse to one, tombstoned takedowns go
+    * physical). foreachBatch is sequential, so the staged swap never
+    * races the calling stream's own writes; a checkpoint REPLAY of an
+    * already-compacted batch rewrites its batch= dir next to the
+    * compacted generation — duplicate signature rows, which pair
+    * results dedupe and the next compaction reclaims. Shared by
+    * [[dedupIngest]], [[qualityGatedDedupIngest]] and
+    * [[curationIngest]] (mechanism spec'd on the first; the others
+    * delegate here verbatim). */
+  private def maybeMaintainMinhash(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      batchId: Long, maintainEvery: Int): Unit =
+    if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0 &&
+      indexHasData(spark, indexDir)) {
+      val h = graft.operators.Dedup.minhashIndexHealth(spark, indexDir)
+      if (h.prescription != "healthy") {
+        graft.operators.Dedup.compactMinhashIndex(spark, indexDir)
+        System.err.println(s"[streams] ingest maintenance($indexDir) " +
+          s"batch $batchId: compactMinhashIndex (${h.batches} " +
+          s"generations, ${h.tombstones} tombstones)")
+      }
+    }
 
   /**
    * The full streaming ingestion pipeline: quality-gate each micro-batch
@@ -275,7 +284,7 @@ object Streams {
       gate: DataFrame => DataFrame, textCol: String, idCol: String,
       indexDir: String, pairsDir: String, rejectsDir: String,
       checkpointDir: String, shingleK: Int = 5, numHashes: Int = 16,
-      bands: Int = 4, minJaccard: Double = 0.8)
+      bands: Int = 4, minJaccard: Double = 0.8, maintainEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -295,6 +304,7 @@ object Streams {
               if (indexHasData(spark, indexDir)) Some(indexDir) else None,
               s"$indexDir/batch=$batchId", shingleK, numHashes, bands, minJaccard)
             .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+          maybeMaintainMinhash(spark, indexDir, batchId, maintainEvery)
         } finally judged.unpersist(false)
       }
       .start()
@@ -316,7 +326,8 @@ object Streams {
       textCol: String, idCol: String,
       indexDir: String, pairsDir: String, rejectsDir: String,
       checkpointDir: String, shingleK: Int = 5, numHashes: Int = 16,
-      bands: Int = 4, minJaccard: Double = 0.8, decontamN: Int = 5)
+      bands: Int = 4, minJaccard: Double = 0.8, decontamN: Int = 5,
+      maintainEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val evalGrams = graft.operators.Decontaminate
       .evalGramSet(evalDocs, textCol, decontamN)
@@ -352,6 +363,7 @@ object Streams {
               if (indexHasData(spark, indexDir)) Some(indexDir) else None,
               s"$indexDir/batch=$batchId", shingleK, numHashes, bands, minJaccard)
             .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+          maybeMaintainMinhash(spark, indexDir, batchId, maintainEvery)
         } finally {
           judged.unpersist(false)
           gated.unpersist(false)
