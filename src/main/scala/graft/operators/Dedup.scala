@@ -1302,6 +1302,28 @@ object Dedup {
       if (fragmented || heavy) "compactMinhashIndex" else "healthy")
   }
 
+  /** Execute [[minhashIndexHealth]]'s prescription — the
+    * [[graft.operators.AnnIndex.maintainIndex]] symmetry for the second
+    * index. The minhash index has exactly one maintenance verb
+    * ([[compactMinhashIndex]] drops tombstones AND defragments, and the
+    * signature geometry never drifts — shingle/hash parameters are the
+    * caller's contract, not data-dependent), so the executor is
+    * health-gated compaction: a healthy index is left completely
+    * untouched.
+    *
+    * @return the actions taken, in order ("compactMinhashIndex" or
+    *         nothing) */
+  def maintainMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, fragmentFactor: Double = 2.0,
+      tombstoneFloor: Long = 1024L): Seq[String] = {
+    val h = minhashIndexHealth(spark, path, fragmentFactor, tombstoneFloor)
+    if (h.prescription == "healthy") Seq.empty
+    else {
+      compactMinhashIndex(spark, path)
+      Seq("compactMinhashIndex")
+    }
+  }
+
   /**
    * Compact a persisted minhash index: drop tombstoned rows PHYSICALLY,
    * clear the `_tombstones` sidecar, and rewrite the data under the

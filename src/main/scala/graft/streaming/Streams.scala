@@ -258,13 +258,10 @@ object Streams {
       batchId: Long, maintainEvery: Int): Unit =
     if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0 &&
       indexHasData(spark, indexDir)) {
-      val h = graft.operators.Dedup.minhashIndexHealth(spark, indexDir)
-      if (h.prescription != "healthy") {
-        graft.operators.Dedup.compactMinhashIndex(spark, indexDir)
+      val acts = graft.operators.Dedup.maintainMinhashIndex(spark, indexDir)
+      if (acts.nonEmpty)
         System.err.println(s"[streams] ingest maintenance($indexDir) " +
-          s"batch $batchId: compactMinhashIndex (${h.batches} " +
-          s"generations, ${h.tombstones} tombstones)")
-      }
+          s"batch $batchId: ${acts.mkString(", ")}")
     }
 
   /**

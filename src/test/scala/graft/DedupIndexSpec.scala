@@ -172,6 +172,21 @@ class DedupIndexSpec extends SparkSpec {
     assert(!pairsOf(idx).contains((1L, 10L)))
   }
 
+  test("maintainMinhashIndex: healthy untouched, prescribed compaction " +
+      "executed and health restored — the one-call executor") {
+    val idx = tmp("mhmaint")
+    Dedup.buildMinhashIndex(corpus, "text", "doc_id", idx,
+      shingleK = 5, numHashes = 16, bands = 4)
+    assert(Dedup.maintainMinhashIndex(spark, idx) === Seq.empty)
+    Dedup.deleteFromMinhashIndex(spark, idx, Seq(1L).toDF("doc_id"),
+      idCol = "doc_id")
+    assert(Dedup.maintainMinhashIndex(spark, idx, tombstoneFloor = 1L)
+      === Seq("compactMinhashIndex"))
+    assert(spark.read.parquet(idx).filter(col("id") === 1L).count() === 0L)
+    assert(Dedup.minhashIndexHealth(spark, idx, tombstoneFloor = 1L)
+      .prescription === "healthy")
+  }
+
   test("delete refuses a directory that is not a minhash index layout") {
     val p = tmp("mhnotidx")
     corpus.write.parquet(p) // plain unpartitioned parquet
