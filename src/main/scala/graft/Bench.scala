@@ -136,6 +136,10 @@ object Bench {
     * round changes no under-the-name semantics (renames and NEW rows
     * never need listing — they fall out of the intersection by name). */
   val semanticsChanged: Set[String] = Set(
+    // NOTE (round 16 maintenance): this is the r14->r15 set — these two
+    // rows' semantics changed ONLY across that boundary, so the r15->r16
+    // comparison should start from an EMPTY set unless round 16 itself
+    // changes a timed path under an unchanged name.
     // round 15: the ANN append path no longer runs a full-index count()
     // per append (the drift WARN now prices from the _rows sidecar), so
     // these two rows' TIMED code path is materially faster under an
