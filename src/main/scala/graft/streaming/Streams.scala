@@ -383,12 +383,16 @@ object Streams {
    *
    * Delivery semantics: the checkpoint makes each batch process once in
    * normal operation; on CRASH REPLAY the build batch is idempotent
-   * (mode overwrite, delete-first sidecars) but a replayed APPEND batch
-   * lands twice — at-least-once, the standard non-transactional-sink
-   * caveat. Pair with [[graft.sources.FileCommit]]'s manifest protocol
-   * upstream (exactly-once staging) or dedup on the id at read when
-   * replays matter; a duplicate row only duplicates one kNN candidate,
-   * it never corrupts the index geometry.
+   * (mode overwrite, delete-first sidecars) and an EXACT replay of an
+   * applied append batch is SKIPPED via the `_stream_batch` stamp (see
+   * [[ingestAnnBatch]] — the standard foreachBatch gap, a crash after
+   * the writes land but before the checkpoint commits, no longer
+   * double-appends). The residual at-least-once sliver is a crash
+   * between the data write and the stamp: that replay lands twice.
+   * Pair with [[graft.sources.FileCommit]]'s manifest protocol upstream
+   * (exactly-once staging) or dedup on the id at read when that sliver
+   * matters; a duplicate row only duplicates one kNN candidate, it
+   * never corrupts the index geometry.
    *
    * appendLsh's occupancy-drift WARN fires across batches as the corpus
    * outgrows the first batch's plan — for a stream that is the REBUILD
@@ -412,28 +416,91 @@ object Streams {
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val df = batch.toDF()
-        val spark = df.sparkSession
-        if (!df.isEmpty) {
-          if (!indexHasData(spark, indexDir))
-            graft.operators.AnnIndex.buildLsh(df, vecCol, idCol, indexDir,
-              dims = dims)
-          else
-            graft.operators.AnnIndex.appendLsh(df, vecCol, idCol, indexDir)
-          // in-stream maintenance: foreachBatch is sequential, so the
-          // staged-swap rewrite can never race an append of this stream
-          if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
-            val acts = graft.operators.AnnIndex.maintainIndex(spark,
-              indexDir, targetCosine = targetCosine,
-              targetOccupancy = targetOccupancy)
-            if (acts.nonEmpty) System.err.println(
-              s"[streams] annIngest($indexDir) batch $batchId " +
-                s"maintenance: ${acts.mkString(", ")}")
-          }
-        }
+        ingestAnnBatch(batch.toDF(), vecCol, idCol, indexDir, dims,
+          maintainEvery, targetCosine, targetOccupancy, batchId)
         () // pin the lambda to Unit for the foreachBatch overload
       }
       .start()
+
+  /** One [[annIngest]] micro-batch (package-private so the replay guard
+    * is testable without crashing a real query between its commit
+    * points). The `_stream_batch` sidecar narrows the documented
+    * at-least-once window: foreachBatch's standard gap is a crash AFTER
+    * the batch's writes land but BEFORE the checkpoint commits, which
+    * replays the batch and double-appends — so each applied batch stamps
+    * its id (one small sidecar write, after the data write), and an
+    * EXACT replay of that id is skipped as already applied. The guard is
+    * deliberately `==`, not `<=`: a fresh checkpoint over an existing
+    * index restarts batch ids at 0, and a `<=` guard would then silently
+    * SKIP real data — with `==` that misuse degrades to today's
+    * duplicate-append behavior, never to data loss. A crash between the
+    * data write and the stamp still replays into a duplicate (the
+    * remaining at-least-once sliver); the dedup-ingest family doesn't
+    * need any of this — its per-batch-DIRECTORY overwrites are naturally
+    * exactly-once per dir. */
+  private[graft] def ingestAnnBatch(df: DataFrame, vecCol: String,
+      idCol: String, indexDir: String, dims: Int, maintainEvery: Int,
+      targetCosine: Double, targetOccupancy: Double, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    if (!df.isEmpty) {
+      val hasData = indexHasData(spark, indexDir)
+      // skip ONLY an exact replay of a batch whose writes are on disk:
+      // a stamp without index data is stale (a cleared/reused dir) and
+      // must not suppress a real first batch
+      val alreadyApplied = hasData && batchId >= 0 &&
+        lastStampedBatch(spark, indexDir) == batchId
+      if (alreadyApplied)
+        System.err.println(s"[streams] annIngest($indexDir) batch " +
+          s"$batchId replayed after its writes landed — skipping the " +
+          s"already-applied append.")
+      else if (!hasData)
+        graft.operators.AnnIndex.buildLsh(df, vecCol, idCol, indexDir,
+          dims = dims)
+      else
+        graft.operators.AnnIndex.appendLsh(df, vecCol, idCol, indexDir)
+      // in-stream maintenance: foreachBatch is sequential, so the
+      // staged-swap rewrite can never race an append of this stream
+      if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
+        val acts = graft.operators.AnnIndex.maintainIndex(spark,
+          indexDir, targetCosine = targetCosine,
+          targetOccupancy = targetOccupancy)
+        if (acts.nonEmpty) System.err.println(
+          s"[streams] annIngest($indexDir) batch $batchId " +
+            s"maintenance: ${acts.mkString(", ")}")
+      }
+      // stamp AFTER maintenance: a maintenance rewrite swaps the whole
+      // directory (sidecars carried explicitly — this one isn't), so a
+      // pre-maintenance stamp would be lost with the old tree; stamping
+      // last also means any crash inside the batch leaves no stamp and
+      // the replay re-runs everything (the safe direction — duplicates,
+      // never loss)
+      if (!alreadyApplied) stampBatch(spark, indexDir, batchId)
+    }
+  }
+
+  /** The `_stream_batch` sidecar's last applied batch id, or -1 when
+    * absent/unreadable (pre-round-15 stream, torn write — the guard then
+    * simply doesn't skip, the safe direction). */
+  private def lastStampedBatch(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_stream_batch")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) -1L
+    else try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      s.trim.toLong
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+  }
+
+  private def stampBatch(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_stream_batch")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+  }
 
   /**
    * The streaming tail of the keep_na lifecycle

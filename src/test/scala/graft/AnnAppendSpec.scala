@@ -483,6 +483,43 @@ class AnnAppendSpec extends SparkSpec {
     assert(res(idx) === res(full))
   }
 
+  test("annIngest replay guard: an exact replay of an applied batch is " +
+      "skipped (no double-append); a fresh-checkpoint id mismatch and a " +
+      "stale stamp without data still append — never data loss") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_areplay").toString
+    val idx = s"$dir/idx"
+    val (b0, b1) = (emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 =!= 0))
+    def ingest(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      graft.streaming.Streams.ingestAnnBatch(df, "embedding", "vec_id",
+        idx, 64, 0, 0.9, 2.0, id)
+    ingest(b0, 0L) // build
+    ingest(b1, 1L) // append
+    val full = spark.read.parquet(idx).count()
+    assert(full === emb.count())
+    // the foreachBatch crash-after-write gap: batch 1 replays verbatim
+    ingest(b1, 1L)
+    assert(spark.read.parquet(idx).count() === full,
+      "exact replay double-appended")
+    // a DIFFERENT id (fresh checkpoint over an old index) appends —
+    // degrades to duplicates, never silently drops data
+    ingest(b1, 0L)
+    assert(spark.read.parquet(idx).count() === full + b1.count())
+    // a stale stamp WITHOUT index data must not suppress a first batch
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_astale").toString
+    val idx2 = s"$dir2/idx"
+    val fs = new org.apache.hadoop.fs.Path(idx2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(idx2))
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$idx2/_stream_batch"), true)
+    try out.write("0".getBytes("UTF-8")) finally out.close()
+    graft.streaming.Streams.ingestAnnBatch(b0, "embedding", "vec_id",
+      idx2, 64, 0, 0.9, 2.0, 0L)
+    assert(spark.read.parquet(idx2).count() === b0.count(),
+      "stale stamp suppressed a real first batch")
+  }
+
   // ------------------------------------------- round 15: advisor fixes
 
   test("appendIvf(sign): SKEWED data (occupied cells a smaller power of " +
