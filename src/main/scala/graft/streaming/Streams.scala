@@ -412,15 +412,31 @@ object Streams {
       indexDir: String, checkpointDir: String, dims: Int = 64,
       maintainEvery: Int = 0, targetCosine: Double = 0.9,
       targetOccupancy: Double = 2.0)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lineage = checkpointLineage(checkpointDir)
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestAnnBatch(batch.toDF(), vecCol, idCol, indexDir, dims,
-          maintainEvery, targetCosine, targetOccupancy, batchId)
+          maintainEvery, targetCosine, targetOccupancy, batchId, lineage)
         () // pin the lambda to Unit for the foreachBatch overload
       }
       .start()
+  }
+
+  /** The replay guard's checkpoint-lineage token: batch ids are only
+    * meaningful WITHIN one checkpoint's history, so the stamp must carry
+    * which checkpoint issued them (round 16, advisor fix — a fresh
+    * checkpoint pointed at an existing index restarts batch ids at 0,
+    * and an id-only stamp of 0 would then skip the new stream's batch 0
+    * as "already applied": silent data LOSS, the exact direction the
+    * guard promises never to take). A hash of the checkpointDir string
+    * is the right identity: a restart of the same query resumes the
+    * same checkpointLocation and keeps the lineage; a fresh checkpoint
+    * (new dir, or the old one cleared and respelled) mismatches and the
+    * guard degrades to a duplicate append — never a skip. */
+  private def checkpointLineage(checkpointDir: String): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(checkpointDir)}%08x"
 
   /** One [[annIngest]] micro-batch (package-private so the replay guard
     * is testable without crashing a real query between its commit
@@ -428,19 +444,24 @@ object Streams {
     * at-least-once window: foreachBatch's standard gap is a crash AFTER
     * the batch's writes land but BEFORE the checkpoint commits, which
     * replays the batch and double-appends — so each applied batch stamps
-    * its id (one small sidecar write, after the data write), and an
-    * EXACT replay of that id is skipped as already applied. The guard is
-    * deliberately `==`, not `<=`: a fresh checkpoint over an existing
-    * index restarts batch ids at 0, and a `<=` guard would then silently
-    * SKIP real data — with `==` that misuse degrades to today's
-    * duplicate-append behavior, never to data loss. A crash between the
-    * data write and the stamp still replays into a duplicate (the
-    * remaining at-least-once sliver); the dedup-ingest family doesn't
-    * need any of this — its per-batch-DIRECTORY overwrites are naturally
-    * exactly-once per dir. */
+    * `<lineage>:<batchId>` (one small sidecar write, after the data
+    * write), and an EXACT replay of that id UNDER THE SAME CHECKPOINT
+    * LINEAGE is skipped as already applied. Both halves must match:
+    * the id comparison is deliberately `==`, not `<=` (a `<=` guard
+    * would skip real data when ids restart), and the lineage half makes
+    * a FRESH checkpoint over an existing index mismatch outright — its
+    * batch 0 appends (a possible duplicate, never a loss) instead of
+    * being mistaken for the PREVIOUS stream's applied batch 0. A legacy
+    * id-only stamp (pre-round-16) also mismatches: one duplicate append
+    * on the first post-upgrade replay, then the stamp is in the new
+    * format. A crash between the data write and the stamp still replays
+    * into a duplicate (the remaining at-least-once sliver); the
+    * dedup-ingest family doesn't need any of this — its per-batch-
+    * DIRECTORY overwrites are naturally exactly-once per dir. */
   private[graft] def ingestAnnBatch(df: DataFrame, vecCol: String,
       idCol: String, indexDir: String, dims: Int, maintainEvery: Int,
-      targetCosine: Double, targetOccupancy: Double, batchId: Long): Unit = {
+      targetCosine: Double, targetOccupancy: Double, batchId: Long,
+      lineage: String): Unit = {
     val spark = df.sparkSession
     if (!df.isEmpty) {
       val hasData = indexHasData(spark, indexDir)
@@ -448,7 +469,7 @@ object Streams {
       // a stamp without index data is stale (a cleared/reused dir) and
       // must not suppress a real first batch
       val alreadyApplied = hasData && batchId >= 0 &&
-        lastStampedBatch(spark, indexDir) == batchId
+        lastStampedBatch(spark, indexDir).contains((lineage, batchId))
       if (alreadyApplied)
         System.err.println(s"[streams] annIngest($indexDir) batch " +
           s"$batchId replayed after its writes landed — skipping the " +
@@ -459,7 +480,9 @@ object Streams {
       else
         graft.operators.AnnIndex.appendLsh(df, vecCol, idCol, indexDir)
       // in-stream maintenance: foreachBatch is sequential, so the
-      // staged-swap rewrite can never race an append of this stream
+      // staged-swap rewrite can never race an append of this stream.
+      // It runs on the replay path too (idempotent, answer-preserving)
+      // — the re-stamp below restores the guard after its swap.
       if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
         val acts = graft.operators.AnnIndex.maintainIndex(spark,
           indexDir, targetCosine = targetCosine,
@@ -473,33 +496,42 @@ object Streams {
       // pre-maintenance stamp would be lost with the old tree; stamping
       // last also means any crash inside the batch leaves no stamp and
       // the replay re-runs everything (the safe direction — duplicates,
-      // never loss)
-      if (!alreadyApplied) stampBatch(spark, indexDir, batchId)
+      // never loss). UNCONDITIONAL (round 16, advisor fix): on the
+      // replay-skip path a maintenance swap above just destroyed the
+      // stamp that marked the batch applied — re-stamping the same
+      // (lineage, id) is idempotent and keeps a SECOND replay of the
+      // same batch from double-appending.
+      stampBatch(spark, indexDir, batchId, lineage)
     }
   }
 
-  /** The `_stream_batch` sidecar's last applied batch id, or -1 when
-    * absent/unreadable (pre-round-15 stream, torn write — the guard then
-    * simply doesn't skip, the safe direction). */
+  /** The `_stream_batch` sidecar's last applied (lineage, batch id), or
+    * None when absent/unreadable/legacy-format (pre-round-16 stream,
+    * torn write — the guard then simply doesn't skip, the safe
+    * direction). */
   private def lastStampedBatch(
-      spark: org.apache.spark.sql.SparkSession, indexDir: String): Long = {
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/_stream_batch")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) -1L
+    if (!fs.exists(p)) None
     else try {
       val in = fs.open(p)
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      s.trim.toLong
-    } catch { case scala.util.control.NonFatal(_) => -1L }
+      s.trim.split(":", 2) match {
+        case Array(lin, id) => Some((lin, id.toLong))
+        case _ => None // legacy id-only stamp: never skip on it
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def stampBatch(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, batchId: Long): Unit = {
+      indexDir: String, batchId: Long, lineage: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/_stream_batch")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(s"$lineage:$batchId".getBytes("UTF-8")) finally out.close()
   }
 
   /**

@@ -483,16 +483,19 @@ class AnnAppendSpec extends SparkSpec {
     assert(res(idx) === res(full))
   }
 
-  test("annIngest replay guard: an exact replay of an applied batch is " +
-      "skipped (no double-append); a fresh-checkpoint id mismatch and a " +
-      "stale stamp without data still append — never data loss") {
+  test("annIngest replay guard: an exact same-lineage replay of an " +
+      "applied batch is skipped (no double-append); an id mismatch, a " +
+      "FRESH-CHECKPOINT lineage mismatch at the same id, a legacy " +
+      "id-only stamp, and a stale stamp without data all still append " +
+      "— never data loss") {
     val dir = java.nio.file.Files.createTempDirectory("graft_areplay").toString
     val idx = s"$dir/idx"
     val (b0, b1) = (emb.filter(col("vec_id") % 2 === 0),
       emb.filter(col("vec_id") % 2 =!= 0))
-    def ingest(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+    def ingest(df: org.apache.spark.sql.DataFrame, id: Long,
+        lineage: String = "ckptA"): Unit =
       graft.streaming.Streams.ingestAnnBatch(df, "embedding", "vec_id",
-        idx, 64, 0, 0.9, 2.0, id)
+        idx, 64, 0, 0.9, 2.0, id, lineage)
     ingest(b0, 0L) // build
     ingest(b1, 1L) // append
     val full = spark.read.parquet(idx).count()
@@ -501,10 +504,30 @@ class AnnAppendSpec extends SparkSpec {
     ingest(b1, 1L)
     assert(spark.read.parquet(idx).count() === full,
       "exact replay double-appended")
-    // a DIFFERENT id (fresh checkpoint over an old index) appends —
-    // degrades to duplicates, never silently drops data
+    // a DIFFERENT id under the same lineage appends — degrades to
+    // duplicates, never silently drops data
     ingest(b1, 0L)
-    assert(spark.read.parquet(idx).count() === full + b1.count())
+    val afterDup = full + b1.count()
+    assert(spark.read.parquet(idx).count() === afterDup)
+    // the round-16 advisor scenario: the last stamp is now (ckptA, 0);
+    // a FRESH checkpoint over this index restarts ids at 0 — with an
+    // id-only stamp its batch 0 would be skipped as "already applied"
+    // (silent LOSS); the lineage half must make it append instead
+    ingest(b1, 0L, lineage = "ckptB")
+    assert(spark.read.parquet(idx).count() === afterDup + b1.count(),
+      "fresh-checkpoint batch 0 was skipped against the old stream's " +
+        "stamp — the data-loss direction the lineage binding exists for")
+    // a legacy id-only stamp (pre-round-16) never matches: one
+    // duplicate append, then the stamp is in the new format
+    val fsA = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacyOut = fsA.create(
+      new org.apache.hadoop.fs.Path(s"$idx/_stream_batch"), true)
+    try legacyOut.write("5".getBytes("UTF-8")) finally legacyOut.close()
+    val beforeLegacy = spark.read.parquet(idx).count()
+    ingest(b1, 5L)
+    assert(spark.read.parquet(idx).count() === beforeLegacy + b1.count(),
+      "legacy id-only stamp skipped a batch")
     // a stale stamp WITHOUT index data must not suppress a first batch
     val dir2 = java.nio.file.Files.createTempDirectory("graft_astale").toString
     val idx2 = s"$dir2/idx"
@@ -513,11 +536,37 @@ class AnnAppendSpec extends SparkSpec {
     fs.mkdirs(new org.apache.hadoop.fs.Path(idx2))
     val out = fs.create(
       new org.apache.hadoop.fs.Path(s"$idx2/_stream_batch"), true)
-    try out.write("0".getBytes("UTF-8")) finally out.close()
+    try out.write("ckptA:0".getBytes("UTF-8")) finally out.close()
     graft.streaming.Streams.ingestAnnBatch(b0, "embedding", "vec_id",
-      idx2, 64, 0, 0.9, 2.0, 0L)
+      idx2, 64, 0, 0.9, 2.0, 0L, "ckptA")
     assert(spark.read.parquet(idx2).count() === b0.count(),
       "stale stamp suppressed a real first batch")
+  }
+
+  test("annIngest replay guard survives a replay-path maintenance swap: " +
+      "the swap destroys the stamp, the unconditional re-stamp restores " +
+      "it, and a SECOND replay of the same batch still skips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_arestamp").toString
+    val idx = s"$dir/idx"
+    val (b0, b1) = (emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 =!= 0))
+    // maintainEvery=1 with a tiny occupancy target: EVERY batch's
+    // maintenance reindexes, whose staged swap replaces the whole
+    // directory (the stamp is not a carried sidecar)
+    def ingest(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      graft.streaming.Streams.ingestAnnBatch(df, "embedding", "vec_id",
+        idx, 64, 1, 0.9, 0.001, id, "ckptA")
+    ingest(b0, 0L) // build + maintain
+    ingest(b1, 1L) // append + maintain
+    val full = spark.read.parquet(idx).count()
+    assert(full === emb.count())
+    ingest(b1, 1L) // replay 1: skipped, maintenance runs, MUST re-stamp
+    assert(spark.read.parquet(idx).count() === full,
+      "first replay double-appended")
+    ingest(b1, 1L) // replay 2: only skips if the re-stamp happened
+    assert(spark.read.parquet(idx).count() === full,
+      "second replay double-appended — the replay-path maintenance " +
+        "swap lost the stamp and the guard with it")
   }
 
   // ------------------------------------------- round 15: advisor fixes
