@@ -275,6 +275,88 @@ object QueriesText {
           minJaccard = 0.5)
       }),
 
+    // --------------------- dedup: index targeted vacuum (r16)
+    // The round-15 ANN verb on the second index: a takedown's physical
+    // reclamation must rewrite the files HOLDING tombstoned rows, not
+    // the corpus — at 100 TB compaction-per-takedown is the exact cost
+    // cliff vacuumTombstones removed for ANN. Same streaming-layout
+    // build and same doomed set as dedup_index_delete, but the physical
+    // delete is vacuumMinhashTombstones (locate scan + per-file
+    // survivor rewrite + roll-forward manifest) — so the row shares the
+    // survivor-restricted oracle, and the requires pin what makes a
+    // vacuum a vacuum: the sidecar is gone (the probe runs with no
+    // anti-join), and the generation structure is PRESERVED (a
+    // compaction in vacuum's clothing — batch dirs collapsed — fails).
+    // Per-file targeting (untouched files byte-identical) is pinned at
+    // controlled scale in DedupIndexSpec, like ann_vacuum_knn's.
+    QueryDef("dedup_index_vacuum",
+      Some(s"WITH $minhashPairsCtes" + """
+        SELECT id_a, id_b, jaccard FROM pairs
+        WHERE jaccard >= 0.5 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+          AND NOT (id_a % 5 <> 0 AND id_a % 7 = 1)
+          AND NOT (id_b % 5 <> 0 AND id_b % 7 = 1)"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val idx = Tables.scratchDir("mh_vac_idx")
+        Dedup.ingestBatch(corpus.filter(col("doc_id") % 2 === 0), "text",
+          "doc_id", None, s"$idx/batch=0", shingleK = 5, numHashes = 16,
+          bands = 4, minJaccard = 0.5)
+        Dedup.ingestBatch(corpus.filter(col("doc_id") % 2 =!= 0), "text",
+          "doc_id", Some(idx), s"$idx/batch=1", shingleK = 5,
+          numHashes = 16, bands = 4, minJaccard = 0.5)
+        Dedup.deleteFromMinhashIndex(s, idx,
+          corpus.filter(col("doc_id") % 7 === 1).select("doc_id"),
+          idCol = "doc_id")
+        val (rewritten, dropped) =
+          Dedup.vacuumMinhashTombstones(s, idx)
+        require(rewritten > 0 && dropped > 0,
+          s"vacuum was a no-op (files=$rewritten rows=$dropped)")
+        val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        require(!fs.exists(
+          new org.apache.hadoop.fs.Path(s"$idx/_tombstones")),
+          "vacuum left the _tombstones sidecar — probes would anti-join")
+        val gens = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+          .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted
+        require(gens.toSeq == Seq("batch=0", "batch=1"),
+          s"vacuum changed the generation structure (${gens.toSeq}) — " +
+            "that is compaction, not a targeted rewrite")
+        Dedup.incrementalNearDupPairs(docs.filter(col("doc_id") % 5 === 0),
+          "text", "doc_id", idx, shingleK = 5, numHashes = 16, bands = 4,
+          minJaccard = 0.5)
+      }),
+
+    // --------------------- dedup: scoped incremental probe (r16)
+    // The ann_scoped_knn discipline on the dedup index: a tenant /
+    // license filter resolved upstream to an id table dedups a batch
+    // against a SUBSET of one shared index — no per-filter index
+    // rebuilds. The scope semi-joins the INDEX side before the band
+    // join (positive polarity, the tombstone seam), so out-of-scope
+    // corpus docs neither surface nor suppress; in-batch pairs are
+    // untouched. Oracle: one-shot pairs touching the batch, minus any
+    // pair whose corpus side is out of scope (doc_id % 3 <> 0) — a
+    // post-filter that lets out-of-scope docs suppress, or a scope
+    // leak, hash-fails.
+    QueryDef("dedup_index_scoped",
+      Some(s"WITH $minhashPairsCtes" + """
+        SELECT id_a, id_b, jaccard FROM pairs
+        WHERE jaccard >= 0.5 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+          AND NOT (id_a % 5 <> 0 AND id_a % 3 <> 0)
+          AND NOT (id_b % 5 <> 0 AND id_b % 3 <> 0)"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val idx = Tables.scratchDir("mh_scope_idx")
+        Dedup.buildMinhashIndex(corpus, "text", "doc_id", idx,
+          shingleK = 5, numHashes = 16, bands = 4)
+        Dedup.incrementalNearDupPairs(docs.filter(col("doc_id") % 5 === 0),
+          "text", "doc_id", idx, shingleK = 5, numHashes = 16, bands = 4,
+          minJaccard = 0.5,
+          scope = Some(corpus.filter(col("doc_id") % 3 === 0)
+            .select("doc_id")))
+      }),
+
     // --------------------- dedup: index health snapshot (r15, late)
     // minhashIndexHealth as an oracle row — the ann_health treatment for
     // the second index: the snapshot's DETERMINISTIC fields (layout,
@@ -282,13 +364,16 @@ object QueriesText {
     // count from the sidecar, the tombstone-mass flag and the
     // prescription it forces) replay in DuckDB value-for-value. The
     // fragmentation flag is a physical-layout fact (file counts) and
-    // stays spec-covered in DedupIndexSpec, like ann_health's.
+    // stays spec-covered in DedupIndexSpec, like ann_health's. Round 16:
+    // health prescribes BY CAUSE — tombstone mass alone (this scenario:
+    // 2 generations, under every fragmentation trigger) now prescribes
+    // the targeted vacuum, not the full rewrite.
     QueryDef("dedup_index_health", Some("""
       SELECT 'batch' AS layout, 2 AS batches, 4 AS bands,
         (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents
           WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1) AS tombstones,
         true AS tombstone_heavy,
-        'compactMinhashIndex' AS prescription"""),
+        'vacuumMinhashTombstones' AS prescription"""),
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")

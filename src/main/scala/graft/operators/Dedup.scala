@@ -1020,6 +1020,10 @@ object Dedup {
   def appendToMinhashIndex(docs: DataFrame, textCol: String, idCol: String,
       path: String, shingleK: Int = 5, numHashes: Int = 16,
       bands: Int = 4): Unit = {
+    requireNoInterruptedMinhashVacuum(
+      new org.apache.hadoop.fs.Path(path).getFileSystem(
+        docs.sparkSession.sparkContext.hadoopConfiguration),
+      path, "appendToMinhashIndex")
     requireLayout(docs.sparkSession, path, "batch", "appendToMinhashIndex",
       "Use ingestBatch (a batch= subdirectory) on this index.")
     indexWrite(minhashBanded(docs, textCol, idCol, shingleK, numHashes,
@@ -1070,15 +1074,31 @@ object Dedup {
         jaccard(col("sh_n"), col("sh_c")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
 
+  /** @param scope id-set restricting which INDEXED documents the batch
+    *   may pair with (round 16 — the [[AnnIndex.lshKnnJoin]] `scope`
+    *   discipline on the dedup index): a tenant / license / language
+    *   filter resolved upstream to an id table lets ONE shared index
+    *   serve per-tenant dedup without per-filter index rebuilds. The
+    *   semi-join applies to the index rows BEFORE the band join (the
+    *   same seam as the tombstone anti-join — positive polarity), so a
+    *   scoped probe of the full index equals a probe of an index built
+    *   from the scope subset alone; out-of-scope docs neither surface
+    *   nor suppress. `None` (default) leaves the plan untouched.
+    *   In-batch pairs are NOT scoped — the caller owns the batch frame
+    *   and pre-filters it when the batch itself needs restricting. */
   def incrementalNearDupPairs(newDocs: DataFrame, textCol: String,
       idCol: String, indexPath: String, shingleK: Int = 5,
       numHashes: Int = 16, bands: Int = 4,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8,
+      scope: Option[DataFrame] = None): DataFrame = {
     val spark = newDocs.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val batch = minhashBanded(newDocs, textCol, idCol, shingleK, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val index = liveIndexRows(spark, indexPath)
+    val live = liveIndexRows(spark, indexPath)
+    val index = scope.fold(live)(s =>
+      live.join(s.select(col(s.columns.head).as("id")).distinct(),
+        Seq("id"), "left_semi"))
     val cand = indexCandPairs(batch, index, par, minJaccard)
     val inBatch = inBatchPairs(batch, minJaccard)
     // scope the persisted batch signatures to this call: a daily driver
@@ -1115,11 +1135,17 @@ object Dedup {
           .union(inBatch)
     }
     // a flat-layout root (band= dirs) must not gain batch= dirs — the
-    // mixed tree bricks every read; see [[requireLayout]]
+    // mixed tree bricks every read; see [[requireLayout]] — and a
+    // mid-swap (interrupted-vacuum) tree must not gain anything at all
     Option(new org.apache.hadoop.fs.Path(indexBatchDir).getParent)
-      .foreach(parent => requireLayout(spark, parent.toString, "band",
-        "ingestBatch", "Rebuild the index under batch= directories (or " +
-          "append with appendToMinhashIndex instead)."))
+      .foreach { parent =>
+        requireNoInterruptedMinhashVacuum(
+          parent.getFileSystem(spark.sparkContext.hadoopConfiguration),
+          parent.toString, "ingestBatch")
+        requireLayout(spark, parent.toString, "band",
+          "ingestBatch", "Rebuild the index under batch= directories (or " +
+            "append with appendToMinhashIndex instead).")
+      }
     // materialize the pairs FIRST (reads the index before this batch's
     // own rows join it), then write the index partition from the cached
     // signatures — both actions reuse the one persisted signature table
@@ -1140,14 +1166,29 @@ object Dedup {
   // directories a long-lived stream accumulates (one per micro-batch,
   // forever) need the same bounded-files reclaim.
 
+  /** The interrupted-vacuum gate ([[vacuumMinhashTombstones]]'s marker,
+    * the [[AnnIndex]] convention): between the `_vacuum` manifest
+    * publish and [[completeMinhashVacuum]]'s marker delete the data
+    * tree is MID-SWAP (some survivors moved in, some originals not yet
+    * deleted) — every reader and mutation fails closed until the
+    * roll-forward finishes. */
+  private def requireNoInterruptedMinhashVacuum(
+      fs: org.apache.hadoop.fs.FileSystem, path: String, op: String): Unit =
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_vacuum")))
+      throw new IllegalStateException(
+        s"$op($path): an interrupted vacuum left its _vacuum manifest — " +
+          s"the data tree is mid-swap; run " +
+          s"Dedup.vacuumMinhashTombstones($path) to roll it forward.")
+
   /** An index scan restricted to LIVE rows: anti-join the `_tombstones`
     * sidecar ([[deleteFromMinhashIndex]]) when one exists — the common
     * no-deletes case costs one fs.exists and leaves the plan untouched.
     * Pairs against deleted docs neither surface nor suppress. */
   private def liveIndexRows(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val df = spark.read.parquet(path)
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    requireNoInterruptedMinhashVacuum(fs, path, "minhash index read")
+    val df = spark.read.parquet(path)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_tombstones"))) df
     else df.join(
       spark.read.parquet(s"$path/_tombstones").select("id").distinct(),
@@ -1208,6 +1249,7 @@ object Dedup {
         s"deleteFromMinhashIndex($path): no band=/batch= partition " +
           s"directories — not a minhash index layout; refusing to " +
           s"tombstone rows whose layout is unknown.")
+    requireNoInterruptedMinhashVacuum(fs, path, "deleteFromMinhashIndex")
     val batch = ids.select(col(idCol).as("id")).distinct()
     batch.coalesce(1).write.mode("append").parquet(s"$path/_tombstones")
     val n = batch.count()
@@ -1219,7 +1261,8 @@ object Dedup {
         System.err.println(s"[dedup] WARN deleteFromMinhashIndex($path): " +
           s"$tombs accumulated tombstoned ids vs ~$sigRows signature " +
           s"rows — every index probe now anti-joins that mass; call " +
-          s"Dedup.compactMinhashIndex to make the deletes physical.")
+          s"Dedup.vacuumMinhashTombstones to make the deletes physical " +
+          s"(compactMinhashIndex if the index is also fragmented).")
     }
     n
   }
@@ -1231,37 +1274,65 @@ object Dedup {
     *
     * @param layout        "flat" (`band=` at root) or "batch"
     *                      (`batch=N/band=`)
-    * @param batches       `batch=` generations (0 for flat)
+    * @param batches       `batch=` generations (0 for flat; the
+    *                      compacted `batch=-1` base counts as one)
     * @param bands         band partitions per generation
     * @param dataFiles     parquet data files (sidecar excluded)
     * @param tombstones    distinct tombstoned ids
-    * @param fragmented    batch layout: more than `fragmentFactor`
-    *                      generations accumulated (compaction collapses
-    *                      them to one), OR files exceed the generations'
-    *                      bounded worth (a pre-write-discipline tree);
-    *                      flat layout: files exceed `fragmentFactor` ×
-    *                      one write's bounded worth (bands × session
-    *                      width — see [[indexWrite]])
+    * @param fragmented    see [[minhashIndexHealth]]'s threshold note —
+    *                      SIZE-AWARE on the batch layout (round 16)
     * @param tombstoneHeavy ≥ `tombstoneFloor` ids accumulated (absolute —
     *                      the delete-time WARN prices the proportional
     *                      mass, which needs a row count this snapshot
     *                      deliberately never pays)
-    * @param prescription  "healthy" or "compactMinhashIndex" (the one
-    *                      maintenance verb this index needs: it drops
-    *                      tombstones AND defragments) */
+    * @param freshBytes    batch layout: bytes in non-compacted
+    *                      (`batch=N`, N ≥ 0) generations — the mass a
+    *                      compaction would fold into the base
+    * @param baseBytes     batch layout: bytes in the compacted
+    *                      `batch=-1` base generation (0 when none)
+    * @param prescription  "healthy", "vacuumMinhashTombstones"
+    *                      (tombstone mass alone — the targeted
+    *                      physical delete), or "compactMinhashIndex"
+    *                      (fragmentation — the full rewrite, which
+    *                      subsumes the vacuum: it drops tombstoned
+    *                      rows and clears the sidecar too) */
   case class MinhashIndexHealth(layout: String, batches: Int, bands: Int,
       dataFiles: Long, tombstones: Long, fragmented: Boolean,
-      tombstoneHeavy: Boolean, prescription: String)
+      tombstoneHeavy: Boolean, prescription: String,
+      freshBytes: Long = 0L, baseBytes: Long = 0L)
 
   /** Compute [[MinhashIndexHealth]] for either index layout. Fail-closed
-    * on a directory that is not a minhash index. */
+    * on a directory that is not a minhash index, and on an interrupted
+    * vacuum's mid-swap state.
+    *
+    * Fragmentation thresholds:
+    *  - batch layout (round 16, advisor fix — the old trigger counted
+    *    generations alone, so after a collapse to `batch=-1` a
+    *    long-lived stream FULL-rewrote the whole index every
+    *    ~`fragmentFactor` micro-batches: quadratic cumulative write
+    *    amplification): more than `fragmentFactor` non-compacted
+    *    generations AND their byte mass is at least
+    *    `minCompactionGain` of the compacted base (no base = always
+    *    worth collapsing). Each compaction therefore grows the base by
+    *    ≥ `minCompactionGain`, so lifetime rewrite bytes are bounded by
+    *    ~(1/minCompactionGain) × ingested bytes — amortized LINEAR, the
+    *    tiered-compaction discipline. `maxGenerations` caps the
+    *    generation count regardless of mass (directory/partition-
+    *    listing cost grows with generations even when their bytes are
+    *    negligible); past it, rewrites amortize to base/maxGenerations
+    *    per batch. Also flags when files exceed the generations'
+    *    bounded worth (a pre-write-discipline tree).
+    *  - flat layout: files exceed `fragmentFactor` × one write's
+    *    bounded worth (bands × session width — see [[indexWrite]]). */
   def minhashIndexHealth(spark: org.apache.spark.sql.SparkSession,
       path: String, fragmentFactor: Double = 2.0,
-      tombstoneFloor: Long = 1024L): MinhashIndexHealth = {
+      tombstoneFloor: Long = 1024L, minCompactionGain: Double = 0.1,
+      maxGenerations: Int = 64): MinhashIndexHealth = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) throw new IllegalStateException(
       s"minhashIndexHealth($path): no index at this path")
+    requireNoInterruptedMinhashVacuum(fs, path, "minhashIndexHealth")
     val roots = fs.listStatus(hPath).map(_.getPath)
     val batchDirs = roots.filter(_.getName.startsWith("batch="))
     val rootBands = roots.count(_.getName.startsWith("band="))
@@ -1275,11 +1346,18 @@ object Dedup {
       else batchDirs.map(d => fs.listStatus(d)
         .count(_.getPath.getName.startsWith("band="))).max
     var files = 0L
+    var baseBytes = 0L
+    var freshBytes = 0L
     val it = fs.listFiles(hPath, true)
     while (it.hasNext) {
-      val f = it.next().getPath
-      if (f.getName.endsWith(".parquet") &&
-        !f.toString.contains("/_tombstones/")) files += 1
+      val f = it.next()
+      val s = f.getPath.toString
+      if (f.getPath.getName.endsWith(".parquet") &&
+        !s.contains("/_tombstones/") && !s.contains("/_vacuum_staged/")) {
+        files += 1
+        if (s.contains("/batch=-1/")) baseBytes += f.getLen
+        else if (s.contains("/batch=")) freshBytes += f.getLen
+      }
     }
     val tombstones =
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_tombstones")))
@@ -1287,40 +1365,58 @@ object Dedup {
       else spark.read.parquet(s"$path/_tombstones")
         .select("id").distinct().count()
     val width = spark.sessionState.conf.numShufflePartitions
-    // batch layout: EITHER accumulated generations OR within-generation
-    // small files (a pre-write-discipline tree: one generation, input-
-    // width files per band dir) flag; flat layout: files vs one write's
-    // bounded worth
+    val freshGens = batchDirs.count(_.getName != "batch=-1")
+    // batch layout: accumulated generations (size-aware — see the
+    // scaladoc threshold note) OR within-generation small files (a
+    // pre-write-discipline tree: one generation, input-width files per
+    // band dir); flat layout: files vs one write's bounded worth
     val fileBloat = files > fragmentFactor *
       math.max(1, bands * width * math.max(1, batchDirs.length))
     val fragmented =
-      if (layout == "batch") batchDirs.length > fragmentFactor || fileBloat
+      if (layout == "batch")
+        (freshGens > fragmentFactor &&
+          (baseBytes == 0L || freshGens > maxGenerations ||
+            freshBytes >= minCompactionGain * baseBytes)) || fileBloat
       else files > fragmentFactor * math.max(1, bands * width)
     val heavy = tombstones >= tombstoneFloor
+    // by CAUSE (round 16): fragmentation needs the full rewrite, which
+    // also makes deletes physical; tombstone mass alone needs only the
+    // targeted vacuum — prescribing compaction for it would rewrite the
+    // whole index for a takedown's worth of rows
+    val rx =
+      if (fragmented) "compactMinhashIndex"
+      else if (heavy) "vacuumMinhashTombstones"
+      else "healthy"
     MinhashIndexHealth(layout, batchDirs.length, bands, files, tombstones,
-      fragmented, heavy,
-      if (fragmented || heavy) "compactMinhashIndex" else "healthy")
+      fragmented, heavy, rx, freshBytes, baseBytes)
   }
 
   /** Execute [[minhashIndexHealth]]'s prescription — the
     * [[graft.operators.AnnIndex.maintainIndex]] symmetry for the second
-    * index. The minhash index has exactly one maintenance verb
-    * ([[compactMinhashIndex]] drops tombstones AND defragments, and the
-    * signature geometry never drifts — shingle/hash parameters are the
-    * caller's contract, not data-dependent), so the executor is
-    * health-gated compaction: a healthy index is left completely
-    * untouched.
+    * index: [[compactMinhashIndex]] on fragmentation (the full rewrite
+    * also drops tombstoned rows and clears the sidecar — running the
+    * vacuum first would rewrite the affected files twice),
+    * [[vacuumMinhashTombstones]] on tombstone mass alone (O(affected
+    * files), never the corpus). The signature geometry never drifts —
+    * shingle/hash parameters are the caller's contract, not
+    * data-dependent — so there is no reindex verb. A healthy index is
+    * left completely untouched.
     *
-    * @return the actions taken, in order ("compactMinhashIndex" or
-    *         nothing) */
+    * @return the actions taken, in order */
   def maintainMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, fragmentFactor: Double = 2.0,
-      tombstoneFloor: Long = 1024L): Seq[String] = {
-    val h = minhashIndexHealth(spark, path, fragmentFactor, tombstoneFloor)
-    if (h.prescription == "healthy") Seq.empty
-    else {
-      compactMinhashIndex(spark, path)
-      Seq("compactMinhashIndex")
+      tombstoneFloor: Long = 1024L, minCompactionGain: Double = 0.1,
+      maxGenerations: Int = 64): Seq[String] = {
+    val h = minhashIndexHealth(spark, path, fragmentFactor, tombstoneFloor,
+      minCompactionGain, maxGenerations)
+    h.prescription match {
+      case "healthy" => Seq.empty
+      case "vacuumMinhashTombstones" =>
+        vacuumMinhashTombstones(spark, path)
+        Seq("vacuumMinhashTombstones")
+      case _ =>
+        compactMinhashIndex(spark, path)
+        Seq("compactMinhashIndex")
     }
   }
 
@@ -1348,23 +1444,14 @@ object Dedup {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) throw new IllegalStateException(
       s"compactMinhashIndex($path): no index at this path")
+    requireNoInterruptedMinhashVacuum(fs, path, "compactMinhashIndex")
     val roots = fs.listStatus(hPath).iterator.map(_.getPath.getName).toSeq
     if (!roots.exists(n => n.startsWith("band=") || n.startsWith("batch=")))
       throw new IllegalStateException(
         s"compactMinhashIndex($path): no band=/batch= partition " +
           s"directories — not a minhash index layout; refusing to " +
           s"rewrite a tree whose layout is unknown.")
-    def dataFiles(p: String): Long = {
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
-      var n = 0L
-      while (it.hasNext) {
-        val f = it.next().getPath
-        if (f.getName.endsWith(".parquet") &&
-          !f.toString.contains("/_tombstones/")) n += 1
-      }
-      n
-    }
-    val before = dataFiles(path)
+    val before = minhashDataFiles(fs, path)
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path.__precompact")
     fs.delete(tmp, true); fs.delete(old, true) // prior-crash leftovers
@@ -1383,6 +1470,240 @@ object Dedup {
     // the sidecar is NOT carried over: the compacted index starts
     // tombstone-free (deletes are physical now)
     AnnIndex.swapStaged(fs, hPath, tmp, old, "compactMinhashIndex")
-    (before, dataFiles(path))
+    (before, minhashDataFiles(fs, path))
+  }
+
+  /** Recursive parquet DATA-file count under a minhash index — the
+    * `_tombstones` sidecar and any `_vacuum_staged` leftovers excluded. */
+  private def minhashDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Long = {
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet") &&
+        !f.toString.contains("/_tombstones/") &&
+        !f.toString.contains("/_vacuum_staged/")) n += 1
+    }
+    n
+  }
+
+  // ------------------------------------ targeted minhash vacuum (r16)
+  //
+  // [[compactMinhashIndex]] makes tombstones physical, but it rewrites
+  // the WHOLE index — at 100 TB a takedown of 100 docs must not cost a
+  // full-corpus rewrite of the dedup index. This is the round-15 ANN
+  // verb ([[AnnIndex.vacuumTombstones]]'s locate-scan + per-file
+  // survivor rewrite + roll-forward `_vacuum` manifest, same protocol
+  // and same crash states) ported to the minhash layouts: one
+  // column-pruned (id, file) scan finds the files holding tombstoned
+  // rows, survivors of ONLY those files are staged and swapped in by an
+  // atomically-published manifest, and everything else stays
+  // byte-identical on disk. Readers fail closed between the manifest
+  // publish and [[completeMinhashVacuum]]'s marker delete
+  // ([[requireNoInterruptedMinhashVacuum]] in [[liveIndexRows]] and
+  // every mutation); each completion step is idempotent, so a crash
+  // anywhere re-runs to the same end state.
+
+  /**
+   * Make tombstone deletes physical by rewriting ONLY the files that
+   * hold tombstoned rows. O(affected files), never O(index): the verb
+   * for takedown-cadence deletes on a streaming-scale index; a mass
+   * delete that touches most files should use [[compactMinhashIndex]]
+   * instead (same physical outcome, no per-file manifest) — the call
+   * WARNs when the takedown stops being targeted. Works on both
+   * layouts (`band=` flat, `batch=N/band=` streaming); partition
+   * directories are preserved as-is — unlike compaction, a vacuum
+   * never collapses generations.
+   *
+   * @return (files rewritten, rows dropped); (0, 0) when there is
+   *         nothing to vacuum
+   */
+  def vacuumMinhashTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) throw new IllegalStateException(
+      s"vacuumMinhashTombstones($path): no index at this path")
+    // an interrupted vacuum rolls FORWARD first — its manifest carries
+    // everything needed to finish, and the marker gates all other reads
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_vacuum")))
+      completeMinhashVacuum(spark, path)
+    else if (stageMinhashVacuum(spark, path))
+      completeMinhashVacuum(spark, path)
+    else (0L, 0L)
+  }
+
+  /** The staging half of [[vacuumMinhashTombstones]]: locate affected
+    * files, rewrite their survivors into `_vacuum_staged`, publish the
+    * `_vacuum` manifest (the commit point — readers fail closed from
+    * here until [[completeMinhashVacuum]]). Returns false when there is
+    * nothing to do (no tombstones, or every tombstoned id is row-less —
+    * the sidecar is cleared outright in that case). Package-private so
+    * the spec can construct the interrupted state a crash would
+    * leave. */
+  private[graft] def stageMinhashVacuum(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pre-publish leftovers from a crashed staging pass: referenced by
+    // no manifest, plain garbage
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_vacuum.tmp"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_vacuum_staged"), true)
+    val roots = fs.listStatus(hPath).iterator.map(_.getPath.getName).toSeq
+    if (!roots.exists(n => n.startsWith("band=") || n.startsWith("batch=")))
+      throw new IllegalStateException(
+        s"vacuumMinhashTombstones($path): no band=/batch= partition " +
+          s"directories — not a minhash index layout; refusing to " +
+          s"rewrite a tree whose layout is unknown.")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_tombstones")))
+      return false // steady state: nothing tombstoned
+    val tomb = spark.read.parquet(s"$path/_tombstones")
+      .select("id").distinct()
+    val qualified = fs.makeQualified(hPath).toString
+    // locate: ONE job over (id, file name) — column-pruned to the
+    // narrowest possible scan; returns the affected files AND the
+    // per-file drop counts together
+    val perFile = minhashLocateScan(spark, qualified, tomb).collect()
+    val affected = perFile.map(_.getString(0))
+    val dropped = perFile.map(_.getLong(1)).sum
+    if (affected.isEmpty) {
+      // every tombstoned id is row-less (already vacuumed / never
+      // present): clearing the sidecar IS the whole job
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
+      return false
+    }
+    val totalFiles = minhashDataFiles(fs, path)
+    // rewrite survivors of ONLY the affected files. basePath keeps the
+    // partition columns (band, and batch on the streaming layout) on
+    // the per-file read; the repartition width is bounded by the
+    // AFFECTED count, so a targeted takedown stages a few files, not a
+    // session-width spray
+    val staged = s"$path/_vacuum_staged"
+    val aff = spark.read.option("basePath", qualified)
+      .parquet(affected.toIndexedSeq: _*)
+      .join(tomb, Seq("id"), "left_anti")
+    val width = spark.sessionState.conf.numShufflePartitions
+    val parts = math.max(1, math.min(width, affected.length))
+    val pCols =
+      if (aff.columns.contains("batch")) Seq("batch", "band")
+      else Seq("band")
+    aff.repartition(parts, col("band"), col("id"))
+      .write.partitionBy(pCols: _*).mode("overwrite").parquet(staged)
+    if (affected.length.toLong * 10 >= 3L * totalFiles)
+      System.err.println(
+        s"[dedup] WARN vacuumMinhashTombstones($path): the takedown " +
+          s"touches ${affected.length} of $totalFiles files — no longer " +
+          s"a targeted delete; compactMinhashIndex reaches the same " +
+          s"physical state without the per-file manifest.")
+    // manifest: every staged->dest move + every original delete,
+    // published ATOMICALLY (tmp-write + rename). The commit point.
+    val stagedQ = fs.makeQualified(new org.apache.hadoop.fs.Path(staged))
+    val sb = new StringBuilder("graft-mh-vacuum-v1\n")
+    sb.append(s"rows_dropped=$dropped\n")
+    var stagedFiles = 0L
+    val it = fs.listFiles(stagedQ, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        stagedFiles += 1
+        val rel = f.toString.stripPrefix(stagedQ.toString)
+          .stripPrefix("/")
+        sb.append(s"move\t$f\t$qualified/$rel\n")
+      }
+    }
+    affected.foreach(f => sb.append(s"del\t$f\n"))
+    sb.append("end\n")
+    if (stagedFiles == 0L && affected.length.toLong == totalFiles) {
+      // completing would delete every data file and move nothing in —
+      // an empty, unreadable tree (compaction refuses the same state)
+      fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+      throw new IllegalStateException(
+        s"vacuumMinhashTombstones($path): every row is tombstoned — " +
+          s"vacuuming would leave an empty, unreadable tree. Delete the " +
+          s"index directory instead (or re-ingest before vacuuming).")
+    }
+    val tmpMarker = new org.apache.hadoop.fs.Path(s"$path/_vacuum.tmp")
+    val out = fs.create(tmpMarker, true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmpMarker,
+        new org.apache.hadoop.fs.Path(s"$path/_vacuum")))
+      throw new IllegalStateException(
+        s"vacuumMinhashTombstones($path): could not publish the " +
+          s"_vacuum manifest")
+    true
+  }
+
+  /** The vacuum's locate scan as a frame: (file, rows-to-drop) for
+    * every data file holding a tombstoned row. The whole point is its
+    * SHAPE — the parquet read must prune to the id column alone
+    * (ReadSchema: id; `input_file_name` is scan metadata, not a data
+    * column), so at 100 TB the locate costs one narrow column, not the
+    * shingle sets. Package-private so DedupIndexSpec can pin that plan
+    * per-round. */
+  private[graft] def minhashLocateScan(
+      spark: org.apache.spark.sql.SparkSession, qualified: String,
+      tomb: DataFrame): DataFrame =
+    spark.read.option("basePath", qualified)
+      .parquet(qualified)
+      .select(col("id"), input_file_name().as("_file"))
+      .join(tomb, Seq("id"), "left_semi")
+      .groupBy("_file").count()
+
+  /** Roll an in-flight minhash vacuum FORWARD from its `_vacuum`
+    * manifest: moves are skipped when already done (staged gone,
+    * destination present), deletes when already gone — every step
+    * idempotent, so a crash at any point re-runs to the same end
+    * state. The tail order is the contract: the `_tombstones` clear
+    * happens BEFORE the marker delete, which is the single point that
+    * lets readers back in. */
+  private[graft] def completeMinhashVacuum(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Long, Long) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_vacuum")
+    val in = fs.open(marker)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n", -1).toIndexedSeq
+    // the manifest is published by an atomic rename, so a malformed one
+    // is external damage, not a crash state — fail with that distinction
+    if (!lines.headOption.contains("graft-mh-vacuum-v1") ||
+        !lines.contains("end"))
+      throw new IllegalStateException(
+        s"vacuumMinhashTombstones($path): unreadable _vacuum manifest — " +
+          s"manifests are published whole (tmp-write + rename), so this " +
+          s"is external damage; rebuild the index.")
+    val body = lines.takeWhile(_ != "end")
+    val droppedRows = body.collectFirst {
+      case l if l.startsWith("rows_dropped=") =>
+        l.stripPrefix("rows_dropped=").toLong
+    }.getOrElse(throw new IllegalStateException(
+      s"vacuumMinhashTombstones($path): _vacuum manifest lacks " +
+        s"rows_dropped"))
+    val moves = body.filter(_.startsWith("move\t"))
+      .map { l => val a = l.split("\t"); (a(1), a(2)) }
+    val dels = body.filter(_.startsWith("del\t")).map(_.split("\t")(1))
+    moves.foreach { case (s0, d) =>
+      val sp = new org.apache.hadoop.fs.Path(s0)
+      val dp = new org.apache.hadoop.fs.Path(d)
+      if (fs.exists(sp)) {
+        if (fs.exists(dp)) fs.delete(dp, false) // re-run of a done move
+        Option(dp.getParent).foreach(fs.mkdirs(_))
+        if (!fs.rename(sp, dp)) throw new IllegalStateException(
+          s"vacuumMinhashTombstones($path): could not move $s0 into place")
+      } else if (!fs.exists(dp)) throw new IllegalStateException(
+        s"vacuumMinhashTombstones($path): staged file $s0 and " +
+          s"destination $d are BOTH missing — the manifest does not " +
+          s"match the directory (external damage); rebuild the index.")
+    }
+    dels.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_vacuum_staged"), true)
+    fs.delete(marker, false)
+    (dels.size.toLong, droppedRows)
   }
 }
