@@ -981,6 +981,105 @@ object QueriesText {
           e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
       }),
 
+    // ------------- similarity: streaming IVF-PQ ingest (r16)
+    // The composite family's streaming face — the production crawl-
+    // ingest shape at 100 TB (codes-only footprint): the FIRST
+    // micro-batch TRAINS cells + codebooks (buildIvfPq — the FAISS
+    // train step), later batches appendIvfPq under the FROZEN geometry,
+    // and the batched kNN join probes the accumulated index. Unlike the
+    // LSH twin, the trained sidecars are DATA-dependent (member means
+    // of the training batch), so sharing the full-corpus-trained oracle
+    // would quietly bet that a differently-trained cut keeps the same
+    // top-k — instead the oracle replays the ACTUAL semantics: cell
+    // centroids and codebooks computed over the batch-0 slice (vec_id %
+    // 3 = 0; the stager pins the batch order by mtime), codes/cells
+    // over everything, probe ranking, asymmetric-distance cut and exact
+    // re-rank value-for-value. An implementation that secretly refits
+    // on append — breaking the frozen-geometry contract — hash-fails
+    // here, which the shared oracle could never catch.
+    // m = 16 (4-bit subspaces) rather than the batch row's m = 8: the
+    // codebook trains on batch 0 ALONE, and a 16-code subspace is
+    // covered by a few hundred training rows w.h.p. while a 256-code
+    // one is not — appends would otherwise carry codes training never
+    // saw, which score +inf (the documented hole contract) and would
+    // starve the candidate cut. The wider-m/narrower-sub tradeoff IS
+    // the production guidance for train-on-first-batch streams.
+    QueryDef("stream_ivfpq_ingest", Some {
+      val codeList = (0 until 16).map { j =>
+        (0 until 4).map { b =>
+          s"(CASE WHEN nv[${j * 4 + b + 1}] >= 0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+      }.mkString("[", ",\n        ", "]")
+      val cellBits = (0 until 4).map(j =>
+        s"(CASE WHEN nv[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      nrm AS (SELECT vec_id, v,
+        CASE WHEN sqrt(list_dot_product(v, v)) > 0
+             THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             ELSE v END AS nv FROM raw),
+      coded AS (SELECT vec_id, nv, $cellBits AS cell, $codeList AS code FROM nrm),
+      -- the training slice: ONLY batch 0 (vec_id % 3 = 0) shapes the
+      -- centroids and codebooks — the frozen-geometry contract
+      train AS (SELECT * FROM coded WHERE vec_id % 3 = 0),
+      cexpl AS (SELECT cell, unnest(range(len(nv))) AS i, unnest(nv) AS x FROM train),
+      ccm AS (SELECT cell, i, avg(x) AS m FROM cexpl GROUP BY cell, i),
+      cent AS (SELECT cell, list(m ORDER BY i) AS c FROM ccm GROUP BY cell),
+      q AS (SELECT vec_id AS query_id, v AS qrv, nv AS qv FROM nrm WHERE vec_id < 5),
+      pranked AS (
+        SELECT query_id, cell,
+               row_number() OVER (PARTITION BY query_id ORDER BY
+                 round(CASE WHEN sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv)) > 0
+                   THEN list_dot_product(c, qv) / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv)))
+                   ELSE 0.0 END, 6) DESC, cell) AS rn
+        FROM cent, q),
+      probes AS (SELECT query_id, cell FROM pranked WHERE rn <= 8),
+      expl AS (SELECT code, unnest(range(len(nv))) AS i, unnest(nv) AS x FROM train),
+      assign AS (SELECT CAST(i // 4 AS INT) AS j, CAST(i % 4 AS INT) AS p, x,
+                        code[CAST(i // 4 AS INT) + 1] AS c FROM expl),
+      cb AS (SELECT j, c, p, avg(x) AS m FROM assign GROUP BY j, c, p),
+      qd AS (SELECT query_id, j, c,
+                    sum((m - qv[j * 4 + p + 1]) * (m - qv[j * 4 + p + 1])) AS d
+             FROM cb, q GROUP BY query_id, j, c),
+      dcode AS (SELECT vec_id, cell, unnest(range(16)) AS j, unnest(code) AS c FROM coded),
+      cand AS (SELECT query_id, vec_id, round(sum(d), 6) AS ad
+               FROM dcode JOIN probes USING (cell) JOIN qd USING (query_id, j, c)
+               GROUP BY query_id, vec_id),
+      cut AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY ad, vec_id) AS rn
+                FROM cand) WHERE rn <= 48),
+      rr AS (
+        SELECT query_id, r.vec_id,
+               round(CASE WHEN sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(qrv, qrv)) > 0
+                 THEN list_dot_product(r.v, qrv) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(qrv, qrv)))
+                 ELSE 0.0 END, 6) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(CASE WHEN sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(qrv, qrv)) > 0
+                   THEN list_dot_product(r.v, qrv) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(qrv, qrv)))
+                   ELSE 0.0 END, 6) DESC, r.vec_id) AS rn
+        FROM raw r JOIN cut USING (vec_id) JOIN q USING (query_id))
+      SELECT query_id, vec_id, cosine FROM rr WHERE rn <= 3"""
+    },
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val root = Tables.freshScratch("stream_ivfpq")
+        val src = stageOrderedMicroBatches(s, e, root, idCol = "vec_id")
+        val q = graft.streaming.Streams.annIngestIvfPq(src, "embedding",
+          "vec_id", s"$root/idx", s"$root/ckpt", nCells = 16, m = 16,
+          quantizer = "sign", autoPlan = false)
+        try q.processAllAvailable() finally q.stop()
+        // the streamed index must be the accumulated corpus under the
+        // batch-0-frozen plan — a refit-on-append would also hash-fail
+        // at the oracle, but fail loudly here first
+        require(s.read.parquet(s"$root/idx").count() == e.count(),
+          "streamed IVF-PQ index lost rows")
+        graft.operators.AnnIndex.ivfPqKnnJoin(s, s"$root/idx",
+          e.filter(col("vec_id") < 5), e, "embedding", "vec_id",
+          k = 3, nProbe = 8, overFetch = 16)
+      }),
+
     // ------------------------------------------------- similarity: IVF
     // VALUE-MATCHED oracle: the sign-pattern coarse quantizer (cell =
     // sign bits of the first 4 dims, centroid = per-dim member mean —
@@ -2835,6 +2934,36 @@ object QueriesText {
     (0 until nBatches).foreach(i =>
       df.filter(pmod(col(idCol), lit(nBatches)) === i)
         .coalesce(1).write.mode("append").parquet(stage))
+    s.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+  }
+
+  /** [[stageMicroBatches]] with a PINNED batch order: FileStreamSource
+    * drains oldest-modification-time first, and two sequential local
+    * writes can land in the same millisecond — ties then resolve by
+    * listing order, which is hash-random. The LSH/minhash ingest rows
+    * don't care (their geometry is batch-order-free), but a
+    * TRAIN-THEN-ADD stream's first batch IS the training set, and its
+    * oracle replays training on exactly the `id % n = 0` slice — so
+    * each staged file gets an explicit mtime one minute after the
+    * previous batch's, making "batch 0" deterministic. */
+  private def stageOrderedMicroBatches(s: SparkSession, df: DataFrame,
+      root: String, nBatches: Int = 3,
+      idCol: String = "doc_id"): DataFrame = {
+    val stage = s"$root/stage"
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    var seen = Set.empty[String]
+    val t0 = System.currentTimeMillis() - (nBatches + 1) * 60000L
+    (0 until nBatches).foreach { i =>
+      df.filter(pmod(col(idCol), lit(nBatches)) === i)
+        .coalesce(1).write.mode("append").parquet(stage)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      files.filterNot(p => seen(p.getName))
+        .foreach(p => fs.setTimes(p, t0 + i * 60000L, -1))
+      seen = files.map(_.getName).toSet
+    }
     s.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
   }

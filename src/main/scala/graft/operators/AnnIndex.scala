@@ -924,7 +924,12 @@ object AnnIndex {
     // codegen never sees it unrolled. Holes (ragged k-means codebooks,
     // or a code with no codebook entry) are null slots; the per-term
     // coalesce below scores them +inf — the [[pqDistanceColumns]]
-    // contract, so no stored code ranks by a hole in the table.
+    // contract, so no stored code ranks by a hole in the table. A
+    // stored code BEYOND the trained range (a frozen-geometry sign
+    // append can introduce patterns training never saw — the streaming
+    // twin's normal state between reindexes) is the same hole, not a
+    // crash: the range guard below sends it through the coalesce
+    // instead of an element_at out-of-bounds error.
     val cbMap = spark.read.parquet(s"$path/_codebooks").collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
       .toMap
@@ -941,9 +946,11 @@ object AnnIndex {
     val codes = scopedRows(
       liveRows(spark, path, spark.read.parquet(path)), scope)
     val approxDist = round((0 until m).map { j =>
+      val cj = col("code").getItem(j)
       coalesce(
         aggregate(zip_with(
-          element_at(element_at(cbLit, j + 1), col("code").getItem(j) + 1),
+          when(cj.between(0, kk - 1),
+            element_at(element_at(cbLit, j + 1), cj + 1)),
           slice(col("qv"), j * sub + 1, sub),
           (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x),
         lit(Double.MaxValue))
@@ -973,7 +980,10 @@ object AnnIndex {
     * `_codebooks` sidecar — shared by [[searchPq]] and [[searchIvfPq]].
     * `q` must already be unit-normalized. Absent (subspace, id) slots
     * (ragged k-means codebooks) get +inf so no stored code ranks by a
-    * hole in the table. */
+    * hole in the table — and so does a stored code BEYOND the trained
+    * range (a frozen-geometry sign append can introduce patterns
+    * training never saw): the range guard keeps that a hole, not an
+    * element_at out-of-bounds crash. */
   private def pqDistanceColumns(
       spark: SparkSession, path: String, q: Array[Double]): Seq[org.apache.spark.sql.Column] = {
     requireCodebooks(spark, path) // fail closed on interrupted rebuilds
@@ -992,8 +1002,11 @@ object AnnIndex {
       }
     }
     (0 until m).map { j =>
-      element_at(array(table(j).toIndexedSeq.map(lit): _*),
-        col("code").getItem(j) + 1)
+      val cj = col("code").getItem(j)
+      coalesce(
+        when(cj.between(0, kk - 1),
+          element_at(array(table(j).toIndexedSeq.map(lit): _*), cj + 1)),
+        lit(Double.MaxValue))
     }
   }
 

@@ -424,6 +424,85 @@ object Streams {
       .start()
   }
 
+  /**
+   * The composite (IVF-PQ) twin of [[annIngest]] — the production
+   * crawl-ingest shape at 100 TB, where the codes-only footprint (~m
+   * bytes/vector, cell-partitioned) is the variant that still fits
+   * cluster storage when raw vectors don't. Same contract, one
+   * difference that matters: the FIRST non-empty batch TRAINS the
+   * quantizers ([[graft.operators.AnnIndex.buildIvfPq]] — coarse cells
+   * + per-subspace codebooks freeze in `_centroids`/`_codebooks`), and
+   * every later batch rides [[graft.operators.AnnIndex.appendIvfPq]]
+   * under that frozen geometry — the FAISS train-then-add contract, so
+   * the first batch should be representative (same as FAISS). Ranking
+   * quality drifts as the corpus outgrows the first batch's training:
+   * the append WARNs price occupancy drift, and with `maintainEvery >
+   * 0` the in-stream [[graft.operators.AnnIndex.maintainIndex]] runs
+   * WITHOUT a corpus handle — the composite reindex is corpus-bound
+   * (codes are lossy), so drift is REPORTED as skipped while the cheap
+   * repairs (targeted vacuum, compaction of append small-files) still
+   * run; schedule `reindexIvfPq(corpus, ...)` as a batch job when the
+   * report fires, the same division of labor as [[curationIngest]]'s
+   * corpus-level stages. Replay semantics are [[ingestAnnBatch]]'s,
+   * verbatim: the `_stream_batch` lineage stamp skips exact replays,
+   * degrading to duplicates, never loss.
+   */
+  def annIngestIvfPq(vecs: DataFrame, vecCol: String, idCol: String,
+      indexDir: String, checkpointDir: String, nCells: Int = 16,
+      m: Int = 8, quantizer: String = "sign", autoPlan: Boolean = true,
+      maintainEvery: Int = 0, targetCellRows: Long = 4096L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lineage = checkpointLineage(checkpointDir)
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestAnnIvfPqBatch(batch.toDF(), vecCol, idCol, indexDir,
+          nCells, m, quantizer, autoPlan, maintainEvery, targetCellRows,
+          batchId, lineage)
+        ()
+      }
+      .start()
+  }
+
+  /** One [[annIngestIvfPq]] micro-batch — [[ingestAnnBatch]]'s guard
+    * and ordering discipline (skip exact same-lineage replays, maintain
+    * after every Nth batch, stamp last and unconditionally) around the
+    * composite build/append pair. Package-private for the same
+    * replay-guard testability. */
+  private[graft] def ingestAnnIvfPqBatch(df: DataFrame, vecCol: String,
+      idCol: String, indexDir: String, nCells: Int, m: Int,
+      quantizer: String, autoPlan: Boolean, maintainEvery: Int,
+      targetCellRows: Long, batchId: Long, lineage: String): Unit = {
+    val spark = df.sparkSession
+    if (!df.isEmpty) {
+      val hasData = indexHasData(spark, indexDir)
+      val alreadyApplied = hasData && batchId >= 0 &&
+        lastStampedBatch(spark, indexDir).contains((lineage, batchId))
+      if (alreadyApplied)
+        System.err.println(s"[streams] annIngestIvfPq($indexDir) batch " +
+          s"$batchId replayed after its writes landed — skipping the " +
+          s"already-applied append.")
+      else if (!hasData)
+        graft.operators.AnnIndex.buildIvfPq(df, vecCol, idCol, indexDir,
+          nCells = nCells, m = m, quantizer = quantizer,
+          autoPlan = autoPlan, targetCellRows = targetCellRows)
+      else
+        graft.operators.AnnIndex.appendIvfPq(df, vecCol, idCol, indexDir,
+          targetCellRows = targetCellRows)
+      if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
+        // corpus = None is deliberate: a micro-batch must never pose as
+        // the training corpus — maintainIndex REPORTS the corpus-bound
+        // reindex as skipped and still runs the cheap repairs
+        val acts = graft.operators.AnnIndex.maintainIndex(spark,
+          indexDir, targetCellRows = targetCellRows)
+        if (acts.nonEmpty) System.err.println(
+          s"[streams] annIngestIvfPq($indexDir) batch $batchId " +
+            s"maintenance: ${acts.mkString(", ")}")
+      }
+      stampBatch(spark, indexDir, batchId, lineage)
+    }
+  }
+
   /** The replay guard's checkpoint-lineage token: batch ids are only
     * meaningful WITHIN one checkpoint's history, so the stamp must carry
     * which checkpoint issued them (round 16, advisor fix — a fresh

@@ -543,6 +543,103 @@ class AnnAppendSpec extends SparkSpec {
       "stale stamp suppressed a real first batch")
   }
 
+  test("annIngestIvfPq: first micro-batch TRAINS (sidecars frozen from " +
+      "batch 0), later batches append under that geometry, the streamed " +
+      "content equals a one-shot build (sign codes are row-local), and " +
+      "the corpus-bound reindex is reported as skipped, never taken") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ipqstream").toString
+    val (idx, ckpt) = (s"$dir/idx", s"$dir/ckpt")
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.annIngestIvfPq(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      idx, ckpt, nCells = 4, m = 16, quantizer = "sign",
+      autoPlan = false, maintainEvery = 1)
+    val centsOf = () => spark.read.parquet(s"$idx/_centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    try {
+      mem.addData(b0: _*)
+      q.processAllAvailable()
+      val trained = centsOf()
+      assert(spark.read.parquet(idx).count() === b0.size)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(idx).count() === rows.size)
+      // FROZEN geometry: the append did not refit the trained sidecars
+      assert(centsOf() === trained,
+        "append refit the centroids — the frozen-geometry contract broke")
+    } finally q.stop()
+    // sign cells/codes are row-local: streamed content == one-shot build
+    val full = tmp("ipq_full")
+    AnnIndex.buildIvfPq(emb, "embedding", "vec_id", full, nCells = 4,
+      m = 16, quantizer = "sign", autoPlan = false)
+    val read = (p: String) => spark.read.parquet(p)
+      .select(col("vec_id"), col("cell").cast("long"),
+        col("code").cast("array<int>"))
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    assert(read(idx) === read(full))
+    // the in-stream maintenance (maintainEvery = 1) answered the
+    // append fragmentation with a compact — and the composite reindex
+    // is corpus-bound: forced drift is REPORTED as skipped, the index
+    // untouched (codes are lossy; a micro-batch must never pose as the
+    // training corpus)
+    val h = AnnIndex.indexHealth(spark, idx)
+    assert(!h.fragmented, s"in-stream compact did not run: $h")
+    val acts = AnnIndex.maintainIndex(spark, idx, targetCellRows = 1L)
+    assert(acts.exists(_.startsWith("skipped: reindexIvfPq")), acts)
+    assert(read(idx) === read(full), "the skipped reindex touched data")
+    // and the streamed index answers like the full build under the
+    // SAME sidecars (rebuild full's sidecars from b0 via the stream's
+    // own contract is already covered by content equality; here just
+    // pin that probes run and return k rows per query)
+    val res = AnnIndex.ivfPqKnnJoin(spark, idx,
+      emb.filter(col("vec_id") < 3), emb, "embedding", "vec_id",
+      k = 3, nProbe = 4)
+    assert(res.groupBy("query_id").count()
+      .as[(Long, Long)].collect().forall(_._2 === 3L))
+  }
+
+  test("a stored sign code BEYOND the trained range is a +inf hole, not " +
+      "a crash: train on one sign pattern, append its complement, search " +
+      "still answers and the untrained-code row never outranks trained " +
+      "candidates") {
+    // 8-dim vectors, m = 2 (sub = 4): all-negative dims -> code 0 per
+    // subspace (kk = 1 in the codebook); an all-positive append carries
+    // code 15 — beyond the trained table, the element_at OOB shape
+    val neg = (1 to 3).map(i =>
+      (i.toLong, Seq.fill(8)(-0.1f * i))).toDF("vec_id", "embedding")
+    val pos = Seq((99L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val p = tmp("pq_oob")
+    AnnIndex.buildPq(neg, "embedding", "vec_id", p, m = 2,
+      quantizer = "sign")
+    AnnIndex.appendPq(pos, "embedding", "vec_id", p)
+    val hits = AnnIndex.searchPq(spark, p, Seq.fill(8)(-0.2f), k = 4)
+      .as[(Long, Double)].collect()
+    assert(hits.length === 4)
+    assert(hits.last._1 === 99L,
+      s"the untrained-code row must rank last (+inf), got ${hits.toSeq}")
+    assert(hits.take(3).forall(_._2 < hits.last._2))
+    // the composite join path shares the guard — here the appended row
+    // stays in a TRAINED cell (the cell guard is a separate, correct
+    // refusal) but carries codes training never saw: first dim negative
+    // (cell 0, like the training rows), the rest positive
+    val pos2 = Seq((98L, (-0.5f) +: Seq.fill(7)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val p2 = tmp("ipq_oob")
+    AnnIndex.buildIvfPq(neg, "embedding", "vec_id", p2, nCells = 2,
+      m = 2, quantizer = "sign", autoPlan = false)
+    AnnIndex.appendIvfPq(pos2, "embedding", "vec_id", p2)
+    val res = AnnIndex.ivfPqKnnJoin(spark, p2,
+      neg.filter(col("vec_id") === 1), neg.unionByName(pos2),
+      "embedding", "vec_id", k = 3, nProbe = 2)
+    assert(res.count() === 3)
+  }
+
   test("annIngest replay guard survives a replay-path maintenance swap: " +
       "the swap destroys the stamp, the unconditional re-stamp restores " +
       "it, and a SECOND replay of the same batch still skips") {
