@@ -936,6 +936,89 @@ object QueriesText {
             "planned_cells", "drifted", "tombstone_heavy")
       }),
 
+    // ---------------- similarity: codebook-staleness health (r16)
+    // The lossy families' DISTRIBUTION-shift signal, value-matched:
+    // occupancy drift catches growth, not a moved data mix — so builds
+    // stamp a sampled reconstruction error into `_recon`, appends
+    // re-measure THEIR batch against the frozen codebooks, and
+    // indexHealth flags `stale` when the appended mass degrades past
+    // 1.5x the baseline, prescribing the corpus-bound reindex. Every
+    // field is deterministic with the sign quantizer at oracle scale
+    // (the 256k hash-sample is the whole corpus): DuckDB replays the
+    // normalize, the codes, the member-mean codebooks, BOTH mean
+    // squared reconstruction errors (6dp) and the 1.5x comparison —
+    // a health that mis-measures either side, or a build/append that
+    // stamps the wrong mass, hash-fails value-for-value.
+    QueryDef("ann_recon_health", Some {
+      val codeList = (0 until 16).map { j =>
+        (0 until 4).map { b =>
+          s"(CASE WHEN nv[${j * 4 + b + 1}] >= 0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+      }.mkString("[", ",\n        ", "]")
+      s"""
+      WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      shifted AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               [v[i] * (CASE WHEN (i - 1) % 2 = 1 THEN 100.0 ELSE 1.0 END)
+                FOR i IN range(1, len(v) + 1)] AS v
+        FROM raw WHERE vec_id % 10 = 7),
+      nb AS (SELECT vec_id, CASE WHEN sqrt(list_dot_product(v, v)) > 0
+               THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+               ELSE v END AS nv FROM raw),
+      na AS (SELECT vec_id, CASE WHEN sqrt(list_dot_product(v, v)) > 0
+               THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+               ELSE v END AS nv FROM shifted),
+      cb_coded AS (SELECT vec_id, nv, $codeList AS code FROM nb),
+      ap_coded AS (SELECT vec_id, nv, $codeList AS code FROM na),
+      -- codebooks: member means over the BUILD corpus only
+      expl AS (SELECT code, unnest(range(len(nv))) AS i, unnest(nv) AS x FROM cb_coded),
+      assign AS (SELECT CAST(i // 4 AS INT) AS j, CAST(i % 4 AS INT) AS p, x,
+                        code[CAST(i // 4 AS INT) + 1] AS c FROM expl),
+      cb AS (SELECT j, c, p, avg(x) AS m FROM assign GROUP BY j, c, p),
+      -- mean squared reconstruction error of a coded set vs those books
+      be AS (SELECT sum((t.x - cb.m) * (t.x - cb.m)) /
+                    (SELECT count(*) FROM cb_coded) AS err
+             FROM assign t JOIN cb USING (j, c, p)),
+      ae0 AS (SELECT CAST(i // 4 AS INT) AS j, CAST(i % 4 AS INT) AS p, x,
+                     code[CAST(i // 4 AS INT) + 1] AS c
+              FROM (SELECT code, unnest(range(len(nv))) AS i,
+                           unnest(nv) AS x FROM ap_coded)),
+      ae AS (SELECT sum((t.x - cb.m) * (t.x - cb.m)) /
+                    (SELECT count(*) FROM ap_coded) AS err
+             FROM ae0 t JOIN cb USING (j, c, p))
+      SELECT 'ivfpq' AS layout,
+             round((SELECT err FROM be), 6) AS base_recon,
+             round((SELECT err FROM ae), 6) AS appended_recon,
+             (SELECT CAST(count(*) AS BIGINT) FROM ap_coded) AS appended_n,
+             (SELECT err FROM ae) > 1.5 * (SELECT err FROM be) AS stale"""
+    },
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val idx = Tables.scratchDir("recon_health_idx")
+        graft.operators.AnnIndex.buildIvfPq(e, "embedding", "vec_id", idx,
+          nCells = 16, m = 16, quantizer = "sign", autoPlan = false)
+        // the appended mass: a positively-scaled (sign-preserving, so
+        // cells/codes stay covered) re-crawl of the %10=7 slice — the
+        // normalized VALUES move, the frozen codebooks don't
+        val shifted = e.filter(col("vec_id") % 10 === 7).select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(pmod(i, lit(2)) === 1, x * lit(100.0f))
+              .otherwise(x)).as("embedding"))
+        graft.operators.AnnIndex.appendIvfPq(shifted, "embedding",
+          "vec_id", idx)
+        val h = graft.operators.AnnIndex.indexHealth(s, idx,
+          staleMinRows = 1L)
+        Seq((h.layout, h.baseReconErr, h.appendedReconErr,
+          h.appendedReconRows, h.stale))
+          .toDF("layout", "base_raw", "appended_raw", "appended_n", "stale")
+          .select(col("layout"),
+            round(col("base_raw"), 6).as("base_recon"),
+            round(col("appended_raw"), 6).as("appended_recon"),
+            col("appended_n"), col("stale"))
+      }),
+
     // ----------------------- similarity: streaming ANN ingest (r14)
     // Streams.annIngest end-to-end through a real FileStreamSource: the
     // first micro-batch BUILDS the LSH index (the train step — its plan

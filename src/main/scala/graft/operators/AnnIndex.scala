@@ -114,6 +114,123 @@ object AnnIndex {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  // -------------------- codebook-staleness sidecar (`_recon`, round 16)
+  //
+  // Occupancy drift catches GROWTH; it is blind to DISTRIBUTION shift —
+  // codebooks trained on the first corpus quietly degrade quantization
+  // error as the data mix moves, and the lossy families (PQ / IVF-PQ)
+  // have no other staleness signal. So builds stamp a sampled
+  // reconstruction error (mean squared asymmetric quantization error
+  // over the bounded hash-sample — the SAME sample discipline as the
+  // kmeans fits), appends re-measure THEIR batch (they are the one
+  // place raw vectors exist; health deliberately never runs a job over
+  // the data path) and fold it into a running appended-mass mean, and
+  // [[indexHealth]] flags `stale` when the appended mass is material
+  // and its error degrades past `staleFactor` × the build's baseline —
+  // prescribing the corpus-bound reindex, the same verb occupancy
+  // drift prescribes. Like `_rows`, the sidecar is ADVISORY, not
+  // fail-closed: a legacy index without one simply reports staleness
+  // unknown (stale = false) until its next rebuild stamps a baseline.
+
+  /** Write the `_recon` staleness sidecar: the build's baseline error,
+    * the appended-mass running mean (0 when nothing appended), the
+    * appended sample mass, and the build's sample size. */
+  private def writeReconSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, base: Double, appendedErr: Double, appendedN: Long,
+      sampleN: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_recon"), true)
+    try out.write(
+      (s"graft-recon-v1\nbase=$base\nappended_err=$appendedErr\n" +
+        s"appended_n=$appendedN\nsample_n=$sampleN\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (base, appendedErr, appendedN, sampleN) from `_recon`, or None when
+    * absent/unreadable — advisory, the safe direction is "unknown". */
+  private[graft] def readReconSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[(Double, Double, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_recon")
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val kv = s.split("\n").filter(_.contains("="))
+        .map { l => val a = l.split("=", 2); (a(0), a(1)) }.toMap
+      Some((kv("base").toDouble, kv("appended_err").toDouble,
+        kv("appended_n").toLong, kv("sample_n").toLong))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Mean squared reconstruction error of coded rows against a
+    * `_codebooks` frame, over the bounded hash-sample: for each (row,
+    * subspace), ||v[j·sub .. ] − codebook[j][code_j]||², summed per row
+    * and averaged — the asymmetric-distance quality measure, measured
+    * on the data itself. Codes without a codebook entry contribute the
+    * segment's distance to the zero vector (the honest worst-ish case:
+    * such rows score +inf at query time). One bounded aggregation; the
+    * caller owns keeping `coded` cheap to re-read (checkpointed build
+    * tables, O(batch) append frames).
+    *
+    * @return (mean error, rows sampled) — (0, 0) on an empty frame */
+  private def reconError(coded: DataFrame, vecColName: String,
+      cb: DataFrame, sub: Int, n: Long, cap: Long): (Double, Long) = {
+    val sample = kmeansFitSample(coded, n, cap)
+    val rows = sample.count()
+    if (rows == 0L) return (0.0, 0L)
+    val cbSlim = cb.select(col("subspace").cast("int").as("subspace"),
+      col("centroid_id").cast("int").as("centroid_id"), col("centroid"))
+    val seg = slice(col("__v"),
+      col("subspace").cast("int") * lit(sub) + lit(1), lit(sub))
+    val total = sample
+      .select(col(vecColName).as("__v"),
+        posexplode_outer(col("code")).as(Seq("subspace", "centroid_id")))
+      .select(col("__v"), col("subspace").cast("int").as("subspace"),
+        col("centroid_id").cast("int").as("centroid_id"))
+      .join(broadcast(cbSlim), Seq("subspace", "centroid_id"), "left")
+      .select(
+        aggregate(zip_with(seg,
+            coalesce(col("centroid"), transform(seg, _ * lit(0.0))),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("__e"))
+      .agg(sum(col("__e"))).head().getDouble(0)
+    (total / rows, rows)
+  }
+
+  /** Fold an append batch's measured reconstruction error into the
+    * `_recon` running mean — a no-op on legacy (`_recon`-less) indexes,
+    * which have no baseline to compare against. */
+  private def updateReconSidecar(spark: SparkSession, path: String,
+      codedBatch: DataFrame, vecColName: String, sub: Int,
+      batchN: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    readReconSidecar(fs, path).foreach {
+      case (base, appErr, appN, sampleN) =>
+        val (bErr, bN) = reconError(codedBatch, vecColName,
+          spark.read.parquet(s"$path/_codebooks"), sub, batchN,
+          KmeansFitSampleCap)
+        if (bN > 0L) {
+          val mergedErr = (appErr * appN + bErr * bN) / (appN + bN)
+          writeReconSidecar(fs, path, base, mergedErr, appN + bN, sampleN)
+        }
+    }
+  }
+
+  /** Stamp the build-time `_recon` baseline: sampled reconstruction
+    * error of the freshly-coded corpus against the freshly-written
+    * codebooks, appended-mass fields zeroed. The coded frame is the
+    * build's own checkpointed table — re-reading its bounded sample is
+    * cheap, and the codebooks read back is one tiny sidecar. */
+  private def stampReconBaseline(spark: SparkSession, path: String,
+      coded: DataFrame, vecColName: String, sub: Int): Unit = {
+    val (err, sn) = reconError(coded, vecColName,
+      spark.read.parquet(s"$path/_codebooks"), sub,
+      coded.count(), KmeansFitSampleCap)
+    writeReconSidecar(new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), path, err, 0.0, 0L, sn)
+  }
+
   /** The index's row count from the `_rows` sidecar — a sidecar-only read,
     * NO job over the index data path. A legacy/damaged sidecar self-heals:
     * count once (parquet metadata), re-stamp, and every later append is
@@ -492,7 +609,8 @@ object AnnIndex {
     val spark = embeddings.sparkSession
     // delete-first sidecar protocol — see [[deleteSidecars]] (`_rows` /
     // `_tombstones` drop too: a rebuild replaces all data)
-    deleteSidecars(embeddings, path, "_codebooks", "_rows", "_tombstones")
+    deleteSidecars(embeddings, path, "_codebooks", "_rows", "_tombstones",
+      "_recon")
     // UNIT-normalize before encoding: on the unit sphere squared-L2 is
     // monotone in cosine (||a-b||^2 = 2 - 2cos), so the asymmetric
     // distance ranks candidates in true cosine order — unnormalized, the
@@ -530,9 +648,9 @@ object AnnIndex {
           if (j >= 8 && j % 8 == 0) coded = coded.localCheckpoint(true)
           (j, model.clusterCenters.map(_.toArray))
         }
-        coded
-          .select(col("vec_id"),
-            array((0 until m).map(j => col(s"__c$j")): _*).as("code"))
+        val withCode = coded.select(col("vec_id"), col("vec"),
+          array((0 until m).map(j => col(s"__c$j")): _*).as("code"))
+        withCode.select(col("vec_id"), col("code"))
           .write.mode("overwrite").parquet(path)
         import spark.implicits._
         codebooks.flatMap { case (j, cents) =>
@@ -540,6 +658,7 @@ object AnnIndex {
         }.toDF("subspace", "centroid_id", "centroid")
           .withColumn("quantizer", lit("kmeans")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+        stampReconBaseline(spark, path, withCode, "vec", sub)
       case "sign" =>
         require(sub <= 16, s"buildPq(sign): subvector width $sub would " +
           s"mean 2^$sub codes per subspace — raise m or use kmeans")
@@ -562,6 +681,7 @@ object AnnIndex {
             transform(col("cm"), s => s.getField("m")).as("centroid"))
           .withColumn("quantizer", lit("sign")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+        stampReconBaseline(spark, path, coded, "vec", sub)
       case other => throw new IllegalArgumentException(
         s"buildPq: unknown quantizer '$other' (kmeans|sign)")
     }
@@ -661,7 +781,7 @@ object AnnIndex {
     // / [[requireCodebooks]]), never new cells under old geometry.
     // `_rows`/`_tombstones` drop too — a rebuild replaces all data.
     deleteSidecars(embeddings, path,
-      "_centroids", "_codebooks", "_rows", "_tombstones")
+      "_centroids", "_codebooks", "_rows", "_tombstones", "_recon")
     // NOT checkpointed: the per-row normalize is cheaper to recompute in
     // the one pass that derives `coded` (which IS checkpointed) than to
     // materialize a second corpus-sized buffer
@@ -725,6 +845,7 @@ object AnnIndex {
             transform(col("cm"), s => s.getField("m")).as("centroid"))
           .withColumn("quantizer", lit("sign")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+        stampReconBaseline(spark, path, coded, "nv", sub)
       case "kmeans" =>
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
@@ -753,10 +874,11 @@ object AnnIndex {
           if (j >= 8 && j % 8 == 0) coded = coded.localCheckpoint(true)
           (j, model.clusterCenters.map(_.toArray))
         }
-        coded
-          .select(col("vec_id"),
+        val withCode = coded
+          .select(col("vec_id"), col("nv"),
             array((0 until m).map(j => col(s"__c$j")): _*).as("code"),
             col("cell"))
+        withCode.select(col("vec_id"), col("code"), col("cell"))
           .repartition(writeParts(coded), col("cell")) // see [[writeParts]]
           .write.mode("overwrite").partitionBy("cell").parquet(path)
         coarse.clusterCenters.toSeq.zipWithIndex
@@ -770,6 +892,7 @@ object AnnIndex {
         }.toDF("subspace", "centroid_id", "centroid")
           .withColumn("quantizer", lit("kmeans")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+        stampReconBaseline(spark, path, withCode, "nv", sub)
       case other => throw new IllegalArgumentException(
         s"buildIvfPq: unknown quantizer '$other' (sign|kmeans)")
     }
@@ -1732,6 +1855,11 @@ object AnnIndex {
     val appended = newRows.select(col(idCol)).count() // O(batch), see appendLsh
     writeRowsSidecar(new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration), path, oldN + appended)
+    // staleness: measure THIS batch's reconstruction error against the
+    // frozen codebooks (O(batch sample)) — the appended-mass mean is
+    // what indexHealth compares to the build baseline
+    updateReconSidecar(spark, path, base.withColumn("code", codeCol),
+      "vec", sub, appended)
     appended
   }
 
@@ -1790,6 +1918,10 @@ object AnnIndex {
     val appended = newRows.select(col(idCol)).count() // O(batch), see appendLsh
     writeRowsSidecar(new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration), path, oldN + appended)
+    // staleness: fold this batch's measured reconstruction error into
+    // the `_recon` running mean (see appendPq)
+    updateReconSidecar(spark, path, assigned.withColumn("code", codeCol),
+      "nv", sub, appended)
     warnIvfDrift(path, "appendIvfPq", oldN + appended, cents.length,
       targetCellRows, "AnnIndex.reindexIvfPq(corpus, ...) — PQ codes are " +
         "lossy, so the composite re-plan reads the upstream corpus")
@@ -1963,7 +2095,10 @@ object AnnIndex {
         math.max(1, writeParts(df) / 4)).write // flat PQ: few big files
     }
     writer.mode("overwrite").parquet(tmp.toString)
-    sidecars.foreach { s =>
+    // `_recon` rides along: compaction preserves data content, so the
+    // staleness baseline and appended-mass mean stay valid
+    (sidecars ++ Seq("_recon").filter(n =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$n")))).foreach { s =>
       org.apache.hadoop.fs.FileUtil.copy(
         fs, new org.apache.hadoop.fs.Path(s"$path/$s"),
         fs, new org.apache.hadoop.fs.Path(s"$tmp/$s"),
@@ -2299,7 +2434,9 @@ object AnnIndex {
   case class IndexHealth(layout: String, rows: Long, tombstones: Long,
       partitions: Int, dataFiles: Long, currentUnits: Int,
       plannedUnits: Int, drifted: Boolean, fragmented: Boolean,
-      tombstoneHeavy: Boolean, prescription: String)
+      tombstoneHeavy: Boolean, prescription: String,
+      stale: Boolean = false, baseReconErr: Double = 0.0,
+      appendedReconErr: Double = 0.0, appendedReconRows: Long = 0L)
 
   /**
    * Compute [[IndexHealth]] for any persisted AnnIndex layout.
@@ -2324,7 +2461,8 @@ object AnnIndex {
   def indexHealth(spark: SparkSession, path: String,
       targetCellRows: Long = 4096L, targetCosine: Double = 0.9,
       targetOccupancy: Double = 2.0, fragmentFactor: Double = 2.0,
-      tombstoneFloor: Long = 1024L): IndexHealth = {
+      tombstoneFloor: Long = 1024L, staleFactor: Double = 1.5,
+      staleMinRows: Long = 1024L): IndexHealth = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) throw new IllegalStateException(
@@ -2362,15 +2500,31 @@ object AnnIndex {
         (nCells, Similarity.planIvfCells(rows, nCells, targetCellRows))
     }
     val drifted = planned > current
+    // codebook staleness (round 16): the lossy families' DISTRIBUTION
+    // drift signal — the appended mass's measured reconstruction error
+    // vs the build's baseline, both read from the advisory `_recon`
+    // sidecar ([[writeReconSidecar]]; absent on legacy indexes =
+    // staleness unknown = not flagged). The flag needs MATERIAL
+    // appended mass (`staleMinRows`) so one odd micro-batch can't
+    // prescribe a corpus rewrite.
+    val recon =
+      if (layout == "pq" || layout == "ivfpq") readReconSidecar(fs, path)
+      else None
+    val (baseErr, appErr, appN) = recon
+      .map { case (b, e, n, _) => (b, e, n) }.getOrElse((0.0, 0.0, 0L))
+    val stale = appN >= staleMinRows && baseErr > 0.0 &&
+      appErr > staleFactor * baseErr
     val fragUnit =
       if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions // flat PQ
     val fragmented = files > fragmentFactor * math.max(1, fragUnit)
     val heavy = tombstones >= tombstoneFloor && tombstones * 100L >= rows
+    val needRebuild = drifted || stale
     val rx = (
-      (if (drifted) Seq(layout match {
+      (if (needRebuild) Seq(layout match {
         case "lsh" => "reindexLsh"
         case "ivf" => "reindexIvf"
+        case "pq" => "reindexPq (corpus-bound — pass the upstream corpus)"
         case _ => "reindexIvfPq (corpus-bound — pass the upstream corpus)"
       }) else Seq.empty) ++
       // a reindex rebuilds from survivors and writes one file per
@@ -2378,13 +2532,16 @@ object AnnIndex {
       // likewise compactIndex's full rewrite already drops tombstoned
       // rows and clears the sidecar, so a fragmented index never needs
       // the targeted vacuum first (it would rewrite the affected files
-      // TWICE)
-      (if (!drifted && heavy && !fragmented) Seq("vacuumTombstones")
+      // TWICE). When the executor SKIPS a corpus-bound rebuild (no
+      // corpus handle) it still runs the cheap repairs — that is
+      // [[maintainIndex]]'s subsumption rule, not the prescription's.
+      (if (!needRebuild && heavy && !fragmented) Seq("vacuumTombstones")
        else Seq.empty) ++
-      (if (!drifted && fragmented) Seq("compactIndex") else Seq.empty))
+      (if (!needRebuild && fragmented) Seq("compactIndex") else Seq.empty))
     IndexHealth(layout, rows, tombstones, partitions, files, current,
       planned, drifted, fragmented, heavy,
-      if (rx.isEmpty) "healthy" else rx.mkString(", "))
+      if (rx.isEmpty) "healthy" else rx.mkString(", "),
+      stale, baseErr, appErr, appN)
   }
 
   /**
@@ -2407,12 +2564,15 @@ object AnnIndex {
       corpus: Option[DataFrame] = None, vecCol: String = "vec",
       idCol: String = "vec_id", targetCellRows: Long = 4096L,
       targetCosine: Double = 0.9, targetOccupancy: Double = 2.0,
-      fragmentFactor: Double = 2.0,
-      tombstoneFloor: Long = 1024L): Seq[String] = {
+      fragmentFactor: Double = 2.0, tombstoneFloor: Long = 1024L,
+      staleFactor: Double = 1.5, staleMinRows: Long = 1024L): Seq[String] = {
     val h = indexHealth(spark, path, targetCellRows, targetCosine,
-      targetOccupancy, fragmentFactor, tombstoneFloor)
+      targetOccupancy, fragmentFactor, tombstoneFloor, staleFactor,
+      staleMinRows)
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (h.drifted) h.layout match {
+    // occupancy drift OR codebook staleness (round 16 — the lossy
+    // families' distribution-shift signal) both prescribe the rebuild
+    if (h.drifted || h.stale) h.layout match {
       case "lsh" =>
         reindexLsh(spark, path, bits = h.currentUnits,
           targetCosine = targetCosine, targetOccupancy = targetOccupancy)
@@ -2429,7 +2589,13 @@ object AnnIndex {
         case None =>
           actions += "skipped: reindexIvfPq requires the upstream corpus"
       }
-      case _ => // flat pq never drifts (currentUnits == plannedUnits == 0)
+      case _ => corpus match { // flat pq: staleness is its ONLY rebuild signal
+        case Some(c) =>
+          reindexPq(c, vecCol, idCol, path)
+          actions += "reindexPq"
+        case None =>
+          actions += "skipped: reindexPq requires the upstream corpus"
+      }
     }
     // the cheap repairs run whenever a reindex did NOT rebuild the data;
     // compact subsumes vacuum (its full rewrite drops tombstoned rows

@@ -176,6 +176,71 @@ class AnnMaintainSpec extends SparkSpec {
     assert(!h2.drifted && h2.prescription === "healthy")
   }
 
+  test("codebook staleness (round 16): same-distribution appends keep " +
+      "stale=false, a shifted distribution flips it, maintainIndex " +
+      "reports the corpus-bound reindex without a corpus and executes " +
+      "it with one — refreshing the baseline") {
+    val p = tmp("mnt_stale")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    AnnIndex.buildIvfPq(base, "embedding", "vec_id", p, nCells = 4,
+      m = 16, quantizer = "sign", autoPlan = false)
+    val h0 = AnnIndex.indexHealth(spark, p, staleMinRows = 1L)
+    assert(h0.baseReconErr > 0.0 && h0.appendedReconRows === 0L)
+    assert(!h0.stale)
+    // SAME distribution: the other half of the corpus — appended error
+    // tracks the baseline, no flag
+    val odds = emb.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    AnnIndex.appendIvfPq(odds, "embedding", "vec_id", p)
+    val h1 = AnnIndex.indexHealth(spark, p, staleMinRows = 1L)
+    assert(h1.appendedReconRows === odds.count())
+    assert(!h1.stale,
+      s"same-distribution append flagged stale: $h1")
+    // SHIFTED distribution: scale odd dims 100x (positive scaling —
+    // signs, hence cells and codes, are preserved; only the normalized
+    // VALUES the codebooks reconstruct move) — quantization error
+    // degrades and the flag must flip
+    val shifted = odds.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(pmod(i, lit(2)) === 1, x * lit(100.0f))
+          .otherwise(x)).as("embedding"))
+    AnnIndex.appendIvfPq(shifted, "embedding", "vec_id", p)
+    val h2 = AnnIndex.indexHealth(spark, p, staleMinRows = 1L)
+    assert(h2.stale,
+      s"shifted appends did not flip stale: base=${h2.baseReconErr} " +
+        s"appended=${h2.appendedReconErr} n=${h2.appendedReconRows}")
+    assert(h2.prescription.startsWith("reindexIvfPq"))
+    // without a corpus: reported, not taken (codes are lossy)
+    val acts = AnnIndex.maintainIndex(spark, p, corpus = None,
+      staleMinRows = 1L)
+    assert(acts.head.startsWith("skipped: reindexIvfPq"), acts)
+    // with the corpus: the rebuild executes, re-trains on the CURRENT
+    // mix, and stamps a fresh baseline — staleness clears
+    val full = base.unionByName(odds).unionByName(shifted)
+    val acts2 = AnnIndex.maintainIndex(spark, p, corpus = Some(full),
+      vecCol = "embedding", idCol = "vec_id", staleMinRows = 1L)
+    assert(acts2 === Seq("reindexIvfPq"))
+    val h3 = AnnIndex.indexHealth(spark, p, staleMinRows = 1L)
+    assert(!h3.stale && h3.appendedReconRows === 0L)
+    assert(h3.prescription === "healthy")
+    // flat PQ shares the signal — staleness is its ONLY rebuild trigger
+    val p2 = tmp("mnt_stale_pq")
+    AnnIndex.buildPq(base, "embedding", "vec_id", p2, m = 16,
+      quantizer = "sign")
+    AnnIndex.appendPq(shifted, "embedding", "vec_id", p2)
+    val hp = AnnIndex.indexHealth(spark, p2, staleMinRows = 1L)
+    assert(hp.layout === "pq" && hp.stale)
+    assert(hp.prescription.startsWith("reindexPq"))
+    assert(AnnIndex.maintainIndex(spark, p2, staleMinRows = 1L)
+      .head.startsWith("skipped: reindexPq"))
+    assert(AnnIndex.maintainIndex(spark, p2,
+      corpus = Some(base.unionByName(shifted)), vecCol = "embedding",
+      idCol = "vec_id", staleMinRows = 1L) === Seq("reindexPq"))
+    assert(!AnnIndex.indexHealth(spark, p2, staleMinRows = 1L).stale)
+  }
+
   test("health issues no job over the index data path once _rows " +
       "exists (sidecar + listing only)") {
     val p = tmp("mnt_nojob")
