@@ -107,6 +107,34 @@ object Bench {
     // that makes the delete O(index) or the compaction a multi-pass
     // moves this row.
     "dedup_index_delete",
+    // round 16: the minhash index's TARGETED physical delete — same
+    // two-ingest build and doomed set as dedup_index_delete, but the
+    // reclamation is vacuumMinhashTombstones (locate scan + rewrite of
+    // only the files holding tombstoned rows + manifest roll-forward)
+    // instead of the full compaction. Read against dedup_index_delete:
+    // the delta between the two rows IS compaction-vs-vacuum, priced on
+    // identical inputs; a regression that turns the locate scan into a
+    // wide read or the targeted rewrite into a whole-index one moves
+    // this row toward the delete row.
+    "dedup_index_vacuum",
+    // round 16: scoped dedup probes — one shared index serving a
+    // per-tenant probe through the index-side semi-join. A regression
+    // that loses the scope broadcast or applies the restriction after
+    // the verify would move this row toward the unscoped incremental.
+    "dedup_index_scoped",
+    // round 16: the composite family's streaming face — first batch
+    // trains, appends ride the frozen geometry through a real
+    // FileStreamSource, probe at the end. Read against
+    // stream_ann_ingest for the LSH-vs-IVFPQ per-batch cost shape; a
+    // regression in the append path (a refit sneaking in, a lost
+    // cell-repartition) moves this row.
+    "stream_ivfpq_ingest",
+    // round 16: the staleness snapshot end-to-end — build stamps the
+    // baseline, a shifted append re-measures, health reads sidecars
+    // only. Prices the _recon machinery (one bounded agg at build, one
+    // per append); a regression that turns the health read into a
+    // data-path job moves this row.
+    "ann_recon_health",
     // round 15: the fuzzy run END-TO-END (CSV ingest -> QA battery ->
     // alternates multiplication -> blocked OSA join + flip union ->
     // date filter -> multi-match resolve -> tiering + saved-rows state
@@ -136,18 +164,19 @@ object Bench {
     * round changes no under-the-name semantics (renames and NEW rows
     * never need listing — they fall out of the intersection by name). */
   val semanticsChanged: Set[String] = Set(
-    // NOTE (round 16 maintenance): this is the r14->r15 set — these two
-    // rows' semantics changed ONLY across that boundary, so the r15->r16
-    // comparison should start from an EMPTY set unless round 16 itself
-    // changes a timed path under an unchanged name.
-    // round 15: the ANN append path no longer runs a full-index count()
-    // per append (the drift WARN now prices from the _rows sidecar), so
-    // these two rows' TIMED code path is materially faster under an
-    // unchanged name — a raw cross-round ratio would read the fix as
-    // host drift. The other ann_* rows only gained a no-op fs.exists
-    // (liveRows with no tombstones returns the frame unchanged) and a
-    // one-file sidecar stamp at build — immaterial, left comparable.
-    "ann_append_knn", "stream_ann_ingest")
+    // r15->r16 set (the r14->r15 entries — ann_append_knn,
+    // stream_ann_ingest — are retired per the set's own contract: their
+    // semantics changed only across THAT boundary).
+    // round 16: buildIvfPq now computes and stamps the `_recon`
+    // staleness baseline — one extra bounded aggregation inside the
+    // timed build of this row, a material timed-path change under an
+    // unchanged name (ann_pq_topk builds too but is not a headline
+    // row). Everything else this round added only fs.exists gates
+    // (interrupted-vacuum markers on the minhash paths), a same-size
+    // lineage-prefixed stamp write on the ANN streams, and file-LENGTH
+    // reads inside minhashIndexHealth's existing listing — immaterial,
+    // left comparable.
+    "ann_ivfpq_knn_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

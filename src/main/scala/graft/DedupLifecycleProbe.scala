@@ -5,22 +5,29 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /**
- * Scale A/B for the minhash index lifecycle (round 15): against indexes
- * of ¼ / ½ / 1× of a documents corpus, measure
+ * Scale A/B for the minhash index lifecycle (round 15; round 16 adds
+ * the targeted vacuum): against indexes of ¼ / ½ / 1× of a documents
+ * corpus (point it at ScaleCorpus-derived dirs for the 10×/30× axis),
+ * measure per size the FULL takedown lifecycle —
  *
  *  - the per-batch PROBE cost (`incrementalNearDupPairs` of a fixed
  *    held-out batch) — expected to track the index scan plus collision
  *    mass: the batch side broadcasts, so the slope against index size
  *    is the honest price of the stored-shingle verify design;
  *  - the takedown cost (`deleteFromMinhashIndex` of a fixed id set) —
- *    expected O(ids), flat against index size;
+ *    expected O(ids), FLAT against index size;
+ *  - the targeted vacuum (`vacuumMinhashTombstones`) — expected to
+ *    track the AFFECTED-file count (one narrow locate scan over the id
+ *    column plus survivor rewrites of just those files), NOT the
+ *    corpus;
  *  - the compaction cost (`compactMinhashIndex`) — expected O(index),
- *    the full-rewrite slope that motivates running it at maintenance
- *    cadence rather than per delete.
+ *    the full-rewrite slope that motivates prescribing the vacuum for
+ *    tombstone mass and saving compaction for fragmentation.
  *
- * Correctness rides along: at the full size a tombstoned doc must
- * vanish from the probe's pairs, and the post-compaction probe must
- * match the pre-compaction survivor pairs exactly. Exits nonzero on
+ * Correctness rides along at every size: a tombstoned doc must vanish
+ * from the probe's pairs, the post-vacuum probe must match the
+ * tombstone-masked survivor pairs exactly (and run sidecar-free), and
+ * the post-compaction probe must match again. Exits nonzero on any
  * violation.
  *
  * Usage: runMain graft.DedupLifecycleProbe <dir-with-documents.parquet>
@@ -46,6 +53,18 @@ object DedupLifecycleProbe {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
+    def dataFiles(p: String): Long = {
+      val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet") &&
+          !f.toString.contains("/_tombstones/")) n += 1
+      }
+      n
+    }
 
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text")).localCheckpoint(true)
@@ -65,52 +84,50 @@ object DedupLifecycleProbe {
       if (den == 1L) corpus
       else corpus.filter(pmod(xxhash64(col("doc_id"), lit(5)), lit(den)) === 0)
 
-    val walls = Seq(4L, 2L, 1L).map { den =>
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    var bad = false
+    Seq(4L, 2L, 1L).foreach { den =>
       val sub = fraction(den)
       val n = sub.count()
       val idx = Tables.freshScratch(s"dlprobe_$den") + "/idx"
       val (_, tBuild) = timed(Dedup.buildMinhashIndex(sub, "text",
         "doc_id", idx, shingleK = 5, numHashes = 16, bands = 4))
-      val (pairs, tProbe) = timed(
-        Dedup.incrementalNearDupPairs(batch, "text", "doc_id", idx,
-          shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5)
-          .collect())
+      val probe = () => Dedup.incrementalNearDupPairs(batch, "text",
+        "doc_id", idx, shingleK = 5, numHashes = 16, bands = 4,
+        minJaccard = 0.5).collect()
+      val (pairs, tProbe) = timed(probe())
+      // the takedown set: corpus twins of matched pairs, so the delete
+      // is guaranteed to change answers (the leak check has teeth)
+      val doomedIds = pairs
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+        .filter(_ < 1000000000L).distinct.take(nDel)
+      import spark.implicits._
+      val filesBefore = dataFiles(idx)
+      val (nTomb, tDel) = timed(Dedup.deleteFromMinhashIndex(spark, idx,
+        doomedIds.toSeq.toDF("doc_id"), idCol = "doc_id"))
+      val (afterDel, tProbeDel) = timed(probe())
+      val dead = doomedIds.toSet
+      val leak = afterDel.exists(r => dead(r.getLong(0)) || dead(r.getLong(1)))
+      // the targeted vacuum: physical delete of just the touched files
+      val ((vacFiles, vacRows), tVac) =
+        timed(Dedup.vacuumMinhashTombstones(spark, idx))
+      val afterVac = probe()
+      val vacSame = afterVac.map(key).toSet == afterDel.map(key).toSet
+      // then the full rewrite, for the O(index) slope comparison
       val (_, tCompact) = timed(Dedup.compactMinhashIndex(spark, idx))
+      val afterCompact = probe()
+      val compactSame =
+        afterCompact.map(key).toSet == afterDel.map(key).toSet
       println(f"[probe] dedup_lifecycle size=$n build=$tBuild%.1fs " +
-        f"probe=$tProbe%.1fs pairs=${pairs.length} compact=$tCompact%.1fs")
-      (n, idx, pairs, tProbe, tCompact)
+        f"probe=$tProbe%.1fs pairs=${pairs.length} " +
+        f"delete(ids=$nTomb)=$tDel%.1fs probe_tombstoned=$tProbeDel%.1fs " +
+        f"vacuum=$tVac%.1fs (files=$vacFiles/$filesBefore rows=$vacRows) " +
+        f"compact=$tCompact%.1fs no_leak=${!leak} vacuum_identical=$vacSame " +
+        f"compact_identical=$compactSame " +
+        (if (!leak && vacSame && compactSame) "ok" else "BAD"))
+      if (leak || !vacSame || !compactSame) bad = true
     }
-
-    // correctness at the full size: tombstone the corpus twins of some
-    // matched pairs -> those pairs must vanish from the probe, and the
-    // post-compaction probe must equal the survivor set exactly
-    val (nFull, fullIdx, fullPairs, _, _) = walls.last
-    val matchedCorpusIds = fullPairs
-      .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
-      .filter(_ < 1000000000L).distinct.take(nDel)
-    import spark.implicits._
-    val doomed = matchedCorpusIds.toSeq.toDF("doc_id")
-    val (nTomb, tDel) = timed(Dedup.deleteFromMinhashIndex(spark, fullIdx,
-      doomed, idCol = "doc_id"))
-    val (afterDel, tProbeDel) = timed(
-      Dedup.incrementalNearDupPairs(batch, "text", "doc_id", fullIdx,
-        shingleK = 5, numHashes = 16, bands = 4, minJaccard = 0.5)
-        .collect())
-    val dead = matchedCorpusIds.toSet
-    val leak = afterDel.exists(r => dead(r.getLong(0)) || dead(r.getLong(1)))
-    val (_, tVacCompact) = timed(Dedup.compactMinhashIndex(spark, fullIdx))
-    val afterCompact = Dedup.incrementalNearDupPairs(batch, "text",
-      "doc_id", fullIdx, shingleK = 5, numHashes = 16, bands = 4,
-      minJaccard = 0.5).collect()
-    val key = (r: org.apache.spark.sql.Row) =>
-      (r.getLong(0), r.getLong(1))
-    val same = afterCompact.map(key).toSet == afterDel.map(key).toSet
-    println(f"[probe] dedup_lifecycle delete ids=$nTomb wall=$tDel%.1fs " +
-      f"probe_with_tombstones=$tProbeDel%.1fs " +
-      f"compact_after_delete=$tVacCompact%.1fs size=$nFull")
-    println(s"[probe] dedup_lifecycle no_leak=${!leak} " +
-      s"compact_identical=$same " + (if (!leak && same) "ok" else "BAD"))
     spark.stop()
-    if (leak || !same) sys.exit(1)
+    if (bad) sys.exit(1)
   }
 }

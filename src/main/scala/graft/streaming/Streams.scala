@@ -243,9 +243,17 @@ object Streams {
     * 15, the annIngest treatment): a long-lived stream accumulates one
     * batch= generation per micro-batch forever — with `maintainEvery >
     * 0`, every Nth batch consults
-    * [[graft.operators.Dedup.minhashIndexHealth]] and compacts when
-    * prescribed (generations collapse to one, tombstoned takedowns go
-    * physical). foreachBatch is sequential, so the staged swap never
+    * [[graft.operators.Dedup.minhashIndexHealth]] and executes its
+    * by-cause prescription (round 16): tombstone mass alone gets the
+    * TARGETED vacuum (affected files only), fragmentation the full
+    * compaction (generations collapse to one). The fragmentation
+    * trigger is SIZE-AWARE — after the first collapse, fresh
+    * generations must carry `minCompactionGain` of the compacted
+    * base's byte mass before another full rewrite is prescribed, so a
+    * stream that maintains every batch pays amortized-LINEAR lifetime
+    * rewrite bytes (the round-15 count-only trigger full-rewrote the
+    * index every ~2 micro-batches after the first collapse —
+    * quadratic). foreachBatch is sequential, so the staged swap never
     * races the calling stream's own writes; a checkpoint REPLAY of an
     * already-compacted batch rewrites its batch= dir next to the
     * compacted generation — duplicate signature rows, which pair
