@@ -435,7 +435,115 @@ object ProbeSuite {
         s""""marginal_last_ms":${r.marginalLastMs}}""")
     }
 
-    val all = Seq(embJson, annJson, fuzzyJson, streamJson)
+    // ------------------------------------------------- mh_lifecycle
+    // The round-16 minhash takedown verbs as STANDING bounds (the
+    // ann_plan treatment on the second index): a small-id vacuum must
+    // rewrite at most ids × bands files (the locate bound), leave every
+    // unaffected file byte-identical on disk, drop exactly the doomed
+    // rows (xxhash64 bit_xor checksum — noise-free), clear the sidecar,
+    // and the size-aware trigger must NOT re-prescribe a full rewrite
+    // for negligible fresh mass over a compacted base. A regression
+    // that widens the locate scan, rewrites bystander files, or
+    // restores the count-only quadratic trigger fails the round here.
+    val mhJson = {
+      import graft.operators.Dedup
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      val bands = 4
+      val idx = Tables.freshScratch("probe_mh") + "/idx"
+      val (_, tBuild) = timed(Dedup.buildMinhashIndex(docs, "text",
+        "doc_id", idx, shingleK = 5, numHashes = 16, bands = bands))
+      // scheme-free paths: input_file_name() returns file:///x URIs
+      // while the listing yields file:/x — compare on the fs path alone
+      def fsPath(s0: String): String =
+        new org.apache.hadoop.fs.Path(s0).toUri.getPath
+      def snap(p: String): Map[String, Long] = {
+        val fsP = new org.apache.hadoop.fs.Path(p).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val it = fsP.listFiles(new org.apache.hadoop.fs.Path(p), true)
+        val outM = scala.collection.mutable.Map.empty[String, Long]
+        while (it.hasNext) {
+          val f = it.next()
+          val s0 = f.getPath.toString
+          if (s0.endsWith(".parquet") && !Seq("_tombstones",
+            "_vacuum_staged").exists(d => s0.contains(s"/$d/")))
+            outM(fsPath(s0)) = f.getLen
+        }
+        outM.toMap
+      }
+      def chk(p: String): Long = spark.read.parquet(p)
+        .select(xxhash64(col("id"), col("band").cast("long"),
+          col("key")).as("h"))
+        .agg(expr("bit_xor(h)").as("s")).head().getLong(0)
+      val doomed = docs.select("doc_id").orderBy("doc_id").limit(8)
+      val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+      val before = snap(idx)
+      val survivorChk = spark.read.parquet(idx)
+        .filter(!col("id").isInCollection(doomedIds))
+        .select(xxhash64(col("id"), col("band").cast("long"),
+          col("key")).as("h"))
+        .agg(expr("bit_xor(h)").as("s")).head().getLong(0)
+      val (nDel, tDel) = timed(Dedup.deleteFromMinhashIndex(spark, idx,
+        doomed, idCol = "doc_id"))
+      // which files actually hold doomed rows (for the untouched check)
+      val holding = spark.read.parquet(idx)
+        .select(col("id"), input_file_name().as("f"))
+        .filter(col("id").isInCollection(doomedIds))
+        .select("f").distinct().collect()
+        .map(r => fsPath(r.getString(0))).toSet
+      val ((nVacFiles, nVacRows), tVac) =
+        timed(Dedup.vacuumMinhashTombstones(spark, idx))
+      val after = snap(idx)
+      val fileBound = nVacFiles <= nDel * bands &&
+        nVacFiles == holding.size.toLong
+      val untouched = before.filter { case (f, _) => !holding(f) }
+        .forall { case (f, len) => after.get(f).contains(len) }
+      val fsIdx = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val vacuumOk = fileBound && untouched && chk(idx) == survivorChk &&
+        !fsIdx.exists(new org.apache.hadoop.fs.Path(s"$idx/_tombstones"))
+      // the size-aware trigger over a batch-layout tree: compacted base
+      // + 2 tiny generations must NOT re-prescribe the full rewrite
+      // under a high gain gate, must under gain 0 (count trigger), and
+      // maintainMinhashIndex must leave the gated tree untouched
+      val bidx = Tables.freshScratch("probe_mhb") + "/idx"
+      (0 until 3).foreach(i => Dedup.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), "text", "doc_id",
+        if (i == 0) None else Some(bidx), s"$bidx/batch=$i",
+        shingleK = 5, numHashes = 16, bands = bands, minJaccard = 0.5))
+      Dedup.compactMinhashIndex(spark, bidx)
+      (3 until 6).foreach(i => Dedup.ingestBatch(
+        docs.filter(col("doc_id") % 1000 === i), "text", "doc_id",
+        Some(bidx), s"$bidx/batch=$i", shingleK = 5, numHashes = 16,
+        bands = bands, minJaccard = 0.5))
+      // 4 generations total (base + 3 fresh) — past factor 2 by COUNT,
+      // but the fresh mass is ~0.3% of the base: the gate must hold it
+      val hGated = Dedup.minhashIndexHealth(spark, bidx)
+      val gateHolds = !hGated.fragmented &&
+        hGated.freshBytes > 0 && hGated.baseBytes > 0 &&
+        hGated.freshBytes * 10 < hGated.baseBytes &&
+        Dedup.maintainMinhashIndex(spark, bidx).isEmpty
+      val countFires = Dedup.minhashIndexHealth(spark, bidx,
+        minCompactionGain = 0.0).fragmented
+      val pass = vacuumOk && gateHolds && countFires
+      println(f"[probes] mh_lifecycle rows=${before.size} files " +
+        f"build=${tBuild}%.1fs delete ids=$nDel wall=${tDel}%.1fs " +
+        f"vacuum files=$nVacFiles (bound ${nDel * bands}) rows=$nVacRows " +
+        f"wall=${tVac}%.1fs untouched=$untouched vacuum_ok=$vacuumOk " +
+        f"size_gate_holds=$gateHolds count_trigger_fires=$countFires " +
+        (if (pass) "ok" else "BAD"))
+      (pass, s""""mh_lifecycle":{"pass":$pass,""" +
+        s""""build_sec":$tBuild,"delete_ids":$nDel,""" +
+        s""""delete_sec":$tDel,"vacuum_files":$nVacFiles,""" +
+        s""""vacuum_file_bound":${nDel * bands},""" +
+        s""""vacuum_rows":$nVacRows,"vacuum_sec":$tVac,""" +
+        s""""vacuum_base_untouched":$untouched,""" +
+        s""""vacuum_identical":$vacuumOk,""" +
+        s""""size_gate_holds":$gateHolds,""" +
+        s""""count_trigger_fires":$countFires}""")
+    }
+
+    val all = Seq(embJson, annJson, fuzzyJson, streamJson, mhJson)
     val pass = all.forall(_._1)
     val json = s"""{"metric":"probes","pass":$pass,"probes":{""" +
       all.map(_._2).mkString(",") + "}}"
