@@ -174,15 +174,16 @@ object AnnIndex {
     *
     * @return (mean error, rows sampled) — (0, 0) on an empty frame */
   private def reconError(coded: DataFrame, vecColName: String,
-      cb: DataFrame, sub: Int, n: Long, cap: Long): (Double, Long) = {
+      cb: DataFrame, m: Int, sub: Int, n: Long, cap: Long): (Double, Long) = {
+    if (n == 0L) return (0.0, 0L)
     val sample = kmeansFitSample(coded, n, cap)
-    val rows = sample.count()
-    if (rows == 0L) return (0.0, 0L)
     val cbSlim = cb.select(col("subspace").cast("int").as("subspace"),
       col("centroid_id").cast("int").as("centroid_id"), col("centroid"))
     val seg = slice(col("__v"),
       col("subspace").cast("int") * lit(sub) + lit(1), lit(sub))
-    val total = sample
+    // ONE job: total error + exploded-row count together (rows sampled
+    // = count / m — posexplode emits exactly m rows per input row)
+    val r = sample
       .select(col(vecColName).as("__v"),
         posexplode_outer(col("code")).as(Seq("subspace", "centroid_id")))
       .select(col("__v"), col("subspace").cast("int").as("subspace"),
@@ -193,22 +194,23 @@ object AnnIndex {
             coalesce(col("centroid"), transform(seg, _ * lit(0.0))),
             (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x).as("__e"))
-      .agg(sum(col("__e"))).head().getDouble(0)
-    (total / rows, rows)
+      .agg(sum(col("__e")).as("t"), count(lit(1)).as("c")).head()
+    val rows = r.getLong(1) / m
+    if (rows == 0L) (0.0, 0L) else (r.getDouble(0) / rows, rows)
   }
 
   /** Fold an append batch's measured reconstruction error into the
     * `_recon` running mean — a no-op on legacy (`_recon`-less) indexes,
     * which have no baseline to compare against. */
   private def updateReconSidecar(spark: SparkSession, path: String,
-      codedBatch: DataFrame, vecColName: String, sub: Int,
+      codedBatch: DataFrame, vecColName: String, m: Int, sub: Int,
       batchN: Long): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     readReconSidecar(fs, path).foreach {
       case (base, appErr, appN, sampleN) =>
         val (bErr, bN) = reconError(codedBatch, vecColName,
-          spark.read.parquet(s"$path/_codebooks"), sub, batchN,
+          spark.read.parquet(s"$path/_codebooks"), m, sub, batchN,
           KmeansFitSampleCap)
         if (bN > 0L) {
           val mergedErr = (appErr * appN + bErr * bN) / (appN + bN)
@@ -223,10 +225,11 @@ object AnnIndex {
     * build's own checkpointed table — re-reading its bounded sample is
     * cheap, and the codebooks read back is one tiny sidecar. */
   private def stampReconBaseline(spark: SparkSession, path: String,
-      coded: DataFrame, vecColName: String, sub: Int): Unit = {
+      coded: DataFrame, vecColName: String, m: Int, sub: Int,
+      n: Long): Unit = {
     val (err, sn) = reconError(coded, vecColName,
-      spark.read.parquet(s"$path/_codebooks"), sub,
-      coded.count(), KmeansFitSampleCap)
+      spark.read.parquet(s"$path/_codebooks"), m, sub, n,
+      KmeansFitSampleCap)
     writeReconSidecar(new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration), path, err, 0.0, 0L, sn)
   }
@@ -623,6 +626,8 @@ object AnnIndex {
         transform(col("raw"),
           x => when(col("__n") > 0, x / col("__n")).otherwise(x)).as("vec"))
       .localCheckpoint(true) // read by the fits + the encode pass
+    val n = base.count() // checkpointed — cheap; reused by the sampler,
+                         // the recon stamp and the _rows sidecar below
     val dim = base.select(size(col("vec"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
@@ -633,7 +638,7 @@ object AnnIndex {
         // fits run on the bounded hash-sample, the encode chain on the
         // full corpus — m sub-fits over the corpus would otherwise be m
         // multi-pass whole-corpus scans (see [[KmeansFitSampleCap]])
-        val fitBase = kmeansFitSample(base, base.count(), fitSampleCap)
+        val fitBase = kmeansFitSample(base, n, fitSampleCap)
         var coded = base
         val codebooks = (0 until m).map { j =>
           val featCol = s"__f$j"
@@ -658,7 +663,7 @@ object AnnIndex {
         }.toDF("subspace", "centroid_id", "centroid")
           .withColumn("quantizer", lit("kmeans")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
-        stampReconBaseline(spark, path, withCode, "vec", sub)
+        stampReconBaseline(spark, path, withCode, "vec", m, sub, n)
       case "sign" =>
         require(sub <= 16, s"buildPq(sign): subvector width $sub would " +
           s"mean 2^$sub codes per subspace — raise m or use kmeans")
@@ -681,14 +686,13 @@ object AnnIndex {
             transform(col("cm"), s => s.getField("m")).as("centroid"))
           .withColumn("quantizer", lit("sign")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
-        stampReconBaseline(spark, path, coded, "vec", sub)
+        stampReconBaseline(spark, path, coded, "vec", m, sub, n)
       case other => throw new IllegalArgumentException(
         s"buildPq: unknown quantizer '$other' (kmeans|sign)")
     }
-    // stamp the count (sidecar-read appends — see [[writeRowsSidecar]];
-    // base is checkpointed, so this count is sample-cheap)
+    // stamp the count (sidecar-read appends — see [[writeRowsSidecar]])
     writeRowsSidecar(new org.apache.hadoop.fs.Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration), path, base.count())
+      spark.sparkContext.hadoopConfiguration), path, n)
   }
 
   /**
@@ -845,7 +849,7 @@ object AnnIndex {
             transform(col("cm"), s => s.getField("m")).as("centroid"))
           .withColumn("quantizer", lit("sign")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
-        stampReconBaseline(spark, path, coded, "nv", sub)
+        stampReconBaseline(spark, path, coded, "nv", m, sub, n)
       case "kmeans" =>
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
@@ -892,7 +896,7 @@ object AnnIndex {
         }.toDF("subspace", "centroid_id", "centroid")
           .withColumn("quantizer", lit("kmeans")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
-        stampReconBaseline(spark, path, withCode, "nv", sub)
+        stampReconBaseline(spark, path, withCode, "nv", m, sub, n)
       case other => throw new IllegalArgumentException(
         s"buildIvfPq: unknown quantizer '$other' (sign|kmeans)")
     }
@@ -1859,7 +1863,7 @@ object AnnIndex {
     // frozen codebooks (O(batch sample)) — the appended-mass mean is
     // what indexHealth compares to the build baseline
     updateReconSidecar(spark, path, base.withColumn("code", codeCol),
-      "vec", sub, appended)
+      "vec", m, sub, appended)
     appended
   }
 
@@ -1921,7 +1925,7 @@ object AnnIndex {
     // staleness: fold this batch's measured reconstruction error into
     // the `_recon` running mean (see appendPq)
     updateReconSidecar(spark, path, assigned.withColumn("code", codeCol),
-      "nv", sub, appended)
+      "nv", m, sub, appended)
     warnIvfDrift(path, "appendIvfPq", oldN + appended, cents.length,
       targetCellRows, "AnnIndex.reindexIvfPq(corpus, ...) — PQ codes are " +
         "lossy, so the composite re-plan reads the upstream corpus")
