@@ -1087,64 +1087,7 @@ object QueriesText {
     // saw, which score +inf (the documented hole contract) and would
     // starve the candidate cut. The wider-m/narrower-sub tradeoff IS
     // the production guidance for train-on-first-batch streams.
-    QueryDef("stream_ivfpq_ingest", Some {
-      val codeList = (0 until 16).map { j =>
-        (0 until 4).map { b =>
-          s"(CASE WHEN nv[${j * 4 + b + 1}] >= 0 THEN ${1 << b} ELSE 0 END)"
-        }.mkString(" + ")
-      }.mkString("[", ",\n        ", "]")
-      val cellBits = (0 until 4).map(j =>
-        s"(CASE WHEN nv[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
-      s"""
-      WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      nrm AS (SELECT vec_id, v,
-        CASE WHEN sqrt(list_dot_product(v, v)) > 0
-             THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-             ELSE v END AS nv FROM raw),
-      coded AS (SELECT vec_id, nv, $cellBits AS cell, $codeList AS code FROM nrm),
-      -- the training slice: ONLY batch 0 (vec_id % 3 = 0) shapes the
-      -- centroids and codebooks — the frozen-geometry contract
-      train AS (SELECT * FROM coded WHERE vec_id % 3 = 0),
-      cexpl AS (SELECT cell, unnest(range(len(nv))) AS i, unnest(nv) AS x FROM train),
-      ccm AS (SELECT cell, i, avg(x) AS m FROM cexpl GROUP BY cell, i),
-      cent AS (SELECT cell, list(m ORDER BY i) AS c FROM ccm GROUP BY cell),
-      q AS (SELECT vec_id AS query_id, v AS qrv, nv AS qv FROM nrm WHERE vec_id < 5),
-      pranked AS (
-        SELECT query_id, cell,
-               row_number() OVER (PARTITION BY query_id ORDER BY
-                 round(CASE WHEN sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv)) > 0
-                   THEN list_dot_product(c, qv) / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv)))
-                   ELSE 0.0 END, 6) DESC, cell) AS rn
-        FROM cent, q),
-      probes AS (SELECT query_id, cell FROM pranked WHERE rn <= 8),
-      expl AS (SELECT code, unnest(range(len(nv))) AS i, unnest(nv) AS x FROM train),
-      assign AS (SELECT CAST(i // 4 AS INT) AS j, CAST(i % 4 AS INT) AS p, x,
-                        code[CAST(i // 4 AS INT) + 1] AS c FROM expl),
-      cb AS (SELECT j, c, p, avg(x) AS m FROM assign GROUP BY j, c, p),
-      qd AS (SELECT query_id, j, c,
-                    sum((m - qv[j * 4 + p + 1]) * (m - qv[j * 4 + p + 1])) AS d
-             FROM cb, q GROUP BY query_id, j, c),
-      dcode AS (SELECT vec_id, cell, unnest(range(16)) AS j, unnest(code) AS c FROM coded),
-      cand AS (SELECT query_id, vec_id, round(sum(d), 6) AS ad
-               FROM dcode JOIN probes USING (cell) JOIN qd USING (query_id, j, c)
-               GROUP BY query_id, vec_id),
-      cut AS (SELECT query_id, vec_id FROM (
-                SELECT query_id, vec_id,
-                       row_number() OVER (PARTITION BY query_id
-                         ORDER BY ad, vec_id) AS rn
-                FROM cand) WHERE rn <= 48),
-      rr AS (
-        SELECT query_id, r.vec_id,
-               round(CASE WHEN sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(qrv, qrv)) > 0
-                 THEN list_dot_product(r.v, qrv) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(qrv, qrv)))
-                 ELSE 0.0 END, 6) AS cosine,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY round(CASE WHEN sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(qrv, qrv)) > 0
-                   THEN list_dot_product(r.v, qrv) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(qrv, qrv)))
-                   ELSE 0.0 END, 6) DESC, r.vec_id) AS rn
-        FROM raw r JOIN cut USING (vec_id) JOIN q USING (query_id))
-      SELECT query_id, vec_id, cosine FROM rr WHERE rn <= 3"""
-    },
+    QueryDef("stream_ivfpq_ingest", Some(streamIvfPqOracleSql),
       (s, dir) => {
         val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         val root = Tables.freshScratch("stream_ivfpq")
@@ -1158,6 +1101,32 @@ object QueriesText {
         // at the oracle, but fail loudly here first
         require(s.read.parquet(s"$root/idx").count() == e.count(),
           "streamed IVF-PQ index lost rows")
+        graft.operators.AnnIndex.ivfPqKnnJoin(s, s"$root/idx",
+          e.filter(col("vec_id") < 5), e, "embedding", "vec_id",
+          k = 3, nProbe = 8, overFetch = 16)
+      }),
+
+    // -------- similarity: streaming IVF-PQ ingest + maintenance (r16)
+    // annIngestIvfPq with maintainEvery=1 — the stream_ann_maintain
+    // treatment on the composite family: every batch's maintenance runs
+    // WITHOUT a corpus handle, so the append fragmentation is compacted
+    // in-stream (the require pins it) while the corpus-bound reindex
+    // can only ever be REPORTED — a maintenance that retrains the
+    // codebooks mid-stream would break the batch-0-trained oracle this
+    // row shares with stream_ivfpq_ingest, so the frozen-geometry
+    // contract is hash-gated THROUGH the maintenance path too.
+    QueryDef("stream_ivfpq_maintain", Some(streamIvfPqOracleSql),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val root = Tables.freshScratch("stream_ivfpq_mnt")
+        val src = stageOrderedMicroBatches(s, e, root, idCol = "vec_id")
+        val q = graft.streaming.Streams.annIngestIvfPq(src, "embedding",
+          "vec_id", s"$root/idx", s"$root/ckpt", nCells = 16, m = 16,
+          quantizer = "sign", autoPlan = false, maintainEvery = 1)
+        try q.processAllAvailable() finally q.stop()
+        val h = graft.operators.AnnIndex.indexHealth(s, s"$root/idx")
+        require(!h.fragmented && !h.drifted,
+          s"in-stream maintenance did not compact the append files: $h")
         graft.operators.AnnIndex.ivfPqKnnJoin(s, s"$root/idx",
           e.filter(col("vec_id") < 5), e, "embedding", "vec_id",
           k = 3, nProbe = 8, overFetch = 16)
@@ -3020,6 +2989,70 @@ object QueriesText {
     s.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
   }
+
+  /** The train-on-batch-0 IVF-PQ oracle shared by `stream_ivfpq_ingest`
+    * and `stream_ivfpq_maintain`: centroids and codebooks replay over
+    * the vec_id % 3 = 0 slice ONLY (the frozen-geometry contract),
+    * codes/cells over everything, probe ranking + asymmetric-distance
+    * cut + exact re-rank value-for-value. */
+  private lazy val streamIvfPqOracleSql: String = {
+      val codeList = (0 until 16).map { j =>
+        (0 until 4).map { b =>
+          s"(CASE WHEN nv[${j * 4 + b + 1}] >= 0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+      }.mkString("[", ",\n        ", "]")
+      val cellBits = (0 until 4).map(j =>
+        s"(CASE WHEN nv[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      nrm AS (SELECT vec_id, v,
+        CASE WHEN sqrt(list_dot_product(v, v)) > 0
+             THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             ELSE v END AS nv FROM raw),
+      coded AS (SELECT vec_id, nv, $cellBits AS cell, $codeList AS code FROM nrm),
+      -- the training slice: ONLY batch 0 (vec_id % 3 = 0) shapes the
+      -- centroids and codebooks — the frozen-geometry contract
+      train AS (SELECT * FROM coded WHERE vec_id % 3 = 0),
+      cexpl AS (SELECT cell, unnest(range(len(nv))) AS i, unnest(nv) AS x FROM train),
+      ccm AS (SELECT cell, i, avg(x) AS m FROM cexpl GROUP BY cell, i),
+      cent AS (SELECT cell, list(m ORDER BY i) AS c FROM ccm GROUP BY cell),
+      q AS (SELECT vec_id AS query_id, v AS qrv, nv AS qv FROM nrm WHERE vec_id < 5),
+      pranked AS (
+        SELECT query_id, cell,
+               row_number() OVER (PARTITION BY query_id ORDER BY
+                 round(CASE WHEN sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv)) > 0
+                   THEN list_dot_product(c, qv) / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv)))
+                   ELSE 0.0 END, 6) DESC, cell) AS rn
+        FROM cent, q),
+      probes AS (SELECT query_id, cell FROM pranked WHERE rn <= 8),
+      expl AS (SELECT code, unnest(range(len(nv))) AS i, unnest(nv) AS x FROM train),
+      assign AS (SELECT CAST(i // 4 AS INT) AS j, CAST(i % 4 AS INT) AS p, x,
+                        code[CAST(i // 4 AS INT) + 1] AS c FROM expl),
+      cb AS (SELECT j, c, p, avg(x) AS m FROM assign GROUP BY j, c, p),
+      qd AS (SELECT query_id, j, c,
+                    sum((m - qv[j * 4 + p + 1]) * (m - qv[j * 4 + p + 1])) AS d
+             FROM cb, q GROUP BY query_id, j, c),
+      dcode AS (SELECT vec_id, cell, unnest(range(16)) AS j, unnest(code) AS c FROM coded),
+      cand AS (SELECT query_id, vec_id, round(sum(d), 6) AS ad
+               FROM dcode JOIN probes USING (cell) JOIN qd USING (query_id, j, c)
+               GROUP BY query_id, vec_id),
+      cut AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY ad, vec_id) AS rn
+                FROM cand) WHERE rn <= 48),
+      rr AS (
+        SELECT query_id, r.vec_id,
+               round(CASE WHEN sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(qrv, qrv)) > 0
+                 THEN list_dot_product(r.v, qrv) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(qrv, qrv)))
+                 ELSE 0.0 END, 6) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(CASE WHEN sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(qrv, qrv)) > 0
+                   THEN list_dot_product(r.v, qrv) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(qrv, qrv)))
+                   ELSE 0.0 END, 6) DESC, r.vec_id) AS rn
+        FROM raw r JOIN cut USING (vec_id) JOIN q USING (query_id))
+      SELECT query_id, vec_id, cosine FROM rr WHERE rn <= 3"""
+      }
 
   /** [[stageMicroBatches]] with a PINNED batch order: FileStreamSource
     * drains oldest-modification-time first, and two sequential local
