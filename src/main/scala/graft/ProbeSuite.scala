@@ -500,7 +500,11 @@ object ProbeSuite {
         .forall { case (f, len) => after.get(f).contains(len) }
       val fsIdx = new org.apache.hadoop.fs.Path(idx).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      val vacuumOk = fileBound && untouched && chk(idx) == survivorChk &&
+      // a vacuum must never GROW the file count (each affected dir's
+      // survivors colocate into ~one staged file)
+      val noGrowth = after.size <= before.size
+      val vacuumOk = fileBound && untouched && noGrowth &&
+        chk(idx) == survivorChk &&
         !fsIdx.exists(new org.apache.hadoop.fs.Path(s"$idx/_tombstones"))
       // the size-aware trigger over a batch-layout tree: compacted base
       // + 2 tiny generations must NOT re-prescribe the full rewrite
@@ -538,6 +542,7 @@ object ProbeSuite {
         s""""vacuum_file_bound":${nDel * bands},""" +
         s""""vacuum_rows":$nVacRows,"vacuum_sec":$tVac,""" +
         s""""vacuum_base_untouched":$untouched,""" +
+        s""""vacuum_no_file_growth":$noGrowth,""" +
         s""""vacuum_identical":$vacuumOk,""" +
         s""""size_gate_holds":$gateHolds,""" +
         s""""count_trigger_fires":$countFires}""")

@@ -1576,9 +1576,15 @@ object Dedup {
     val totalFiles = minhashDataFiles(fs, path)
     // rewrite survivors of ONLY the affected files. basePath keeps the
     // partition columns (band, and batch on the streaming layout) on
-    // the per-file read; the repartition width is bounded by the
-    // AFFECTED count, so a targeted takedown stages a few files, not a
-    // session-width spray
+    // the per-file read. The repartition keys on the PARTITION COLUMNS
+    // alone (the AnnIndex.stageVacuum discipline): each affected dir's
+    // survivors colocate, so the staged tree holds ~one file per
+    // affected DIRECTORY — keying on (band, id) here would scatter one
+    // dir's survivors across every task and the vacuum would REPLACE
+    // each deleted file with up to a task-width of smaller ones,
+    // growing the file count on every takedown. Width is bounded by
+    // the affected count: a targeted takedown stages a few files, not
+    // a session-width spray.
     val staged = s"$path/_vacuum_staged"
     val aff = spark.read.option("basePath", qualified)
       .parquet(affected.toIndexedSeq: _*)
@@ -1588,7 +1594,7 @@ object Dedup {
     val pCols =
       if (aff.columns.contains("batch")) Seq("batch", "band")
       else Seq("band")
-    aff.repartition(parts, col("band"), col("id"))
+    aff.repartition(parts, pCols.map(col): _*)
       .write.partitionBy(pCols: _*).mode("overwrite").parquet(staged)
     if (affected.length.toLong * 10 >= 3L * totalFiles)
       System.err.println(

@@ -234,6 +234,9 @@ class DedupIndexSpec extends SparkSpec {
     assert(rewritten === holding.size.toLong,
       s"vacuum rewrote $rewritten files; only ${holding.size} were affected")
     val after = dataFileMap(idx)
+    assert(after.size <= before.size,
+      s"vacuum grew the file count ${before.size} -> ${after.size} — " +
+        "the staged rewrite must colocate each dir's survivors")
     val kept = after.keySet.intersect(before.keySet)
     assert(kept.size === before.size - holding.size)
     kept.foreach(k => assert(after(k) === before(k),
