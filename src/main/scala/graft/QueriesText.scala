@@ -562,6 +562,73 @@ object QueriesText {
       (s, dir) => Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"),
         "embedding", "vec_id", minCosine = 0.9, bands = 4, bitsPerBand = 16)),
 
+    // -------------------- dedup: embedding incremental (persisted index)
+    // The minhash index's production shape on the embedding family
+    // (round 16): the corpus's band keys AND vectors persist once
+    // (Similarity.buildEmbeddingIndex — plan frozen in `_embplan`), and
+    // the day's batch dedups against the index without re-banding the
+    // corpus. The synthetic embeddings carry no cos>=0.9 pairs at
+    // oracle SFs, so the batch plants x2-scaled copies of corpus %7=0
+    // vectors under shifted ids (scale-invariant cosine, exact in
+    // IEEE754, sign-banding keys identical) — every planted copy MUST
+    // surface through the index path. Oracle: the one-shot banded CTEs
+    // over corpus+batch, restricted to pairs touching the batch.
+    QueryDef("dedup_embedding_incremental", Some {
+      val whens = (0 until 4).map { k =>
+        val key = (0 until 16).map { j =>
+          s"CASE WHEN embedding[${k * 16 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"WHEN $k THEN ($key)"
+      }.mkString("\n               ")
+      s"""
+      WITH planted AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(embedding, x -> x * 2)::FLOAT[] AS embedding
+        FROM embeddings WHERE vec_id % 5 <> 0 AND vec_id % 7 = 0),
+      allv AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id, embedding FROM planted),
+      cells AS (
+        SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM allv),
+      banded AS (
+        SELECT vec_id,
+               r.band,
+               CASE r.band
+               $whens
+               END AS key
+        FROM cells, range(0, 4) r(band)),
+      pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        WHERE a.vec_id < b.vec_id),
+      scored AS (
+        SELECT p.id_a, p.id_b,
+               list_dot_product(ca.v, cb.v) /
+                 (sqrt(list_dot_product(ca.v, ca.v)) *
+                  sqrt(list_dot_product(cb.v, cb.v))) AS cos
+        FROM pairs p
+        JOIN cells ca ON ca.vec_id = p.id_a
+        JOIN cells cb ON cb.vec_id = p.id_b)
+      SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored
+      WHERE round(cos, 6) >= 0.9
+        AND ((id_a % 5 = 0 AND id_a < 1000000) OR id_a >= 1000000
+          OR (id_b % 5 = 0 AND id_b < 1000000) OR id_b >= 1000000)"""
+    },
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val corpus = e.filter(col("vec_id") % 5 =!= 0)
+        val batch = e.filter(col("vec_id") % 5 === 0)
+          .unionByName(corpus.filter(col("vec_id") % 7 === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f))
+                .as("embedding")))
+        val idx = Tables.scratchDir("emb_idx")
+        Similarity.buildEmbeddingIndex(corpus, "embedding", "vec_id",
+          idx, minCosine = 0.9, bands = 4, bitsPerBand = 16)
+        Similarity.incrementalEmbeddingPairs(batch, "embedding",
+          "vec_id", idx)
+      }),
+
     // The EXPLICIT-PLAN twin (round 13: the occupancy auto-plan became
     // the production default, mirroring round 12's autoSalt flip — the
     // base row above now exercises the default-auto path): this row pins

@@ -24,7 +24,7 @@ object Dedup {
    * unpersist/clearCache, so a driver looping over corpora would
    * accumulate them until the storage pool OOMs.
    */
-  private def materializeAndRelease(result: DataFrame, scoped: DataFrame*): DataFrame = {
+  private[operators] def materializeAndRelease(result: DataFrame, scoped: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(true)
     scoped.foreach(_.unpersist(false))
     out
@@ -986,7 +986,7 @@ object Dedup {
     * the opposite problem ANN's many-partition layouts have); (band, id)
     * keeps the session's full write parallelism while BOUNDING files
     * per dir at the session width regardless of input shape. */
-  private def indexWrite(sigs: DataFrame) = {
+  private[operators] def indexWrite(sigs: DataFrame) = {
     val width = sigs.sparkSession.sessionState.conf.numShufflePartitions
     sigs.repartition(width, col("band"), col("id")).write
   }
@@ -999,7 +999,7 @@ object Dedup {
     * brick-the-index failure appendLsh's legacy-layout guard exists
     * for), so each writer refuses the OTHER layout's tree before
     * writing anything. */
-  private def requireLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+  private[operators] def requireLayout(spark: org.apache.spark.sql.SparkSession, path: String,
       forbidden: String, op: String, fix: String): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1172,7 +1172,7 @@ object Dedup {
     * tree is MID-SWAP (some survivors moved in, some originals not yet
     * deleted) — every reader and mutation fails closed until the
     * roll-forward finishes. */
-  private def requireNoInterruptedMinhashVacuum(
+  private[operators] def requireNoInterruptedMinhashVacuum(
       fs: org.apache.hadoop.fs.FileSystem, path: String, op: String): Unit =
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_vacuum")))
       throw new IllegalStateException(
@@ -1184,7 +1184,7 @@ object Dedup {
     * sidecar ([[deleteFromMinhashIndex]]) when one exists — the common
     * no-deletes case costs one fs.exists and leaves the plan untouched.
     * Pairs against deleted docs neither surface nor suppress. */
-  private def liveIndexRows(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+  private[operators] def liveIndexRows(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     requireNoInterruptedMinhashVacuum(fs, path, "minhash index read")
@@ -1467,8 +1467,17 @@ object Dedup {
       else
         indexWrite(live).partitionBy("band")
     writer.mode("overwrite").parquet(tmp.toString)
-    // the sidecar is NOT carried over: the compacted index starts
-    // tombstone-free (deletes are physical now)
+    // the `_tombstones` sidecar is NOT carried over: the compacted index
+    // starts tombstone-free (deletes are physical now). The embedding
+    // band index's frozen-plan sidecar ([[Similarity.buildEmbeddingIndex]]
+    // — this compaction is layout-generic and serves that index too) IS
+    // carried: compaction preserves content, so the plan stays valid,
+    // and losing it would fail-close every later probe.
+    val embPlan = new org.apache.hadoop.fs.Path(s"$path/_embplan")
+    if (fs.exists(embPlan))
+      org.apache.hadoop.fs.FileUtil.copy(fs, embPlan,
+        fs, new org.apache.hadoop.fs.Path(s"$tmp/_embplan"),
+        false, spark.sparkContext.hadoopConfiguration)
     AnnIndex.swapStaged(fs, hPath, tmp, old, "compactMinhashIndex")
     (before, minhashDataFiles(fs, path))
   }

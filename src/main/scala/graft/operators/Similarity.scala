@@ -475,33 +475,230 @@ object Similarity {
         // count(*) over parquet resolves from row-group metadata — the
         // probe is one cheap job, same convention as FuzzyJoin.planSalts
         cells.count(), minCosine, refBands, refBits, targetOccupancy)
-    val banded =
-      if (planned == (refBands, refBits))
-        // the reference plan, bit-for-bit the pre-autoPlan banding: band
-        // k's key is the sign pattern of dims [k*bits, (k+1)*bits) — the
-        // scheme the dedup_embedding oracle replays
-        cells.select(col("id"), posexplode_outer(
-          array((0 until refBands).map { k =>
-            (0 until refBits).map { j =>
-              when(element_at(col("v"), k * refBits + j + 1) >= 0,
-                lit(1L << j)).otherwise(lit(0L))
-            }.reduce(_ + _)
-          }: _*)).as(Seq("band", "key")))
-      else {
-        // scale plan: sign-of-dims banding caps at dims bits total, so
-        // wider bands come from the deterministic ORTHONORMAL-hyperplane
-        // family, a disjoint plane range per band (planeOffset). The +-1
-        // splitmix family's correlated bits inflate collision mass 2-2.5x
-        // over the planner's independent-bit model at 18+ bits (measured,
-        // ProbeSuite emb_plan) — see [[graft.functions.OrthoPlaneSig]].
-        val (nBands, nBits) = planned
-        cells.select(col("id"), posexplode_outer(
-          array((0 until nBands).map { k =>
-            graft.functions.exprToColumn(graft.functions.OrthoPlaneSig(
-              graft.functions.columnToExpr(col("v")), nBits, k * nBits))
-          }: _*)).as(Seq("band", "key")))
-      }
-    Dedup.bucketPairs(banded, Seq("band", "key"))
+    // id/band/key only into the candidate self-join — carrying the
+    // vectors through the bucket shuffle would ship d floats per side
+    Dedup.bucketPairs(
+      bandedEmbeddingCells(cells, planned, (refBands, refBits))
+        .select("band", "key", "id"),
+      Seq("band", "key"))
+  }
+
+  /** (id, band, key) banding of embedding cells under an explicit plan —
+    * factored from [[embeddingCandidates]] so the persisted
+    * [[buildEmbeddingIndex]] and its probes band with the SAME keys.
+    * When the plan equals the reference, band k's key is the sign
+    * pattern of dims [k*bits, (k+1)*bits) — bit-for-bit the
+    * pre-autoPlan banding the dedup_embedding oracle replays. Wider
+    * plans come from the deterministic ORTHONORMAL-hyperplane family, a
+    * disjoint plane range per band (planeOffset): the ±1 splitmix
+    * family's correlated bits inflate collision mass 2-2.5x over the
+    * planner's independent-bit model at 18+ bits (measured, ProbeSuite
+    * emb_plan) — see [[graft.functions.OrthoPlaneSig]]. Extra columns
+    * on `cells` (e.g. the vector itself) ride along. */
+  private def bandedEmbeddingCells(cells: DataFrame,
+      planned: (Int, Int), ref: (Int, Int)): DataFrame = {
+    val (refBands, refBits) = ref
+    if (planned == ref)
+      cells.select(col("*"), posexplode_outer(
+        array((0 until refBands).map { k =>
+          (0 until refBits).map { j =>
+            when(element_at(col("v"), k * refBits + j + 1) >= 0,
+              lit(1L << j)).otherwise(lit(0L))
+          }.reduce(_ + _)
+        }: _*)).as(Seq("band", "key")))
+    else {
+      val (nBands, nBits) = planned
+      cells.select(col("*"), posexplode_outer(
+        array((0 until nBands).map { k =>
+          graft.functions.exprToColumn(graft.functions.OrthoPlaneSig(
+            graft.functions.columnToExpr(col("v")), nBits, k * nBits))
+        }: _*)).as(Seq("band", "key")))
+    }
+  }
+
+  // ----------------------- persisted embedding band index (round 16)
+  //
+  // The minhash index's production shape, for the EMBEDDING near-dup
+  // family: banding work happens once per vector ever, a day's batch
+  // dedups against the persisted band keys without re-banding the
+  // corpus, and the whole takedown lifecycle is INHERITED — the
+  // [[Dedup]] lifecycle verbs ([[Dedup.deleteFromMinhashIndex]],
+  // [[Dedup.vacuumMinhashTombstones]], [[Dedup.compactMinhashIndex]],
+  // [[Dedup.minhashIndexHealth]] / [[Dedup.maintainMinhashIndex]]) are
+  // LAYOUT-generic (they operate on an `id` column under `band=` /
+  // `batch=N/band=` partition trees and never read the payload
+  // columns), so they apply to this index unchanged. The one
+  // embedding-specific sidecar is `_embplan`: unlike the minhash
+  // index, whose shingle/hash parameters are the caller's contract,
+  // the banding plan here is DATA-dependent (autoPlan widens bands
+  // with log2(n)), so the build freezes its plan and every probe/
+  // append bands with the INDEX's geometry — mismatched keys would
+  // silently lose every cross-batch collision. Readers fail closed on
+  // a missing sidecar (the interrupted-rebuild state, the AnnIndex
+  // discipline).
+
+  /**
+   * Persist an embedding near-dup band index at `path`: one row per
+   * (vector, band) carrying (id, v, n, band, key), band-partitioned
+   * under the minhash index's bounded write discipline. The plan —
+   * auto-planned by [[planEmbeddingBands]] at the corpus count, or the
+   * explicit reference (bands × bitsPerBand) — freezes in `_embplan`.
+   *
+   * @return the frozen (bands, bitsPerBand) plan
+   */
+  def buildEmbeddingIndex(embeddings: DataFrame, vecCol: String,
+      idCol: String, path: String, minCosine: Double = 0.95,
+      bands: Int = 4, bitsPerBand: Int = 16, autoPlan: Boolean = true,
+      targetOccupancy: Double = 2.0): (Int, Int) = {
+    val spark = embeddings.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // delete-first sidecar protocol: every interrupted state is
+    // sidecar-LESS and readers refuse it
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_embplan"), true)
+    val cells = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", norm(col("v")))
+    val planned =
+      if (!autoPlan) (bands, bitsPerBand)
+      else planEmbeddingBands(cells.count(), minCosine, bands,
+        bitsPerBand, targetOccupancy)
+    Dedup.indexWrite(
+      bandedEmbeddingCells(cells, planned, (bands, bitsPerBand)))
+      .mode("overwrite").partitionBy("band").parquet(path)
+    writeEmbPlan(fs, path, planned, (bands, bitsPerBand), minCosine)
+    planned
+  }
+
+  /** Append a batch under the index's FROZEN plan (the train-then-add
+    * contract: keys are the index's identity). Refuses the streaming
+    * batch= layout and mid-vacuum trees, like the minhash append.
+    *
+    * @return rows appended (one per vector per band) */
+  def appendToEmbeddingIndex(newVecs: DataFrame, vecCol: String,
+      idCol: String, path: String): Long = {
+    val spark = newVecs.sparkSession
+    Dedup.requireNoInterruptedMinhashVacuum(
+      new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      path, "appendToEmbeddingIndex")
+    Dedup.requireLayout(spark, path, "batch", "appendToEmbeddingIndex",
+      "This index is flat (band= dirs); batch= generations belong to " +
+        "the streaming ingest layout.")
+    val (planned, ref, _) = readEmbPlan(spark, path)
+    val cells = newVecs
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", norm(col("v")))
+    Dedup.indexWrite(bandedEmbeddingCells(cells, planned, ref))
+      .mode("append").partitionBy("band").parquet(path)
+    newVecs.select(col(idCol)).count() * planned._1
+  }
+
+  /**
+   * Near-dup pairs of a NEW batch against the indexed corpus (plus
+   * within the batch itself): batch keys are computed fresh under the
+   * index's frozen plan, corpus keys and VECTORS come off the index —
+   * the corpus is never re-read and never re-banded. The verify is the
+   * one-shot [[embeddingNearDupPairs]] cosine, 6dp-rounded, so an
+   * indexed probe and a one-shot run agree value-for-value. Tombstoned
+   * ids ([[Dedup.deleteFromMinhashIndex]]) are anti-joined before the
+   * band join; `scope` (round-16 polarity discipline) restricts which
+   * INDEXED vectors may pair — one shared index serves per-tenant
+   * dedup. Returns (id_a, id_b, cosine), smaller id first.
+   *
+   * @param minCosine NaN (default) = the threshold the index was
+   *   planned for (`_embplan`); pass a value to override — the plan's
+   *   recall target was set at build time either way
+   */
+  def incrementalEmbeddingPairs(newVecs: DataFrame, vecCol: String,
+      idCol: String, indexPath: String, minCosine: Double = Double.NaN,
+      scope: Option[DataFrame] = None): DataFrame = {
+    val spark = newVecs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val (planned, ref, plannedCosine) = readEmbPlan(spark, indexPath)
+    val threshold = if (minCosine.isNaN) plannedCosine else minCosine
+    val cells = newVecs
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", norm(col("v")))
+    val batch = bandedEmbeddingCells(cells, planned, ref)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val live = Dedup.liveIndexRows(spark, indexPath)
+    val index = scope.fold(live)(sc =>
+      live.join(sc.select(col(sc.columns.head).as("id")).distinct(),
+        Seq("id"), "left_semi"))
+    val cosine6 = (vA: Column, nA: Column, vB: Column, nB: Column) =>
+      round(when(nA > 0 && nB > 0, dot(vA, vB) / (nA * nB))
+        .otherwise(lit(0.0)), 6)
+    // batch-vs-corpus: band-key collision, pair-dedup BEFORE the
+    // cosine (a pair can collide in several bands), canonical order
+    val cand = batch.select(col("band"), col("key"),
+        col("id").as("id_n"), col("v").as("v_n"), col("n").as("n_n"))
+      .join(index.select(col("band"), col("key"), col("id").as("id_c"),
+        col("v").as("v_c"), col("n").as("n_c")), Seq("band", "key"))
+      .filter(col("id_n") =!= col("id_c"))
+      .dropDuplicates("id_n", "id_c")
+      .repartition(par, col("id_n"))
+      .select(
+        least(col("id_n"), col("id_c")).as("id_a"),
+        greatest(col("id_n"), col("id_c")).as("id_b"),
+        cosine6(col("v_n"), col("n_n"), col("v_c"), col("n_c"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+    // in-batch pairs: the bucket self-join on keys alone (vectors join
+    // back per side — bytes proportional to the pair count)
+    val idPairs = Dedup.bucketPairs(
+      batch.select("band", "key", "id"), Seq("band", "key"))
+    val a = cells.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("n").as("n_a")).dropDuplicates("id_a")
+    val b = cells.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("n").as("n_b")).dropDuplicates("id_b")
+    val inBatch = idPairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine6(col("v_a"), col("n_a"), col("v_b"), col("n_b"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+    Dedup.materializeAndRelease(cand.union(inBatch), batch)
+  }
+
+  /** Freeze the index's plan: `_embplan` carries the planned geometry,
+    * the reference plan it was derived from, and the cosine threshold
+    * it targets. */
+  private def writeEmbPlan(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, planned: (Int, Int), ref: (Int, Int),
+      minCosine: Double): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$path/_embplan"), true)
+    try out.write(
+      (s"graft-embplan-v1\nbands=${planned._1}\nbits=${planned._2}\n" +
+        s"ref_bands=${ref._1}\nref_bits=${ref._2}\n" +
+        s"min_cosine=$minCosine\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read + validate `_embplan`, FAIL-CLOSED: a missing sidecar is the
+    * interrupted-rebuild state (builds delete it first), and probing
+    * with guessed banding would silently lose every cross-batch
+    * collision. */
+  private def readEmbPlan(spark: org.apache.spark.sql.SparkSession,
+      path: String): ((Int, Int), (Int, Int), Double) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_embplan")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Dedup.requireNoInterruptedMinhashVacuum(fs, path,
+      "embedding index read")
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"embedding index at $path has no _embplan sidecar — the build " +
+        s"deletes it before writing data, so this is an interrupted " +
+        s"rebuild (or not an embedding band index); probing with " +
+        s"guessed banding would silently miss every collision. " +
+        s"Rebuild the index.")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val kv = text.split("\n").filter(_.contains("="))
+      .map { l => val a = l.split("=", 2); (a(0), a(1)) }.toMap
+    ((kv("bands").toInt, kv("bits").toInt),
+      (kv("ref_bands").toInt, kv("ref_bits").toInt),
+      kv("min_cosine").toDouble)
   }
 
   /**

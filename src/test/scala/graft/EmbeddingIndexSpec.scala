@@ -1,0 +1,164 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** The persisted embedding band index (round 16): one-shot parity,
+  * frozen-plan probes/appends, the INHERITED takedown lifecycle (the
+  * Dedup band-index verbs are layout-generic — delete/vacuum/compact/
+  * health apply unchanged), and the fail-closed `_embplan` contract. */
+class EmbeddingIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8-dim vectors, (bands=2, bits=4): band 0 keys dims 1-4, band 1 keys
+  // dims 5-8. v1/v10 are scaled copies (cosine exactly 1); v2/v3 differ
+  // in sign patterns and direction.
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+  private def corpus = Seq(
+    (1L, vec(1, -1, 1, 1, -1, 1, 1, 1)),
+    (2L, vec(-1, -1, -1, -1, 1, 1, 1, 1)),
+    (3L, vec(1, 1, 1, 1, 1, 1, 1, -1)))
+    .toDF("vec_id", "embedding")
+  private def batch = Seq(
+    (10L, vec(2, -2, 2, 2, -2, 2, 2, 2)), // x2 copy of 1 -> cosine 1.0
+    (11L, vec(-2, -2, -2, -2, 2, 2, 2, 2)), // x2 copy of 2
+    (12L, vec(1, -1, -1, -1, -1, -1, -1, 1))) // unlike anything
+    .toDF("vec_id", "embedding")
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString + "/idx"
+  private def fsOf(p: String) = new org.apache.hadoop.fs.Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def build(p: String, df: org.apache.spark.sql.DataFrame) =
+    Similarity.buildEmbeddingIndex(df, "embedding", "vec_id", p,
+      minCosine = 0.9, bands = 2, bitsPerBand = 4, autoPlan = false)
+  private def pairsOf(idx: String,
+      scope: Option[org.apache.spark.sql.DataFrame] = None)
+      : Set[(Long, Long)] =
+    Similarity.incrementalEmbeddingPairs(batch, "embedding", "vec_id",
+      idx, scope = scope)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  test("indexed probe == one-shot pairs touching the batch, at the " +
+      "index's frozen threshold; in-batch pairs included") {
+    val idx = tmp("embidx")
+    build(idx, corpus)
+    val oneShot = Similarity.embeddingNearDupPairs(
+      corpus.unionByName(batch), "embedding", "vec_id", minCosine = 0.9,
+      bands = 2, bitsPerBand = 4, autoPlan = false)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batchIds = Set(10L, 11L, 12L)
+    val expected = oneShot.filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(pairsOf(idx) === expected)
+    assert(expected.contains((1L, 10L)) && expected.contains((2L, 11L)),
+      s"fixture defect: planted copies did not pair ($expected)")
+  }
+
+  test("append rides the frozen plan: half-build + append content == " +
+      "one-shot build (banding is row-local), probes agree") {
+    val full = tmp("embfull"); val inc = tmp("embinc")
+    build(full, corpus)
+    build(inc, corpus.filter(col("vec_id") =!= 3L))
+    val n = Similarity.appendToEmbeddingIndex(
+      corpus.filter(col("vec_id") === 3L), "embedding", "vec_id", inc)
+    assert(n === 2L) // one vector x two bands
+    val read = (p: String) => spark.read.parquet(p)
+      .select(col("id"), col("band").cast("int"), col("key"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(read(inc) === read(full))
+    assert(pairsOf(inc) === pairsOf(full))
+  }
+
+  test("the inherited lifecycle: tombstone delete hides an indexed " +
+      "vector immediately, the TARGETED vacuum makes it physical with " +
+      "unaffected files byte-identical and the plan sidecar intact, " +
+      "health prescribes by cause, compaction carries _embplan") {
+    val idx = tmp("emblife")
+    build(idx, corpus)
+    assert(pairsOf(idx).contains((1L, 10L)))
+    Dedup.deleteFromMinhashIndex(spark, idx, Seq(1L).toDF("vec_id"),
+      idCol = "vec_id")
+    val afterDel = pairsOf(idx)
+    assert(!afterDel.exists(p => p._1 == 1L || p._2 == 1L),
+      "tombstoned vector still pairs with fresh content")
+    val h = Dedup.minhashIndexHealth(spark, idx, tombstoneFloor = 1L)
+    assert(h.prescription === "vacuumMinhashTombstones")
+    val snap = () => {
+      val fs = fsOf(idx)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(idx), true)
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet") &&
+          !f.getPath.toString.contains("/_tombstones/"))
+          m(f.getPath.toString) = f.getLen
+      }
+      m.toMap
+    }
+    val before = snap()
+    val (rewritten, dropped) = Dedup.vacuumMinhashTombstones(spark, idx)
+    assert(rewritten > 0 && dropped === 2L) // one vector x two bands
+    val after = snap()
+    assert(after.size <= before.size)
+    before.filter { case (f, _) => after.contains(f) }
+      .foreach { case (f, len) => assert(after(f) === len,
+        s"untouched file $f changed") }
+    assert(!fsOf(idx).exists(
+      new org.apache.hadoop.fs.Path(s"$idx/_tombstones")))
+    assert(spark.read.parquet(idx).filter(col("id") === 1L).count() === 0L)
+    assert(pairsOf(idx) === afterDel)
+    // compaction (the fragmentation verb) carries the plan sidecar and
+    // keeps answering
+    Dedup.compactMinhashIndex(spark, idx)
+    assert(fsOf(idx).exists(
+      new org.apache.hadoop.fs.Path(s"$idx/_embplan")),
+      "compaction lost the frozen-plan sidecar")
+    assert(pairsOf(idx) === afterDel)
+    // the vacuumed id is re-appendable (replace flow)
+    Similarity.appendToEmbeddingIndex(corpus.filter(col("vec_id") === 1L),
+      "embedding", "vec_id", idx)
+    assert(pairsOf(idx).contains((1L, 10L)))
+  }
+
+  test("scope restricts which INDEXED vectors may pair; in-batch pairs " +
+      "untouched; scoped-full-index == index-built-on-scope-only") {
+    val idx = tmp("embscope"); val sub = tmp("embscope_sub")
+    build(idx, corpus)
+    build(sub, corpus.filter(col("vec_id") =!= 1L))
+    val scoped = pairsOf(idx,
+      scope = Some(corpus.filter(col("vec_id") =!= 1L).select("vec_id")))
+    assert(!scoped.exists(p => p._1 == 1L || p._2 == 1L))
+    assert(scoped === pairsOf(sub))
+    assert(scoped.contains((2L, 11L)), "in-scope pair lost")
+  }
+
+  test("fail-closed: a missing _embplan (interrupted rebuild) refuses " +
+      "probes and appends before anything lands") {
+    val idx = tmp("embnoplan")
+    build(idx, corpus)
+    fsOf(idx).delete(new org.apache.hadoop.fs.Path(s"$idx/_embplan"),
+      true)
+    val e1 = intercept[IllegalStateException](pairsOf(idx))
+    assert(e1.getMessage.contains("_embplan"))
+    val e2 = intercept[IllegalStateException](
+      Similarity.appendToEmbeddingIndex(batch, "embedding", "vec_id", idx))
+    assert(e2.getMessage.contains("_embplan"))
+  }
+
+  test("the auto-planned frozen plan is the INDEX's identity: a probe " +
+      "bands its batch with the sidecar plan even when the batch size " +
+      "would plan differently") {
+    // force a wide plan by building with a tiny occupancy target: the
+    // plan departs the (2,4) reference and freezes in _embplan; the
+    // 3-row batch would auto-plan back to the reference — the probe
+    // must use the INDEX's keys or every cross collision is lost
+    val idx = tmp("embwide")
+    val planned = Similarity.buildEmbeddingIndex(corpus, "embedding",
+      "vec_id", idx, minCosine = 0.9, bands = 2, bitsPerBand = 4,
+      autoPlan = true, targetOccupancy = 0.0001)
+    assert(planned !== ((2, 4)),
+      s"fixture defect: the forced plan stayed at the reference ($planned)")
+    assert(pairsOf(idx).contains((1L, 10L)),
+      "the probe lost the planted collision — batch banded with a " +
+        "different plan than the index's")
+  }
+}
