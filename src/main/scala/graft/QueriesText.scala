@@ -629,6 +629,73 @@ object QueriesText {
           "vec_id", idx)
       }),
 
+    // ---------------- streaming: embedding near-dup ingest (r16)
+    // Streams.embDedupIngest end-to-end through a real FileStreamSource
+    // (the stream_dedup_ingest treatment on the embedding band index):
+    // three micro-batches, the FIRST freezing the banding plan (train
+    // step), later batches banding under it and dedup'ing against the
+    // accumulated index. Each pair is emitted exactly once — in the
+    // batch where its later member arrives (in-batch via the band
+    // self-join, cross-batch via the index) — so the unioned per-batch
+    // outputs must equal the ONE-SHOT banded pair set over everything.
+    // Planted x2-scaled copies land in different micro-batches than
+    // their originals (1000000 % 3 = 1 shifts the id class), so the
+    // cross-batch index path is guaranteed non-vacuous.
+    QueryDef("stream_emb_ingest", Some {
+      val whens = (0 until 4).map { k =>
+        val key = (0 until 16).map { j =>
+          s"CASE WHEN embedding[${k * 16 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"WHEN $k THEN ($key)"
+      }.mkString("\n               ")
+      s"""
+      WITH planted AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(embedding, x -> x * 2)::FLOAT[] AS embedding
+        FROM embeddings WHERE vec_id % 7 = 0),
+      allv AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id, embedding FROM planted),
+      cells AS (
+        SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM allv),
+      banded AS (
+        SELECT vec_id,
+               r.band,
+               CASE r.band
+               $whens
+               END AS key
+        FROM cells, range(0, 4) r(band)),
+      pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        WHERE a.vec_id < b.vec_id),
+      scored AS (
+        SELECT p.id_a, p.id_b,
+               list_dot_product(ca.v, cb.v) /
+                 (sqrt(list_dot_product(ca.v, ca.v)) *
+                  sqrt(list_dot_product(cb.v, cb.v))) AS cos
+        FROM pairs p
+        JOIN cells ca ON ca.vec_id = p.id_a
+        JOIN cells cb ON cb.vec_id = p.id_b)
+      SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored
+      WHERE round(cos, 6) >= 0.9"""
+    },
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val planted = e.filter(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        val root = Tables.freshScratch("stream_emb")
+        val src = stageMicroBatches(s, e.unionByName(planted), root,
+          idCol = "vec_id")
+        val q = graft.streaming.Streams.embDedupIngest(src, "embedding",
+          "vec_id", s"$root/idx", s"$root/pairs", s"$root/ckpt",
+          minCosine = 0.9)
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$root/pairs")
+          .select(col("id_a"), col("id_b"), col("cosine"))
+      }),
+
     // The EXPLICIT-PLAN twin (round 13: the occupancy auto-plan became
     // the production default, mirroring round 12's autoSalt flip — the
     // base row above now exercises the default-auto path): this row pins

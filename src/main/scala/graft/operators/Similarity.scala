@@ -660,6 +660,106 @@ object Similarity {
     Dedup.materializeAndRelease(cand.union(inBatch), batch)
   }
 
+  /**
+   * One embedding-index ingestion micro-batch, banding work done ONCE —
+   * the [[Dedup.ingestBatch]] discipline on this index: compute the
+   * batch's banded keys a single time, return the batch's near-dup
+   * pairs (against the existing index when `indexPath` is given, plus
+   * within the batch itself), and write the keys+vectors to
+   * `indexBatchDir` (the batch's own `batch=N` partition — overwrite,
+   * so a replayed batch is idempotent). The FIRST batch is the train
+   * step: it freezes the banding plan (auto-planned at ITS count) in
+   * the root's `_embplan`, and every later batch bands under that
+   * frozen geometry — the same first-batch-trains contract as
+   * [[graft.streaming.Streams.annIngest]], so the first batch should
+   * be representative. Pairs materialize BEFORE the index write (the
+   * batch must not collide with its own rows through the index path).
+   */
+  def ingestEmbeddingBatch(newVecs: DataFrame, vecCol: String,
+      idCol: String, indexPath: Option[String], indexBatchDir: String,
+      minCosine: Double = 0.95, bands: Int = 4, bitsPerBand: Int = 16,
+      autoPlan: Boolean = true,
+      targetOccupancy: Double = 2.0): DataFrame = {
+    val spark = newVecs.sparkSession
+    val parent = Option(
+      new org.apache.hadoop.fs.Path(indexBatchDir).getParent)
+      .map(_.toString)
+      .getOrElse(throw new IllegalArgumentException(
+        s"ingestEmbeddingBatch: $indexBatchDir has no parent index root"))
+    val fs = new org.apache.hadoop.fs.Path(parent).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Dedup.requireNoInterruptedMinhashVacuum(fs, parent,
+      "ingestEmbeddingBatch")
+    // a flat-layout root (band= dirs) must not gain batch= dirs — the
+    // mixed tree bricks every read
+    Dedup.requireLayout(spark, parent, "band", "ingestEmbeddingBatch",
+      "Rebuild the index under batch= directories (or append with " +
+        "appendToEmbeddingIndex instead).")
+    val cells = newVecs
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", norm(col("v")))
+    val (planned, ref, threshold) = indexPath match {
+      case Some(p) => readEmbPlan(spark, p)
+      case None =>
+        // the train step: plan at THIS batch's count; the sidecar is
+        // written AFTER the data below (delete-first → fail-closed
+        // interrupted states), same order as buildEmbeddingIndex
+        fs.delete(new org.apache.hadoop.fs.Path(s"$parent/_embplan"), true)
+        val pl =
+          if (!autoPlan) (bands, bitsPerBand)
+          else planEmbeddingBands(cells.count(), minCosine, bands,
+            bitsPerBand, targetOccupancy)
+        (pl, (bands, bitsPerBand), minCosine)
+    }
+    val batch = bandedEmbeddingCells(cells, planned, ref)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cosine6 = (vA: Column, nA: Column, vB: Column, nB: Column) =>
+      round(when(nA > 0 && nB > 0, dot(vA, vB) / (nA * nB))
+        .otherwise(lit(0.0)), 6)
+    val idPairs = Dedup.bucketPairs(
+      batch.select("band", "key", "id"), Seq("band", "key"))
+    val a = cells.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("n").as("n_a")).dropDuplicates("id_a")
+    val b = cells.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("n").as("n_b")).dropDuplicates("id_b")
+    val inBatch = idPairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine6(col("v_a"), col("n_a"), col("v_b"), col("n_b"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val par = spark.sparkContext.defaultParallelism
+    val pairs = indexPath match {
+      case None => inBatch
+      case Some(p) =>
+        val index = Dedup.liveIndexRows(spark, p)
+        batch.select(col("band"), col("key"), col("id").as("id_n"),
+            col("v").as("v_n"), col("n").as("n_n"))
+          .join(index.select(col("band"), col("key"),
+            col("id").as("id_c"), col("v").as("v_c"),
+            col("n").as("n_c")), Seq("band", "key"))
+          .filter(col("id_n") =!= col("id_c"))
+          .dropDuplicates("id_n", "id_c")
+          .repartition(par, col("id_n"))
+          .select(
+            least(col("id_n"), col("id_c")).as("id_a"),
+            greatest(col("id_n"), col("id_c")).as("id_b"),
+            cosine6(col("v_n"), col("n_n"), col("v_c"), col("n_c"))
+              .as("cosine"))
+          .filter(col("cosine") >= threshold)
+          .union(inBatch)
+    }
+    // materialize the pairs FIRST (reads the index before this batch's
+    // own rows join it), then write the batch partition from the cached
+    // banded table — both actions reuse the one persisted table
+    val out = pairs.distinct().localCheckpoint(true)
+    Dedup.indexWrite(batch).mode("overwrite").partitionBy("band")
+      .parquet(indexBatchDir)
+    if (indexPath.isEmpty)
+      writeEmbPlan(fs, parent, planned, (bands, bitsPerBand), minCosine)
+    batch.unpersist(false)
+    out
+  }
+
   /** Freeze the index's plan: `_embplan` carries the planned geometry,
     * the reference plan it was derived from, and the cosine threshold
     * it targets. */

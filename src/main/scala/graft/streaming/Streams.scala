@@ -273,6 +273,44 @@ object Streams {
     }
 
   /**
+   * Streaming EMBEDDING near-dup ingestion (round 16 — [[dedupIngest]]'s
+   * shape on the embedding band index): each micro-batch of (id, vector)
+   * rows is deduplicated against everything ingested BEFORE it (corpus
+   * vectors never re-banded — keys and vectors come off the index), its
+   * near-dup pairs land under `pairsDir/batch=<id>`, and its own banded
+   * rows are added under `indexDir/batch=<id>`. The FIRST batch is the
+   * train step: it freezes the banding plan in the index's `_embplan`
+   * ([[graft.operators.Similarity.ingestEmbeddingBatch]]), so the first
+   * batch should be representative — the [[annIngest]] contract. Both
+   * writes are per-batch-dir overwrites (replay rewrites, never
+   * duplicates), and with `maintainEvery > 0` the shared in-stream
+   * maintenance runs ([[maybeMaintainMinhash]] — the band-index
+   * lifecycle verbs are layout-generic, so the SAME health-gated
+   * vacuum/compaction serves this index, with compaction carrying the
+   * `_embplan` sidecar).
+   */
+  def embDedupIngest(vecs: DataFrame, vecCol: String, idCol: String,
+      indexDir: String, pairsDir: String, checkpointDir: String,
+      minCosine: Double = 0.95, bands: Int = 4, bitsPerBand: Int = 16,
+      autoPlan: Boolean = true, targetOccupancy: Double = 2.0,
+      maintainEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val df = batch.toDF()
+        val spark = df.sparkSession
+        val pairs = graft.operators.Similarity.ingestEmbeddingBatch(df,
+          vecCol, idCol,
+          if (indexHasData(spark, indexDir)) Some(indexDir) else None,
+          s"$indexDir/batch=$batchId", minCosine, bands, bitsPerBand,
+          autoPlan, targetOccupancy)
+        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        maybeMaintainMinhash(spark, indexDir, batchId, maintainEvery)
+      }
+      .start()
+
+  /**
    * The full streaming ingestion pipeline: quality-gate each micro-batch
    * (a caller-supplied transform adding a `disposition` column — the
    * composed first-failing-rule gate of `text_quality_gate` is the

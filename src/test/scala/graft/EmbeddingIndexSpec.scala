@@ -131,6 +131,41 @@ class EmbeddingIndexSpec extends SparkSpec {
     assert(scoped.contains((2L, 11L)), "in-scope pair lost")
   }
 
+  test("embDedupIngest(maintainEvery): the stream compacts its own " +
+      "index when health prescribes, the compaction CARRIES _embplan, " +
+      "and a mid-stream takedown goes physical at it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_embmnt").toString
+    val idx = s"$dir/idx"
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.embDedupIngest(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      idx, s"$dir/pairs", s"$dir/ckpt", minCosine = 0.9, bands = 2,
+      bitsPerBand = 4, autoPlan = false, maintainEvery = 1)
+    try {
+      mem.addData(corpus.as[(Long, Seq[Float])].collect().toSeq: _*)
+      q.processAllAvailable() // generation 1 — trains the plan
+      Dedup.deleteFromMinhashIndex(spark, idx, Seq(1L).toDF("vec_id"),
+        idCol = "vec_id")
+      mem.addData((20L, vec(1, 1, -1, 1, 1, -1, 1, 1)))
+      q.processAllAvailable() // generation 2 — under the count factor
+      mem.addData((21L, vec(-1, 1, 1, -1, -1, 1, -1, -1)))
+      q.processAllAvailable() // generation 3 -> in-stream compact
+    } finally q.stop()
+    val h = Dedup.minhashIndexHealth(spark, idx)
+    assert(h.batches === 1, s"in-stream compaction did not run: $h")
+    assert(h.tombstones === 0L)
+    assert(fsOf(idx).exists(
+      new org.apache.hadoop.fs.Path(s"$idx/_embplan")),
+      "the in-stream compaction lost the frozen-plan sidecar")
+    assert(spark.read.parquet(idx).filter(col("id") === 1L).count() === 0L,
+      "the takedown did not go physical at the in-stream compaction")
+    assert(!pairsOf(idx).exists(p => p._1 == 1L || p._2 == 1L))
+    assert(pairsOf(idx).contains((2L, 11L)),
+      "the maintained stream index lost a live collision")
+  }
+
   test("fail-closed: a missing _embplan (interrupted rebuild) refuses " +
       "probes and appends before anything lands") {
     val idx = tmp("embnoplan")
