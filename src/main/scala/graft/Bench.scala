@@ -129,6 +129,13 @@ object Bench {
     // regression in the append path (a refit sneaking in, a lost
     // cell-repartition) moves this row.
     "stream_ivfpq_ingest",
+    // round 16 (late): the embedding band index's streaming face —
+    // first batch trains/freezes the banding plan, later batches dedup
+    // against the accumulated index through a real FileStreamSource.
+    // Completes the three-family streaming symmetry next to
+    // stream_dedup_ingest and stream_ann_ingest; a regression in the
+    // per-batch banding or the index-side collision join moves it.
+    "stream_emb_ingest",
     // round 16: the staleness snapshot end-to-end — build stamps the
     // baseline, a shifted append re-measures, health reads sidecars
     // only. Prices the _recon machinery (one bounded agg at build, one
