@@ -1201,7 +1201,7 @@ object Dedup {
     * run BEFORE the re-ingest drops the old rows so the fresh ones
     * surface (the replace flow is delete → compact → re-ingest). One
     * O(batch) semi-join, only when a sidecar exists at all. */
-  private def warnTombstonedIngest(spark: org.apache.spark.sql.SparkSession, path: String,
+  private[operators] def warnTombstonedIngest(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)

@@ -731,6 +731,10 @@ object Similarity {
     val pairs = indexPath match {
       case None => inBatch
       case Some(p) =>
+        // re-ingesting a tombstoned id is legal but invisible until a
+        // vacuum/compaction clears the sidecar — same WARN as the
+        // minhash ingest (the id column is shared, the check generic)
+        Dedup.warnTombstonedIngest(spark, p, batch)
         val index = Dedup.liveIndexRows(spark, p)
         batch.select(col("band"), col("key"), col("id").as("id_n"),
             col("v").as("v_n"), col("n").as("n_n"))

@@ -298,17 +298,40 @@ object Streams {
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val df = batch.toDF()
-        val spark = df.sparkSession
-        val pairs = graft.operators.Similarity.ingestEmbeddingBatch(df,
-          vecCol, idCol,
-          if (indexHasData(spark, indexDir)) Some(indexDir) else None,
-          s"$indexDir/batch=$batchId", minCosine, bands, bitsPerBand,
-          autoPlan, targetOccupancy)
-        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-        maybeMaintainMinhash(spark, indexDir, batchId, maintainEvery)
+        embIngestBatchStep(batch.toDF(), vecCol, idCol, indexDir,
+          pairsDir, minCosine, bands, bitsPerBand, autoPlan,
+          targetOccupancy, maintainEvery, batchId)
       }
       .start()
+
+  /** One [[embDedupIngest]] micro-batch (package-private so the crash-
+    * replay decision is testable). Train-vs-append is decided by PLAN
+    * existence, not data existence: the `_embplan` sidecar is written
+    * at the END of the training batch, after its data — so a crash
+    * between the two leaves batch-0 data with no plan, and a
+    * data-existence test would then hand the REPLAY of batch 0 the
+    * append path, which fails closed on the missing plan and leaves
+    * the stream stuck until a manual rebuild. Plan-missing instead
+    * means "the training batch never committed" (batch 1 can only have
+    * run after batch 0's checkpoint commit, which follows the plan
+    * write), so the replay safely re-trains and overwrites its own
+    * `batch=0` dir — self-healing, never mixed-plan keys. */
+  private[graft] def embIngestBatchStep(df: DataFrame, vecCol: String,
+      idCol: String, indexDir: String, pairsDir: String,
+      minCosine: Double, bands: Int, bitsPerBand: Int, autoPlan: Boolean,
+      targetOccupancy: Double, maintainEvery: Int, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val hasPlan = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$indexDir/_embplan"))
+    val pairs = graft.operators.Similarity.ingestEmbeddingBatch(df,
+      vecCol, idCol, if (hasPlan) Some(indexDir) else None,
+      s"$indexDir/batch=$batchId", minCosine, bands, bitsPerBand,
+      autoPlan, targetOccupancy)
+    pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+    maybeMaintainMinhash(spark, indexDir, batchId, maintainEvery)
+  }
 
   /**
    * The full streaming ingestion pipeline: quality-gate each micro-batch

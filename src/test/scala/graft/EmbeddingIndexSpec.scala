@@ -166,6 +166,33 @@ class EmbeddingIndexSpec extends SparkSpec {
       "the maintained stream index lost a live collision")
   }
 
+  test("crash between the training batch's data write and its plan " +
+      "write self-heals on replay: the step re-trains and overwrites " +
+      "its own batch dir instead of failing closed forever (and a " +
+      "replay AFTER the plan write is idempotent)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_embcrash").toString
+    val idx = s"$dir/idx"
+    def step(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      graft.streaming.Streams.embIngestBatchStep(df, "embedding",
+        "vec_id", idx, s"$dir/pairs", 0.9, 2, 4, false, 2.0, 0, id)
+    step(corpus, 0L) // the training batch
+    // the crash state: batch-0 data landed, the plan write did not
+    fsOf(idx).delete(new org.apache.hadoop.fs.Path(s"$idx/_embplan"), true)
+    step(corpus, 0L) // the replay — must RE-TRAIN, not die on the plan
+    assert(fsOf(idx).exists(
+      new org.apache.hadoop.fs.Path(s"$idx/_embplan")))
+    step(batch, 1L)
+    val got = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 10L)) && got.contains((2L, 11L)), got.toString)
+    // replay of an already-committed batch (crash after the plan write)
+    // is idempotent: per-batch-dir overwrites + pair distinct
+    step(batch, 1L)
+    assert(spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet === got)
+    assert(spark.read.parquet(idx).select("id").distinct().count() === 6L)
+  }
+
   test("fail-closed: a missing _embplan (interrupted rebuild) refuses " +
       "probes and appends before anything lands") {
     val idx = tmp("embnoplan")
