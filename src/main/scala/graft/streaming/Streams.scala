@@ -218,6 +218,31 @@ object Streams {
     }
   }
 
+  /** Refuse to ingest over a CRASHED maintenance swap (round 16): the
+    * staged-swap protocol's one unrecoverable-looking window is a crash
+    * between its two renames — the live path is missing and the
+    * `.__precompact` / `.__prereindex` dir holds the ONLY copy. A
+    * streaming batch that lands then would see "no index" and silently
+    * re-train over the orphaned corpus; instead every ingest step fails
+    * with the recovery (one rename back — nothing was lost). A missing
+    * live path with NO leftover dirs is just a first batch. */
+  private def requireNoCrashedSwap(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      op: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(live))
+      Seq(".__precompact", ".__prereindex").foreach { suf =>
+        val orphan = new org.apache.hadoop.fs.Path(indexDir + suf)
+        if (fs.exists(orphan)) throw new IllegalStateException(
+          s"$op($indexDir): the index path is missing but $orphan " +
+            s"exists — a maintenance swap crashed between its two " +
+            s"renames and that dir holds the intact pre-swap index. " +
+            s"Recover by renaming it back to $indexDir (nothing was " +
+            s"lost); refusing to re-train over the orphaned corpus.")
+      }
+  }
+
   def dedupIngest(docs: DataFrame, textCol: String, idCol: String,
       indexDir: String, pairsDir: String, checkpointDir: String,
       shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
@@ -228,6 +253,7 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val df = batch.toDF()
         val spark = df.sparkSession
+        requireNoCrashedSwap(spark, indexDir, "dedupIngest")
         // one signature pass per batch: pairs + index write share the
         // cached banded table (Dedup.ingestBatch)
         val pairs = graft.operators.Dedup.ingestBatch(df, textCol, idCol,
@@ -321,6 +347,7 @@ object Streams {
       minCosine: Double, bands: Int, bitsPerBand: Int, autoPlan: Boolean,
       targetOccupancy: Double, maintainEvery: Int, batchId: Long): Unit = {
     val spark = df.sparkSession
+    requireNoCrashedSwap(spark, indexDir, "embDedupIngest")
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     val hasPlan = fs.exists(
@@ -356,6 +383,7 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        requireNoCrashedSwap(spark, indexDir, "qualityGatedDedupIngest")
         val judged = gate(batch.toDF())
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -402,6 +430,7 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        requireNoCrashedSwap(spark, indexDir, "curationIngest")
         // the gate's expression tree (tokenize, repetition, language
         // scores, PII regexes) is the expensive part — persist it so the
         // contaminated-id derivation and the judged join both read the
@@ -543,19 +572,33 @@ object Streams {
       quantizer: String, autoPlan: Boolean, maintainEvery: Int,
       targetCellRows: Long, batchId: Long, lineage: String): Unit = {
     val spark = df.sparkSession
+    requireNoCrashedSwap(spark, indexDir, "annIngestIvfPq")
     if (!df.isEmpty) {
       val hasData = indexHasData(spark, indexDir)
-      val alreadyApplied = hasData && batchId >= 0 &&
+      // geometry decides build-vs-append (see [[ingestAnnBatch]]): an
+      // interrupted train batch leaves data with at most PART of its
+      // sidecars — the replay must re-train, not fail closed forever
+      val hasGeometry = {
+        val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
+          spark.sessionState.newHadoopConf())
+        fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/_centroids")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/_codebooks"))
+      }
+      val alreadyApplied = hasData && hasGeometry && batchId >= 0 &&
         lastStampedBatch(spark, indexDir).contains((lineage, batchId))
       if (alreadyApplied)
         System.err.println(s"[streams] annIngestIvfPq($indexDir) batch " +
           s"$batchId replayed after its writes landed — skipping the " +
           s"already-applied append.")
-      else if (!hasData)
+      else if (!hasData || !hasGeometry) {
+        if (hasData) System.err.println(
+          s"[streams] annIngestIvfPq($indexDir): data without complete " +
+            s"geometry sidecars — an interrupted train; re-training " +
+            s"from the replaying batch (overwrite).")
         graft.operators.AnnIndex.buildIvfPq(df, vecCol, idCol, indexDir,
           nCells = nCells, m = m, quantizer = quantizer,
           autoPlan = autoPlan, targetCellRows = targetCellRows)
-      else
+      } else
         graft.operators.AnnIndex.appendIvfPq(df, vecCol, idCol, indexDir,
           targetCellRows = targetCellRows)
       if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
@@ -611,21 +654,38 @@ object Streams {
       targetCosine: Double, targetOccupancy: Double, batchId: Long,
       lineage: String): Unit = {
     val spark = df.sparkSession
+    requireNoCrashedSwap(spark, indexDir, "annIngest")
     if (!df.isEmpty) {
       val hasData = indexHasData(spark, indexDir)
+      // GEOMETRY, not data, decides build-vs-append (round 16 — the
+      // embDedupIngest discipline): buildLsh writes its `_plan` sidecar
+      // AFTER the data, so data-without-plan can only be an interrupted
+      // build whose checkpoint never committed — the replaying batch IS
+      // the training batch and safely rebuilds (mode overwrite), where
+      // the data-existence test handed it appendLsh, which fails closed
+      // on wide plans and leaves the stream stuck until a manual rebuild
+      val hasPlan = {
+        val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
+          spark.sessionState.newHadoopConf())
+        fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/_plan"))
+      }
       // skip ONLY an exact replay of a batch whose writes are on disk:
       // a stamp without index data is stale (a cleared/reused dir) and
       // must not suppress a real first batch
-      val alreadyApplied = hasData && batchId >= 0 &&
+      val alreadyApplied = hasData && hasPlan && batchId >= 0 &&
         lastStampedBatch(spark, indexDir).contains((lineage, batchId))
       if (alreadyApplied)
         System.err.println(s"[streams] annIngest($indexDir) batch " +
           s"$batchId replayed after its writes landed — skipping the " +
           s"already-applied append.")
-      else if (!hasData)
+      else if (!hasData || !hasPlan) {
+        if (hasData) System.err.println(
+          s"[streams] annIngest($indexDir): data without a _plan " +
+            s"sidecar — an interrupted build; re-training from the " +
+            s"replaying batch (overwrite).")
         graft.operators.AnnIndex.buildLsh(df, vecCol, idCol, indexDir,
           dims = dims)
-      else
+      } else
         graft.operators.AnnIndex.appendLsh(df, vecCol, idCol, indexDir)
       // in-stream maintenance: foreachBatch is sequential, so the
       // staged-swap rewrite can never race an append of this stream.

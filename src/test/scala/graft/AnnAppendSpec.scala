@@ -640,6 +640,51 @@ class AnnAppendSpec extends SparkSpec {
     assert(res.count() === 3)
   }
 
+  test("stream crash shapes (round 16): an interrupted BUILD (data, no " +
+      "plan sidecar) self-heals — the replaying batch re-trains instead " +
+      "of failing closed forever; a crashed maintenance SWAP (live path " +
+      "missing, .__precompact holding the corpus) refuses with the " +
+      "rename-back recovery instead of silently re-training over it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_acrash").toString
+    val idx = s"$dir/idx"
+    val b0 = emb.filter(col("vec_id") % 2 === 0)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ingest(id: Long): Unit =
+      graft.streaming.Streams.ingestAnnBatch(b0, "embedding", "vec_id",
+        idx, 64, 0, 0.9, 2.0, id, "ckptA")
+    ingest(0L)
+    // the interrupted-build state: data landed, `_plan` did not
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_plan"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_stream_batch"), false)
+    ingest(0L) // replay must RE-TRAIN (mode overwrite), not die
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_plan")))
+    assert(spark.read.parquet(idx).count() === b0.count())
+    // the crashed-swap state: live gone, the pre-swap tree orphaned
+    assert(fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(s"$idx.__precompact")))
+    val e = intercept[IllegalStateException](ingest(1L))
+    assert(e.getMessage.contains("renaming"), e.getMessage)
+    // recovery is exactly the message's rename — and ingest resumes
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx.__precompact"),
+      new org.apache.hadoop.fs.Path(idx)))
+    graft.streaming.Streams.ingestAnnBatch(
+      emb.filter(col("vec_id") % 2 =!= 0), "embedding", "vec_id",
+      idx, 64, 0, 0.9, 2.0, 1L, "ckptA")
+    assert(spark.read.parquet(idx).count() === emb.count())
+    // IVF-PQ twin: data with PARTIAL geometry (codebooks lost) re-trains
+    val idx2 = s"$dir/idx2"
+    def ingestPq(id: Long): Unit =
+      graft.streaming.Streams.ingestAnnIvfPqBatch(b0, "embedding",
+        "vec_id", idx2, 4, 16, "sign", false, 0, 4096L, id, "ckptA")
+    ingestPq(0L)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx2/_codebooks"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx2/_stream_batch"), false)
+    ingestPq(0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx2/_codebooks")))
+    assert(spark.read.parquet(idx2).count() === b0.count())
+  }
+
   test("annIngest replay guard survives a replay-path maintenance swap: " +
       "the swap destroys the stamp, the unconditional re-stamp restores " +
       "it, and a SECOND replay of the same batch still skips") {

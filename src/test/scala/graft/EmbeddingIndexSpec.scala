@@ -191,6 +191,13 @@ class EmbeddingIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/pairs")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet === got)
     assert(spark.read.parquet(idx).select("id").distinct().count() === 6L)
+    // a crashed maintenance SWAP (live missing, .__precompact holding
+    // the corpus) refuses with the rename-back recovery — the step
+    // must never silently re-train over the orphaned index
+    assert(fsOf(idx).rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(s"$idx.__precompact")))
+    val e = intercept[IllegalStateException](step(batch, 2L))
+    assert(e.getMessage.contains("renaming"), e.getMessage)
   }
 
   test("fail-closed: a missing _embplan (interrupted rebuild) refuses " +
