@@ -544,6 +544,16 @@ object Similarity {
    * auto-planned by [[planEmbeddingBands]] at the corpus count, or the
    * explicit reference (bands × bitsPerBand) — freezes in `_embplan`.
    *
+   * Storage is `bands` × the raw vectors (each vector rides its band
+   * rows — the minhash index's stored-shingle tradeoff): the verify
+   * join then reads vectors in place, where a keys-only index would
+   * pay one more corpus-wide shuffle per probe to join the vectors
+   * back. At d=64 floats and the planned 5-7 bands this is ~1.3-1.8 KB
+   * per vector — the probe-latency-for-storage trade a dedup cadence
+   * wants; a deployment tighter on storage than probe time should
+   * store (id, band, key) plus a vector side-table and accept the
+   * extra join.
+   *
    * @return the frozen (bands, bitsPerBand) plan
    */
   def buildEmbeddingIndex(embeddings: DataFrame, vecCol: String,
