@@ -548,7 +548,70 @@ object ProbeSuite {
         s""""count_trigger_fires":$countFires}""")
     }
 
-    val all = Seq(embJson, annJson, fuzzyJson, streamJson, mhJson)
+    // -------------------------------------------------- emb_index
+    // The round-16 embedding band index as STANDING bounds: the frozen
+    // plan is the index's identity (a probe batch that would auto-plan
+    // differently at its own size must still recover every planted ×2
+    // twin — banding with the batch's own plan loses ALL collisions),
+    // and the inherited targeted vacuum holds the same file bounds as
+    // the minhash arm. A regression in the plan sidecar read, the
+    // frozen-plan banding, or the probe's collision join fails the
+    // round here.
+    val embIdxJson = {
+      import graft.operators.{Dedup, Similarity}
+      val vecs = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val nAll = vecs.count()
+      val twins = vecs.filter(pmod(xxhash64(col("vec_id"), lit(3)),
+          lit(20L)) === 0)
+        .select((col("vec_id") + 1000000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        .localCheckpoint(true)
+      val nTwins = twins.count()
+      val idx = Tables.freshScratch("probe_embidx") + "/idx"
+      // a microscopic occupancy target forces the plan OFF the (4, 16)
+      // reference — the probe batch below would plan back to it
+      val (plan, tBuild) = timed(Similarity.buildEmbeddingIndex(vecs,
+        "embedding", "vec_id", idx, minCosine = 0.9,
+        targetOccupancy = 0.0001))
+      val planForced = plan != ((4, 16))
+      val (pairs, tProbe) = timed(
+        Similarity.incrementalEmbeddingPairs(twins, "embedding",
+          "vec_id", idx).collect())
+      val recovered = pairs.count(r =>
+        r.getLong(1) == r.getLong(0) + 1000000000L)
+      val recallOk = recovered.toLong == nTwins
+      // inherited targeted vacuum: 4 ids, bound = ids × bands
+      val doomed = vecs.select("vec_id").orderBy("vec_id").limit(4)
+      Dedup.deleteFromMinhashIndex(spark, idx, doomed, idCol = "vec_id")
+      val ((vacFiles, vacRows), tVac) =
+        timed(Dedup.vacuumMinhashTombstones(spark, idx))
+      val bands = plan._1
+      val vacuumOk = vacFiles <= 4L * bands && vacRows == 4L * bands
+      val afterVac = Similarity.incrementalEmbeddingPairs(twins,
+        "embedding", "vec_id", idx).collect()
+      val deadOk = !afterVac.exists(r =>
+        r.getLong(0) < 4L || (r.getLong(1) - 1000000000L) < 4L &&
+          r.getLong(1) >= 1000000000L)
+      val pass = planForced && recallOk && vacuumOk && deadOk
+      println(f"[probes] emb_index corpus=$nAll twins=$nTwins " +
+        f"plan=$plan build=${tBuild}%.1fs probe=${tProbe}%.1fs " +
+        f"recovered=$recovered recall_ok=$recallOk vacuum " +
+        f"files=$vacFiles (bound ${4L * bands}) rows=$vacRows " +
+        f"wall=${tVac}%.1fs vacuum_ok=$vacuumOk dead_ok=$deadOk " +
+        (if (pass) "ok" else "BAD"))
+      (pass, s""""emb_index":{"pass":$pass,"corpus":$nAll,""" +
+        s""""twins":$nTwins,"plan_bands":${plan._1},""" +
+        s""""plan_bits":${plan._2},"plan_forced":$planForced,""" +
+        s""""build_sec":$tBuild,"probe_sec":$tProbe,""" +
+        s""""recovered":$recovered,"recall_ok":$recallOk,""" +
+        s""""vacuum_files":$vacFiles,"vacuum_file_bound":${4L * bands},""" +
+        s""""vacuum_sec":$tVac,"vacuum_ok":$vacuumOk,""" +
+        s""""dead_ok":$deadOk}""")
+    }
+
+    val all = Seq(embJson, annJson, fuzzyJson, streamJson, mhJson,
+      embIdxJson)
     val pass = all.forall(_._1)
     val json = s"""{"metric":"probes","pass":$pass,"probes":{""" +
       all.map(_._2).mkString(",") + "}}"
