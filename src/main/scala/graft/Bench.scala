@@ -142,6 +142,13 @@ object Bench {
     // per append); a regression that turns the health read into a
     // data-path job moves this row.
     "ann_recon_health",
+    // round 17: the embedding index's reindex verb end-to-end — narrow
+    // forced-plan build + takedown + re-plan/re-band from the index's
+    // own rows under the staged swap + frozen-plan probe at the new
+    // geometry. Completes the three-family maintenance symmetry in the
+    // headline; a regression that re-reads a corpus (there is none to
+    // read), loses the one-pass de-fan, or breaks the swap moves it.
+    "dedup_embedding_reindex",
     // round 15: the fuzzy run END-TO-END (CSV ingest -> QA battery ->
     // alternates multiplication -> blocked OSA join + flip union ->
     // date filter -> multi-match resolve -> tiering + saved-rows state
@@ -171,19 +178,19 @@ object Bench {
     * round changes no under-the-name semantics (renames and NEW rows
     * never need listing — they fall out of the intersection by name). */
   val semanticsChanged: Set[String] = Set(
-    // r15->r16 set (the r14->r15 entries — ann_append_knn,
-    // stream_ann_ingest — are retired per the set's own contract: their
-    // semantics changed only across THAT boundary).
-    // round 16: buildIvfPq now computes and stamps the `_recon`
-    // staleness baseline — one extra bounded aggregation inside the
-    // timed build of this row, a material timed-path change under an
-    // unchanged name (ann_pq_topk builds too but is not a headline
-    // row). Everything else this round added only fs.exists gates
-    // (interrupted-vacuum markers on the minhash paths), a same-size
-    // lineage-prefixed stamp write on the ANN streams, and file-LENGTH
-    // reads inside minhashIndexHealth's existing listing — immaterial,
-    // left comparable.
-    "ann_ivfpq_knn_join")
+    // r16->r17 set (ann_ivfpq_knn_join is retired per the set's own
+    // contract — its `_recon` stamp changed the timed path only across
+    // the r15->r16 boundary; this round it re-baselines, watch it
+    // settle ≈1.9 s).
+    // round 17: ingestEmbeddingBatch now counts each batch's vectors
+    // (the `_rows` drift baseline/bump) on EVERY micro-batch — append
+    // batches previously ran no count at all, so the streaming row
+    // pays one extra column-pruned job per batch, a real per-batch
+    // fixed-cost change under an unchanged name. The batch builds
+    // (dedup_embedding_incremental) already counted for the auto-plan;
+    // their delta is one sidecar write + two sidecar-default parses —
+    // immaterial, left comparable.
+    "stream_emb_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -466,7 +473,8 @@ object Bench {
     // host drift; the canary is single-threaded CPU, so it normalizes
     // same-code drift (the 1.8-6x windows in the README record), not
     // I/O-weather — treat it as a triage signal, not a verdict.
-    val prevNorm: Option[(String, Double, Double, Int)] = {
+    // (name, prev canary, ratio, comparable rows, whole-total fallback?)
+    val prevNorm: Option[(String, Double, Double, Int, Boolean)] = {
       val re = "BENCH_r(\\d+)\\.json".r
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
         .flatMap(f => f.getName match {
@@ -478,23 +486,33 @@ object Bench {
           val j0 = org.json4s.jackson.JsonMethods.parse(
             new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
           // The round driver records bench stdout WRAPPED ({n, rc, cpus,
-          // sf, tail, parsed}) with the metric line embedded in `tail`
-          // under an sbt log prefix (its own `parsed` field is null for
-          // exactly that prefix reason) — so accept either shape: the
-          // bare record, or the wrapper with the metric line extracted
-          // from tail at the first '{'.
-          val j = (j0 \ "queries") match {
-            case JObject(_) => j0
-            case _ => (j0 \ "tail") match {
-              case JString(tail) =>
-                tail.split('\n').filter(_.contains("\"metric\""))
-                  .lastOption.filter(_.contains("{"))
-                  .map(l => org.json4s.jackson.JsonMethods.parse(
+          // sf, tail, parsed}) with the metric line(s) embedded in
+          // `tail` under an sbt log prefix — so accept either shape:
+          // the bare record, or the wrapper with metric lines extracted
+          // from tail at the first '{'. Round 17: bench emits TWO lines
+          // — the full record, then a compact summary sized to survive
+          // the driver's tail truncation (r15/r16 lost their full lines
+          // mid-queries and the normalization chain fell back two
+          // rounds) — so prefer a line WITH the per-query map, fall
+          // back to the summary's whole-total numbers, and only then to
+          // an older file.
+          val candidates: Seq[JValue] = ((j0 \ "tail") match {
+            case JString(tail) =>
+              tail.split('\n').toSeq.filter(_.contains("\"metric\""))
+                .filter(_.contains("{"))
+                .flatMap { l =>
+                  try Some(org.json4s.jackson.JsonMethods.parse(
                     l.substring(l.indexOf('{'))))
-                  .getOrElse(JNothing)
-              case _ => JNothing
-            }
-          }
+                  catch { case scala.util.control.NonFatal(_) => None }
+                }
+            case _ => Seq.empty
+          }) :+ (j0 \ "parsed") :+ j0
+          val j = candidates
+            .find(c => (c \ "queries") match {
+              case JObject(_) => true; case _ => false })
+            .orElse(candidates.find(c =>
+              (c \ "summary") == JBool(true)))
+            .getOrElse(JNothing)
           def num(v: JValue): Option[Double] = v match {
             case JDouble(d) => Some(d); case JInt(i) => Some(i.toDouble)
             case JDecimal(d) => Some(d.toDouble); case JLong(l) => Some(l.toDouble)
@@ -513,8 +531,22 @@ object Bench {
             val prevSum = common.toSeq.map(pq).sum
             if (prevSum > 0)
               Some((f.getName, pc,
-                (thisSum / canarySec) / (prevSum / pc), common.size))
+                (thisSum / canarySec) / (prevSum / pc), common.size, false))
             else None
+          } else if (pc > 0 && canarySec > 0 && pq.isEmpty &&
+            (j \ "summary") == JBool(true)) {
+            // summary-only prior (its full line was truncated away):
+            // whole-total ratio — weaker (a grown headline reads high),
+            // flagged in the record so the ratio is never mistaken for
+            // like-for-like
+            num(j \ "value").filter(_ > 0).map { pTotal =>
+              System.err.println(s"[bench] prev-record ${f.getName}: " +
+                s"only the compact summary line survived — " +
+                s"normalized_vs_prev is a WHOLE-TOTAL ratio " +
+                s"(prev_summary_fallback: true), not like-for-like")
+              (f.getName, pc, (total / canarySec) / (pTotal / pc),
+                num(j \ "n_queries").map(_.toInt).getOrElse(-1), true)
+            }
           } else None
         } catch { case e: Throwable =>
           // non-silent (repo convention): a prior record that cannot be
@@ -538,10 +570,19 @@ object Bench {
     // unchanged name must not read as a like-for-like ratio)
     val excludedJson = semanticsChanged.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val normJson = prevNorm.fold("") { case (name, pc, ratio, n) =>
-      s""","prev_record":"$name","prev_canary_sec":$pc,"comparable_queries":$n,"excluded_changed":$excludedJson,"normalized_vs_prev":$ratio"""
+    val normJson = prevNorm.fold("") { case (name, pc, ratio, n, whole) =>
+      s""","prev_record":"$name","prev_canary_sec":$pc,"comparable_queries":$n,"excluded_changed":$excludedJson,"prev_summary_fallback":$whole,"normalized_vs_prev":$ratio"""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"unsteady":$spreadJson,"redrawn":$redrawnJson,"canary_sec":$canarySec,"canary_mt_sec":$canaryMtSec$normJson,"sf":"$sfDir"}""")
+    // Compact summary line AFTER the full record (round 17, judge ask
+    // #2): the full line grows with the headline (53+ queries) and has
+    // twice outgrown the driver's stdout tail capture, truncating
+    // mid-queries and leaving the round record's `parsed` field null —
+    // the normalization chain then skips rounds. This line is a few
+    // hundred bytes, carries every scalar an audit needs, and sits
+    // LAST so tail truncation can never cut it. The prev-record reader
+    // above understands both shapes.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","summary":true,"n_queries":${results.size},"failed_count":${results.count(_._3)},"unsteady_count":${results.count(_._4)},"canary_sec":$canarySec,"canary_mt_sec":$canaryMtSec$normJson,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3)) sys.exit(1)
   }

@@ -696,6 +696,185 @@ object QueriesText {
           .select(col("id_a"), col("id_b"), col("cosine"))
       }),
 
+    // ---------------- dedup: embedding index reindex (r17)
+    // The drift WARN's prescribed verb end-to-end — the round-14
+    // reindexLsh discipline on the third index: a deliberately NARROW
+    // forced-plan build ((2, 8) sign keys — a DIFFERENT key space than
+    // the oracle's (4, 16) banding, with ~256 cells/band its candidate
+    // sets differ at these corpora), a takedown, then
+    // reindexEmbeddingIndex re-plans FROM THE INDEX'S OWN ROWS (the
+    // vectors are stored — no corpus re-read), honoring tombstones
+    // (the deleted docs must not resurrect) and refreshing `_embplan`
+    // under the staged swap. The probe then answers the shared
+    // incremental oracle AT THE RE-PICKED (4, 16) PLAN — a reindex
+    // that kept the old keys, resurrected a tombstone, or left the
+    // sidecar stale hash-fails.
+    QueryDef("dedup_embedding_reindex", Some {
+      val whens = (0 until 4).map { k =>
+        val key = (0 until 16).map { j =>
+          s"CASE WHEN embedding[${k * 16 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"WHEN $k THEN ($key)"
+      }.mkString("\n               ")
+      s"""
+      WITH planted AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(embedding, x -> x * 2)::FLOAT[] AS embedding
+        FROM embeddings WHERE vec_id % 5 <> 0 AND vec_id % 7 = 0),
+      live AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 5 <> 0 AND vec_id % 11 <> 1),
+      allv AS (
+        SELECT vec_id, embedding FROM live
+        UNION ALL SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id % 5 = 0
+        UNION ALL SELECT vec_id, embedding FROM planted),
+      cells AS (
+        SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM allv),
+      banded AS (
+        SELECT vec_id,
+               r.band,
+               CASE r.band
+               $whens
+               END AS key
+        FROM cells, range(0, 4) r(band)),
+      pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        WHERE a.vec_id < b.vec_id),
+      scored AS (
+        SELECT p.id_a, p.id_b,
+               list_dot_product(ca.v, cb.v) /
+                 (sqrt(list_dot_product(ca.v, ca.v)) *
+                  sqrt(list_dot_product(cb.v, cb.v))) AS cos
+        FROM pairs p
+        JOIN cells ca ON ca.vec_id = p.id_a
+        JOIN cells cb ON cb.vec_id = p.id_b)
+      SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored
+      WHERE round(cos, 6) >= 0.9
+        AND ((id_a % 5 = 0 AND id_a < 1000000) OR id_a >= 1000000
+          OR (id_b % 5 = 0 AND id_b < 1000000) OR id_b >= 1000000)"""
+    },
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val corpus = e.filter(col("vec_id") % 5 =!= 0)
+        val batch = e.filter(col("vec_id") % 5 === 0)
+          .unionByName(corpus.filter(col("vec_id") % 7 === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f))
+                .as("embedding")))
+        val idx = Tables.scratchDir("emb_reidx")
+        Similarity.buildEmbeddingIndex(corpus, "embedding", "vec_id",
+          idx, minCosine = 0.9, bands = 2, bitsPerBand = 8,
+          autoPlan = false)
+        Dedup.deleteFromMinhashIndex(s, idx,
+          corpus.filter(col("vec_id") % 11 === 1).select("vec_id"),
+          idCol = "vec_id")
+        val plan = Similarity.reindexEmbeddingIndex(s, idx,
+          bands = 4, bitsPerBand = 16, autoPlan = true)
+        require(plan == ((4, 16)),
+          s"reindex re-picked $plan at oracle scale — the oracle " +
+            "replays (4, 16) sign banding; counts this small must " +
+            "keep the reference plan")
+        val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        require(!fs.exists(
+          new org.apache.hadoop.fs.Path(s"$idx/_tombstones")),
+          "reindex carried the _tombstones sidecar — the rebuild " +
+            "consumes it (deletes are physical now)")
+        require(Similarity.readEmbPlan(s, idx).planned == ((4, 16)),
+          "reindex left a stale _embplan — probes would band with " +
+            "the OLD keys and lose every collision")
+        Similarity.incrementalEmbeddingPairs(batch, "embedding",
+          "vec_id", idx)
+      }),
+
+    // ---------------- dedup: embedding index health snapshot (r17)
+    // embeddingIndexHealth as an oracle row — the dedup_index_health /
+    // ann_recon_health treatment on the third index. The snapshot's
+    // data-derived fields are DuckDB-replayed value-for-value: the
+    // bucket-occupancy scan (buckets / max bucket / mean occupancy at
+    // 6dp, over LIVE rows — the tombstoned docs must be excluded
+    // before the group-by) via the same banded CTE the pair oracles
+    // use, the skew verdict via the exact comparison the engine makes
+    // (max > skewFactor × greatest(mean, occupancy target)), the
+    // tombstone count from the sidecar, and the BY-CAUSE prescription.
+    // `drifted` is false by construction at oracle counts (the planner
+    // is a no-op below the occupancy threshold) and `fragmented` is a
+    // physical-layout fact — both are REQUIRED quiet here (loud
+    // failure, not a hash mismatch) and get their flipped arms in
+    // EmbeddingIndexSpec.
+    QueryDef("dedup_embedding_health", Some {
+      val whens = (0 until 4).map { k =>
+        val key = (0 until 16).map { j =>
+          s"CASE WHEN embedding[${k * 16 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"WHEN $k THEN ($key)"
+      }.mkString("\n               ")
+      s"""
+      WITH live AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 5 <> 0 AND vec_id % 7 <> 1),
+      banded AS (
+        SELECT vec_id,
+               r.band,
+               CASE r.band
+               $whens
+               END AS key
+        FROM live, range(0, 4) r(band)),
+      occ AS (
+        SELECT band, key, count(*) AS c FROM banded GROUP BY band, key),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS buckets,
+               CAST(max(c) AS BIGINT) AS max_bucket,
+               CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_raw
+        FROM occ)
+      SELECT 'flat' AS layout, 4 AS bands, 16 AS bits,
+             (SELECT CAST(count(DISTINCT vec_id) AS BIGINT)
+              FROM embeddings WHERE vec_id % 5 <> 0) AS vectors,
+             false AS drifted,
+             buckets, max_bucket,
+             round(mean_raw, 6) AS mean_occupancy,
+             CAST(max_bucket AS DOUBLE) > 8.0 * greatest(mean_raw, 2.0)
+               AS skewed,
+             (SELECT CAST(count(DISTINCT vec_id) AS BIGINT)
+              FROM embeddings
+              WHERE vec_id % 5 <> 0 AND vec_id % 7 = 1) AS tombstones,
+             true AS tombstone_heavy,
+             CASE
+               WHEN CAST(max_bucket AS DOUBLE) >
+                 8.0 * greatest(mean_raw, 2.0)
+                 THEN 'reindexEmbeddingIndex'
+               ELSE 'vacuumMinhashTombstones'
+             END AS prescription
+      FROM agg"""
+    },
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val corpus = e.filter(col("vec_id") % 5 =!= 0)
+        val idx = Tables.scratchDir("emb_health_idx")
+        Similarity.buildEmbeddingIndex(corpus, "embedding", "vec_id",
+          idx, minCosine = 0.9, bands = 4, bitsPerBand = 16)
+        Dedup.deleteFromMinhashIndex(s, idx,
+          corpus.filter(col("vec_id") % 7 === 1).select("vec_id"),
+          idCol = "vec_id")
+        val h = Similarity.embeddingIndexHealth(s, idx,
+          tombstoneFloor = 10L)
+        require(!h.fragmented, "one bounded build fragmented the index")
+        require(!h.drifted,
+          s"planner widened at ${h.vectors} vectors — oracle counts " +
+            "must keep the reference plan")
+        require(h.tombstoneHeavy, "takedown below the 10-id floor")
+        Seq((h.layout, h.bands, h.bits, h.vectors, h.drifted, h.buckets,
+          h.maxBucket, h.meanOccupancy, h.skewed, h.tombstones,
+          h.tombstoneHeavy, h.prescription))
+          .toDF("layout", "bands", "bits", "vectors", "drifted",
+            "buckets", "max_bucket", "mean_occupancy", "skewed",
+            "tombstones", "tombstone_heavy", "prescription")
+          .withColumn("mean_occupancy", round(col("mean_occupancy"), 6))
+      }),
+
     // The EXPLICIT-PLAN twin (round 13: the occupancy auto-plan became
     // the production default, mirroring round 12's autoSalt flip — the
     // base row above now exercises the default-auto path): this row pins

@@ -569,14 +569,19 @@ object Similarity {
     val cells = embeddings
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
+    // the autoPlan count doubles as the `_rows` drift-WARN baseline —
+    // one column-pruned job either way, never two
+    val nVecs = cells.count()
     val planned =
       if (!autoPlan) (bands, bitsPerBand)
-      else planEmbeddingBands(cells.count(), minCosine, bands,
+      else planEmbeddingBands(nVecs, minCosine, bands,
         bitsPerBand, targetOccupancy)
     Dedup.indexWrite(
       bandedEmbeddingCells(cells, planned, (bands, bitsPerBand)))
       .mode("overwrite").partitionBy("band").parquet(path)
-    writeEmbPlan(fs, path, planned, (bands, bitsPerBand), minCosine)
+    writeEmbPlan(fs, path, EmbPlan(planned, (bands, bitsPerBand),
+      minCosine, targetOccupancy, autoPlan))
+    writeEmbRows(fs, path, nVecs)
     planned
   }
 
@@ -584,24 +589,41 @@ object Similarity {
     * contract: keys are the index's identity). Refuses the streaming
     * batch= layout and mid-vacuum trees, like the minhash append.
     *
+    * WARNs on plan drift (round 17 — the [[graft.operators.AnnIndex]]
+    * `appendLsh` discipline on this index): when
+    * [[planEmbeddingBands]] at the post-append count would pick a
+    * WIDER geometry than the frozen one, per-band candidate mass has
+    * outgrown the plan's occupancy target and incremental-dedup cost
+    * degrades toward the unbanded regime until
+    * [[reindexEmbeddingIndex]] re-plans. The count comes from the
+    * `_rows` sidecar (advisory — see [[writeEmbRows]]), so the WARN
+    * never runs a job over the index data path.
+    *
     * @return rows appended (one per vector per band) */
   def appendToEmbeddingIndex(newVecs: DataFrame, vecCol: String,
       idCol: String, path: String): Long = {
     val spark = newVecs.sparkSession
-    Dedup.requireNoInterruptedMinhashVacuum(
-      new org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark.sparkContext.hadoopConfiguration),
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Dedup.requireNoInterruptedMinhashVacuum(fs,
       path, "appendToEmbeddingIndex")
     Dedup.requireLayout(spark, path, "batch", "appendToEmbeddingIndex",
       "This index is flat (band= dirs); batch= generations belong to " +
         "the streaming ingest layout.")
-    val (planned, ref, _) = readEmbPlan(spark, path)
+    val plan = readEmbPlan(spark, path)
+    // read the OLD count before the append lands: the missing-sidecar
+    // fallback counts the data path, and counting after would fold the
+    // batch in twice
+    val oldN = embVectorCount(spark, path, plan)
     val cells = newVecs
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
-    Dedup.indexWrite(bandedEmbeddingCells(cells, planned, ref))
+    Dedup.indexWrite(bandedEmbeddingCells(cells, plan.planned, plan.ref))
       .mode("append").partitionBy("band").parquet(path)
-    newVecs.select(col(idCol)).count() * planned._1
+    val appended = newVecs.select(col(idCol)).count()
+    writeEmbRows(fs, path, oldN + appended)
+    warnEmbDrift(plan, oldN + appended, s"appendToEmbeddingIndex($path)")
+    appended * plan.planned._1
   }
 
   /**
@@ -625,8 +647,9 @@ object Similarity {
       scope: Option[DataFrame] = None): DataFrame = {
     val spark = newVecs.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    val (planned, ref, plannedCosine) = readEmbPlan(spark, indexPath)
-    val threshold = if (minCosine.isNaN) plannedCosine else minCosine
+    val plan = readEmbPlan(spark, indexPath)
+    val (planned, ref) = (plan.planned, plan.ref)
+    val threshold = if (minCosine.isNaN) plan.minCosine else minCosine
     val cells = newVecs
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
@@ -708,7 +731,10 @@ object Similarity {
     val cells = newVecs
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
-    val (planned, ref, threshold) = indexPath match {
+    // the batch's vector count feeds the train plan AND the `_rows`
+    // drift baseline/bump — one column-pruned job per batch either way
+    val nBatchVecs = cells.count()
+    val plan = indexPath match {
       case Some(p) => readEmbPlan(spark, p)
       case None =>
         // the train step: plan at THIS batch's count; the sidecar is
@@ -717,10 +743,13 @@ object Similarity {
         fs.delete(new org.apache.hadoop.fs.Path(s"$parent/_embplan"), true)
         val pl =
           if (!autoPlan) (bands, bitsPerBand)
-          else planEmbeddingBands(cells.count(), minCosine, bands,
+          else planEmbeddingBands(nBatchVecs, minCosine, bands,
             bitsPerBand, targetOccupancy)
-        (pl, (bands, bitsPerBand), minCosine)
+        EmbPlan(pl, (bands, bitsPerBand), minCosine, targetOccupancy,
+          autoPlan)
     }
+    val (planned, ref, threshold) =
+      (plan.planned, plan.ref, plan.minCosine)
     val batch = bandedEmbeddingCells(cells, planned, ref)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cosine6 = (vA: Column, nA: Column, vB: Column, nB: Column) =>
@@ -768,33 +797,56 @@ object Similarity {
     val out = pairs.distinct().localCheckpoint(true)
     Dedup.indexWrite(batch).mode("overwrite").partitionBy("band")
       .parquet(indexBatchDir)
-    if (indexPath.isEmpty)
-      writeEmbPlan(fs, parent, planned, (bands, bitsPerBand), minCosine)
+    if (indexPath.isEmpty) {
+      writeEmbPlan(fs, parent, plan)
+      writeEmbRows(fs, parent, nBatchVecs)
+    } else {
+      // advisory bump + drift WARN (see [[appendToEmbeddingIndex]]);
+      // a REPLAYED batch overwrites its own batch= dir but bumps the
+      // advisory count again — the count may over-read after a crash
+      // replay, which only makes the WARN fire early, never late
+      val newN = readEmbRows(fs, parent).getOrElse(0L) + nBatchVecs
+      writeEmbRows(fs, parent, newN)
+      warnEmbDrift(plan, newN, s"ingestEmbeddingBatch($parent)")
+    }
     batch.unpersist(false)
     out
   }
 
+  /** The parsed `_embplan` sidecar: the frozen geometry, the reference
+    * plan it was derived from, the cosine threshold it targets, and
+    * (round 17) the occupancy target + autoPlan flag the build used —
+    * without them the drift check and [[reindexEmbeddingIndex]] would
+    * re-plan against a convention that can disagree with the build. */
+  private[graft] case class EmbPlan(planned: (Int, Int), ref: (Int, Int),
+      minCosine: Double, targetOccupancy: Double, autoPlan: Boolean)
+
   /** Freeze the index's plan: `_embplan` carries the planned geometry,
-    * the reference plan it was derived from, and the cosine threshold
-    * it targets. */
+    * the reference plan it was derived from, the cosine threshold it
+    * targets, and the planner inputs (occupancy target, autoPlan). */
   private def writeEmbPlan(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, planned: (Int, Int), ref: (Int, Int),
-      minCosine: Double): Unit = {
+      path: String, plan: EmbPlan): Unit = {
     val out = fs.create(
       new org.apache.hadoop.fs.Path(s"$path/_embplan"), true)
     try out.write(
-      (s"graft-embplan-v1\nbands=${planned._1}\nbits=${planned._2}\n" +
-        s"ref_bands=${ref._1}\nref_bits=${ref._2}\n" +
-        s"min_cosine=$minCosine\n").getBytes("UTF-8"))
+      (s"graft-embplan-v1\nbands=${plan.planned._1}\n" +
+        s"bits=${plan.planned._2}\n" +
+        s"ref_bands=${plan.ref._1}\nref_bits=${plan.ref._2}\n" +
+        s"min_cosine=${plan.minCosine}\n" +
+        s"target_occupancy=${plan.targetOccupancy}\n" +
+        s"auto_plan=${plan.autoPlan}\n").getBytes("UTF-8"))
     finally out.close()
   }
 
   /** Read + validate `_embplan`, FAIL-CLOSED: a missing sidecar is the
     * interrupted-rebuild state (builds delete it first), and probing
     * with guessed banding would silently lose every cross-batch
-    * collision. */
-  private def readEmbPlan(spark: org.apache.spark.sql.SparkSession,
-      path: String): ((Int, Int), (Int, Int), Double) = {
+    * collision. Round-16 sidecars carry no planner inputs — they
+    * default to the round-16 build defaults (occupancy 2.0, autoPlan
+    * on), which is what those builds ran with. */
+  private[graft] def readEmbPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): EmbPlan = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_embplan")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Dedup.requireNoInterruptedMinhashVacuum(fs, path,
@@ -810,9 +862,257 @@ object Similarity {
       finally in.close()
     val kv = text.split("\n").filter(_.contains("="))
       .map { l => val a = l.split("=", 2); (a(0), a(1)) }.toMap
-    ((kv("bands").toInt, kv("bits").toInt),
+    EmbPlan((kv("bands").toInt, kv("bits").toInt),
       (kv("ref_bands").toInt, kv("ref_bits").toInt),
-      kv("min_cosine").toDouble)
+      kv("min_cosine").toDouble,
+      kv.getOrElse("target_occupancy", "2.0").toDouble,
+      kv.getOrElse("auto_plan", "true").toBoolean)
+  }
+
+  /** Advisory vector-count sidecar (`_rows`) for the embedding band
+    * index — the [[graft.operators.AnnIndex]] discipline: the build
+    * stamps the vector count, appends/stream batches bump it, and the
+    * drift WARN prices geometry growth WITHOUT a per-append job over
+    * the index data path. NOT fail-closed: a missing/garbled sidecar
+    * (legacy round-16 index, crash mid-update) self-heals via
+    * [[embVectorCount]]'s one-time metadata count + re-stamp. */
+  private def writeEmbRows(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, vectors: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_rows"), true)
+    try out.write(vectors.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readEmbRows(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_rows")
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(s.trim.toLong)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The index's vector count: the `_rows` sidecar, or (legacy/garbled)
+    * ONE metadata count of the index divided by the plan's band fanout
+    * (each vector writes exactly `bands` rows), re-stamped so the next
+    * caller reads the sidecar. */
+  private[graft] def embVectorCount(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      plan: EmbPlan): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    readEmbRows(fs, path).getOrElse {
+      val n = spark.read.parquet(path).count() / math.max(1, plan.planned._1)
+      writeEmbRows(fs, path, n)
+      n
+    }
+  }
+
+  /** The fresh plan [[planEmbeddingBands]] would pick at `n` vectors,
+    * when it is WIDER than the frozen one — None for explicit-plan
+    * indexes (the geometry is the caller's contract, like the minhash
+    * index's shingle/hash parameters) and for in-plan growth. */
+  private[graft] def embPlanDrift(plan: EmbPlan, n: Long)
+      : Option[(Int, Int)] =
+    if (!plan.autoPlan) None
+    else {
+      val fresh = planEmbeddingBands(n, plan.minCosine, plan.ref._1,
+        plan.ref._2, plan.targetOccupancy)
+      if (fresh._2 > plan.planned._2 || fresh._1 > plan.planned._1)
+        Some(fresh)
+      else None
+    }
+
+  private def warnEmbDrift(plan: EmbPlan, n: Long, where: String): Unit =
+    embPlanDrift(plan, n).foreach { fresh =>
+      System.err.println(s"[similarity] WARN $where: post-append count " +
+        s"$n plans (bands, bits) = $fresh vs the index's " +
+        s"${plan.planned} — per-band candidate mass is past the plan's " +
+        s"occupancy target and incremental-dedup cost degrades toward " +
+        s"the unbanded regime; call " +
+        s"Similarity.reindexEmbeddingIndex(spark, path) to re-plan and " +
+        s"re-band from the index's own rows.")
+    }
+
+  /** [[embeddingIndexHealth]]'s snapshot — the
+    * [[graft.operators.Dedup.MinhashIndexHealth]] fields (the file/
+    * tombstone lifecycle is inherited layout-generically) plus the two
+    * signals only THIS index needs because its plan is data-dependent:
+    *
+    *  - `drifted`: growth — a fresh [[planEmbeddingBands]] at the
+    *    current `_rows` count picks a wider geometry than the frozen
+    *    one (same planner the append WARN consults, so health and the
+    *    WARN can never disagree). Sidecar-only, no job.
+    *  - `skewed`: distribution shift — bands were planned for
+    *    near-isotropic directions, but a drifted data mix piles rows
+    *    into few sign cells: `maxBucket` exceeds `skewFactor` × the
+    *    larger of the measured mean occupancy and the planned target.
+    *    Occupancy drift is blind to this (the count can be exactly
+    *    on-plan while one hot cell holds half the corpus and every
+    *    probe pays a quadratic verify there) — the band-index analogue
+    *    of the PQ `_recon` staleness signal.
+    *
+    * `buckets`/`maxBucket`/`meanOccupancy` come from ONE column-pruned
+    * aggregate over the live (band, key) columns — two small integer
+    * columns, no vectors read. That is a data-path job, unlike the ANN
+    * healths: run this at maintenance-window cadence, or pass
+    * `checkOccupancy = false` (the in-stream maintenance default) for
+    * a sidecar/listing-only snapshot with the skew fields zeroed.
+    *
+    * `prescription` is by CAUSE, one verb, most-subsuming first:
+    * drift/skew → [[reindexEmbeddingIndex]] (the rebuild drops
+    * tombstones and rewrites files, so it subsumes both takedown
+    * verbs); else fragmentation → the inherited compaction; else
+    * tombstone mass → the inherited targeted vacuum. */
+  case class EmbeddingIndexHealth(layout: String, batches: Int,
+      bands: Int, bits: Int, vectors: Long,
+      freshBands: Int, freshBits: Int, drifted: Boolean,
+      buckets: Long, maxBucket: Long, meanOccupancy: Double,
+      skewed: Boolean, dataFiles: Long, tombstones: Long,
+      fragmented: Boolean, tombstoneHeavy: Boolean, prescription: String)
+
+  /** Compute [[EmbeddingIndexHealth]] for either layout (flat `band=`
+    * or streaming `batch=N/band=`). Fail-closed on a missing `_embplan`
+    * and on mid-vacuum trees, like every other reader. */
+  def embeddingIndexHealth(spark: org.apache.spark.sql.SparkSession,
+      path: String, skewFactor: Double = 8.0,
+      fragmentFactor: Double = 2.0, tombstoneFloor: Long = 1024L,
+      minCompactionGain: Double = 0.1, maxGenerations: Int = 64,
+      checkOccupancy: Boolean = true): EmbeddingIndexHealth = {
+    val plan = readEmbPlan(spark, path) // fail-closed embplan + vacuum
+    val base = Dedup.minhashIndexHealth(spark, path, fragmentFactor,
+      tombstoneFloor, minCompactionGain, maxGenerations)
+    val vectors = embVectorCount(spark, path, plan)
+    val fresh = embPlanDrift(plan, vectors)
+    val (buckets, maxBucket, meanOcc) =
+      if (!checkOccupancy) (0L, 0L, 0.0)
+      else {
+        val occ = Dedup.liveIndexRows(spark, path)
+          .groupBy(col("band"), col("key")).count()
+          .agg(count(lit(1)).as("buckets"), max(col("count")).as("mx"),
+            sum(col("count")).as("rows"))
+          .head()
+        val b = occ.getLong(0)
+        if (b == 0L) (0L, 0L, 0.0)
+        else (b, occ.getLong(1), occ.getLong(2).toDouble / b.toDouble)
+      }
+    val skewed = checkOccupancy && buckets > 0L &&
+      maxBucket.toDouble >
+        skewFactor * math.max(meanOcc, plan.targetOccupancy)
+    val rx =
+      if (fresh.isDefined || skewed) "reindexEmbeddingIndex"
+      else base.prescription
+    EmbeddingIndexHealth(base.layout, base.batches,
+      plan.planned._1, plan.planned._2, vectors,
+      fresh.map(_._1).getOrElse(plan.planned._1),
+      fresh.map(_._2).getOrElse(plan.planned._2), fresh.isDefined,
+      buckets, maxBucket, meanOcc, skewed, base.dataFiles,
+      base.tombstones, base.fragmented, base.tombstoneHeavy, rx)
+  }
+
+  /**
+   * Re-plan and re-band a persisted embedding index FROM ITS OWN ROWS —
+   * the [[graft.operators.AnnIndex.reindexLsh]] verb for this index,
+   * and the drift WARN's prescribed action. The vectors are stored in
+   * the index (the probe-latency-for-storage trade the build makes),
+   * so unlike the PQ reindexes no corpus re-read is needed: live rows
+   * are de-fanned to one (id, v) per vector, tombstones are honored (a
+   * takedown cannot resurrect through a reindex — the `_tombstones`
+   * sidecar is consumed, not carried), the plan is re-picked at the
+   * LIVE count, and the cut-over rides the shared staged-swap protocol
+   * ([[graft.operators.AnnIndex.swapStaged]]): a crash or a throwing
+   * rebuild leaves the original index untouched and answering, never a
+   * readable half-index. The streaming `batch=N` layout collapses into
+   * one `batch=-1` generation (the [[Dedup.compactMinhashIndex]]
+   * convention — no replayed batchId can collide with it), so the verb
+   * also subsumes a compaction; the flat layout rebuilds flat.
+   *
+   * An id appended more than once keeps ONE arbitrary row's vector
+   * (they are re-crawls of the same id; band keys re-derive from
+   * whichever survives).
+   *
+   * @param bands,bitsPerBand the REFERENCE plan the re-plan derives
+   *   from; negative (default) = the reference frozen in `_embplan` —
+   *   NOT the current plan, which may itself already be widened
+   * @param targetOccupancy NaN (default) = the occupancy target the
+   *   index was planned for (`_embplan`)
+   * @return the re-picked (bands, bitsPerBand) plan
+   */
+  def reindexEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, bands: Int = -1, bitsPerBand: Int = -1,
+      autoPlan: Boolean = true,
+      targetOccupancy: Double = Double.NaN): (Int, Int) = {
+    val plan = readEmbPlan(spark, path) // fail-closed embplan + vacuum
+    val refBands = if (bands > 0) bands else plan.ref._1
+    val refBits = if (bitsPerBand > 0) bitsPerBand else plan.ref._2
+    val occ =
+      if (targetOccupancy.isNaN) plan.targetOccupancy else targetOccupancy
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchLayout = fs.listStatus(hPath)
+      .exists(_.getPath.getName.startsWith("batch="))
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__reindexing")
+    val old = new org.apache.hadoop.fs.Path(s"$path.__prereindex")
+    fs.delete(tmp, true); fs.delete(old, true) // prior-crash leftovers
+    val cells = Dedup.liveIndexRows(spark, path)
+      .select(col("id"), col("v"))
+      .dropDuplicates("id")
+      .withColumn("n", norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nLive = cells.count()
+      if (nLive == 0L) throw new IllegalStateException(
+        s"reindexEmbeddingIndex($path): every row is tombstoned — " +
+          s"rebuilding would leave an empty, unreadable tree. Delete " +
+          s"the index directory instead (or re-ingest first).")
+      val planned =
+        if (!autoPlan) (refBands, refBits)
+        else planEmbeddingBands(nLive, plan.minCosine, refBands,
+          refBits, occ)
+      val banded = bandedEmbeddingCells(cells, planned,
+        (refBands, refBits))
+      val writer =
+        if (batchLayout)
+          Dedup.indexWrite(banded.withColumn("batch", lit(-1L)))
+            .partitionBy("batch", "band")
+        else Dedup.indexWrite(banded).partitionBy("band")
+      writer.mode("overwrite").parquet(tmp.toString)
+      writeEmbPlan(fs, tmp.toString, EmbPlan(planned,
+        (refBands, refBits), plan.minCosine, occ, autoPlan))
+      writeEmbRows(fs, tmp.toString, nLive)
+      AnnIndex.swapStaged(fs, hPath, tmp, old, "reindexEmbeddingIndex")
+      planned
+    } finally cells.unpersist(false)
+  }
+
+  /** Execute [[embeddingIndexHealth]]'s prescription — the third
+    * index's [[graft.operators.AnnIndex.maintainIndex]] /
+    * [[Dedup.maintainMinhashIndex]] symmetry, completing the verb set
+    * the other two families already have. One verb per call, by cause;
+    * a healthy index is left completely untouched.
+    *
+    * @return the actions taken, in order */
+  def maintainEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, skewFactor: Double = 8.0,
+      fragmentFactor: Double = 2.0, tombstoneFloor: Long = 1024L,
+      minCompactionGain: Double = 0.1, maxGenerations: Int = 64,
+      checkOccupancy: Boolean = true): Seq[String] = {
+    val h = embeddingIndexHealth(spark, path, skewFactor, fragmentFactor,
+      tombstoneFloor, minCompactionGain, maxGenerations, checkOccupancy)
+    h.prescription match {
+      case "healthy" => Seq.empty
+      case "reindexEmbeddingIndex" =>
+        reindexEmbeddingIndex(spark, path)
+        Seq("reindexEmbeddingIndex")
+      case "vacuumMinhashTombstones" =>
+        Dedup.vacuumMinhashTombstones(spark, path)
+        Seq("vacuumMinhashTombstones")
+      case _ =>
+        Dedup.compactMinhashIndex(spark, path)
+        Seq("compactMinhashIndex")
+    }
   }
 
   /**

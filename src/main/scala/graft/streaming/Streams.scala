@@ -357,8 +357,37 @@ object Streams {
       s"$indexDir/batch=$batchId", minCosine, bands, bitsPerBand,
       autoPlan, targetOccupancy)
     pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-    maybeMaintainMinhash(spark, indexDir, batchId, maintainEvery)
+    maybeMaintainEmbedding(spark, indexDir, batchId, maintainEvery)
   }
+
+  /** [[maybeMaintainMinhash]]'s embedding-index sibling (round 17):
+    * the health snapshot additionally watches PLAN DRIFT — this
+    * index's geometry is data-dependent and frozen at the training
+    * batch, so a stream that grows 100× past batch 0 would otherwise
+    * keep batch-0 banding forever while per-band candidate mass
+    * inflates — and its reindex prescription rebuilds from the index's
+    * own rows under the staged swap (sequential foreachBatch: the swap
+    * can never race an append). The occupancy-SKEW check is excluded
+    * in-stream (`checkOccupancy = false`): it is the one health input
+    * that costs a data-path job, so it belongs to the maintenance
+    * window, not the per-batch gate; drift, fragmentation and
+    * tombstone mass are all sidecar/listing-priced. Gated on the plan
+    * sidecar: before the training batch commits there is nothing to
+    * maintain. */
+  private def maybeMaintainEmbedding(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      batchId: Long, maintainEvery: Int): Unit =
+    if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0 &&
+      indexHasData(spark, indexDir) &&
+      new org.apache.hadoop.fs.Path(s"$indexDir/_embplan").getFileSystem(
+        spark.sessionState.newHadoopConf())
+        .exists(new org.apache.hadoop.fs.Path(s"$indexDir/_embplan"))) {
+      val acts = graft.operators.Similarity.maintainEmbeddingIndex(
+        spark, indexDir, checkOccupancy = false)
+      if (acts.nonEmpty)
+        System.err.println(s"[streams] ingest maintenance($indexDir) " +
+          s"batch $batchId: ${acts.mkString(", ")}")
+    }
 
   /**
    * The full streaming ingestion pipeline: quality-gate each micro-batch

@@ -213,6 +213,149 @@ class EmbeddingIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("_embplan"))
   }
 
+  // 16 extra ±1 vectors whose sign patterns are the bit patterns of
+  // their ids — distinct directions (any two differ in ≥1 of 8 dims →
+  // cosine ≤ 0.75 < 0.9), none colliding with the fixture corpus's
+  // patterns (237/240/127) or forming pairs with the probe batch.
+  private def growth = (100L until 116L).map { i =>
+    (i, vec((0 until 8).map(j =>
+      if (((i >> j) & 1L) == 1L) 1.0 else -1.0): _*))
+  }.toDF("vec_id", "embedding")
+
+  test("drift lifecycle (r17): an auto-planned index that outgrows its " +
+      "frozen geometry flips health's drifted flag, reindex re-plans " +
+      "FROM THE INDEX'S OWN ROWS honoring tombstones, and the probe " +
+      "answers at the re-picked plan") {
+    val idx = tmp("embdrift")
+    // occupancy 0.25 at 3 vectors plans back to the (2, 4) reference
+    // (ceil(log2(12)) = 4 bits); 19 vectors want 7 — the growth cliff
+    val planned = Similarity.buildEmbeddingIndex(corpus, "embedding",
+      "vec_id", idx, minCosine = 0.9, bands = 2, bitsPerBand = 4,
+      autoPlan = true, targetOccupancy = 0.25)
+    assert(planned === ((2, 4)))
+    val h0 = Similarity.embeddingIndexHealth(spark, idx)
+    assert(!h0.drifted && h0.vectors === 3L &&
+      h0.prescription === "healthy", h0.toString)
+    Similarity.appendToEmbeddingIndex(growth, "embedding", "vec_id", idx)
+    val h1 = Similarity.embeddingIndexHealth(spark, idx)
+    assert(h1.drifted && h1.vectors === 19L, h1.toString)
+    assert(h1.freshBits > h1.bits)
+    assert(h1.prescription === "reindexEmbeddingIndex")
+    // a takedown before the reindex must not resurrect through it
+    Dedup.deleteFromMinhashIndex(spark, idx, Seq(2L).toDF("vec_id"),
+      idCol = "vec_id")
+    val newPlan = Similarity.reindexEmbeddingIndex(spark, idx)
+    // ceil(log2(18/0.25)) = 7 bits; bands = ceil(2·p^-3), p = 1 -
+    // acos(0.9)/π ≈ 0.8564 → 4 (the recall-compensated widening)
+    assert(newPlan === ((4, 7)), newPlan.toString)
+    val h2 = Similarity.embeddingIndexHealth(spark, idx)
+    assert(!h2.drifted && h2.bits === 7 && h2.vectors === 18L &&
+      h2.prescription === "healthy", h2.toString)
+    assert(!fsOf(idx).exists(
+      new org.apache.hadoop.fs.Path(s"$idx/_tombstones")),
+      "reindex carried the tombstone sidecar instead of consuming it")
+    assert(spark.read.parquet(idx).filter(col("id") === 2L).count() === 0L,
+      "a tombstoned vector resurrected through the reindex")
+    // the planted twin still recovers through the REINDEXED orthonormal
+    // geometry (wide-plan keys are sign-scale-invariant); the deleted
+    // vector's twin pair is gone
+    val p = pairsOf(idx)
+    assert(p.contains((1L, 10L)), p.toString)
+    assert(!p.exists(q => q._1 == 2L || q._2 == 2L))
+  }
+
+  test("occupancy skew (r17): a hot sign cell flips health's skewed " +
+      "flag at the engine's exact comparison, maintain executes the " +
+      "prescribed reindex, answers preserved; quiet on isotropic data " +
+      "and when the data-path check is declined") {
+    val idx = tmp("embskew")
+    // 6 extra scaled copies of v1 pile 7 rows into v1's cell per band:
+    // buckets 6, max 7, mean 3.0 → skewed at factor 2 (7 > 2·3),
+    // quiet at the default 8 (7 < 8·3)
+    val hot = (30L to 35L).map(i =>
+      (i, vec(3, -3, 3, 3, -3, 3, 3, 3))).toDF("vec_id", "embedding")
+    build(idx, corpus.unionByName(hot))
+    val hq = Similarity.embeddingIndexHealth(spark, idx)
+    assert(!hq.skewed && hq.buckets === 6L && hq.maxBucket === 7L &&
+      hq.meanOccupancy === 3.0, hq.toString)
+    val hs = Similarity.embeddingIndexHealth(spark, idx, skewFactor = 2.0)
+    assert(hs.skewed && hs.prescription === "reindexEmbeddingIndex",
+      hs.toString)
+    // declining the data-path scan zeroes the skew fields (the
+    // in-stream maintenance mode — sidecar/listing-only)
+    val hn = Similarity.embeddingIndexHealth(spark, idx,
+      skewFactor = 2.0, checkOccupancy = false)
+    assert(!hn.skewed && hn.buckets === 0L, hn.toString)
+    val before = pairsOf(idx)
+    val acts = Similarity.maintainEmbeddingIndex(spark, idx,
+      skewFactor = 2.0)
+    assert(acts === Seq("reindexEmbeddingIndex"), acts.toString)
+    assert(pairsOf(idx) === before,
+      "the maintenance reindex changed probe answers")
+    // isotropic control: the plain corpus is quiet even at factor 2
+    val ctl = tmp("embskew_ctl")
+    build(ctl, corpus)
+    assert(!Similarity.embeddingIndexHealth(spark, ctl,
+      skewFactor = 2.0).skewed)
+  }
+
+  test("reindex to an explicit plan is content-identical to a fresh " +
+      "build at that plan; a crash-leftover staging dir neither blocks " +
+      "probes nor the next reindex") {
+    val idx = tmp("embreidx"); val fresh = tmp("embreidx_fresh")
+    build(idx, corpus)
+    // crash leftover from a prior attempt: probes unaffected, the next
+    // reindex clears and succeeds (swapStaged's prior-crash discipline)
+    fsOf(idx).mkdirs(new org.apache.hadoop.fs.Path(s"$idx.__reindexing"))
+    assert(pairsOf(idx).contains((1L, 10L)))
+    val plan = Similarity.reindexEmbeddingIndex(spark, idx,
+      bands = 1, bitsPerBand = 8, autoPlan = false)
+    assert(plan === ((1, 8)))
+    Similarity.buildEmbeddingIndex(corpus, "embedding", "vec_id", fresh,
+      minCosine = 0.9, bands = 1, bitsPerBand = 8, autoPlan = false)
+    val read = (p: String) => spark.read.parquet(p)
+      .select(col("id"), col("band").cast("int"), col("key"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(read(idx) === read(fresh))
+    assert(pairsOf(idx) === pairsOf(fresh))
+    assert(!fsOf(idx).exists(
+      new org.apache.hadoop.fs.Path(s"$idx.__reindexing")))
+  }
+
+  test("in-stream drift maintenance (r17): embDedupIngest(maintainEvery)" +
+      " reindexes its own index when growth flips the drift flag — " +
+      "generations collapse to batch=-1, _embplan re-freezes at the " +
+      "re-picked plan, and later batches cross-collide through the new " +
+      "geometry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_embdrs").toString
+    val idx = s"$dir/idx"
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.embDedupIngest(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      idx, s"$dir/pairs", s"$dir/ckpt", minCosine = 0.9, bands = 2,
+      bitsPerBand = 4, autoPlan = true, targetOccupancy = 0.25,
+      maintainEvery = 1)
+    try {
+      mem.addData(corpus.as[(Long, Seq[Float])].collect().toSeq: _*)
+      q.processAllAvailable() // trains (2, 4) at 3 vectors
+      assert(Similarity.readEmbPlan(spark, idx).planned === ((2, 4)))
+      mem.addData(growth.as[(Long, Seq[Float])].collect().toSeq: _*)
+      q.processAllAvailable() // 19 vectors → drift → in-stream reindex
+      assert(Similarity.readEmbPlan(spark, idx).planned === ((4, 7)),
+        "the in-stream maintenance did not re-plan the drifted index")
+      assert(Dedup.minhashIndexHealth(spark, idx).batches === 1,
+        "the reindex did not collapse the stream's generations")
+      mem.addData(batch.as[(Long, Seq[Float])].collect().toSeq: _*)
+      q.processAllAvailable() // probes ride the REINDEXED geometry
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 10L)) && got.contains((2L, 11L)),
+      s"cross-batch twins lost through the reindexed geometry: $got")
+  }
+
   test("the auto-planned frozen plan is the INDEX's identity: a probe " +
       "bands its batch with the sidecar plan even when the batch size " +
       "would plan differently") {

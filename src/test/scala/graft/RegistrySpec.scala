@@ -101,6 +101,7 @@ class RegistrySpec extends AnyFunSuite {
         "dedup_source_matrix", "dedup_repeated_spans"),
       "dedup-index" -> Seq("dedup_minhash_incremental",
         "dedup_embedding_incremental", "stream_emb_ingest",
+        "dedup_embedding_reindex", "dedup_embedding_health",
         "dedup_index_delete", "dedup_index_vacuum", "dedup_index_health",
         "dedup_index_scoped", "stream_dedup_ingest",
         "stream_dedup_maintain", "stream_qgate_pairs",
