@@ -875,6 +875,70 @@ object QueriesText {
           .withColumn("mean_occupancy", round(col("mean_occupancy"), 6))
       }),
 
+    // ---------------- streaming: embedding ingest + in-stream REINDEX
+    // (r17) The three-family stream-maintenance symmetry's last row
+    // (stream_dedup_maintain / stream_ann_maintain /
+    // stream_ivfpq_maintain exist): a microscopic occupancy target
+    // makes the training batch freeze a plan the growing stream
+    // outgrows on EVERY later batch, so maintainEvery=1 executes the
+    // drift-prescribed reindexEmbeddingIndex IN-STREAM — mid-stream
+    // the index re-plans and re-bands from its own rows while later
+    // batches keep dedup'ing against it. The requires pin that the
+    // final frozen plan equals the plan AT THE FULL COUNT and differs
+    // from batch 0's (a stream that never re-planned fails loudly);
+    // the oracle is BRUTE-FORCE all-pairs cosine — plan-independent by
+    // construction, valid because planted ×2 twins collide in every
+    // band under ANY sign/ortho plan (scale-invariant keys) and the
+    // synthetic embeddings carry no accidental cos >= 0.9 pairs at
+    // oracle SFs. Twins land in different micro-batches than their
+    // originals (1000000 % 3 = 1), so every twin pair crosses a
+    // reindexed index boundary.
+    QueryDef("stream_emb_maintain", Some("""
+      WITH planted AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(embedding, x -> x * 2)::FLOAT[] AS embedding
+        FROM embeddings WHERE vec_id % 7 = 0),
+      cells AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL SELECT vec_id, embedding::DOUBLE[] AS v FROM planted),
+      scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))) AS cos
+        FROM cells a JOIN cells b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored
+      WHERE round(cos, 6) >= 0.9"""),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val planted = e.filter(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        val allv = e.unionByName(planted)
+        val root = Tables.freshScratch("stream_emb_mnt")
+        val src = stageMicroBatches(s, allv, root, idCol = "vec_id")
+        val q = graft.streaming.Streams.embDedupIngest(src, "embedding",
+          "vec_id", s"$root/idx", s"$root/pairs", s"$root/ckpt",
+          minCosine = 0.9, targetOccupancy = 0.001, maintainEvery = 1)
+        try q.processAllAvailable() finally q.stop()
+        val total = allv.count()
+        val b0 = allv.filter(pmod(col("vec_id"), lit(3)) === 0).count()
+        val got = Similarity.readEmbPlan(s, s"$root/idx").planned
+        require(got == Similarity.planEmbeddingBands(total, 0.9, 4, 16,
+          targetOccupancy = 0.001),
+          s"final plan $got is not the full-count plan — the in-stream " +
+            "reindex did not run (or re-planned at the wrong count)")
+        require(got != Similarity.planEmbeddingBands(b0, 0.9, 4, 16,
+          targetOccupancy = 0.001),
+          "fixture defect: the stream never outgrew batch 0's plan — " +
+            "the in-stream reindex was vacuous")
+        require(!Similarity.embeddingIndexHealth(s, s"$root/idx",
+          checkOccupancy = false).drifted,
+          "post-stream health still reports drift")
+        s.read.parquet(s"$root/pairs")
+          .select(col("id_a"), col("id_b"), col("cosine"))
+      }),
+
     // The EXPLICIT-PLAN twin (round 13: the occupancy auto-plan became
     // the production default, mirroring round 12's autoSalt flip — the
     // base row above now exercises the default-auto path): this row pins

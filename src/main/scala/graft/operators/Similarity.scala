@@ -895,16 +895,17 @@ object Similarity {
   }
 
   /** The index's vector count: the `_rows` sidecar, or (legacy/garbled)
-    * ONE metadata count of the index divided by the plan's band fanout
-    * (each vector writes exactly `bands` rows), re-stamped so the next
-    * caller reads the sidecar. */
+    * ONE metadata count of the band-0 partition (each vector writes
+    * exactly one row per band, so band 0 alone counts vectors and the
+    * partition filter keeps even the fallback off the other bands'
+    * footers), re-stamped so the next caller reads the sidecar. */
   private[graft] def embVectorCount(
       spark: org.apache.spark.sql.SparkSession, path: String,
       plan: EmbPlan): Long = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     readEmbRows(fs, path).getOrElse {
-      val n = spark.read.parquet(path).count() / math.max(1, plan.planned._1)
+      val n = spark.read.parquet(path).filter(col("band") === 0).count()
       writeEmbRows(fs, path, n)
       n
     }
@@ -973,6 +974,16 @@ object Similarity {
       skewed: Boolean, dataFiles: Long, tombstones: Long,
       fragmented: Boolean, tombstoneHeavy: Boolean, prescription: String)
 
+  /** The skew scan's frame — live (band, key) bucket sizes. Factored so
+    * the spec can pin its PLAN: `band` is a partition column and `key`
+    * the only data column read (`ReadSchema` carries no vectors — at
+    * 100 TB the difference between a two-int-column scan and dragging
+    * every stored vector through the group-by). */
+  private[graft] def embOccupancyFrame(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    Dedup.liveIndexRows(spark, path)
+      .groupBy(col("band"), col("key")).count()
+
   /** Compute [[EmbeddingIndexHealth]] for either layout (flat `band=`
     * or streaming `batch=N/band=`). Fail-closed on a missing `_embplan`
     * and on mid-vacuum trees, like every other reader. */
@@ -989,8 +1000,7 @@ object Similarity {
     val (buckets, maxBucket, meanOcc) =
       if (!checkOccupancy) (0L, 0L, 0.0)
       else {
-        val occ = Dedup.liveIndexRows(spark, path)
-          .groupBy(col("band"), col("key")).count()
+        val occ = embOccupancyFrame(spark, path)
           .agg(count(lit(1)).as("buckets"), max(col("count")).as("mx"),
             sum(col("count")).as("rows"))
           .head()
@@ -1056,7 +1066,13 @@ object Similarity {
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__reindexing")
     val old = new org.apache.hadoop.fs.Path(s"$path.__prereindex")
     fs.delete(tmp, true); fs.delete(old, true) // prior-crash leftovers
+    // every vector fans out to EVERY band at write time, so band 0 alone
+    // carries one row per vector — the partition filter prunes the scan
+    // to 1/bands of the index and the de-fan needs no shuffle at all
+    // (dropDuplicates stays for the double-appended-id case only, now
+    // over 1/bands of the data)
     val cells = Dedup.liveIndexRows(spark, path)
+      .filter(col("band") === 0)
       .select(col("id"), col("v"))
       .dropDuplicates("id")
       .withColumn("n", norm(col("v")))

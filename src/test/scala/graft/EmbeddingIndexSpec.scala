@@ -356,6 +356,22 @@ class EmbeddingIndexSpec extends SparkSpec {
       s"cross-batch twins lost through the reindexed geometry: $got")
   }
 
+  test("the skew scan's plan reads NO vectors: band is a partition " +
+      "column and key the only data column (the two-int-column scan " +
+      "the health scaladoc promises at 100 TB)") {
+    val idx = tmp("embocc")
+    build(idx, corpus)
+    val plan = Similarity.embOccupancyFrame(spark, idx)
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator
+      .flatMap(_.split("ReadSchema: ").drop(1)).mkString
+    assert(readSchema.nonEmpty, plan)
+    assert(readSchema.contains("struct<key:bigint>") &&
+      !readSchema.contains("array"),
+      s"the occupancy scan reads more than the key column " +
+        s"($readSchema):\n$plan")
+  }
+
   test("the auto-planned frozen plan is the INDEX's identity: a probe " +
       "bands its batch with the sidecar plan even when the batch size " +
       "would plan differently") {

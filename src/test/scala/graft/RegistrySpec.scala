@@ -102,6 +102,7 @@ class RegistrySpec extends AnyFunSuite {
       "dedup-index" -> Seq("dedup_minhash_incremental",
         "dedup_embedding_incremental", "stream_emb_ingest",
         "dedup_embedding_reindex", "dedup_embedding_health",
+        "stream_emb_maintain",
         "dedup_index_delete", "dedup_index_vacuum", "dedup_index_health",
         "dedup_index_scoped", "stream_dedup_ingest",
         "stream_dedup_maintain", "stream_qgate_pairs",
