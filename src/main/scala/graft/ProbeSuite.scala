@@ -654,14 +654,34 @@ object ProbeSuite {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
           .exists(new org.apache.hadoop.fs.Path(s"$sIdx/_tombstones"))
         val (_, tC) = timed(compactMinhashIndex(spark, sIdx))
+        // at the FULL size: the round-17 reindex verb as a standing
+        // bound — a tighter occupancy target forces a wider re-plan
+        // (the drift scenario's fix) FROM THE INDEX'S OWN ROWS; probe
+        // answers must be IDENTICAL across the swap (exact twins
+        // collide under any plan) and the new geometry must actually
+        // widen. Wall recorded; the verb is O(index) by design.
+        val reidx =
+          if (den != 1L) None
+          else {
+            val (newPlan, tR) = timed(
+              Similarity.reindexEmbeddingIndex(spark, sIdx,
+                targetOccupancy = 0.25))
+            val afterReidx = probe()
+            val same = afterReidx.map(r => (r.getLong(0), r.getLong(1)))
+              .toSet == afterVac.map(r => (r.getLong(0), r.getLong(1))).toSet
+            Some((tR, newPlan, same && newPlan._2 > sPlan._2))
+          }
         val ok = twinsGot == nTwinBatch && !leak && sidecarGone &&
-          vFiles <= 8L * sPlan._1 && vRows == 8L * sPlan._1
+          vFiles <= 8L * sPlan._1 && vRows == 8L * sPlan._1 &&
+          reidx.forall(_._3)
         println(f"[probes] emb_index slope n=${nBig / den} plan=$sPlan " +
           f"build=$tB%.1fs probe=$tP%.1fs twins=$twinsGot/$nTwinBatch " +
           f"delete=$tD%.2fs vacuum=$tV%.1fs (files=$vFiles bound " +
           f"${8L * sPlan._1} rows=$vRows) compact=$tC%.1fs " +
+          reidx.fold("")(r => f"reindex=${r._1}%.1fs -> ${r._2} " +
+            f"identical_ok=${r._3} ") +
           (if (ok) "ok" else "BAD"))
-        (den, sPlan, tB, tP, tD, tV, vFiles, tC, ok)
+        (den, sPlan, tB, tP, tD, tV, vFiles, tC, ok, reidx)
       }
       val q = slope.head; val full = slope.last
       val deleteFlat = full._5 <= math.max(3.0 * q._5, 2.0)
@@ -671,12 +691,17 @@ object ProbeSuite {
         println(f"[probes] emb_index slope BAD: delete ¼=${q._5}%.2fs " +
           f"1×=${full._5}%.2fs flat=$deleteFlat; vacuum ¼=${q._6}%.1fs " +
           f"1×=${full._6}%.1fs flat=$vacuumFlat")
-      val slopeJson = slope.map { case (den, p, tB, tP, tD, tV, vF, tC, ok) =>
-        s"""{"n":${nBig / den},"plan_bands":${p._1},"plan_bits":${p._2},""" +
-          s""""build_sec":$tB,"probe_sec":$tP,"delete_sec":$tD,""" +
-          s""""vacuum_sec":$tV,"vacuum_files":$vF,""" +
-          s""""vacuum_file_bound":${8L * p._1},"compact_sec":$tC,""" +
-          s""""ok":$ok}"""
+      val slopeJson = slope.map {
+        case (den, p, tB, tP, tD, tV, vF, tC, ok, reidx) =>
+          s"""{"n":${nBig / den},"plan_bands":${p._1},"plan_bits":${p._2},""" +
+            s""""build_sec":$tB,"probe_sec":$tP,"delete_sec":$tD,""" +
+            s""""vacuum_sec":$tV,"vacuum_files":$vF,""" +
+            s""""vacuum_file_bound":${8L * p._1},"compact_sec":$tC,""" +
+            reidx.fold("") { case (tR, np, rok) =>
+              s""""reindex_sec":$tR,"reindex_bands":${np._1},""" +
+                s""""reindex_bits":${np._2},"reindex_identical":$rok,"""
+            } +
+            s""""ok":$ok}"""
       }.mkString("[", ",", "]")
       val pass = planForced && recallOk && vacuumOk && deadOk && slopeOk
       println(f"[probes] emb_index corpus=$nAll twins=$nTwins " +

@@ -851,12 +851,29 @@ object Similarity {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Dedup.requireNoInterruptedMinhashVacuum(fs, path,
       "embedding index read")
-    if (!fs.exists(p)) throw new IllegalStateException(
-      s"embedding index at $path has no _embplan sidecar — the build " +
-        s"deletes it before writing data, so this is an interrupted " +
-        s"rebuild (or not an embedding band index); probing with " +
-        s"guessed banding would silently miss every collision. " +
-        s"Rebuild the index.")
+    if (!fs.exists(p)) {
+      // a maintenance swap that crashed between its two renames leaves
+      // the live path missing and the ONLY copy in the pre-swap dir —
+      // prescribing a rebuild here would orphan it (the round-16
+      // streaming guard, extended to every batch reader: all embedding
+      // index reads funnel through this plan load)
+      Seq(".__prereindex", ".__precompact").foreach { suf =>
+        val orphan = new org.apache.hadoop.fs.Path(path + suf)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(path)) &&
+          fs.exists(orphan)) throw new IllegalStateException(
+          s"embedding index read($path): the index path is missing but " +
+            s"$orphan exists — a maintenance swap crashed between its " +
+            s"two renames and that dir holds the intact pre-swap index. " +
+            s"Recover by renaming it back to $path (nothing was lost); " +
+            s"do NOT rebuild over the orphan.")
+      }
+      throw new IllegalStateException(
+        s"embedding index at $path has no _embplan sidecar — the build " +
+          s"deletes it before writing data, so this is an interrupted " +
+          s"rebuild (or not an embedding band index); probing with " +
+          s"guessed banding would silently miss every collision. " +
+          s"Rebuild the index.")
+    }
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()

@@ -356,6 +356,26 @@ class EmbeddingIndexSpec extends SparkSpec {
       s"cross-batch twins lost through the reindexed geometry: $got")
   }
 
+  test("a crashed maintenance SWAP (live path missing, pre-swap dir " +
+      "holding the only copy) fails every batch reader with the " +
+      "rename-back recovery — never the rebuild prescription that " +
+      "would orphan it") {
+    val idx = tmp("embcrashswap")
+    build(idx, corpus)
+    assert(fsOf(idx).rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(s"$idx.__prereindex")))
+    val e1 = intercept[IllegalStateException](pairsOf(idx))
+    assert(e1.getMessage.contains("renaming it back"), e1.getMessage)
+    val e2 = intercept[IllegalStateException](
+      Similarity.reindexEmbeddingIndex(spark, idx))
+    assert(e2.getMessage.contains("renaming it back"), e2.getMessage)
+    // the prescribed recovery works: rename back, everything answers
+    assert(fsOf(idx).rename(
+      new org.apache.hadoop.fs.Path(s"$idx.__prereindex"),
+      new org.apache.hadoop.fs.Path(idx)))
+    assert(pairsOf(idx).contains((1L, 10L)))
+  }
+
   test("the skew scan's plan reads NO vectors: band is a partition " +
       "column and key the only data column (the two-int-column scan " +
       "the health scaladoc promises at 100 TB)") {
