@@ -571,7 +571,14 @@ object Bench {
     val excludedJson = semanticsChanged.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val normJson = prevNorm.fold("") { case (name, pc, ratio, n, whole) =>
-      s""","prev_record":"$name","prev_canary_sec":$pc,"comparable_queries":$n,"excluded_changed":$excludedJson,"prev_summary_fallback":$whole,"normalized_vs_prev":$ratio"""
+      // comparable_queries keeps its contract (the intersection size the
+      // ratio was computed over) — a summary-fallback ratio has NO
+      // intersection, so the field reads -1 and the prior headline size
+      // moves to its own prev_n_queries field
+      val cmp =
+        if (whole) s""""comparable_queries":-1,"prev_n_queries":$n"""
+        else s""""comparable_queries":$n"""
+      s""","prev_record":"$name","prev_canary_sec":$pc,$cmp,"excluded_changed":$excludedJson,"prev_summary_fallback":$whole,"normalized_vs_prev":$ratio"""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"unsteady":$spreadJson,"redrawn":$redrawnJson,"canary_sec":$canarySec,"canary_mt_sec":$canaryMtSec$normJson,"sf":"$sfDir"}""")
     // Compact summary line AFTER the full record (round 17, judge ask

@@ -862,7 +862,10 @@ object QueriesText {
         val h = Similarity.embeddingIndexHealth(s, idx,
           tombstoneFloor = 10L)
         require(!h.fragmented, "one bounded build fragmented the index")
-        require(!h.drifted,
+        // the oracle replays (4,16) sign banding — assert the PLAN, not
+        // drifted (which is vacuously false right after any build: the
+        // fresh plan re-derives from the same recorded count)
+        require(Similarity.readEmbPlan(s, idx).planned == ((4, 16)),
           s"planner widened at ${h.vectors} vectors — oracle counts " +
             "must keep the reference plan")
         require(h.tombstoneHeavy, "takedown below the 10-id floor")

@@ -2136,6 +2136,30 @@ object AnnIndex {
     * traffic should be PUBLISHED into a SnapshotStore (which already
     * exists and is oracle-gated) rather than re-implementing its
     * version-flip here. */
+  /** Refuse to read or mutate over a CRASHED staged swap — the
+    * [[swapStaged]] protocol's one unrecoverable-looking window is a
+    * crash between its two renames: the live path is missing and the
+    * pre-swap dir holds the ONLY copy. Every caller must fail with the
+    * rename-back recovery, never a rebuild/re-train prescription that
+    * would orphan it. A missing live path with NO leftover dirs is just
+    * a not-yet-built index, which each caller handles its own way.
+    * Canonical here because this file owns the swap protocol (and its
+    * suffixes); [[graft.streaming.Streams]] and the embedding index's
+    * plan reader both delegate. */
+  private[graft] def requireNoCrashedSwap(
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      op: String): Unit =
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+      Seq(".__precompact", ".__prereindex").foreach { suf =>
+        val orphan = new org.apache.hadoop.fs.Path(path + suf)
+        if (fs.exists(orphan)) throw new IllegalStateException(
+          s"$op($path): the index path is missing but $orphan exists — " +
+            s"a maintenance swap crashed between its two renames and " +
+            s"that dir holds the intact pre-swap index. Recover by " +
+            s"renaming it back to $path (nothing was lost); do not " +
+            s"rebuild or re-train over the orphan.")
+      }
+
   private[operators] def swapStaged(fs: org.apache.hadoop.fs.FileSystem,
       live: org.apache.hadoop.fs.Path, staged: org.apache.hadoop.fs.Path,
       old: org.apache.hadoop.fs.Path, op: String): Unit = {

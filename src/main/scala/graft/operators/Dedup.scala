@@ -1472,12 +1472,19 @@ object Dedup {
     // band index's frozen-plan sidecar ([[Similarity.buildEmbeddingIndex]]
     // — this compaction is layout-generic and serves that index too) IS
     // carried: compaction preserves content, so the plan stays valid,
-    // and losing it would fail-close every later probe.
-    val embPlan = new org.apache.hadoop.fs.Path(s"$path/_embplan")
-    if (fs.exists(embPlan))
-      org.apache.hadoop.fs.FileUtil.copy(fs, embPlan,
-        fs, new org.apache.hadoop.fs.Path(s"$tmp/_embplan"),
-        false, spark.sparkContext.hadoopConfiguration)
+    // and losing it would fail-close every later probe. Its advisory
+    // `_rows` drift baseline (round 17) is carried for the same reason —
+    // dropping it would hand the next stream batch a fresh-start count
+    // and silently disable the drift WARN on exactly the long-lived
+    // streams it exists for (the old count over-reads by the compacted-
+    // away tombstoned rows, which only makes the WARN fire early).
+    Seq("_embplan", "_rows").foreach { sc =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sc")
+      if (fs.exists(p))
+        org.apache.hadoop.fs.FileUtil.copy(fs, p,
+          fs, new org.apache.hadoop.fs.Path(s"$tmp/$sc"),
+          false, spark.sparkContext.hadoopConfiguration)
+    }
     AnnIndex.swapStaged(fs, hPath, tmp, old, "compactMinhashIndex")
     (before, minhashDataFiles(fs, path))
   }

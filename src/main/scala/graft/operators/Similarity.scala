@@ -614,7 +614,7 @@ object Similarity {
     // read the OLD count before the append lands: the missing-sidecar
     // fallback counts the data path, and counting after would fold the
     // batch in twice
-    val oldN = embVectorCount(spark, path, plan)
+    val oldN = embVectorCount(spark, path)
     val cells = newVecs
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
@@ -791,6 +791,13 @@ object Similarity {
           .filter(col("cosine") >= threshold)
           .union(inBatch)
     }
+    // the OLD advisory count, read BEFORE this batch's rows land: a
+    // missing sidecar (a legacy round-16 index, or a crash mid-update)
+    // self-heals via [[embVectorCount]]'s band-0 metadata count — a
+    // fresh-start 0 here would poison the drift baseline permanently
+    // (the count would then under-read unboundedly and the WARN/health
+    // drift flag would never fire again)
+    val oldN = indexPath.fold(0L)(p => embVectorCount(spark, p))
     // materialize the pairs FIRST (reads the index before this batch's
     // own rows join it), then write the batch partition from the cached
     // banded table — both actions reuse the one persisted table
@@ -805,7 +812,7 @@ object Similarity {
       // a REPLAYED batch overwrites its own batch= dir but bumps the
       // advisory count again — the count may over-read after a crash
       // replay, which only makes the WARN fire early, never late
-      val newN = readEmbRows(fs, parent).getOrElse(0L) + nBatchVecs
+      val newN = oldN + nBatchVecs
       writeEmbRows(fs, parent, newN)
       warnEmbDrift(plan, newN, s"ingestEmbeddingBatch($parent)")
     }
@@ -855,18 +862,9 @@ object Similarity {
       // a maintenance swap that crashed between its two renames leaves
       // the live path missing and the ONLY copy in the pre-swap dir —
       // prescribing a rebuild here would orphan it (the round-16
-      // streaming guard, extended to every batch reader: all embedding
+      // streaming guard, applied to every batch reader: all embedding
       // index reads funnel through this plan load)
-      Seq(".__prereindex", ".__precompact").foreach { suf =>
-        val orphan = new org.apache.hadoop.fs.Path(path + suf)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(path)) &&
-          fs.exists(orphan)) throw new IllegalStateException(
-          s"embedding index read($path): the index path is missing but " +
-            s"$orphan exists — a maintenance swap crashed between its " +
-            s"two renames and that dir holds the intact pre-swap index. " +
-            s"Recover by renaming it back to $path (nothing was lost); " +
-            s"do NOT rebuild over the orphan.")
-      }
+      AnnIndex.requireNoCrashedSwap(fs, path, "embedding index read")
       throw new IllegalStateException(
         s"embedding index at $path has no _embplan sidecar — the build " +
           s"deletes it before writing data, so this is an interrupted " +
@@ -917,8 +915,7 @@ object Similarity {
     * partition filter keeps even the fallback off the other bands'
     * footers), re-stamped so the next caller reads the sidecar. */
   private[graft] def embVectorCount(
-      spark: org.apache.spark.sql.SparkSession, path: String,
-      plan: EmbPlan): Long = {
+      spark: org.apache.spark.sql.SparkSession, path: String): Long = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     readEmbRows(fs, path).getOrElse {
@@ -1012,7 +1009,7 @@ object Similarity {
     val plan = readEmbPlan(spark, path) // fail-closed embplan + vacuum
     val base = Dedup.minhashIndexHealth(spark, path, fragmentFactor,
       tombstoneFloor, minCompactionGain, maxGenerations)
-    val vectors = embVectorCount(spark, path, plan)
+    val vectors = embVectorCount(spark, path)
     val fresh = embPlanDrift(plan, vectors)
     val (buckets, maxBucket, meanOcc) =
       if (!checkOccupancy) (0L, 0L, 0.0)
@@ -1126,6 +1123,29 @@ object Similarity {
     * the other two families already have. One verb per call, by cause;
     * a healthy index is left completely untouched.
     *
+    * The reindex arm is guarded against two rewrite-without-progress
+    * traps (both the unbounded-write-amplification class the round-16
+    * compaction trigger fix removed):
+    *
+    *  - An EXPLICIT-plan index (autoPlan=false frozen at build) is the
+    *    caller's key-space contract — drift never fires for it, and a
+    *    skew flip must not silently convert it to auto-planned keys
+    *    (anything replaying the contracted banding externally would
+    *    lose every collision). Maintain WARNs and leaves it untouched;
+    *    the fix is the caller's (rebuild wider, or dedup the corpus).
+    *  - Skew WITHOUT drift means the count hasn't crossed a planner
+    *    boundary, so a same-occupancy re-plan reproduces byte-identical
+    *    keys — an O(index) rewrite that cannot change the measurement.
+    *    Maintain instead tightens the occupancy target 4× (two extra
+    *    bits), so the rebuild provably widens; the tightened target
+    *    persists in `_embplan`, so repeated skew flips WALK the
+    *    geometry toward `maxBits` (splitting any hot cell of distinct
+    *    directions) instead of thrashing in place. When even the
+    *    tightened plan equals the frozen one (the maxBits cap), the
+    *    hot mass is plan-invariant — duplicate vectors share every key
+    *    under every hyperplane family — and maintain WARNs that no
+    *    banding fixes that (dedup the corpus) rather than rewriting.
+    *
     * @return the actions taken, in order */
   def maintainEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, skewFactor: Double = 8.0,
@@ -1137,8 +1157,34 @@ object Similarity {
     h.prescription match {
       case "healthy" => Seq.empty
       case "reindexEmbeddingIndex" =>
-        reindexEmbeddingIndex(spark, path)
-        Seq("reindexEmbeddingIndex")
+        val plan = readEmbPlan(spark, path)
+        if (!plan.autoPlan) {
+          System.err.println(s"[similarity] WARN " +
+            s"maintainEmbeddingIndex($path): band-occupancy skew on an " +
+            s"EXPLICIT-plan index — the geometry is the caller's " +
+            s"contract, so maintain will not re-band it; rebuild with " +
+            s"a wider explicit plan (or autoPlan) or dedup the corpus.")
+          Seq.empty
+        } else {
+          val occ =
+            if (h.drifted) plan.targetOccupancy
+            else plan.targetOccupancy / 4
+          val candidate = planEmbeddingBands(embVectorCount(spark, path),
+            plan.minCosine, plan.ref._1, plan.ref._2, occ)
+          if (candidate == plan.planned) {
+            System.err.println(s"[similarity] WARN " +
+              s"maintainEmbeddingIndex($path): skew is PLAN-INVARIANT " +
+              s"at this count (hot cells survive even a ${occ}-target " +
+              s"re-plan — duplicate vectors share every key under " +
+              s"every hyperplane family); skipping the no-progress " +
+              s"rewrite. Dedup the corpus, or lower targetOccupancy " +
+              s"manually via reindexEmbeddingIndex.")
+            Seq.empty
+          } else {
+            reindexEmbeddingIndex(spark, path, targetOccupancy = occ)
+            Seq("reindexEmbeddingIndex")
+          }
+        }
       case "vacuumMinhashTombstones" =>
         Dedup.vacuumMinhashTombstones(spark, path)
         Seq("vacuumMinhashTombstones")

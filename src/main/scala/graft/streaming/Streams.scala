@@ -218,30 +218,22 @@ object Streams {
     }
   }
 
-  /** Refuse to ingest over a CRASHED maintenance swap (round 16): the
-    * staged-swap protocol's one unrecoverable-looking window is a crash
-    * between its two renames — the live path is missing and the
-    * `.__precompact` / `.__prereindex` dir holds the ONLY copy. A
-    * streaming batch that lands then would see "no index" and silently
-    * re-train over the orphaned corpus; instead every ingest step fails
-    * with the recovery (one rename back — nothing was lost). A missing
-    * live path with NO leftover dirs is just a first batch. */
+  /** Refuse to ingest over a CRASHED maintenance swap (round 16): a
+    * streaming batch landing in the swap protocol's one
+    * unrecoverable-looking window (live path missing, pre-swap dir
+    * holding the only copy) would see "no index" and silently re-train
+    * over the orphaned corpus. Delegates to the canonical guard next to
+    * the protocol it polices ([[graft.operators.AnnIndex.swapStaged]] —
+    * round 17: the embedding index's batch readers run the SAME guard,
+    * so the two can never diverge on the crash state). A missing live
+    * path with NO leftover dirs is just a first batch. */
   private def requireNoCrashedSwap(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      op: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(live))
-      Seq(".__precompact", ".__prereindex").foreach { suf =>
-        val orphan = new org.apache.hadoop.fs.Path(indexDir + suf)
-        if (fs.exists(orphan)) throw new IllegalStateException(
-          s"$op($indexDir): the index path is missing but $orphan " +
-            s"exists — a maintenance swap crashed between its two " +
-            s"renames and that dir holds the intact pre-swap index. " +
-            s"Recover by renaming it back to $indexDir (nothing was " +
-            s"lost); refusing to re-train over the orphaned corpus.")
-      }
-  }
+      op: String): Unit =
+    graft.operators.AnnIndex.requireNoCrashedSwap(
+      new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
+        spark.sessionState.newHadoopConf()),
+      indexDir, op)
 
   def dedupIngest(docs: DataFrame, textCol: String, idCol: String,
       indexDir: String, pairsDir: String, checkpointDir: String,

@@ -113,6 +113,15 @@ class EmbeddingIndexSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(s"$idx/_embplan")),
       "compaction lost the frozen-plan sidecar")
     assert(pairsOf(idx) === afterDel)
+    // round 17 (review fix): the advisory `_rows` drift baseline
+    // SURVIVES compaction (dropping it would fresh-start the next
+    // stream bump and silently disable the drift WARN), and a deleted
+    // sidecar self-heals via the band-0 metadata count
+    assert(Similarity.embVectorCount(spark, idx) === 3L,
+      "compaction dropped the _rows drift baseline")
+    fsOf(idx).delete(new org.apache.hadoop.fs.Path(s"$idx/_rows"), true)
+    assert(Similarity.embVectorCount(spark, idx) === 2L,
+      "the band-0 self-heal miscounted (vacuum dropped one vector)")
     // the vacuumed id is re-appendable (replace flow)
     Similarity.appendToEmbeddingIndex(corpus.filter(col("vec_id") === 1L),
       "embedding", "vec_id", idx)
@@ -191,6 +200,16 @@ class EmbeddingIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/pairs")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet === got)
     assert(spark.read.parquet(idx).select("id").distinct().count() === 6L)
+    // round 17 (review fix): a MISSING `_rows` mid-stream (compaction
+    // historically dropped it; crash mid-update) must self-heal via the
+    // band-0 count before the bump — a fresh-start 0 would poison the
+    // drift baseline permanently (6 indexed + 1 new = 7, never 1)
+    fsOf(idx).delete(new org.apache.hadoop.fs.Path(s"$idx/_rows"), true)
+    step(Seq((40L, vec(1, 1, 1, -1, 1, 1, 1, -1)))
+      .toDF("vec_id", "embedding"), 2L)
+    assert(Similarity.embVectorCount(spark, idx) === 7L,
+      "the stream bump fresh-started the drift baseline instead of " +
+        "self-healing from the band-0 count")
     // a crashed maintenance SWAP (live missing, .__precompact holding
     // the corpus) refuses with the rename-back recovery — the step
     // must never silently re-train over the orphaned index
@@ -265,16 +284,22 @@ class EmbeddingIndexSpec extends SparkSpec {
   }
 
   test("occupancy skew (r17): a hot sign cell flips health's skewed " +
-      "flag at the engine's exact comparison, maintain executes the " +
-      "prescribed reindex, answers preserved; quiet on isotropic data " +
-      "and when the data-path check is declined") {
-    val idx = tmp("embskew")
+      "flag at the engine's exact comparison; maintain WIDENS the " +
+      "geometry (never a same-key rewrite), walks it on repeat flips, " +
+      "refuses explicit plans and plan-invariant skew; quiet on " +
+      "isotropic data and when the data-path check is declined") {
     // 6 extra scaled copies of v1 pile 7 rows into v1's cell per band:
-    // buckets 6, max 7, mean 3.0 → skewed at factor 2 (7 > 2·3),
-    // quiet at the default 8 (7 < 8·3)
+    // at (2,4): buckets 6, max 7, mean 3.0 → skewed at factor 2
+    // (7 > 2·3), quiet at the default 8 (7 < 8·3)
     val hot = (30L to 35L).map(i =>
       (i, vec(3, -3, 3, 3, -3, 3, 3, 3))).toDF("vec_id", "embedding")
-    build(idx, corpus.unionByName(hot))
+    val skewCorpus = corpus.unionByName(hot)
+    val idx = tmp("embskew")
+    // AUTO-planned at 9 vectors / occupancy 2.0 → the (2,4) reference
+    val p0 = Similarity.buildEmbeddingIndex(skewCorpus, "embedding",
+      "vec_id", idx, minCosine = 0.9, bands = 2, bitsPerBand = 4,
+      autoPlan = true, targetOccupancy = 2.0)
+    assert(p0 === ((2, 4)))
     val hq = Similarity.embeddingIndexHealth(spark, idx)
     assert(!hq.skewed && hq.buckets === 6L && hq.maxBucket === 7L &&
       hq.meanOccupancy === 3.0, hq.toString)
@@ -287,11 +312,45 @@ class EmbeddingIndexSpec extends SparkSpec {
       skewFactor = 2.0, checkOccupancy = false)
     assert(!hn.skewed && hn.buckets === 0L, hn.toString)
     val before = pairsOf(idx)
+    // skew WITHOUT drift: a same-occupancy re-plan would reproduce
+    // byte-identical keys, so maintain tightens 4× — geometry PROVABLY
+    // widens ((2,4) → (3,5) at 9 vectors / 0.5) and the tightened
+    // target persists, answers preserved across the swap
     val acts = Similarity.maintainEmbeddingIndex(spark, idx,
       skewFactor = 2.0)
     assert(acts === Seq("reindexEmbeddingIndex"), acts.toString)
+    val plan1 = Similarity.readEmbPlan(spark, idx)
+    assert(plan1.planned === ((3, 5)) && plan1.targetOccupancy === 0.5,
+      plan1.toString)
     assert(pairsOf(idx) === before,
       "the maintenance reindex changed probe answers")
+    // exact duplicates share every key under every plan — still skewed;
+    // a second flip WALKS the geometry onward ((3,5) → (4,7) at 0.125)
+    // instead of thrashing in place
+    val acts2 = Similarity.maintainEmbeddingIndex(spark, idx,
+      skewFactor = 2.0)
+    assert(acts2 === Seq("reindexEmbeddingIndex"), acts2.toString)
+    assert(Similarity.readEmbPlan(spark, idx).planned === ((4, 7)))
+    assert(pairsOf(idx) === before)
+    // EXPLICIT plan: the caller's key-space contract — maintain WARNs
+    // and leaves the index byte-untouched (no silent auto-plan convert)
+    val exp = tmp("embskew_exp")
+    build(exp, skewCorpus)
+    assert(Similarity.maintainEmbeddingIndex(spark, exp,
+      skewFactor = 2.0).isEmpty)
+    val expPlan = Similarity.readEmbPlan(spark, exp)
+    assert(expPlan.planned === ((2, 4)) && !expPlan.autoPlan)
+    assert(pairsOf(exp) === before)
+    // PLAN-INVARIANT skew: at a maxed-out geometry (occupancy so tight
+    // the maxBits/maxBands caps bind) even the tightened re-plan equals
+    // the frozen one — maintain skips the no-progress rewrite
+    val cap = tmp("embskew_cap")
+    Similarity.buildEmbeddingIndex(skewCorpus, "embedding", "vec_id",
+      cap, minCosine = 0.9, bands = 2, bitsPerBand = 4, autoPlan = true,
+      targetOccupancy = 1e-9)
+    assert(Similarity.maintainEmbeddingIndex(spark, cap,
+      skewFactor = 2.0).isEmpty,
+      "maintain rewrote an index whose geometry cannot change")
     // isotropic control: the plain corpus is quiet even at factor 2
     val ctl = tmp("embskew_ctl")
     build(ctl, corpus)
