@@ -618,10 +618,16 @@ object Similarity {
     val cells = newVecs
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
-    Dedup.indexWrite(bandedEmbeddingCells(cells, plan.planned, plan.ref))
-      .mode("append").partitionBy("band").parquet(path)
+    // bump the advisory count BEFORE the data append (round 18, advisor
+    // fix): a crash between the two must leave the sidecar OVER-reading
+    // by the batch (WARN fires early), never a valid-but-stale count
+    // that under-reads permanently — the band-0 self-heal can't fire on
+    // a sidecar that still parses, so the old order (data first, bump
+    // second) silently delayed the drift WARN forever after one crash
     val appended = newVecs.select(col(idCol)).count()
     writeEmbRows(fs, path, oldN + appended)
+    Dedup.indexWrite(bandedEmbeddingCells(cells, plan.planned, plan.ref))
+      .mode("append").partitionBy("band").parquet(path)
     warnEmbDrift(plan, oldN + appended, s"appendToEmbeddingIndex($path)")
     appended * plan.planned._1
   }
@@ -971,7 +977,8 @@ object Similarity {
     *
     * `buckets`/`maxBucket`/`meanOccupancy` come from ONE column-pruned
     * aggregate over the live (band, key) columns — two small integer
-    * columns, no vectors read. That is a data-path job, unlike the ANN
+    * columns (plus `id` when a `_tombstones` sidecar forces the live
+    * anti-join), no vectors read. That is a data-path job, unlike the ANN
     * healths: run this at maintenance-window cadence, or pass
     * `checkOccupancy = false` (the in-stream maintenance default) for
     * a sidecar/listing-only snapshot with the skew fields zeroed.
@@ -990,9 +997,11 @@ object Similarity {
 
   /** The skew scan's frame — live (band, key) bucket sizes. Factored so
     * the spec can pin its PLAN: `band` is a partition column and `key`
-    * the only data column read (`ReadSchema` carries no vectors — at
-    * 100 TB the difference between a two-int-column scan and dragging
-    * every stored vector through the group-by). */
+    * the only data column read when no takedowns are pending; with a
+    * `_tombstones` sidecar present the live anti-join adds `id` to the
+    * `ReadSchema` (two int columns → three). Either way the scan reads
+    * NO vectors — at 100 TB the difference between an int-column scan
+    * and dragging every stored vector through the group-by. */
   private[graft] def embOccupancyFrame(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     Dedup.liveIndexRows(spark, path)
@@ -1169,7 +1178,25 @@ object Similarity {
           val occ =
             if (h.drifted) plan.targetOccupancy
             else plan.targetOccupancy / 4
-          val candidate = planEmbeddingBands(embVectorCount(spark, path),
+          // the guard's candidate must plan at the LIVE count — the
+          // count the reindex itself will re-plan at (round 18, advisor
+          // fix): the advisory `_rows` count over-reads by tombstoned
+          // mass, so under heavy takedowns a `_rows`-planned candidate
+          // can differ from the frozen plan while the actual reindex
+          // (live-planned) reproduces identical geometry — exactly the
+          // O(index) rewrite-without-progress this guard exists to
+          // block. The live band-0 count is one partition-pruned job,
+          // and only runs when a sidecar exists to diverge over.
+          val guardN = {
+            val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(
+              new org.apache.hadoop.fs.Path(s"$path/_tombstones")))
+              Dedup.liveIndexRows(spark, path)
+                .filter(col("band") === 0).count()
+            else embVectorCount(spark, path)
+          }
+          val candidate = planEmbeddingBands(guardN,
             plan.minCosine, plan.ref._1, plan.ref._2, occ)
           if (candidate == plan.planned) {
             System.err.println(s"[similarity] WARN " +

@@ -451,6 +451,26 @@ class EmbeddingIndexSpec extends SparkSpec {
         s"($readSchema):\n$plan")
   }
 
+  test("with a _tombstones sidecar pending, the skew scan's live " +
+      "anti-join adds ONLY the id column — still no vectors in the " +
+      "ReadSchema (the with-takedowns arm of the 100 TB cost claim)") {
+    val idx = tmp("embocctomb")
+    build(idx, corpus)
+    Dedup.deleteFromMinhashIndex(spark, idx, Seq(1L).toDF("vec_id"),
+      idCol = "vec_id")
+    val plan = Similarity.embOccupancyFrame(spark, idx)
+      .queryExecution.executedPlan.toString
+    val readSchemas = plan.linesIterator
+      .flatMap(_.split("ReadSchema: ").drop(1)).toSeq
+    assert(readSchemas.nonEmpty, plan)
+    assert(readSchemas.exists(_.contains("struct<id:bigint,key:bigint>")),
+      s"the index-side scan should read exactly (id, key) " +
+        s"($readSchemas):\n$plan")
+    assert(!readSchemas.exists(_.contains("array")),
+      s"the with-tombstones occupancy scan reads vectors " +
+        s"($readSchemas):\n$plan")
+  }
+
   test("the auto-planned frozen plan is the INDEX's identity: a probe " +
       "bands its batch with the sidecar plan even when the batch size " +
       "would plan differently") {
