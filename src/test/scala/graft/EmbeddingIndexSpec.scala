@@ -415,6 +415,56 @@ class EmbeddingIndexSpec extends SparkSpec {
       s"cross-batch twins lost through the reindexed geometry: $got")
   }
 
+  test("in-stream skew cadence (r18): skewEvery=K pays the occupancy " +
+      "aggregate only every Kth maintenance window — a hot cell planted " +
+      "mid-stream (no count growth past the plan) is DECLINED at the " +
+      "off-windows and reindexed at the Kth, answers preserved") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_embskw").toString
+    val idx = s"$dir/idx"
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.embDedupIngest(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      idx, s"$dir/pairs", s"$dir/ckpt", minCosine = 0.9, bands = 2,
+      bitsPerBand = 4, autoPlan = true, targetOccupancy = 2.0,
+      maintainEvery = 1, skewEvery = 3, skewFactor = 2.0)
+    val hot = (30L to 35L).map(i =>
+      (i, vec(3, -3, 3, 3, -3, 3, 3, 3))).toDF("vec_id", "embedding")
+    val lone = Seq((50L, vec(1, -1, -1, 1, 1, -1, 1, -1)))
+      .toDF("vec_id", "embedding")
+    try {
+      mem.addData(corpus.as[(Long, Seq[Float])].collect().toSeq: _*)
+      q.processAllAvailable() // trains (2,4); window 1 — skew declined
+      assert(Similarity.readEmbPlan(spark, idx).planned === ((2, 4)))
+      mem.addData(hot.as[(Long, Seq[Float])].collect().toSeq: _*)
+      q.processAllAvailable() // hot cell lands; window 2 — DECLINED:
+      // the skew is live but off-window maintenance stays sidecar-only
+      assert(Similarity.readEmbPlan(spark, idx).planned === ((2, 4)),
+        "an off-window maintenance ran the data-path skew check")
+      assert(Similarity.embeddingIndexHealth(spark, idx,
+        skewFactor = 2.0).skewed, "fixture defect: hot cell not skewed")
+      mem.addData(lone.as[(Long, Seq[Float])].collect().toSeq: _*)
+      q.processAllAvailable() // window 3 — the Kth: skew check runs,
+      // maintain tightens 4x and the in-stream reindex widens the plan
+      val plan1 = Similarity.readEmbPlan(spark, idx)
+      assert(plan1.planned ===
+        Similarity.planEmbeddingBands(10L, 0.9, 2, 4, 0.5),
+        s"the Kth window did not execute the skew reindex (${plan1.planned})")
+      assert(plan1.targetOccupancy === 0.5 && plan1.planned._2 > 4,
+        plan1.toString)
+      assert(Dedup.minhashIndexHealth(spark, idx).batches === 1,
+        "the skew reindex did not collapse the stream's generations")
+      mem.addData(batch.as[(Long, Seq[Float])].collect().toSeq: _*)
+      q.processAllAvailable() // window 4 — declined again; probes ride
+      // the reindexed geometry
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 10L)) && got.contains((2L, 11L)),
+      s"twins lost through the skew-reindexed geometry: $got")
+  }
+
   test("a crashed maintenance SWAP (live path missing, pre-swap dir " +
       "holding the only copy) fails every batch reader with the " +
       "rename-back recovery — never the rebuild prescription that " +
