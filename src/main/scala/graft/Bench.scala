@@ -149,6 +149,15 @@ object Bench {
     // headline; a regression that re-reads a corpus (there is none to
     // read), loses the one-pass de-fan, or breaks the swap moves it.
     "dedup_embedding_reindex",
+    // round 18: the multimodal near-dup lifecycle — perceptual hashes
+    // through the real operator surface (mapPartitions decode gate +
+    // byte-block arm), flat build + append, tombstone takedown,
+    // targeted vacuum, incremental banded probe with the codegen'd
+    // bit_count hamming verify. The third index family's headline
+    // lifecycle row next to dedup_index_vacuum and ann_vacuum_knn; a
+    // regression in the banding explode, the hamming expression, or
+    // the inherited vacuum moves it.
+    "mm_phash_index",
     // round 15: the fuzzy run END-TO-END (CSV ingest -> QA battery ->
     // alternates multiplication -> blocked OSA join + flip union ->
     // date filter -> multi-match resolve -> tiering + saved-rows state

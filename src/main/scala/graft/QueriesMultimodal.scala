@@ -15,7 +15,144 @@ object QueriesMultimodal {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The perceptual-hash derivation replayed in SQL, shared by the two
+    * mm_phash_* oracles — exactly [[Multimodal.dHashBytes]] (the
+    * deterministic non-image arm these text payloads take): 72
+    * byte-block sums on the 9x8 dHash grid, row-wise adjacent
+    * comparisons, a 64-char bit-vector; then the engine's own 4x16-bit
+    * banding, candidate join and per-bit hamming verify. Expects a
+    * `media(doc_id, text)` CTE upstream. */
+  private val phashCtes = """
+    cells AS (
+      SELECT doc_id, g,
+             coalesce(list_sum(list_transform(
+               range(g * len(text) // 72 + 1, (g + 1) * len(text) // 72 + 1),
+               i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0) AS s
+      FROM media, range(0, 72) r(g)),
+    bits AS (
+      SELECT c1.doc_id,
+             string_agg(CASE WHEN c2.s > c1.s THEN '1' ELSE '0' END, ''
+               ORDER BY (c1.g // 9) * 8 + (c1.g % 9)) AS h
+      FROM cells c1 JOIN cells c2 ON c1.doc_id = c2.doc_id AND c2.g = c1.g + 1
+      WHERE c1.g % 9 < 8
+      GROUP BY c1.doc_id),
+    keys AS (
+      SELECT doc_id, h, k AS band,
+             substr(h, CAST(k * 16 + 1 AS INTEGER), 16) AS key
+      FROM bits, range(0, 4) r2(k)),
+    cand AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b
+      FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key
+        AND a.doc_id < b.doc_id),
+    ham AS (
+      SELECT p.id_a, p.id_b,
+             CAST(len(list_filter(range(1, 65),
+               i -> substr(ha.h, CAST(i AS INTEGER), 1) <>
+                    substr(hb.h, CAST(i AS INTEGER), 1))) AS BIGINT) AS hamming
+      FROM cand p JOIN bits ha ON ha.doc_id = p.id_a
+      JOIN bits hb ON hb.doc_id = p.id_b)"""
+
+  /** (doc_id, text) rows -> perceptual hashes via the real operator
+    * surface: MediaAsset payloads through [[Multimodal.perceptualHash]]
+    * (these text payloads never pass the image magic-byte gate, so they
+    * take the deterministic byte-block arm the oracle replays). */
+  private def hashesOf(s: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[graft.multimodal.MediaAsset]
+    Multimodal.perceptualHash(df
+      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+        col("text").cast("binary").as("payload"),
+        lit("synthetic").as("source"))
+      .as[graft.multimodal.MediaAsset](enc))
+  }
+
+  /** The planted "re-encode": same payload with the first three bytes
+    * case-flipped — a byte-local edit that moves at most the first
+    * couple of block sums (hamming <= 3 from the original by
+    * construction), the stand-in for a real image's re-encode jitter. */
+  private def reencoded(df: DataFrame): DataFrame =
+    df.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(upper(substring(col("text"), 1, 3)),
+        expr("substring(text, 4)")).as("text"))
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------ perceptual-hash dedup
+    // The multimodal near-dup operator (round 18): every asset gets a
+    // 64-bit dHash (decoded-raster gradients for real images — see
+    // MultimodalSpec's PNG/BMP re-encode arms — and the deterministic
+    // byte-block arm for these text payloads), banded 4x16 bits,
+    // band-collision candidates, hamming-verified pairs. Planted
+    // re-encodes (%5 docs, first 3 bytes case-flipped) must surface as
+    // pairs; the oracle replays hash, banding, and verify bit-for-bit.
+    QueryDef("mm_phash_dedup", Some(s"""
+      WITH media AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, upper(substr(text, 1, 3)) || substr(text, 4)
+        FROM documents WHERE doc_id % 5 = 0),
+      $phashCtes
+      SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val media = docs.select(col("doc_id"), col("text"))
+          .unionByName(reencoded(docs.filter(col("doc_id") % 5 === 0)))
+        graft.operators.PhashDedup.phashNearDupPairs(
+          hashesOf(s, media), "media_id", "phash", maxHamming = 6)
+      }),
+
+    // ------------------------------- perceptual-hash index lifecycle
+    // The persisted phash index rides the layout-generic band-index
+    // verbs UNCHANGED: flat build + append (hash work once per asset
+    // ever), takedown tombstones (%7=1 corpus assets), the targeted
+    // vacuum makes them physical (sidecar consumed, requires pinned),
+    // then the day's batch — %5 docs plus re-encodes of indexed %10=1
+    // assets — dedups against the live survivors without re-decoding
+    // the corpus. Oracle: all-media pairs touching the batch, minus
+    // any pair whose corpus side was taken down — a leaked tombstone
+    // or a lost append hash-fails.
+    QueryDef("mm_phash_index", Some(s"""
+      WITH media AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, upper(substr(text, 1, 3)) || substr(text, 4)
+        FROM documents WHERE doc_id % 10 = 1),
+      $phashCtes
+      SELECT id_a, id_b, hamming FROM ham
+      WHERE hamming <= 6
+        AND (id_a >= 1000000 OR id_a % 5 = 0
+          OR id_b >= 1000000 OR id_b % 5 = 0)
+        AND NOT (id_a < 1000000 AND id_a % 5 <> 0 AND id_a % 7 = 1)
+        AND NOT (id_b < 1000000 AND id_b % 5 <> 0 AND id_b % 7 = 1)"""),
+      (s, dir) => {
+        import graft.operators.{Dedup, PhashDedup}
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val idx = Tables.scratchDir("phash_idx")
+        PhashDedup.buildPhashIndex(
+          hashesOf(s, corpus.filter(col("doc_id") % 2 === 0)),
+          "media_id", "phash", idx)
+        PhashDedup.appendToPhashIndex(
+          hashesOf(s, corpus.filter(col("doc_id") % 2 =!= 0)),
+          "media_id", "phash", idx)
+        Dedup.deleteFromMinhashIndex(s, idx,
+          corpus.filter(col("doc_id") % 7 === 1).select("doc_id"),
+          idCol = "doc_id")
+        val (rewritten, dropped) = Dedup.vacuumMinhashTombstones(s, idx)
+        require(rewritten > 0 && dropped > 0,
+          s"vacuum was a no-op (files=$rewritten rows=$dropped)")
+        val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        require(!fs.exists(
+          new org.apache.hadoop.fs.Path(s"$idx/_tombstones")),
+          "vacuum left the _tombstones sidecar — probes would anti-join")
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(reencoded(docs.filter(col("doc_id") % 10 === 1)))
+        PhashDedup.incrementalPhashPairs(hashesOf(s, batch),
+          "media_id", "phash", idx, maxHamming = 6)
+      }),
 
     // ------------------------------------------------ binary metadata
     QueryDef("mm_payload_meta", Some("""

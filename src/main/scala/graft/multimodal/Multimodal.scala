@@ -206,4 +206,133 @@ object Multimodal {
 
   private def expr_substr(bin: Column, pos: Column, len: Column): Column =
     call_function("substring", bin, pos, len)
+
+  // ------------------------------------------------- perceptual hash
+
+  /** The dHash grid: 9 columns x 8 rows of cells; each row's 8 adjacent
+    * comparisons contribute one bit -> 64 bits total (the standard
+    * difference-hash layout). */
+  private final val HashCols = 9
+  private final val HashRows = 8
+  final val HashBits = 64
+
+  /**
+   * Gradient perceptual hash (dHash) of a DECODED image: the raster is
+   * block-averaged onto a 9x8 grid (mean sample value over the block's
+   * pixels and bands — the downsample step real pHash pipelines run as
+   * a bicubic resize), and bit (row, col) is set iff the cell right of
+   * (row, col) is brighter. Two encodings of the same picture (PNG vs
+   * BMP, mild resize/requantization) keep almost every gradient sign,
+   * so their hashes sit within a few bits of hamming distance, while
+   * distinct pictures land ~32 bits apart — the classic near-dup
+   * geometry MinHash gives text. Returns a 64-char '0'/'1' string
+   * (bit-vector form: band keys are substrings, hamming is a per-char
+   * compare, and stored hashes replay in any SQL engine).
+   */
+  def dHashImage(img: java.awt.image.BufferedImage): String = {
+    val raster = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+    val cells = new Array[Double](HashCols * HashRows)
+    var r = 0
+    while (r < HashRows) {
+      val y0 = (r.toLong * h / HashRows).toInt
+      val y1 = math.max(((r + 1).toLong * h / HashRows).toInt, y0 + 1)
+      var c = 0
+      while (c < HashCols) {
+        val x0 = (c.toLong * w / HashCols).toInt
+        val x1 = math.max(((c + 1).toLong * w / HashCols).toInt, x0 + 1)
+        var s = 0.0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            var b = 0
+            while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val px = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0) * bands
+        cells(r * HashCols + c) = if (px > 0) s / px else 0.0
+        c += 1
+      }
+      r += 1
+    }
+    dHashBitsOf(cells)
+  }
+
+  /**
+   * ===== STUB (deterministic fake, oracle-replayable) =====
+   * The non-image arm of [[perceptualHash]]: the same 9x8 dHash grid
+   * computed over byte-block SUMS of the raw payload (block g spans
+   * bytes [g*len/72, (g+1)*len/72)) instead of decoded pixels. Pure
+   * integer arithmetic over the bytes, so a SQL engine replays it
+   * exactly (the mm_phash_* oracles do); small byte-local edits
+   * (re-encode jitter's stand-in) move one or two block sums and flip
+   * at most a few bits, preserving the near-dup geometry the banded
+   * join needs.
+   */
+  def dHashBytes(payload: Array[Byte]): String = {
+    val len = payload.length
+    val cells = new Array[Double](HashCols * HashRows)
+    var g = 0
+    while (g < HashCols * HashRows) {
+      var i = (g.toLong * len / (HashCols * HashRows)).toInt
+      val end = ((g + 1).toLong * len / (HashCols * HashRows)).toInt
+      var s = 0L
+      while (i < end) { s += (payload(i) & 0xff); i += 1 }
+      cells(g) = s.toDouble
+      g += 1
+    }
+    dHashBitsOf(cells)
+  }
+
+  /** Row-major adjacent-cell comparisons -> the 64-char bit vector.
+    * Strict `>` so ties (empty blocks of a short payload) are stable. */
+  private def dHashBitsOf(cells: Array[Double]): String = {
+    val sb = new java.lang.StringBuilder(HashBits)
+    var r = 0
+    while (r < HashRows) {
+      var c = 0
+      while (c < HashCols - 1) {
+        sb.append(
+          if (cells(r * HashCols + c + 1) > cells(r * HashCols + c)) '1'
+          else '0')
+        c += 1
+      }
+      r += 1
+    }
+    sb.toString
+  }
+
+  /**
+   * Per-asset perceptual hash — the multimodal near-dup signature
+   * ([[decodeAll]]'s partition-parallel shape: one codec init per
+   * partition, streaming iterator). Image payloads that pass the
+   * magic-byte gate hash their DECODED raster ([[dHashImage]] — two
+   * encodings of one picture collide); everything else takes the
+   * deterministic byte-block arm ([[dHashBytes]]). Returns
+   * (media_id, phash) — feed to
+   * [[graft.operators.PhashDedup.phashNearDupPairs]] or a persisted
+   * [[graft.operators.PhashDedup.buildPhashIndex]].
+   */
+  def perceptualHash(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val h =
+          if (a.kind == "image" && a.payload != null &&
+            looksLikeImage(a.payload)) {
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(a.payload))
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null) dHashBytes(a.payload) else dHashImage(img)
+          } else dHashBytes(if (a.payload == null) Array.emptyByteArray
+            else a.payload)
+        (a.media_id, h)
+      }
+    }.toDF("media_id", "phash")
+  }
 }

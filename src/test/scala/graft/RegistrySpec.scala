@@ -130,7 +130,8 @@ class RegistrySpec extends AnyFunSuite {
       "url" -> Seq("url_normalize", "url_domain_cap"),
       "curation" -> Seq("curation_report"),
       "multimodal" -> Seq("mm_payload_meta", "mm_decode_features",
-        "mm_resize", "mm_frame_sample"),
+        "mm_resize", "mm_frame_sample", "mm_phash_dedup",
+        "mm_phash_index"),
       "events" -> Seq("ev_sessionize", "ev_tumbling_window",
         "ev_session_window", "ev_high_watermark", "ev_top_spenders"))
     val registered = Registry.queries.keySet
