@@ -158,6 +158,15 @@ object Bench {
     // regression in the banding explode, the hamming expression, or
     // the inherited vacuum moves it.
     "mm_phash_index",
+    // round 18: the composite family's corpus-less reindex — streaming
+    // build + frozen-plan appends, then the maintenance window
+    // re-plans the cells and EXECUTES the rebuild from the `_sample`
+    // raw reservoir (retrain + reconstruction-upgraded re-encode +
+    // staged swap), in-stream. Read against stream_ivfpq_maintain: the
+    // delta IS the reservoir rebuild; a regression that re-reads a
+    // corpus (there is none), loses the bounded reservoir read, or
+    // breaks the swap moves this row.
+    "stream_ivfpq_reindex",
     // round 15: the fuzzy run END-TO-END (CSV ingest -> QA battery ->
     // alternates multiplication -> blocked OSA join + flip union ->
     // date filter -> multi-match resolve -> tiering + saved-rows state

@@ -266,7 +266,7 @@ object ProbeSuite {
           val f = it.next()
           val s0 = f.getPath.toString
           if (s0.endsWith(".parquet") && !Seq("_centroids", "_codebooks",
-            "_tombstones", "_vacuum_staged").exists(d =>
+            "_tombstones", "_vacuum_staged", "_sample").exists(d =>
               s0.contains(s"/$d/"))) out(s0) = f.getLen
         }
         out.toMap

@@ -1512,6 +1512,51 @@ object QueriesText {
           k = 3, nProbe = 8, overFetch = 16)
       }),
 
+    // -------- similarity: in-stream RESERVOIR reindex (r18)
+    // The lossy family's last corpus-bound limit, lifted: the stream
+    // builds at batch 0 (16 cells), appends batches 1-2 under that
+    // frozen geometry, and the post-stream maintenance window
+    // (maintainEvery = 3) sees occupancy drift at targetCellRows = 8 —
+    // planIvfCells re-plans 16 -> 64 cells — and EXECUTES the rebuild
+    // with no corpus handle: quantizers retrain from the `_sample` raw
+    // reservoir (grown by the build and every append; at oracle scale
+    // it holds every live row, so the retrain is exactly a fresh
+    // full-corpus build), codes re-derive, and the staged swap cuts
+    // over mid-pipeline. The oracle replays the RE-PLANNED geometry —
+    // dynamic sign-bit width from the planner's own formula, centroids
+    // and codebooks trained over ALL rows — so a stream that keeps
+    // batch-0 geometry (the round-17 reported-not-taken behavior) or
+    // one that retrains from lossy reconstructions hash-fails. The
+    // requires pin the mechanism: the reindex actually ran in-stream
+    // (cell count re-planned) and health settled.
+    QueryDef("stream_ivfpq_reindex", Some(reservoirIvfPqOracleSql),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val root = Tables.freshScratch("stream_ivfpq_reidx")
+        val src = stageOrderedMicroBatches(s, e, root, idCol = "vec_id")
+        val q = graft.streaming.Streams.annIngestIvfPq(src, "embedding",
+          "vec_id", s"$root/idx", s"$root/ckpt", nCells = 16, m = 16,
+          quantizer = "sign", autoPlan = false, maintainEvery = 3,
+          targetCellRows = 8L)
+        try q.processAllAvailable() finally q.stop()
+        val planned = graft.operators.Similarity.planIvfCells(
+          e.count(), 16, 8L)
+        // occupied cells, not the key space — tolerate a rare empty
+        // sign pattern; the oracle hash-gates the actual geometry
+        val got = graft.operators.AnnIndex.ivfCentroids(s, s"$root/idx")
+          .length
+        require(got > 16 && got <= planned,
+          s"the in-stream reservoir reindex did not re-plan the cells " +
+            s"(got $got occupied, planned key space $planned)")
+        val h = graft.operators.AnnIndex.indexHealth(s, s"$root/idx",
+          targetCellRows = 8L)
+        require(!h.fragmented,
+          s"post-reindex health did not settle: $h")
+        graft.operators.AnnIndex.ivfPqKnnJoin(s, s"$root/idx",
+          e.filter(col("vec_id") < 5), e, "embedding", "vec_id",
+          k = 3, nProbe = 8, overFetch = 16)
+      }),
+
     // ------------------------------------------------- similarity: IVF
     // VALUE-MATCHED oracle: the sign-pattern coarse quantizer (cell =
     // sign bits of the first 4 dims, centroid = per-dim member mean —
@@ -3375,24 +3420,27 @@ object QueriesText {
     * the vec_id % 3 = 0 slice ONLY (the frozen-geometry contract),
     * codes/cells over everything, probe ranking + asymmetric-distance
     * cut + exact re-rank value-for-value. */
-  private lazy val streamIvfPqOracleSql: String = {
+  /** The shared sign-quantizer IVF-PQ replay (m=16, sub=4, nProbe 8,
+    * k=3 at overFetch 16): cells, member-mean centroids, codebooks over
+    * the `trainSql` slice, probe ranking, asymmetric-distance cut and
+    * exact re-rank — value-for-value. `cellSql` is the coarse-cell
+    * expression (static 4 bits for the frozen-batch-0 stream rows;
+    * planner-replaying dynamic width for the reservoir-reindex row). */
+  private def ivfPqReplayOracleSql(cellSql: String,
+      trainSql: String): String = {
       val codeList = (0 until 16).map { j =>
         (0 until 4).map { b =>
           s"(CASE WHEN nv[${j * 4 + b + 1}] >= 0 THEN ${1 << b} ELSE 0 END)"
         }.mkString(" + ")
       }.mkString("[", ",\n        ", "]")
-      val cellBits = (0 until 4).map(j =>
-        s"(CASE WHEN nv[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
       s"""
       WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       nrm AS (SELECT vec_id, v,
         CASE WHEN sqrt(list_dot_product(v, v)) > 0
              THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
              ELSE v END AS nv FROM raw),
-      coded AS (SELECT vec_id, nv, $cellBits AS cell, $codeList AS code FROM nrm),
-      -- the training slice: ONLY batch 0 (vec_id % 3 = 0) shapes the
-      -- centroids and codebooks — the frozen-geometry contract
-      train AS (SELECT * FROM coded WHERE vec_id % 3 = 0),
+      coded AS (SELECT vec_id, nv, $cellSql AS cell, $codeList AS code FROM nrm),
+      train AS ($trainSql),
       cexpl AS (SELECT cell, unnest(range(len(nv))) AS i, unnest(nv) AS x FROM train),
       ccm AS (SELECT cell, i, avg(x) AS m FROM cexpl GROUP BY cell, i),
       cent AS (SELECT cell, list(m ORDER BY i) AS c FROM ccm GROUP BY cell),
@@ -3433,6 +3481,30 @@ object QueriesText {
         FROM raw r JOIN cut USING (vec_id) JOIN q USING (query_id))
       SELECT query_id, vec_id, cosine FROM rr WHERE rn <= 3"""
       }
+
+  private lazy val streamIvfPqOracleSql: String = ivfPqReplayOracleSql(
+    cellSql = (0 until 4).map(j =>
+      s"(CASE WHEN nv[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + "),
+    // the training slice: ONLY batch 0 (vec_id % 3 = 0) shapes the
+    // centroids and codebooks — the frozen-geometry contract
+    trainSql = "SELECT * FROM coded WHERE vec_id % 3 = 0")
+
+  /** The reservoir-reindex oracle (round 18): the stream's final
+    * maintenance re-plans cells at the FULL live count (planIvfCells at
+    * targetCellRows = 8, replayed as the dynamic sign-bit width) and
+    * retrains centroids + codebooks from the raw reservoir — which at
+    * oracle scale is EVERY live row, so the replay trains on the whole
+    * corpus. A stream that keeps batch-0 geometry (reindex skipped or
+    * reported-only), or one that retrains from reconstructions instead
+    * of the raw reservoir, hash-fails. */
+  private lazy val reservoirIvfPqOracleSql: String = ivfPqReplayOracleSql(
+    cellSql = """CAST(list_sum(list_transform(
+        range((SELECT greatest(4, CAST(ceil(log2(greatest(
+          count(*) / 8.0, 1.0))) AS INT)) FROM raw)),
+        j -> CASE WHEN nv[CAST(j AS INT) + 1] >= 0
+             THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)""",
+    trainSql = "SELECT * FROM coded")
 
   /** [[stageMicroBatches]] with a PINNED batch order: FileStreamSource
     * drains oldest-modification-time first, and two sequential local

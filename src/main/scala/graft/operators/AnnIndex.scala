@@ -234,6 +234,85 @@ object AnnIndex {
       spark.sparkContext.hadoopConfiguration), path, err, 0.0, 0L, sn)
   }
 
+  // ---------------------- raw-vector reservoir sidecar (`_sample`, r18)
+  //
+  // The lossy families' reindexes were CORPUS-BOUND: stored codes cannot
+  // re-train codebooks, so an in-stream drift/staleness flag could only
+  // REPORT the rebuild and wait for a batch job holding the upstream
+  // corpus. The `_sample` reservoir closes that: builds persist a
+  // bounded, id-hash-stable sample of the RAW (normalized) vectors,
+  // appends add their batch's members, and the reservoir reindexes
+  // ([[reindexIvfPqFromReservoir]] / [[reindexPqFromReservoir]]) re-train
+  // the quantizers from it — the same bounded-sample discipline the
+  // kmeans fits already run on the corpus ([[KmeansFitSampleCap]]), so a
+  // reservoir-trained geometry is statistically the geometry a full
+  // rebuild's own fit sample would pick.
+  //
+  // Membership is NESTED hash levels: a row belongs at level L iff the
+  // low L bits of xxhash64(vec_id, salt) are zero, and the level rises
+  // with the corpus (level(n) = ceil(log2(n / cap))) — so raising the
+  // level FILTERS the existing rows (level-(L+1) members are a subset of
+  // level-L members; no rewrite, no eviction bookkeeping), writers add
+  // at the level current when they run (conservative direction: a
+  // too-low level over-writes rows the read-side filter drops; rows
+  // never written could not be recovered), and physical mass stays
+  // ~cap per corpus doubling while every READ is bounded at ~cap rows.
+  // ADVISORY like `_rows`/`_recon`: a legacy index without a reservoir,
+  // or one holed by a crashed append, degrades to the corpus-bound
+  // report — never a wrong answer.
+
+  private val ReservoirSalt = 271828L
+
+  private[graft] def reservoirLevel(n: Long, cap: Long): Int =
+    if (n <= cap) 0
+    else math.min(62,
+      math.ceil(math.log(n.toDouble / cap) / math.log(2.0)).toInt)
+
+  private def reservoirMember(level: Int): Column =
+    pmod(xxhash64(col("vec_id"), lit(ReservoirSalt)),
+      lit(1L << level)) === 0L
+
+  /** Stamp a fresh reservoir from a build's normalized base frame (the
+    * build deletes `_sample` first — see [[deleteSidecars]] callers). */
+  private def writeReservoir(base: DataFrame, vecColName: String,
+      path: String, n: Long, cap: Long): Unit =
+    base.filter(reservoirMember(reservoirLevel(n, cap)))
+      .select(col("vec_id"), col(vecColName).as("vec"))
+      .coalesce(8).write.mode("overwrite").parquet(s"$path/_sample")
+
+  /** Append a batch's reservoir members — only onto an EXISTING
+    * reservoir: a legacy index must not grow a recent-batches-only
+    * reservoir that would silently bias retraining toward new data.
+    * The level comes from the PRE-append count (see the level note in
+    * the section comment). */
+  private def appendReservoir(spark: SparkSession, base: DataFrame,
+      vecColName: String, path: String, oldN: Long, cap: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_sample")))
+      base.filter(reservoirMember(reservoirLevel(oldN, cap)))
+        .select(col("vec_id"), col(vecColName).as("vec"))
+        .coalesce(1).write.mode("append").parquet(s"$path/_sample")
+  }
+
+  /** The live reservoir at the CURRENT level — None when the index has
+    * no `_sample` (legacy / interrupted build), in which case callers
+    * stay corpus-bound. Tombstoned ids are dropped (a takedown must not
+    * resurrect through a retrain) and replayed-batch duplicates
+    * collapsed. Bounded at ~cap rows by the level filter. */
+  private[graft] def reservoirRows(spark: SparkSession, path: String,
+      cap: Long = KmeansFitSampleCap): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_sample"))) None
+    else {
+      val lvl = reservoirLevel(indexRowCount(spark, path), cap)
+      Some(liveRows(spark, path, spark.read.parquet(s"$path/_sample"))
+        .filter(reservoirMember(lvl))
+        .dropDuplicates("vec_id"))
+    }
+  }
+
   /** The index's row count from the `_rows` sidecar — a sidecar-only read,
     * NO job over the index data path. A legacy/damaged sidecar self-heals:
     * count once (parquet metadata), re-stamp, and every later append is
@@ -608,12 +687,13 @@ object AnnIndex {
   def buildPq(embeddings: DataFrame, vecCol: String, idCol: String,
       path: String, m: Int = 8, k: Int = 16, seed: Long = 42L,
       quantizer: String = "kmeans",
-      fitSampleCap: Long = KmeansFitSampleCap): Unit = {
+      fitSampleCap: Long = KmeansFitSampleCap,
+      fitFrame: Option[DataFrame] = None): Unit = {
     val spark = embeddings.sparkSession
     // delete-first sidecar protocol — see [[deleteSidecars]] (`_rows` /
     // `_tombstones` drop too: a rebuild replaces all data)
     deleteSidecars(embeddings, path, "_codebooks", "_rows", "_tombstones",
-      "_recon")
+      "_recon", "_sample")
     // UNIT-normalize before encoding: on the unit sphere squared-L2 is
     // monotone in cosine (||a-b||^2 = 2 - 2cos), so the asymmetric
     // distance ranks candidates in true cosine order — unnormalized, the
@@ -637,8 +717,18 @@ object AnnIndex {
         import org.apache.spark.ml.functions.array_to_vector
         // fits run on the bounded hash-sample, the encode chain on the
         // full corpus — m sub-fits over the corpus would otherwise be m
-        // multi-pass whole-corpus scans (see [[KmeansFitSampleCap]])
-        val fitBase = kmeansFitSample(base, n, fitSampleCap)
+        // multi-pass whole-corpus scans (see [[KmeansFitSampleCap]]).
+        // fitFrame override: see buildIvfPq (the reservoir reindex).
+        val fitBase = fitFrame match {
+          case Some(f) => f
+            .select(col("vec_id"), col("vec").cast("array<double>").as("raw"))
+            .withColumn("__fn",
+              sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
+            .select(col("vec_id"), transform(col("raw"),
+              x => when(col("__fn") > 0, x / col("__fn")).otherwise(x)).as("vec"))
+            .localCheckpoint(true)
+          case None => kmeansFitSample(base, n, fitSampleCap)
+        }
         var coded = base
         val codebooks = (0 until m).map { j =>
           val featCol = s"__f$j"
@@ -693,6 +783,8 @@ object AnnIndex {
     // stamp the count (sidecar-read appends — see [[writeRowsSidecar]])
     writeRowsSidecar(new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration), path, n)
+    // raw-vector reservoir for corpus-less retraining (see `_sample`)
+    writeReservoir(base, "vec", path, n, fitSampleCap)
   }
 
   /**
@@ -772,7 +864,8 @@ object AnnIndex {
       path: String, nCells: Int = 16, m: Int = 8, seed: Long = 42L,
       quantizer: String = "sign",
       autoPlan: Boolean = true, targetCellRows: Long = 4096L,
-      fitSampleCap: Long = KmeansFitSampleCap): Unit = {
+      fitSampleCap: Long = KmeansFitSampleCap,
+      fitFrame: Option[DataFrame] = None): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val n = embeddings.count()
@@ -785,7 +878,8 @@ object AnnIndex {
     // / [[requireCodebooks]]), never new cells under old geometry.
     // `_rows`/`_tombstones` drop too — a rebuild replaces all data.
     deleteSidecars(embeddings, path,
-      "_centroids", "_codebooks", "_rows", "_tombstones", "_recon")
+      "_centroids", "_codebooks", "_rows", "_tombstones", "_recon",
+      "_sample")
     // NOT checkpointed: the per-row normalize is cheaper to recompute in
     // the one pass that derives `coded` (which IS checkpointed) than to
     // materialize a second corpus-sized buffer
@@ -857,8 +951,21 @@ object AnnIndex {
         // the coarse fit + m sub-fits ALL train on the bounded
         // hash-sample (see [[KmeansFitSampleCap]]) — previously m+1
         // iterative whole-corpus scans, now (m+1) sample-sized fits; the
-        // encode chain still covers the full corpus in one pass
-        val fitPrepared = kmeansFitSample(prepared, n, fitSampleCap)
+        // encode chain still covers the full corpus in one pass. A
+        // `fitFrame` override (the `_sample` reservoir reindex) trains
+        // on RAW sampled vectors while the encode pass covers whatever
+        // corpus the caller assembled (reconstruction-upgraded rows).
+        val fitPrepared = fitFrame match {
+          case Some(f) => f
+            .select(col("vec_id"), col("vec").cast("array<double>").as("raw"))
+            .withColumn("__fn",
+              sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
+            .select(col("vec_id"), transform(col("raw"),
+              x => when(col("__fn") > 0, x / col("__fn")).otherwise(x)).as("nv"))
+            .withColumn("__f", array_to_vector(col("nv")))
+            .localCheckpoint(true)
+          case None => kmeansFitSample(prepared, n, fitSampleCap)
+        }
         val coarse = new KMeans().setK(cellsPlanned).setSeed(seed)
           .setFeaturesCol("__f").setPredictionCol("cell").fit(fitPrepared)
         var coded = coarse.transform(prepared).drop("__f")
@@ -903,6 +1010,10 @@ object AnnIndex {
     // stamp the count — sidecar-read drift WARNs (see [[writeRowsSidecar]])
     writeRowsSidecar(new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration), path, n)
+    // raw-vector reservoir for corpus-less retraining (see the
+    // `_sample` section) — one bounded filtered write off the already-
+    // derived normalized frame; the fit-sample cap IS the reservoir cap
+    writeReservoir(base, "nv", path, n, fitSampleCap)
   }
 
   /**
@@ -1864,6 +1975,8 @@ object AnnIndex {
     // what indexHealth compares to the build baseline
     updateReconSidecar(spark, path, base.withColumn("code", codeCol),
       "vec", m, sub, appended)
+    // reservoir: add the batch's id-hash-stable members (see `_sample`)
+    appendReservoir(spark, base, "vec", path, oldN, KmeansFitSampleCap)
     appended
   }
 
@@ -1926,9 +2039,11 @@ object AnnIndex {
     // the `_recon` running mean (see appendPq)
     updateReconSidecar(spark, path, assigned.withColumn("code", codeCol),
       "nv", m, sub, appended)
+    // reservoir: add the batch's id-hash-stable members (see `_sample`)
+    appendReservoir(spark, base, "nv", path, oldN, KmeansFitSampleCap)
     warnIvfDrift(path, "appendIvfPq", oldN + appended, cents.length,
-      targetCellRows, "AnnIndex.reindexIvfPq(corpus, ...) — PQ codes are " +
-        "lossy, so the composite re-plan reads the upstream corpus")
+      targetCellRows, "AnnIndex.reindexIvfPq(corpus, ...) — or, with a " +
+        "_sample reservoir present, reindexIvfPqFromReservoir")
     appended
   }
 
@@ -2063,7 +2178,7 @@ object AnnIndex {
     else requireCodebooks(spark, path)   // flat PQ
     // `_tombstones` holds parquet too — never count it as data; a
     // crashed pre-publish vacuum staging dir is garbage, not data
-    val nonData = sidecars ++ Seq("_tombstones", "_vacuum_staged")
+    val nonData = sidecars ++ Seq("_tombstones", "_vacuum_staged", "_sample")
     def dataFiles(p: String): Long = {
       val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
       var n = 0L
@@ -2108,6 +2223,12 @@ object AnnIndex {
         fs, new org.apache.hadoop.fs.Path(s"$tmp/$s"),
         false, spark.sparkContext.hadoopConfiguration)
     }
+    // `_sample` rides along MINUS tombstoned ids: the compacted index
+    // starts tombstone-free, so a raw copy would let a taken-down
+    // vector resurrect through a later reservoir retrain
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_sample")))
+      liveRows(spark, path, spark.read.parquet(s"$path/_sample"))
+        .coalesce(8).write.mode("overwrite").parquet(s"$tmp/_sample")
     // re-stamp the count on the staged copy (tombstone drops change it;
     // the count over freshly-written files is metadata-cheap)
     writeRowsSidecar(fs, tmp.toString,
@@ -2289,6 +2410,17 @@ object AnnIndex {
       return false // steady state: nothing tombstoned
     val tomb = spark.read.parquet(s"$path/_tombstones")
       .select("vec_id").distinct()
+    // the reservoir drops its tombstoned members NOW, while the sidecar
+    // still exists to name them (completion clears it, after which
+    // nothing would hide a taken-down vector from a reservoir retrain);
+    // the eager checkpoint makes the same-path overwrite safe, and a
+    // crash mid-write only degrades the ADVISORY `_sample`
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_sample"))) {
+      val filtered = spark.read.parquet(s"$path/_sample")
+        .join(tomb, Seq("vec_id"), "left_anti").localCheckpoint(true)
+      filtered.coalesce(8).write.mode("overwrite")
+        .parquet(s"$path/_sample")
+    }
     val qualified = fs.makeQualified(hPath).toString
     // locate: ONE job over (vec_id, file name) — column-pruned to the
     // narrowest possible scan; returns the affected files AND the
@@ -2370,7 +2502,7 @@ object AnnIndex {
     * recursive listing, sidecar/tombstone/staged trees excluded. */
   private def dataFileCount(fs: org.apache.hadoop.fs.FileSystem,
       path: String, sidecars: Seq[String]): Long = {
-    val nonData = sidecars ++ Seq("_tombstones", "_vacuum_staged")
+    val nonData = sidecars ++ Seq("_tombstones", "_vacuum_staged", "_sample")
     val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
     var n = 0L
     while (it.hasNext) {
@@ -2614,15 +2746,28 @@ object AnnIndex {
           reindexIvfPq(c, vecCol, idCol, path,
             nCells = h.currentUnits, targetCellRows = targetCellRows)
           actions += "reindexIvfPq"
+        case None if reservoirRows(spark, path).isDefined =>
+          // round 18: the `_sample` reservoir lifts the corpus-bound
+          // limit — the in-stream drift/staleness maintenance EXECUTES
+          // the rebuild (retrain on raw reservoir, re-encode from
+          // reconstruction-upgraded rows) instead of only reporting it
+          reindexIvfPqFromReservoir(spark, path,
+            nCells = h.currentUnits, targetCellRows = targetCellRows)
+          actions += "reindexIvfPqFromReservoir"
         case None =>
-          actions += "skipped: reindexIvfPq requires the upstream corpus"
+          actions += "skipped: reindexIvfPq requires the upstream " +
+            "corpus (no _sample reservoir)"
       }
       case _ => corpus match { // flat pq: staleness is its ONLY rebuild signal
         case Some(c) =>
           reindexPq(c, vecCol, idCol, path)
           actions += "reindexPq"
+        case None if reservoirRows(spark, path).isDefined =>
+          reindexPqFromReservoir(spark, path)
+          actions += "reindexPqFromReservoir"
         case None =>
-          actions += "skipped: reindexPq requires the upstream corpus"
+          actions += "skipped: reindexPq requires the upstream corpus " +
+            "(no _sample reservoir)"
       }
     }
     // the cheap repairs run whenever a reindex did NOT rebuild the data;
@@ -2782,6 +2927,128 @@ object AnnIndex {
     buildPq(corpus, vecCol, idCol, tmp.toString, m = useM, k = k,
       seed = seed, quantizer = quant, fitSampleCap = fitSampleCap)
     swapStaged(fs, hPath, tmp, old, "reindexPq")
+  }
+
+  /** Decode every LIVE row back to its reconstructed vector (per-
+    * subspace codebook centroid lookup, concatenated — the asymmetric-
+    * distance model's view of the row): the corpus-less reindexes
+    * re-encode from these. A code with no codebook entry (the
+    * documented hole contract) reconstructs that segment as zeros.
+    * One broadcast join + one group-by over m-exploded rows — O(index·m)
+    * for a verb that rewrites O(index) anyway. */
+  private def reconstructedLiveRows(spark: SparkSession, path: String,
+      m: Int, sub: Int): DataFrame = {
+    val cb = spark.read.parquet(s"$path/_codebooks")
+      .select(col("subspace").cast("int").as("subspace"),
+        col("centroid_id").cast("int").as("centroid_id"), col("centroid"))
+    liveRows(spark, path,
+        spark.read.parquet(path).select("vec_id", "code"))
+      .select(col("vec_id"),
+        posexplode_outer(col("code")).as(Seq("subspace", "centroid_id")))
+      .select(col("vec_id"), col("subspace").cast("int").as("subspace"),
+        col("centroid_id").cast("int").as("centroid_id"))
+      .join(broadcast(cb), Seq("subspace", "centroid_id"), "left")
+      .withColumn("centroid", coalesce(col("centroid"),
+        transform(sequence(lit(1), lit(sub)), _ => lit(0.0))))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("subspace"),
+        col("centroid")))).as("cs"))
+      .select(col("vec_id"),
+        flatten(transform(col("cs"), s => s.getField("centroid")))
+          .as("vec"))
+  }
+
+  /**
+   * CORPUS-LESS composite re-plan (round 18 — the `_sample` reservoir's
+   * purpose): re-train quantizers and rebuild the index WITHOUT the
+   * upstream corpus, lifting the documented reported-not-taken limit on
+   * in-stream IVF-PQ drift/staleness maintenance.
+   *
+   *  - Quantizer training runs on the RAW reservoir ([[reservoirRows]]
+   *    — bounded, id-hash-stable, tombstone-filtered): statistically
+   *    the same fit a full rebuild's own [[kmeansFitSample]] would run,
+   *    because both are ~cap-sized uniform id-hash samples.
+   *  - Every live row re-encodes from its RECONSTRUCTED vector
+   *    ([[reconstructedLiveRows]]), upgraded to the exact raw vector
+   *    for rows the reservoir holds (at or below the cap that is ALL
+   *    of them, and the rebuild is exactly a fresh full build; above
+   *    it, non-reservoir rows carry their old quantization error into
+   *    the re-encode — the documented price of the codes-only
+   *    footprint, bounded by the old codebooks' reconstruction error).
+   *  - The staged `_sample` is re-stamped from the RAW reservoir (the
+   *    mixed corpus must never poison it with reconstructions), and the
+   *    cut-over rides [[swapStaged]] like every reindex.
+   *
+   * Fails closed when no reservoir exists (legacy index) — callers fall
+   * back to the corpus-bound [[reindexIvfPq]].
+   *
+   * @return the new cell count
+   */
+  def reindexIvfPqFromReservoir(spark: SparkSession, path: String,
+      nCells: Int = -1, seed: Long = 42L, targetCellRows: Long = 4096L,
+      fitSampleCap: Long = KmeansFitSampleCap): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cents = ivfCentroids(spark, path) // fail-closed geometry check
+    requireCodebooks(spark, path)         // fail-closed
+    val quant = indexQuantizer(spark, path, "_centroids")
+    val cb = readCodebooks(spark, path)
+    val (m, sub) = (cb.keys.map(_._1).max + 1, cb.values.head.length)
+    val res = reservoirRows(spark, path, fitSampleCap).getOrElse(
+      throw new IllegalStateException(
+        s"reindexIvfPqFromReservoir($path): no _sample reservoir (a " +
+          s"legacy or interrupted build) — use reindexIvfPq(corpus, ...)"))
+      .localCheckpoint(true) // read by the fit, the upgrade join and the re-stamp
+    val refCells = if (nCells > 0) nCells else cents.length
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__reindexing")
+    val old = new org.apache.hadoop.fs.Path(s"$path.__prereindex")
+    fs.delete(tmp, true); fs.delete(old, true) // prior-crash leftovers
+    val corpus = reconstructedLiveRows(spark, path, m, sub)
+      .join(res.select(col("vec_id"), col("vec").as("__raw")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("__raw"), col("vec")).as("vec"))
+    buildIvfPq(corpus, "vec", "vec_id", tmp.toString, nCells = refCells,
+      m = m, seed = seed, quantizer = quant, autoPlan = true,
+      targetCellRows = targetCellRows, fitSampleCap = fitSampleCap,
+      fitFrame = Some(res))
+    // re-stamp the staged reservoir from the RAW rows — buildIvfPq just
+    // derived one from the mixed (partly reconstructed) corpus
+    res.select(col("vec_id"), col("vec"))
+      .coalesce(8).write.mode("overwrite").parquet(s"$tmp/_sample")
+    swapStaged(fs, hPath, tmp, old, "reindexIvfPqFromReservoir")
+    ivfCentroids(spark, path).length
+  }
+
+  /** [[reindexIvfPqFromReservoir]]'s flat-PQ sibling: corpus-less
+    * codebook refit from the raw reservoir, re-encode from
+    * reconstruction-upgraded rows, staged swap. */
+  def reindexPqFromReservoir(spark: SparkSession, path: String,
+      k: Int = 16, seed: Long = 42L,
+      fitSampleCap: Long = KmeansFitSampleCap): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireCodebooks(spark, path) // fail-closed
+    val quant = indexQuantizer(spark, path, "_codebooks")
+    val cb = readCodebooks(spark, path)
+    val (m, sub) = (cb.keys.map(_._1).max + 1, cb.values.head.length)
+    val res = reservoirRows(spark, path, fitSampleCap).getOrElse(
+      throw new IllegalStateException(
+        s"reindexPqFromReservoir($path): no _sample reservoir (a " +
+          s"legacy or interrupted build) — use reindexPq(corpus, ...)"))
+      .localCheckpoint(true)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__reindexing")
+    val old = new org.apache.hadoop.fs.Path(s"$path.__prereindex")
+    fs.delete(tmp, true); fs.delete(old, true) // prior-crash leftovers
+    val corpus = reconstructedLiveRows(spark, path, m, sub)
+      .join(res.select(col("vec_id"), col("vec").as("__raw")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("__raw"), col("vec")).as("vec"))
+    buildPq(corpus, "vec", "vec_id", tmp.toString, m = m, k = k,
+      seed = seed, quantizer = quant, fitSampleCap = fitSampleCap,
+      fitFrame = Some(res))
+    res.select(col("vec_id"), col("vec"))
+      .coalesce(8).write.mode("overwrite").parquet(s"$tmp/_sample")
+    swapStaged(fs, hPath, tmp, old, "reindexPqFromReservoir")
   }
 
   /** The corpus-side tombstone filter for the corpus-bound reindexes:

@@ -575,12 +575,16 @@ object Streams {
    * quality drifts as the corpus outgrows the first batch's training:
    * the append WARNs price occupancy drift, and with `maintainEvery >
    * 0` the in-stream [[graft.operators.AnnIndex.maintainIndex]] runs
-   * WITHOUT a corpus handle — the composite reindex is corpus-bound
-   * (codes are lossy), so drift is REPORTED as skipped while the cheap
-   * repairs (targeted vacuum, compaction of append small-files) still
-   * run; schedule `reindexIvfPq(corpus, ...)` as a batch job when the
-   * report fires, the same division of labor as [[curationIngest]]'s
-   * corpus-level stages. Replay semantics are [[ingestAnnBatch]]'s,
+   * WITHOUT a corpus handle. Round 18: the build/appends grow a
+   * `_sample` raw-vector reservoir, so the drift/staleness rebuild now
+   * EXECUTES in-stream ([[graft.operators.AnnIndex
+   * .reindexIvfPqFromReservoir]] — retrain on the bounded raw
+   * reservoir, re-encode from reconstruction-upgraded rows, staged
+   * swap); only a LEGACY reservoir-less index still reports the
+   * reindex as skipped while the cheap repairs (targeted vacuum,
+   * compaction of append small-files) run — schedule
+   * `reindexIvfPq(corpus, ...)` as a batch job when that report
+   * fires. Replay semantics are [[ingestAnnBatch]]'s,
    * verbatim: the `_stream_batch` lineage stamp skips exact replays,
    * degrading to duplicates, never loss.
    */
@@ -642,8 +646,10 @@ object Streams {
           targetCellRows = targetCellRows)
       if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
         // corpus = None is deliberate: a micro-batch must never pose as
-        // the training corpus — maintainIndex REPORTS the corpus-bound
-        // reindex as skipped and still runs the cheap repairs
+        // the training corpus — maintainIndex retrains from the
+        // `_sample` raw reservoir when one exists (round 18), and only
+        // REPORTS the corpus-bound reindex as skipped on a legacy
+        // reservoir-less index; the cheap repairs run either way
         val acts = graft.operators.AnnIndex.maintainIndex(spark,
           indexDir, targetCellRows = targetCellRows)
         if (acts.nonEmpty) System.err.println(

@@ -584,12 +584,17 @@ class AnnAppendSpec extends SparkSpec {
       .as[(Long, Long, Seq[Int])].collect().toSet
     assert(read(idx) === read(full))
     // the in-stream maintenance (maintainEvery = 1) answered the
-    // append fragmentation with a compact — and the composite reindex
-    // is corpus-bound: forced drift is REPORTED as skipped, the index
-    // untouched (codes are lossy; a micro-batch must never pose as the
-    // training corpus)
+    // append fragmentation with a compact — and on a LEGACY
+    // (reservoir-less) index the composite reindex is corpus-bound:
+    // forced drift is REPORTED as skipped, the index untouched (codes
+    // are lossy; a micro-batch must never pose as the training corpus;
+    // round 18's `_sample` reservoir lifts this — covered by the
+    // reservoir maintain arms and the stream_ivfpq_reindex oracle row)
     val h = AnnIndex.indexHealth(spark, idx)
     assert(!h.fragmented, s"in-stream compact did not run: $h")
+    new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$idx/_sample"), true)
     val acts = AnnIndex.maintainIndex(spark, idx, targetCellRows = 1L)
     assert(acts.exists(_.startsWith("skipped: reindexIvfPq")), acts)
     assert(read(idx) === read(full), "the skipped reindex touched data")

@@ -28,7 +28,7 @@ class AnnMaintainSpec extends SparkSpec {
       val s = f.getPath.toString
       if (s.endsWith(".parquet") &&
           !Seq("_plan", "_centroids", "_codebooks", "_tombstones",
-            "_vacuum_staged").exists(d => s.contains(s"/$d/")))
+            "_vacuum_staged", "_sample").exists(d => s.contains(s"/$d/")))
         out(s) = f.getLen
     }
     out.toMap
@@ -145,13 +145,15 @@ class AnnMaintainSpec extends SparkSpec {
     assert(AnnIndex.maintainIndex(spark, p) === Seq.empty)
   }
 
-  test("drifted IVF-PQ without a corpus: the reindex is reported as " +
-      "skipped (lossy codes are corpus-bound), the cheap repairs still " +
-      "run, and the index is untouched by the skip; with a corpus the " +
-      "reindex executes") {
+  test("drifted IVF-PQ without a corpus: a LEGACY (reservoir-less) " +
+      "index reports the reindex skipped and the cheap repairs still " +
+      "run; with the `_sample` reservoir the corpus-less rebuild " +
+      "EXECUTES (round 18); with a corpus the corpus-bound one does") {
+    // LEGACY index (no `_sample` — a pre-round-18 build): skip + repair
     val p = tmp("mnt_pq")
     AnnIndex.buildIvfPq(emb, "embedding", "vec_id", p, nCells = 4, m = 4,
       quantizer = "sign")
+    fsOf(p).delete(new org.apache.hadoop.fs.Path(s"$p/_sample"), true)
     AnnIndex.deleteIds(spark, p,
       emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
     val h = AnnIndex.indexHealth(spark, p, targetCellRows = 16L,
@@ -174,6 +176,22 @@ class AnnMaintainSpec extends SparkSpec {
     val h2 = AnnIndex.indexHealth(spark, p, targetCellRows = 16L,
       tombstoneFloor = 10L)
     assert(!h2.drifted && h2.prescription === "healthy")
+    // RESERVOIR index (the round-18 default): the corpus-less maintain
+    // executes the rebuild — drift AND tombstones resolved in one verb
+    val pr = tmp("mnt_pqres")
+    AnnIndex.buildIvfPq(emb, "embedding", "vec_id", pr, nCells = 4,
+      m = 4, quantizer = "sign")
+    AnnIndex.deleteIds(spark, pr,
+      emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
+    val actsR = AnnIndex.maintainIndex(spark, pr, corpus = None,
+      targetCellRows = 16L, tombstoneFloor = 10L)
+    assert(actsR === Seq("reindexIvfPqFromReservoir"), actsR.toString)
+    assert(spark.read.parquet(pr)
+      .filter(col("vec_id") % 10 === 3).count() === 0L,
+      "the reservoir rebuild resurrected a tombstoned row")
+    val hr = AnnIndex.indexHealth(spark, pr, targetCellRows = 16L,
+      tombstoneFloor = 10L)
+    assert(!hr.drifted && hr.prescription === "healthy", hr.toString)
   }
 
   test("codebook staleness (round 16): same-distribution appends keep " +
@@ -212,7 +230,9 @@ class AnnMaintainSpec extends SparkSpec {
       s"shifted appends did not flip stale: base=${h2.baseReconErr} " +
         s"appended=${h2.appendedReconErr} n=${h2.appendedReconRows}")
     assert(h2.prescription.startsWith("reindexIvfPq"))
-    // without a corpus: reported, not taken (codes are lossy)
+    // without a corpus AND without a reservoir (legacy): reported, not
+    // taken (codes are lossy and there is nothing to retrain from)
+    fsOf(p).delete(new org.apache.hadoop.fs.Path(s"$p/_sample"), true)
     val acts = AnnIndex.maintainIndex(spark, p, corpus = None,
       staleMinRows = 1L)
     assert(acts.head.startsWith("skipped: reindexIvfPq"), acts)
@@ -225,7 +245,11 @@ class AnnMaintainSpec extends SparkSpec {
     val h3 = AnnIndex.indexHealth(spark, p, staleMinRows = 1L)
     assert(!h3.stale && h3.appendedReconRows === 0L)
     assert(h3.prescription === "healthy")
-    // flat PQ shares the signal — staleness is its ONLY rebuild trigger
+    // flat PQ shares the signal — staleness is its ONLY rebuild trigger.
+    // Round 18: builds/appends grew the `_sample` reservoir, so the
+    // CORPUS-LESS maintain now EXECUTES the refit (retrained on the
+    // current raw mix) and stamps a fresh baseline — staleness clears
+    // without any corpus handle.
     val p2 = tmp("mnt_stale_pq")
     AnnIndex.buildPq(base, "embedding", "vec_id", p2, m = 16,
       quantizer = "sign")
@@ -234,11 +258,83 @@ class AnnMaintainSpec extends SparkSpec {
     assert(hp.layout === "pq" && hp.stale)
     assert(hp.prescription.startsWith("reindexPq"))
     assert(AnnIndex.maintainIndex(spark, p2, staleMinRows = 1L)
-      .head.startsWith("skipped: reindexPq"))
-    assert(AnnIndex.maintainIndex(spark, p2,
-      corpus = Some(base.unionByName(shifted)), vecCol = "embedding",
-      idCol = "vec_id", staleMinRows = 1L) === Seq("reindexPq"))
-    assert(!AnnIndex.indexHealth(spark, p2, staleMinRows = 1L).stale)
+      === Seq("reindexPqFromReservoir"))
+    assert(!AnnIndex.indexHealth(spark, p2, staleMinRows = 1L).stale,
+      "the reservoir refit did not clear staleness")
+  }
+
+  test("the `_sample` reservoir (r18): level-0 corpus-less reindex is " +
+      "content-identical to a fresh full build; a SUBSET reservoir " +
+      "(the at-scale level) still retrains and re-encodes every live " +
+      "row from reconstruction-upgraded vectors; the re-stamped " +
+      "reservoir holds the RAW rows; takedown verbs filter it") {
+    // level arithmetic: at or below cap everything is level 0; levels
+    // then rise with log2(n/cap) and stay clamped
+    assert(AnnIndex.reservoirLevel(100L, 1000L) === 0)
+    assert(AnnIndex.reservoirLevel(2000L, 1000L) === 1)
+    assert(AnnIndex.reservoirLevel(5000L, 1000L) === 3)
+    assert(AnnIndex.reservoirLevel(Long.MaxValue, 1L) === 62)
+    // level 0 (oracle scale): reservoir == corpus, so the corpus-less
+    // rebuild is EXACTLY a fresh full build — sign cells/codes are
+    // row-local, content identity is noise-free
+    val p = tmp("mnt_res0"); val fresh = tmp("mnt_res0f")
+    val halves = (i: Int) => emb.filter(col("vec_id") % 2 === i)
+    AnnIndex.buildIvfPq(halves(0), "embedding", "vec_id", p, nCells = 4,
+      m = 4, quantizer = "sign")
+    AnnIndex.appendIvfPq(halves(1), "embedding", "vec_id", p)
+    val nCells = AnnIndex.reindexIvfPqFromReservoir(spark, p)
+    AnnIndex.buildIvfPq(emb, "embedding", "vec_id", fresh, nCells = 4,
+      m = 4, quantizer = "sign")
+    val read = (q: String) => spark.read.parquet(q)
+      .select(col("vec_id"), col("cell").cast("long"),
+        col("code").cast("array<int>"))
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    assert(read(p) === read(fresh),
+      "level-0 reservoir rebuild diverged from the fresh full build")
+    assert(nCells === 4)
+    // SUBSET reservoir (simulating the at-scale level filter): kmeans
+    // quantizers retrain from the raw half, every live row re-encodes,
+    // probes answer, and the swapped `_sample` holds the RAW subset —
+    // not reconstructions
+    val pk = tmp("mnt_resk")
+    AnnIndex.buildIvfPq(emb, "embedding", "vec_id", pk, nCells = 4,
+      m = 4, quantizer = "kmeans")
+    val subset = spark.read.parquet(s"$pk/_sample")
+      .filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "vec").localCheckpoint(true)
+    subset.write.mode("overwrite").parquet(s"$pk/_sample")
+    AnnIndex.reindexIvfPqFromReservoir(spark, pk)
+    assert(spark.read.parquet(pk).count() === emb.count(),
+      "the subset-reservoir rebuild lost live rows")
+    // the self-hit probe targets a RESERVOIR row (vec_id 2 — even):
+    // its code re-derived from the exact raw vector; non-reservoir rows
+    // re-encode from reconstructions and only promise approximate rank
+    val q2 = emb.filter(col("vec_id") === 2).select("embedding")
+      .as[Seq[Float]].head()
+    val hits = AnnIndex.searchIvfPqRerank(spark, pk, emb, "embedding",
+      "vec_id", q2, k = 1, overFetch = 16)
+    assert(hits.select("vec_id").as[Long].head() === 2L,
+      "the retrained index lost a reservoir-row self-hit")
+    val stamped = spark.read.parquet(s"$pk/_sample")
+      .select("vec_id", "vec").as[(Long, Seq[Double])].collect().toMap
+    val planted = subset.as[(Long, Seq[Double])].collect().toMap
+    assert(stamped === planted,
+      "the re-stamped reservoir is not the raw subset")
+    // takedown symmetry: vacuum drops tombstoned ids from the reservoir
+    // (nothing names them once the sidecar clears), compaction carries
+    // the survivors
+    AnnIndex.deleteIds(spark, pk,
+      emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 10)
+        .select("vec_id"))
+    AnnIndex.vacuumTombstones(spark, pk)
+    val afterVac = spark.read.parquet(s"$pk/_sample")
+      .select("vec_id").as[Long].collect().toSet
+    assert(!afterVac.exists(id => id % 2 == 0 && id < 10),
+      "vacuum left taken-down ids in the reservoir")
+    AnnIndex.compactIndex(spark, pk)
+    assert(spark.read.parquet(s"$pk/_sample")
+      .select("vec_id").as[Long].collect().toSet === afterVac,
+      "compaction dropped or grew the reservoir")
   }
 
   test("health issues no job over the index data path once _rows " +

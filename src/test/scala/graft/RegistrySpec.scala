@@ -114,7 +114,7 @@ class RegistrySpec extends AnyFunSuite {
         "ann_reindex_knn", "ann_delete_knn", "ann_vacuum_knn",
         "ann_scoped_knn", "ann_health", "ann_recon_health",
         "stream_ann_ingest", "stream_ann_maintain", "stream_ivfpq_ingest",
-        "stream_ivfpq_maintain"),
+        "stream_ivfpq_maintain", "stream_ivfpq_reindex"),
       "text" -> Seq("text_lang_id", "text_quality", "text_token_stats",
         "text_fingerprint", "text_rolling_fp", "text_pii_scrub",
         "text_repetition", "text_quality_gate", "text_gopher_rules",
