@@ -2958,6 +2958,31 @@ object AnnIndex {
           .as("vec"))
   }
 
+  /** The corpus a reservoir reindex re-encodes: when the reservoir
+    * provably covers EVERY live row — no `_tombstones`, and the `_rows`
+    * count equals the reservoir's (level 0, no duplicate ids; an
+    * over-reading advisory count just falls through to the safe path)
+    * — it IS the live set and the decode is skipped entirely.
+    * Otherwise every live row reconstructs from its code
+    * ([[reconstructedLiveRows]]) and upgrades to the exact raw where
+    * the reservoir holds it. Eagerly checkpointed either way: the
+    * downstream build re-reads its corpus several times (count, dim
+    * probe, encode), and re-running the decode DAG per pass tripled
+    * the verb's wall at bench scale. */
+  private def reservoirOrReconstructed(spark: SparkSession, path: String,
+      res: DataFrame, m: Int, sub: Int): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val noTombs = !fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/_tombstones"))
+    if (noTombs && indexRowCount(spark, path) == res.count()) res
+    else reconstructedLiveRows(spark, path, m, sub)
+      .join(res.select(col("vec_id"), col("vec").as("__raw")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("__raw"), col("vec")).as("vec"))
+      .localCheckpoint(true)
+  }
+
   /**
    * CORPUS-LESS composite re-plan (round 18 — the `_sample` reservoir's
    * purpose): re-train quantizers and rebuild the index WITHOUT the
@@ -3003,10 +3028,7 @@ object AnnIndex {
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__reindexing")
     val old = new org.apache.hadoop.fs.Path(s"$path.__prereindex")
     fs.delete(tmp, true); fs.delete(old, true) // prior-crash leftovers
-    val corpus = reconstructedLiveRows(spark, path, m, sub)
-      .join(res.select(col("vec_id"), col("vec").as("__raw")),
-        Seq("vec_id"), "left")
-      .select(col("vec_id"), coalesce(col("__raw"), col("vec")).as("vec"))
+    val corpus = reservoirOrReconstructed(spark, path, res, m, sub)
     buildIvfPq(corpus, "vec", "vec_id", tmp.toString, nCells = refCells,
       m = m, seed = seed, quantizer = quant, autoPlan = true,
       targetCellRows = targetCellRows, fitSampleCap = fitSampleCap,
@@ -3039,10 +3061,7 @@ object AnnIndex {
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__reindexing")
     val old = new org.apache.hadoop.fs.Path(s"$path.__prereindex")
     fs.delete(tmp, true); fs.delete(old, true) // prior-crash leftovers
-    val corpus = reconstructedLiveRows(spark, path, m, sub)
-      .join(res.select(col("vec_id"), col("vec").as("__raw")),
-        Seq("vec_id"), "left")
-      .select(col("vec_id"), coalesce(col("__raw"), col("vec")).as("vec"))
+    val corpus = reservoirOrReconstructed(spark, path, res, m, sub)
     buildPq(corpus, "vec", "vec_id", tmp.toString, m = m, k = k,
       seed = seed, quantizer = quant, fitSampleCap = fitSampleCap,
       fitFrame = Some(res))
