@@ -730,8 +730,90 @@ object ProbeSuite {
         s""""timing_gated":false,"slope_ok":$slopeOk}""")
     }
 
+    // ------------------------------------------------------- phash
+    // The round-18 perceptual-hash family as STANDING bounds: 300k
+    // synthetic 64-bit hash bit-vectors (xxhash64 -> independent bits,
+    // deterministic) with a 3-bit-flip twin planted every 97th row.
+    // Bounds, all noise-free: (a) EXACT pairs — flips at 3 bits leave
+    // one band intact (pigeonhole at 4 bands), so every twin MUST
+    // surface, and random 64-bit hashes sit ~32 bits apart (P[<=6] ~
+    // 5e-12), so NOTHING else may — found == planted exactly; (b) the
+    // band-candidate mass must sit on the independent-bit model
+    // bands*n^2/2^17 (the emb_plan treatment: a banding regression
+    // that widens keys, drops a band, or breaks the key slicing moves
+    // it); (c) the inherited index lifecycle: an incremental probe off
+    // the persisted index recovers every twin, a takedown hides its
+    // pairs, and the targeted vacuum stays within ids x bands files.
+    val phashJson = {
+      import graft.operators.{Dedup, PhashDedup}
+      val n = 300000L
+      val base = spark.range(n).select(col("id").as("media_id"),
+        lpad(bin(xxhash64(col("id"), lit(41))), 64, "0").as("phash"))
+      def flip(c: Column, pos: Int): Column = concat(
+        substring(c, 1, pos - 1),
+        when(substring(c, pos, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(c, pos + 1, 64 - pos))
+      val twins = base.filter(col("media_id") % 97 === 0)
+        .select((col("media_id") + 5000000L).as("media_id"),
+          flip(flip(flip(col("phash"), 5), 23), 41).as("phash"))
+      val corpus = base.unionByName(twins).localCheckpoint(true)
+      val nAll = corpus.count()
+      val nTwins = nAll - n
+      val (cand, tCand) = timed(PhashDedup.phashCandidates(
+        corpus, "media_id", "phash").count())
+      val model = 4.0 * nAll.toDouble * nAll.toDouble / math.pow(2.0, 17)
+      val vsModel = cand.toDouble / model
+      val (pairs, tPairs) = timed(PhashDedup.phashNearDupPairs(
+        corpus, "media_id", "phash", maxHamming = 6)
+        .select("id_a", "id_b").collect())
+      val twinsGot = pairs.count(r =>
+        r.getLong(1) == r.getLong(0) + 5000000L).toLong
+      val exactOk = twinsGot == nTwins && pairs.length.toLong == nTwins
+      val modelOk = vsModel >= 0.7 && vsModel <= EmbModelCeiling
+      // inherited lifecycle: index the base, probe the twin batch,
+      // take down 8 originals, targeted vacuum within ids x bands
+      val idx = Tables.freshScratch("probe_phash") + "/idx"
+      val (_, tBuild) = timed(PhashDedup.buildPhashIndex(
+        base, "media_id", "phash", idx))
+      val probe = () => PhashDedup.incrementalPhashPairs(
+        twins, "media_id", "phash", idx, maxHamming = 6)
+        .select("id_a", "id_b").collect()
+      val (inc, tProbe) = timed(probe())
+      val incOk = inc.count(r =>
+        r.getLong(1) == r.getLong(0) + 5000000L).toLong == nTwins
+      val doomed = (0 until 8).map(_ * 97L)
+      import spark.implicits._
+      val (_, tDel) = timed(Dedup.deleteFromMinhashIndex(spark, idx,
+        doomed.toDF("media_id"), idCol = "media_id"))
+      val ((vFiles, vRows), tVac) =
+        timed(Dedup.vacuumMinhashTombstones(spark, idx))
+      val afterVac = probe()
+      val dead = doomed.toSet
+      val leak = afterVac.exists(r => dead(r.getLong(0)))
+      val vacuumOk = vFiles <= 8L * 4 && vRows == 8L * 4 && !leak &&
+        afterVac.length == inc.length - 8
+      val pass = exactOk && modelOk && incOk && vacuumOk
+      println(f"[probes] phash corpus=$nAll twins=$nTwins " +
+        f"cand=$cand (vs model $vsModel%.3fx, band [0.7, " +
+        f"$EmbModelCeiling]) pairs=${pairs.length} exact_ok=$exactOk " +
+        f"cand_wall=$tCand%.1fs verify_wall=$tPairs%.1fs " +
+        f"build=$tBuild%.1fs probe=$tProbe%.1fs inc_ok=$incOk " +
+        f"delete=$tDel%.2fs vacuum files=$vFiles (bound 32) " +
+        f"rows=$vRows wall=$tVac%.1fs leak=$leak " +
+        (if (pass) "ok" else "BAD"))
+      (pass, s""""phash":{"pass":$pass,"corpus":$nAll,""" +
+        s""""twins":$nTwins,"cand":$cand,"cand_vs_model":$vsModel,""" +
+        s""""model_band_lo":0.7,"model_band_hi":$EmbModelCeiling,""" +
+        s""""pairs":${pairs.length},"exact_ok":$exactOk,""" +
+        s""""cand_sec":$tCand,"verify_sec":$tPairs,""" +
+        s""""build_sec":$tBuild,"probe_sec":$tProbe,"inc_ok":$incOk,""" +
+        s""""delete_sec":$tDel,"vacuum_files":$vFiles,""" +
+        s""""vacuum_file_bound":32,"vacuum_rows":$vRows,""" +
+        s""""vacuum_sec":$tVac,"vacuum_ok":$vacuumOk}""")
+    }
+
     val all = Seq(embJson, annJson, fuzzyJson, streamJson, mhJson,
-      embIdxJson)
+      embIdxJson, phashJson)
     val pass = all.forall(_._1)
     val json = s"""{"metric":"probes","pass":$pass,"probes":{""" +
       all.map(_._2).mkString(",") + "}}"
@@ -741,9 +823,12 @@ object ProbeSuite {
     // repo-rooted mirror (round 18, judge ask #2): when the caller's
     // outPath lives outside the repo (the round-17 record landed only in
     // /tmp and left a hole in the standing-probe audit trail), a copy
-    // always lands next to the round records so it can be committed
-    val repoRoot = java.nio.file.Paths.get("/root/repo")
-    if (java.nio.file.Files.isDirectory(repoRoot) &&
+    // always lands next to the round records so it can be committed.
+    // The repo root is the LAUNCH directory (sbt runs from it — pinned
+    // by the build.sbt probe), never a baked-in absolute path.
+    val repoRoot = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", ".")).toAbsolutePath
+    if (java.nio.file.Files.exists(repoRoot.resolve("build.sbt")) &&
       !java.nio.file.Paths.get(out).toAbsolutePath.startsWith(repoRoot))
       java.nio.file.Files.write(repoRoot.resolve("PROBES_latest.json"),
         json.getBytes("UTF-8"))

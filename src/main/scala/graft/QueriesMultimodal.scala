@@ -21,7 +21,10 @@ object QueriesMultimodal {
     * byte-block sums on the 9x8 dHash grid, row-wise adjacent
     * comparisons, a 64-char bit-vector; then the engine's own 4x16-bit
     * banding, candidate join and per-bit hamming verify. Expects a
-    * `media(doc_id, text)` CTE upstream. */
+    * `media(doc_id, text)` CTE upstream. Like every mm_* oracle it
+    * leans on the file-header ASCII contract (the engine hashes UTF-8
+    * BYTES, the SQL counts/indexes CHARS — identical only on ASCII;
+    * the driver corpus is, and stays, pure ASCII). */
   private val phashCtes = """
     cells AS (
       SELECT doc_id, g,
@@ -152,6 +155,52 @@ object QueriesMultimodal {
           .unionByName(reencoded(docs.filter(col("doc_id") % 10 === 1)))
         PhashDedup.incrementalPhashPairs(hashesOf(s, batch),
           "media_id", "phash", idx, maxHamming = 6)
+      }),
+
+    // --------------------------------------- video-frame near-dup
+    // The temporal-media sibling of mm_phash_dedup: assets pair when
+    // >= 6 of their 8 sampled frame digests agree at the same frame
+    // index — the local-edit/overlay shape where most frames survive
+    // byte-identical. Planted twins flip ONE mid-payload character
+    // (same length -> same stride -> same frame boundaries), so they
+    // keep 7 or 8 of 8 frames; the oracle replays the frame sampling
+    // (mm_frame_sample's exact CTE), the inverted same-index join and
+    // the match-count cut.
+    QueryDef("mm_frame_neardup", Some("""
+      WITH media AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substr(text, 1, len(text) // 2) ||
+               upper(substr(text, len(text) // 2 + 1, 1)) ||
+               substr(text, len(text) // 2 + 2)
+        FROM documents WHERE doc_id % 4 = 1),
+      frames AS (
+        SELECT d.doc_id, CAST(i AS INTEGER) AS frame_idx,
+               md5(substr(d.text, CAST(i * greatest(len(d.text) // 8, 1) + 1 AS INTEGER), 16)) AS frame_md5
+        FROM media d, range(0, 8) r(i)
+        WHERE len(d.text) >= 1 AND i <= len(d.text) - 1),
+      m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS matches
+        FROM frames a JOIN frames b
+          ON a.frame_idx = b.frame_idx AND a.frame_md5 = b.frame_md5
+            AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b, matches FROM m WHERE matches >= 6"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val twin = expr(
+          "concat(substring(text, 1, CAST(floor(length(text)/2) AS INT)), " +
+            "upper(substring(text, CAST(floor(length(text)/2) AS INT) + 1, 1)), " +
+            "substring(text, CAST(floor(length(text)/2) AS INT) + 2))")
+        val media = docs.select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 4 === 1)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              twin.as("text")))
+          .withColumn("payload", col("text").cast("binary"))
+        Multimodal.frameNearDupPairs(media, "payload", "doc_id",
+          nFrames = 8, frameLen = 16, minMatches = 6)
       }),
 
     // ------------------------------------------------ binary metadata

@@ -199,6 +199,36 @@ object Multimodal {
       .select(col(idCol), col("frame_idx"), md5(col("frame")).as("frame_md5"))
   }
 
+  /**
+   * Video near-dup via sampled-frame fingerprints (round 18 — the
+   * temporal-media sibling of the pHash family): two assets pair when
+   * at least `minMatches` of their `nFrames` deterministic frame
+   * digests agree AT THE SAME FRAME INDEX — the re-encode /
+   * local-edit / overlay shape, where most sampled frames survive
+   * byte-identical (a global re-cut shifts every frame and belongs to
+   * the perceptual-hash family instead). Scale shape: the inverted
+   * join on (frame_idx, digest) touches only colliding frames — never
+   * all pairs — the shingle-bucket discipline with frames as the
+   * keys; a hot frame (shared intro/black frame) is a skewed join key
+   * AQE's skew split handles, and the per-pair state is one count.
+   * Returns (id_a, id_b, matches), smaller id first.
+   */
+  def frameNearDupPairs(assets: DataFrame, payloadCol: String,
+      idCol: String, nFrames: Int = 8, frameLen: Int = 16,
+      minMatches: Int = 6): DataFrame = {
+    val frames = sampleFrames(assets, payloadCol, idCol, nFrames,
+      frameLen)
+    val a = frames.select(col(idCol).as("id_a"), col("frame_idx"),
+      col("frame_md5"))
+    val b = frames.select(col(idCol).as("id_b"), col("frame_idx"),
+      col("frame_md5"))
+    a.join(b, Seq("frame_idx", "frame_md5"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("matches"))
+      .filter(col("matches") >= minMatches)
+  }
+
   /** Byte-substring helper (Spark's substring Column API takes Int pos;
     * the expr form accepts a Column position). */
   private def substring_index_safe(bin: Column, pos: Column, len: Int): Column =

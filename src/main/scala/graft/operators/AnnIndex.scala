@@ -273,32 +273,65 @@ object AnnIndex {
       lit(1L << level)) === 0L
 
   /** Stamp a fresh reservoir from a build's normalized base frame (the
-    * build deletes `_sample` first — see [[deleteSidecars]] callers). */
+    * build deletes `_sample`/`_sample_cap` first — see
+    * [[deleteSidecars]] callers). The CAP is stamped next to the data
+    * (`_sample_cap`): every writer and reader must level against the
+    * SAME cap, or a non-default build cap would make default-cap
+    * appends write at a too-HIGH level — rows never written that a
+    * later build-cap read expects, the unrecoverable direction. */
   private def writeReservoir(base: DataFrame, vecColName: String,
-      path: String, n: Long, cap: Long): Unit =
+      path: String, n: Long, cap: Long): Unit = {
     base.filter(reservoirMember(reservoirLevel(n, cap)))
       .select(col("vec_id"), col(vecColName).as("vec"))
       .coalesce(8).write.mode("overwrite").parquet(s"$path/_sample")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      base.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$path/_sample_cap"), true)
+    try out.write(cap.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The cap the reservoir was stamped with (`_sample_cap`), falling
+    * back to the shared default for a legacy/holed stamp — advisory
+    * like everything `_sample`. */
+  private def reservoirCap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_sample_cap")
+    if (!fs.exists(p)) KmeansFitSampleCap
+    else try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      s.trim.toLong
+    } catch { case scala.util.control.NonFatal(_) => KmeansFitSampleCap }
+  }
+
+  private def hasReservoir(spark: SparkSession, path: String): Boolean =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$path/_sample"))
 
   /** Append a batch's reservoir members — only onto an EXISTING
     * reservoir: a legacy index must not grow a recent-batches-only
     * reservoir that would silently bias retraining toward new data.
-    * The level comes from the PRE-append count (see the level note in
-    * the section comment). */
+    * The level comes from the PRE-append count at the STAMPED cap (see
+    * the level note in the section comment). */
   private def appendReservoir(spark: SparkSession, base: DataFrame,
-      vecColName: String, path: String, oldN: Long, cap: Long): Unit = {
+      vecColName: String, path: String, oldN: Long): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_sample")))
-      base.filter(reservoirMember(reservoirLevel(oldN, cap)))
+      base.filter(reservoirMember(
+          reservoirLevel(oldN, reservoirCap(fs, path))))
         .select(col("vec_id"), col(vecColName).as("vec"))
         .coalesce(1).write.mode("append").parquet(s"$path/_sample")
   }
 
-  /** The live reservoir at the CURRENT level — None when the index has
-    * no `_sample` (legacy / interrupted build), in which case callers
-    * stay corpus-bound. Tombstoned ids are dropped (a takedown must not
-    * resurrect through a retrain) and replayed-batch duplicates
+  /** The live reservoir at the CURRENT level (STAMPED cap — the cap
+    * every writer leveled against) — None when the index has no
+    * `_sample` (legacy / interrupted build), in which case callers
+    * stay corpus-bound. Tombstoned ids are dropped (a takedown must
+    * not resurrect through a retrain) and replayed-batch duplicates
     * collapsed. Bounded at ~cap rows by the level filter. */
   private[graft] def reservoirRows(spark: SparkSession, path: String,
       cap: Long = KmeansFitSampleCap): Option[DataFrame] = {
@@ -306,7 +339,8 @@ object AnnIndex {
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_sample"))) None
     else {
-      val lvl = reservoirLevel(indexRowCount(spark, path), cap)
+      val lvl = reservoirLevel(indexRowCount(spark, path),
+        reservoirCap(fs, path))
       Some(liveRows(spark, path, spark.read.parquet(s"$path/_sample"))
         .filter(reservoirMember(lvl))
         .dropDuplicates("vec_id"))
@@ -693,7 +727,7 @@ object AnnIndex {
     // delete-first sidecar protocol — see [[deleteSidecars]] (`_rows` /
     // `_tombstones` drop too: a rebuild replaces all data)
     deleteSidecars(embeddings, path, "_codebooks", "_rows", "_tombstones",
-      "_recon", "_sample")
+      "_recon", "_sample", "_sample_cap")
     // UNIT-normalize before encoding: on the unit sphere squared-L2 is
     // monotone in cosine (||a-b||^2 = 2 - 2cos), so the asymmetric
     // distance ranks candidates in true cosine order — unnormalized, the
@@ -879,7 +913,7 @@ object AnnIndex {
     // `_rows`/`_tombstones` drop too — a rebuild replaces all data.
     deleteSidecars(embeddings, path,
       "_centroids", "_codebooks", "_rows", "_tombstones", "_recon",
-      "_sample")
+      "_sample", "_sample_cap")
     // NOT checkpointed: the per-row normalize is cheaper to recompute in
     // the one pass that derives `coded` (which IS checkpointed) than to
     // materialize a second corpus-sized buffer
@@ -1976,7 +2010,7 @@ object AnnIndex {
     updateReconSidecar(spark, path, base.withColumn("code", codeCol),
       "vec", m, sub, appended)
     // reservoir: add the batch's id-hash-stable members (see `_sample`)
-    appendReservoir(spark, base, "vec", path, oldN, KmeansFitSampleCap)
+    appendReservoir(spark, base, "vec", path, oldN)
     appended
   }
 
@@ -2040,7 +2074,7 @@ object AnnIndex {
     updateReconSidecar(spark, path, assigned.withColumn("code", codeCol),
       "nv", m, sub, appended)
     // reservoir: add the batch's id-hash-stable members (see `_sample`)
-    appendReservoir(spark, base, "nv", path, oldN, KmeansFitSampleCap)
+    appendReservoir(spark, base, "nv", path, oldN)
     warnIvfDrift(path, "appendIvfPq", oldN + appended, cents.length,
       targetCellRows, "AnnIndex.reindexIvfPq(corpus, ...) — or, with a " +
         "_sample reservoir present, reindexIvfPqFromReservoir")
@@ -2216,7 +2250,7 @@ object AnnIndex {
     writer.mode("overwrite").parquet(tmp.toString)
     // `_recon` rides along: compaction preserves data content, so the
     // staleness baseline and appended-mass mean stay valid
-    (sidecars ++ Seq("_recon").filter(n =>
+    (sidecars ++ Seq("_recon", "_sample_cap").filter(n =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$n")))).foreach { s =>
       org.apache.hadoop.fs.FileUtil.copy(
         fs, new org.apache.hadoop.fs.Path(s"$path/$s"),
@@ -2746,13 +2780,17 @@ object AnnIndex {
           reindexIvfPq(c, vecCol, idCol, path,
             nCells = h.currentUnits, targetCellRows = targetCellRows)
           actions += "reindexIvfPq"
-        case None if reservoirRows(spark, path).isDefined =>
+        case None if hasReservoir(spark, path) =>
           // round 18: the `_sample` reservoir lifts the corpus-bound
           // limit — the in-stream drift/staleness maintenance EXECUTES
           // the rebuild (retrain on raw reservoir, re-encode from
-          // reconstruction-upgraded rows) instead of only reporting it
+          // reconstruction-upgraded rows) instead of only reporting
+          // it. nCells stays default: the verb derives the reference
+          // width from the sidecar's planned geometry (the occupied
+          // count h.currentUnits is not a power of two on skewed data
+          // and a sign rebuild at it would throw mid-maintenance).
           reindexIvfPqFromReservoir(spark, path,
-            nCells = h.currentUnits, targetCellRows = targetCellRows)
+            targetCellRows = targetCellRows)
           actions += "reindexIvfPqFromReservoir"
         case None =>
           actions += "skipped: reindexIvfPq requires the upstream " +
@@ -2762,7 +2800,7 @@ object AnnIndex {
         case Some(c) =>
           reindexPq(c, vecCol, idCol, path)
           actions += "reindexPq"
-        case None if reservoirRows(spark, path).isDefined =>
+        case None if hasReservoir(spark, path) =>
           reindexPqFromReservoir(spark, path)
           actions += "reindexPqFromReservoir"
         case None =>
@@ -2959,23 +2997,30 @@ object AnnIndex {
   }
 
   /** The corpus a reservoir reindex re-encodes: when the reservoir
-    * provably covers EVERY live row — no `_tombstones`, and the `_rows`
-    * count equals the reservoir's (level 0, no duplicate ids; an
-    * over-reading advisory count just falls through to the safe path)
-    * — it IS the live set and the decode is skipped entirely.
-    * Otherwise every live row reconstructs from its code
-    * ([[reconstructedLiveRows]]) and upgrades to the exact raw where
-    * the reservoir holds it. Eagerly checkpointed either way: the
-    * downstream build re-reads its corpus several times (count, dim
-    * probe, encode), and re-running the decode DAG per pass tripled
-    * the verb's wall at bench scale. */
+    * provably covers EVERY live row — no `_tombstones`, and the DATA
+    * PATH's row count equals the reservoir's (level 0, no duplicate
+    * ids) — it IS the live set and the decode is skipped entirely.
+    * The comparison deliberately counts the data path (parquet
+    * metadata, no data scan — trivial next to the O(index) rebuild),
+    * NOT the advisory `_rows` sidecar: a crashed append can leave
+    * `_rows` UNDER-reading (data landed, bump didn't, reservoir rows
+    * never written), and an advisory-count equality would then publish
+    * a rebuilt index missing the crashed batch's successfully-written
+    * rows — silent data loss. Any mismatch in either direction falls
+    * through to the safe decode path, which reads every live row.
+    * Eagerly checkpointed either way: the downstream build re-reads
+    * its corpus several times (count, dim probe, encode), and
+    * re-running the decode DAG per pass tripled the verb's wall at
+    * bench scale. */
   private def reservoirOrReconstructed(spark: SparkSession, path: String,
       res: DataFrame, m: Int, sub: Int): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val noTombs = !fs.exists(
       new org.apache.hadoop.fs.Path(s"$path/_tombstones"))
-    if (noTombs && indexRowCount(spark, path) == res.count()) res
+    if (noTombs &&
+      spark.read.parquet(path).select("vec_id").count() == res.count())
+      res
     else reconstructedLiveRows(spark, path, m, sub)
       .join(res.select(col("vec_id"), col("vec").as("__raw")),
         Seq("vec_id"), "left")
@@ -3024,7 +3069,14 @@ object AnnIndex {
         s"reindexIvfPqFromReservoir($path): no _sample reservoir (a " +
           s"legacy or interrupted build) — use reindexIvfPq(corpus, ...)"))
       .localCheckpoint(true) // read by the fit, the upgrade join and the re-stamp
-    val refCells = if (nCells > 0) nCells else cents.length
+    // the reference width: the sidecar's PLANNED geometry, never the
+    // occupied-cell count — on skewed data the occupied count is not a
+    // power of two and a sign rebuild at it would throw mid-maintenance
+    // (the exact trap indexSignBits exists for on the append path)
+    val refCells =
+      if (nCells > 0) nCells
+      else if (quant == "sign") 1 << indexSignBits(spark, path)
+      else cents.length
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__reindexing")
     val old = new org.apache.hadoop.fs.Path(s"$path.__prereindex")
     fs.delete(tmp, true); fs.delete(old, true) // prior-crash leftovers
@@ -3034,18 +3086,34 @@ object AnnIndex {
       targetCellRows = targetCellRows, fitSampleCap = fitSampleCap,
       fitFrame = Some(res))
     // re-stamp the staged reservoir from the RAW rows — buildIvfPq just
-    // derived one from the mixed (partly reconstructed) corpus
+    // derived one from the mixed (partly reconstructed) corpus — and
+    // carry the ORIGINAL cap (the one every existing row leveled
+    // against), not the build's own
     res.select(col("vec_id"), col("vec"))
       .coalesce(8).write.mode("overwrite").parquet(s"$tmp/_sample")
+    restampReservoirCap(fs, path, tmp.toString)
     swapStaged(fs, hPath, tmp, old, "reindexIvfPqFromReservoir")
     ivfCentroids(spark, path).length
   }
 
+  /** Copy the live reservoir's stamped cap onto a staged rebuild (the
+    * staged `_sample` holds rows leveled against the ORIGINAL cap). */
+  private def restampReservoirCap(fs: org.apache.hadoop.fs.FileSystem,
+      livePath: String, stagedPath: String): Unit = {
+    val cap = reservoirCap(fs, livePath)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$stagedPath/_sample_cap"), true)
+    try out.write(cap.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** [[reindexIvfPqFromReservoir]]'s flat-PQ sibling: corpus-less
     * codebook refit from the raw reservoir, re-encode from
-    * reconstruction-upgraded rows, staged swap. */
+    * reconstruction-upgraded rows, staged swap. `k <= 0` (default)
+    * keeps the index's OWN per-subspace codeword count (max
+    * centroid_id + 1 from `_codebooks`) — the automatic maintenance
+    * path must never silently re-quantize a k=64 index at 16. */
   def reindexPqFromReservoir(spark: SparkSession, path: String,
-      k: Int = 16, seed: Long = 42L,
+      k: Int = -1, seed: Long = 42L,
       fitSampleCap: Long = KmeansFitSampleCap): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -3053,6 +3121,7 @@ object AnnIndex {
     val quant = indexQuantizer(spark, path, "_codebooks")
     val cb = readCodebooks(spark, path)
     val (m, sub) = (cb.keys.map(_._1).max + 1, cb.values.head.length)
+    val useK = if (k > 0) k else cb.keys.map(_._2).max + 1
     val res = reservoirRows(spark, path, fitSampleCap).getOrElse(
       throw new IllegalStateException(
         s"reindexPqFromReservoir($path): no _sample reservoir (a " +
@@ -3062,11 +3131,12 @@ object AnnIndex {
     val old = new org.apache.hadoop.fs.Path(s"$path.__prereindex")
     fs.delete(tmp, true); fs.delete(old, true) // prior-crash leftovers
     val corpus = reservoirOrReconstructed(spark, path, res, m, sub)
-    buildPq(corpus, "vec", "vec_id", tmp.toString, m = m, k = k,
+    buildPq(corpus, "vec", "vec_id", tmp.toString, m = m, k = useK,
       seed = seed, quantizer = quant, fitSampleCap = fitSampleCap,
       fitFrame = Some(res))
     res.select(col("vec_id"), col("vec"))
       .coalesce(8).write.mode("overwrite").parquet(s"$tmp/_sample")
+    restampReservoirCap(fs, path, tmp.toString)
     swapStaged(fs, hPath, tmp, old, "reindexPqFromReservoir")
   }
 

@@ -72,6 +72,17 @@ object PhashDedup {
       bit_count(half(a, 33).bitwiseXOR(half(b, 33)))).cast("long")
   }
 
+  /** Band-collision candidate id pairs BEFORE the hamming verify — the
+    * probe/diagnostic surface whose mass the independent-bit model
+    * bounds (bands x n^2 / 2^(bandBits+1) on random hashes); verified
+    * pairs come from [[phashNearDupPairs]]. */
+  private[graft] def phashCandidates(hashes: DataFrame, idCol: String,
+      hashCol: String, bands: Int = 4): DataFrame =
+    Dedup.bucketPairs(
+      phashBanded(hashes, idCol, hashCol, bands)
+        .select("band", "key", "id"),
+      Seq("band", "key"))
+
   /** One-shot near-dup pairs over a hash table (`idCol`, `hashCol`):
     * band-bucket candidates, hamming verify, canonical (id_a < id_b)
     * order. Returns (id_a, id_b, hamming). */

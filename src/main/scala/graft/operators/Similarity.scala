@@ -623,11 +623,18 @@ object Similarity {
     // by the batch (WARN fires early), never a valid-but-stale count
     // that under-reads permanently — the band-0 self-heal can't fire on
     // a sidecar that still parses, so the old order (data first, bump
-    // second) silently delayed the drift WARN forever after one crash
+    // second) silently delayed the drift WARN forever after one crash.
+    // A THROWING (not crashing) append rolls the bump back, so a
+    // caller's retry doesn't double-count the batch; a hard crash
+    // still over-reads — the designed direction.
     val appended = newVecs.select(col(idCol)).count()
     writeEmbRows(fs, path, oldN + appended)
-    Dedup.indexWrite(bandedEmbeddingCells(cells, plan.planned, plan.ref))
+    try Dedup.indexWrite(
+        bandedEmbeddingCells(cells, plan.planned, plan.ref))
       .mode("append").partitionBy("band").parquet(path)
+    catch { case e: Throwable =>
+      writeEmbRows(fs, path, oldN); throw e
+    }
     warnEmbDrift(plan, oldN + appended, s"appendToEmbeddingIndex($path)")
     appended * plan.planned._1
   }

@@ -95,6 +95,37 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getString(3).length === 32) // md5 hex
   }
 
+  test("frameNearDupPairs: a single-byte edit keeps >= 7 of 8 frames " +
+      "and pairs; unrelated payloads don't; the cut is exact on the " +
+      "match count") {
+    val base = ("x" * 320).getBytes
+    val edited = base.clone(); edited(200) = 'y' // inside frame 5's window
+    val shifted = ("y" + "x" * 319).getBytes     // frame 0 differs only
+    val other = ("z" * 320).getBytes
+    val media = Seq(
+      (1L, base), (2L, edited), (3L, shifted), (4L, other))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.frameNearDupPairs(media, "payload",
+      "media_id", nFrames = 8, frameLen = 16, minMatches = 6)
+      .select("id_a", "id_b", "matches")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // stride = 40: frame k covers bytes [40k+1, 40k+16]; byte 201 is
+    // inside frame 5's window -> 7/8; byte 1 is frame 0's -> 7/8;
+    // edited vs shifted differ in both -> 6/8 — all pair; `other`
+    // shares nothing
+    assert(pairs((1L, 2L)) === 7L)
+    assert(pairs((1L, 3L)) === 7L)
+    assert(pairs((2L, 3L)) === 6L)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // the cut is exact: at minMatches = 8 only identical frame sets
+    // survive
+    val strict = Multimodal.frameNearDupPairs(media, "payload",
+      "media_id", nFrames = 8, frameLen = 16, minMatches = 8)
+      .count()
+    assert(strict === 0L)
+  }
+
   test("sampleFrames: 8 deterministic frames, empty payload skipped") {
     implicit val enc = Encoders.product[MediaAsset]
     val df = spark.createDataset(assets)(enc).toDF()
