@@ -158,6 +158,13 @@ object Bench {
     // regression in the banding explode, the hamming expression, or
     // the inherited vacuum moves it.
     "mm_phash_index",
+    // round 18 (late): the one-shot multimodal near-dup pair — the
+    // perceptual-hash banded join + codegen'd hamming verify priced
+    // without the lifecycle machinery around it — and the video-frame
+    // sibling (sampled-frame inverted join + match-count cut). Cheap
+    // rows, but the only driver-recorded timings of the two pair
+    // operators themselves.
+    "mm_phash_dedup", "mm_frame_neardup",
     // round 18: the composite family's corpus-less reindex — streaming
     // build + frozen-plan appends, then the maintenance window
     // re-plans the cells and EXECUTES the rebuild from the `_sample`
