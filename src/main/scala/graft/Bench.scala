@@ -165,6 +165,13 @@ object Bench {
     // rows, but the only driver-recorded timings of the two pair
     // operators themselves.
     "mm_phash_dedup", "mm_frame_neardup",
+    // round 18 (late): the fourth family's streaming face — per-batch
+    // hash + index-path dedup + batch= append through a real
+    // FileStreamSource, completing the four-family streaming symmetry.
+    // Read against stream_dedup_ingest for the per-batch machinery
+    // delta (no shingle/minhash work here, the hash is one
+    // mapPartitions pass).
+    "stream_phash_ingest",
     // round 18: the composite family's corpus-less reindex — streaming
     // build + frozen-plan appends, then the maintenance window
     // re-plans the cells and EXECUTES the rebuild from the `_sample`

@@ -79,6 +79,20 @@ object QueriesMultimodal {
       concat(upper(substring(col("text"), 1, 3)),
         expr("substring(text, 4)")).as("text"))
 
+  /** Shared by mm_phash_dedup and stream_phash_ingest: ALL near-dup
+    * pairs of documents + planted re-encodes (%5 docs) at hamming <= 6.
+    * The stream's per-batch pair unions must equal exactly this
+    * one-shot set — each pair surfaces once, when its later member
+    * arrives (banding is data-independent, so batch order is free). */
+  private lazy val phashDedupOracleSql: String = s"""
+      WITH media AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, upper(substr(text, 1, 3)) || substr(text, 4)
+        FROM documents WHERE doc_id % 5 = 0),
+      $phashCtes
+      SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------ perceptual-hash dedup
@@ -89,20 +103,42 @@ object QueriesMultimodal {
     // band-collision candidates, hamming-verified pairs. Planted
     // re-encodes (%5 docs, first 3 bytes case-flipped) must surface as
     // pairs; the oracle replays hash, banding, and verify bit-for-bit.
-    QueryDef("mm_phash_dedup", Some(s"""
-      WITH media AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 1000000, upper(substr(text, 1, 3)) || substr(text, 4)
-        FROM documents WHERE doc_id % 5 = 0),
-      $phashCtes
-      SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6"""),
+    QueryDef("mm_phash_dedup", Some(phashDedupOracleSql),
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val media = docs.select(col("doc_id"), col("text"))
           .unionByName(reencoded(docs.filter(col("doc_id") % 5 === 0)))
         graft.operators.PhashDedup.phashNearDupPairs(
           hashesOf(s, media), "media_id", "phash", maxHamming = 6)
+      }),
+
+    // ------------------- perceptual-hash streaming ingest (r18, late)
+    // The FOURTH index family's streaming face, completing the
+    // streaming symmetry next to stream_dedup_ingest /
+    // stream_emb_ingest / stream_ann_ingest: each micro-batch of media
+    // rows is hashed once (the decode gate runs in-batch), dedups
+    // against everything ingested before it off stored hashes, and
+    // adds its banded rows under batch=N. No train step — the banding
+    // is data-independent, so batch order is free and the unioned
+    // per-batch pairs must equal EXACTLY the one-shot set (each pair
+    // surfaces once, when its later member arrives; the %3 batch split
+    // puts every twin in a different batch than its original, so the
+    // cross-batch index path is non-vacuous).
+    QueryDef("stream_phash_ingest", Some(phashDedupOracleSql),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val media = docs.select(col("doc_id"), col("text"))
+          .unionByName(reencoded(docs.filter(col("doc_id") % 5 === 0)))
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val root = Tables.freshScratch("stream_phash")
+        val src = QueriesText.stageMicroBatches(s, media, root,
+          idCol = "doc_id")
+        val q = graft.streaming.Streams.phashIngest(src, "payload",
+          "doc_id", s"$root/idx", s"$root/pairs", s"$root/ckpt",
+          maxHamming = 6)
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$root/pairs")
+          .select("id_a", "id_b", "hamming").distinct()
       }),
 
     // ------------------------------- perceptual-hash index lifecycle

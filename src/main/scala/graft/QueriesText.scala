@@ -3405,7 +3405,7 @@ object QueriesText {
     * maxFilesPerTrigger=1 — a real streaming source delivering the frame
     * as `nBatches` micro-batches, rows split by a doc_id mod (fully
     * distributed; no driver-held data). */
-  private def stageMicroBatches(s: SparkSession, df: DataFrame,
+  private[graft] def stageMicroBatches(s: SparkSession, df: DataFrame,
       root: String, nBatches: Int = 3, idCol: String = "doc_id"): DataFrame = {
     val stage = s"$root/stage"
     (0 until nBatches).foreach(i =>

@@ -137,6 +137,80 @@ object PhashDedup {
   }
 
   /**
+   * One phash-index ingestion micro-batch, banding work done ONCE —
+   * the [[Dedup.ingestBatch]] discipline on this index: band the
+   * batch's hashes a single time, return the batch's near-dup pairs
+   * (against the existing index when `indexPath` is given, plus within
+   * the batch itself), and write the banded rows to `indexBatchDir`
+   * (the batch's own `batch=N` partition — overwrite, so a replayed
+   * batch is idempotent). Unlike the minhash/embedding ingests there
+   * is NO training step: the 64-bit hash width is fixed and the
+   * banding data-independent, so every batch bands identically and no
+   * plan sidecar exists to freeze. Pairs materialize BEFORE the index
+   * write (the batch must not collide with its own rows through the
+   * index path).
+   */
+  def ingestPhashBatch(batchHashes: DataFrame, idCol: String,
+      hashCol: String, indexPath: Option[String], indexBatchDir: String,
+      maxHamming: Int = 6, bands: Int = 4): DataFrame = {
+    val spark = batchHashes.sparkSession
+    val parent = Option(
+      new org.apache.hadoop.fs.Path(indexBatchDir).getParent)
+      .map(_.toString)
+      .getOrElse(throw new IllegalArgumentException(
+        s"ingestPhashBatch: $indexBatchDir has no parent index root"))
+    val fs = new org.apache.hadoop.fs.Path(parent).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Dedup.requireNoInterruptedMinhashVacuum(fs, parent,
+      "ingestPhashBatch")
+    // a flat-layout root (band= dirs) must not gain batch= dirs — the
+    // mixed tree bricks every read
+    Dedup.requireLayout(spark, parent, "band", "ingestPhashBatch",
+      "Rebuild the index under batch= directories (or append with " +
+        "appendToPhashIndex instead).")
+    val batch = phashBanded(batchHashes, idCol, hashCol, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idPairs = Dedup.bucketPairs(
+      batch.select("band", "key", "id"), Seq("band", "key"))
+    val a = batch.select(col("id").as("id_a"), col("phash").as("h_a"))
+      .dropDuplicates("id_a")
+    val b = batch.select(col("id").as("id_b"), col("phash").as("h_b"))
+      .dropDuplicates("id_b")
+    val inBatch = idPairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("h_a"), col("h_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    val par = spark.sparkContext.defaultParallelism
+    val pairs = indexPath match {
+      case None => inBatch
+      case Some(p) =>
+        // re-ingesting a tombstoned id is legal but invisible until a
+        // vacuum/compaction clears the sidecar — the shared WARN
+        Dedup.warnTombstonedIngest(spark, p, batch)
+        val index = Dedup.liveIndexRows(spark, p)
+        batch.select(col("band"), col("key"), col("id").as("id_n"),
+            col("phash").as("h_n"))
+          .join(index.select(col("band"), col("key"),
+            col("id").as("id_c"), col("phash").as("h_c")),
+            Seq("band", "key"))
+          .filter(col("id_n") =!= col("id_c"))
+          .dropDuplicates("id_n", "id_c")
+          .repartition(par, col("id_n"))
+          .select(
+            least(col("id_n"), col("id_c")).as("id_a"),
+            greatest(col("id_n"), col("id_c")).as("id_b"),
+            hamming(col("h_n"), col("h_c")).as("hamming"))
+          .filter(col("hamming") <= maxHamming)
+          .union(inBatch)
+    }
+    val out = pairs.distinct().localCheckpoint(true)
+    Dedup.indexWrite(batch).mode("overwrite").partitionBy("band")
+      .parquet(indexBatchDir)
+    batch.unpersist(false)
+    out
+  }
+
+  /**
    * Near-dup pairs of a NEW batch of hashes against the indexed corpus
    * (plus within the batch itself): batch keys are banded fresh,
    * corpus keys AND hashes come off the index — corpus payloads are

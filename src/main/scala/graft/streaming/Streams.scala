@@ -400,6 +400,50 @@ object Streams {
     }
 
   /**
+   * Streaming perceptual-hash near-dup ingestion (round 18 —
+   * [[embDedupIngest]]'s shape on the FOURTH index family, completing
+   * the streaming symmetry): each micro-batch of media rows is hashed
+   * ONCE ([[graft.multimodal.Multimodal.perceptualHash]] — the decode
+   * gate runs inside the batch, one codec init per partition),
+   * deduplicated against everything ingested BEFORE it (corpus
+   * payloads never re-decoded, never re-hashed — keys and hashes come
+   * off the index), its pairs land under `pairsDir/batch=<id>`, and
+   * its banded rows are added under `indexDir/batch=<id>`. No training
+   * step exists: the 64-bit hash width is fixed and the banding
+   * data-independent, so there is no plan to freeze and no
+   * representative-first-batch contract. Both writes are per-batch-dir
+   * overwrites (replay rewrites, never duplicates), and with
+   * `maintainEvery > 0` the shared layout-generic in-stream
+   * maintenance runs ([[maybeMaintainMinhash]] — health-gated targeted
+   * vacuum / size-aware compaction, unchanged).
+   */
+  def phashIngest(assets: DataFrame, payloadCol: String, idCol: String,
+      indexDir: String, pairsDir: String, checkpointDir: String,
+      maxHamming: Int = 6, bands: Int = 4, maintainEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    assets.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val df = batch.toDF()
+        val spark = df.sparkSession
+        requireNoCrashedSwap(spark, indexDir, "phashIngest")
+        implicit val enc = org.apache.spark.sql.Encoders
+          .product[graft.multimodal.MediaAsset]
+        val hashes = graft.multimodal.Multimodal.perceptualHash(
+          df.select(col(idCol).cast("long").as("media_id"),
+            lit("image").as("kind"),
+            col(payloadCol).cast("binary").as("payload"),
+            lit("stream").as("source")).as[graft.multimodal.MediaAsset])
+        val pairs = graft.operators.PhashDedup.ingestPhashBatch(hashes,
+          "media_id", "phash",
+          if (indexHasData(spark, indexDir)) Some(indexDir) else None,
+          s"$indexDir/batch=$batchId", maxHamming, bands)
+        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        maybeMaintainMinhash(spark, indexDir, batchId, maintainEvery)
+      }
+      .start()
+
+  /**
    * The full streaming ingestion pipeline: quality-gate each micro-batch
    * (a caller-supplied transform adding a `disposition` column — the
    * composed first-failing-rule gate of `text_quality_gate` is the

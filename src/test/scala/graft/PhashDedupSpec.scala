@@ -154,6 +154,36 @@ class PhashDedupSpec extends SparkSpec {
       s"cross-picture pairs surfaced: ${pairs.filterNot(p => sameK(p._1, p._2))}")
   }
 
+  test("phashIngest (r18): the streaming face — per-batch hash + " +
+      "dedup-against-the-accumulated-index + batch= append; a twin " +
+      "arriving in a LATER batch than its original pairs through the " +
+      "index path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_phstream").toString
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.Streams.phashIngest(
+      mem.toDF().toDF("media_id", "payload"), "payload", "media_id",
+      s"$dir/idx", s"$dir/pairs", s"$dir/ckpt", maxHamming = 6)
+    try {
+      mem.addData((1 to 3).map(k =>
+        (k.toLong, encode("png", picture(k)))): _*)
+      q.processAllAvailable()
+      mem.addData(Seq((102L, encode("jpg", picture(2))),
+        (103L, encode("jpg", picture(3))),
+        (300L, encode("png", picture(6)))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 102L), (3L, 103L)),
+      s"cross-batch twins through the streamed index: $got")
+    // both batches landed as generations of the shared layout; the
+    // generic health sees them
+    assert(graft.operators.Dedup.minhashIndexHealth(spark,
+      s"$dir/idx").batches === 2)
+  }
+
   test("the persisted index rides the inherited lifecycle: build + " +
       "append, incremental probe off stored hashes, tombstone delete " +
       "hides immediately, targeted vacuum makes it physical (sidecar " +
