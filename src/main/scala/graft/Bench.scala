@@ -165,6 +165,12 @@ object Bench {
     // rows, but the only driver-recorded timings of the two pair
     // operators themselves.
     "mm_phash_dedup", "mm_frame_neardup",
+    // round 18 (continuation): the audio leg's one-shot near-dup pair —
+    // HK sub-fingerprint extraction (one mapPartitions pass), the
+    // inverted (window_idx, subfp) candidate join, the codegen'd
+    // conv/bit_count whole-sequence bit-error verify. Completes the
+    // per-modality pair-operator pricing next to the two rows above.
+    "mm_audio_neardup",
     // round 18 (late): the fourth family's streaming face — per-batch
     // hash + index-path dedup + batch= append through a real
     // FileStreamSource, completing the four-family streaming symmetry.

@@ -93,6 +93,94 @@ object QueriesMultimodal {
       $phashCtes
       SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6"""
 
+  /** The audio-fingerprint derivation replayed in SQL, shared by the
+    * two mm_audio_* oracles — exactly [[Multimodal.hkSubFingerprints]]
+    * at the 8x16 default: 136 byte-block "band energies" (the honest
+    * stub arm), the Haitsma-Kalker sign-of-band-energy-derivative bit,
+    * one 16-char bit-vector per window 1..7. Assets below the 136-byte
+    * minimum-duration gate emit no rows. Expects a `$src(doc_id,
+    * text)` relation upstream; ASCII contract as the phash CTEs. */
+  private def audioCtes(src: String): String = s"""
+    acells AS (
+      SELECT doc_id, g,
+             coalesce(list_sum(list_transform(
+               range(g * len(text) // 136 + 1, (g + 1) * len(text) // 136 + 1),
+               i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0) AS s
+      FROM $src, range(0, 136) r(g)
+      WHERE len(text) >= 136),
+    adiff AS (
+      SELECT c1.doc_id, c1.g // 17 AS w, c1.g % 17 AS b, c1.s - c2.s AS d
+      FROM acells c1 JOIN acells c2
+        ON c1.doc_id = c2.doc_id AND c2.g = c1.g + 1
+      WHERE c1.g % 17 < 16),
+    afps AS (
+      SELECT d1.doc_id, CAST(d1.w AS INTEGER) AS window_idx,
+             string_agg(CASE WHEN d1.d - d0.d > 0 THEN '1' ELSE '0' END,
+               '' ORDER BY d1.b) AS subfp
+      FROM adiff d1 JOIN adiff d0
+        ON d0.doc_id = d1.doc_id AND d0.w = d1.w - 1 AND d0.b = d1.b
+      GROUP BY d1.doc_id, d1.w)"""
+
+  /** The HK candidate + verify steps replayed in SQL (window-collision
+    * candidates, whole-sequence bit-error count) — expects `afps`
+    * upstream (see [[audioCtes]]). */
+  private val audioPairCtes = """
+    acand AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b
+      FROM afps a JOIN afps b
+        ON a.window_idx = b.window_idx AND a.subfp = b.subfp
+          AND a.doc_id < b.doc_id),
+    aber AS (
+      SELECT p.id_a, p.id_b,
+             CAST(sum(len(list_filter(range(1, 17),
+               i -> substr(fa.subfp, CAST(i AS INTEGER), 1) <>
+                    substr(fb.subfp, CAST(i AS INTEGER), 1)))) AS BIGINT)
+               AS bit_errors
+      FROM acand p JOIN afps fa ON fa.doc_id = p.id_a
+      JOIN afps fb ON fb.doc_id = p.id_b
+        AND fb.window_idx = fa.window_idx
+      GROUP BY p.id_a, p.id_b)"""
+
+  /** The planted "corrupted re-encode" twin of a doc in SQL: one
+    * case-flipped byte at len/4 and one at 3len/4 — two byte-local
+    * edits that each move one block sum, flipping <= 4 fingerprint
+    * bits in adjacent windows and leaving >= 1 window bit-exact. */
+  private val audioTwinSql = """
+               substr(text, 1, len(text) // 4) ||
+               upper(substr(text, len(text) // 4 + 1, 1)) ||
+               substr(text, len(text) // 4 + 2,
+                      3 * len(text) // 4 - len(text) // 4 - 1) ||
+               upper(substr(text, 3 * len(text) // 4 + 1, 1)) ||
+               substr(text, 3 * len(text) // 4 + 2)"""
+
+  /** The Spark twin of [[audioTwinSql]], on a (doc_id, text) frame. */
+  private def audioTwin(df: DataFrame): DataFrame = {
+    val q1 = "CAST(floor(length(text)/4) AS INT)"
+    val q3 = "CAST(floor(3*length(text)/4) AS INT)"
+    df.select((col("doc_id") + 1000000L).as("doc_id"),
+      expr(s"concat(substring(text, 1, $q1), " +
+        s"upper(substring(text, $q1 + 1, 1)), " +
+        s"substring(text, $q1 + 2, $q3 - $q1 - 1), " +
+        s"upper(substring(text, $q3 + 1, 1)), " +
+        s"substring(text, $q3 + 2, length(text)))").as("text"))
+  }
+
+  /** Shared by mm_audio_neardup and stream_audio_ingest: ALL near-dup
+    * pairs of documents + planted corrupted twins (%6=2 docs) at the
+    * 28-bit cut. As with the phash stream, batch order is free (the
+    * geometry is data-independent), so the stream's per-batch pair
+    * unions must equal exactly this one-shot set. */
+  private lazy val audioDedupOracleSql: String = s"""
+      WITH amedia AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, $audioTwinSql
+        FROM documents WHERE doc_id % 6 = 2),
+      ${audioCtes("amedia")},
+      $audioPairCtes
+      SELECT id_a, id_b, bit_errors FROM aber WHERE bit_errors <= 28"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------ perceptual-hash dedup
@@ -137,6 +225,37 @@ object QueriesMultimodal {
           "doc_id", s"$root/idx", s"$root/pairs", s"$root/ckpt",
           maxHamming = 6)
         try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$root/pairs")
+          .select("id_a", "id_b", "hamming").distinct()
+      }),
+
+    // -------------- streaming: phash ingest + maintenance (r18, late)
+    // phashIngest with maintainEvery: the phash family's in-stream
+    // maintenance face, completing the maintain symmetry next to
+    // stream_dedup_maintain / stream_ann_maintain /
+    // stream_ivfpq_maintain / stream_emb_maintain. The shared
+    // layout-generic maintenance (health-gated targeted vacuum /
+    // size-aware compaction — maybeMaintainMinhash, unchanged) runs
+    // every batch; maintenance must not change a single pair (the row
+    // shares the one-shot oracle) and the require pins that the
+    // compaction really ran (batch= generations collapsed to one) and
+    // left the index healthy.
+    QueryDef("stream_phash_maintain", Some(phashDedupOracleSql),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val media = docs.select(col("doc_id"), col("text"))
+          .unionByName(reencoded(docs.filter(col("doc_id") % 5 === 0)))
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val root = Tables.freshScratch("stream_phash_mnt")
+        val src = QueriesText.stageMicroBatches(s, media, root,
+          idCol = "doc_id")
+        val q = graft.streaming.Streams.phashIngest(src, "payload",
+          "doc_id", s"$root/idx", s"$root/pairs", s"$root/ckpt",
+          maxHamming = 6, maintainEvery = 1)
+        try q.processAllAvailable() finally q.stop()
+        val h = graft.operators.Dedup.minhashIndexHealth(s, s"$root/idx")
+        require(h.batches == 1 && h.prescription == "healthy",
+          s"in-stream maintenance did not run: $h")
         s.read.parquet(s"$root/pairs")
           .select("id_a", "id_b", "hamming").distinct()
       }),
@@ -237,6 +356,120 @@ object QueriesMultimodal {
           .withColumn("payload", col("text").cast("binary"))
         Multimodal.frameNearDupPairs(media, "payload", "doc_id",
           nFrames = 8, frameLen = 16, minMatches = 6)
+      }),
+
+    // --------------------------------------------- audio fingerprint
+    // The HK sub-fingerprint extraction itself (one 16-bit bit-vector
+    // per analysis window, windows 1..7), independent of pairing —
+    // the oracle replays band energies, the derivative-sign bit and
+    // the bit ordering value-for-value, and the 136-byte
+    // minimum-duration gate (docs below it emit no rows).
+    QueryDef("mm_audio_fingerprint", Some(s"""
+      WITH ${audioCtes("documents")}
+      SELECT doc_id, window_idx, subfp FROM afps"""),
+      (s, dir) => Multimodal.audioFingerprint(
+        t(s, dir, "documents")
+          .withColumn("payload", col("text").cast("binary")),
+        "payload", "doc_id")),
+
+    // ------------------------------------------------ audio near-dup
+    // The audio leg's near-dup operator (image=pHash, video=frames,
+    // audio=HK fingerprints): planted "corrupted re-encodes" (%6=2
+    // docs, one case-flipped byte at len/4 and one at 3len/4 — two
+    // byte-local edits that each move one block sum, flipping <= 4
+    // bits in adjacent windows and leaving >= 1 window bit-exact)
+    // must pair with their originals under the 28-bit BER cut, while
+    // unrelated docs (~56 of 112 bits apart) never do. The oracle
+    // replays fingerprints, the window-collision candidate step and
+    // the whole-sequence bit-error verify.
+    QueryDef("mm_audio_neardup", Some(audioDedupOracleSql),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val media = docs.select(col("doc_id"), col("text"))
+          .unionByName(audioTwin(docs.filter(col("doc_id") % 6 === 2)))
+          .withColumn("payload", col("text").cast("binary"))
+        graft.operators.AudioDedup.audioNearDupPairs(media, "payload",
+          "doc_id")
+      }),
+
+    // -------------------------- audio-fingerprint index lifecycle
+    // The audio family's persisted index rides the SAME layout-generic
+    // band-index verbs as phash/minhash (band = window_idx, key =
+    // subfp; the full sequence of an asset IS its own band rows, so no
+    // payload column rides along): flat build + append (fingerprint
+    // work once per asset ever), takedown tombstones (%7=1 corpus
+    // assets), targeted vacuum makes them physical, then the day's
+    // batch — %5 docs plus corrupted twins of indexed %10=1 assets —
+    // dedups against the live survivors without re-reading corpus
+    // payloads. Oracle: all-media pairs touching the batch, minus any
+    // pair whose corpus side was taken down.
+    QueryDef("mm_audio_index", Some(s"""
+      WITH amedia AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, $audioTwinSql
+        FROM documents WHERE doc_id % 10 = 1),
+      ${audioCtes("amedia")},
+      $audioPairCtes
+      SELECT id_a, id_b, bit_errors FROM aber
+      WHERE bit_errors <= 28
+        AND (id_a >= 1000000 OR id_a % 5 = 0
+          OR id_b >= 1000000 OR id_b % 5 = 0)
+        AND NOT (id_a < 1000000 AND id_a % 5 <> 0 AND id_a % 7 = 1)
+        AND NOT (id_b < 1000000 AND id_b % 5 <> 0 AND id_b % 7 = 1)"""),
+      (s, dir) => {
+        import graft.operators.{AudioDedup, Dedup}
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        def fpsOf(df: DataFrame): DataFrame =
+          Multimodal.audioFingerprint(
+            df.withColumn("payload", col("text").cast("binary")),
+            "payload", "doc_id")
+        val idx = Tables.scratchDir("audio_idx")
+        AudioDedup.buildAudioIndex(
+          fpsOf(corpus.filter(col("doc_id") % 2 === 0)), "doc_id", idx)
+        AudioDedup.appendToAudioIndex(
+          fpsOf(corpus.filter(col("doc_id") % 2 =!= 0)), "doc_id", idx)
+        Dedup.deleteFromMinhashIndex(s, idx,
+          corpus.filter(col("doc_id") % 7 === 1).select("doc_id"),
+          idCol = "doc_id")
+        val (rewritten, dropped) = Dedup.vacuumMinhashTombstones(s, idx)
+        require(rewritten > 0 && dropped > 0,
+          s"vacuum was a no-op (files=$rewritten rows=$dropped)")
+        val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        require(!fs.exists(
+          new org.apache.hadoop.fs.Path(s"$idx/_tombstones")),
+          "vacuum left the _tombstones sidecar — probes would anti-join")
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(audioTwin(docs.filter(col("doc_id") % 10 === 1)))
+        AudioDedup.incrementalAudioPairs(fpsOf(batch), "doc_id", idx)
+      }),
+
+    // ------------------- audio-fingerprint streaming ingest
+    // The FIFTH streaming family face (phashIngest's shape on the
+    // audio index): each micro-batch fingerprints once, dedups
+    // against everything ingested before it off the index's own rows,
+    // and lands its banded rows under batch=N. No train step — the
+    // geometry is data-independent, so batch order is free and the
+    // unioned per-batch pairs must equal EXACTLY the one-shot set
+    // (the %3 batch split puts every twin in a different batch than
+    // its original, so the cross-batch index path is non-vacuous).
+    QueryDef("stream_audio_ingest", Some(audioDedupOracleSql),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val media = docs.select(col("doc_id"), col("text"))
+          .unionByName(audioTwin(docs.filter(col("doc_id") % 6 === 2)))
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val root = Tables.freshScratch("stream_audio")
+        val src = QueriesText.stageMicroBatches(s, media, root,
+          idCol = "doc_id")
+        val q = graft.streaming.Streams.audioIngest(src, "payload",
+          "doc_id", s"$root/idx", s"$root/pairs", s"$root/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$root/pairs")
+          .select("id_a", "id_b", "bit_errors").distinct()
       }),
 
     // ------------------------------------------------ binary metadata

@@ -229,6 +229,94 @@ object Multimodal {
       .filter(col("matches") >= minMatches)
   }
 
+  // ---------------------------------------------- audio fingerprint
+
+  /** HK fingerprint geometry: 8 analysis windows x 16 fingerprint bits;
+    * each window carries bands+1 = 17 band energies, so the payload is
+    * cut into 8*17 = 136 blocks. Windows 1..7 emit a 16-bit
+    * sub-fingerprint each (window 0 is the derivative's left edge). */
+  final val AudioWindows = 8
+  final val AudioBands = 16
+
+  /**
+   * ===== STUB (deterministic fake, oracle-replayable) =====
+   * Per-window audio sub-fingerprints, the Haitsma-Kalker derivation
+   * (ISMIR 2002, "A Highly Robust Audio Fingerprinting System"): bit
+   * (w, b) is the SIGN of the time-derivative of the band-energy
+   * difference — (E(w,b) - E(w,b+1)) - (E(w-1,b) - E(w-1,b+1)) > 0.
+   * A real implementation computes E from an FFT filter bank over
+   * decoded PCM frames; this container has no audio codecs, so the
+   * STUB band energies are byte-block sums on the same grid discipline
+   * as [[dHashBytes]] (block g of nWindows*(bands+1) spans bytes
+   * [g*len/G, (g+1)*len/G)) — pure integer arithmetic a SQL engine
+   * replays exactly, while the bit derivation itself is the real
+   * algorithm. Byte-local corruption (re-encode jitter's stand-in)
+   * moves one block sum and flips at most 4 bits of the
+   * (nWindows-1)*bands total; unrelated payloads disagree on ~half.
+   * Requires len >= G (every block non-empty — the minimum-duration
+   * contract a real fingerprinter has); callers gate, see
+   * [[audioFingerprint]]. Returns nWindows-1 bit-vector strings,
+   * index i = window i+1, char b+1 = band b's bit.
+   */
+  def hkSubFingerprints(payload: Array[Byte], nWindows: Int = AudioWindows,
+      bands: Int = AudioBands): Array[String] = {
+    val slices = bands + 1
+    val g = nWindows * slices
+    val len = payload.length
+    val e = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      var p = (i.toLong * len / g).toInt
+      val end = ((i + 1).toLong * len / g).toInt
+      var s = 0L
+      while (p < end) { s += (payload(p) & 0xff); p += 1 }
+      e(i) = s
+      i += 1
+    }
+    val out = new Array[String](nWindows - 1)
+    var w = 1
+    while (w < nWindows) {
+      val sb = new java.lang.StringBuilder(bands)
+      var b = 0
+      while (b < bands) {
+        val cur = e(w * slices + b) - e(w * slices + b + 1)
+        val prev = e((w - 1) * slices + b) - e((w - 1) * slices + b + 1)
+        sb.append(if (cur - prev > 0) '1' else '0')
+        b += 1
+      }
+      out(w - 1) = sb.toString
+      w += 1
+    }
+    out
+  }
+
+  /**
+   * Per-asset audio fingerprints: one row per (asset, window) with the
+   * window's [[hkSubFingerprints]] bit-vector — the lookup keys of the
+   * HK scheme (a candidate needs ONE window's sub-fingerprint to
+   * survive corruption exactly; the full-sequence bit-error rate then
+   * verifies). Payloads shorter than the nWindows*(bands+1)-block
+   * analysis grid emit no rows (the minimum-duration gate — replayed
+   * by the oracles as `len >= G`). Same partition-parallel shape as
+   * [[perceptualHash]]. Returns (idCol, window_idx, subfp).
+   */
+  def audioFingerprint(assets: DataFrame, payloadCol: String,
+      idCol: String, nWindows: Int = AudioWindows,
+      bands: Int = AudioBands): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val g = nWindows * (bands + 1)
+    assets
+      .select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .filter(length(col(payloadCol)) >= g)
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val fps = hkSubFingerprints(p, nWindows, bands)
+        Iterator.tabulate(fps.length)(i => (id, i + 1, fps(i)))
+      }
+      .toDF(idCol, "window_idx", "subfp")
+  }
+
   /** Byte-substring helper (Spark's substring Column API takes Int pos;
     * the expr form accepts a Column position). */
   private def substring_index_safe(bin: Column, pos: Column, len: Int): Column =

@@ -444,6 +444,46 @@ object Streams {
       .start()
 
   /**
+   * Streaming AUDIO near-dup ingestion (round 18 continuation —
+   * [[phashIngest]]'s shape on the audio-fingerprint index, the fifth
+   * streaming family face): each micro-batch of media rows is
+   * fingerprinted ONCE ([[graft.multimodal.Multimodal
+   * .audioFingerprint]] — one mapPartitions pass, assets below the
+   * minimum-duration gate emit nothing), deduplicated against
+   * everything ingested BEFORE it (corpus payloads never re-read —
+   * full fingerprint sequences come off the index's own rows), its
+   * pairs land under `pairsDir/batch=<id>`, and its banded rows are
+   * added under `indexDir/batch=<id>`. Like the phash family there is
+   * no training step — the window/band geometry is data-independent,
+   * so batch order is free. Both writes are per-batch-dir overwrites
+   * (replay rewrites, never duplicates), and with `maintainEvery > 0`
+   * the shared layout-generic in-stream maintenance runs
+   * ([[maybeMaintainMinhash]], unchanged).
+   */
+  def audioIngest(assets: DataFrame, payloadCol: String, idCol: String,
+      indexDir: String, pairsDir: String, checkpointDir: String,
+      maxBitErrors: Int = 28, maintainEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    assets.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val df = batch.toDF()
+        val spark = df.sparkSession
+        requireNoCrashedSwap(spark, indexDir, "audioIngest")
+        val fps = graft.multimodal.Multimodal.audioFingerprint(
+          df.select(col(idCol).cast("long").as(idCol),
+            col(payloadCol).cast("binary").as(payloadCol)),
+          payloadCol, idCol)
+        val pairs = graft.operators.AudioDedup.ingestAudioBatch(fps,
+          idCol,
+          if (indexHasData(spark, indexDir)) Some(indexDir) else None,
+          s"$indexDir/batch=$batchId", maxBitErrors)
+        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        maybeMaintainMinhash(spark, indexDir, batchId, maintainEvery)
+      }
+      .start()
+
+  /**
    * The full streaming ingestion pipeline: quality-gate each micro-batch
    * (a caller-supplied transform adding a `disposition` column — the
    * composed first-failing-rule gate of `text_quality_gate` is the

@@ -131,7 +131,9 @@ class RegistrySpec extends AnyFunSuite {
       "curation" -> Seq("curation_report"),
       "multimodal" -> Seq("mm_payload_meta", "mm_decode_features",
         "mm_resize", "mm_frame_sample", "mm_phash_dedup",
-        "mm_phash_index", "mm_frame_neardup", "stream_phash_ingest"),
+        "mm_phash_index", "mm_frame_neardup", "stream_phash_ingest",
+        "stream_phash_maintain", "mm_audio_fingerprint",
+        "mm_audio_neardup", "mm_audio_index", "stream_audio_ingest"),
       "events" -> Seq("ev_sessionize", "ev_tumbling_window",
         "ev_session_window", "ev_high_watermark", "ev_top_spenders"))
     val registered = Registry.queries.keySet
