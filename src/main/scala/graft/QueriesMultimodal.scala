@@ -154,17 +154,22 @@ object QueriesMultimodal {
                upper(substr(text, 3 * len(text) // 4 + 1, 1)) ||
                substr(text, 3 * len(text) // 4 + 2)"""
 
-  /** The Spark twin of [[audioTwinSql]], on a (doc_id, text) frame. */
-  private def audioTwin(df: DataFrame): DataFrame = {
+  /** The Spark twin expression of [[audioTwinSql]] over a `text`
+    * column. */
+  private lazy val audioTwinCol: org.apache.spark.sql.Column = {
     val q1 = "CAST(floor(length(text)/4) AS INT)"
     val q3 = "CAST(floor(3*length(text)/4) AS INT)"
-    df.select((col("doc_id") + 1000000L).as("doc_id"),
-      expr(s"concat(substring(text, 1, $q1), " +
-        s"upper(substring(text, $q1 + 1, 1)), " +
-        s"substring(text, $q1 + 2, $q3 - $q1 - 1), " +
-        s"upper(substring(text, $q3 + 1, 1)), " +
-        s"substring(text, $q3 + 2, length(text)))").as("text"))
+    expr(s"concat(substring(text, 1, $q1), " +
+      s"upper(substring(text, $q1 + 1, 1)), " +
+      s"substring(text, $q1 + 2, $q3 - $q1 - 1), " +
+      s"upper(substring(text, $q3 + 1, 1)), " +
+      s"substring(text, $q3 + 2, length(text)))")
   }
+
+  /** The Spark twin of [[audioTwinSql]], on a (doc_id, text) frame. */
+  private def audioTwin(df: DataFrame): DataFrame =
+    df.select((col("doc_id") + 1000000L).as("doc_id"),
+      audioTwinCol.as("text"))
 
   /** Shared by mm_audio_neardup and stream_audio_ingest: ALL near-dup
     * pairs of documents + planted corrupted twins (%6=2 docs) at the
@@ -470,6 +475,83 @@ object QueriesMultimodal {
         try q.processAllAvailable() finally q.stop()
         s.read.parquet(s"$root/pairs")
           .select("id_a", "id_b", "bit_errors").distinct()
+      }),
+
+    // ----------------------------------- per-modality near-dup router
+    // The single user-facing entry point over a mixed media table:
+    // kind routes each partition to its own family (image -> pHash
+    // banding, audio -> HK fingerprints, video -> frame matching),
+    // pairs are within-kind by construction, and each family keeps
+    // its own score metric. Kinds are assigned %3, twins planted on
+    // %5 docs WITH the kind-appropriate corruption (image: 3-byte
+    // case flip; audio: two case flips at len/4 and 3len/4; video:
+    // one mid-payload case flip) — every leg's oracle CTE chain runs
+    // over its kind slice and the three results union with their
+    // method tag.
+    QueryDef("mm_neardup_router", Some(s"""
+      WITH rbase AS (
+        SELECT doc_id, text,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                 ELSE 'video' END AS kind
+        FROM documents),
+      rtwin AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               CASE kind
+                 WHEN 'image' THEN upper(substr(text, 1, 3)) || substr(text, 4)
+                 WHEN 'audio' THEN $audioTwinSql
+                 ELSE substr(text, 1, len(text) // 2) ||
+                      upper(substr(text, len(text) // 2 + 1, 1)) ||
+                      substr(text, len(text) // 2 + 2)
+               END AS text, kind
+        FROM rbase WHERE doc_id % 5 = 0),
+      rmedia AS (SELECT * FROM rbase UNION ALL SELECT * FROM rtwin),
+      media AS (SELECT doc_id, text FROM rmedia WHERE kind = 'image'),
+      $phashCtes,
+      am AS (SELECT doc_id, text FROM rmedia WHERE kind = 'audio'),
+      ${audioCtes("am")},
+      $audioPairCtes,
+      vmedia AS (SELECT doc_id, text FROM rmedia WHERE kind = 'video'),
+      vframes AS (
+        SELECT d.doc_id, CAST(i AS INTEGER) AS frame_idx,
+               md5(substr(d.text, CAST(i * greatest(len(d.text) // 8, 1) + 1 AS INTEGER), 16)) AS frame_md5
+        FROM vmedia d, range(0, 8) r(i)
+        WHERE len(d.text) >= 1 AND i <= len(d.text) - 1),
+      vm AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS matches
+        FROM vframes a JOIN vframes b
+          ON a.frame_idx = b.frame_idx AND a.frame_md5 = b.frame_md5
+            AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT 'phash' AS method, id_a, id_b, hamming AS score
+      FROM ham WHERE hamming <= 6
+      UNION ALL
+      SELECT 'hk_audio' AS method, id_a, id_b, bit_errors AS score
+      FROM aber WHERE bit_errors <= 28
+      UNION ALL
+      SELECT 'frames' AS method, id_a, id_b, matches AS score
+      FROM vm WHERE matches >= 6"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = docs.select(col("doc_id"), col("text"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("kind"))
+        val videoTwinCol = expr(
+          "concat(substring(text, 1, CAST(floor(length(text)/2) AS INT)), " +
+            "upper(substring(text, CAST(floor(length(text)/2) AS INT) + 1, 1)), " +
+            "substring(text, CAST(floor(length(text)/2) AS INT) + 2))")
+        val twins = base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            when(col("kind") === "image",
+              concat(upper(substring(col("text"), 1, 3)),
+                expr("substring(text, 4)")))
+              .when(col("kind") === "audio", audioTwinCol)
+              .otherwise(videoTwinCol).as("text"),
+            col("kind"))
+        val media = base.unionByName(twins)
+          .withColumn("payload", col("text").cast("binary"))
+        Multimodal.nearDupPairsByKind(media, "payload", "doc_id")
       }),
 
     // ------------------------------------------------ binary metadata

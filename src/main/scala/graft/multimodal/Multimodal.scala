@@ -317,6 +317,52 @@ object Multimodal {
       .toDF(idCol, "window_idx", "subfp")
   }
 
+  /**
+   * Per-modality near-dup ROUTER — the single user-facing entry point
+   * over a mixed media table (round 18 continuation): each kind
+   * partition takes its own family — `image` -> perceptual-hash
+   * banding ([[perceptualHash]] +
+   * [[graft.operators.PhashDedup.phashNearDupPairs]]), `audio` ->
+   * Haitsma-Kalker sub-fingerprints
+   * ([[graft.operators.AudioDedup.audioNearDupPairs]]), everything
+   * else (video) -> sampled-frame matching ([[frameNearDupPairs]]).
+   * Pairs are within-kind by construction (a cross-modal near-dup is
+   * a different question — embeddings, not signatures). Returns
+   * (method, id_a, id_b, score) with method in
+   * {phash, hk_audio, frames} and score the family's own metric
+   * (hamming / bit_errors / matches) — each family's scale shape is
+   * its own (banded, inverted-index, never all-pairs); the router
+   * adds ONE narrow kind filter per leg on top.
+   */
+  def nearDupPairsByKind(assets: DataFrame, payloadCol: String,
+      idCol: String, kindCol: String = "kind", maxHamming: Int = 6,
+      maxBitErrors: Int = 28, nFrames: Int = 8, frameLen: Int = 16,
+      minMatches: Int = 6): DataFrame = {
+    import graft.operators.{AudioDedup, PhashDedup}
+    implicit val enc: org.apache.spark.sql.Encoder[MediaAsset] =
+      Encoders.product[MediaAsset]
+    val img = perceptualHash(assets.filter(col(kindCol) === "image")
+      .select(col(idCol).cast("long").as("media_id"),
+        lit("image").as("kind"),
+        col(payloadCol).cast("binary").as("payload"),
+        lit("router").as("source")).as[MediaAsset])
+    val imgPairs = PhashDedup
+      .phashNearDupPairs(img, "media_id", "phash", maxHamming)
+      .select(lit("phash").as("method"), col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("score"))
+    val audPairs = AudioDedup
+      .audioNearDupPairs(assets.filter(col(kindCol) === "audio"),
+        payloadCol, idCol, maxBitErrors = maxBitErrors)
+      .select(lit("hk_audio").as("method"), col("id_a"), col("id_b"),
+        col("bit_errors").cast("long").as("score"))
+    val vidPairs = frameNearDupPairs(
+      assets.filter(col(kindCol) === "video"), payloadCol, idCol,
+      nFrames, frameLen, minMatches)
+      .select(lit("frames").as("method"), col("id_a"), col("id_b"),
+        col("matches").cast("long").as("score"))
+    imgPairs.unionByName(audPairs).unionByName(vidPairs)
+  }
+
   /** Byte-substring helper (Spark's substring Column API takes Int pos;
     * the expr form accepts a Column position). */
   private def substring_index_safe(bin: Column, pos: Column, len: Int): Column =

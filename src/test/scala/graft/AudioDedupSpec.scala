@@ -158,6 +158,31 @@ class AudioDedupSpec extends SparkSpec {
       s"$dir/idx").batches === 2)
   }
 
+  test("nearDupPairsByKind routes each kind to its own family and " +
+    "never pairs across kinds") {
+    val pImg = randomPayload(11)
+    val imgTwin = pImg.clone()
+    // a 3-byte-local edit: the phash byte-block arm's operating point
+    imgTwin(0) = (imgTwin(0) ^ 0x20).toByte
+    imgTwin(1) = (imgTwin(1) ^ 0x20).toByte
+    imgTwin(2) = (imgTwin(2) ^ 0x20).toByte
+    val pAud = randomPayload(12)
+    val pVid = randomPayload(13)
+    val vidTwin = pVid.clone()
+    vidTwin(pVid.length / 2) = (vidTwin(pVid.length / 2) ^ 0x20).toByte
+    val media = Seq(
+      (1L, "image", pImg), (101L, "image", imgTwin),
+      (2L, "audio", pAud), (102L, "audio", corrupted(pAud)),
+      (3L, "video", pVid), (103L, "video", vidTwin))
+      .toDF("id", "kind", "payload")
+    val got = graft.multimodal.Multimodal
+      .nearDupPairsByKind(media, "payload", "id")
+      .select("method", "id_a", "id_b")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("phash", 1L, 101L), ("hk_audio", 2L, 102L),
+      ("frames", 3L, 103L)))
+  }
+
   test("window-collision candidates only: a pair aligning on no " +
     "window is never considered, even if globally close") {
     // two payloads whose every window differs by one bit would need an
