@@ -341,7 +341,11 @@ object Multimodal {
     import graft.operators.{AudioDedup, PhashDedup}
     implicit val enc: org.apache.spark.sql.Encoder[MediaAsset] =
       Encoders.product[MediaAsset]
-    val img = perceptualHash(assets.filter(col(kindCol) === "image")
+    // null/unknown kinds take the frame leg (the scaladoc's
+    // "everything else") — a routing operator must not silently drop
+    // rows it doesn't recognize
+    val k = coalesce(col(kindCol), lit("video"))
+    val img = perceptualHash(assets.filter(k === "image")
       .select(col(idCol).cast("long").as("media_id"),
         lit("image").as("kind"),
         col(payloadCol).cast("binary").as("payload"),
@@ -351,12 +355,12 @@ object Multimodal {
       .select(lit("phash").as("method"), col("id_a"), col("id_b"),
         col("hamming").cast("long").as("score"))
     val audPairs = AudioDedup
-      .audioNearDupPairs(assets.filter(col(kindCol) === "audio"),
+      .audioNearDupPairs(assets.filter(k === "audio"),
         payloadCol, idCol, maxBitErrors = maxBitErrors)
       .select(lit("hk_audio").as("method"), col("id_a"), col("id_b"),
         col("bit_errors").cast("long").as("score"))
     val vidPairs = frameNearDupPairs(
-      assets.filter(col(kindCol) === "video"), payloadCol, idCol,
+      assets.filter(!k.isin("image", "audio")), payloadCol, idCol,
       nFrames, frameLen, minMatches)
       .select(lit("frames").as("method"), col("id_a"), col("id_b"),
         col("matches").cast("long").as("score"))

@@ -100,8 +100,12 @@ object AudioDedup {
       .repartition(par, col("id_n"))
       .join(batch.select(col("id").as("id_n"), col("band"),
         col("key").as("fp_n")), Seq("id_n"))
+      // a legally re-ingested id (the families' duplicates-degrade
+      // case) would otherwise double-join its sequence rows here and
+      // inflate the bit-error sum past the cut — losing the pair
       .join(index.select(col("id").as("id_c"), col("band"),
-        col("key").as("fp_c")), Seq("id_c", "band"))
+        col("key").as("fp_c")).dropDuplicates("id_c", "band"),
+        Seq("id_c", "band"))
       .groupBy("id_n", "id_c")
       .agg(sum(bitErrors(col("fp_n"), col("fp_c"))).as("bit_errors"))
       .filter(col("bit_errors") <= maxBitErrors)

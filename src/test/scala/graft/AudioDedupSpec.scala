@@ -170,17 +170,44 @@ class AudioDedupSpec extends SparkSpec {
     val pVid = randomPayload(13)
     val vidTwin = pVid.clone()
     vidTwin(pVid.length / 2) = (vidTwin(pVid.length / 2) ^ 0x20).toByte
+    // an unrecognized kind must not be silently dropped — it takes
+    // the frame leg (the router's "everything else")
+    val pPdf = randomPayload(14)
+    val pdfTwin = pPdf.clone()
+    pdfTwin(pPdf.length / 2) = (pdfTwin(pPdf.length / 2) ^ 0x20).toByte
     val media = Seq(
       (1L, "image", pImg), (101L, "image", imgTwin),
       (2L, "audio", pAud), (102L, "audio", corrupted(pAud)),
-      (3L, "video", pVid), (103L, "video", vidTwin))
+      (3L, "video", pVid), (103L, "video", vidTwin),
+      (4L, "pdf", pPdf), (104L, "pdf", pdfTwin))
       .toDF("id", "kind", "payload")
     val got = graft.multimodal.Multimodal
       .nearDupPairsByKind(media, "payload", "id")
       .select("method", "id_a", "id_b")
       .as[(String, Long, Long)].collect().toSet
     assert(got === Set(("phash", 1L, 101L), ("hk_audio", 2L, 102L),
-      ("frames", 3L, 103L)))
+      ("frames", 3L, 103L), ("frames", 4L, 104L)))
+  }
+
+  test("a duplicated index id (the re-ingest degrade case) does not " +
+    "inflate the whole-sequence verify past the cut") {
+    import graft.operators.AudioDedup
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_auddup").toString + "/idx"
+    val p = randomPayload(21)
+    def fpsOf(rows: Seq[(Long, Array[Byte])]) =
+      graft.multimodal.Multimodal.audioFingerprint(
+        rows.toDF("id", "payload"), "payload", "id")
+    AudioDedup.buildAudioIndex(fpsOf(Seq(9L -> p)), "id", idx)
+    // the same asset again — duplicate (id, band) rows, the state a
+    // replayed/re-ingested id legally leaves behind
+    AudioDedup.appendToAudioIndex(fpsOf(Seq(9L -> p)), "id", idx)
+    val pairs = AudioDedup.incrementalAudioPairs(
+      fpsOf(Seq(109L -> corrupted(p))), "id", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(x => (x._1, x._2)).toSeq === Seq((9L, 109L)))
+    assert(pairs.head._3 <= 8,
+      s"duplicate index rows inflated bit_errors: ${pairs.head._3}")
   }
 
   test("window-collision candidates only: a pair aligning on no " +
