@@ -812,8 +812,125 @@ object ProbeSuite {
         s""""vacuum_sec":$tVac,"vacuum_ok":$vacuumOk}""")
     }
 
+    // ------------------------------------------------------- audio
+    // The continuation's HK audio-fingerprint family as STANDING
+    // bounds, through the REAL payload path (fingerprints computed by
+    // the production mapPartitions pass, not synthesized): 300k
+    // 160-byte payloads of concatenated per-id xxhash hex. A
+    // corrupted twin every 97th row (two single-byte edits at excerpt
+    // positions 35 and 103 — windows 2 and 6, <= 8 of 112 bits).
+    //
+    // The candidate model is NOT independent bits: an HK
+    // sub-fingerprint is a chain of adjacent-difference signs —
+    // bit b shares energy E(w, b+1) with bit b+1 — and for
+    // exchangeable energies P(adjacent bits differ) is EXACTLY 2/3
+    // (rank argument, distribution-free), a +-1 Markov chain whose
+    // cross-doc collision probability is 0.5*(5/9)^15, i.e.
+    // (10/9)^15 ~ 4.84x the independent-bit 2^-16. This probe is what
+    // surfaced that factor (and, at the first length-normalized grid,
+    // the separate per-length block-size bias the fixed-excerpt
+    // redesign removed). Bounds: (a) recall — every planted twin
+    // surfaces at the probe cut 20, and the deterministic correlated
+    // tail of extras (the corpus is pure xxhash — no run-to-run
+    // noise) stays under 2% of planted; (b) window-candidate mass on
+    // the MARKOV model (nWindows-1)*n^2/2^17*(10/9)^15, band
+    // [0.7, 1.3] (measured 0.93x); (c) the inherited index lifecycle:
+    // incremental probe recovers every twin, takedown hides, targeted
+    // vacuum within ids x windows files.
+    val audioJson = {
+      import graft.operators.{AudioDedup, Dedup}
+      import graft.multimodal.Multimodal
+      val n = 300000L
+      val L = 160
+      val payload = concat((1 to L / 16).map(k =>
+        lpad(hex(xxhash64(col("media_id"), lit(k))), 16, "0")): _*)
+      val base = spark.range(n).select(col("id").as("media_id"))
+        .select(col("media_id"), payload.as("payload"))
+      def edit(c: Column, pos: Int): Column = concat(
+        substring(c, 1, pos - 1),
+        expr(s"char(ascii(substring(payload, $pos, 1)) ^ 1)"),
+        substring(c, pos + 1, L - pos))
+      // 1-based positions 35 and 103: excerpt blocks 34 and 102 —
+      // window 2 band 0 and window 6 band 0
+      val twins = base.filter(col("media_id") % 97 === 0)
+        .select((col("media_id") + 5000000L).as("media_id"),
+          edit(edit(col("payload"), 35), 103).as("payload"))
+      val corpus = base.unionByName(twins)
+        .select(col("media_id"), col("payload").cast("binary")
+          .as("payload"))
+        .localCheckpoint(true)
+      val nAll = corpus.count()
+      val nTwins = nAll - n
+      val (fps, tFp) = timed(Multimodal.audioFingerprint(
+        corpus, "payload", "media_id").localCheckpoint(true))
+      val (cand, tCand) = timed(
+        AudioDedup.audioCandidates(fps, "media_id").count())
+      // the Markov-sign collision factor (10/9)^15 on top of the
+      // independent-bit 2^-16 — see the header comment
+      val model = 7.0 * nAll.toDouble * nAll.toDouble /
+        math.pow(2.0, 17) * math.pow(10.0 / 9.0, 15)
+      val vsModel = cand.toDouble / model
+      val (pairs, tPairs) = timed(AudioDedup.audioNearDupPairs(
+        corpus, "payload", "media_id", maxBitErrors = 20)
+        .select("id_a", "id_b").collect())
+      val twinsGot = pairs.count(r =>
+        r.getLong(1) == r.getLong(0) + 5000000L).toLong
+      val extras = pairs.length.toLong - twinsGot
+      val exactOk = twinsGot == nTwins && extras <= nTwins / 50
+      val modelOk = vsModel >= 0.7 && vsModel <= EmbModelCeiling
+      val idx = Tables.freshScratch("probe_audio") + "/idx"
+      val baseFps = fps.filter(col("media_id") < 5000000L)
+      val twinFps = fps.filter(col("media_id") >= 5000000L)
+      val (_, tBuild) = timed(AudioDedup.buildAudioIndex(
+        baseFps, "media_id", idx))
+      val probe = () => AudioDedup.incrementalAudioPairs(
+        twinFps, "media_id", idx, maxBitErrors = 20)
+        .select("id_a", "id_b").collect()
+      val (inc, tProbe) = timed(probe())
+      val incOk = inc.count(r =>
+        r.getLong(1) == r.getLong(0) + 5000000L).toLong == nTwins
+      val doomed = (0 until 8).map(_ * 97L)
+      import spark.implicits._
+      val (_, tDel) = timed(Dedup.deleteFromMinhashIndex(spark, idx,
+        doomed.toDF("media_id"), idCol = "media_id"))
+      val ((vFiles, vRows), tVac) =
+        timed(Dedup.vacuumMinhashTombstones(spark, idx))
+      val afterVac = probe()
+      val dead = doomed.toSet
+      val leak = afterVac.exists(r => dead(r.getLong(0)))
+      // the correlated tail's extras are deterministic too — expect
+      // exactly the surviving pairs (any pair touching a doomed id
+      // goes with the takedown, twin pair or extra alike)
+      val expectedAfter = inc.count(r =>
+        !dead(r.getLong(0)) && !dead(r.getLong(1)))
+      val vacuumOk = vFiles <= 8L * 7 && vRows == 8L * 7 && !leak &&
+        afterVac.length == expectedAfter
+      val pass = exactOk && modelOk && incOk && vacuumOk
+      println(f"[probes] audio corpus=$nAll twins=$nTwins " +
+        f"cand=$cand (vs markov model $vsModel%.3fx, band [0.7, " +
+        f"$EmbModelCeiling]) pairs=${pairs.length} " +
+        f"twins_got=$twinsGot extras=$extras (bound ${nTwins / 50}) " +
+        f"exact_ok=$exactOk fp_wall=$tFp%.1fs cand_wall=$tCand%.1fs " +
+        f"verify_wall=$tPairs%.1fs build=$tBuild%.1fs " +
+        f"probe=$tProbe%.1fs inc_ok=$incOk delete=$tDel%.2fs " +
+        f"vacuum files=$vFiles (bound 56) rows=$vRows wall=$tVac%.1fs " +
+        f"leak=$leak " + (if (pass) "ok" else "BAD"))
+      (pass, s""""audio":{"pass":$pass,"corpus":$nAll,""" +
+        s""""twins":$nTwins,"cand":$cand,"cand_vs_model":$vsModel,""" +
+        s""""model":"markov_(10/9)^15","model_band_lo":0.7,""" +
+        s""""model_band_hi":$EmbModelCeiling,""" +
+        s""""pairs":${pairs.length},"twins_got":$twinsGot,""" +
+        s""""extras":$extras,"extras_bound":${nTwins / 50},""" +
+        s""""exact_ok":$exactOk,""" +
+        s""""fp_sec":$tFp,"cand_sec":$tCand,"verify_sec":$tPairs,""" +
+        s""""build_sec":$tBuild,"probe_sec":$tProbe,"inc_ok":$incOk,""" +
+        s""""delete_sec":$tDel,"vacuum_files":$vFiles,""" +
+        s""""vacuum_file_bound":56,"vacuum_rows":$vRows,""" +
+        s""""vacuum_sec":$tVac,"vacuum_ok":$vacuumOk}""")
+    }
+
     val all = Seq(embJson, annJson, fuzzyJson, streamJson, mhJson,
-      embIdxJson, phashJson)
+      embIdxJson, phashJson, audioJson)
     val pass = all.forall(_._1)
     val json = s"""{"metric":"probes","pass":$pass,"probes":{""" +
       all.map(_._2).mkString(",") + "}}"

@@ -94,18 +94,17 @@ object QueriesMultimodal {
       SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6"""
 
   /** The audio-fingerprint derivation replayed in SQL, shared by the
-    * two mm_audio_* oracles — exactly [[Multimodal.hkSubFingerprints]]
-    * at the 8x16 default: 136 byte-block "band energies" (the honest
-    * stub arm), the Haitsma-Kalker sign-of-band-energy-derivative bit,
-    * one 16-char bit-vector per window 1..7. Assets below the 136-byte
+    * mm_audio_* oracles — exactly [[Multimodal.hkSubFingerprints]]
+    * at the 8x16 default: the FIXED 136-byte analysis excerpt (byte g
+    * is block g's "band energy" — the honest stub arm), the
+    * Haitsma-Kalker sign-of-band-energy-derivative bit, one 16-char
+    * bit-vector per window 1..7. Assets below the 136-byte
     * minimum-duration gate emit no rows. Expects a `$src(doc_id,
     * text)` relation upstream; ASCII contract as the phash CTEs. */
   private def audioCtes(src: String): String = s"""
     acells AS (
       SELECT doc_id, g,
-             coalesce(list_sum(list_transform(
-               range(g * len(text) // 136 + 1, (g + 1) * len(text) // 136 + 1),
-               i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0) AS s
+             CAST(ord(substr(text, CAST(g + 1 AS INTEGER), 1)) AS BIGINT) AS s
       FROM $src, range(0, 136) r(g)
       WHERE len(text) >= 136),
     adiff AS (
@@ -143,28 +142,26 @@ object QueriesMultimodal {
       GROUP BY p.id_a, p.id_b)"""
 
   /** The planted "corrupted re-encode" twin of a doc in SQL: one
-    * case-flipped byte at len/4 and one at 3len/4 — two byte-local
-    * edits that each move one block sum, flipping <= 4 fingerprint
-    * bits in adjacent windows and leaving >= 1 window bit-exact. */
+    * case-flipped byte at excerpt position 35 and one at 103 (blocks
+    * 34 and 102 — window 2 and window 6, band 0) — two byte-local
+    * edits inside the fixed analysis excerpt that each move one band
+    * energy, flipping <= 4 fingerprint bits in adjacent windows and
+    * leaving >= 1 window bit-exact. */
   private val audioTwinSql = """
-               substr(text, 1, len(text) // 4) ||
-               upper(substr(text, len(text) // 4 + 1, 1)) ||
-               substr(text, len(text) // 4 + 2,
-                      3 * len(text) // 4 - len(text) // 4 - 1) ||
-               upper(substr(text, 3 * len(text) // 4 + 1, 1)) ||
-               substr(text, 3 * len(text) // 4 + 2)"""
+               substr(text, 1, 34) ||
+               upper(substr(text, 35, 1)) ||
+               substr(text, 36, 67) ||
+               upper(substr(text, 103, 1)) ||
+               substr(text, 104)"""
 
   /** The Spark twin expression of [[audioTwinSql]] over a `text`
     * column. */
-  private lazy val audioTwinCol: org.apache.spark.sql.Column = {
-    val q1 = "CAST(floor(length(text)/4) AS INT)"
-    val q3 = "CAST(floor(3*length(text)/4) AS INT)"
-    expr(s"concat(substring(text, 1, $q1), " +
-      s"upper(substring(text, $q1 + 1, 1)), " +
-      s"substring(text, $q1 + 2, $q3 - $q1 - 1), " +
-      s"upper(substring(text, $q3 + 1, 1)), " +
-      s"substring(text, $q3 + 2, length(text)))")
-  }
+  private lazy val audioTwinCol: org.apache.spark.sql.Column =
+    expr("concat(substring(text, 1, 34), " +
+      "upper(substring(text, 35, 1)), " +
+      "substring(text, 36, 67), " +
+      "upper(substring(text, 103, 1)), " +
+      "substring(text, 104, length(text)))")
 
   /** The Spark twin of [[audioTwinSql]], on a (doc_id, text) frame. */
   private def audioTwin(df: DataFrame): DataFrame =
@@ -380,8 +377,8 @@ object QueriesMultimodal {
     // ------------------------------------------------ audio near-dup
     // The audio leg's near-dup operator (image=pHash, video=frames,
     // audio=HK fingerprints): planted "corrupted re-encodes" (%6=2
-    // docs, one case-flipped byte at len/4 and one at 3len/4 — two
-    // byte-local edits that each move one block sum, flipping <= 4
+    // docs, case-flipped bytes at excerpt positions 35 and 103 — two
+    // byte-local edits that each move one band energy, flipping <= 4
     // bits in adjacent windows and leaving >= 1 window bit-exact)
     // must pair with their originals under the 28-bit BER cut, while
     // unrelated docs (~56 of 112 bits apart) never do. The oracle
@@ -484,8 +481,8 @@ object QueriesMultimodal {
     // pairs are within-kind by construction, and each family keeps
     // its own score metric. Kinds are assigned %3, twins planted on
     // %5 docs WITH the kind-appropriate corruption (image: 3-byte
-    // case flip; audio: two case flips at len/4 and 3len/4; video:
-    // one mid-payload case flip) — every leg's oracle CTE chain runs
+    // case flip; audio: two case flips inside the analysis excerpt;
+    // video: one mid-payload case flip) — every leg's oracle CTE runs
     // over its kind slice and the three results union with their
     // method tag.
     QueryDef("mm_neardup_router", Some(s"""

@@ -232,9 +232,12 @@ object Multimodal {
   // ---------------------------------------------- audio fingerprint
 
   /** HK fingerprint geometry: 8 analysis windows x 16 fingerprint bits;
-    * each window carries bands+1 = 17 band energies, so the payload is
-    * cut into 8*17 = 136 blocks. Windows 1..7 emit a 16-bit
-    * sub-fingerprint each (window 0 is the derivative's left edge). */
+    * each window carries bands+1 = 17 band energies, so the analysis
+    * excerpt is the payload's FIRST 8*17 = 136 bytes (fixed-duration,
+    * like the real scheme — see [[hkSubFingerprints]] on why
+    * length-normalized grids are structurally biased). Windows 1..7
+    * emit a 16-bit sub-fingerprint each (window 0 is the derivative's
+    * left edge). */
   final val AudioWindows = 8
   final val AudioBands = 16
 
@@ -246,15 +249,23 @@ object Multimodal {
    * difference — (E(w,b) - E(w,b+1)) - (E(w-1,b) - E(w-1,b+1)) > 0.
    * A real implementation computes E from an FFT filter bank over
    * decoded PCM frames; this container has no audio codecs, so the
-   * STUB band energies are byte-block sums on the same grid discipline
-   * as [[dHashBytes]] (block g of nWindows*(bands+1) spans bytes
-   * [g*len/G, (g+1)*len/G)) — pure integer arithmetic a SQL engine
-   * replays exactly, while the bit derivation itself is the real
-   * algorithm. Byte-local corruption (re-encode jitter's stand-in)
-   * moves one block sum and flips at most 4 bits of the
-   * (nWindows-1)*bands total; unrelated payloads disagree on ~half.
-   * Requires len >= G (every block non-empty — the minimum-duration
-   * contract a real fingerprinter has); callers gate, see
+   * STUB band energy E(w, b) is the byte at offset w*(bands+1)+b of a
+   * FIXED-LENGTH excerpt (the first nWindows*(bands+1) bytes) — pure
+   * integer arithmetic a SQL engine replays exactly, while the bit
+   * derivation itself is the real algorithm. The FIXED excerpt is
+   * load-bearing, exactly as in the real scheme (HK fingerprints a
+   * fixed-duration block, never the whole length-normalized signal):
+   * a dHashBytes-style length-normalized grid (blocks = len/G) gives
+   * every payload a block-size pattern determined by its LENGTH, and
+   * those structural sum steps dominate the content — measured on a
+   * 300k probe corpus as 4.5x the independent-bit candidate model
+   * with dozens of near-threshold false pairs between unrelated
+   * same-shape payloads. Byte-local corruption inside the excerpt
+   * (re-encode jitter's stand-in) moves one energy and flips at most
+   * 4 bits of the (nWindows-1)*bands total; corruption PAST the
+   * excerpt leaves the fingerprint identical (the excerpt contract);
+   * unrelated payloads disagree on ~half. Requires len >= G (the
+   * minimum-duration contract); callers gate, see
    * [[audioFingerprint]]. Returns nWindows-1 bit-vector strings,
    * index i = window i+1, char b+1 = band b's bit.
    */
@@ -262,15 +273,10 @@ object Multimodal {
       bands: Int = AudioBands): Array[String] = {
     val slices = bands + 1
     val g = nWindows * slices
-    val len = payload.length
     val e = new Array[Long](g)
     var i = 0
     while (i < g) {
-      var p = (i.toLong * len / g).toInt
-      val end = ((i + 1).toLong * len / g).toInt
-      var s = 0L
-      while (p < end) { s += (payload(p) & 0xff); p += 1 }
-      e(i) = s
+      e(i) = payload(i) & 0xff
       i += 1
     }
     val out = new Array[String](nWindows - 1)
@@ -439,6 +445,19 @@ object Multimodal {
    * (re-encode jitter's stand-in) move one or two block sums and flip
    * at most a few bits, preserving the near-dup geometry the banded
    * join needs.
+   *
+   * Discrimination caveat (documented, not load-bearing): the
+   * length-normalized grid means the block-size pattern is a function
+   * of len alone, and on homogeneous same-source payloads (e.g. a
+   * text corpus standing in for media bytes) those structural sum
+   * steps plus shared byte statistics pull unrelated payloads well
+   * inside the hamming-6 operating point — this arm OVER-pairs there.
+   * The family's discrimination contract lives on the decoded-raster
+   * path ([[dHashImage]] — cross-picture separation is spec-proved on
+   * real rasters); this arm only keeps non-decodable payloads
+   * deterministic. For codec-less fingerprinting done right, see the
+   * audio family's FIXED-excerpt design ([[hkSubFingerprints]]),
+   * whose standing probe caught exactly this bias.
    */
   def dHashBytes(payload: Array[Byte]): String = {
     val len = payload.length

@@ -112,6 +112,16 @@ object AudioDedup {
       .select(least(col("id_n"), col("id_c")).as("id_a"),
         greatest(col("id_n"), col("id_c")).as("id_b"), col("bit_errors"))
 
+  /** Window-collision candidate id pairs BEFORE the bit-error verify —
+    * the probe/diagnostic surface whose mass the independent-bit model
+    * bounds ((nWindows-1) x n^2 / 2^(bands+1) on noise-like
+    * fingerprints); verified pairs come from [[audioNearDupPairs]]. */
+  private[graft] def audioCandidates(fps: DataFrame,
+      idCol: String): DataFrame =
+    Dedup.bucketPairs(
+      fps.select(col("window_idx"), col("subfp"), col(idCol).as("id")),
+      Seq("window_idx", "subfp"))
+
   /**
    * One-shot near-dup pairs over assets (`idCol`, binary
    * `payloadCol`): fingerprint, window-collision candidates,

@@ -35,12 +35,13 @@ class AudioDedupSpec extends SparkSpec {
     assert(fps.toSeq === Multimodal.hkSubFingerprints(p).toSeq)
   }
 
-  test("byte-local corruption flips at most 4 bits, leaves >= 5 of 7 " +
-    "windows bit-exact") {
+  test("byte-local corruption inside the excerpt flips at most 4 " +
+    "bits, leaves >= 5 of 7 windows bit-exact; corruption past the " +
+    "excerpt leaves the fingerprint identical") {
     val p = randomPayload(2)
-    // worst case for one edit: the changed block's two d-values each
+    // worst case for one edit: the changed energy's two d-values each
     // feed two windows' bits -> <= 4 flips, windows w and w+1 only
-    for (pos <- Seq(0, p.length / 3, p.length / 2, p.length - 1)) {
+    for (pos <- Seq(0, 45, 90, 135)) {
       val q = p.clone()
       q(pos) = (q(pos) ^ 0xff).toByte
       val (fa, fb) = (Multimodal.hkSubFingerprints(p),
@@ -49,6 +50,13 @@ class AudioDedupSpec extends SparkSpec {
       val exact = fa.zip(fb).count(w => w._1 == w._2)
       assert(exact >= 5, s"edit at $pos broke too many windows: $exact")
     }
+    // the fixed-excerpt contract: bytes past position 136 never
+    // contribute (a real fingerprint covers a fixed-duration block)
+    val tail = p.clone()
+    tail(200) = (tail(200) ^ 0xff).toByte
+    tail(399) = (tail(399) ^ 0xff).toByte
+    assert(Multimodal.hkSubFingerprints(tail).toSeq ===
+      Multimodal.hkSubFingerprints(p).toSeq)
   }
 
   test("minimum-duration gate: below the 136-byte analysis grid no " +
@@ -66,10 +74,7 @@ class AudioDedupSpec extends SparkSpec {
     "independent payloads never do") {
     val originals = (0 until 40).map(k => (k.toLong, randomPayload(100 + k)))
     val twins = originals.filter(_._1 % 4 == 0).map { case (id, p) =>
-      val q = p.clone()
-      q(p.length / 4) = (q(p.length / 4) ^ 0xff).toByte
-      q(3 * p.length / 4) = (q(3 * p.length / 4) ^ 0xff).toByte
-      (id + 1000L, q)
+      (id + 1000L, corrupted(p))
     }
     val df = (originals ++ twins).toDF("id", "payload")
     val pairs = AudioDedup.audioNearDupPairs(df, "payload", "id")
@@ -84,10 +89,12 @@ class AudioDedupSpec extends SparkSpec {
     }
   }
 
+  /** Two byte edits INSIDE the fixed analysis excerpt (blocks 34 and
+    * 102 — windows 2 and 6), the corrupted-re-encode stand-in. */
   private def corrupted(p: Array[Byte]): Array[Byte] = {
     val q = p.clone()
-    q(p.length / 4) = (q(p.length / 4) ^ 0xff).toByte
-    q(3 * p.length / 4) = (q(3 * p.length / 4) ^ 0xff).toByte
+    q(34) = (q(34) ^ 0xff).toByte
+    q(102) = (q(102) ^ 0xff).toByte
     q
   }
 
@@ -218,10 +225,10 @@ class AudioDedupSpec extends SparkSpec {
     // INSIDE EVERY WINDOW of a copy.
     val p = randomPayload(7)
     val q = p.clone()
-    val g = Multimodal.AudioWindows * (Multimodal.AudioBands + 1)
     for (w <- 0 until Multimodal.AudioWindows) {
-      val blockStart = (w * (Multimodal.AudioBands + 1) + 3).toLong
-      val pos = (blockStart * p.length / g).toInt
+      // one edit inside every window of the fixed excerpt (block =
+      // byte offset on the excerpt grid)
+      val pos = w * (Multimodal.AudioBands + 1) + 3
       q(pos) = (q(pos) ^ 0xff).toByte
     }
     val fa = Multimodal.hkSubFingerprints(p)
