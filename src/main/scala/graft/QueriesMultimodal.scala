@@ -474,6 +474,33 @@ object QueriesMultimodal {
           .select("id_a", "id_b", "bit_errors").distinct()
       }),
 
+    // ------------- streaming: audio ingest + maintenance (cont.)
+    // audioIngest with maintainEvery — the audio family's in-stream
+    // maintenance face, completing the maintain symmetry across ALL
+    // SIX streaming faces (dedup/ann/ivfpq/emb/phash/audio). The
+    // shared layout-generic maintenance runs every batch; it must
+    // not change a single pair (the row shares the one-shot oracle)
+    // and the require pins that the compaction really ran.
+    QueryDef("stream_audio_maintain", Some(audioDedupOracleSql),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val media = docs.select(col("doc_id"), col("text"))
+          .unionByName(audioTwin(docs.filter(col("doc_id") % 6 === 2)))
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val root = Tables.freshScratch("stream_audio_mnt")
+        val src = QueriesText.stageMicroBatches(s, media, root,
+          idCol = "doc_id")
+        val q = graft.streaming.Streams.audioIngest(src, "payload",
+          "doc_id", s"$root/idx", s"$root/pairs", s"$root/ckpt",
+          maintainEvery = 1)
+        try q.processAllAvailable() finally q.stop()
+        val h = graft.operators.Dedup.minhashIndexHealth(s, s"$root/idx")
+        require(h.batches == 1 && h.prescription == "healthy",
+          s"in-stream maintenance did not run: $h")
+        s.read.parquet(s"$root/pairs")
+          .select("id_a", "id_b", "bit_errors").distinct()
+      }),
+
     // ----------------------------------- per-modality near-dup router
     // The single user-facing entry point over a mixed media table:
     // kind routes each partition to its own family (image -> pHash

@@ -134,7 +134,7 @@ class RegistrySpec extends AnyFunSuite {
         "mm_phash_index", "mm_frame_neardup", "stream_phash_ingest",
         "stream_phash_maintain", "mm_audio_fingerprint",
         "mm_audio_neardup", "mm_audio_index", "stream_audio_ingest",
-        "mm_neardup_router"),
+        "stream_audio_maintain", "mm_neardup_router"),
       "events" -> Seq("ev_sessionize", "ev_tumbling_window",
         "ev_session_window", "ev_high_watermark", "ev_top_spenders"))
     val registered = Registry.queries.keySet
