@@ -168,11 +168,21 @@ object QueriesMultimodal {
     df.select((col("doc_id") + 1000000L).as("doc_id"),
       audioTwinCol.as("text"))
 
-  /** Shared by mm_audio_neardup and stream_audio_ingest: ALL near-dup
-    * pairs of documents + planted corrupted twins (%6=2 docs) at the
-    * 28-bit cut. As with the phash stream, batch order is free (the
-    * geometry is data-independent), so the stream's per-batch pair
-    * unions must equal exactly this one-shot set. */
+  /** The (doc_id, payload) media frame the three shared-oracle audio
+    * rows run on — documents plus the planted corrupted twins (%6=2)
+    * — built ONCE so the planting can never diverge from
+    * [[audioDedupOracleSql]] row to row. */
+  private def audioMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(audioTwin(docs.filter(col("doc_id") % 6 === 2)))
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Shared by mm_audio_neardup, stream_audio_ingest and
+    * stream_audio_maintain: ALL near-dup pairs of documents + planted
+    * corrupted twins (%6=2 docs) at the 28-bit cut. As with the phash
+    * stream, batch order is free (the geometry is data-independent),
+    * so the stream's per-batch pair unions must equal exactly this
+    * one-shot set. */
   private lazy val audioDedupOracleSql: String = s"""
       WITH amedia AS (
         SELECT doc_id, text FROM documents
@@ -385,14 +395,8 @@ object QueriesMultimodal {
     // replays fingerprints, the window-collision candidate step and
     // the whole-sequence bit-error verify.
     QueryDef("mm_audio_neardup", Some(audioDedupOracleSql),
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val media = docs.select(col("doc_id"), col("text"))
-          .unionByName(audioTwin(docs.filter(col("doc_id") % 6 === 2)))
-          .withColumn("payload", col("text").cast("binary"))
-        graft.operators.AudioDedup.audioNearDupPairs(media, "payload",
-          "doc_id")
-      }),
+      (s, dir) => graft.operators.AudioDedup.audioNearDupPairs(
+        audioMedia(t(s, dir, "documents")), "payload", "doc_id")),
 
     // -------------------------- audio-fingerprint index lifecycle
     // The audio family's persisted index rides the SAME layout-generic
@@ -460,10 +464,7 @@ object QueriesMultimodal {
     // its original, so the cross-batch index path is non-vacuous).
     QueryDef("stream_audio_ingest", Some(audioDedupOracleSql),
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val media = docs.select(col("doc_id"), col("text"))
-          .unionByName(audioTwin(docs.filter(col("doc_id") % 6 === 2)))
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val media = audioMedia(t(s, dir, "documents"))
         val root = Tables.freshScratch("stream_audio")
         val src = QueriesText.stageMicroBatches(s, media, root,
           idCol = "doc_id")
@@ -483,10 +484,7 @@ object QueriesMultimodal {
     // and the require pins that the compaction really ran.
     QueryDef("stream_audio_maintain", Some(audioDedupOracleSql),
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val media = docs.select(col("doc_id"), col("text"))
-          .unionByName(audioTwin(docs.filter(col("doc_id") % 6 === 2)))
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val media = audioMedia(t(s, dir, "documents"))
         val root = Tables.freshScratch("stream_audio_mnt")
         val src = QueriesText.stageMicroBatches(s, media, root,
           idCol = "doc_id")

@@ -271,6 +271,13 @@ object Multimodal {
    */
   def hkSubFingerprints(payload: Array[Byte], nWindows: Int = AudioWindows,
       bands: Int = AudioBands): Array[String] = {
+    // the codegen'd verify parses one sub-fingerprint with a single
+    // signed-long conv — past 62 bits it would null out and silently
+    // UNDERCOUNT bit errors (flooding the output with false pairs),
+    // so refuse loudly here, the leaf every entry point runs through
+    require(nWindows >= 2 && bands >= 1 && bands <= 62,
+      s"hkSubFingerprints: need nWindows >= 2 and 1 <= bands <= 62 " +
+        s"(got nWindows=$nWindows, bands=$bands)")
     val slices = bands + 1
     val g = nWindows * slices
     val e = new Array[Long](g)
@@ -309,6 +316,11 @@ object Multimodal {
   def audioFingerprint(assets: DataFrame, payloadCol: String,
       idCol: String, nWindows: Int = AudioWindows,
       bands: Int = AudioBands): DataFrame = {
+    // fail on the driver, not per-row in the executors — same bound
+    // as the hkSubFingerprints leaf (62-bit conv limit in the verify)
+    require(nWindows >= 2 && bands >= 1 && bands <= 62,
+      s"audioFingerprint: need nWindows >= 2 and 1 <= bands <= 62 " +
+        s"(got nWindows=$nWindows, bands=$bands)")
     val spark = assets.sparkSession
     import spark.implicits._
     val g = nWindows * (bands + 1)
@@ -347,6 +359,13 @@ object Multimodal {
     import graft.operators.{AudioDedup, PhashDedup}
     implicit val enc: org.apache.spark.sql.Encoder[MediaAsset] =
       Encoders.product[MediaAsset]
+    // all three legs key pairs by a LONG id (the image/audio legs
+    // cast; a silent cast of string/UUID ids would null out and die
+    // deep inside an encoder) — refuse non-numeric ids loudly here
+    val idType = assets.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"nearDupPairsByKind needs a numeric id column, got $idType " +
+        s"for '$idCol' — map string/UUID ids to longs first")
     // null/unknown kinds take the frame leg (the scaladoc's
     // "everything else") — a routing operator must not silently drop
     // rows it doesn't recognize
@@ -366,8 +385,9 @@ object Multimodal {
       .select(lit("hk_audio").as("method"), col("id_a"), col("id_b"),
         col("bit_errors").cast("long").as("score"))
     val vidPairs = frameNearDupPairs(
-      assets.filter(!k.isin("image", "audio")), payloadCol, idCol,
-      nFrames, frameLen, minMatches)
+      assets.filter(!k.isin("image", "audio"))
+        .withColumn(idCol, col(idCol).cast("long")),
+      payloadCol, idCol, nFrames, frameLen, minMatches)
       .select(lit("frames").as("method"), col("id_a"), col("id_b"),
         col("matches").cast("long").as("score"))
     imgPairs.unionByName(audPairs).unionByName(vidPairs)

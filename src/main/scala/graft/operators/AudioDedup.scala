@@ -66,15 +66,23 @@ object AudioDedup {
   /** In-set pairs over banded fingerprint rows (id, band, key):
     * bucket-join candidates, whole-sequence bit-error verify. Both
     * sides passed the duration gate, so each pair aligns exactly
-    * nWindows-1 windows and the sum is the whole-sequence count. */
+    * nWindows-1 windows and the sum is the whole-sequence count.
+    * Duplicate (id, band) rows are dropped before the verify joins —
+    * a duplicated id (the families' legal replay/re-ingest state,
+    * identical content so identical rows) would otherwise double-join
+    * its windows and inflate the sum past the cut, losing true pairs.
+    * Duplicates with DIFFERING content for one id remain a caller
+    * contract violation in every family (the arbitrary survivor is
+    * nondeterministic); content replacement goes through
+    * delete -> vacuum/compact -> re-ingest. */
   private def pairsOverBanded(banded: DataFrame,
       maxBitErrors: Int): DataFrame = {
     val idPairs = Dedup.bucketPairs(
       banded.select("band", "key", "id"), Seq("band", "key"))
     val fa = banded.select(col("id").as("id_a"), col("band"),
-      col("key").as("fp_a"))
+      col("key").as("fp_a")).dropDuplicates("id_a", "band")
     val fb = banded.select(col("id").as("id_b"), col("band"),
-      col("key").as("fp_b"))
+      col("key").as("fp_b")).dropDuplicates("id_b", "band")
     idPairs.join(fa, Seq("id_a")).join(fb, Seq("id_b", "band"))
       .groupBy("id_a", "id_b")
       .agg(sum(bitErrors(col("fp_a"), col("fp_b"))).as("bit_errors"))
@@ -98,11 +106,14 @@ object AudioDedup {
       .select("id_n", "id_c")
       .dropDuplicates("id_n", "id_c")
       .repartition(par, col("id_n"))
+      // duplicate (id, band) rows on EITHER side (a legally replayed/
+      // re-ingested id — identical content, identical rows) would
+      // double-join sequence windows and inflate the bit-error sum
+      // past the cut, losing the pair; see pairsOverBanded's note on
+      // the differing-content caller contract
       .join(batch.select(col("id").as("id_n"), col("band"),
-        col("key").as("fp_n")), Seq("id_n"))
-      // a legally re-ingested id (the families' duplicates-degrade
-      // case) would otherwise double-join its sequence rows here and
-      // inflate the bit-error sum past the cut — losing the pair
+        col("key").as("fp_n")).dropDuplicates("id_n", "band"),
+        Seq("id_n"))
       .join(index.select(col("id").as("id_c"), col("band"),
         col("key").as("fp_c")).dropDuplicates("id_c", "band"),
         Seq("id_c", "band"))

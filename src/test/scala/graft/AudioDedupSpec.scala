@@ -194,6 +194,12 @@ class AudioDedupSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(got === Set(("phash", 1L, 101L), ("hk_audio", 2L, 102L),
       ("frames", 3L, 103L), ("frames", 4L, 104L)))
+    // non-numeric ids are refused loudly at the driver (a silent long
+    // cast would null out and die deep inside an encoder)
+    val bad = Seq(("u1", "image", pImg)).toDF("id", "kind", "payload")
+    val e = intercept[IllegalArgumentException](
+      graft.multimodal.Multimodal.nearDupPairsByKind(bad, "payload", "id"))
+    assert(e.getMessage.contains("numeric id"))
   }
 
   test("a duplicated index id (the re-ingest degrade case) does not " +
@@ -215,6 +221,13 @@ class AudioDedupSpec extends SparkSpec {
     assert(pairs.map(x => (x._1, x._2)).toSeq === Seq((9L, 109L)))
     assert(pairs.head._3 <= 8,
       s"duplicate index rows inflated bit_errors: ${pairs.head._3}")
+    // the BATCH side too: a replayed batch carrying its rows twice
+    val dupBatch = fpsOf(Seq(109L -> corrupted(p), 109L -> corrupted(p)))
+    val pairs2 = AudioDedup.incrementalAudioPairs(dupBatch, "id", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs2.map(x => (x._1, x._2)).toSeq === Seq((9L, 109L)))
+    assert(pairs2.head._3 <= 8,
+      s"duplicate batch rows inflated bit_errors: ${pairs2.head._3}")
   }
 
   test("window-collision candidates only: a pair aligning on no " +
