@@ -3400,17 +3400,59 @@ object QueriesText {
     stage
   }
 
+  /** One-pass batch-file staging shared by [[stageMicroBatches]] and
+    * [[stageOrderedMicroBatches]] (r18 optimization round): ALL batch
+    * files land in ONE Spark job — the old shape looped `nBatches`
+    * filter + coalesce(1) writes, re-scanning the source per batch on a
+    * single task each (guide §1.2: fewer passes). The batch key is
+    * hash-REPARTITIONED so each key's rows live in exactly one task and
+    * partitionBy emits exactly one file per batch dir; the files are
+    * then renamed into the flat stage root the FileStreamSource lists,
+    * with explicit ascending mtimes one minute apart so "batch i" is
+    * DETERMINISTICALLY the `id % nBatches = i` slice (previously only
+    * the ordered variant pinned this; the order-free families tolerate
+    * any order, so imposing one changes nothing and removes the
+    * same-millisecond listing-order tie). */
+  private def stageBatchFiles(s: SparkSession, df: DataFrame,
+      stage: String, nBatches: Int, idCol: String): Unit = {
+    val tmpDir = s"$stage.__staging"
+    df.withColumn("__b", pmod(col(idCol), lit(nBatches)))
+      .repartition(nBatches, col("__b"))
+      .write.mode("overwrite").partitionBy("__b").parquet(tmpDir)
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val fs = stagePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(stagePath)
+    val t0 = System.currentTimeMillis() - (nBatches + 1) * 60000L
+    (0 until nBatches).foreach { i =>
+      val dir = new org.apache.hadoop.fs.Path(s"$tmpDir/__b=$i")
+      val files =
+        if (fs.exists(dir))
+          fs.listStatus(dir).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+        else Array.empty[org.apache.hadoop.fs.Path]
+      require(files.length == 1,
+        s"stageBatchFiles($stage): batch $i staged ${files.length} " +
+          s"files — the corpus is too small to split into $nBatches " +
+          s"non-empty micro-batches, or the one-file-per-key invariant " +
+          s"broke")
+      val dst = new org.apache.hadoop.fs.Path(stage, s"batch-$i.parquet")
+      if (!fs.rename(files.head, dst)) throw new java.io.IOException(
+        s"stageBatchFiles($stage): rename ${files.head} -> $dst failed")
+      fs.setTimes(dst, t0 + i * 60000L, -1)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+  }
+
   /** Stage `df` as `nBatches` single-file parquet writes under
     * `root/stage` and open a FileStreamSource over them with
     * maxFilesPerTrigger=1 — a real streaming source delivering the frame
     * as `nBatches` micro-batches, rows split by a doc_id mod (fully
-    * distributed; no driver-held data). */
+    * distributed; no driver-held data). One staging job total (see
+    * [[stageBatchFiles]]). */
   private[graft] def stageMicroBatches(s: SparkSession, df: DataFrame,
       root: String, nBatches: Int = 3, idCol: String = "doc_id"): DataFrame = {
     val stage = s"$root/stage"
-    (0 until nBatches).foreach(i =>
-      df.filter(pmod(col(idCol), lit(nBatches)) === i)
-        .coalesce(1).write.mode("append").parquet(stage))
+    stageBatchFiles(s, df, stage, nBatches, idCol)
     s.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
   }
@@ -3519,19 +3561,9 @@ object QueriesText {
       root: String, nBatches: Int = 3,
       idCol: String = "doc_id"): DataFrame = {
     val stage = s"$root/stage"
-    val fs = new org.apache.hadoop.fs.Path(stage)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    var seen = Set.empty[String]
-    val t0 = System.currentTimeMillis() - (nBatches + 1) * 60000L
-    (0 until nBatches).foreach { i =>
-      df.filter(pmod(col(idCol), lit(nBatches)) === i)
-        .coalesce(1).write.mode("append").parquet(stage)
-      val files = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      files.filterNot(p => seen(p.getName))
-        .foreach(p => fs.setTimes(p, t0 + i * 60000L, -1))
-      seen = files.map(_.getName).toSet
-    }
+    // one staging job; explicit ascending mtimes pin the batch order
+    // (see [[stageBatchFiles]])
+    stageBatchFiles(s, df, stage, nBatches, idCol)
     s.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
   }

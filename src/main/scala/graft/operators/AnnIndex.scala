@@ -199,22 +199,58 @@ object AnnIndex {
     if (rows == 0L) (0.0, 0L) else (r.getDouble(0) / rows, rows)
   }
 
-  /** Fold an append batch's measured reconstruction error into the
-    * `_recon` running mean — a no-op on legacy (`_recon`-less) indexes,
-    * which have no baseline to compare against. */
-  private def updateReconSidecar(spark: SparkSession, path: String,
-      codedBatch: DataFrame, vecColName: String, m: Int, sub: Int,
-      batchN: Long): Unit = {
+  /** [[reconError]]'s measure restructured as a PER-ROW column
+    * expression so the lossy-family appends can compute it INSIDE their
+    * write job via `observe()` — one pass over the batch where the old
+    * path paid a separate sampled aggregation job (guide §1.2: fewer
+    * passes; the write already touches every row). For each subspace j,
+    * ||v[j·sub ..] − cb[j][code_j]||², summed over subspaces; codes
+    * without a codebook entry contribute the segment's distance to the
+    * zero vector, exactly [[reconError]]'s coalesce arm. The codebook
+    * rides as one bounded nested-array Literal (m × k × sub doubles),
+    * the [[ivfPqKnnJoin]] cbLit discipline — never an unrolled
+    * expression tree. */
+  private def reconRowErr(vec: Column, code: Column,
+      cb: Map[(Int, Int), Array[Double]], m: Int, sub: Int): Column = {
+    val kk = cb.keys.map(_._2).max + 1
+    val cbLit = typedLit((0 until m).map(j => (0 until kk).map(c =>
+      cb.get((j, c)).map(_.toList).orNull)))
+    (0 until m).map { j =>
+      val cj = code.getItem(j)
+      val seg = slice(vec, j * sub + 1, sub)
+      aggregate(zip_with(seg,
+          coalesce(when(cj.between(0, kk - 1),
+            element_at(element_at(cbLit, j + 1), cj + 1)),
+            transform(seg, _ * lit(0.0))),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }.reduce(_ + _)
+  }
+
+  /** Fold an append batch's WRITE-OBSERVED reconstruction error into
+    * the `_recon` running mean — the old `updateReconSidecar`
+    * arithmetic, with (sum, rows) measured by the write job itself via
+    * [[reconRowErr]] instead of a second aggregation pass. Measured
+    * over EVERY batch row: identical to the old sampled mean whenever
+    * the batch is at or under [[KmeansFitSampleCap]] (the hash-sample
+    * was a no-op there), and an all-rows mean — strictly more data for
+    * the same advisory signal, at zero extra passes — above it. No-op
+    * on legacy `_recon`-less indexes and on empty batches (the observed
+    * sum is null). */
+  private def foldReconObserved(spark: SparkSession, path: String,
+      reconSum: Any, reconRows: Long): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     readReconSidecar(fs, path).foreach {
       case (base, appErr, appN, sampleN) =>
-        val (bErr, bN) = reconError(codedBatch, vecColName,
-          spark.read.parquet(s"$path/_codebooks"), m, sub, batchN,
-          KmeansFitSampleCap)
-        if (bN > 0L) {
-          val mergedErr = (appErr * appN + bErr * bN) / (appN + bN)
-          writeReconSidecar(fs, path, base, mergedErr, appN + bN, sampleN)
+        reconSum match {
+          case s: java.lang.Double if reconRows > 0L =>
+            val bErr = s.doubleValue() / reconRows
+            val mergedErr =
+              (appErr * appN + bErr * reconRows) / (appN + reconRows)
+            writeReconSidecar(fs, path, base, mergedErr,
+              appN + reconRows, sampleN)
+          case _ => ()
         }
     }
   }
@@ -902,10 +938,6 @@ object AnnIndex {
       fitFrame: Option[DataFrame] = None): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val n = embeddings.count()
-    val cellsPlanned =
-      if (!autoPlan) nCells
-      else Similarity.planIvfCells(n, nCells, targetCellRows)
     // delete-first sidecar protocol — see [[deleteSidecars]]: BOTH
     // geometry sidecars drop before the data write, so a crash anywhere
     // in the build leaves a state every reader rejects ([[ivfCentroids]]
@@ -924,10 +956,25 @@ object AnnIndex {
       .select(col("vec_id"),
         transform(col("raw"),
           x => when(col("__n") > 0, x / col("__n")).otherwise(x)).as("nv"))
-    val dim = base.select(size(col("nv"))).head().getInt(0)
+    // ONE column-pruned job for both build-plan scalars (was a full
+    // count() plus a separate head() scan for the width)
+    val hdr = base.agg(count(lit(1)), max(size(col("nv")))).head()
+    val n = hdr.getLong(0)
+    val cellsPlanned =
+      if (!autoPlan) nCells
+      else Similarity.planIvfCells(n, nCells, targetCellRows)
+    val dim = if (n == 0L) throw new IllegalStateException(
+      s"buildIvfPq($path): empty corpus — nothing to train on")
+      else hdr.getInt(1)
     require(dim % m == 0, s"buildIvfPq: dim $dim not divisible by m=$m")
     val sub = dim / m
-    quantizer match {
+    // each arm yields the frame the `_sample` reservoir is written from:
+    // the sign arm's checkpointed `coded` table (vec_id, nv — reading the
+    // cache instead of re-scanning + re-normalizing the source corpus, a
+    // whole input pass saved per build); the kmeans arm keeps `base`
+    // (recomputing the normalize is cheaper than re-running the m+1
+    // un-checkpointed model transforms)
+    val reservoirSrc: DataFrame = quantizer match {
       case "sign" =>
         require(sub <= 16, s"buildIvfPq(sign): subvector width $sub would " +
           s"mean 2^$sub codes per subspace — raise m or use kmeans")
@@ -978,6 +1025,7 @@ object AnnIndex {
           .withColumn("quantizer", lit("sign")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
         stampReconBaseline(spark, path, coded, "nv", m, sub, n)
+        coded.select(col("vec_id"), col("nv"))
       case "kmeans" =>
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
@@ -1038,6 +1086,7 @@ object AnnIndex {
           .withColumn("quantizer", lit("kmeans")) // trailing marker, see [[indexQuantizer]]
           .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
         stampReconBaseline(spark, path, withCode, "nv", m, sub, n)
+        base
       case other => throw new IllegalArgumentException(
         s"buildIvfPq: unknown quantizer '$other' (sign|kmeans)")
     }
@@ -1045,9 +1094,10 @@ object AnnIndex {
     writeRowsSidecar(new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration), path, n)
     // raw-vector reservoir for corpus-less retraining (see the
-    // `_sample` section) — one bounded filtered write off the already-
-    // derived normalized frame; the fit-sample cap IS the reservoir cap
-    writeReservoir(base, "nv", path, n, fitSampleCap)
+    // `_sample` section) — one bounded filtered write off the arm's
+    // reservoir source (sign: the checkpointed coded table — cache
+    // read, no source re-scan); the fit-sample cap IS the reservoir cap
+    writeReservoir(reservoirSrc, "nv", path, n, fitSampleCap)
   }
 
   /**
@@ -1886,17 +1936,22 @@ object AnnIndex {
         Similarity.sigCol(col("vec"), bits, family == FamilyOrtho))
       .withColumn("sig_grp", shiftright(col("sig"), bits - grpBits))
     warnTombstonedAppend(spark, path, batch, "appendLsh")
+    val obs = org.apache.spark.sql.Observation()
     batch
+      // the batch count rides the write job (observe()) — the old path
+      // paid a separate O(batch) count job per append; the index data
+      // path is still never scanned or listed by this call
+      .observe(obs, count(lit(1)).as("n"))
       // explicit width matters MOST for appends: the batch is small, so
       // a column-only repartition AQE-coalesces to one task writing every
       // group directory sequentially — see [[writeParts]]
       .repartition(writeParts(batch), col("sig_grp"))
       .sortWithinPartitions("sig") // same row-group pruning as built files
       .write.mode("append").partitionBy("sig_grp").parquet(path)
-    // the append's cost stays O(batch): count the BATCH (column-pruned id
-    // scan) and bump the `_rows` sidecar — the index data path is never
-    // scanned or listed by this call
-    val appended = newRows.select(col(idCol)).count()
+    // AQE's empty-relation propagation collapses a provably-empty batch
+    // plan and the CollectMetrics node with it — an absent metric IS the
+    // empty batch, so 0 is exact, never a guess
+    val appended = obs.get.getOrElse("n", 0L).asInstanceOf[Long]
     writeRowsSidecar(fs, path, oldN + appended)
     val planned = Similarity.planLshProbe(oldN + appended, targetCosine,
       bits, probeHamming, targetOccupancy)
@@ -1944,12 +1999,16 @@ object AnnIndex {
       case "kmeans" =>
         nearestCellAssign(batch, cents)
     }
+    // both arms preserve batch rows 1:1 (sign is a projection; kmeans
+    // groups on a per-row surrogate), so the written count IS the batch
+    // count — observed inside the write job (see appendLsh)
+    val obs = org.apache.spark.sql.Observation()
     assigned.select(col("vec_id"), col("vec"), col("cell"))
+      .observe(obs, count(lit(1)).as("n"))
       .repartition(writeParts(assigned), col("cell")) // see [[writeParts]]
       .write.mode("append").partitionBy("cell").parquet(path)
-    // both arms preserve batch rows 1:1 (sign is a projection; kmeans
-    // groups on a per-row surrogate), so the batch count IS what landed
-    val appended = newRows.select(col(idCol)).count() // O(batch), see appendLsh
+    // absent metric = AQE-collapsed empty batch (see appendLsh) → 0
+    val appended = obs.get.getOrElse("n", 0L).asInstanceOf[Long]
     writeRowsSidecar(new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration), path, oldN + appended)
     warnIvfDrift(path, "appendIvf", oldN + appended, cents.length,
@@ -1999,16 +2058,24 @@ object AnnIndex {
       case "sign"   => signCodeExpr(col("vec"), m, sub)
       case "kmeans" => kmeansCodeExpr(col("vec"), cb, m, sub)
     }
-    base.withColumn("code", codeCol).select(col("vec_id"), col("code"))
+    // count + staleness ride the write job (observe(), see appendIvfPq)
+    // — was a separate count job plus a sampled aggregation per append
+    val obs = org.apache.spark.sql.Observation()
+    base.withColumn("code", codeCol)
+      .observe(obs, count(lit(1)).as("n"),
+        sum(reconRowErr(col("vec"), col("code"), cb, m, sub))
+          .as("recon_sum"))
+      .select(col("vec_id"), col("code"))
       .write.mode("append").parquet(path)
-    val appended = newRows.select(col(idCol)).count() // O(batch), see appendLsh
+    // absent metrics = AQE-collapsed empty batch (see appendLsh) → 0
+    val metrics = obs.get
+    val appended = metrics.getOrElse("n", 0L).asInstanceOf[Long]
     writeRowsSidecar(new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration), path, oldN + appended)
-    // staleness: measure THIS batch's reconstruction error against the
-    // frozen codebooks (O(batch sample)) — the appended-mass mean is
-    // what indexHealth compares to the build baseline
-    updateReconSidecar(spark, path, base.withColumn("code", codeCol),
-      "vec", m, sub, appended)
+    // staleness: fold THIS batch's write-observed reconstruction error
+    // against the frozen codebooks into the appended-mass mean — what
+    // indexHealth compares to the build baseline
+    foldReconObserved(spark, path, metrics.getOrElse("recon_sum", null), appended)
     // reservoir: add the batch's id-hash-stable members (see `_sample`)
     appendReservoir(spark, base, "vec", path, oldN)
     appended
@@ -2062,17 +2129,28 @@ object AnnIndex {
       case "sign"   => signCodeExpr(col("nv"), m, sub)
       case "kmeans" => kmeansCodeExpr(col("nv"), cb, m, sub)
     }
+    // the batch count AND the staleness measure both ride the write job
+    // (observe() — the write touches every row anyway): the old path
+    // paid a separate O(batch) count job plus a separate sampled
+    // reconstruction-error aggregation per append. Both arms preserve
+    // batch rows 1:1 (sign is a projection; kmeans groups on a per-row
+    // surrogate), so the written count IS the batch count.
+    val obs = org.apache.spark.sql.Observation()
     assigned.withColumn("code", codeCol)
+      .observe(obs, count(lit(1)).as("n"),
+        sum(reconRowErr(col("nv"), col("code"), cb, m, sub))
+          .as("recon_sum"))
       .select(col("vec_id"), col("code"), col("cell"))
       .repartition(writeParts(assigned), col("cell")) // see [[writeParts]]
       .write.mode("append").partitionBy("cell").parquet(path)
-    val appended = newRows.select(col(idCol)).count() // O(batch), see appendLsh
+    // absent metrics = AQE-collapsed empty batch (see appendLsh) → 0
+    val metrics = obs.get
+    val appended = metrics.getOrElse("n", 0L).asInstanceOf[Long]
     writeRowsSidecar(new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration), path, oldN + appended)
-    // staleness: fold this batch's measured reconstruction error into
-    // the `_recon` running mean (see appendPq)
-    updateReconSidecar(spark, path, assigned.withColumn("code", codeCol),
-      "nv", m, sub, appended)
+    // staleness: fold this batch's write-observed reconstruction error
+    // into the `_recon` running mean (see appendPq)
+    foldReconObserved(spark, path, metrics.getOrElse("recon_sum", null), appended)
     // reservoir: add the batch's id-hash-stable members (see `_sample`)
     appendReservoir(spark, base, "nv", path, oldN)
     warnIvfDrift(path, "appendIvfPq", oldN + appended, cents.length,

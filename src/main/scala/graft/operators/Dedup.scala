@@ -43,6 +43,25 @@ object Dedup {
    * one side. Rows are (key, id) only — bytes stay proportional to the
    * candidate count, never to a bucket's square in memory.
    */
+  /** Spread a NARROW input across the session's full width before a
+    * CPU-heavy per-row chain (canon/shingle/minhash, simhash, token
+    * sort) — but only when the input is actually narrower than the
+    * session parallelism. At bench/local scale a single-file parquet
+    * table reads as 1-2 partitions and the chain would otherwise run
+    * nearly single-threaded (AQE's byte-based coalescing would shrink
+    * an un-numbered repartition right back — CPU-heavy but byte-light);
+    * at 100 TB the scan already yields thousands of byte-balanced
+    * splits and the old unconditional repartition was a full shuffle of
+    * the corpus TEXT for nothing (guide §2.4: remove shuffles outright;
+    * §2.3: never shuffle the heavy payload to make a placement
+    * decision). `.rdd.getNumPartitions` is plan-time only — no job. */
+  private[operators] def spreadIfNarrow(df: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df
+    else df.repartition(par, keys: _*)
+  }
+
   private[operators] def bucketPairs(banded: DataFrame, keyCols: Seq[String]): DataFrame = {
     val a = banded.select(keyCols.map(col) :+ col("id").as("id_a"): _*)
     val b = banded.select(keyCols.map(col) :+ col("id").as("id_b"): _*)
@@ -147,16 +166,14 @@ object Dedup {
     // or repeated reference consumes them, so nothing re-evaluates per
     // array element (the inlined-expression-in-lambda trap).
     //
-    // Explicit repartition to defaultParallelism first: the signature
+    // Spread-if-narrow first (see [[spreadIfNarrow]]): the signature
     // computation is the CPU-heavy part and runs BEFORE any shuffle — a
-    // small parquet input (single row group) would otherwise pin the whole
-    // minhash pass on one core, and AQE's byte-based coalescing would
-    // shrink an un-numbered repartition right back (CPU-heavy but
-    // byte-light). At 100 TB the input arrives pre-partitioned and this
-    // exchange is round-off; on small inputs it buys full parallelism.
-    val shingled0 = docs
-      .select(col(idCol).as("id"), col(textCol))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
+    // small parquet input (single row group) would otherwise pin the
+    // whole minhash pass on one core. At 100 TB the input arrives
+    // pre-partitioned and the old UNCONDITIONAL repartition was a full
+    // shuffle of the corpus text; now it only fires on narrow inputs.
+    val shingled0 = spreadIfNarrow(docs
+        .select(col(idCol).as("id"), col(textCol)), col("id"))
       .select(col("id"), canonicalText(col(textCol)).as("__canon"))
       .select(col("id"),
         array_distinct(charShinglesCanon(col("__canon"), shingleK)).as("shingles"))
@@ -222,11 +239,11 @@ object Dedup {
     require(maxHamming < bands,
       s"recall guarantee needs maxHamming=$maxHamming < bands=$bands")
     val rb = bits / bands
-    val sh = docs
-      .select(col(idCol).as("id"), col(textCol))
-      // explicit partition count: AQE would coalesce a byte-light shuffle
-      // to ~1 partition, serializing the CPU-heavy hash work
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
+    val sh = spreadIfNarrow(docs
+        // spread-if-narrow: full width for the CPU-heavy hash work on
+        // narrow local inputs, NO text shuffle on pre-partitioned
+        // corpora (see [[spreadIfNarrow]])
+        .select(col(idCol).as("id"), col(textCol)), col("id"))
       .select(col("id"), tokens(col(textCol)).as("__toks"))
       .select(col("id"), simhash(col("__toks"), bits).as("simhash"))
     // band keys, outer generate (no inferred size()>0 filter pushdown)
@@ -297,9 +314,10 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       minJaccard: Double = 0.6, blocking: String = "auto"): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val prepared = docs
-      .select(col(idCol).as("id"), col(textCol))
-      .repartition(par, col("id"))
+    val prepared = spreadIfNarrow(docs
+        // spread-if-narrow (see [[spreadIfNarrow]]): no corpus-text
+        // shuffle when the scan is already wide
+        .select(col(idCol).as("id"), col(textCol)), col("id"))
       .select(col("id"), sort_array(array_distinct(tokens(col(textCol)))).as("toks"))
       .filter(size(col("toks")) > 0)
     // canonical content key of the sorted set; to_json is unambiguous for
@@ -952,9 +970,10 @@ object Dedup {
   private def minhashBanded(docs: DataFrame, textCol: String, idCol: String,
       shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    docs
-      .select(col(idCol).as("id"), col(textCol))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
+    spreadIfNarrow(docs
+        // spread-if-narrow (see [[spreadIfNarrow]]): no corpus-text
+        // shuffle when the scan is already wide
+        .select(col(idCol).as("id"), col(textCol)), col("id"))
       .select(col("id"), canonicalText(col(textCol)).as("__canon"))
       .select(col("id"),
         array_distinct(charShinglesCanon(col("__canon"), shingleK)).as("shingles"))
@@ -977,19 +996,24 @@ object Dedup {
     indexWrite(minhashBanded(docs, textCol, idCol, shingleK, numHashes,
       bands)).mode("overwrite").partitionBy("band").parquet(path)
 
-  /** The index write discipline (round 15): explicit-width repartition
-    * on (band, id) before partitionBy. Without it, files per band
-    * directory equal the INPUT width — a 100 TB corpus read at ~100k
-    * input splits would write ~100k tiny files into each of a handful
-    * of band dirs. Keying on band ALONE would fix that at one file per
-    * dir but serialize the write into `bands` tasks (bands is small —
-    * the opposite problem ANN's many-partition layouts have); (band, id)
-    * keeps the session's full write parallelism while BOUNDING files
-    * per dir at the session width regardless of input shape. */
-  private[operators] def indexWrite(sigs: DataFrame) = {
-    val width = sigs.sparkSession.sessionState.conf.numShufflePartitions
-    sigs.repartition(width, col("band"), col("id")).write
-  }
+  /** The index write discipline (round 15; SIZE-AWARE since the r18
+    * optimization round): shuffle on (band, id) before partitionBy so
+    * files per band directory never equal the INPUT width — a 100 TB
+    * corpus read at ~100k input splits would otherwise write ~100k tiny
+    * files into each of a handful of band dirs. The round-15 form was a
+    * fixed-width repartition (session shuffle width), which bounded
+    * files per dir at 32 REGARDLESS of bytes — a 3-batch streaming
+    * ingest at bench scale accumulated ~128 near-empty files per
+    * generation and every subsequent index read paid ~384 footer opens
+    * (guide §6: small files hurt twice). Now a REBALANCE hint: AQE
+    * sizes the write partitions by advisoryPartitionSizeInBytes, so a
+    * small batch writes ~`bands` files and a 100 TB build writes
+    * ~64 MB-target files, splitting oversized partitions (skewed hot
+    * bands) instead of serializing them. With AQE off the hint plans as
+    * a plain (band, id) hash shuffle at the session width — exactly the
+    * round-15 behavior. */
+  private[operators] def indexWrite(sigs: DataFrame) =
+    sigs.hint("rebalance", col("band"), col("id")).write
 
   /** The minhash index exists in two partition layouts: FLAT (`band=`
     * dirs at the root — [[buildMinhashIndex]]/[[appendToMinhashIndex]])

@@ -34,10 +34,21 @@ object NgramLm {
     * shorter than two tokens contribute nothing. */
   def train(docs: DataFrame, textCol: String): BigramModel = {
     val toks = docs.select(tokens(col(textCol)).as("__toks"))
+    // MATERIALIZED (r18 optimization round): `grams` feeds two consumers
+    // — the `contexts` derivation and every scoring join — and a lazy
+    // frame re-ran the corpus tokenize+explode+aggregate through lineage
+    // for EACH of them ("never a second pass over the corpus" held for
+    // the plan shape, not the execution). The checkpoint bounds the
+    // buffer at the vocabulary (distinct-bigram count), never the
+    // corpus; with it, training is ONE corpus pass + one vocab pass.
+    // AQE still broadcasts the small side of the scoring joins at
+    // runtime from the actual shuffle sizes, so plan-time stats on the
+    // checkpointed frame don't matter.
     val grams = toks
       .filter(size(col("__toks")) >= 2)
       .select(explode(wordNgramsFromTokens(col("__toks"), 2)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("__c12"))
+      .localCheckpoint(true)
     val contexts = grams
       .groupBy(substring_index(col("gram"), " ", 1).as("__w1"))
       .agg(sum("__c12").as("__c1"))

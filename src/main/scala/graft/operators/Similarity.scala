@@ -744,9 +744,12 @@ object Similarity {
     val cells = newVecs
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
-    // the batch's vector count feeds the train plan AND the `_rows`
-    // drift baseline/bump — one column-pruned job per batch either way
-    val nBatchVecs = cells.count()
+    // the TRAIN batch's vector count feeds the banding plan, so it is
+    // counted up front; APPEND batches fold their count into the index
+    // write below instead (observe() over the band-0 rows — the exact
+    // [[embVectorCount]] band-0-fallback invariant: one row per vector
+    // per band), saving the per-batch count job (guide §1.2)
+    val nTrainVecs = if (indexPath.isEmpty) cells.count() else -1L
     val plan = indexPath match {
       case Some(p) => readEmbPlan(spark, p)
       case None =>
@@ -756,7 +759,7 @@ object Similarity {
         fs.delete(new org.apache.hadoop.fs.Path(s"$parent/_embplan"), true)
         val pl =
           if (!autoPlan) (bands, bitsPerBand)
-          else planEmbeddingBands(nBatchVecs, minCosine, bands,
+          else planEmbeddingBands(nTrainVecs, minCosine, bands,
             bitsPerBand, targetOccupancy)
         EmbPlan(pl, (bands, bitsPerBand), minCosine, targetOccupancy,
           autoPlan)
@@ -815,16 +818,27 @@ object Similarity {
     // own rows join it), then write the batch partition from the cached
     // banded table — both actions reuse the one persisted table
     val out = pairs.distinct().localCheckpoint(true)
-    Dedup.indexWrite(batch).mode("overwrite").partitionBy("band")
+    val obs = org.apache.spark.sql.Observation()
+    val toWrite =
+      if (indexPath.isEmpty) batch
+      else batch.observe(obs,
+        sum(when(col("band") === 0, 1L)).as("n_vecs"))
+    Dedup.indexWrite(toWrite).mode("overwrite").partitionBy("band")
       .parquet(indexBatchDir)
     if (indexPath.isEmpty) {
       writeEmbPlan(fs, parent, plan)
-      writeEmbRows(fs, parent, nBatchVecs)
+      writeEmbRows(fs, parent, nTrainVecs)
     } else {
       // advisory bump + drift WARN (see [[appendToEmbeddingIndex]]);
       // a REPLAYED batch overwrites its own batch= dir but bumps the
       // advisory count again — the count may over-read after a crash
-      // replay, which only makes the WARN fire early, never late
+      // replay, which only makes the WARN fire early, never late.
+      // The batch count comes off the write job's observed band-0 rows
+      // (null on an all-empty batch → 0)
+      val nBatchVecs = obs.get("n_vecs") match {
+        case l: java.lang.Long => l.longValue()
+        case _ => 0L
+      }
       val newN = oldN + nBatchVecs
       writeEmbRows(fs, parent, newN)
       warnEmbDrift(plan, newN, s"ingestEmbeddingBatch($parent)")

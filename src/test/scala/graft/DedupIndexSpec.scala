@@ -214,9 +214,20 @@ class DedupIndexSpec extends SparkSpec {
       "holding that id, leaves every other file byte-identical on disk, " +
       "clears the sidecar, and answers match the compact path") {
     val idx = tmp("mhvac"); val cp = tmp("mhvac_compact")
-    for (p <- Seq(idx, cp))
-      Dedup.buildMinhashIndex(corpus, "text", "doc_id", p,
-        shingleK = 5, numHashes = 16, bands = 4)
+    // Pin the width-spread file layout for this fixture: the
+    // targeted-vacuum contract needs doc 1's rows in a strict SUBSET of
+    // the files, and the size-aware indexWrite (rebalance hint, r18
+    // optimization) colocates this tiny corpus into one file per band —
+    // every file would then "hold" doc 1 and the subset assertion has
+    // nothing to test. With AQE off the rebalance plans as the round-15
+    // fixed-width shuffle, spreading rows across many small files.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try
+      for (p <- Seq(idx, cp))
+        Dedup.buildMinhashIndex(corpus, "text", "doc_id", p,
+          shingleK = 5, numHashes = 16, bands = 4)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     for (p <- Seq(idx, cp))
       Dedup.deleteFromMinhashIndex(spark, p, Seq(1L).toDF("doc_id"),
         idCol = "doc_id")
