@@ -60,6 +60,28 @@ object AnnIndex {
   private def writeParts(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
+  /** Size-aware write shuffle (r18 optimization round; the
+    * [[graft.operators.Dedup.indexWrite]] discipline applied to the
+    * cell/sig_grp layouts), directory-count-aware: the serializing cost
+    * of a dynamic-partition write at small bytes is the PER-TASK
+    * DIRECTORY fan-out (file create + commit per dir value, sequential
+    * within a task — a byte-sized rebalance once collapsed a 256-cell
+    * rebuild write to 2 tasks × ~128 dirs each and cost 3.3 s where the
+    * width-spread write took a fraction of that). So: when the key
+    * space is at least the session width, keep the fixed-width hash
+    * shuffle (dirs/task ≈ nDirs/width, file creation parallel — the
+    * round-15 behavior); when it is narrower, REBALANCE by bytes so a
+    * small batch stops paying a 32-task stage for KBs (AQE still splits
+    * oversized partitions at scale; with AQE off the hint plans as the
+    * width shuffle). `nDirs` is the caller's key-space bound (planned
+    * cells, 2^grpBits, the sidecar's cell count). */
+  private def writeShuffle(nDirs: Int, keys: Column*)(
+      df: DataFrame): DataFrame = {
+    val width = writeParts(df)
+    if (nDirs >= width) df.repartition(width, keys: _*)
+    else df.hint("rebalance", keys: _*)
+  }
+
   // --------------------------------------------- sidecar build protocol
 
   /** Delete a prior build's sidecars BEFORE touching the data (round 14:
@@ -464,7 +486,38 @@ object AnnIndex {
     * state (the same collect every probe's centroid ranking already
     * does). */
   private[graft] def ivfCentroids(
-      spark: SparkSession, path: String): Array[(Long, Array[Double])] = {
+      spark: SparkSession, path: String): Array[(Long, Array[Double])] =
+    readCentroidsSidecar(spark, path).cells
+
+  /** The `_centroids` sidecar fully parsed in ONE read+collect (r18
+    * optimization round): the IVF-family verbs previously read the same
+    * tiny sidecar up to three times each — [[ivfCentroids]] for the
+    * cells, [[indexQuantizer]] for the marker, [[indexSignBits]] for
+    * the planned width — each read paying its own schema-inference job
+    * plus collect (two jobs and their driver gaps, per read, per verb,
+    * at bench scale). Legacy detection is unchanged: the marker/width
+    * are read off the INFERRED schema, and the accessors raise the
+    * exact pre-existing errors only when a verb actually needs the
+    * missing field. */
+  private[graft] case class CentroidsSidecar(
+      cells: Array[(Long, Array[Double])],
+      quantizerOpt: Option[String], signBitsOpt: Option[Int]) {
+    def quantizer(path: String): String = quantizerOpt.getOrElse(
+      throw new IllegalStateException(
+        s"index at $path: _centroids has no quantizer marker (pre-round-14 " +
+          s"build) — appends cannot verify the encode family; rebuild the " +
+          s"index once to stamp it."))
+    def signBits(path: String): Int = signBitsOpt.getOrElse(
+      throw new IllegalStateException(
+        s"index at $path: _centroids has no sign_bits value (pre-round-15 " +
+          s"build) — appends cannot recover the planned cell width (the " +
+          s"occupied-cell count under-counts it on skewed data, and a " +
+          s"wrong width silently misfiles rows); rebuild the index once " +
+          s"to stamp it."))
+  }
+
+  private[graft] def readCentroidsSidecar(
+      spark: SparkSession, path: String): CentroidsSidecar = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) throw new IllegalStateException(
@@ -477,7 +530,11 @@ object AnnIndex {
           s"deletes sidecars before writing data, so this is an " +
           s"interrupted rebuild; probing against absent/stale geometry " +
           s"would silently mis-rank. Rebuild the index.")
-    val cents = spark.read.parquet(s"$path/_centroids").collect()
+    val df = spark.read.parquet(s"$path/_centroids")
+    val hasQ = df.columns.contains("quantizer")
+    val hasS = df.columns.contains("sign_bits")
+    val rows = df.collect()
+    val cents = rows
       .map(r => (r.getAs[Number]("cell").longValue(),
         r.getSeq[Double](r.fieldIndex("centroid")).toArray))
     val cellSet = cents.map(_._1).toSet
@@ -497,7 +554,16 @@ object AnnIndex {
             s"— interrupted rebuild left new data under stale geometry; " +
             s"probes would silently mis-rank. Rebuild the index.")
       }
-    cents
+    val q =
+      if (hasQ && rows.nonEmpty)
+        Option(rows.head.getString(rows.head.fieldIndex("quantizer")))
+      else None
+    val sb =
+      if (hasS && rows.nonEmpty)
+        Option(rows.head.get(rows.head.fieldIndex("sign_bits")))
+          .collect { case n: Number => n.intValue() }
+      else None
+    CentroidsSidecar(cents, q, sb)
   }
 
   /** Default cap on k-means quantizer TRAINING rows (round 14, judge ask
@@ -593,9 +659,9 @@ object AnnIndex {
           .fit(kmeansFitSample(prepared, n, fitSampleCap))
         model.transform(prepared)
           .select(col("vec_id"), col("vec"), col("cell"))
-          // explicit width: see [[writeParts]] (avoids W x nCells files
-          // AND the AQE one-task sequential-writer collapse)
-          .repartition(writeParts(prepared), col("cell"))
+          // size/dir-aware write shuffle: see [[writeShuffle]] (avoids
+          // W x nCells files at any scale)
+          .transform(writeShuffle(cells, col("cell")))
           .write.mode("overwrite").partitionBy("cell").parquet(path)
         model.clusterCenters.toSeq.zipWithIndex
           .map { case (c, i) => (i, c.toArray.toSeq) }
@@ -612,7 +678,7 @@ object AnnIndex {
           .withColumn("cell", signCellExpr(col("vec"), signBits))
           .localCheckpoint(true) // read by the write + the centroid agg
         assigned
-          .repartition(writeParts(assigned), col("cell")) // see [[writeParts]]
+          .transform(writeShuffle(cells, col("cell"))) // see [[writeShuffle]]
           .write.mode("overwrite").partitionBy("cell").parquet(path)
         // centroids: per-dim member means of the RAW vectors (the
         // in-memory ivfTopK(sign) contract — partial-aggregated like
@@ -994,7 +1060,7 @@ object AnnIndex {
         // whale of a 17 s 600k-row build at 256 planned cells); with it
         // each cell's rows are colocated and the write emits ~nCells files
         coded.select(col("vec_id"), col("code"), col("cell"))
-          .repartition(writeParts(coded), col("cell")) // see [[writeParts]]
+          .transform(writeShuffle(cellsPlanned, col("cell"))) // see [[writeShuffle]]
           .write.mode("overwrite").partitionBy("cell").parquet(path)
         // cell centroids: per-dim member means of the NORMALIZED vectors
         // (what the probe ranking cosines against) — partial-aggregated
@@ -1072,7 +1138,7 @@ object AnnIndex {
             array((0 until m).map(j => col(s"__c$j")): _*).as("code"),
             col("cell"))
         withCode.select(col("vec_id"), col("code"), col("cell"))
-          .repartition(writeParts(coded), col("cell")) // see [[writeParts]]
+          .transform(writeShuffle(cellsPlanned, col("cell"))) // see [[writeShuffle]]
           .write.mode("overwrite").partitionBy("cell").parquet(path)
         coarse.clusterCenters.toSeq.zipWithIndex
           .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
@@ -1419,7 +1485,7 @@ object AnnIndex {
       .withColumn("sig",
         Similarity.sigCol(col("vec"), plan._1, family == FamilyOrtho))
       .withColumn("sig_grp", shiftright(col("sig"), plan._1 - grpBits))
-      .repartition(writeParts(embeddings), col("sig_grp")) // see [[writeParts]]
+      .transform(writeShuffle(1 << grpBits, col("sig_grp"))) // see [[writeShuffle]]
       .sortWithinPartitions("sig") // row-group stats prune to exact sigs
       .write.mode("overwrite").partitionBy("sig_grp").parquet(path)
     val spark = embeddings.sparkSession
@@ -1768,20 +1834,8 @@ object AnnIndex {
     * and rows whose wrong-width cells collide with known ids pass
     * [[requireKnownCells]] and are silently misfiled. Pre-round-15 sign
     * sidecars (no column / null value) refuse appends instead. */
-  private[graft] def indexSignBits(spark: SparkSession, path: String): Int = {
-    val df = spark.read.parquet(s"$path/_centroids")
-    val v = if (!df.columns.contains("sign_bits")) None
-      else Option(df.select("sign_bits").head().get(0))
-    v match {
-      case Some(b: Number) => b.intValue()
-      case _ => throw new IllegalStateException(
-        s"index at $path: _centroids has no sign_bits value (pre-round-15 " +
-          s"build) — appends cannot recover the planned cell width (the " +
-          s"occupied-cell count under-counts it on skewed data, and a " +
-          s"wrong width silently misfiles rows); rebuild the index once " +
-          s"to stamp it.")
-    }
-  }
+  private[graft] def indexSignBits(spark: SparkSession, path: String): Int =
+    readCentroidsSidecar(spark, path).signBits(path)
 
   /** Whole-batch dimension guard for appends (round 15, advisor ask):
     * ONE column-pruned pass over the batch (O(batch), like the appended
@@ -1874,6 +1928,36 @@ object AnnIndex {
         s"Rebuild the index over the union instead.")
   }
 
+  /** The sign arms' two pre-write guards ([[requireBatchDims]] +
+    * [[requireKnownCells]]) in ONE bounded job (r18 optimization: the
+    * per-append fixed job latency is the composed rows' dominant cost
+    * at bench scale, and the two aggregations read the same batch): a
+    * whole-batch agg of the bad-width count and the distinct assigned
+    * cells (≤ 2^signBits values, partial-aggregated collect_set).
+    * Errors BEFORE any write, same messages, dims first — exactly the
+    * two-job form it replaces. */
+  private def requireDimsAndKnownCells(assigned: DataFrame,
+      vecCol: String, dim: Int, cents: Array[(Long, Array[Double])],
+      path: String, op: String): Unit = {
+    val r = assigned.agg(
+      sum(when(col(vecCol).isNull || size(col(vecCol)) =!= dim, 1L))
+        .as("bad"),
+      collect_set(col("cell").cast("long")).as("cells")).head()
+    val bad = if (r.isNullAt(0)) 0L else r.getLong(0)
+    if (bad > 0) throw new IllegalStateException(
+      s"$op($path): $bad batch row(s) carry a null vector or a width " +
+        s"other than the index geometry's $dim dims — encoding them " +
+        s"would misfile rows (null cells / zero-filled sign bits). " +
+        s"Nothing was written.")
+    val known = cents.map(_._1).toSet
+    val unknown = r.getSeq[Long](1).filterNot(known)
+    if (unknown.nonEmpty) throw new IllegalStateException(
+      s"$op($path): append batch contains cell(s) ${unknown.sorted.take(8)
+        .mkString(", ")} not described by the _centroids sidecar " +
+        s"(${known.size} cells) — the frozen geometry cannot place them. " +
+        s"Rebuild the index over the union instead.")
+  }
+
   /**
    * Append a batch to a persisted LSH index WITHOUT rebuilding: bits,
    * plane family and group width come FROM the `_plan` sidecar (frozen
@@ -1942,10 +2026,10 @@ object AnnIndex {
       // paid a separate O(batch) count job per append; the index data
       // path is still never scanned or listed by this call
       .observe(obs, count(lit(1)).as("n"))
-      // explicit width matters MOST for appends: the batch is small, so
-      // a column-only repartition AQE-coalesces to one task writing every
-      // group directory sequentially — see [[writeParts]]
-      .repartition(writeParts(batch), col("sig_grp"))
+      // size-aware write shuffle (see [[writeShuffle]]): a small batch
+      // coalesces to one writing task over its few touched group dirs, a
+      // big one keeps byte-proportional width
+      .transform(writeShuffle(1 << grpBits, col("sig_grp")))
       .sortWithinPartitions("sig") // same row-group pruning as built files
       .write.mode("append").partitionBy("sig_grp").parquet(path)
     // AQE's empty-relation propagation collapses a provably-empty batch
@@ -1980,21 +2064,27 @@ object AnnIndex {
   def appendIvf(newRows: DataFrame, vecCol: String, idCol: String,
       path: String, targetCellRows: Long = 4096L): Long = {
     val spark = newRows.sparkSession
-    val cents = ivfCentroids(spark, path) // fail-closed sidecar read
-    val quant = indexQuantizer(spark, path, "_centroids")
+    // ONE sidecar read serves cells + marker + width (see
+    // [[readCentroidsSidecar]])
+    val sc = readCentroidsSidecar(spark, path)
+    val cents = sc.cells
+    val quant = sc.quantizer(path)
     val dim = cents.head._2.length
     val oldN = indexRowCount(spark, path) // sidecar read, no data-path job
     val batch = newRows.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
-    // whole-batch width guard, BOTH arms — see [[requireBatchDims]]
-    requireBatchDims(batch, "vec", dim, "appendIvf", path)
+    // whole-batch width guard: the kmeans arm runs it alone; the sign
+    // arm folds it into the known-cells check — ONE guard job either way
+    // (see [[requireDimsAndKnownCells]])
+    if (quant != "sign")
+      requireBatchDims(batch, "vec", dim, "appendIvf", path)
     warnTombstonedAppend(spark, path, batch, "appendIvf")
     val assigned = quant match {
       case "sign" =>
         // the PLANNED width from the sidecar, never the occupied-cell
         // count (skewed data under-occupies) — see [[indexSignBits]]
-        val signBits = indexSignBits(spark, path)
+        val signBits = sc.signBits(path)
         val a = batch.withColumn("cell", signCellExpr(col("vec"), signBits))
-        requireKnownCells(a, cents, path, "appendIvf")
+        requireDimsAndKnownCells(a, "vec", dim, cents, path, "appendIvf")
         a
       case "kmeans" =>
         nearestCellAssign(batch, cents)
@@ -2005,7 +2095,7 @@ object AnnIndex {
     val obs = org.apache.spark.sql.Observation()
     assigned.select(col("vec_id"), col("vec"), col("cell"))
       .observe(obs, count(lit(1)).as("n"))
-      .repartition(writeParts(assigned), col("cell")) // see [[writeParts]]
+      .transform(writeShuffle(cents.length, col("cell"))) // see [[writeShuffle]]
       .write.mode("append").partitionBy("cell").parquet(path)
     // absent metric = AQE-collapsed empty batch (see appendLsh) → 0
     val appended = obs.get.getOrElse("n", 0L).asInstanceOf[Long]
@@ -2034,8 +2124,8 @@ object AnnIndex {
       path: String): Long = {
     val spark = newRows.sparkSession
     requireCodebooks(spark, path) // fail-closed
-    val quant = indexQuantizer(spark, path, "_codebooks")
-    val cb = readCodebooks(spark, path)
+    // ONE sidecar read serves marker + map (see [[readCodebooksSidecar]])
+    val (cb, quant) = readCodebooksSidecar(spark, path)
     val m = cb.keys.map(_._1).max + 1
     val sub = cb.values.head.length
     // mirror buildPq's normalize exactly (the index lives on the unit
@@ -2095,9 +2185,12 @@ object AnnIndex {
   def appendIvfPq(newRows: DataFrame, vecCol: String, idCol: String,
       path: String, targetCellRows: Long = 4096L): Long = {
     val spark = newRows.sparkSession
-    val cents = ivfCentroids(spark, path)   // fail-closed
+    // ONE sidecar read serves cells + marker + width (see
+    // [[readCentroidsSidecar]])
+    val sc = readCentroidsSidecar(spark, path)
+    val cents = sc.cells
     requireCodebooks(spark, path)           // fail-closed
-    val quant = indexQuantizer(spark, path, "_centroids")
+    val quant = sc.quantizer(path)
     val cb = readCodebooks(spark, path)
     val m = cb.keys.map(_._1).max + 1
     val sub = cb.values.head.length
@@ -2110,16 +2203,20 @@ object AnnIndex {
       .select(col("vec_id"),
         transform(col("raw"),
           x => when(col("__n") > 0, x / col("__n")).otherwise(x)).as("nv"))
-    // whole-batch width guard, BOTH arms — see [[requireBatchDims]]
-    requireBatchDims(base, "nv", m * sub, "appendIvfPq", path)
+    // whole-batch width guard: kmeans arm alone; the sign arm folds it
+    // into the known-cells check — ONE guard job either way (see
+    // [[requireDimsAndKnownCells]])
+    if (quant != "sign")
+      requireBatchDims(base, "nv", m * sub, "appendIvfPq", path)
     warnTombstonedAppend(spark, path, base, "appendIvfPq")
     val assigned = quant match {
       case "sign" =>
         // planned width from the sidecar, never the occupied-cell count
         // — see [[indexSignBits]]
-        val signBits = indexSignBits(spark, path)
+        val signBits = sc.signBits(path)
         val a = base.withColumn("cell", signCellExpr(col("nv"), signBits))
-        requireKnownCells(a, cents, path, "appendIvfPq")
+        requireDimsAndKnownCells(a, "nv", m * sub, cents, path,
+          "appendIvfPq")
         a
       case "kmeans" =>
         nearestCellAssign(base.withColumnRenamed("nv", "vec"), cents)
@@ -2141,7 +2238,7 @@ object AnnIndex {
         sum(reconRowErr(col("nv"), col("code"), cb, m, sub))
           .as("recon_sum"))
       .select(col("vec_id"), col("code"), col("cell"))
-      .repartition(writeParts(assigned), col("cell")) // see [[writeParts]]
+      .transform(writeShuffle(cents.length, col("cell"))) // see [[writeShuffle]]
       .write.mode("append").partitionBy("cell").parquet(path)
     // absent metrics = AQE-collapsed empty batch (see appendLsh) → 0
     val metrics = obs.get
@@ -2317,7 +2414,9 @@ object AnnIndex {
     val pCol = Seq("sig_grp", "cell", "sig").find(df.columns.contains)
     val writer = pCol match {
       case Some(c) =>
-        val re = df.repartition(writeParts(df), col(c))
+        // dir count unknown here — conservatively keep the round-15
+        // width shuffle (parallel dir fan-out; see [[writeShuffle]])
+        val re = writeShuffle(Int.MaxValue, col(c))(df)
         // within-dir sig sort only applies to the GROUPED layout (in
         // the legacy tree sig is constant within each directory)
         (if (isLsh && c == "sig_grp") re.sortWithinPartitions("sig")
@@ -2558,7 +2657,7 @@ object AnnIndex {
     val pCol = Seq("sig_grp", "cell", "sig").find(aff.columns.contains)
     (pCol match {
       case Some(c) =>
-        val re = aff.repartition(writeParts(aff), col(c))
+        val re = writeShuffle(Int.MaxValue, col(c))(aff)
         (if (isLsh && c == "sig_grp") re.sortWithinPartitions("sig")
          else re).write.partitionBy(c)
       case None => aff.coalesce(1).write // flat PQ: affected files only
@@ -2923,8 +3022,8 @@ object AnnIndex {
       fitSampleCap: Long = KmeansFitSampleCap): Int = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    ivfCentroids(spark, path) // fail-closed geometry cross-check
-    val quant = indexQuantizer(spark, path, "_centroids")
+    val quant = readCentroidsSidecar(spark, path) // fail-closed check
+      .quantizer(path)
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__reindexing")
     val old = new org.apache.hadoop.fs.Path(s"$path.__prereindex")
     fs.delete(tmp, true); fs.delete(old, true) // prior-crash leftovers
@@ -3001,9 +3100,9 @@ object AnnIndex {
     val spark = embeddings.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    ivfCentroids(spark, path)      // fail-closed geometry cross-check
     requireCodebooks(spark, path)  // fail-closed
-    val quant = indexQuantizer(spark, path, "_centroids")
+    val quant = readCentroidsSidecar(spark, path) // fail-closed check
+      .quantizer(path)
     val useM =
       if (m > 0) m
       else readCodebooks(spark, path).keys.map(_._1).max + 1
@@ -3032,10 +3131,11 @@ object AnnIndex {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireCodebooks(spark, path) // fail-closed
-    val quant = indexQuantizer(spark, path, "_codebooks")
+    // ONE sidecar read serves marker + map (see [[readCodebooksSidecar]])
+    val (cbAll, quant) = readCodebooksSidecar(spark, path)
     val useM =
       if (m > 0) m
-      else readCodebooks(spark, path).keys.map(_._1).max + 1
+      else cbAll.keys.map(_._1).max + 1
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__reindexing")
     val old = new org.apache.hadoop.fs.Path(s"$path.__prereindex")
     fs.delete(tmp, true); fs.delete(old, true) // prior-crash leftovers
@@ -3137,9 +3237,11 @@ object AnnIndex {
       fitSampleCap: Long = KmeansFitSampleCap): Int = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cents = ivfCentroids(spark, path) // fail-closed geometry check
+    // ONE sidecar read serves the geometry check + marker + width
+    val sc = readCentroidsSidecar(spark, path)
+    val cents = sc.cells
     requireCodebooks(spark, path)         // fail-closed
-    val quant = indexQuantizer(spark, path, "_centroids")
+    val quant = sc.quantizer(path)
     val cb = readCodebooks(spark, path)
     val (m, sub) = (cb.keys.map(_._1).max + 1, cb.values.head.length)
     val res = reservoirRows(spark, path, fitSampleCap).getOrElse(
@@ -3153,7 +3255,7 @@ object AnnIndex {
     // (the exact trap indexSignBits exists for on the append path)
     val refCells =
       if (nCells > 0) nCells
-      else if (quant == "sign") 1 << indexSignBits(spark, path)
+      else if (quant == "sign") 1 << sc.signBits(path)
       else cents.length
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__reindexing")
     val old = new org.apache.hadoop.fs.Path(s"$path.__prereindex")
@@ -3196,8 +3298,8 @@ object AnnIndex {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireCodebooks(spark, path) // fail-closed
-    val quant = indexQuantizer(spark, path, "_codebooks")
-    val cb = readCodebooks(spark, path)
+    // ONE sidecar read serves marker + map (see [[readCodebooksSidecar]])
+    val (cb, quant) = readCodebooksSidecar(spark, path)
     val (m, sub) = (cb.keys.map(_._1).max + 1, cb.values.head.length)
     val useK = if (k > 0) k else cb.keys.map(_._2).max + 1
     val res = reservoirRows(spark, path, fitSampleCap).getOrElse(
@@ -3232,6 +3334,29 @@ object AnnIndex {
       spark.read.parquet(s"$path/_tombstones")
         .select(col("vec_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+  }
+
+
+  /** The `_codebooks` sidecar in ONE read+collect — (map, quantizer
+    * marker), the [[readCentroidsSidecar]] treatment for the verbs that
+    * previously read the same sidecar twice (marker + map). Legacy
+    * detection unchanged: the marker comes off the INFERRED schema. */
+  private def readCodebooksSidecar(spark: SparkSession,
+      path: String): (Map[(Int, Int), Array[Double]], String) = {
+    val df = spark.read.parquet(s"$path/_codebooks")
+    val hasQ = df.columns.contains("quantizer")
+    val rows = df.collect()
+    val cb = rows
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val q =
+      if (hasQ && rows.nonEmpty)
+        Option(rows.head.getString(rows.head.fieldIndex("quantizer")))
+      else None
+    (cb, q.getOrElse(throw new IllegalStateException(
+      s"index at $path: _codebooks has no quantizer marker (pre-round-14 " +
+        s"build) — appends cannot verify the encode family; rebuild the " +
+        s"index once to stamp it.")))
   }
 
   /** The `_codebooks` sidecar as a driver map — (subspace, code) →

@@ -201,7 +201,7 @@ object AudioDedup {
     val par = spark.sparkContext.defaultParallelism
     val batch = bandedFps(batchFps, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val live = Dedup.liveIndexRows(spark, indexPath)
+    val live = Dedup.liveIndexRows(spark, indexPath, Some(batch.schema))
     val index = scope.fold(live)(sc =>
       live.join(sc.select(col(sc.columns.head).as("id")).distinct(),
         Seq("id"), "left_semi"))
@@ -249,7 +249,8 @@ object AudioDedup {
       case None => inBatch
       case Some(p) =>
         Dedup.warnTombstonedIngest(spark, p, batch)
-        indexedPairs(batch, Dedup.liveIndexRows(spark, p), maxBitErrors,
+        indexedPairs(batch,
+          Dedup.liveIndexRows(spark, p, Some(batch.schema)), maxBitErrors,
           par).union(inBatch)
     }
     val out = pairs.distinct().localCheckpoint(true)

@@ -34,21 +34,21 @@ object NgramLm {
     * shorter than two tokens contribute nothing. */
   def train(docs: DataFrame, textCol: String): BigramModel = {
     val toks = docs.select(tokens(col(textCol)).as("__toks"))
-    // MATERIALIZED (r18 optimization round): `grams` feeds two consumers
-    // — the `contexts` derivation and every scoring join — and a lazy
-    // frame re-ran the corpus tokenize+explode+aggregate through lineage
-    // for EACH of them ("never a second pass over the corpus" held for
-    // the plan shape, not the execution). The checkpoint bounds the
-    // buffer at the vocabulary (distinct-bigram count), never the
-    // corpus; with it, training is ONE corpus pass + one vocab pass.
-    // AQE still broadcasts the small side of the scoring joins at
-    // runtime from the actual shuffle sizes, so plan-time stats on the
-    // checkpointed frame don't matter.
+    // DELIBERATELY LAZY (re-examined in the r18 optimization round):
+    // `grams` feeds two consumers — the `contexts` derivation and every
+    // scoring join — so the corpus tokenize+explode+aggregate re-runs
+    // through lineage per consumer. Materializing it (localCheckpoint)
+    // was MEASURED SLOWER at bench scale (+18-26% on the three LM rows):
+    // the checkpointed table loses plan-time size stats, the scoring
+    // joins lose their plan-time broadcast and pay a shuffle-write of
+    // the exploded doc-gram side before AQE's runtime SMJ→BHJ rescue.
+    // The scale-correct fix would need a size-aware broadcast hint on
+    // the materialized table; until then the lazy double-pass keeps the
+    // broadcast-everywhere plan shape.
     val grams = toks
       .filter(size(col("__toks")) >= 2)
       .select(explode(wordNgramsFromTokens(col("__toks"), 2)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("__c12"))
-      .localCheckpoint(true)
     val contexts = grams
       .groupBy(substring_index(col("gram"), " ", 1).as("__w1"))
       .agg(sum("__c12").as("__c1"))

@@ -187,7 +187,7 @@ object PhashDedup {
         // re-ingesting a tombstoned id is legal but invisible until a
         // vacuum/compaction clears the sidecar — the shared WARN
         Dedup.warnTombstonedIngest(spark, p, batch)
-        val index = Dedup.liveIndexRows(spark, p)
+        val index = Dedup.liveIndexRows(spark, p, Some(batch.schema))
         batch.select(col("band"), col("key"), col("id").as("id_n"),
             col("phash").as("h_n"))
           .join(index.select(col("band"), col("key"),
@@ -227,7 +227,7 @@ object PhashDedup {
     val par = spark.sparkContext.defaultParallelism
     val batch = phashBanded(batchHashes, idCol, hashCol, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val live = Dedup.liveIndexRows(spark, indexPath)
+    val live = Dedup.liveIndexRows(spark, indexPath, Some(batch.schema))
     val index = scope.fold(live)(sc =>
       live.join(sc.select(col(sc.columns.head).as("id")).distinct(),
         Seq("id"), "left_semi"))

@@ -668,7 +668,7 @@ object Similarity {
       .withColumn("n", norm(col("v")))
     val batch = bandedEmbeddingCells(cells, planned, ref)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val live = Dedup.liveIndexRows(spark, indexPath)
+    val live = Dedup.liveIndexRows(spark, indexPath, Some(batch.schema))
     val index = scope.fold(live)(sc =>
       live.join(sc.select(col(sc.columns.head).as("id")).distinct(),
         Seq("id"), "left_semi"))
@@ -790,7 +790,7 @@ object Similarity {
         // vacuum/compaction clears the sidecar — same WARN as the
         // minhash ingest (the id column is shared, the check generic)
         Dedup.warnTombstonedIngest(spark, p, batch)
-        val index = Dedup.liveIndexRows(spark, p)
+        val index = Dedup.liveIndexRows(spark, p, Some(batch.schema))
         batch.select(col("band"), col("key"), col("id").as("id_n"),
             col("v").as("v_n"), col("n").as("n_n"))
           .join(index.select(col("band"), col("key"),

@@ -192,7 +192,14 @@ object FuzzyMatch {
       collectionDateFilter(matchCandidates(clean, target)))
       .withColumn("tier", tier())
       .localCheckpoint(true)
-    val unmatched = clean.join(matched.select("rowid").distinct(),
+    // explicit broadcast (r18 optimization, guide §3.1): both sides are
+    // localCheckpoint'd (no plan-time stats), so the planner fell back
+    // to a sort-merge anti-join — two exchanges + two sorts — for a
+    // right side that is at most the distinct matched rowids of one
+    // day's submissions (one long per row; roster-scale by the
+    // pipeline's contract, far under any broadcast limit)
+    val unmatched = clean.join(
+      broadcast(matched.select("rowid").distinct()),
       Seq("rowid"), "left_anti")
     (bad, matched, unmatched)
   }
