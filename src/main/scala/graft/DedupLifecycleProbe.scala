@@ -56,10 +56,10 @@ object DedupLifecycleProbe {
     def dataFiles(p: String): Long = {
       val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
       var n = 0L
-      while (it.hasNext) {
-        val f = it.next().getPath
+      graft.operators.FsWalk.foreachFile(
+        fs, new org.apache.hadoop.fs.Path(p)) { st =>
+        val f = st.getPath
         if (f.getName.endsWith(".parquet") &&
           !f.toString.contains("/_tombstones/")) n += 1
       }

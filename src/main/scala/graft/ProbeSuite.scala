@@ -260,10 +260,9 @@ object ProbeSuite {
       def dataFileSnap(p: String): Map[String, Long] = {
         val fsP = new org.apache.hadoop.fs.Path(p).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        val it = fsP.listFiles(new org.apache.hadoop.fs.Path(p), true)
         val out = scala.collection.mutable.Map.empty[String, Long]
-        while (it.hasNext) {
-          val f = it.next()
+        graft.operators.FsWalk.foreachFile(
+          fsP, new org.apache.hadoop.fs.Path(p)) { f =>
           val s0 = f.getPath.toString
           if (s0.endsWith(".parquet") && !Seq("_centroids", "_codebooks",
             "_tombstones", "_vacuum_staged", "_sample").exists(d =>
@@ -460,10 +459,9 @@ object ProbeSuite {
       def snap(p: String): Map[String, Long] = {
         val fsP = new org.apache.hadoop.fs.Path(p).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        val it = fsP.listFiles(new org.apache.hadoop.fs.Path(p), true)
         val outM = scala.collection.mutable.Map.empty[String, Long]
-        while (it.hasNext) {
-          val f = it.next()
+        graft.operators.FsWalk.foreachFile(
+          fsP, new org.apache.hadoop.fs.Path(p)) { f =>
           val s0 = f.getPath.toString
           if (s0.endsWith(".parquet") && !Seq("_tombstones",
             "_vacuum_staged").exists(d => s0.contains(s"/$d/")))

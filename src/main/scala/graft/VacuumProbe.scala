@@ -50,10 +50,10 @@ object VacuumProbe {
     def dataFiles(p: String): Long = {
       val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
       var n = 0L
-      while (it.hasNext) {
-        val f = it.next().getPath.toString
+      graft.operators.FsWalk.foreachFile(
+        fs, new org.apache.hadoop.fs.Path(p)) { st =>
+        val f = st.getPath.toString
         if (f.endsWith(".parquet") && !Seq("_plan", "_tombstones",
           "_vacuum_staged").exists(d => f.contains(s"/$d/"))) n += 1
       }

@@ -2389,10 +2389,9 @@ object AnnIndex {
     // crashed pre-publish vacuum staging dir is garbage, not data
     val nonData = sidecars ++ Seq("_tombstones", "_vacuum_staged", "_sample")
     def dataFiles(p: String): Long = {
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
       var n = 0L
-      while (it.hasNext) {
-        val f = it.next().getPath
+      FsWalk.foreachFile(fs, new org.apache.hadoop.fs.Path(p)) { st =>
+        val f = st.getPath
         // sidecar dirs hold parquet/json too — count data files only
         if (f.getName.endsWith(".parquet") &&
           !nonData.exists(s => f.toString.contains(s"/$s/"))) n += 1
@@ -2674,9 +2673,8 @@ object AnnIndex {
     val sb = new StringBuilder("graft-vacuum-v1\n")
     sb.append(s"rows_after=$rowsAfter\n")
     sb.append(s"rows_dropped=$dropped\n")
-    val it = fs.listFiles(stagedQ, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
+    FsWalk.foreachFile(fs, stagedQ) { st =>
+      val f = st.getPath
       if (f.getName.endsWith(".parquet")) {
         val rel = f.toString.stripPrefix(stagedQ.toString)
           .stripPrefix("/")
@@ -2714,10 +2712,9 @@ object AnnIndex {
   private def dataFileCount(fs: org.apache.hadoop.fs.FileSystem,
       path: String, sidecars: Seq[String]): Long = {
     val nonData = sidecars ++ Seq("_tombstones", "_vacuum_staged", "_sample")
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
     var n = 0L
-    while (it.hasNext) {
-      val f = it.next().getPath
+    FsWalk.foreachFile(fs, new org.apache.hadoop.fs.Path(path)) { st =>
+      val f = st.getPath
       if (f.getName.endsWith(".parquet") &&
         !nonData.exists(s => f.toString.contains(s"/$s/"))) n += 1
     }

@@ -1405,9 +1405,7 @@ object Dedup {
     var files = 0L
     var baseBytes = 0L
     var freshBytes = 0L
-    val it = fs.listFiles(hPath, true)
-    while (it.hasNext) {
-      val f = it.next()
+    FsWalk.foreachFile(fs, hPath) { f =>
       val s = f.getPath.toString
       if (f.getPath.getName.endsWith(".parquet") &&
         !s.contains("/_tombstones/") && !s.contains("/_vacuum_staged/")) {
@@ -1550,10 +1548,9 @@ object Dedup {
     * `_tombstones` sidecar and any `_vacuum_staged` leftovers excluded. */
   private def minhashDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Long = {
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
     var n = 0L
-    while (it.hasNext) {
-      val f = it.next().getPath
+    FsWalk.foreachFile(fs, new org.apache.hadoop.fs.Path(path)) { st =>
+      val f = st.getPath
       if (f.getName.endsWith(".parquet") &&
         !f.toString.contains("/_tombstones/") &&
         !f.toString.contains("/_vacuum_staged/")) n += 1
@@ -1681,9 +1678,8 @@ object Dedup {
     val sb = new StringBuilder("graft-mh-vacuum-v1\n")
     sb.append(s"rows_dropped=$dropped\n")
     var stagedFiles = 0L
-    val it = fs.listFiles(stagedQ, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
+    FsWalk.foreachFile(fs, stagedQ) { st =>
+      val f = st.getPath
       if (f.getName.endsWith(".parquet")) {
         stagedFiles += 1
         val rel = f.toString.stripPrefix(stagedQ.toString)

@@ -37,11 +37,9 @@ object LabMonitoring {
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) Seq.empty
       else {
-        val it = fs.listFiles(p, true)
         val buf = scala.collection.mutable.ArrayBuffer
           .empty[(String, String, java.sql.Timestamp, String)]
-        while (it.hasNext) {
-          val st = it.next()
+        graft.operators.FsWalk.foreachFile(fs, p) { st =>
           val name = st.getPath.getName
           if (extensions.exists(name.toLowerCase.endsWith) &&
               !name.contains("_RUNNING")) {

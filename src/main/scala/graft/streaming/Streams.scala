@@ -209,13 +209,8 @@ object Streams {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) false
-    else {
-      val it = fs.listFiles(p, true)
-      var found = false
-      while (!found && it.hasNext)
-        found = it.next().getPath.getName.endsWith(".parquet")
-      found
-    }
+    else graft.operators.FsWalk.existsFile(fs, p)(
+      _.getPath.getName.endsWith(".parquet"))
   }
 
   /** Refuse to ingest over a CRASHED maintenance swap (round 16): a
