@@ -187,6 +187,15 @@ object Bench {
     // corpus (there is none), loses the bounded reservoir read, or
     // breaks the swap moves this row.
     "stream_ivfpq_reindex",
+    // round 19: the scaling-legible arm (judge ask #8) — three
+    // compute-heavy rows over the ScaleCorpus-derived mult× corpus
+    // (SPARK_GRAFT_SCALE_ARM, default 4), synthesized lazily in-query
+    // from the parquet inputs. At sf0.1 every other row is
+    // fixed-cost-bound (the 8-core sweep ran FASTER than 32-core in
+    // r18), so the driver's core-count ratio could not distinguish
+    // "serial" from "small"; these rows carry enough real work that
+    // the 8-vs-32 ratio measures operator parallelism.
+    "scale_minhash_pairs", "scale_semdedup", "scale_lm_nll",
     // round 15: the fuzzy run END-TO-END (CSV ingest -> QA battery ->
     // alternates multiplication -> blocked OSA join + flip union ->
     // date filter -> multi-match resolve -> tiering + saved-rows state
@@ -628,6 +637,17 @@ object Bench {
     // LAST so tail truncation can never cut it. The prev-record reader
     // above understands both shapes.
     println(s"""{"metric":"total","value":$total,"unit":"sec","summary":true,"n_queries":${results.size},"failed_count":${results.count(_._3)},"unsteady_count":${results.count(_._4)},"canary_sec":$canarySec,"canary_mt_sec":$canaryMtSec$normJson,"sf":"$sfDir"}""")
+    // The full per-query record AGAIN, after the summary (round 19,
+    // judge ask #2): the round driver keeps only a bounded TAIL of
+    // stdout, and in r17 the head-side truncation ate the (first) full
+    // line mid-queries — PERF could not compute per-query speedups for
+    // a whole round. Printing the full record LAST means tail capture
+    // can only lose the FIRST copy; the prev-record reader above
+    // already takes the first parseable line with a `queries` map, and
+    // the two copies are byte-identical, so nothing downstream changes.
+    // Contract note: the record's content is unchanged — this is a
+    // defensive duplicate, not a new metric.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"unsteady":$spreadJson,"redrawn":$redrawnJson,"canary_sec":$canarySec,"canary_mt_sec":$canaryMtSec$normJson,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3)) sys.exit(1)
   }

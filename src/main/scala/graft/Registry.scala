@@ -18,7 +18,7 @@ object Registry {
   def all: Seq[QueryDef] =
     QueriesRelational.defs ++ QueriesFunctions.defs ++
       QueriesText.defs ++ QueriesEvents.defs ++ QueriesMultimodal.defs ++
-      QueriesOps2.defs
+      QueriesOps2.defs ++ QueriesScale.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -15,48 +15,99 @@ import org.apache.spark.sql.functions._
  * P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k·|V|), scored as the mean
  * of -ln P over a document's bigrams.
  *
- * Scale shape (100 TB lens): training is two hash aggregations (bigram
- * counts, then context counts derived from them — never a second pass
- * over the corpus); the model lives as DataFrames keyed by gram /
- * context word, bounded by distinct-bigram count, not corpus size.
- * Scoring explodes each doc's bigrams and joins the count tables —
- * shuffle joins that AQE turns into broadcasts when the vocabulary is
- * small; the only corpus-wide shuffle is the per-document regroup.
- * |V| is the single driver-side scalar (one count).
+ * Scale shape (100 TB lens): training is ONE corpus pass — a single
+ * hash aggregation over positional (w, next) token pairs, from which
+ * gram counts, context counts AND the vocabulary size all derive; the
+ * model lives as materialized DataFrames keyed by gram / context word,
+ * bounded by distinct-bigram count, not corpus size. Scoring explodes
+ * each doc's bigrams and joins the count tables — broadcast-hinted
+ * when the measured pair mass fits the session threshold, shuffle
+ * joins above it; the only corpus-wide shuffle is the per-document
+ * regroup. |V| is the single driver-side scalar (one bounded agg).
  */
 object NgramLm {
 
   /** Trained model: `grams(gram, __c12)`, `contexts(__w1, __c1)`,
-    * vocabulary size. Both tables are vocabulary-bounded. */
+    * vocabulary size. Both tables are vocabulary-bounded, MATERIALIZED
+    * (GC-tracked local checkpoint of the shared pair-count table), and
+    * carry an explicit broadcast hint when the measured pair mass fits
+    * under the session's autoBroadcastJoinThreshold. */
   case class BigramModel(grams: DataFrame, contexts: DataFrame, vocabSize: Long)
 
+  /** Rough broadcast-relation bytes for the pair-count table: per-row
+    * HashedRelation overhead (key hash + pointers + row header) plus
+    * twice the UTF8 character mass (the gram string is built from both
+    * words). Deliberately conservative — a false "too big" only costs
+    * the hint, never correctness. */
+  private def estimatedBroadcastBytes(nPairs: Long, charBytes: Long): Long =
+    nPairs * 64L + charBytes * 2L
+
   /** Count bigrams and contexts over the training corpus. Documents
-    * shorter than two tokens contribute nothing. */
+    * shorter than two tokens contribute nothing to the gram tables;
+    * every token contributes to the vocabulary.
+    *
+    * ONE corpus pass (r19 optimization; the old shape re-ran the
+    * tokenize+explode+aggregate through lineage once for `contexts`,
+    * once for the vocabulary count, and once per scoring join): each
+    * document explodes to positional (w, next) pairs — `next` is null
+    * at the last position — and a single hash aggregation counts them.
+    * grams (next non-null), contexts (sum over next) and the
+    * vocabulary (distinct w — every token instance appears exactly
+    * once as w) all derive from that vocabulary²-bounded pair table,
+    * integer-exact, so the outputs are bit-identical to the per-
+    * consumer passes. The pair table is eagerly checkpointed (its
+    * lineage would otherwise re-run the corpus pass per consumer); the
+    * checkpoint loses plan-time size stats — the r18 revert's lesson:
+    * the scoring joins then fell back to SortMergeJoin and paid a
+    * corpus-sized shuffle-write before AQE's runtime rescue — so the
+    * model tables carry an explicit broadcast hint whenever the
+    * measured pair mass fits the session's autoBroadcastJoinThreshold
+    * (guide §3.1: estimates are wrong after UDFs/checkpoints; hint
+    * when you know). Oversized vocabularies (the 100 TB regime) keep
+    * the un-hinted shuffle join — correct at that scale — while still
+    * paying the corpus pass only once. */
   def train(docs: DataFrame, textCol: String): BigramModel = {
-    val toks = docs.select(tokens(col(textCol)).as("__toks"))
-    // DELIBERATELY LAZY (re-examined in the r18 optimization round):
-    // `grams` feeds two consumers — the `contexts` derivation and every
-    // scoring join — so the corpus tokenize+explode+aggregate re-runs
-    // through lineage per consumer. Materializing it (localCheckpoint)
-    // was MEASURED SLOWER at bench scale (+18-26% on the three LM rows):
-    // the checkpointed table loses plan-time size stats, the scoring
-    // joins lose their plan-time broadcast and pay a shuffle-write of
-    // the exploded doc-gram side before AQE's runtime SMJ→BHJ rescue.
-    // The scale-correct fix would need a size-aware broadcast hint on
-    // the materialized table; until then the lazy double-pass keeps the
-    // broadcast-everywhere plan shape.
-    val grams = toks
-      .filter(size(col("__toks")) >= 2)
-      .select(explode(wordNgramsFromTokens(col("__toks"), 2)).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("__c12"))
-    val contexts = grams
-      .groupBy(substring_index(col("gram"), " ", 1).as("__w1"))
-      .agg(sum("__c12").as("__c1"))
-    val vocab = toks
-      .select(explode(col("__toks")).as("__w"))
-      .agg(countDistinct(col("__w")))
-      .head().getLong(0)
-    BigramModel(grams, contexts, vocab)
+    val toksCol = col("__toks")
+    val pairCounts = docs
+      .select(tokens(col(textCol)).as("__toks"))
+      // size(null) = -1: null-text docs drop here, as they did from
+      // both the explode'd vocab count and the gram filter before
+      .filter(size(toksCol) >= 1)
+      // sequence(0, -1) counts DOWN (the rollingFingerprint trap) —
+      // the size >= 1 filter above keeps the range ascending
+      .select(explode(transform(sequence(lit(0), size(toksCol) - 1),
+        i => struct(
+          element_at(toksCol, i + 1).as("w"),
+          when(i < size(toksCol) - 1, element_at(toksCol, i + 2))
+            .as("next")))).as("__p"))
+      .groupBy(col("__p.w").as("__w"), col("__p.next").as("__next"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    // one bounded agg over the checkpointed pair table: the exact
+    // vocabulary size (the NLL denominator — must be exact) plus the
+    // byte mass the broadcast decision needs
+    val stats = pairCounts.agg(
+      countDistinct(col("__w")),
+      count(lit(1)),
+      sum(length(col("__w")) + coalesce(length(col("__next")), lit(0))))
+      .head()
+    val vocab = stats.getLong(0)
+    val est = estimatedBroadcastBytes(stats.getLong(1),
+      if (stats.isNullAt(2)) 0L else stats.getLong(2))
+    val thr = docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    def hinted(df: DataFrame): DataFrame =
+      if (thr > 0 && est <= thr) broadcast(df) else df
+    val bigrams = pairCounts.filter(col("__next").isNotNull)
+    // tokens never contain whitespace (split on \s+), so
+    // concat_ws(" ", w, next) is exactly wordNgramsFromTokens' gram
+    // string and substring_index(gram, " ", 1) recovers w
+    val grams = bigrams
+      .select(concat_ws(" ", col("__w"), col("__next")).as("gram"),
+        col("__c").as("__c12"))
+    val contexts = bigrams
+      .groupBy(col("__w").as("__w1"))
+      .agg(sum(col("__c")).as("__c1"))
+    BigramModel(hinted(grams), hinted(contexts), vocab)
   }
 
   /**

@@ -224,6 +224,66 @@ class AnnAppendSpec extends SparkSpec {
     assert(all.find(_._1 == 100L).get._2 > 1e100)
   }
 
+  test("appendIvfPq staleness fold is FULL-BATCH above the 256k sample " +
+      "cap: appended_n counts every row and the mean is the exact " +
+      "all-rows mean (r18 semantic surface, pinned r19)") {
+    // The r18 observe() fold measures reconstruction error over EVERY
+    // batch row — the pre-r18 path capped at KmeansFitSampleCap via the
+    // hash-sample, identical below the cap and a behavior change above
+    // it (strictly more data, deliberately). This spec pins that
+    // surface so a later round can't silently "optimize" it back to
+    // the sample.
+    val dim = 8
+    // all-positive build corpus: one sign pattern per subspace, so the
+    // (also all-positive) big batch encodes into trained codes only
+    val pos = (0L until 32L).map(i =>
+      (i, Seq.tabulate(dim)(d => 0.3f + ((i + d) % 5) * 0.1f)))
+    val p = tmp("ivfpq_reconfull")
+    AnnIndex.buildIvfPq(pos.toDF("vec_id", "embedding"), "embedding",
+      "vec_id", p, nCells = 2, m = 2, quantizer = "sign")
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (base0, _, n0, _) = AnnIndex.readReconSidecar(fs, p).get
+    assert(n0 === 0L)
+    val nBig = AnnIndex.KmeansFitSampleCap + 1000L
+    val batch = spark.range(nBig).select(
+      (col("id") + 1000L).as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        d => lit(0.25) + ((col("id") + d) % 7).cast("double") * lit(0.1))
+        .as("embedding"))
+    assert(AnnIndex.appendIvfPq(batch, "embedding", "vec_id", p) === nBig)
+    val (base1, appErr, appN, _) = AnnIndex.readReconSidecar(fs, p).get
+    assert(base1 === base0, "append must not move the build baseline")
+    // the pinned surface: the appended mass is the FULL batch count,
+    // not min(batch, KmeansFitSampleCap)
+    assert(appN === nBig,
+      s"appended_n=$appN must count every batch row ($nBig), not the " +
+        s"${AnnIndex.KmeansFitSampleCap} hash-sample cap")
+    // exact all-rows mean, independently recomputed on the driver from
+    // the frozen codebooks + the batch's deterministic vectors
+    val cb = spark.read.parquet(s"$p/_codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
+      .toMap
+    val sub = dim / 2
+    val code = (1 << sub) - 1 // all-positive batch: every sign bit set
+    var total = 0.0
+    var id = 0L
+    while (id < nBig) {
+      val v = Array.tabulate(dim)(d => 0.25 + ((id + d) % 7) * 0.1)
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      val nv = v.map(_ / norm)
+      total += (0 until 2).map { j =>
+        cb((j, code)).zipWithIndex.map { case (c, i) =>
+          val diff = nv(j * sub + i) - c; diff * diff
+        }.sum
+      }.sum
+      id += 1L
+    }
+    val expected = total / nBig
+    assert(math.abs(appErr - expected) <= 1e-6 * math.max(expected, 1e-12),
+      s"appended_err=$appErr must be the exact full-batch mean $expected")
+  }
+
   test("appends accept an empty batch (a quiet streaming micro-batch): " +
       "0 appended, index byte-identical") {
     val p = tmp("lsh_emptyb"); val pq = tmp("ivfpq_emptyb")
