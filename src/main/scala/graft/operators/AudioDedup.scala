@@ -104,8 +104,11 @@ object AudioDedup {
       // verify joins below — they join the SAME frames again, and the
       // leftover columns shadow the re-joined ones
       .select("id_n", "id_c")
-      .dropDuplicates("id_n", "id_c")
+      // repartition before the dedup: one exchange serves both (see
+      // Dedup.bucketPairs' r19 note); duplicate keys carry identical
+      // payloads, so the pick is value-deterministic
       .repartition(par, col("id_n"))
+      .dropDuplicates("id_n", "id_c")
       // duplicate (id, band) rows on EITHER side (a legally replayed/
       // re-ingested id — identical content, identical rows) would
       // double-join sequence windows and inflate the bit-error sum
@@ -227,7 +230,8 @@ object AudioDedup {
    */
   def ingestAudioBatch(batchFps: DataFrame, idCol: String,
       indexPath: Option[String], indexBatchDir: String,
-      maxBitErrors: Int = 28): DataFrame = {
+      maxBitErrors: Int = 28,
+      pairsSink: Option[String] = None): DataFrame = {
     val spark = batchFps.sparkSession
     val parent = Option(
       new org.apache.hadoop.fs.Path(indexBatchDir).getParent)
@@ -253,7 +257,7 @@ object AudioDedup {
           Dedup.liveIndexRows(spark, p, Some(batch.schema)), maxBitErrors,
           par).union(inBatch)
     }
-    val out = pairs.distinct().localCheckpoint(true)
+    val out = Dedup.materializePairs(pairs, pairsSink)
     Dedup.indexWrite(batch).mode("overwrite").partitionBy("band")
       .parquet(indexBatchDir)
     batch.unpersist(false)

@@ -30,6 +30,30 @@ object Dedup {
     out
   }
 
+  /** Materialize a micro-batch's deduped pairs (r19, guide §1.2). The
+    * streaming cadence passes its per-batch pairs directory and the
+    * parquet WRITE is the eager action — ONE job where the old shape
+    * paid two (localCheckpoint, then the stream's separate re-write of
+    * every checkpointed partition as its own file; the direct write is
+    * AQE-sized, so the accumulated pairs tree also holds ~one file per
+    * batch instead of the checkpoint's full partition count). Batch
+    * callers pass None and keep the GC-tracked checkpoint. Either way
+    * the pairs materialize BEFORE the caller writes the batch's index
+    * partition, and the returned frame is safe to consume after that
+    * write: sink mode re-reads the written directory under its known
+    * schema — never the live plan, which by then would see the batch's
+    * own rows through the index. */
+  private[graft] def materializePairs(pairs: DataFrame,
+      pairsSink: Option[String]): DataFrame = {
+    val deduped = pairs.distinct()
+    pairsSink match {
+      case Some(dir) =>
+        deduped.write.mode("overwrite").parquet(dir)
+        deduped.sparkSession.read.schema(deduped.schema).parquet(dir)
+      case None => deduped.localCheckpoint(true)
+    }
+  }
+
   /**
    * Candidate pairs from a bucket table `(keyCols..., id)`: streamed skinny
    * self-join on the bucket key, ordered-pair filter, distinct.
@@ -68,14 +92,25 @@ object Dedup {
     a.join(b, keyCols)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .distinct()
       // explicit partition count for the downstream verify join: the pair
       // rows are byte-light (16 bytes) but the per-pair verify is
       // CPU-heavy, and AQE's byte-based coalescing would shrink the
       // exchange to a handful of partitions (observed: 8 of 32 cores busy
       // in the Jaccard verify). The join key downstream is id_a, so this
       // exchange is reused by the verify join.
+      //
+      // Repartition BEFORE the distinct (r19, guide §2.4): hash
+      // partitioning on id_a co-locates every (id_a, id_b) duplicate,
+      // so the distinct satisfies its clustering requirement from this
+      // one exchange instead of adding its own — the old
+      // distinct-then-repartition shape shuffled the candidate mass
+      // TWICE (once on (id_a, id_b) for the distinct, once on id_a for
+      // the verify width; map-side partial dedup caught ~nothing since
+      // a multi-band duplicate's copies live in different band
+      // partitions). Same rows out, same output partitioning, one
+      // exchange and strictly fewer shuffled bytes.
       .repartition(banded.sparkSession.sparkContext.defaultParallelism, col("id_a"))
+      .distinct()
   }
 
   /**
@@ -1090,8 +1125,13 @@ object Dedup {
         col("id").as("id_c"), col("shingles").as("sh_c")), Seq("band", "key"))
       .filter(col("id_n") =!= col("id_c"))
       .select(col("id_n"), col("id_c"), col("sh_n"), col("sh_c"))
-      .dropDuplicates("id_n", "id_c")
+      // repartition BEFORE the dedup: one exchange serves both the
+      // (id_n, id_c) dedup (subset clustering — duplicates co-locate)
+      // and the verify width (see the bucketPairs note); duplicate keys
+      // carry identical shingle payloads, so the arbitrary-row pick is
+      // value-deterministic
       .repartition(par, col("id_n"))
+      .dropDuplicates("id_n", "id_c")
       .select(
         least(col("id_n"), col("id_c")).as("id_a"),
         greatest(col("id_n"), col("id_c")).as("id_b"),
@@ -1142,10 +1182,15 @@ object Dedup {
    * chain twice per document (once for pairs, once for the index append),
    * violating the index contract that signatures are computed once ever.
    */
+  /** @param pairsSink the streaming cadence's per-batch pairs
+    *   directory: when set, the pairs materialize DIRECTLY into it
+    *   (see [[materializePairs]] — one write job instead of
+    *   checkpoint-then-rewrite) and the returned frame reads it back. */
   def ingestBatch(newDocs: DataFrame, textCol: String, idCol: String,
       indexPath: Option[String], indexBatchDir: String, shingleK: Int = 5,
       numHashes: Int = 16, bands: Int = 4,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8,
+      pairsSink: Option[String] = None): DataFrame = {
     val spark = newDocs.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val batch = minhashBanded(newDocs, textCol, idCol, shingleK, numHashes, bands)
@@ -1174,7 +1219,7 @@ object Dedup {
     // materialize the pairs FIRST (reads the index before this batch's
     // own rows join it), then write the index partition from the cached
     // signatures — both actions reuse the one persisted signature table
-    val out = pairs.distinct().localCheckpoint(true)
+    val out = materializePairs(pairs, pairsSink)
     indexWrite(batch).mode("overwrite").partitionBy("band")
       .parquet(indexBatchDir)
     batch.unpersist(false)

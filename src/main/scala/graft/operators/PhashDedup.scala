@@ -152,7 +152,8 @@ object PhashDedup {
    */
   def ingestPhashBatch(batchHashes: DataFrame, idCol: String,
       hashCol: String, indexPath: Option[String], indexBatchDir: String,
-      maxHamming: Int = 6, bands: Int = 4): DataFrame = {
+      maxHamming: Int = 6, bands: Int = 4,
+      pairsSink: Option[String] = None): DataFrame = {
     val spark = batchHashes.sparkSession
     val parent = Option(
       new org.apache.hadoop.fs.Path(indexBatchDir).getParent)
@@ -194,8 +195,11 @@ object PhashDedup {
             col("id").as("id_c"), col("phash").as("h_c")),
             Seq("band", "key"))
           .filter(col("id_n") =!= col("id_c"))
-          .dropDuplicates("id_n", "id_c")
+          // repartition before the dedup: one exchange serves both (see
+          // Dedup.bucketPairs' r19 note); duplicate keys carry
+          // identical payloads, so the pick is value-deterministic
           .repartition(par, col("id_n"))
+          .dropDuplicates("id_n", "id_c")
           .select(
             least(col("id_n"), col("id_c")).as("id_a"),
             greatest(col("id_n"), col("id_c")).as("id_b"),
@@ -203,7 +207,7 @@ object PhashDedup {
           .filter(col("hamming") <= maxHamming)
           .union(inBatch)
     }
-    val out = pairs.distinct().localCheckpoint(true)
+    val out = Dedup.materializePairs(pairs, pairsSink)
     Dedup.indexWrite(batch).mode("overwrite").partitionBy("band")
       .parquet(indexBatchDir)
     batch.unpersist(false)
@@ -239,8 +243,11 @@ object PhashDedup {
       .join(index.select(col("band"), col("key"), col("id").as("id_c"),
         col("phash").as("h_c")), Seq("band", "key"))
       .filter(col("id_n") =!= col("id_c"))
-      .dropDuplicates("id_n", "id_c")
+      // repartition before the dedup: one exchange serves both (see
+      // Dedup.bucketPairs' r19 note); duplicate keys carry identical
+      // payloads, so the pick is value-deterministic
       .repartition(par, col("id_n"))
+      .dropDuplicates("id_n", "id_c")
       .select(
         least(col("id_n"), col("id_c")).as("id_a"),
         greatest(col("id_n"), col("id_c")).as("id_b"),

@@ -682,8 +682,11 @@ object Similarity {
       .join(index.select(col("band"), col("key"), col("id").as("id_c"),
         col("v").as("v_c"), col("n").as("n_c")), Seq("band", "key"))
       .filter(col("id_n") =!= col("id_c"))
-      .dropDuplicates("id_n", "id_c")
+      // repartition before the dedup: one exchange serves both (see
+      // Dedup.bucketPairs' r19 note); duplicate keys carry identical
+      // payloads, so the pick is value-deterministic
       .repartition(par, col("id_n"))
+      .dropDuplicates("id_n", "id_c")
       .select(
         least(col("id_n"), col("id_c")).as("id_a"),
         greatest(col("id_n"), col("id_c")).as("id_b"),
@@ -725,7 +728,8 @@ object Similarity {
       idCol: String, indexPath: Option[String], indexBatchDir: String,
       minCosine: Double = 0.95, bands: Int = 4, bitsPerBand: Int = 16,
       autoPlan: Boolean = true,
-      targetOccupancy: Double = 2.0): DataFrame = {
+      targetOccupancy: Double = 2.0,
+      pairsSink: Option[String] = None): DataFrame = {
     val spark = newVecs.sparkSession
     val parent = Option(
       new org.apache.hadoop.fs.Path(indexBatchDir).getParent)
@@ -797,8 +801,11 @@ object Similarity {
             col("id").as("id_c"), col("v").as("v_c"),
             col("n").as("n_c")), Seq("band", "key"))
           .filter(col("id_n") =!= col("id_c"))
-          .dropDuplicates("id_n", "id_c")
+          // repartition before the dedup: one exchange serves both (see
+          // Dedup.bucketPairs' r19 note); duplicate keys carry
+          // identical payloads, so the pick is value-deterministic
           .repartition(par, col("id_n"))
+          .dropDuplicates("id_n", "id_c")
           .select(
             least(col("id_n"), col("id_c")).as("id_a"),
             greatest(col("id_n"), col("id_c")).as("id_b"),
@@ -817,7 +824,7 @@ object Similarity {
     // materialize the pairs FIRST (reads the index before this batch's
     // own rows join it), then write the batch partition from the cached
     // banded table — both actions reuse the one persisted table
-    val out = pairs.distinct().localCheckpoint(true)
+    val out = Dedup.materializePairs(pairs, pairsSink)
     val obs = org.apache.spark.sql.Observation()
     val toWrite =
       if (indexPath.isEmpty) batch

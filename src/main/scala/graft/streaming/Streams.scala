@@ -242,12 +242,15 @@ object Streams {
         val spark = df.sparkSession
         requireNoCrashedSwap(spark, indexDir, "dedupIngest")
         // one signature pass per batch: pairs + index write share the
-        // cached banded table (Dedup.ingestBatch)
-        val pairs = graft.operators.Dedup.ingestBatch(df, textCol, idCol,
+        // cached banded table (Dedup.ingestBatch); the pairs sink makes
+        // the per-batch pairs write the materializing action itself
+        // (r19 — one job, AQE-sized files, instead of checkpoint +
+        // re-write of every checkpointed partition)
+        graft.operators.Dedup.ingestBatch(df, textCol, idCol,
           if (indexHasData(spark, indexDir)) Some(indexDir) else None,
           s"$indexDir/batch=$batchId",
-          shingleK, numHashes, bands, minJaccard)
-        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+          shingleK, numHashes, bands, minJaccard,
+          pairsSink = Some(s"$pairsDir/batch=$batchId"))
         maybeMaintainMinhash(spark, indexDir, batchId, maintainEvery)
       }
       .start()
@@ -341,11 +344,11 @@ object Streams {
       spark.sessionState.newHadoopConf())
     val hasPlan = fs.exists(
       new org.apache.hadoop.fs.Path(s"$indexDir/_embplan"))
-    val pairs = graft.operators.Similarity.ingestEmbeddingBatch(df,
+    graft.operators.Similarity.ingestEmbeddingBatch(df,
       vecCol, idCol, if (hasPlan) Some(indexDir) else None,
       s"$indexDir/batch=$batchId", minCosine, bands, bitsPerBand,
-      autoPlan, targetOccupancy)
-    pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      autoPlan, targetOccupancy,
+      pairsSink = Some(s"$pairsDir/batch=$batchId"))
     maybeMaintainEmbedding(spark, indexDir, batchId, maintainEvery,
       skewEvery, skewFactor)
   }
@@ -429,11 +432,11 @@ object Streams {
             lit("image").as("kind"),
             col(payloadCol).cast("binary").as("payload"),
             lit("stream").as("source")).as[graft.multimodal.MediaAsset])
-        val pairs = graft.operators.PhashDedup.ingestPhashBatch(hashes,
+        graft.operators.PhashDedup.ingestPhashBatch(hashes,
           "media_id", "phash",
           if (indexHasData(spark, indexDir)) Some(indexDir) else None,
-          s"$indexDir/batch=$batchId", maxHamming, bands)
-        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+          s"$indexDir/batch=$batchId", maxHamming, bands,
+          pairsSink = Some(s"$pairsDir/batch=$batchId"))
         maybeMaintainMinhash(spark, indexDir, batchId, maintainEvery)
       }
       .start()
@@ -469,11 +472,11 @@ object Streams {
           df.select(col(idCol).cast("long").as(idCol),
             col(payloadCol).cast("binary").as(payloadCol)),
           payloadCol, idCol)
-        val pairs = graft.operators.AudioDedup.ingestAudioBatch(fps,
+        graft.operators.AudioDedup.ingestAudioBatch(fps,
           idCol,
           if (indexHasData(spark, indexDir)) Some(indexDir) else None,
-          s"$indexDir/batch=$batchId", maxBitErrors)
-        pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+          s"$indexDir/batch=$batchId", maxBitErrors,
+          pairsSink = Some(s"$pairsDir/batch=$batchId"))
         maybeMaintainMinhash(spark, indexDir, batchId, maintainEvery)
       }
       .start()
@@ -514,8 +517,8 @@ object Streams {
             .drop("disposition")
           graft.operators.Dedup.ingestBatch(kept, textCol, idCol,
               if (indexHasData(spark, indexDir)) Some(indexDir) else None,
-              s"$indexDir/batch=$batchId", shingleK, numHashes, bands, minJaccard)
-            .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+              s"$indexDir/batch=$batchId", shingleK, numHashes, bands,
+              minJaccard, pairsSink = Some(s"$pairsDir/batch=$batchId"))
           maybeMaintainMinhash(spark, indexDir, batchId, maintainEvery)
         } finally judged.unpersist(false)
       }
@@ -574,8 +577,8 @@ object Streams {
             .drop("disposition")
           graft.operators.Dedup.ingestBatch(kept, textCol, idCol,
               if (indexHasData(spark, indexDir)) Some(indexDir) else None,
-              s"$indexDir/batch=$batchId", shingleK, numHashes, bands, minJaccard)
-            .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+              s"$indexDir/batch=$batchId", shingleK, numHashes, bands,
+              minJaccard, pairsSink = Some(s"$pairsDir/batch=$batchId"))
           maybeMaintainMinhash(spark, indexDir, batchId, maintainEvery)
         } finally {
           judged.unpersist(false)
