@@ -285,8 +285,17 @@ object AnnIndex {
   private def stampReconBaseline(spark: SparkSession, path: String,
       coded: DataFrame, vecColName: String, m: Int, sub: Int,
       n: Long): Unit = {
+    // the build just wrote `_codebooks` itself, so its schema is known
+    // — the explicit-schema read skips the per-read inference job (the
+    // liveIndexRows discipline; reconError casts the int columns anyway)
+    import org.apache.spark.sql.types._
+    val cbSchema = StructType(Seq(
+      StructField("subspace", IntegerType),
+      StructField("centroid_id", IntegerType),
+      StructField("centroid", ArrayType(DoubleType)),
+      StructField("quantizer", StringType)))
     val (err, sn) = reconError(coded, vecColName,
-      spark.read.parquet(s"$path/_codebooks"), m, sub, n,
+      spark.read.schema(cbSchema).parquet(s"$path/_codebooks"), m, sub, n,
       KmeansFitSampleCap)
     writeReconSidecar(new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration), path, err, 0.0, 0L, sn)
@@ -2312,20 +2321,34 @@ object AnnIndex {
     else if (sidecars.contains("_centroids")) ivfCentroids(spark, path)
     else requireCodebooks(spark, path) // flat PQ
     val batch = ids.select(col(idCol).as("vec_id")).distinct()
-    batch.coalesce(1).write.mode("append")
+    // the distinct count rides the sidecar write via observe() (r19,
+    // guide §1.2 — the write touches every row; the old shape re-ran
+    // the distinct in a separate count() job). Absent metrics = the
+    // AQE-collapsed empty batch → 0, the appendLsh convention.
+    val obs = org.apache.spark.sql.Observation()
+    batch.observe(obs, count(lit(1)).as("n"))
+      .coalesce(1).write.mode("append")
       .parquet(s"$path/_tombstones")
-    val n = batch.count()
+    val n = obs.get.getOrElse("n", 0L) match {
+      case l: java.lang.Long => l.longValue(); case _ => 0L
+    }
     // accumulation WARN: the sidecar is small (ids only) but every probe
     // anti-joins it — past ~1% of the index the takedown mass deserves a
     // vacuum. `_rows` sidecar read only, no job over the data path.
+    // The WARN's distinct count is gated behind the sidecar's METADATA
+    // row count (r19): distinct ids ≤ rows, so under the 1024 floor the
+    // shuffle-dedup job can never change the answer and is skipped.
     val total = math.max(1L, indexRowCount(spark, path))
-    val tombs = spark.read.parquet(s"$path/_tombstones")
-      .select("vec_id").distinct().count()
-    if (tombs >= 1024L && tombs * 100L >= total)
-      System.err.println(s"[annindex] WARN deleteIds($path): $tombs " +
-        s"accumulated tombstones vs $total rows — every probe now " +
-        s"anti-joins that mass; call AnnIndex.vacuumTombstones to make " +
-        s"the deletes physical and clear the sidecar.")
+    val tombRows = spark.read.parquet(s"$path/_tombstones").count()
+    if (tombRows >= 1024L) {
+      val tombs = spark.read.parquet(s"$path/_tombstones")
+        .select("vec_id").distinct().count()
+      if (tombs >= 1024L && tombs * 100L >= total)
+        System.err.println(s"[annindex] WARN deleteIds($path): $tombs " +
+          s"accumulated tombstones vs $total rows — every probe now " +
+          s"anti-joins that mass; call AnnIndex.vacuumTombstones to make " +
+          s"the deletes physical and clear the sidecar.")
+    }
     n
   }
 
@@ -2405,7 +2428,12 @@ object AnnIndex {
     // tombstoned rows ([[deleteIds]]) drop PHYSICALLY here — the rewrite
     // is the one pass that touches every row anyway — and the sidecar is
     // NOT carried over: the compacted index starts tombstone-free
-    val df = liveRows(spark, path, spark.read.parquet(path))
+    val df0 = liveRows(spark, path, spark.read.parquet(path))
+    // the post-drop row count rides the staged write via observe() (r19
+    // — the old re-stamp re-read the freshly-written tree in a separate
+    // count job); written rows = live rows, the same value
+    val reObs = org.apache.spark.sql.Observation()
+    val df = df0.observe(reObs, count(lit(1)).as("__n"))
     // "sig" last: the legacy raw-sig LSH tree partitions on the raw
     // signature itself — omitting it here would rewrite a legacy index
     // UNPARTITIONED (sig demoted to a data column, every probe a full
@@ -2439,10 +2467,12 @@ object AnnIndex {
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_sample")))
       liveRows(spark, path, spark.read.parquet(s"$path/_sample"))
         .coalesce(8).write.mode("overwrite").parquet(s"$tmp/_sample")
-    // re-stamp the count on the staged copy (tombstone drops change it;
-    // the count over freshly-written files is metadata-cheap)
+    // re-stamp the count on the staged copy (tombstone drops change it)
+    // from the write job's own observed rows — no re-read of the tree
     writeRowsSidecar(fs, tmp.toString,
-      spark.read.parquet(tmp.toString).count())
+      reObs.get.getOrElse("__n", 0L) match {
+        case l: java.lang.Long => l.longValue(); case _ => 0L
+      })
     swapStaged(fs, hPath, tmp, old, "compactIndex")
     (before, dataFiles(path))
   }

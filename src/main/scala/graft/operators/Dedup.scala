@@ -1353,18 +1353,31 @@ object Dedup {
           s"tombstone rows whose layout is unknown.")
     requireNoInterruptedMinhashVacuum(fs, path, "deleteFromMinhashIndex")
     val batch = ids.select(col(idCol).as("id")).distinct()
-    batch.coalesce(1).write.mode("append").parquet(s"$path/_tombstones")
-    val n = batch.count()
-    val tombs = spark.read.parquet(s"$path/_tombstones")
-      .select("id").distinct().count()
-    if (tombs >= 1024L) {
-      val sigRows = spark.read.parquet(path).count() // metadata-only
-      if (tombs * 100L >= math.max(1L, sigRows))
-        System.err.println(s"[dedup] WARN deleteFromMinhashIndex($path): " +
-          s"$tombs accumulated tombstoned ids vs ~$sigRows signature " +
-          s"rows — every index probe now anti-joins that mass; call " +
-          s"Dedup.vacuumMinhashTombstones to make the deletes physical " +
-          s"(compactMinhashIndex if the index is also fragmented).")
+    // distinct count rides the sidecar write (observe(), r19 — the old
+    // shape re-ran the distinct in a separate count() job); the WARN's
+    // whole-sidecar distinct is additionally gated behind the metadata
+    // row count (distinct ids ≤ rows, so under the floor the shuffle
+    // job can never change the answer). Absent metrics = the
+    // AQE-collapsed empty batch → 0 (the appendLsh convention).
+    val obs = org.apache.spark.sql.Observation()
+    batch.observe(obs, count(lit(1)).as("__n"))
+      .coalesce(1).write.mode("append").parquet(s"$path/_tombstones")
+    val n = obs.get.getOrElse("__n", 0L) match {
+      case l: java.lang.Long => l.longValue(); case _ => 0L
+    }
+    val tombRows = spark.read.parquet(s"$path/_tombstones").count()
+    if (tombRows >= 1024L) {
+      val tombs = spark.read.parquet(s"$path/_tombstones")
+        .select("id").distinct().count()
+      if (tombs >= 1024L) {
+        val sigRows = spark.read.parquet(path).count() // metadata-only
+        if (tombs * 100L >= math.max(1L, sigRows))
+          System.err.println(s"[dedup] WARN deleteFromMinhashIndex($path): " +
+            s"$tombs accumulated tombstoned ids vs ~$sigRows signature " +
+            s"rows — every index probe now anti-joins that mass; call " +
+            s"Dedup.vacuumMinhashTombstones to make the deletes physical " +
+            s"(compactMinhashIndex if the index is also fragmented).")
+      }
     }
     n
   }
@@ -1555,11 +1568,14 @@ object Dedup {
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path.__precompact")
     fs.delete(tmp, true); fs.delete(old, true) // prior-crash leftovers
-    val live = liveIndexRows(spark, path)
-    if (live.isEmpty) throw new IllegalStateException(
-      s"compactMinhashIndex($path): every row is tombstoned — compacting " +
-        s"would leave an empty, unreadable tree. Delete the index " +
-        s"directory instead (or re-ingest before compacting).")
+    val live0 = liveIndexRows(spark, path)
+    // the all-tombstoned guard rides the staged write via observe()
+    // (r19 — the old isEmpty() take(1) was its own anti-join job): a
+    // zero-row write throws BEFORE the swap with the staged tree
+    // deleted, so the live index is untouched exactly as before; only
+    // where on the timeline the error surfaces moved
+    val obs = org.apache.spark.sql.Observation()
+    val live = live0.observe(obs, count(lit(1)).as("__n"))
     val writer =
       if (live.columns.contains("batch"))
         indexWrite(live.withColumn("batch", lit(-1L)))
@@ -1567,6 +1583,16 @@ object Dedup {
       else
         indexWrite(live).partitionBy("band")
     writer.mode("overwrite").parquet(tmp.toString)
+    val written = obs.get.getOrElse("__n", 0L) match {
+      case l: java.lang.Long => l.longValue(); case _ => 0L
+    }
+    if (written == 0L) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compactMinhashIndex($path): every row is tombstoned — compacting " +
+          s"would leave an empty, unreadable tree. Delete the index " +
+          s"directory instead (or re-ingest before compacting).")
+    }
     // the `_tombstones` sidecar is NOT carried over: the compacted index
     // starts tombstone-free (deletes are physical now). The embedding
     // band index's frozen-plan sidecar ([[Similarity.buildEmbeddingIndex]]
