@@ -187,15 +187,19 @@ object Bench {
     // corpus (there is none), loses the bounded reservoir read, or
     // breaks the swap moves this row.
     "stream_ivfpq_reindex",
-    // round 19: the scaling-legible arm (judge ask #8) — three
-    // compute-heavy rows over the ScaleCorpus-derived mult× corpus
+    // round 19: the scaling-legible arm (judge ask #8) — compute-heavy
+    // rows over the ScaleCorpus-derived mult× corpus
     // (SPARK_GRAFT_SCALE_ARM, default 4), synthesized lazily in-query
     // from the parquet inputs. At sf0.1 every other row is
     // fixed-cost-bound (the 8-core sweep ran FASTER than 32-core in
     // r18), so the driver's core-count ratio could not distinguish
-    // "serial" from "small"; these rows carry enough real work that
-    // the 8-vs-32 ratio measures operator parallelism.
+    // "serial" from "small". scale_sig_stats is the map-only CONTROL:
+    // one compute stage, no shuffle — its 8-vs-32 ratio separates
+    // "the operators don't parallelize" from "the host's memory
+    // bandwidth saturates below 32 threads" (measured: the latter;
+    // see OPTIMIZATION_r19.md §6).
     "scale_minhash_pairs", "scale_semdedup", "scale_lm_nll",
+    "scale_sig_stats",
     // round 15: the fuzzy run END-TO-END (CSV ingest -> QA battery ->
     // alternates multiplication -> blocked OSA join + flip union ->
     // date filter -> multi-match resolve -> tiering + saved-rows state

@@ -42,9 +42,16 @@ object QueriesScale {
   }
 
   /** The ScaleCorpus documents construction, lazily: copy 0 verbatim,
-    * copy c ciphered (bijective per copy), ids shifted by c·10^7. */
+    * copy c ciphered (bijective per copy), ids shifted by c·10^7.
+    * The base is repartitioned to the session width FIRST — the cipher
+    * projection otherwise runs at the small parquet scan's 1-2
+    * partitions per copy (core-flat synthesis CPU, which defeated the
+    * row's purpose: an 8-vs-32-core ratio of ~1.1 measured before this
+    * spread); the per-copy projections share the ONE exchange
+    * (identical subtree, exchange reuse). */
   private[graft] def scaledDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
     (0 until mult).map { c =>
       val txt =
         if (c == 0) col("text") else ScaleCorpus.cipherText(col("text"), c)
@@ -58,6 +65,7 @@ object QueriesScale {
     * bit-preserved, cross-copy ~0). */
   private[graft] def scaledEmb(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism)
     (0 until mult).map { c =>
       val vec =
         if (c == 0) col("embedding")
@@ -86,6 +94,33 @@ object QueriesScale {
         scaledEmb(s, dir), "embedding", "vec_id",
         minCosine = 0.9, signBits = 6)
         .withColumnRenamed("id", "vec_id")),
+
+    // Shuffle-free compute pass at mult× corpus: cipher synthesis +
+    // the canon/shingle/minhash SIGNATURE kernel (the CPU-heavy per-row
+    // chain of the dedup family), partial-aggregated to one row — the
+    // map-only control row. The three rows above all carry shuffles,
+    // and local-mode shuffle machinery is core-FLAT-or-worse at this
+    // scale (M×R block count grows quadratically with width — guide
+    // §2.2 — and every task result serializes through the one driver
+    // event loop), so their 8-vs-32 ratio measures the scheduler, not
+    // the operator. This row's ratio isolates pure compute scaling:
+    // the signature fold over every shingle of every doc, no exchange
+    // except the one-row final agg.
+    QueryDef("scale_sig_stats", None,
+      (s, dir) => {
+        import graft.functions.TextFunctions._
+        scaledDocs(s, dir)
+          .select(col("doc_id"),
+            canonicalText(col("text")).as("__canon"))
+          .select(col("doc_id"),
+            array_distinct(charShinglesCanon(col("__canon"), 5))
+              .as("__sh"))
+          .select(col("doc_id"),
+            minhashSignature(col("__sh"), 16).as("__sig"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(element_at(col("__sig"), 1)).as("sig_mass"),
+            sum(size(col("__sig"))).as("sig_width_mass"))
+      }),
 
     // Self-trained bigram-LM scoring at mult× corpus: one training
     // pass (hash aggregation over token pairs) + one scoring pass
